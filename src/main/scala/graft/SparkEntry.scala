@@ -1,13 +1,516 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
+import graft.operators.{Dedup, Featurize, SessionConf, Sessionize, Similarity}
+import graft.sources.Tables
+import graft.streaming.SessionWindows
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry is one operator (or operator pipeline) from the
+  * SURVEY §2 inventory or the training-data-pipeline extension set; entries
+  * with a deterministic relational meaning also appear in `oracleSql` as
+  * ANSI SQL that DuckDB runs over the same parquet tables. Column names are
+  * aligned on both sides (the driver's compare sorts columns by name).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** The synthetic `events` table mapped to the reference clickstream shape:
+    * day-scoped sessions (`user_id` + day), `value`→price, JSON `props.k`
+    * →product_id, `click`→cart. See sources.Tables.clickstream for the
+    * rename-only variant; the day-session key gives a realistic label mix.
+    */
+  private def clickstream(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events.select(
+      concat(col("user_id").cast("string"), lit("_"), date_format(col("ts"), "yyyy-MM-dd"))
+        .as("user_session"),
+      col("event_type"),
+      regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("product_id"),
+      col("value").as("price"),
+      col("ts").as("event_time")
+    )
+
+  private val ClickConf = SessionConf(
+    sessionCol = "user_session",
+    typeCol = "event_type",
+    tsCol = "event_time",
+    priceCol = "price",
+    itemCol = "product_id",
+    viewType = "view",
+    cartType = "click",
+    purchaseType = "purchase"
+  )
+
+  /** Flagship: leakage-free session features (S1→P1→W1→P4→A1→P2).
+    * avg_price is rounded to 6 decimals so parallel-summation order noise
+    * (~1e-13) can't flip the oracle compare at a formatting boundary.
+    */
+  private def sessionFeatures(spark: SparkSession, dir: String): DataFrame =
+    Featurize
+      .leakageFreeSessionFeatures(clickstream(spark, dir), ClickConf)
+      .withColumn("avg_price", round(col("avg_price"), 6))
+
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    sessionFeatures(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------------------
+  // Queries
+  // ------------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- reference parity: sessionization + features (W1/J1/P4/A1) ----
+    "q_session_features" -> ((s, d) => sessionFeatures(s, d)),
+    "q_session_features_join" -> { (s, d) =>
+      val cs = clickstream(s, d)
+      val joined = Sessionize.withFirstPurchaseViaJoin(
+        cs, ClickConf.sessionCol, ClickConf.typeCol, ClickConf.tsCol, ClickConf.purchaseType)
+      Featurize.sessionFeatures(Sessionize.dropLeakage(joined, ClickConf.tsCol), ClickConf)
+        .withColumn("avg_price", round(col("avg_price"), 6))
+    },
+    "q_first_purchase" -> { (s, d) =>
+      clickstream(s, d)
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_session"))
+        .agg(min(col("event_time")).cast("long").as("first_purchase_s"))
+    },
+    // ---- projections / filters / simple aggregates (P5/P11, A2-A8) ----
+    "q_event_type_dist" -> { (s, d) =>
+      Tables(s, d).events.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n")).orderBy(col("n").desc)
+    },
+    "q_null_counts" -> { (s, d) =>
+      val ev = Tables(s, d).events
+      ev.select(
+        count(when(col("event_type").isNull, 1)).as("event_type_nulls"),
+        count(when(col("value").isNull, 1)).as("value_nulls"),
+        count(when(col("props").isNull, 1)).as("props_nulls"),
+        count(when(col("user_id").isNull, 1)).as("user_id_nulls")
+      )
+    },
+    "q_purchase_users_distinct" -> { (s, d) =>
+      Tables(s, d).events.filter(col("event_type") === "purchase")
+        .select(countDistinct(col("user_id")).as("n_purchase_users"))
+    },
+    "q_label_dist" -> { (s, d) =>
+      sessionFeatures(s, d).groupBy(col("label")).agg(count(lit(1)).as("n"))
+    },
+    "q_value_describe" -> { (s, d) =>
+      Tables(s, d).events.groupBy(col("event_type")).agg(
+        count(col("value")).as("cnt"),
+        round(avg(col("value")), 6).as("mean"),
+        round(stddev_samp(col("value")), 6).as("std"),
+        min(col("value")).as("min_v"),
+        max(col("value")).as("max_v")
+      )
+    },
+    "q_conversion_totals" -> ((s, d) => Featurize.batchTotals(clickstream(s, d), ClickConf)),
+    "q_heuristic_scores" -> { (s, d) =>
+      val f = sessionFeatures(s, d)
+      val score = Heuristic.score(col("cart_count"), col("view_count"))
+      f.select(
+        col("user_session"), col("cart_count"), col("view_count"),
+        score.as("intent_score"),
+        Heuristic.intentBucket(score).as("intent_bucket")
+      )
+    },
+    // ---- windows: tumbling (oracle) + sliding (reference T2 shape) ----
+    "q_tumbling_activity" -> { (s, d) =>
+      SessionWindows.tumblingActivity(Tables(s, d).events)
+        .withColumn("hour_start", col("hour_start").cast("long"))
+        .withColumnRenamed("hour_start", "hour_start_s")
+        .withColumn("total_value", round(col("total_value"), 2))
+    },
+    "q_sliding_windows" -> { (s, d) =>
+      SessionWindows.slidingSessionAgg(
+        clickstream(s, d),
+        sessionCol = "user_session", tsCol = "event_time", typeCol = "event_type",
+        priceCol = "price", itemCol = "product_id",
+        cartType = "click", exactDistinct = true
+      ).select(
+        col("user_session"),
+        col("window.start").cast("long").as("window_start_s"),
+        col("view_count"), col("cart_count"), col("purchase_count"),
+        col("total_events"), col("session_duration"),
+        col("avg_price"), col("max_price"), col("unique_items")
+      )
+    },
+    // ---- relational core over the TPC-H-ish tables (joins/agg/sort/limit) ----
+    "q1_pricing_summary" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .filter(col("l_shipdate") <= expr("TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+            .as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+    },
+    "q3_top_orders" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders.filter(col("o_orderdate") < expr("TIMESTAMP '1998-07-01 00:00:00'")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem.filter(col("l_shipdate") > expr("TIMESTAMP '1998-07-01 00:00:00'")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+        .withColumn("revenue", round(col("revenue"), 2))
+    },
+    "q5_region_revenue" -> { (s, d) =>
+      val t = Tables(s, d)
+      // dims are tiny: broadcast region→nation→supplier chain; the only big
+      // shuffles are lineitem⋈orders and orders⋈customer on their keys.
+      val asiaNations = broadcast(
+        t.nation.join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      )
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+    },
+    "q_part_brand_stats" -> { (s, d) =>
+      Tables(s, d).part.groupBy(col("p_brand")).agg(
+        count(lit(1)).as("n_parts"),
+        avg(col("p_retailprice")).as("avg_retail"),
+        countDistinct(col("p_type")).as("n_types"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size")
+      )
+    },
+    "q_customer_orders" -> { (s, d) =>
+      val t = Tables(s, d)
+      val perCust = t.orders.groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("n_orders_raw"),
+        sum(col("o_totalprice")).as("total_spent_raw")
+      )
+      t.customer
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          coalesce(col("n_orders_raw"), lit(0L)).as("n_orders"),
+          round(coalesce(col("total_spent_raw"), lit(0.0)), 2).as("total_spent")
+        )
+    },
+    "q_top_customers" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer.join(t.orders, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(sum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(10)
+        .withColumn("revenue", round(col("revenue"), 2))
+    },
+    // ---- text analysis over documents ----
+    "q_token_stats" -> { (s, d) =>
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.stopwordCount(col("text")).as("stop_hits"),
+        length(col("text")).as("text_len")
+      )
+    },
+    "q_quality_scores" -> { (s, d) =>
+      Tables(s, d).documents.select(
+        col("doc_id"),
+        TF.tokenCount(col("text")).as("n_tokens"),
+        TF.avgTokenLength(col("text")).as("avg_token_len"),
+        TF.stopwordRatio(col("text")).as("stopword_ratio"),
+        TF.qualityScore(col("text")).as("quality_score")
+      )
+    },
+    "q_lang_id" -> { (s, d) =>
+      Tables(s, d).documents.select(
+        col("doc_id"), col("lang").as("lang_declared"),
+        TF.langId(col("text")).as("lang_detected")
+      )
+    },
+    "q_fingerprints" -> { (s, d) =>
+      Tables(s, d).documents.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
+    },
+    // ---- dedup over documents ----
+    "q_dedup_exact" -> { (s, d) =>
+      Dedup.exactGroups(Tables(s, d).documents).select(
+        col("doc_id"), col("text_md5"), col("n_copies"))
+    },
+    "q_jaccard_adjacent" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), array_distinct(TF.tokens(col("text"))).as("words"))
+      val a = docs.select(col("doc_id").as("id1"), col("words").as("w1"))
+      val b = docs.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"),
+        col("words").as("w2"))
+      a.join(b, Seq("id1")).select(col("id1"), col("id2"),
+        Dedup.jaccard(col("w1"), col("w2")).as("jaccard"))
+    },
+    "q_minhash_pairs" -> { (s, d) =>
+      Dedup.minhashPairs(Tables(s, d).documents, threshold = 0.05)
+        .orderBy(col("jaccard").desc, col("id1"), col("id2")).limit(100)
+    },
+    "q_simhash_sigs" -> { (s, d) =>
+      Tables(s, d).documents.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    },
+    "q_simhash_pairs" -> { (s, d) =>
+      Dedup.simhashPairs(Tables(s, d).documents, maxHamming = 16)
+        .orderBy(col("hamming"), col("id1"), col("id2")).limit(100)
+    },
+    // ---- similarity search over embeddings ----
+    "q_embedding_norms" -> { (s, d) =>
+      Tables(s, d).embeddings.select(col("vec_id"), VF.norm2(col("embedding")).as("l2_norm"))
+    },
+    "q_knn_bruteforce" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      Similarity.bruteForceKnn(emb.filter(col("vec_id") < 5), emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    },
+    "q_knn_lsh" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      Similarity.lshKnn(emb.filter(col("vec_id") < 5), emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    },
+    "q_cosine_neardup" -> { (s, d) =>
+      Similarity.cosineNearDupPairs(Tables(s, d).embeddings, threshold = 0.5)
+        .orderBy(col("cos").desc, col("id1"), col("id2")).limit(100)
+    },
+    // ---- ML plane (RNG/ML — rows-only checks, properties in ScalaTest) ----
+    "q_balanced_label_dist" -> { (s, d) =>
+      Undersample.balance(sessionFeatures(s, d))
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+    },
+    "q_rf_metrics" -> { (s, d) =>
+      val (_, m) = IntentModel.trainEval(sessionFeatures(s, d))
+      s.createDataFrame(Seq((m.auc, m.accuracy, m.f1, m.weightedRecall)))
+        .toDF("auc", "accuracy", "f1", "weighted_recall")
+    },
+    "q_als_recs" -> { (s, d) =>
+      val inter = Recommender.interactions(
+        clickstream(s, d).withColumn("user_session", split(col("user_session"), "_").getItem(0)))
+      val model = Recommender.train(inter, maxIter = 5)
+      Recommender.recommend(model, 5)
+        .select(col("user"), posexplode(col("recommendations.item")).as(Seq("rank", "item")))
+    }
+  )
+
+  // ------------------------------------------------------------------------
+  // DuckDB oracle SQL (ANSI; runs over views named after the parquet tables)
+  // ------------------------------------------------------------------------
+
+  /** Flagship features as a reusable CTE body (DuckDB spelling). */
+  private val FeaturesSql: String =
+    """WITH ev AS (
+      |  SELECT CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d') AS user_session,
+      |         event_type, ts, value AS price,
+      |         regexp_extract(props, '"k": (\d+)', 1) AS product_id
+      |  FROM events
+      |), win AS (
+      |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts END)
+      |         OVER (PARTITION BY user_session) AS purchase_ts FROM ev
+      |), cut AS (
+      |  SELECT * FROM win WHERE purchase_ts IS NULL OR ts <= purchase_ts
+      |), features AS (
+      |  SELECT user_session,
+      |         max(CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS label,
+      |         count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+      |         count(CASE WHEN event_type = 'click' THEN 1 END) AS cart_count,
+      |         CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT)
+      |           AS session_duration,
+      |         round(avg(price), 6) AS avg_price,
+      |         max(price) AS max_price,
+      |         count(DISTINCT product_id) AS unique_items
+      |  FROM cut GROUP BY user_session
+      |)""".stripMargin
+
+  private val TokensSql =
+    "list_filter(string_split(lower(trim(text)), ' '), x -> len(x) > 0)"
+  private val StopSql =
+    "['the','a','of','and','to','in','is','it','that','for']"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_session_features" -> s"$FeaturesSql SELECT * FROM features",
+    "q_session_features_join" -> s"$FeaturesSql SELECT * FROM features",
+    "q_first_purchase" ->
+      """SELECT CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d') AS user_session,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS first_purchase_s
+        |FROM events WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
+    "q_event_type_dist" ->
+      "SELECT event_type, count(*) AS n FROM events GROUP BY event_type",
+    "q_null_counts" ->
+      """SELECT count(CASE WHEN event_type IS NULL THEN 1 END) AS event_type_nulls,
+        |       count(CASE WHEN value IS NULL THEN 1 END) AS value_nulls,
+        |       count(CASE WHEN props IS NULL THEN 1 END) AS props_nulls,
+        |       count(CASE WHEN user_id IS NULL THEN 1 END) AS user_id_nulls
+        |FROM events""".stripMargin,
+    "q_purchase_users_distinct" ->
+      "SELECT count(DISTINCT user_id) AS n_purchase_users FROM events WHERE event_type = 'purchase'",
+    "q_label_dist" ->
+      s"$FeaturesSql SELECT label, count(*) AS n FROM features GROUP BY label",
+    "q_value_describe" ->
+      """SELECT event_type, count(value) AS cnt, round(avg(value), 6) AS mean,
+        |       round(stddev_samp(value), 6) AS std, min(value) AS min_v, max(value) AS max_v
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_conversion_totals" ->
+      """SELECT count(CASE WHEN event_type = 'view' THEN 1 END) AS total_views,
+        |       count(CASE WHEN event_type = 'click' THEN 1 END) AS total_carts,
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS total_purchases,
+        |       count(*) AS total_events,
+        |       count(DISTINCT CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d'))
+        |         AS active_sessions,
+        |       CASE WHEN count(CASE WHEN event_type = 'click' THEN 1 END) = 0 THEN 0.0
+        |            ELSE CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END) AS DOUBLE)
+        |                 / count(CASE WHEN event_type = 'click' THEN 1 END) * 100.0
+        |       END AS conversion_rate
+        |FROM events""".stripMargin,
+    "q_heuristic_scores" ->
+      s"""$FeaturesSql, scored AS (
+         |  SELECT user_session, cart_count, view_count,
+         |         CAST(CASE WHEN cart_count >= 3 THEN 0.85 WHEN cart_count >= 1 THEN 0.60
+         |              WHEN view_count >= 10 THEN 0.35 WHEN view_count >= 5 THEN 0.20
+         |              ELSE 0.05 END AS DOUBLE) AS intent_score
+         |  FROM features)
+         |SELECT user_session, cart_count, view_count, intent_score,
+         |       CASE WHEN intent_score > 0.7 THEN 'high'
+         |            WHEN intent_score > 0.4 THEN 'medium' ELSE 'low' END AS intent_bucket
+         |FROM scored""".stripMargin,
+    "q_tumbling_activity" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start_s,
+        |       count(*) AS n_events,
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 6) AS avg_qty,
+        |       round(avg(l_extendedprice), 6) AS avg_price,
+        |       round(avg(l_discount), 6) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """WITH top AS (
+        |  SELECT o_orderkey, o_orderdate, sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  WHERE c_mktsegment = 'BUILDING'
+        |    AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
+        |    AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
+        |  GROUP BY o_orderkey, o_orderdate
+        |  ORDER BY revenue DESC, o_orderkey LIMIT 10)
+        |SELECT o_orderkey, o_orderdate, round(revenue, 2) AS revenue FROM top""".stripMargin,
+    "q5_region_revenue" ->
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name""".stripMargin,
+    "q_part_brand_stats" ->
+      """SELECT p_brand, count(*) AS n_parts, avg(p_retailprice) AS avg_retail,
+        |       count(DISTINCT p_type) AS n_types, min(p_size) AS min_size,
+        |       max(p_size) AS max_size
+        |FROM part GROUP BY p_brand""".stripMargin,
+    "q_customer_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment,
+        |       coalesce(o.n_orders, 0) AS n_orders,
+        |       round(coalesce(o.total_spent, 0.0), 2) AS total_spent
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spent
+        |  FROM orders GROUP BY o_custkey
+        |) o ON c_custkey = o_custkey""".stripMargin,
+    "q_top_customers" ->
+      """WITH top AS (
+        |  SELECT c_custkey, c_name, sum(o_totalprice) AS revenue, count(*) AS n_orders
+        |  FROM customer JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey, c_name
+        |  ORDER BY revenue DESC, c_custkey LIMIT 10)
+        |SELECT c_custkey, c_name, round(revenue, 2) AS revenue, n_orders FROM top""".stripMargin,
+    "q_token_stats" ->
+      s"""SELECT doc_id,
+         |       len($TokensSql) AS n_tokens,
+         |       len(list_filter($TokensSql, x -> list_contains($StopSql, x))) AS stop_hits,
+         |       length(text) AS text_len
+         |FROM documents""".stripMargin,
+    "q_quality_scores" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, text,
+         |         len($TokensSql) AS n_tokens,
+         |         len(list_filter($TokensSql, x -> list_contains($StopSql, x))) AS stop_hits,
+         |         length(regexp_replace(trim(text), '\\s+', '', 'g')) AS nonspace_len,
+         |         length(text) AS text_len,
+         |         length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')) AS n_punct
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, n_tokens,
+         |         CASE WHEN n_tokens = 0 THEN 0.0
+         |              ELSE CAST(nonspace_len AS DOUBLE) / n_tokens END AS avg_token_len,
+         |         CASE WHEN n_tokens = 0 THEN 0.0
+         |              ELSE CAST(stop_hits AS DOUBLE) / n_tokens END AS stopword_ratio,
+         |         CASE WHEN text_len = 0 THEN 0.0
+         |              ELSE CAST(n_punct AS DOUBLE) / text_len END AS punct_ratio
+         |  FROM t)
+         |SELECT doc_id, n_tokens, avg_token_len, stopword_ratio,
+         |       CAST(round(CAST(
+         |             (CASE WHEN n_tokens >= 50 THEN 1.0 WHEN n_tokens >= 10 THEN 0.7
+         |                   WHEN n_tokens >= 3 THEN 0.3 ELSE 0.0 END) * 0.4
+         |           + (CASE WHEN punct_ratio <= 0.2 THEN 1.0 ELSE 0.3 END) * 0.2
+         |           + (CASE WHEN stopword_ratio >= 0.05 THEN 1.0 ELSE 0.5 END) * 0.2
+         |           + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
+         |         AS DOUBLE), 4) AS DOUBLE) AS quality_score
+         |FROM m""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_jaccard_adjacent" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, list_distinct($TokensSql) AS words FROM documents
+         |), p AS (
+         |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.words AS w1, b.words AS w2
+         |  FROM d a JOIN d b ON b.doc_id = a.doc_id + 1
+         |)
+         |SELECT id1, id2,
+         |       CASE WHEN len(list_distinct(list_concat(w1, w2))) = 0 THEN 0.0
+         |            ELSE CAST(len(list_intersect(w1, w2)) AS DOUBLE)
+         |                 / len(list_distinct(list_concat(w1, w2)))
+         |       END AS jaccard
+         |FROM p""".stripMargin,
+    "q_embedding_norms" ->
+      """SELECT vec_id,
+        |       sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
+        |         AS l2_norm
+        |FROM embeddings""".stripMargin,
+    "q_knn_bruteforce" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+        |), r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM c)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10""".stripMargin
+  )
 }

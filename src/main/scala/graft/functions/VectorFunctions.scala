@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Dense-vector math over `array<float>` / `array<double>` columns, built
+  * from codegen'd higher-order functions (`zip_with` / `aggregate`) — no
+  * UDFs, no MLlib Vector boxing in the hot path.
+  */
+object VectorFunctions {
+
+  private def asDouble(v: Column): Column = transform(v, x => x.cast("double"))
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(asDouble(a), asDouble(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm2(v: Column): Column =
+    sqrt(aggregate(asDouble(v), lit(0.0), (acc, x) => acc + x * x))
+
+  /** Cosine similarity; 0.0 when either vector has zero norm. */
+  def cosine(a: Column, b: Column): Column = {
+    val d = dot(a, b)
+    val n = norm2(a) * norm2(b)
+    when(n === 0.0, lit(0.0)).otherwise(d / n)
+  }
+
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(
+      aggregate(
+        zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+        lit(0.0),
+        (acc, x) => acc + x
+      )
+    )
+
+  /** Sign-bit sketch of the vector against `planes` deterministic
+    * pseudo-random hyperplanes: bit j = sign(dot(v, plane_j)). Returns a
+    * long bucket id — equal buckets are LSH candidates for high cosine
+    * similarity (random hyperplane LSH, Charikar 2002).
+    */
+  def hyperplaneBucket(v: Column, planes: Seq[Seq[Double]]): Column = {
+    require(planes.nonEmpty && planes.size <= 62, "1..62 hyperplanes")
+    planes.zipWithIndex
+      .map { case (plane, j) =>
+        val planeCol = array(plane.map(lit): _*)
+        when(dot(v, planeCol) >= 0.0, lit(1L << j)).otherwise(lit(0L))
+      }
+      .reduce(_ + _)
+  }
+
+  /** Deterministic pseudo-random unit-ish hyperplanes from a fixed seed. */
+  def seededPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+}

@@ -1,0 +1,207 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Deduplication for large text corpora: exact, MinHash-LSH, SimHash, and
+  * n-gram Jaccard verification. Everything is pure Catalyst expressions plus
+  * shuffle-side DataFrame ops (explode → groupBy/join), so the work
+  * distributes: no signature matrix ever sits on the driver.
+  *
+  * Scale shape (per 100 TB corpus):
+  *   exact:    one shuffle on a 128-bit content hash.
+  *   minhash:  linear scan to signatures (narrow), explode to `bands` rows
+  *             per doc (small constant), shuffle on (band, bandHash) — only
+  *             bucket-mates ever meet; skewed mega-buckets are AQE-split and
+  *             further bounded by `maxBucketSize`.
+  *   simhash:  linear signatures, shuffle on 16-bit chunks (4 rows/doc).
+  */
+object Dedup {
+
+  // ---------------------------------------------------------------- exact
+
+  /** Exact duplicate groups keyed by md5 of the raw text. Returns one row per
+    * distinct text: representative (min) id, copy count.
+    */
+  def exactGroups(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.groupBy(md5(col(textCol)).as("text_md5"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_copies"))
+
+  /** Keep one row per distinct text (the min-id representative). */
+  def dropExactDuplicates(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.join(
+      exactGroups(df, textCol, idCol).select(col(idCol)),
+      Seq(idCol),
+      "left_semi"
+    )
+
+  // ------------------------------------------------------------- shingles
+
+  /** Word w-shingles (default w=3), distinct, lowercased. Documents shorter
+    * than w words get a single shingle = the whole normalized text, so they
+    * still participate.
+    */
+  def shingles(text: Column, w: Int = 3): Column = {
+    val toks = TextFunctions.tokens(text)
+    val joined = array_join(toks, " ")
+    array_distinct(
+      when(size(toks) < w, array(joined))
+        .otherwise(
+          transform(
+            sequence(lit(0), size(toks) - w),
+            i => array_join(slice(toks, i + 1, lit(w)), " ")
+          )
+        )
+    )
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b))
+    val union = size(array_union(a, b))
+    when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)
+  }
+
+  // -------------------------------------------------------------- minhash
+
+  private val MinhashPrime = 2147483629L // prime < 2^31; keeps a*h+b in long range under ANSI
+
+  /** Deterministic permutation parameters (a, b) for minhash, from a fixed
+    * seed — stable across runs and executors.
+    */
+  private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
+    val rng = new scala.util.Random(seed)
+    Seq.fill(n)((1L + rng.nextInt(Int.MaxValue - 1).toLong, rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signature (array<long>, length nPerms) of a shingle array:
+    * sig[i] = min over shingles of (a_i * h(s) + b_i) mod p. One columnar
+    * pass per permutation, all codegen'd.
+    */
+  def minhashSignature(shingleArr: Column, nPerms: Int = 32, seed: Long = 42L): Column = {
+    val hashes = transform(shingleArr, s => pmod(xxhash64(s), lit(MinhashPrime)))
+    array(perms(nPerms, seed).map { case (a, b) =>
+      array_min(transform(hashes, h => pmod(h * a + b, lit(MinhashPrime))))
+    }: _*)
+  }
+
+  /** Candidate near-duplicate pairs via LSH banding + exact-Jaccard verify.
+    *
+    * Docs whose signatures agree on all rows of ≥1 band meet in a bucket;
+    * each bucket self-joins (id1 < id2), then pairs are verified with exact
+    * shingle-set Jaccard and filtered at `threshold`.
+    *
+    * @param maxBucketSize degenerate buckets (boilerplate corpora) are capped
+    *        to bound the quadratic bucket join; dropped buckets mean recall
+    *        loss, logged by the caller, never OOM.
+    */
+  def minhashPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      nPerms: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    require(nPerms % bands == 0, "bands must divide nPerms")
+    val rowsPerBand = nPerms / bands
+
+    val sigs = df
+      .select(col(idCol), shingles(col(textCol)).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), nPerms, seed))
+
+    val banded = sigs.select(
+      col(idCol),
+      col("sh"),
+      posexplode(
+        array((0 until bands).map { b =>
+          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
+        }: _*)
+      ).as(Seq("band", "band_hash"))
+    )
+
+    val bounded = banded
+      .withColumn(
+        "bucket_n",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))
+        )
+      )
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+
+    val l = bounded.select(col("band"), col("band_hash"), col(idCol).as("id1"), col("sh").as("sh1"))
+    val r = bounded.select(col("band"), col("band_hash"), col(idCol).as("id2"), col("sh").as("sh2"))
+    l.join(r, Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .groupBy(col("id1"), col("id2"))
+      .agg(max(col("jaccard")).as("jaccard"))
+  }
+
+  /** Near-dedup: drop the higher-id member of every verified near-dup pair. */
+  def dropNearDuplicates(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      threshold: Double = 0.8
+  ): DataFrame = {
+    val losers = minhashPairs(df, textCol, idCol, threshold = threshold)
+      .select(col("id2").as(idCol))
+      .distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // -------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over token hashes (Charikar 2002): bit j of the result is
+    * the sign of Σ_tokens (±1 for bit j of xxhash64(token)). Near-identical
+    * token multisets land within a small Hamming distance.
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
+    val bitSums: Seq[Column] = (0 until 64).map { j =>
+      aggregate(
+        hashes,
+        lit(0L),
+        (acc, h) => acc + (shiftrightunsigned(h, j) % 2L) * 2L - 1L
+      )
+    }
+    bitSums.zipWithIndex
+      .map { case (s, j) => when(s > 0, lit(1L << j)).otherwise(lit(0L)) }
+      .reduce[Column]((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Candidate pairs within `maxHamming` of each other, found by chunking the
+    * 64-bit simhash into 4×16-bit keys (pigeonhole: pairs ≤3 bits apart share
+    * ≥1 exact chunk; wider distances need more chunks/probes).
+    */
+  def simhashPairs(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxHamming: Int = 3
+  ): DataFrame = {
+    val sigs = df.select(col(idCol), simhash(col(textCol)).as("simhash"))
+    val chunked = sigs.select(
+      col(idCol),
+      col("simhash"),
+      posexplode(
+        array((0 until 4).map(c => shiftrightunsigned(col("simhash"), c * 16) % 65536L): _*)
+      ).as(Seq("chunk", "chunk_val"))
+    )
+    val l = chunked.select(col("chunk"), col("chunk_val"), col(idCol).as("id1"), col("simhash").as("sh1"))
+    val r = chunked.select(col("chunk"), col("chunk_val"), col(idCol).as("id2"), col("simhash").as("sh2"))
+    l.join(r, Seq("chunk", "chunk_val"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id1"), col("id2"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+}

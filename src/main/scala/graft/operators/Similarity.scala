@@ -1,0 +1,114 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`).
+  *
+  * Baseline: brute-force cosine top-k — broadcast the (small) query set so
+  * the corpus streams map-side with zero shuffle of corpus vectors; the only
+  * shuffle is the final per-query top-k, which AQE keeps tiny.
+  *
+  * Scale path: random-hyperplane LSH bucketing (Charikar 2002) — both sides
+  * hash to a bucket id; the join only compares bucket-mates, cutting the
+  * candidate set by ~2^nPlanes at a recall cost. Multi-probe: each query also
+  * probes all buckets at Hamming distance 1 from its own, recovering most of
+  * the recall for +nPlanes candidate buckets.
+  */
+object Similarity {
+
+  /** Exact top-k neighbors for each query row. `queries` must be small
+    * enough to broadcast (it is hinted); ties broken by neighbor id for
+    * determinism.
+    */
+  def bruteForceKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = c
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** LSH-bucketed ANN top-k: only bucket-mates (plus Hamming-1 probe buckets
+    * of the query) are scored. Recall < 1.0 by construction; tune nPlanes
+    * (fewer planes → bigger buckets → higher recall, more compute).
+    */
+  def lshKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val planes = seededPlanes(nPlanes, dim, seed)
+    val c = corpus.select(
+      col(idCol).as("neighbor_id"),
+      col(vecCol).as("nv"),
+      hyperplaneBucket(col(vecCol), planes).as("bucket")
+    )
+    // query probes its own bucket + all Hamming-1 buckets
+    val probes = (0 until nPlanes).map(j => lit(1L << j))
+    val q = queries.select(
+      col(idCol).as("query_id"),
+      col(vecCol).as("qv"),
+      explode(
+        array(lit(0L) +: probes: _*)
+      ).as("flip"),
+      hyperplaneBucket(col(vecCol), planes).as("qbucket")
+    )
+    val qb = broadcast(q.select(col("query_id"), col("qv"), col("qbucket").bitwiseXOR(col("flip")).as("bucket")))
+    val scored = c
+      .join(qb, Seq("bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** All corpus pairs with cosine ≥ threshold, via shared-bucket LSH join —
+    * embedding-space near-duplicate detection.
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      threshold: Double = 0.95,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val planes = seededPlanes(nPlanes, dim, seed)
+    val b = df.select(
+      col(idCol),
+      col(vecCol),
+      hyperplaneBucket(col(vecCol), planes).as("bucket")
+    )
+    val l = b.select(col("bucket"), col(idCol).as("id1"), col(vecCol).as("v1"))
+    val r = b.select(col("bucket"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id1"), col("id2"))
+      .agg(max(col("cos")).as("cos"))
+  }
+}
