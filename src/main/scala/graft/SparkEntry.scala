@@ -281,7 +281,9 @@ object SparkEntry {
     },
     "q_knn_lsh" -> { (s, d) =>
       val emb = Tables(s, d).embeddings
-      Similarity.lshKnn(emb.filter(col("vec_id") < 5), emb, k = 10)
+      // 4 planes → 16 buckets fits the sf-scale corpus (500–5000 vectors);
+      // at real scale the plane count grows with log2(corpus/bucket_target).
+      Similarity.lshKnn(emb.filter(col("vec_id") < 5), emb, k = 10, nPlanes = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
     },
     "q_cosine_neardup" -> { (s, d) =>

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -43,39 +43,46 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** LSH-bucketed ANN top-k: only bucket-mates (plus Hamming-1 probe buckets
-    * of the query) are scored. Recall < 1.0 by construction; tune nPlanes
-    * (fewer planes → bigger buckets → higher recall, more compute).
+  /** LSH-bucketed ANN top-k with `nTables` independent hash tables (classic
+    * multi-table LSH): a corpus vector is a candidate if it shares a bucket
+    * with the query in ANY table; the query additionally probes all
+    * Hamming-1 buckets per table. Recall grows with nTables, candidate
+    * count ~ nTables·(1+nPlanes)·corpus/2^nPlanes per query.
     */
   def lshKnn(
       queries: DataFrame,
       corpus: DataFrame,
       k: Int = 10,
       nPlanes: Int = 8,
+      nTables: Int = 4,
       dim: Int = 64,
       seed: Long = 42L,
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
-    val planes = seededPlanes(nPlanes, dim, seed)
-    val c = corpus.select(
-      col(idCol).as("neighbor_id"),
-      col(vecCol).as("nv"),
-      hyperplaneBucket(col(vecCol), planes).as("bucket")
-    )
-    // query probes its own bucket + all Hamming-1 buckets
-    val probes = (0 until nPlanes).map(j => lit(1L << j))
-    val q = queries.select(
-      col(idCol).as("query_id"),
-      col(vecCol).as("qv"),
-      explode(
-        array(lit(0L) +: probes: _*)
-      ).as("flip"),
-      hyperplaneBucket(col(vecCol), planes).as("qbucket")
-    )
-    val qb = broadcast(q.select(col("query_id"), col("qv"), col("qbucket").bitwiseXOR(col("flip")).as("bucket")))
+    val tables = (0 until nTables).map(t => t -> seededPlanes(nPlanes, dim, seed + t))
+    def tableBuckets(v: Column): Column =
+      array(tables.map { case (t, planes) =>
+        struct(lit(t).as("t"), hyperplaneBucket(v, planes).as("b"))
+      }: _*)
+
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+        explode(tableBuckets(col(vecCol))).as("tb"))
+      .select(col("neighbor_id"), col("nv"), col("tb.t").as("t"), col("tb.b").as("bucket"))
+
+    // per table: own bucket + Hamming-1 probes
+    val flips = lit(0L) +: (0 until nPlanes).map(j => lit(1L << j))
+    val q = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(tableBuckets(col(vecCol))).as("tb"))
+      .select(col("query_id"), col("qv"), col("tb.t").as("t"),
+        explode(array(flips: _*)).as("flip"), col("tb.b").as("qbucket"))
+      .select(col("query_id"), col("qv"), col("t"),
+        col("qbucket").bitwiseXOR(col("flip")).as("bucket"))
+
     val scored = c
-      .join(qb, Seq("bucket"))
+      .join(broadcast(q), Seq("t", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
       .groupBy(col("query_id"), col("neighbor_id"))

@@ -73,7 +73,9 @@ object StreamJob {
     raw
       .select(from_json(col("json_str"), EventSchema).as("data"))
       .select("data.*")
-      .withColumn("event_timestamp", to_timestamp(col("event_time"), "yyyy-MM-dd HH:mm:ss 'UTC'"))
+      // try_to_timestamp: ANSI mode would otherwise throw on a malformed
+      // event_time; the reference drops such rows (null → filtered).
+      .withColumn("event_timestamp", try_to_timestamp(col("event_time"), lit("yyyy-MM-dd HH:mm:ss 'UTC'")))
       .filter(col("event_timestamp").isNotNull)
 
   /** T1+T2: watermark then sliding session aggregation. */

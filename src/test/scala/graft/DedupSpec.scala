@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the sun sets behind distant hills and " +
+      "rivers flow gently through the quiet valley toward the open sea"
+
+  private def corpus = Seq(
+    (1L, base),
+    (2L, base), // exact dup of 1
+    (3L, base.replace("quick", "swift")), // near dup of 1
+    (4L, "completely different text about spark catalyst optimizer rules and tungsten codegen"),
+    (5L, "another unrelated document discussing minhash banding and locality sensitive hashing")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup groups copies and keeps min-id representative") {
+    val groups = Dedup.exactGroups(corpus).collect()
+    assert(groups.length == 4)
+    val dupGroup = groups.find(_.getAs[Long]("n_copies") == 2).get
+    assert(dupGroup.getAs[Long]("doc_id") == 1L)
+    assert(Dedup.dropExactDuplicates(corpus).count() == 4)
+  }
+
+  test("minhash LSH finds planted exact and near duplicates") {
+    val pairs = Dedup.minhashPairs(corpus, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val keys = pairs.map(p => (p._1, p._2)).toSet
+    assert(keys.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(keys.contains((1L, 3L)) || keys.contains((2L, 3L))) // near dup
+    assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 == 1.0)
+    // unrelated docs must not pair at 0.5
+    assert(!keys.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L))
+  }
+
+  test("dropNearDuplicates removes higher-id members of dup groups") {
+    val kept = Dedup.dropNearDuplicates(corpus, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.contains(4L) && kept.contains(5L))
+    assert(!kept.contains(2L) && !kept.contains(3L))
+  }
+
+  test("simhash: identical texts hash equal, near texts within small hamming") {
+    val sigs = corpus.select($"doc_id", Dedup.simhash($"text").as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sigs(1L) == sigs(2L))
+    val hammingNear = java.lang.Long.bitCount(sigs(1L) ^ sigs(3L))
+    val hammingFar = java.lang.Long.bitCount(sigs(1L) ^ sigs(4L))
+    assert(hammingNear < hammingFar)
+    val pairs = Dedup.simhashPairs(corpus, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("jaccard on shingle arrays: exact values") {
+    val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("t1", "t2")
+    val j = df.select(
+      Dedup.jaccard(Dedup.shingles($"t1", 2), Dedup.shingles($"t2", 2)).as("j")
+    ).as[Double].collect()
+    assert(j(0) == 1.0 && j(1) == 0.0)
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.{Heuristic, IntentModel, OnlineLogreg, Recommender, Undersample}
+
+class MlSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("undersample balances classes to ≈1:1 (±10%)") {
+    val skewed = spark.range(10000)
+      .withColumn("label", when($"id" % 20 === 0, 1).otherwise(0))
+    val balanced = Undersample.balance(skewed)
+    val byLabel = balanced.groupBy("label").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ratio = byLabel(0).toDouble / byLabel(1)
+    assert(ratio > 0.9 && ratio < 1.1, s"ratio $ratio")
+  }
+
+  test("randomSplit 80/20 within ±3%") {
+    val df = spark.range(20000).toDF("id")
+    val Array(a, b) = df.randomSplit(Array(0.8, 0.2), 42L)
+    val frac = a.count().toDouble / 20000
+    assert(frac > 0.77 && frac < 0.83)
+  }
+
+  test("RF reaches AUC ≥ 0.9 on separable synthetic features") {
+    val synth = spark.range(4000).select(
+      (rand(1) * 10).as("noise"),
+      ($"id" % 2).cast("int").as("label")
+    ).select(
+      $"label",
+      (when($"label" === 1, 8.0).otherwise(1.0) + $"noise" * 0.3).as("view_count"),
+      (when($"label" === 1, 3.0).otherwise(0.0) + $"noise" * 0.1).as("cart_count"),
+      (when($"label" === 1, 600.0).otherwise(60.0) + $"noise" * 10).as("session_duration"),
+      (when($"label" === 1, 50.0).otherwise(20.0)).as("avg_price"),
+      (when($"label" === 1, 90.0).otherwise(30.0)).as("max_price"),
+      (when($"label" === 1, 5.0).otherwise(1.0)).as("unique_items")
+    )
+    val (_, m) = IntentModel.trainEval(synth)
+    assert(m.auc >= 0.9, s"AUC ${m.auc}")
+    assert(m.f1 >= 0.8, s"F1 ${m.f1}")
+  }
+
+  test("feature importances sum to 1 and rank a real signal first") {
+    val f = graft.SparkEntry.queries("q_session_features")(spark, TestSpark.Sf0001)
+    val (model, _) = IntentModel.trainEval(f)
+    val imps = IntentModel.featureImportances(model)
+    assert(math.abs(imps.map(_._2).sum - 1.0) < 1e-9)
+    assert(imps.head._2 > 0.0)
+  }
+
+  test("OnlineLogreg: first gradient step matches closed form") {
+    val m = new OnlineLogreg(nFeatures = 2, lr = 0.1, miniBatch = 1)
+    // first sample: scaler has n=1 → scaled x = 0 → p = sigmoid(bias=0) = 0.5
+    m.partialFit(Array(1.0, 2.0), 1)
+    // gradient on bias: p - y = -0.5 → bias += 0.05
+    assert(math.abs(m.bias - 0.05) < 1e-12)
+    assert(m.weights.forall(_ == 0.0)) // scaled inputs were 0
+    assert(m.isFitted)
+  }
+
+  test("OnlineLogreg learns a separable rule and cold-start heuristic works") {
+    val m = new OnlineLogreg(nFeatures = 2, lr = 0.5, miniBatch = 10)
+    assert(m.coldStart(Array(0.0, 1.0)) == 0.7) // cart > 0
+    assert(m.coldStart(Array(5.0, 0.0)) == 0.3) // views > 3
+    assert(m.coldStart(Array(1.0, 0.0)) == 0.1)
+    val rng = new scala.util.Random(7)
+    (1 to 500).foreach { _ =>
+      val y = rng.nextInt(2)
+      val x = Array(rng.nextGaussian() + y * 4.0, rng.nextGaussian() - y * 4.0)
+      m.partialFit(x, y)
+    }
+    assert(m.predictProba(Array(6.0, -6.0)) > 0.8)
+    assert(m.predictProba(Array(-2.0, 2.0)) < 0.2)
+    assert(m.recentAccuracy > 0.8)
+  }
+
+  test("heuristic ladder thresholds") {
+    val df = Seq((0, 0), (0, 5), (0, 10), (1, 0), (3, 0)).toDF("cart", "view")
+    val scores = df.select(Heuristic.score($"cart", $"view").as("s")).as[Double].collect()
+    assert(scores.sameElements(Array(0.05, 0.20, 0.35, 0.60, 0.85)))
+  }
+
+  test("ALS trains and produces k recs per user") {
+    val clicks = sources.Tables(spark, TestSpark.Sf0001).clickstream
+      .withColumn("user_session", $"user_session") // user_session is numeric string here
+    val inter = Recommender.interactions(clicks)
+    val model = Recommender.train(inter, rank = 5, maxIter = 3)
+    val recs = Recommender.recommend(model, 3)
+    assert(recs.count() > 0)
+    assert(recs.select(size($"recommendations")).as[Int].collect().forall(_ <= 3))
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorFunctions
+import graft.operators.Similarity
+import graft.sources.Tables
+
+class SimilaritySpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("vector math: dot, norm, cosine on known values") {
+    val df = Seq((Array(3.0f, 4.0f), Array(4.0f, 3.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot($"a", $"b").as("dot"),
+      VectorFunctions.norm2($"a").as("na"),
+      VectorFunctions.cosine($"a", $"b").as("cos"),
+      VectorFunctions.l2Distance($"a", $"b").as("l2")
+    ).collect()(0)
+    assert(r.getAs[Double]("dot") == 24.0)
+    assert(r.getAs[Double]("na") == 5.0)
+    assert(math.abs(r.getAs[Double]("cos") - 24.0 / 25.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("l2") - math.sqrt(2.0)) < 1e-12)
+  }
+
+  test("cosine of zero vector is 0, not NaN") {
+    val df = Seq((Array(0.0f, 0.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    assert(df.select(VectorFunctions.cosine($"a", $"b")).as[Double].collect()(0) == 0.0)
+  }
+
+  test("bruteForceKnn returns k ranked neighbors, self excluded") {
+    val emb = Tables(spark, TestSpark.Sf0001).embeddings
+    val res = Similarity.bruteForceKnn(emb.filter($"vec_id" < 3), emb, k = 5).collect()
+    assert(res.length == 15)
+    val byQuery = res.groupBy(_.getAs[Long]("query_id"))
+    byQuery.foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.sameElements(1 to 5))
+      assert(!rows.exists(_.getAs[Long]("neighbor_id") == q))
+      val cos = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cos"))
+      assert(cos.zip(cos.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("lshKnn recall vs brute force ≥ 0.5 (4 planes on the 500-vector corpus)") {
+    // plane count must track corpus size: 2^planes buckets. 500 vectors →
+    // 4 planes (16 buckets); 8+ planes is for millions of vectors.
+    val emb = Tables(spark, TestSpark.Sf0001).embeddings
+    val queries = emb.filter($"vec_id" < 10)
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keySet(Similarity.bruteForceKnn(queries, emb, k = 10))
+    val approx = keySet(Similarity.lshKnn(queries, emb, k = 10, nPlanes = 4, nTables = 4))
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("cosineNearDupPairs finds planted duplicate vector") {
+    val vecs = Seq(
+      (1L, Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)),
+      (2L, Array.tabulate(64)(i => (math.sin(i.toDouble) * 1.001).toFloat)), // same direction
+      (3L, Array.tabulate(64)(i => math.cos(i * 2.0).toFloat))
+    ).toDF("vec_id", "embedding")
+    val pairs = Similarity.cosineNearDupPairs(vecs, threshold = 0.99, dim = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._2 == 3L))
+  }
+}

@@ -1,0 +1,96 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ml.OnlineLogreg
+import graft.streaming.{MetricsStore, SessionWindows, StreamJob}
+
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("MetricsStore writes atomic, parseable JSON with bounded history") {
+    val dir = Files.createTempDirectory("graft-metrics").toString
+    val store = new MetricsStore(s"$dir/metrics.json", historyLimit = 3)
+    (1 to 5).foreach(i => store.update(Map("batch_id" -> i, "conversion_rate" -> i * 1.5)))
+    assert(store.size == 3) // history bounded
+    val txt = new String(Files.readAllBytes(Paths.get(s"$dir/metrics.json")))
+    assert(txt.contains("\"current\"") && txt.contains("\"history\""))
+    assert(txt.contains("\"batch_id\":5"))
+    assert(!txt.contains("\"batch_id\":1")) // evicted
+    // no torn temp file left behind
+    assert(!Files.exists(Paths.get(s"$dir/metrics.json.tmp")))
+  }
+
+  test("json escaping handles quotes and control chars") {
+    val s = MetricsStore.toJson(Map("k" -> "a\"b\n\tc"))
+    assert(s == "{\"k\":\"a\\\"b\\n\\tc\"}")
+  }
+
+  test("sliding window agg on static frame produces expected buckets") {
+    val df = Seq(
+      ("S", "view", "2024-01-01 10:00:10", 10.0, "p1"),
+      ("S", "cart", "2024-01-01 10:00:40", 20.0, "p2"),
+      ("S", "purchase", "2024-01-01 10:01:10", 20.0, "p2")
+    ).toDF("user_session", "event_type", "ts_str", "price", "product_id")
+      .withColumn("event_timestamp", to_timestamp($"ts_str"))
+    val out = SessionWindows.slidingSessionAgg(
+      df, windowDuration = "1 minute", slideDuration = "30 seconds", exactDistinct = true)
+    // event at 10:00:10 belongs to windows starting 09:59:30 and 10:00:00
+    val full = out.filter($"window.start" === to_timestamp(lit("2024-01-01 10:00:00")))
+      .collect()(0)
+    assert(full.getAs[Long]("view_count") == 1)
+    assert(full.getAs[Long]("cart_count") == 1)
+    assert(full.getAs[Long]("total_events") == 2)
+    assert(full.getAs[Long]("session_duration") == 30)
+  }
+
+  test("end-to-end stream: file source → watermark+window → foreachBatch → metrics JSON") {
+    val dir = Files.createTempDirectory("graft-stream-in")
+    val metricsPath = Files.createTempDirectory("graft-stream-m").toString + "/m.json"
+    val checkpoint = Files.createTempDirectory("graft-stream-cp").toString
+    def evt(t: String, typ: String, sess: String, price: Double) =
+      s"""{"event_time":"$t UTC","event_type":"$typ","product_id":1,"category_id":1,""" +
+        s""""category_code":"c","brand":"b","price":$price,"user_id":1,""" +
+        s""""user_session":"$sess","ingestion_time":"$t"}"""
+    val lines = Seq(
+      evt("2024-01-01 10:00:05", "view", "s1", 10.0),
+      evt("2024-01-01 10:00:15", "cart", "s1", 20.0),
+      evt("2024-01-01 10:00:25", "purchase", "s1", 20.0),
+      evt("2024-01-01 10:00:35", "view", "s2", 5.0),
+      """not json at all""" // malformed line must be dropped, not crash
+    )
+    Files.write(dir.resolve("batch0.txt"), lines.mkString("\n").getBytes)
+
+    val raw = spark.readStream.format("text").load(dir.toString)
+      .select($"value".as("json_str"))
+    val events = StreamJob.parse(raw)
+    val conf = StreamJob.Config(
+      checkpointDir = checkpoint, metricsPath = metricsPath,
+      windowDuration = "1 minute", slideDuration = "30 seconds")
+    val model = new OnlineLogreg(nFeatures = 6)
+    val store = new MetricsStore(metricsPath)
+    val q = StreamJob.sessionAggStream(events, conf).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamJob.processBatch(b, id, model, store)
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally q.stop()
+
+    assert(Files.exists(Paths.get(metricsPath)), "metrics file written")
+    val txt = new String(Files.readAllBytes(Paths.get(metricsPath)))
+    // purchase event falls in 2 overlapping sliding windows → counted twice
+    assert(txt.contains("\"total_purchases\":2"))
+    assert(txt.contains("\"has_purchased\":true"))
+    assert(txt.contains("\"predictions\""))
+    assert(txt.contains("\"purchase_probability\""))
+    assert(model.predictionsMade > 0)
+  }
+}

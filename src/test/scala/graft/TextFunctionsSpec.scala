@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextFunctions
+
+class TextFunctionsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def one(text: String, c: org.apache.spark.sql.Column): Any =
+    Seq(text).toDF("text").select(c.as("v")).collect()(0).get(0)
+
+  test("tokenCount handles empty, multi-space, and mixed case") {
+    assert(one("", TextFunctions.tokenCount($"text")) == 0)
+    assert(one("  hello   world  ", TextFunctions.tokenCount($"text")) == 2)
+    assert(one("The THE the", TextFunctions.stopwordCount($"text")) == 3)
+  }
+
+  test("quality score bounded in [0,1], low for junk, high for prose") {
+    val junk = one("!!! ??? ..", TextFunctions.qualityScore($"text")).asInstanceOf[Double]
+    val prose = one(
+      ("the quick brown fox jumps over the lazy dog and it runs to the barn in the morning " * 4),
+      TextFunctions.qualityScore($"text")).asInstanceOf[Double]
+    assert(junk >= 0.0 && junk <= 1.0 && prose >= 0.0 && prose <= 1.0)
+    assert(prose > junk)
+  }
+
+  test("langId detects obvious languages and CJK") {
+    assert(one("the cat is in the house and it is warm", TextFunctions.langId($"text")) == "en")
+    assert(one("el perro es grande y la casa es bonita en un lugar", TextFunctions.langId($"text")) == "es")
+    assert(one("der hund ist groß und die katze ist nicht klein", TextFunctions.langId($"text")) == "de")
+    assert(one("le chat est dans la maison et les chiens sont dans une cour", TextFunctions.langId($"text")) == "fr")
+    assert(one("你好世界", TextFunctions.langId($"text")) == "zh")
+    assert(one("zzz qqq xxx", TextFunctions.langId($"text")) == "und")
+  }
+
+  test("fingerprint: whitespace-insensitive, order-sensitive, deterministic") {
+    def fp(s: String) = one(s, TextFunctions.fingerprint($"text"))
+    assert(fp("hello world foo") == fp("  hello   world  foo "))
+    assert(fp("hello world foo") != fp("foo world hello"))
+    assert(fp("hello world foo") == fp("hello world foo"))
+  }
+}
