@@ -32,7 +32,21 @@ object GraftSession {
     // int64 as a long (nanos since epoch); sources.Tables converts to a
     // proper TimestampType column.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    registerFunctions(spark)
     spark
+  }
+
+  /** Expose the native sketch expressions to SQL (`SELECT graft_simhash64(text) …`). */
+  def registerFunctions(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "graft_simhash64",
+      exprs => graft.expressions.SimHash64(exprs.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash_sig",
+      exprs => graft.expressions.MinHashSig(exprs.head, 32, 3, 42L),
+      "built-in")
   }
 
   /** Local session for tests and ad-hoc runs. */

@@ -237,10 +237,11 @@ object SparkEntry {
       )
     },
     "q_lang_id" -> { (s, d) =>
-      Tables(s, d).documents.select(
-        col("doc_id"), col("lang").as("lang_declared"),
-        TF.langId(col("text")).as("lang_detected")
-      )
+      Tables(s, d).documents
+        .select(col("doc_id"), col("lang").as("lang_declared"), col("text"),
+          TF.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), col("lang_declared"),
+          TF.langIdFromTokens(col("toks"), col("text")).as("lang_detected"))
     },
     "q_fingerprints" -> { (s, d) =>
       Tables(s, d).documents.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))

@@ -68,15 +68,24 @@ object TextFunctions {
   /** n-gram/stopword language-ID heuristic over {en, es, de, fr, zh}.
     * CJK characters short-circuit to zh; otherwise argmax of function-word
     * hits per language (ties → alphabetical, deterministic).
+    *
+    * `langIdFromTokens` takes a pre-tokenized column so callers scanning a
+    * corpus project `tokens(text)` once instead of re-splitting per
+    * language profile (5× regex work otherwise).
     */
-  def langId(text: Column): Column = {
+  def langId(text: Column): Column =
+    langIdScores(tokens(text), text)
+
+  def langIdFromTokens(toks: Column, text: Column): Column =
+    langIdScores(toks, text)
+
+  private def langIdScores(toks: Column, text: Column): Column = {
     val profiles: Seq[(String, Seq[String])] = Seq(
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
       "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "for", "with"),
       "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "es", "en", "un"),
       "fr" -> Seq("le", "la", "les", "des", "et", "est", "que", "une", "dans", "pour")
     )
-    val toks = tokens(text)
     val scores = profiles.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isInCollection(words)))
     }

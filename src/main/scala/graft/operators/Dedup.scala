@@ -66,26 +66,12 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
 
-  private val MinhashPrime = 2147483629L // prime < 2^31; keeps a*h+b in long range under ANSI
-
-  /** Deterministic permutation parameters (a, b) for minhash, from a fixed
-    * seed — stable across runs and executors.
+  /** MinHash signature (array<long>, length nPerms) of the text — one-pass
+    * native expression (see expressions.TextSketches for why not 32
+    * columnar `transform` passes).
     */
-  private def perms(n: Int, seed: Long): Seq[(Long, Long)] = {
-    val rng = new scala.util.Random(seed)
-    Seq.fill(n)((1L + rng.nextInt(Int.MaxValue - 1).toLong, rng.nextInt(Int.MaxValue).toLong))
-  }
-
-  /** MinHash signature (array<long>, length nPerms) of a shingle array:
-    * sig[i] = min over shingles of (a_i * h(s) + b_i) mod p. One columnar
-    * pass per permutation, all codegen'd.
-    */
-  def minhashSignature(shingleArr: Column, nPerms: Int = 32, seed: Long = 42L): Column = {
-    val hashes = transform(shingleArr, s => pmod(xxhash64(s), lit(MinhashPrime)))
-    array(perms(nPerms, seed).map { case (a, b) =>
-      array_min(transform(hashes, h => pmod(h * a + b, lit(MinhashPrime))))
-    }: _*)
-  }
+  def minhashSignature(text: Column, nPerms: Int = 32, seed: Long = 42L): Column =
+    graft.expressions.TextSketches.minhashSignature(text, nPerms, seed = seed)
 
   /** Candidate near-duplicate pairs via LSH banding + exact-Jaccard verify.
     *
@@ -110,19 +96,13 @@ object Dedup {
     require(nPerms % bands == 0, "bands must divide nPerms")
     val rowsPerBand = nPerms / bands
 
-    val sigs = df
-      .select(col(idCol), shingles(col(textCol)).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), nPerms, seed))
-
-    val banded = sigs.select(
-      col(idCol),
-      col("sh"),
-      posexplode(
-        array((0 until bands).map { b =>
-          xxhash64(concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)))
-        }: _*)
-      ).as(Seq("band", "band_hash"))
-    )
+    // Narrow banded frame: (id, band, band_hash) only — shingle arrays stay
+    // out of the bucket shuffle entirely.
+    val banded = df
+      .select(col(idCol),
+        posexplode(
+          bandHashes(minhashSignature(col(textCol), nPerms, seed), bands, rowsPerBand)
+        ).as(Seq("band", "band_hash")))
 
     val bounded = banded
       .withColumn(
@@ -134,15 +114,33 @@ object Dedup {
       .filter(col("bucket_n") <= maxBucketSize)
       .drop("bucket_n")
 
-    val l = bounded.select(col("band"), col("band_hash"), col(idCol).as("id1"), col("sh").as("sh1"))
-    val r = bounded.select(col("band"), col("band_hash"), col(idCol).as("id2"), col("sh").as("sh2"))
-    l.join(r, Seq("band", "band_hash"))
+    // Candidate pairs deduped BEFORE the (expensive) exact-Jaccard verify:
+    // a pair agreeing on k bands would otherwise be verified k times, with
+    // its shingle arrays shuffled k times.
+    val cand = bounded
+      .select(col("band"), col("band_hash"), col(idCol).as("id1"))
+      .join(
+        bounded.select(col("band"), col("band_hash"), col(idCol).as("id2")),
+        Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+
+    val sh = df.select(col(idCol), shingles(col(textCol)).as("sh"))
+    cand
+      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
       .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
-      .groupBy(col("id1"), col("id2"))
-      .agg(max(col("jaccard")).as("jaccard"))
   }
+
+  /** Per-band hashes of a minhash signature: band b hashes rows
+    * [b·r, (b+1)·r) of the signature array.
+    */
+  private def bandHashes(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))
+    }: _*)
 
   /** Near-dedup: drop the higher-id member of every verified near-dup pair. */
   def dropNearDuplicates(
@@ -161,21 +159,11 @@ object Dedup {
 
   /** 64-bit SimHash over token hashes (Charikar 2002): bit j of the result is
     * the sign of Σ_tokens (±1 for bit j of xxhash64(token)). Near-identical
-    * token multisets land within a small Hamming distance.
+    * token multisets land within a small Hamming distance. One-pass native
+    * expression (expressions.SimHash64).
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(TextFunctions.tokens(text), t => xxhash64(t))
-    val bitSums: Seq[Column] = (0 until 64).map { j =>
-      aggregate(
-        hashes,
-        lit(0L),
-        (acc, h) => acc + (shiftrightunsigned(h, j) % 2L) * 2L - 1L
-      )
-    }
-    bitSums.zipWithIndex
-      .map { case (s, j) => when(s > 0, lit(1L << j)).otherwise(lit(0L)) }
-      .reduce[Column]((a, b) => a.bitwiseOR(b))
-  }
+  def simhash(text: Column): Column =
+    graft.expressions.TextSketches.simhash64(text)
 
   /** Candidate pairs within `maxHamming` of each other, found by chunking the
     * 64-bit simhash into 4×16-bit keys (pigeonhole: pairs ≤3 bits apart share
