@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{Dedup, Featurize, SessionConf, Sessionize, Similarity}
+import graft.operators.{Dedup, Featurize, Multimodal, SessionConf, Sessionize, Similarity}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -135,7 +135,22 @@ object SparkEntry {
         col("window.start").cast("long").as("window_start_s"),
         col("view_count"), col("cart_count"), col("purchase_count"),
         col("total_events"), col("session_duration"),
-        col("avg_price"), col("max_price"), col("unique_items")
+        round(col("avg_price"), 6).as("avg_price"),
+        col("max_price"), col("unique_items")
+      )
+    },
+    // P9: real from_json struct extraction (vs the regexp spelling used by
+    // the clickstream mapping)
+    "q_json_extract" -> { (s, d) =>
+      Tables(s, d).events
+        .select(col("event_id"),
+          from_json(col("props"), lit("k INT")).getField("k").as("k"))
+    },
+    // A1g HLL twin: approx_count_distinct vs exact, per event type
+    "q_approx_distinct" -> { (s, d) =>
+      Tables(s, d).events.groupBy(col("event_type")).agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id")).as("approx_users")
       )
     },
     // ---- relational core over the TPC-H-ish tables (joins/agg/sort/limit) ----
@@ -291,6 +306,19 @@ object SparkEntry {
       Similarity.cosineNearDupPairs(Tables(s, d).embeddings, threshold = 0.5)
         .orderBy(col("cos").desc, col("id1"), col("id2")).limit(100)
     },
+    // ---- multimodal binary-column plumbing (decode step stubbed) ----
+    "q_media_meta" -> { (s, d) =>
+      Multimodal.mediaMeta(Multimodal.toMediaTable(Tables(s, d).documents))
+    },
+    "q_media_features" -> { (s, d) =>
+      val feats = Multimodal.extractFeatures(Multimodal.toMediaTable(Tables(s, d).documents))
+      feats.select(col("doc_id"), col("media_type"), col("n_bytes"),
+        round(element_at(col("features"), 1).cast("double"), 6).as("f0"))
+    },
+    "q_media_frames" -> { (s, d) =>
+      Multimodal.sampleFrames(Multimodal.toMediaTable(Tables(s, d).documents))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+    },
     // ---- ML plane (RNG/ML — rows-only checks, properties in ScalaTest) ----
     "q_balanced_label_dist" -> { (s, d) =>
       Undersample.balance(sessionFeatures(s, d))
@@ -396,6 +424,41 @@ object SparkEntry {
         |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
         |       round(sum(value), 2) AS total_value
         |FROM events GROUP BY 1""".stripMargin,
+    "q_sliding_windows" ->
+      """WITH ev AS (
+        |  SELECT CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d') AS user_session,
+        |         event_type, ts, value AS price,
+        |         regexp_extract(props, '"k": (\d+)', 1) AS product_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events
+        |), slotted AS (
+        |  SELECT *, unnest(generate_series((ts_s - 300) // 30 + 1, ts_s // 30)) AS slot
+        |  FROM ev
+        |)
+        |SELECT user_session, slot * 30 AS window_start_s,
+        |       count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+        |       count(CASE WHEN event_type = 'click' THEN 1 END) AS cart_count,
+        |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase_count,
+        |       count(*) AS total_events,
+        |       max(ts_s) - min(ts_s) AS session_duration,
+        |       round(avg(price), 6) AS avg_price,
+        |       max(price) AS max_price,
+        |       count(DISTINCT product_id) AS unique_items
+        |FROM slotted GROUP BY user_session, slot""".stripMargin,
+    "q_json_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+        |FROM events""".stripMargin,
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |            ELSE 'video/mp4' END AS media_type,
+        |       octet_length(encode(text)) AS n_bytes,
+        |       sha256(text) AS sha256
+        |FROM documents""".stripMargin,
+    "q_media_frames" ->
+      """SELECT doc_id,
+        |       CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin,
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,
