@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression tests: the scale properties README claims are
+  * asserted here so a refactor that silently adds a shuffle, loses parquet
+  * pushdown, or widens a scan fails CI — these shapes are what make the
+  * operators viable at 100 TB, independent of local timings.
+  */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
+
+  test("flagship session features: exactly one shuffle (window partitioning reused by aggregate)") {
+    val p = plan("q_session_features")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected 1 exchange, plan:\n$p")
+    assert(p.contains("Window"))
+  }
+
+  test("q1: ship-date filter pushed to the parquet scan, columns pruned") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"))
+    assert(!p.contains("l_partkey"), "scan must not read unused columns")
+    assert(p.contains("partial_sum"), "map-side partial aggregation expected")
+  }
+
+  test("q5: dimension chain joins via broadcast, no sort-merge on dims") {
+    val p = plan("q5_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
+  }
+
+  test("text scans stay in whole-stage codegen with pruned ReadSchema") {
+    val p = plan("q_token_stats")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+    assert(!p.contains("Exchange"), "pure projection must not shuffle")
+  }
+
+  test("media metadata query never reads the binary content from a media parquet") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan-media").toString
+    operators.Multimodal
+      .toMediaTable(sources.Tables(spark, TestSpark.Sf0001).documents)
+      .write.mode("overwrite").parquet(dir)
+    val p = spark.read.parquet(dir)
+      .select(col("doc_id"), col("media_type"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,media_type:string>"))
+  }
+}
