@@ -233,6 +233,83 @@ object SparkEntry {
         .limit(10)
         .withColumn("revenue", round(col("revenue"), 2))
     },
+    // ---- relational breadth: set ops, semi/anti joins, rollup, ranking,
+    // ---- analytic windows, date/string functions, percentiles ----
+    "q_customers_without_orders" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+    "q_building_buyers" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    "q_segment_intersect" -> { (s, d) =>
+      val c = Tables(s, d).customer
+      c.filter(col("c_acctbal") > 5000).select(col("c_mktsegment"))
+        .intersect(c.filter(col("c_acctbal") < 1000).select(col("c_mktsegment")))
+    },
+    "q_rollup_revenue" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+    },
+    "q_top_order_per_customer" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, d).orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    },
+    "q_event_gaps" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, d).events
+        .withColumn("ts_s", col("ts").cast("long"))
+        .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(round(avg(col("gap")), 6).as("avg_gap_s"), max(col("gap")).as("max_gap_s"),
+          count(lit(1)).as("n_gaps"))
+    },
+    "q_gap_sessions" -> { (s, d) =>
+      Sessionize.gapSessions(Tables(s, d).events, "user_id", "ts",
+          gapSeconds = 1800L, tieBreakCol = Some("event_id"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_s"),
+          round(sum(col("value")), 2).as("total_value"))
+    },
+    "q_monthly_orders" -> { (s, d) =>
+      Tables(s, d).orders
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("long").as("month_start_s"))
+        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+    },
+    "q_name_strings" -> { (s, d) =>
+      Tables(s, d).customer
+        .filter(col("c_name").like("%1%"))
+        .select(col("c_custkey"), upper(col("c_name")).as("name_u"),
+          length(col("c_name")).as("name_len"),
+          substring(col("c_name"), 1, 8).as("name_prefix"))
+    },
+    "q_word_freq" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(explode(TF.tokens(col("text"))).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    },
+    "q_value_percentiles" -> { (s, d) =>
+      Tables(s, d).events.groupBy(col("event_type")).agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90")
+      )
+    },
     // ---- text analysis over documents ----
     "q_token_stats" -> { (s, d) =>
       Tables(s, d).documents.select(
@@ -512,6 +589,73 @@ object SparkEntry {
         |  GROUP BY c_custkey, c_name
         |  ORDER BY revenue DESC, c_custkey LIMIT 10)
         |SELECT c_custkey, c_name, round(revenue, 2) AS revenue, n_orders FROM top""".stripMargin,
+    "q_customers_without_orders" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_building_buyers" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_segment_intersect" ->
+      """SELECT c_mktsegment FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT c_mktsegment FROM customer WHERE c_acctbal < 1000""".stripMargin,
+    "q_rollup_revenue" ->
+      """SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)""".stripMargin,
+    "q_top_order_per_customer" ->
+      """WITH r AS (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |SELECT o_custkey, o_orderkey, o_totalprice FROM r WHERE rn = 1""".stripMargin,
+    "q_event_gaps" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT)
+        |           - lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM events)
+        |SELECT user_id, round(avg(gap), 6) AS avg_gap_s, max(gap) AS max_gap_s,
+        |       count(*) AS n_gaps
+        |FROM g WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin,
+    "q_gap_sessions" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+        |  FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM g
+        |), s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, count(*) AS n_events,
+        |       max(ts_s) - min(ts_s) AS duration_s, round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "q_monthly_orders" ->
+      """SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start_s,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_name_strings" ->
+      """SELECT c_custkey, upper(c_name) AS name_u, length(c_name) AS name_len,
+        |       substring(c_name, 1, 8) AS name_prefix
+        |FROM customer WHERE c_name LIKE '%1%'""".stripMargin,
+    "q_word_freq" ->
+      s"""WITH w AS (
+         |  SELECT unnest($TokensSql) AS word FROM documents
+         |), c AS (
+         |  SELECT word, count(*) AS n FROM w GROUP BY word
+         |  ORDER BY n DESC, word LIMIT 20)
+         |SELECT word, n FROM c""".stripMargin,
+    "q_value_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+        |       round(quantile_cont(value, 0.9), 6) AS p90
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id,
          |       len($TokensSql) AS n_tokens,

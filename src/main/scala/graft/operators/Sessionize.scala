@@ -61,4 +61,35 @@ object Sessionize {
       purchaseTsCol: String = "purchase_timestamp"
   ): DataFrame =
     df.filter(col(purchaseTsCol).isNull || col(tsCol) <= col(purchaseTsCol))
+
+  /** Gap-based sessionization (beyond the reference, which only groups by a
+    * pre-assigned session key — SURVEY §2.9 note): a new session starts when
+    * the gap to the previous event of the same user exceeds `gapSeconds`.
+    * Classic lag + running-sum spelling: one shuffle on the user key, both
+    * windows share its partitioning. Adds `session_idx` (1-based per user)
+    * and `session_id`.
+    *
+    * The streaming twin with explicit state lives in
+    * streaming.GapSessionizer (flatMapGroupsWithState).
+    */
+  def gapSessions(
+      df: DataFrame,
+      userCol: String = "user_id",
+      tsCol: String = "ts",
+      gapSeconds: Long = 1800L,
+      tieBreakCol: Option[String] = None
+  ): DataFrame = {
+    val orderCols = col(tsCol) +: tieBreakCol.map(col).toSeq
+    val w = Window.partitionBy(col(userCol)).orderBy(orderCols: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tsS = col(tsCol).cast("long")
+    df.withColumn("_prev_ts", lag(tsS, 1).over(w))
+      .withColumn(
+        "_new_session",
+        when(col("_prev_ts").isNull || tsS - col("_prev_ts") > gapSeconds, 1).otherwise(0)
+      )
+      .withColumn("session_idx", sum(col("_new_session")).over(run))
+      .withColumn("session_id", concat(col(userCol).cast("string"), lit("_"), col("session_idx")))
+      .drop("_prev_ts", "_new_session")
+  }
 }
