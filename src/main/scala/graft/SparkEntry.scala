@@ -310,6 +310,14 @@ object SparkEntry {
         round(expr("percentile(value, 0.9)"), 6).as("p90")
       )
     },
+    // custom TypedImperativeAggregate: bounded-heap top-k with map-side combine
+    "q_topk_prices" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(graft.expressions.TopKAgg.top_k(col("l_extendedprice"), 5).as("topk"))
+        .select(col("l_returnflag"), posexplode(col("topk")).as(Seq("pos", "price")))
+        .select(col("l_returnflag"), (col("pos") + 1).as("rank"), col("price"))
+    },
     // ---- text analysis over documents ----
     "q_token_stats" -> { (s, d) =>
       Tables(s, d).documents.select(
@@ -656,6 +664,13 @@ object SparkEntry {
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
         |       round(quantile_cont(value, 0.9), 6) AS p90
         |FROM events GROUP BY event_type""".stripMargin,
+    "q_topk_prices" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |                            ORDER BY l_extendedprice DESC) AS rank
+        |  FROM lineitem)
+        |SELECT l_returnflag, rank, l_extendedprice AS price FROM r WHERE rank <= 5""".stripMargin,
     "q_token_stats" ->
       s"""SELECT doc_id,
          |       len($TokensSql) AS n_tokens,

@@ -132,4 +132,29 @@ final class OnlineLogreg(
     "recent_accuracy" -> recentAccuracy,
     "model_type" -> "OnlineLogreg(scala)"
   )
+
+  /** Distributed scoring: snapshot the weights/scaler into a pure Column
+    * expression (broadcast as literals, codegen'd on executors) — scores a
+    * billion rows without collecting anything to the driver. The driver-side
+    * `predictProba` path stays for the reference-parity feedback loop; this
+    * is the scale path (SURVEY §7.3).
+    */
+  def scoringColumn(featureCols: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(featureCols.size == nFeatures, s"expected $nFeatures feature columns")
+    if (!isFitted) {
+      // cold-start heuristic, vectorized
+      when(featureCols(cartIdx) > 0, 0.7)
+        .when(featureCols(viewIdx) > 3, 0.3)
+        .otherwise(0.1)
+    } else {
+      val z = featureCols.zipWithIndex.foldLeft(lit(bias)) { case (acc, (c, i)) =>
+        val variance = if (scaleN > 1) m2(i) / (scaleN - 1) else 0.0
+        val sd = math.sqrt(variance)
+        if (sd > 1e-12) acc + lit(weights(i)) * ((c.cast("double") - lit(this.mean(i))) / lit(sd))
+        else acc
+      }
+      lit(1.0) / (lit(1.0) + exp(-greatest(lit(-35.0), least(lit(35.0), z))))
+    }
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.expressions.{TextSketches, TopKAgg}
+import graft.ml.OnlineLogreg
+
+class ExpressionSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("TopKAgg: exact top-k with duplicates, map-side combine across partitions") {
+    val df = spark.range(0, 1000).repartition(8)
+      .select(($"id" % 3).cast("string").as("g"), ($"id" % 97).cast("double").as("v"))
+    val got = df.groupBy($"g").agg(TopKAgg.top_k($"v", 4).as("topk"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    // values 0..96 repeat; per group the top distinct residues mod 97 present
+    assert(got.values.forall(_.length == 4))
+    got.values.foreach(s => assert(s.zip(s.tail).forall { case (a, b) => a >= b }))
+    val all = df.filter($"g" === "0").select($"v").as[Double].collect().sorted.reverse.take(4)
+    assert(got("0") == all.toSeq)
+  }
+
+  test("TopKAgg: groups smaller than k return all values") {
+    val df = Seq(("a", 1.0), ("a", 5.0), ("b", 2.0)).toDF("g", "v")
+    val got = df.groupBy($"g").agg(TopKAgg.top_k($"v", 10).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    assert(got("a") == Seq(5.0, 1.0) && got("b") == Seq(2.0))
+  }
+
+  test("SQL registration: graft_simhash64 / graft_minhash_sig usable from SQL") {
+    GraftSession.tune(spark)
+    val r = spark.sql(
+      "SELECT graft_simhash64('hello world') AS sh, size(graft_minhash_sig('a b c d e')) AS n")
+      .collect()(0)
+    assert(r.getInt(1) == 32)
+    // consistent with the Column API
+    val viaCol = Seq("hello world").toDF("t")
+      .select(TextSketches.simhash64($"t")).as[Long].collect()(0)
+    assert(r.getLong(0) == viaCol)
+  }
+
+  test("OnlineLogreg.scoringColumn matches driver-side predictProba") {
+    val m = new OnlineLogreg(nFeatures = 2, lr = 0.5, miniBatch = 10)
+    val rng = new scala.util.Random(11)
+    (1 to 300).foreach { _ =>
+      val y = rng.nextInt(2)
+      m.partialFit(Array(rng.nextGaussian() + y * 3.0, rng.nextGaussian() - y * 3.0), y)
+    }
+    val df = Seq((4.0, -4.0), (-1.0, 1.0), (0.5, 0.5)).toDF("f0", "f1")
+    val distributed = df.select(m.scoringColumn(Seq($"f0", $"f1")).as("p")).as[Double].collect()
+    val driverSide = Seq(Array(4.0, -4.0), Array(-1.0, 1.0), Array(0.5, 0.5))
+      .map(m.predictProba)
+    distributed.zip(driverSide).foreach { case (a, b) => assert(math.abs(a - b) < 1e-12) }
+  }
+
+  test("OnlineLogreg.scoringColumn cold-start matches heuristic before first fit") {
+    val m = new OnlineLogreg(nFeatures = 2)
+    val df = Seq((0.0, 1.0), (5.0, 0.0), (1.0, 0.0)).toDF("f0", "f1")
+    val p = df.select(m.scoringColumn(Seq($"f0", $"f1")).as("p")).as[Double].collect()
+    assert(p.sameElements(Array(0.7, 0.3, 0.1)))
+  }
+}
