@@ -336,6 +336,18 @@ object SparkEntry {
         TF.qualityScore(col("text")).as("quality_score")
       )
     },
+    "q_tfidf_top_terms" -> { (s, d) =>
+      graft.operators.TfIdf.topTerms(Tables(s, d).documents, k = 3)
+    },
+    "q_label_centroids" -> { (s, d) =>
+      Similarity.labelCentroids(Tables(s, d).embeddings)
+        .withColumn("centroid_val", round(col("centroid_val"), 6))
+    },
+    "q_hourly_profile" -> { (s, d) =>
+      Tables(s, d).events
+        .groupBy(col("event_type"), hour(col("ts")).as("hour_of_day"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+    },
     "q_lang_id" -> { (s, d) =>
       Tables(s, d).documents
         .select(col("doc_id"), col("lang").as("lang_declared"), col("text"),
@@ -707,6 +719,30 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    "q_tfidf_top_terms" ->
+      s"""WITH terms AS (
+         |  SELECT doc_id, unnest($TokensSql) AS word FROM documents
+         |), tf AS (
+         |  SELECT doc_id, word, count(*) AS tf FROM terms GROUP BY doc_id, word
+         |), df AS (
+         |  SELECT word, count(*) AS df FROM tf GROUP BY word
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.word, tf.tf * ln((SELECT count(*) FROM documents) * 1.0 / df.df)
+         |           AS tfidf
+         |  FROM tf JOIN df ON tf.word = df.word
+         |), ranked AS (
+         |  SELECT doc_id, word, tfidf,
+         |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
+         |  FROM scored)
+         |SELECT doc_id, rank, word, round(tfidf, 6) AS tfidf FROM ranked WHERE rank <= 3""".stripMargin,
+    "q_label_centroids" ->
+      """SELECT label, i - 1 AS idx, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val
+        |FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
+        |GROUP BY label, i""".stripMargin,
+    "q_hourly_profile" ->
+      """SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day, count(*) AS n,
+        |       round(sum(value), 2) AS total_value
+        |FROM events GROUP BY event_type, hour(ts)""".stripMargin,
     "q_jaccard_adjacent" ->
       s"""WITH d AS (
          |  SELECT doc_id, list_distinct($TokensSql) AS words FROM documents

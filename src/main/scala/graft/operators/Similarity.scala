@@ -91,6 +91,21 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-label centroid of the embedding column, element-wise: explode to
+    * (label, dim_idx, component) → avg → reassemble ordered. One shuffle on
+    * (label, idx) — never collects vectors; at scale this is the standard
+    * IVF coarse-quantizer training step (one k-means iteration given label
+    * assignments).
+    */
+  def labelCentroids(
+      df: DataFrame,
+      labelCol: String = "label",
+      vecCol: String = "embedding"
+  ): DataFrame =
+    df.select(col(labelCol), posexplode(col(vecCol)).as(Seq("idx", "component")))
+      .groupBy(col(labelCol), col("idx"))
+      .agg(avg(col("component").cast("double")).as("centroid_val"))
+
   /** All corpus pairs with cosine ≥ threshold, via shared-bucket LSH join —
     * embedding-space near-duplicate detection.
     */

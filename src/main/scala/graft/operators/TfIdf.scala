@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** TF-IDF over a document corpus, fully relational:
+  *
+  *   explode(tokens) → per-(doc, word) term counts → per-word document
+  *   frequency → tfidf = tf · ln(N / df).
+  *
+  * Scale shape: two hash aggregates on (doc, word) and (word); the document
+  * frequency table is words-sized (small versus the corpus) and broadcasts
+  * back onto the term table — the corpus rows are never shuffled twice. The
+  * corpus count N is one column-pruned count job.
+  */
+object TfIdf {
+
+  /** (doc_id, word, tf, df, tfidf) for every distinct (doc, word). */
+  def termScores(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val nDocs = docs.count().toDouble
+    val terms = docs
+      .select(col(idCol), explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val docFreq = terms
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("df"))
+    terms
+      .join(broadcast(docFreq), Seq("word"))
+      .withColumn("tfidf", col("tf") * log(lit(nDocs) / col("df")))
+  }
+
+  /** Top-k highest-tfidf terms per document (ties → alphabetical). */
+  def topTerms(
+      docs: DataFrame,
+      k: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("word"))
+    termScores(docs, idCol, textCol)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("word"), round(col("tfidf"), 6).as("tfidf"))
+  }
+}
