@@ -1,0 +1,47 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sinks (S2 + the layouts a 100 TB deployment needs).
+  *
+  * - `writeParquet`: plain overwrite parquet (reference S2,
+  *   preprocessing.py:123).
+  * - `writePartitioned`: hive-style directory partitioning on date-ish keys —
+  *   readers filtering on the partition column scan only matching
+  *   directories (`PartitionFilters` in the plan, zero data read for pruned
+  *   partitions).
+  * - `writeBucketed`: pre-shuffled bucket layout via the session catalog —
+  *   two tables bucketed on the same key join with NO exchange (verify:
+  *   plan has SortMergeJoin but no `Exchange hashpartitioning`). This is the
+  *   co-located-join strategy for repeated large-fact joins.
+  */
+object Sinks {
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
+
+  def writeBucketed(
+      df: DataFrame,
+      table: String,
+      bucketCol: String,
+      nBuckets: Int = 8
+  ): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .format("parquet")
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+}

@@ -1,0 +1,76 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.RelationalOps
+import graft.sources.{Sinks, Tables}
+
+class StorageSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("partitioned parquet: date-partition pruning reaches PartitionFilters") {
+    val dir = Files.createTempDirectory("graft-part").toString + "/orders"
+    val orders = Tables(spark, TestSpark.Sf0001).orders
+      .withColumn("order_year", year($"o_orderdate"))
+    Sinks.writePartitioned(orders, dir, Seq("order_year"))
+    val pruned = spark.read.parquet(dir).filter($"order_year" === 1996)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(order_year"), plan.take(1500))
+    assert(pruned.count() ==
+      Tables(spark, TestSpark.Sf0001).orders.filter(year($"o_orderdate") === 1996).count())
+  }
+
+  test("bucketed tables join with zero exchanges") {
+    val t = Tables(spark, TestSpark.Sf0001)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
+    try {
+      Sinks.writeBucketed(t.lineitem.select("l_orderkey", "l_quantity"), "li_b", "l_orderkey")
+      Sinks.writeBucketed(t.orders.select("o_orderkey", "o_totalprice"), "ord_b", "o_orderkey")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+      val li = t.lineitem
+      val ord = t.orders
+      assert(joined.count() == li.join(ord, li("l_orderkey") === ord("o_orderkey")).count())
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
+    }
+  }
+
+  test("saltedJoin equals plain join on a skewed key") {
+    val big = spark.range(10000)
+      .select(when($"id" % 10 === 0, lit("hot")).otherwise(concat(lit("k"), $"id")).as("k"),
+        $"id".as("v"))
+    val small = Seq(("hot", 1), ("k5", 2), ("k17", 3)).toDF("k", "w")
+    val plain = big.join(small, Seq("k")).select("k", "v", "w")
+    val salted = RelationalOps.saltedJoin(big, small, "k").select("k", "v", "w")
+    assert(salted.count() == plain.count())
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+  }
+
+  test("sink formats round-trip: csv, json, orc") {
+    val dir = Files.createTempDirectory("graft-sinks")
+    val df = Tables(spark, TestSpark.Sf0001).region
+    Sinks.writeCsv(df, dir.resolve("csv").toString)
+    Sinks.writeJson(df, dir.resolve("json").toString)
+    Sinks.writeOrc(df, dir.resolve("orc").toString)
+    assert(spark.read.option("header", "true").csv(dir.resolve("csv").toString).count() == 5)
+    assert(spark.read.json(dir.resolve("json").toString).count() == 5)
+    assert(spark.read.orc(dir.resolve("orc").toString).count() == 5)
+  }
+
+  test("nullProfile counts nulls per column") {
+    val df = Seq((Some(1), Some("a")), (None, Some("b")), (Some(3), None))
+      .toDF("x", "y")
+    val r = RelationalOps.nullProfile(df, Seq("x", "y")).collect()(0)
+    assert(r.getAs[Long]("x_nulls") == 1 && r.getAs[Long]("y_nulls") == 1)
+    assert(r.getAs[Long]("x_total") == 3)
+  }
+}
