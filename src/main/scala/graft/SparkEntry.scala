@@ -277,6 +277,15 @@ object SparkEntry {
         .agg(round(avg(col("gap")), 6).as("avg_gap_s"), max(col("gap")).as("max_gap_s"),
           count(lit(1)).as("n_gaps"))
     },
+    // native session_window spelling of gap sessionization — must agree with
+    // the lag+cumsum spelling (q_gap_sessions) on counts and start times
+    "q_session_window" -> { (s, d) =>
+      Tables(s, d).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .select(col("user_id"), col("w.start").cast("long").as("start_s"),
+          col("n_events"), col("total_value"))
+    },
     "q_gap_sessions" -> { (s, d) =>
       Sessionize.gapSessions(Tables(s, d).events, "user_id", "ts",
           gapSeconds = 1800L, tieBreakCol = Some("event_id"))
@@ -641,6 +650,22 @@ object SparkEntry {
         |SELECT user_id, round(avg(gap), 6) AS avg_gap_s, max(gap) AS max_gap_s,
         |       count(*) AS n_gaps
         |FROM g WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin,
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |         lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+        |  FROM events
+        |), m AS (
+        |  SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS new_s
+        |  FROM g
+        |), s AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                             ROWS UNBOUNDED PRECEDING) AS session_idx
+        |  FROM m)
+        |SELECT user_id, min(ts_s) AS start_s, count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "q_gap_sessions" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,

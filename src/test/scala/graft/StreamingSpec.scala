@@ -48,6 +48,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(full.getAs[Long]("session_duration") == 30)
   }
 
+  test("stream-static enrichment join (streaming events ⋈ static dim)") {
+    val dir = Files.createTempDirectory("graft-enrich-in")
+    val checkpoint = Files.createTempDirectory("graft-enrich-cp").toString
+    Files.write(dir.resolve("b0.csv"), "1,100.0\n2,50.0\n3,7.0".getBytes)
+    val stream = spark.readStream.schema("user_id LONG, value DOUBLE").csv(dir.toString)
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val q = stream.join(dim, Seq("user_id"), "left")
+      .writeStream.outputMode("append").format("memory").queryName("enriched")
+      .option("checkpointLocation", checkpoint).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val rows = spark.sql("SELECT * FROM enriched").collect()
+      .map(r => r.getLong(0) -> Option(r.getString(2)).getOrElse("none")).toMap
+    assert(rows == Map(1L -> "gold", 2L -> "silver", 3L -> "none"))
+  }
+
   test("end-to-end stream: file source → watermark+window → foreachBatch → metrics JSON") {
     val dir = Files.createTempDirectory("graft-stream-in")
     val metricsPath = Files.createTempDirectory("graft-stream-m").toString + "/m.json"
