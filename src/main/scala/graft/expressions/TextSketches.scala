@@ -2,7 +2,7 @@ package graft.expressions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
@@ -31,31 +31,15 @@ object TextSketches {
   private[expressions] def hashToken(t: String): Long =
     XxHash64Function.hash(UTF8String.fromString(t), StringType, 42L)
 
-  /** Column API: 64-bit SimHash of whitespace-tokenized text. */
-  def simhash64(text: Column): Column =
-    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
-
-  /** Column API: MinHash signature (array<long> of length nPerms) over
-    * distinct word w-shingles.
+  /** Static kernel targeted by generated code (and nullSafeEval): one pass,
+    * no Catalyst boxing.
     */
-  def minhashSignature(text: Column, nPerms: Int = 32, shingleWidth: Int = 3,
-      seed: Long = 42L): Column =
-    ColumnBridge.column(MinHashSig(ColumnBridge.expression(text), nPerms, shingleWidth, seed))
-}
-
-/** bit j of result = sign of Σ_tokens(±1 per bit j of xxhash64(token)). */
-case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
-
-  override def dataType: DataType = LongType
-  override def prettyName: String = "graft_simhash64"
-
-  override def nullSafeEval(input: Any): Any = {
+  def simhashKernel(input: UTF8String): Long = {
     val counts = new Array[Int](64)
-    val toks = TextSketches.tokenize(input.asInstanceOf[UTF8String].toString)
+    val toks = tokenize(input.toString)
     var i = 0
     while (i < toks.length) {
-      val h = TextSketches.hashToken(toks(i))
+      val h = hashToken(toks(i))
       var j = 0
       while (j < 64) {
         if (((h >>> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -72,6 +56,57 @@ case class SimHash64(child: Expression)
     out
   }
 
+  /** Static kernel for minhash signatures; perms passed as flat [a0,b0,a1,b1,…]. */
+  def minhashKernel(input: UTF8String, shingleWidth: Int, permsFlat: Array[Long]): GenericArrayData = {
+    val nPerms = permsFlat.length / 2
+    val toks = tokenize(input.toString)
+    val shingles: Iterator[String] =
+      if (toks.length < shingleWidth) Iterator(toks.mkString(" "))
+      else toks.sliding(shingleWidth).map(_.mkString(" "))
+    val mins = Array.fill(nPerms)(Long.MaxValue)
+    val seen = new java.util.HashSet[String]()
+    while (shingles.hasNext) {
+      val s = shingles.next()
+      if (seen.add(s)) {
+        val h = java.lang.Math.floorMod(hashToken(s), Prime)
+        var i = 0
+        while (i < nPerms) {
+          val v = java.lang.Math.floorMod(permsFlat(2 * i) * h + permsFlat(2 * i + 1), Prime)
+          if (v < mins(i)) mins(i) = v
+          i += 1
+        }
+      }
+    }
+    new GenericArrayData(mins)
+  }
+
+  /** Column API: 64-bit SimHash of whitespace-tokenized text. */
+  def simhash64(text: Column): Column =
+    ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+
+  /** Column API: MinHash signature (array<long> of length nPerms) over
+    * distinct word w-shingles.
+    */
+  def minhashSignature(text: Column, nPerms: Int = 32, shingleWidth: Int = 3,
+      seed: Long = 42L): Column =
+    ColumnBridge.column(MinHashSig(ColumnBridge.expression(text), nPerms, shingleWidth, seed))
+}
+
+/** bit j of result = sign of Σ_tokens(±1 per bit j of xxhash64(token)).
+  * Codegen emits a direct static-kernel call, so the expression stays inside
+  * WholeStageCodegen (no interpreted fallback, no InternalRow boxing).
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSketches.simhashKernel(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextSketches.simhashKernel($c)")
+
   override protected def withNewChildInternal(newChild: Expression): SimHash64 =
     copy(child = newChild)
 }
@@ -81,40 +116,32 @@ case class SimHash64(child: Expression)
   * contribute their whole normalized text as the single shingle.
   */
 case class MinHashSig(child: Expression, nPerms: Int, shingleWidth: Int, seed: Long)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "graft_minhash_sig"
 
-  // deterministic permutation params, same scheme across the engine
-  @transient private lazy val perms: Array[(Long, Long)] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(nPerms)((1L + rng.nextInt(Int.MaxValue - 1).toLong,
-      rng.nextInt(Int.MaxValue).toLong))
-  }
+  // deterministic permutation params, flat [a0,b0,a1,b1,…], same scheme
+  // across the engine
+  @transient private lazy val permsFlat: Array[Long] = MinHashSig.permsFlat(nPerms, seed)
 
-  override def nullSafeEval(input: Any): Any = {
-    val toks = TextSketches.tokenize(input.asInstanceOf[UTF8String].toString)
-    val shingles: Iterator[String] =
-      if (toks.length < shingleWidth) Iterator(toks.mkString(" "))
-      else toks.sliding(shingleWidth).map(_.mkString(" "))
-    val mins = Array.fill(nPerms)(Long.MaxValue)
-    val seen = new java.util.HashSet[String]()
-    while (shingles.hasNext) {
-      val s = shingles.next()
-      if (seen.add(s)) {
-        val h = java.lang.Math.floorMod(TextSketches.hashToken(s), TextSketches.Prime)
-        var i = 0
-        while (i < nPerms) {
-          val v = java.lang.Math.floorMod(perms(i)._1 * h + perms(i)._2, TextSketches.Prime)
-          if (v < mins(i)) mins(i) = v
-          i += 1
-        }
-      }
-    }
-    new GenericArrayData(mins)
+  override def nullSafeEval(input: Any): Any =
+    TextSketches.minhashKernel(input.asInstanceOf[UTF8String], shingleWidth, permsFlat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val permsRef = ctx.addReferenceObj("permsFlat", permsFlat, "long[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.TextSketches.minhashKernel($c, $shingleWidth, $permsRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
     copy(child = newChild)
+}
+
+object MinHashSig {
+  def permsFlat(nPerms: Int, seed: Long): Array[Long] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(nPerms)(Array(1L + rng.nextInt(Int.MaxValue - 1).toLong,
+      rng.nextInt(Int.MaxValue).toLong)).flatten
+  }
 }

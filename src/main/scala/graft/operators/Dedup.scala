@@ -126,8 +126,27 @@ object Dedup {
       .select(col("id1"), col("id2"))
       .distinct()
 
+    // Signature-estimate prefilter: the fraction of agreeing minhash lanes is
+    // an unbiased Jaccard estimator (σ = sqrt(j(1−j)/nPerms)); candidates
+    // estimating below threshold − 2σ cannot plausibly verify, so they skip
+    // the exact set-intersection entirely. Signatures are nPerms longs — far
+    // narrower than the shingle arrays the verify join ships. Only engaged
+    // when the slack leaves something to prune.
+    val slack = 2.0 * math.sqrt(threshold * (1 - threshold) / nPerms)
+    val prefiltered = if (threshold - slack > 0.05) {
+      val sigNarrow = df.select(col(idCol), minhashSignature(col(textCol), nPerms, seed).as("sig"))
+      val laneAgreement = size(filter(
+        zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
+        .cast("double") / nPerms
+      cand
+        .join(sigNarrow.select(col(idCol).as("id1"), col("sig").as("sig1")), Seq("id1"))
+        .join(sigNarrow.select(col(idCol).as("id2"), col("sig").as("sig2")), Seq("id2"))
+        .filter(laneAgreement >= threshold - slack)
+        .select(col("id1"), col("id2"))
+    } else cand
+
     val sh = df.select(col(idCol), shingles(col(textCol)).as("sh"))
-    cand
+    prefiltered
       .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), Seq("id1"))
       .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), Seq("id2"))
       .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
