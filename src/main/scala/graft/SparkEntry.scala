@@ -294,6 +294,35 @@ object SparkEntry {
           (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_s"),
           round(sum(col("value")), 2).as("total_value"))
     },
+    // explicit window frames: running total + trailing moving average
+    "q_running_revenue" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val running = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val trailing3 = w.rowsBetween(-2, 0)
+      Tables(s, d).orders.select(
+        col("o_custkey"), col("o_orderkey"),
+        round(sum(col("o_totalprice")).over(running), 2).as("running_total"),
+        round(avg(col("o_totalprice")).over(trailing3), 6).as("trailing3_avg")
+      )
+    },
+    // funnel: users whose first view < first click < first purchase
+    "q_event_funnel" -> { (s, d) =>
+      val firsts = Tables(s, d).events
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp")
+        )
+      firsts.agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("tv").isNotNull && col("tc").isNotNull && col("tv") < col("tc"), 1))
+          .as("view_then_click"),
+        count(when(col("tv").isNotNull && col("tc").isNotNull && col("tp").isNotNull &&
+          col("tv") < col("tc") && col("tc") < col("tp"), 1)).as("full_funnel")
+      )
+    },
     "q_monthly_orders" -> { (s, d) =>
       Tables(s, d).orders
         .groupBy(date_trunc("month", col("o_orderdate")).cast("long").as("month_start_s"))
@@ -682,6 +711,28 @@ object SparkEntry {
         |SELECT user_id, session_idx, count(*) AS n_events,
         |       max(ts_s) - min(ts_s) AS duration_s, round(sum(value), 2) AS total_value
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    "q_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2)
+        |         AS running_total,
+        |       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS trailing3_avg
+        |FROM orders""".stripMargin,
+    "q_event_funnel" ->
+      """WITH f AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'view' THEN ts END) AS tv,
+        |         min(CASE WHEN event_type = 'click' THEN ts END) AS tc,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+        |  FROM events GROUP BY user_id)
+        |SELECT count(*) AS n_users,
+        |       count(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tv < tc THEN 1 END)
+        |         AS view_then_click,
+        |       count(CASE WHEN tv IS NOT NULL AND tc IS NOT NULL AND tp IS NOT NULL
+        |                   AND tv < tc AND tc < tp THEN 1 END) AS full_funnel
+        |FROM f""".stripMargin,
     "q_monthly_orders" ->
       """SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start_s,
         |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total

@@ -78,6 +78,21 @@ class MlSpec extends AnyFunSuite {
     assert(m.recentAccuracy > 0.8)
   }
 
+  test("DistributedSgd learns a separable rule without collecting data") {
+    import graft.ml.DistributedSgd
+    val synth = spark.range(4000).select(
+      ($"id" % 2).cast("int").as("label"),
+      (when($"id" % 2 === 1, 4.0).otherwise(-4.0) + rand(5)).as("f0"),
+      (when($"id" % 2 === 1, -3.0).otherwise(3.0) + rand(6)).as("f1")
+    )
+    val model = DistributedSgd.fit(synth, Seq("f0", "f1"), epochs = 30, lr = 1.0)
+    assert(model.weights(0) > 0 && model.weights(1) < 0) // learned the signs
+    val scored = synth.withColumn("p", model.scoringColumn(Seq($"f0", $"f1")))
+    val acc = scored
+      .filter((col("p") >= 0.5).cast("int") === col("label")).count().toDouble / 4000
+    assert(acc > 0.95, s"accuracy $acc")
+  }
+
   test("heuristic ladder thresholds") {
     val df = Seq((0, 0), (0, 5), (0, 10), (1, 0), (3, 0)).toDF("cart", "view")
     val scores = df.select(Heuristic.score($"cart", $"view").as("s")).as[Double].collect()
