@@ -44,6 +44,20 @@ final case class Tables(spark: SparkSession, dir: String) {
     }
   }
 
+  /** Typed accessors — `Dataset[T]` views of the same scans. */
+  def eventsDs: org.apache.spark.sql.Dataset[graft.schema.Schemas.Event] = {
+    import spark.implicits._
+    events.as[graft.schema.Schemas.Event]
+  }
+  def documentsDs: org.apache.spark.sql.Dataset[graft.schema.Schemas.Document] = {
+    import spark.implicits._
+    documents.as[graft.schema.Schemas.Document]
+  }
+  def embeddingsDs: org.apache.spark.sql.Dataset[graft.schema.Schemas.Embedding] = {
+    import spark.implicits._
+    embeddings.as[graft.schema.Schemas.Embedding]
+  }
+
   /** The reference's clickstream shape (reference: src/streaming/config.py:144-157)
     * projected from the synthetic `events` table, for parity pipelines:
     * user_id plays the session key, `value` plays price, and the JSON `props`

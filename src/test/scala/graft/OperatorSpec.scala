@@ -61,6 +61,15 @@ class OperatorSpec extends AnyFunSuite {
     assert(withCarts.getAs[Double]("conversion_rate") == 100.0) // 1 purchase / 1 cart
   }
 
+  test("typed Dataset accessors round-trip the case-class schemas") {
+    val t = sources.Tables(spark, TestSpark.Sf0001)
+    val ev = t.eventsDs.filter(_.event_type == "purchase").take(3)
+    assert(ev.nonEmpty && ev.forall(e => e.ts_ns > 0 && e.event_type == "purchase"))
+    val docs = t.documentsDs.map(d => d.text.length).take(2)
+    assert(docs.forall(_ > 0))
+    assert(t.embeddingsDs.head().embedding.length == 64)
+  }
+
   test("W1 ≡ J1 on real data (sf0.001 clickstream shape)") {
     val ev = sources.Tables(spark, TestSpark.Sf0001).clickstream
       .withColumnRenamed("event_time", "et")

@@ -64,6 +64,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Map(1L -> "gold", 2L -> "silver", 3L -> "none"))
   }
 
+  test("stream-stream join: clicks ⋈ purchases within event-time bounds") {
+    val clickDir = Files.createTempDirectory("graft-ss-clicks")
+    val buyDir = Files.createTempDirectory("graft-ss-buys")
+    val checkpoint = Files.createTempDirectory("graft-ss-cp").toString
+    Files.write(clickDir.resolve("b0.csv"),
+      "7,2024-01-01 10:00:00\n7,2024-01-01 11:00:00\n8,2024-01-01 10:00:00".getBytes)
+    Files.write(buyDir.resolve("b0.csv"),
+      "7,2024-01-01 10:05:00\n9,2024-01-01 10:00:00".getBytes)
+    def src(dir: java.nio.file.Path, ts: String) = spark.readStream
+      .schema(s"user_id LONG, ${ts}_str STRING").csv(dir.toString)
+      .withColumn(ts, to_timestamp(col(s"${ts}_str"))).drop(s"${ts}_str")
+    val clicks = src(clickDir, "click_ts").withWatermark("click_ts", "1 hour")
+    val buys = src(buyDir, "buy_ts").withWatermark("buy_ts", "1 hour")
+    // purchase attributed to a click at most 30 minutes earlier
+    val q = clicks.as("clicks").join(buys.as("buys"),
+        expr("clicks.user_id = buys.user_id AND buy_ts BETWEEN click_ts AND click_ts + INTERVAL 30 MINUTES"))
+      .select(col("clicks.user_id").as("user_id"), col("click_ts"), col("buy_ts"))
+      .writeStream.outputMode("append").format("memory").queryName("attributed")
+      .option("checkpointLocation", checkpoint).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val rows = spark.sql("SELECT user_id FROM attributed").collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(7L)) // only user 7's 10:00 click attributes; 11:00 click and users 8/9 don't
+  }
+
   test("end-to-end stream: file source → watermark+window → foreachBatch → metrics JSON") {
     val dir = Files.createTempDirectory("graft-stream-in")
     val metricsPath = Files.createTempDirectory("graft-stream-m").toString + "/m.json"
