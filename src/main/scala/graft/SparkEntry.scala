@@ -201,6 +201,60 @@ object SparkEntry {
         .groupBy(col("n_name"))
         .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
     },
+    "q4_priority_check" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.orders
+        .filter(col("o_orderdate").between(
+          expr("TIMESTAMP '1996-01-01 00:00:00'"), expr("TIMESTAMP '1996-12-31 00:00:00'")))
+        .join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+    "q6_forecast_revenue" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .filter(col("l_shipdate").between(
+          expr("TIMESTAMP '1996-01-01 00:00:00'"), expr("TIMESTAMP '1996-12-31 00:00:00'")) &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+    },
+    "q10_returned_items" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem.filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .withColumn("revenue", round(col("revenue"), 2))
+    },
+    "q12_shipmode_priority" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("low_line_count")
+        )
+    },
+    "q14_promo_effect" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.lineitem
+        .filter(col("l_shipdate").between(
+          expr("TIMESTAMP '1997-01-01 00:00:00'"), expr("TIMESTAMP '1997-12-31 00:00:00'")))
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .agg(
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount")))
+              .otherwise(0.0)) /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("promo_revenue_pct")
+        )
+    },
     "q_part_brand_stats" -> { (s, d) =>
       Tables(s, d).part.groupBy(col("p_brand")).agg(
         count(lit(1)).as("n_parts"),
@@ -627,6 +681,49 @@ object SparkEntry {
         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         |  AND r_name = 'ASIA'
         |GROUP BY n_name""".stripMargin,
+    "q4_priority_check" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                      AND TIMESTAMP '1996-12-31 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                     AND TIMESTAMP '1996-12-31 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
+    "q10_returned_items" ->
+      """WITH top AS (
+        |  SELECT c_custkey, c_name, n_name,
+        |         sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |  FROM customer
+        |  JOIN orders ON c_custkey = o_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  WHERE l_returnflag = 'R'
+        |  GROUP BY c_custkey, c_name, n_name
+        |  ORDER BY revenue DESC, c_custkey LIMIT 20)
+        |SELECT c_custkey, c_name, n_name, round(revenue, 2) AS revenue FROM top""".stripMargin,
+    "q12_shipmode_priority" ->
+      """SELECT l_linestatus,
+        |       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
+        |         AS high_line_count,
+        |       count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 END)
+        |         AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_linestatus""".stripMargin,
+    "q14_promo_effect" ->
+      """SELECT round(100.0 *
+        |         sum(CASE WHEN p_type = 'PROMO'
+        |             THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+        |         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+        |                     AND TIMESTAMP '1997-12-31 00:00:00'""".stripMargin,
     "q_part_brand_stats" ->
       """SELECT p_brand, count(*) AS n_parts, avg(p_retailprice) AS avg_retail,
         |       count(DISTINCT p_type) AS n_types, min(p_size) AS min_size,
@@ -832,6 +929,28 @@ object SparkEntry {
          |                 / len(list_distinct(list_concat(w1, w2)))
          |       END AS jaccard
          |FROM p""".stripMargin,
+    "q_lang_id" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang AS lang_declared, text, $TokensSql AS toks FROM documents
+         |), s AS (
+         |  SELECT doc_id, lang_declared, text,
+         |         len(list_filter(toks, x -> list_contains(
+         |           ['der','die','das','und','ist','nicht','ein','mit','für','von'], x))) AS de,
+         |         len(list_filter(toks, x -> list_contains(
+         |           ['the','and','is','of','to','in','that','it','for','with'], x))) AS en,
+         |         len(list_filter(toks, x -> list_contains(
+         |           ['el','la','los','las','de','que','y','es','en','un'], x))) AS es,
+         |         len(list_filter(toks, x -> list_contains(
+         |           ['le','la','les','des','et','est','que','une','dans','pour'], x))) AS fr
+         |  FROM t)
+         |SELECT doc_id, lang_declared,
+         |       CASE WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |            WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+         |            WHEN de >= en AND de >= es AND de >= fr THEN 'de'
+         |            WHEN en >= es AND en >= fr THEN 'en'
+         |            WHEN es >= fr THEN 'es'
+         |            ELSE 'fr' END AS lang_detected
+         |FROM s""".stripMargin,
     "q_embedding_norms" ->
       """SELECT vec_id,
         |       sqrt(list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE) * x), 'sum'))
