@@ -435,6 +435,36 @@ object SparkEntry {
       Similarity.labelCentroids(Tables(s, d).embeddings)
         .withColumn("centroid_val", round(col("centroid_val"), 6))
     },
+    // ops analytics: hourly error-rate with z-score anomaly flag
+    "q_error_anomalies" -> { (s, d) =>
+      val hourly = Tables(s, d).events
+        .groupBy(date_trunc("hour", col("ts")).cast("long").as("hour_s"))
+        .agg(
+          count(when(col("event_type") === "error", 1)).as("n_errors"),
+          count(lit(1)).as("n_events")
+        )
+        .withColumn("error_rate", col("n_errors").cast("double") / col("n_events"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      hourly
+        .withColumn("mean_rate", avg(col("error_rate")).over(w))
+        .withColumn("sd_rate", stddev_samp(col("error_rate")).over(w))
+        .select(
+          col("hour_s"), col("n_errors"), col("n_events"),
+          round(col("error_rate"), 6).as("error_rate"),
+          (col("error_rate") > col("mean_rate") + lit(2.0) * col("sd_rate")).as("is_anomaly")
+        )
+    },
+    // full scale-path pipeline: leakage-free features → distributed SGD fit →
+    // distributed scoring (no collect anywhere except the gradient vector)
+    "q_sgd_intent_scores" -> { (s, d) =>
+      val features = sessionFeatures(s, d)
+      val cols = IntentModel.FeatureCols.toSeq
+      val model = graft.ml.DistributedSgd.fit(features, cols, epochs = 10, lr = 1.0)
+      features.select(
+        col("user_session"), col("label"),
+        round(model.scoringColumn(cols.map(col)), 6).as("intent_score")
+      )
+    },
     "q_hourly_profile" -> { (s, d) =>
       Tables(s, d).events
         .groupBy(col("event_type"), hour(col("ts")).as("hour_of_day"))
@@ -912,6 +942,19 @@ object SparkEntry {
       """SELECT label, i - 1 AS idx, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val
         |FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
         |GROUP BY label, i""".stripMargin,
+    "q_error_anomalies" ->
+      """WITH h AS (
+        |  SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+        |         count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
+        |         count(*) AS n_events
+        |  FROM events GROUP BY 1
+        |), r AS (
+        |  SELECT *, CAST(n_errors AS DOUBLE) / n_events AS error_rate FROM h
+        |), stats AS (
+        |  SELECT avg(error_rate) AS mean_rate, stddev_samp(error_rate) AS sd_rate FROM r)
+        |SELECT hour_s, n_errors, n_events, round(error_rate, 6) AS error_rate,
+        |       error_rate > mean_rate + 2.0 * sd_rate AS is_anomaly
+        |FROM r CROSS JOIN stats""".stripMargin,
     "q_hourly_profile" ->
       """SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day, count(*) AS n,
         |       round(sum(value), 2) AS total_value
