@@ -34,6 +34,27 @@ final class MetricsStore(path: String, historyLimit: Int = 1000) {
 
 object MetricsStore {
 
+  /** §2.11 serving-plane reads: load the metrics document as DataFrames so
+    * the dashboard queries (conversion-rate time series, event-distribution
+    * totals, prediction table — reference dashboard/app.py:227-354) are
+    * plain Spark queries instead of driver-side JSON walking.
+    */
+  def historyFrame(spark: org.apache.spark.sql.SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("history")).as("h"))
+      .select("h.*")
+  }
+
+  /** Conversion-rate time series, most recent `n` batches. */
+  def conversionSeries(spark: org.apache.spark.sql.SparkSession, path: String, n: Int = 50): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    historyFrame(spark, path)
+      .select(col("batch_id"), col("timestamp"), col("conversion_rate"))
+      .orderBy(col("batch_id").desc)
+      .limit(n)
+  }
+
   def toJson(v: Any): String = v match {
     case null            => "null"
     case s: String       => quote(s)

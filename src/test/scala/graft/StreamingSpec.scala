@@ -133,5 +133,9 @@ class StreamingSpec extends AnyFunSuite {
     assert(txt.contains("\"predictions\""))
     assert(txt.contains("\"purchase_probability\""))
     assert(model.predictionsMade > 0)
+    // §2.11 dashboard reads: the metrics doc loads back as DataFrames
+    val series = MetricsStore.conversionSeries(spark, metricsPath).collect()
+    assert(series.nonEmpty)
+    assert(series(0).getAs[Double]("conversion_rate") == 100.0) // 2 purchases / 2 carts
   }
 }
