@@ -39,6 +39,23 @@ object DistributedSgd {
       lr: Double = 1.0
   ): Model = {
     val n = featureCols.size
+    // epochs+1 passes over the input: materialize the (narrow) projection
+    // once instead of recomputing the upstream lineage per epoch — at scale
+    // the input is often a whole sessionization pipeline.
+    val proj = df.select((labelCol +: featureCols).map(col): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try fitCached(proj, featureCols, labelCol, epochs, lr)
+    finally proj.unpersist()
+  }
+
+  private def fitCached(
+      df: DataFrame,
+      featureCols: Seq[String],
+      labelCol: String,
+      epochs: Int,
+      lr: Double
+  ): Model = {
+    val n = featureCols.size
 
     // pass 1: standardization stats (one aggregate)
     val statExprs = featureCols.flatMap { c =>
