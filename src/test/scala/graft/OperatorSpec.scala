@@ -61,6 +61,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(withCarts.getAs[Double]("conversion_rate") == 100.0) // 1 purchase / 1 cart
   }
 
+  test("driver smoke contract: entry() returns rows on sf0.001") {
+    val df = SparkEntry.entry(spark)
+    assert(df.count() > 0)
+    assert(df.columns.contains("user_session") && df.columns.contains("label"))
+  }
+
+  test("every oracleSql key has a matching queries entry") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet -- qs
+    assert(orphans.isEmpty, s"oracle entries without queries: $orphans")
+  }
+
   test("typed Dataset accessors round-trip the case-class schemas") {
     val t = sources.Tables(spark, TestSpark.Sf0001)
     val ev = t.eventsDs.filter(_.event_type == "purchase").take(3)
