@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TextFunctions => TF, VectorFunctions => VF}
+import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
 import graft.operators.{Dedup, Featurize, Multimodal, SessionConf, Sessionize, Similarity}
 import graft.sources.Tables
@@ -119,10 +119,9 @@ object SparkEntry {
     },
     // ---- windows: tumbling (oracle) + sliding (reference T2 shape) ----
     "q_tumbling_activity" -> { (s, d) =>
-      SessionWindows.tumblingActivity(Tables(s, d).events)
+      SessionWindows.tumblingActivity(Tables(s, d).events, valueAgg = Money.moneySum)
         .withColumn("hour_start", col("hour_start").cast("long"))
         .withColumnRenamed("hour_start", "hour_start_s")
-        .withColumn("total_value", round(col("total_value"), 2))
     },
     "q_sliding_windows" -> { (s, d) =>
       SessionWindows.slidingSessionAgg(
@@ -336,7 +335,7 @@ object SparkEntry {
     "q_session_window" -> { (s, d) =>
       Tables(s, d).events
         .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
-        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+        .agg(count(lit(1)).as("n_events"), Money.moneySum(col("value")).as("total_value"))
         .select(col("user_id"), col("w.start").cast("long").as("start_s"),
           col("n_events"), col("total_value"))
     },
@@ -346,7 +345,7 @@ object SparkEntry {
         .groupBy(col("user_id"), col("session_idx"))
         .agg(count(lit(1)).as("n_events"),
           (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_s"),
-          round(sum(col("value")), 2).as("total_value"))
+          Money.moneySum(col("value")).as("total_value"))
     },
     // explicit window frames: running total + trailing moving average
     "q_running_revenue" -> { (s, d) =>
@@ -356,7 +355,7 @@ object SparkEntry {
       val trailing3 = w.rowsBetween(-2, 0)
       Tables(s, d).orders.select(
         col("o_custkey"), col("o_orderkey"),
-        round(sum(col("o_totalprice")).over(running), 2).as("running_total"),
+        Money.moneySumOver(col("o_totalprice"), running).as("running_total"),
         round(avg(col("o_totalprice")).over(trailing3), 6).as("trailing3_avg")
       )
     },
@@ -380,7 +379,7 @@ object SparkEntry {
     "q_monthly_orders" -> { (s, d) =>
       Tables(s, d).orders
         .groupBy(date_trunc("month", col("o_orderdate")).cast("long").as("month_start_s"))
-        .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"))
+        .agg(count(lit(1)).as("n_orders"), Money.moneySum(col("o_totalprice")).as("total"))
     },
     "q_name_strings" -> { (s, d) =>
       Tables(s, d).customer
@@ -468,7 +467,7 @@ object SparkEntry {
     "q_hourly_profile" -> { (s, d) =>
       Tables(s, d).events
         .groupBy(col("event_type"), hour(col("ts")).as("hour_of_day"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total_value"))
+        .agg(count(lit(1)).as("n"), Money.moneySum(col("value")).as("total_value"))
     },
     "q_lang_id" -> { (s, d) =>
       Tables(s, d).documents
@@ -638,10 +637,10 @@ object SparkEntry {
          |            WHEN intent_score > 0.4 THEN 'medium' ELSE 'low' END AS intent_bucket
          |FROM scored""".stripMargin,
     "q_tumbling_activity" ->
-      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start_s,
+      s"""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start_s,
         |       count(*) AS n_events,
         |       count(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchases,
-        |       round(sum(value), 2) AS total_value
+        |       ${Money.sumSql("value")} AS total_value
         |FROM events GROUP BY 1""".stripMargin,
     "q_sliding_windows" ->
       """WITH ev AS (
@@ -807,7 +806,7 @@ object SparkEntry {
         |       count(*) AS n_gaps
         |FROM g WHERE gap IS NOT NULL GROUP BY user_id""".stripMargin,
     "q_session_window" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT user_id, event_id, ts, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
         |         lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
         |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
@@ -820,10 +819,10 @@ object SparkEntry {
         |                             ROWS UNBOUNDED PRECEDING) AS session_idx
         |  FROM m)
         |SELECT user_id, min(ts_s) AS start_s, count(*) AS n_events,
-        |       round(sum(value), 2) AS total_value
+        |       ${Money.sumSql("value")} AS total_value
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "q_gap_sessions" ->
-      """WITH g AS (
+      s"""WITH g AS (
         |  SELECT user_id, event_id, ts, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
         |         lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
         |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
@@ -836,12 +835,12 @@ object SparkEntry {
         |                             ROWS UNBOUNDED PRECEDING) AS session_idx
         |  FROM m)
         |SELECT user_id, session_idx, count(*) AS n_events,
-        |       max(ts_s) - min(ts_s) AS duration_s, round(sum(value), 2) AS total_value
+        |       max(ts_s) - min(ts_s) AS duration_s, ${Money.sumSql("value")} AS total_value
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "q_running_revenue" ->
-      """SELECT o_custkey, o_orderkey,
-        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
-        |             ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING), 2)
+      s"""SELECT o_custkey, o_orderkey,
+        |       ${Money.sumSql("o_totalprice",
+             " OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS UNBOUNDED PRECEDING)")}
         |         AS running_total,
         |       round(avg(o_totalprice) OVER (PARTITION BY o_custkey
         |             ORDER BY o_orderdate, o_orderkey
@@ -861,8 +860,8 @@ object SparkEntry {
         |                   AND tv < tc AND tc < tp THEN 1 END) AS full_funnel
         |FROM f""".stripMargin,
     "q_monthly_orders" ->
-      """SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start_s,
-        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total
+      s"""SELECT CAST(floor(epoch(date_trunc('month', o_orderdate))) AS BIGINT) AS month_start_s,
+        |       count(*) AS n_orders, ${Money.sumSql("o_totalprice")} AS total
         |FROM orders GROUP BY 1""".stripMargin,
     "q_name_strings" ->
       """SELECT c_custkey, upper(c_name) AS name_u, length(c_name) AS name_len,
@@ -956,8 +955,8 @@ object SparkEntry {
         |       error_rate > mean_rate + 2.0 * sd_rate AS is_anomaly
         |FROM r CROSS JOIN stats""".stripMargin,
     "q_hourly_profile" ->
-      """SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day, count(*) AS n,
-        |       round(sum(value), 2) AS total_value
+      s"""SELECT event_type, CAST(hour(ts) AS INT) AS hour_of_day, count(*) AS n,
+        |       ${Money.sumSql("value")} AS total_value
         |FROM events GROUP BY event_type, hour(ts)""".stripMargin,
     "q_jaccard_adjacent" ->
       s"""WITH d AS (

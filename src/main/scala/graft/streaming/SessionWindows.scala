@@ -54,13 +54,14 @@ object SessionWindows {
       df: DataFrame,
       tsCol: String = "ts",
       typeCol: String = "event_type",
-      valueCol: String = "value"
+      valueCol: String = "value",
+      valueAgg: org.apache.spark.sql.Column => org.apache.spark.sql.Column = sum(_)
   ): DataFrame =
     df.groupBy(window(col(tsCol), "1 hour").as("w"))
       .agg(
         count(lit(1)).as("n_events"),
         count(when(col(typeCol) === "purchase", 1)).as("n_purchases"),
-        sum(col(valueCol)).as("total_value")
+        valueAgg(col(valueCol)).as("total_value")
       )
       .select(col("w.start").as("hour_start"), col("n_events"), col("n_purchases"), col("total_value"))
 }
