@@ -470,11 +470,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), Money.moneySum(col("value")).as("total_value"))
     },
     "q_lang_id" -> { (s, d) =>
-      Tables(s, d).documents
-        .select(col("doc_id"), col("lang").as("lang_declared"), col("text"),
-          TF.tokens(col("text")).as("toks"))
-        .select(col("doc_id"), col("lang_declared"),
-          TF.langIdFromTokens(col("toks"), col("text")).as("lang_detected"))
+      TF.withLangId(
+        Tables(s, d).documents.select(col("doc_id"), col("lang").as("lang_declared"), col("text")),
+        "text", "lang_detected")
+        .select(col("doc_id"), col("lang_declared"), col("lang_detected"))
     },
     "q_fingerprints" -> { (s, d) =>
       Tables(s, d).documents.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))

@@ -69,36 +69,66 @@ object TextFunctions {
     * CJK characters short-circuit to zh; otherwise argmax of function-word
     * hits per language (ties → alphabetical, deterministic).
     *
+    * The argmax is `greatest` over `(score, rank, lang)` structs — rank
+    * descends in alphabetical order so tied scores keep the earlier
+    * language. The round-1 spelling folded nested `when`s whose accumulator
+    * re-referenced every prior score subtree: Catalyst does not CSE across
+    * `when` branches, so the score expressions duplicated exponentially
+    * (15.7 s for 5k docs). `greatest` references each score once.
+    *
     * `langIdFromTokens` takes a pre-tokenized column so callers scanning a
     * corpus project `tokens(text)` once instead of re-splitting per
-    * language profile (5× regex work otherwise).
+    * language profile (5× regex work otherwise). [[withLangId]] is the
+    * scale path: it projects the per-language scores as real columns first,
+    * so the argmax duplicates only attribute refs, never the score kernels.
     */
   def langId(text: Column): Column =
-    langIdScores(tokens(text), text)
+    langIdFromTokens(tokens(text), text)
 
   def langIdFromTokens(toks: Column, text: Column): Column =
-    langIdScores(toks, text)
-
-  private def langIdScores(toks: Column, text: Column): Column = {
-    val profiles: Seq[(String, Seq[String])] = Seq(
-      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
-      "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "for", "with"),
-      "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "es", "en", "un"),
-      "fr" -> Seq("le", "la", "les", "des", "et", "est", "que", "une", "dans", "pour")
-    )
-    val scores = profiles.map { case (lang, words) =>
+    argmaxLang(text, profiles.map { case (lang, words) =>
       lang -> size(filter(toks, t => t.isInCollection(words)))
-    }
-    val best = scores.tail.foldLeft[Column](
-      struct(scores.head._2.as("score"), lit(scores.head._1).as("lang"))
-    ) { case (acc, (lang, score)) =>
-      // strict > keeps the earlier (alphabetical) language on ties
-      when(score > acc.getField("score"), struct(score.as("score"), lit(lang).as("lang")))
-        .otherwise(acc)
-    }
+    })
+
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "en" -> Seq("the", "and", "is", "of", "to", "in", "that", "it", "for", "with"),
+    "es" -> Seq("el", "la", "los", "las", "de", "que", "y", "es", "en", "un"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "est", "que", "une", "dans", "pour")
+  )
+
+  private def argmaxLang(text: Column, scores: Seq[(String, Column)]): Column = {
+    val n = scores.size
+    val best = greatest(scores.zipWithIndex.map { case ((lang, sc), i) =>
+      // rank = n - i: alphabetically earlier language outranks on tied scores
+      struct(sc.as("score"), lit(n - i).as("rank"), lit(lang).as("lang"))
+    }: _*)
     when(text.rlike("[\\u4e00-\\u9fff]"), lit("zh"))
       .when(best.getField("score") === 0, lit("und"))
       .otherwise(best.getField("lang"))
+  }
+
+  /** Corpus-scan language ID: tokenizes once, projects each language score
+    * as its own column (a Project node CollapseProject keeps — each score
+    * attribute is referenced twice by the argmax, and the score kernels are
+    * not cheap, so they are never inlined back), then argmaxes over the
+    * plain attribute refs. Linear in languages; stays in WholeStageCodegen.
+    */
+  def withLangId(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      outCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val toksCol = s"__${outCol}_toks"
+    val scoreCol = (lang: String) => s"__${outCol}_s_$lang"
+    val scored = profiles.foldLeft(df.withColumn(toksCol, tokens(col(textCol)))) {
+      case (d, (lang, words)) =>
+        d.withColumn(scoreCol(lang), size(filter(col(toksCol), t => t.isInCollection(words))))
+    }
+    scored
+      .withColumn(outCol,
+        argmaxLang(col(textCol), profiles.map { case (lang, _) => lang -> col(scoreCol(lang)) }))
+      .drop(toksCol +: profiles.map(p => scoreCol(p._1)): _*)
   }
 
   private val FpPrime = 2147483629L // largest prime < 2^31: keeps acc*31+h in long range
@@ -106,9 +136,16 @@ object TextFunctions {
   /** Order-sensitive document fingerprint: polynomial rolling hash over
     * tokens, mod a 31-bit prime (overflow-free under ANSI mode). Documents
     * equal after whitespace normalization hash equal; any token change or
-    * reorder changes the fingerprint.
+    * reorder changes the fingerprint. Native one-pass kernel (the HOF twin
+    * below evaluates an expression tree per token — 6 s / 5k docs).
     */
   def fingerprint(text: Column): Column =
+    graft.expressions.TextSketches.fingerprint64(text)
+
+  /** `aggregate`-HOF spelling of [[fingerprint]] — identical math, kept as
+    * the cross-implementation oracle for the kernel's equivalence spec.
+    */
+  private[graft] def fingerprintHof(text: Column): Column =
     aggregate(
       tokens(text),
       lit(0L),

@@ -42,4 +42,18 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(fp("hello world foo") != fp("foo world hello"))
     assert(fp("hello world foo") == fp("hello world foo"))
   }
+
+  test("fingerprint native kernel matches the aggregate-HOF spelling") {
+    val texts = Seq("", "one", "hello world foo", "The QUICK brown   fox",
+      "a b c d e f g h i j k l m n o p q r s t u v w x y z")
+    val df = texts.toDF("text").select(
+      TextFunctions.fingerprint($"text").as("native"),
+      TextFunctions.fingerprintHof($"text").as("hof"))
+    assert(df.collect().forall(r => r.getLong(0) == r.getLong(1)))
+  }
+
+  test("langId tie goes to the alphabetically earlier language") {
+    assert(one("que une", TextFunctions.langId($"text")) == "fr") // que∈es,fr; une∈fr → fr=2 > es=1
+    assert(one("el le", TextFunctions.langId($"text")) == "es")   // el∈es, le∈fr: 1–1 tie → es
+  }
 }
