@@ -187,12 +187,18 @@ object Dedup {
   /** Candidate pairs within `maxHamming` of each other, found by chunking the
     * 64-bit simhash into 4×16-bit keys (pigeonhole: pairs ≤3 bits apart share
     * ≥1 exact chunk; wider distances need more chunks/probes).
+    *
+    * @param maxBucketSize boilerplate corpora pile thousands of docs onto one
+    *        chunk value (near-zero simhash chunks), turning the bucket
+    *        self-join quadratic; oversized buckets are dropped — bounded
+    *        recall loss, never a runaway join (same cap as [[minhashPairs]]).
     */
   def simhashPairs(
       df: DataFrame,
       textCol: String = "text",
       idCol: String = "doc_id",
-      maxHamming: Int = 3
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000
   ): DataFrame = {
     val sigs = df.select(col(idCol), simhash(col(textCol)).as("simhash"))
     val chunked = sigs.select(
@@ -202,8 +208,17 @@ object Dedup {
         array((0 until 4).map(c => shiftrightunsigned(col("simhash"), c * 16) % 65536L): _*)
       ).as(Seq("chunk", "chunk_val"))
     )
-    val l = chunked.select(col("chunk"), col("chunk_val"), col(idCol).as("id1"), col("simhash").as("sh1"))
-    val r = chunked.select(col("chunk"), col("chunk_val"), col(idCol).as("id2"), col("simhash").as("sh2"))
+    val bounded = chunked
+      .withColumn(
+        "bucket_n",
+        count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("chunk_val"))
+        )
+      )
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val l = bounded.select(col("chunk"), col("chunk_val"), col(idCol).as("id1"), col("simhash").as("sh1"))
+    val r = bounded.select(col("chunk"), col("chunk_val"), col(idCol).as("id2"), col("simhash").as("sh2"))
     l.join(r, Seq("chunk", "chunk_val"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), bit_count(col("sh1").bitwiseXOR(col("sh2"))).as("hamming"))

@@ -108,6 +108,11 @@ object Similarity {
 
   /** All corpus pairs with cosine ≥ threshold, via shared-bucket LSH join —
     * embedding-space near-duplicate detection.
+    *
+    * @param maxBucketSize one hot bucket (a dense cluster, or low-entropy
+    *        embeddings all signing the same way) makes the self-join
+    *        quadratic; oversized buckets are dropped — bounded recall loss,
+    *        never a runaway join (same cap as Dedup.minhashPairs).
     */
   def cosineNearDupPairs(
       df: DataFrame,
@@ -116,14 +121,18 @@ object Similarity {
       dim: Int = 64,
       seed: Long = 42L,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      maxBucketSize: Int = 10000
   ): DataFrame = {
     val planes = seededPlanes(nPlanes, dim, seed)
     val b = df.select(
-      col(idCol),
-      col(vecCol),
-      hyperplaneBucket(col(vecCol), planes).as("bucket")
-    )
+        col(idCol),
+        col(vecCol),
+        hyperplaneBucket(col(vecCol), planes).as("bucket")
+      )
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
     val l = b.select(col("bucket"), col(idCol).as("id1"), col(vecCol).as("v1"))
     val r = b.select(col("bucket"), col(idCol).as("id2"), col(vecCol).as("v2"))
     l.join(r, Seq("bucket"))

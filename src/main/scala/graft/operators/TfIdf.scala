@@ -12,9 +12,13 @@ import graft.functions.TextFunctions
   *   frequency → tfidf = tf · ln(N / df).
   *
   * Scale shape: two hash aggregates on (doc, word) and (word); the document
-  * frequency table is words-sized (small versus the corpus) and broadcasts
-  * back onto the term table — the corpus rows are never shuffled twice. The
-  * corpus count N is one column-pruned count job.
+  * frequency table joins back onto the term table on `word`. The join is
+  * deliberately NOT hint-broadcast: at 100 TB the vocabulary (typos, URLs,
+  * hex ids) is unbounded and a forced broadcast OOMs the driver — AQE
+  * converts it to a broadcast join at runtime when df actually fits, and
+  * falls back to a shuffle join (both sides already hash-partitioned on
+  * `word` from the df aggregate) when it does not. The corpus count N is
+  * one column-pruned count job.
   */
 object TfIdf {
 
@@ -33,7 +37,7 @@ object TfIdf {
       .groupBy(col("word"))
       .agg(count(lit(1)).as("df"))
     terms
-      .join(broadcast(docFreq), Seq("word"))
+      .join(docFreq, Seq("word"))
       .withColumn("tfidf", col("tf") * log(lit(nDocs) / col("df")))
   }
 

@@ -59,6 +59,18 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
   }
 
+  test("simhashPairs: maxBucketSize bounds the degenerate-corpus join") {
+    // 1,000 identical docs → every chunk bucket holds all 1,000 rows; the
+    // uncapped self-join would materialize ~2M pairs across 4 chunks.
+    val boiler = spark.range(1000)
+      .select($"id".as("doc_id"), lit("the same boilerplate text every time").as("text"))
+    assert(Dedup.simhashPairs(boiler, maxBucketSize = 100).count() == 0L)
+    // cap above corpus size → all pairs come back (identical docs: hamming 0)
+    val small = spark.range(20)
+      .select($"id".as("doc_id"), lit("the same boilerplate text every time").as("text"))
+    assert(Dedup.simhashPairs(small, maxBucketSize = 100).count() == 20L * 19 / 2)
+  }
+
   test("jaccard on shingle arrays: exact values") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("t1", "t2")
     val j = df.select(

@@ -68,4 +68,16 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.contains((1L, 2L)))
     assert(!pairs.exists(p => p._2 == 3L))
   }
+
+  test("cosineNearDupPairs: maxBucketSize bounds the hot-bucket join") {
+    // 1,000 copies of one vector all land in a single LSH bucket — the
+    // uncapped self-join is ~500k pairs; the cap drops the bucket instead.
+    val v = Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)
+    val hot = spark.range(1000).select($"id".as("vec_id"), typedLit(v).as("embedding"))
+    assert(Similarity.cosineNearDupPairs(hot, threshold = 0.5, dim = 64,
+      maxBucketSize = 100).count() == 0L)
+    val small = spark.range(20).select($"id".as("vec_id"), typedLit(v).as("embedding"))
+    assert(Similarity.cosineNearDupPairs(small, threshold = 0.5, dim = 64,
+      maxBucketSize = 100).count() == 20L * 19 / 2)
+  }
 }
