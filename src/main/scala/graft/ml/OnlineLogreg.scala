@@ -32,6 +32,17 @@ final class OnlineLogreg(
   var predictionsMade: Long = 0L
   var samplesSeen: Long = 0L
 
+  /** When set, [[flush]] snapshots the model here every `snapshotEvery`
+    * predictions (the reference pickles model+scaler+counters every ~1000
+    * predictions, online_model.py:87-116,230-233 — its `% 1000 == 0` check
+    * only fires on exact multiples; we track the last-saved watermark so no
+    * crossing is missed). The mini-batch buffer and accuracy window are
+    * deliberately not persisted, matching the reference's pickle payload.
+    */
+  var snapshotPath: Option[String] = None
+  var snapshotEvery: Long = 1000L
+  private var lastSnapshotAt: Long = 0L
+
   // Welford accumulators
   private val mean = Array.fill(nFeatures)(0.0)
   private val m2 = Array.fill(nFeatures)(0.0)
@@ -117,6 +128,35 @@ final class OnlineLogreg(
     }
     buffer.clear()
     isFitted = true
+    snapshotPath.foreach { p =>
+      if (predictionsMade - lastSnapshotAt >= snapshotEvery) {
+        save(p)
+        lastSnapshotAt = predictionsMade
+      }
+    }
+  }
+
+  /** Persist weights + scaler + counters as key=value text (doubles via
+    * Double.toString — exact round-trip). Written atomically (temp + move)
+    * so a reader never sees a torn snapshot.
+    */
+  def save(path: String): Unit = {
+    val sb = new StringBuilder
+    sb ++= "version=1\n"
+    sb ++= s"nFeatures=$nFeatures\nlr=$lr\nminiBatch=$miniBatch\naccWindow=$accWindow\n"
+    sb ++= s"viewIdx=$viewIdx\ncartIdx=$cartIdx\n"
+    sb ++= s"bias=$bias\nisFitted=$isFitted\n"
+    sb ++= s"predictionsMade=$predictionsMade\nsamplesSeen=$samplesSeen\nscaleN=$scaleN\n"
+    sb ++= s"weights=${weights.mkString(",")}\n"
+    sb ++= s"mean=${mean.mkString(",")}\n"
+    sb ++= s"m2=${m2.mkString(",")}\n"
+    val target = java.nio.file.Paths.get(path)
+    Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+    val tmp = java.nio.file.Paths.get(path + ".tmp")
+    java.nio.file.Files.write(tmp, sb.toString.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   def recentAccuracy: Double =
@@ -156,5 +196,52 @@ final class OnlineLogreg(
       }
       lit(1.0) / (lit(1.0) + exp(-greatest(lit(-35.0), least(lit(35.0), z))))
     }
+  }
+}
+
+object OnlineLogreg {
+
+  /** Restore a model saved by [[OnlineLogreg.save]]: hyperparameters come
+    * from the snapshot, learned state (weights, scaler, counters) resumes
+    * exactly — a restarted streaming job predicts identically to the one
+    * that wrote the snapshot (reference `_load_model`,
+    * online_model.py:87-101).
+    */
+  def load(path: String): OnlineLogreg = {
+    val kv = scala.io.Source.fromFile(path, "UTF-8").getLines()
+      .filter(_.contains("=")).map { l =>
+        val i = l.indexOf('='); l.substring(0, i) -> l.substring(i + 1)
+      }.toMap
+    require(kv.get("version").contains("1"), s"unknown OnlineLogreg snapshot version in $path")
+    def longs(k: String) = kv(k).toLong
+    def arr(k: String): Array[Double] =
+      if (kv(k).isEmpty) Array.empty else kv(k).split(",").map(_.toDouble)
+    val m = new OnlineLogreg(
+      nFeatures = kv("nFeatures").toInt, lr = kv("lr").toDouble,
+      miniBatch = kv("miniBatch").toInt, accWindow = kv("accWindow").toInt,
+      viewIdx = kv("viewIdx").toInt, cartIdx = kv("cartIdx").toInt)
+    arr("weights").copyToArray(m.weights)
+    arr("mean").copyToArray(m.mean)
+    arr("m2").copyToArray(m.m2)
+    m.bias = kv("bias").toDouble
+    m.isFitted = kv("isFitted").toBoolean
+    m.predictionsMade = longs("predictionsMade")
+    m.samplesSeen = longs("samplesSeen")
+    m.scaleN = longs("scaleN")
+    m.lastSnapshotAt = m.predictionsMade
+    m
+  }
+
+  /** Load the snapshot if one exists (the reference's constructor-time
+    * `_load_model`), else a fresh model; either way future flushes snapshot
+    * back to `path`.
+    */
+  def loadOrNew(path: String, nFeatures: Int, lr: Double = 0.01,
+      miniBatch: Int = 100): OnlineLogreg = {
+    val m =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path))) load(path)
+      else new OnlineLogreg(nFeatures, lr = lr, miniBatch = miniBatch)
+    m.snapshotPath = Some(path)
+    m
   }
 }

@@ -50,7 +50,11 @@ object StreamJob {
       triggerInterval: String = "5 seconds",
       checkpointDir: String = "/tmp/graft-streaming-checkpoints",
       metricsPath: String = "/tmp/graft_streaming_metrics.json",
-      maxScoredRows: Int = 1000
+      maxScoredRows: Int = 1000,
+      // when set, the online model snapshots here every ~1000 predictions
+      // and a restarted job resumes the learned weights (S9 online half;
+      // reference MODEL_CONFIG["model_path"], online_model.py:87-116)
+      modelPath: Option[String] = None
   )
 
   /** S4 + P8–P10: Kafka source → JSON value parse → timestamp. */
@@ -159,7 +163,8 @@ object StreamJob {
   }
 
   /** T3–T6: wire a parsed event stream into the full job. */
-  def start(events: DataFrame, conf: Config, model: OnlineLogreg, store: MetricsStore): StreamingQuery =
+  def start(events: DataFrame, conf: Config, model: OnlineLogreg, store: MetricsStore): StreamingQuery = {
+    conf.modelPath.foreach(p => model.snapshotPath = Some(p))
     sessionAggStream(events, conf).writeStream
       .outputMode("update")
       .trigger(Trigger.ProcessingTime(conf.triggerInterval))
@@ -168,4 +173,5 @@ object StreamJob {
         processBatch(batch, id, model, store, conf.maxScoredRows)
       }
       .start()
+  }
 }

@@ -78,6 +78,42 @@ class MlSpec extends AnyFunSuite {
     assert(m.recentAccuracy > 0.8)
   }
 
+  test("OnlineLogreg save/load: restart resumes with identical predictions") {
+    val dir = java.nio.file.Files.createTempDirectory("logreg").toString
+    val path = s"$dir/model.txt"
+    val m = new OnlineLogreg(nFeatures = 2, lr = 0.5, miniBatch = 10)
+    val rng = new scala.util.Random(11)
+    (1 to 200).foreach { _ =>
+      val y = rng.nextInt(2)
+      m.partialFit(Array(rng.nextGaussian() + y * 4.0, rng.nextGaussian() - y * 4.0), y)
+    }
+    m.save(path)
+    val restored = OnlineLogreg.load(path)
+    assert(restored.isFitted && restored.samplesSeen == m.samplesSeen)
+    val probes = Seq(Array(6.0, -6.0), Array(-2.0, 2.0), Array(0.3, 0.7))
+    probes.foreach(x => assert(restored.predictProba(x) == m.predictProba(x)))
+    // loadOrNew: missing file → fresh model wired to snapshot there
+    val fresh = OnlineLogreg.loadOrNew(s"$dir/none.txt", nFeatures = 2)
+    assert(!fresh.isFitted && fresh.snapshotPath.contains(s"$dir/none.txt"))
+  }
+
+  test("OnlineLogreg auto-snapshots from flush once snapshotEvery is crossed") {
+    val dir = java.nio.file.Files.createTempDirectory("logreg").toString
+    val path = s"$dir/auto.txt"
+    val m = OnlineLogreg.loadOrNew(path, nFeatures = 2, miniBatch = 10)
+    m.snapshotEvery = 50
+    val rng = new scala.util.Random(13)
+    (1 to 60).foreach { _ =>
+      val y = rng.nextInt(2)
+      val x = Array(rng.nextGaussian() + y, rng.nextGaussian() - y)
+      m.predictProba(x) // predictions drive the snapshot cadence
+      m.partialFit(x, y)
+    }
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+    val restored = OnlineLogreg.load(path)
+    assert(restored.predictionsMade >= 50)
+  }
+
   test("DistributedSgd learns a separable rule without collecting data") {
     import graft.ml.DistributedSgd
     val synth = spark.range(4000).select(
