@@ -5,6 +5,16 @@ import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 
 import scala.collection.mutable
 
+/** The serving-plane contract both metrics backends satisfy (the reference
+  * switches file↔Redis behind one `update_metrics`,
+  * src/streaming/metrics_store.py:88-104).
+  */
+trait MetricsSink {
+  def update(current: Map[String, Any]): Unit
+  def latest: Option[Map[String, Any]]
+  def size: Int
+}
+
 /** S7: atomic JSON metrics sink — same document shape as the reference
   * (`{current, history[≤limit]}`, written temp-file-then-rename so the
   * dashboard process never reads a torn file; reference:
@@ -13,7 +23,7 @@ import scala.collection.mutable
   * JSON is emitted by a minimal hand-rolled writer (strings, numbers,
   * booleans, maps, sequences) — no external dependencies.
   */
-final class MetricsStore(path: String, historyLimit: Int = 1000) {
+final class MetricsStore(path: String, historyLimit: Int = 1000) extends MetricsSink {
 
   private val history = mutable.Queue.empty[Map[String, Any]]
 
@@ -30,6 +40,62 @@ final class MetricsStore(path: String, historyLimit: Int = 1000) {
 
   def latest: Option[Map[String, Any]] = synchronized(history.lastOption)
   def size: Int = synchronized(history.size)
+}
+
+/** S8: the Redis-shaped key-value surface the reference's Redis backend
+  * drives (SET current + LPUSH/LTRIM history + scalar convenience keys;
+  * src/streaming/metrics_store.py:105-119). No Redis exists in this
+  * container, so [[InMemoryKv]] fakes the five commands behind the same
+  * trait — a real client drops in without touching [[KvMetricsStore]].
+  */
+trait KvBackend {
+  def set(key: String, value: String): Unit
+  def get(key: String): Option[String]
+  def lpush(key: String, value: String): Unit
+  def ltrim(key: String, start: Int, stop: Int): Unit
+  def lrange(key: String, start: Int, stop: Int): Seq[String]
+}
+
+final class InMemoryKv extends KvBackend {
+  private val strings = mutable.Map.empty[String, String]
+  private val lists = mutable.Map.empty[String, mutable.ArrayDeque[String]]
+  def set(key: String, value: String): Unit = synchronized { strings(key) = value }
+  def get(key: String): Option[String] = synchronized(strings.get(key))
+  def lpush(key: String, value: String): Unit = synchronized {
+    lists.getOrElseUpdate(key, mutable.ArrayDeque.empty).prepend(value)
+  }
+  def ltrim(key: String, start: Int, stop: Int): Unit = synchronized {
+    lists.get(key).foreach(l => lists(key) = l.slice(start, stop + 1))
+  }
+  def lrange(key: String, start: Int, stop: Int): Seq[String] = synchronized {
+    lists.get(key).map(_.slice(start, stop + 1).toSeq).getOrElse(Seq.empty)
+  }
+}
+
+/** Key-value twin of [[MetricsStore]]: identical `update` contract, Redis
+  * command layout identical to the reference's `_update_redis` — current
+  * document under `current_metrics`, recent-first history under
+  * `metrics_history` (LPUSH + LTRIM to `historyLimit`), and the four scalar
+  * dashboard keys.
+  */
+final class KvMetricsStore(backend: KvBackend, historyLimit: Int = 1000) extends MetricsSink {
+
+  def update(current: Map[String, Any]): Unit = {
+    val json = MetricsStore.toJson(current)
+    backend.set("current_metrics", json)
+    backend.lpush("metrics_history", json)
+    backend.ltrim("metrics_history", 0, historyLimit - 1)
+    Seq("total_views", "total_carts", "total_purchases", "conversion_rate").foreach { k =>
+      backend.set(k, current.getOrElse(k, 0).toString)
+    }
+  }
+
+  /** `latest` re-reads through the backend (not a local cache) so it
+    * observes exactly what a dashboard process polling the KV store sees.
+    */
+  def latest: Option[Map[String, Any]] =
+    backend.get("current_metrics").map(j => Map("raw_json" -> j))
+  def size: Int = backend.lrange("metrics_history", 0, historyLimit - 1).size
 }
 
 object MetricsStore {
@@ -52,6 +118,30 @@ object MetricsStore {
     historyFrame(spark, path)
       .select(col("batch_id"), col("timestamp"), col("conversion_rate"))
       .orderBy(col("batch_id").desc)
+      .limit(n)
+  }
+
+  /** Dashboard prediction table (reference dashboard/app.py:311-354): the
+    * current batch's predictions, top `n` by purchase probability, with the
+    * reference's status bucketing (purchased ▸ high ▸ medium ▸ browsing).
+    */
+  def predictionTable(spark: org.apache.spark.sql.SparkSession, path: String, n: Int = 20): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.option("multiLine", "true").json(path)
+      .select(explode(col("current.predictions")).as("p"))
+      .select(
+        col("p.session_id").as("session_id"),
+        col("p.features.view_count").as("view_count"),
+        col("p.features.cart_count").as("cart_count"),
+        col("p.features.session_duration").as("session_duration"),
+        col("p.features.avg_price").as("avg_price"),
+        col("p.purchase_probability").as("purchase_probability"),
+        when(col("p.has_purchased"), "purchased")
+          .when(col("p.purchase_probability") > 0.7, "high_intent")
+          .when(col("p.purchase_probability") > 0.4, "medium_intent")
+          .otherwise("browsing").as("status")
+      )
+      .orderBy(col("purchase_probability").desc, col("session_id"))
       .limit(n)
   }
 

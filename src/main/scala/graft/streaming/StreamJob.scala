@@ -97,7 +97,7 @@ object StreamJob {
       batch: DataFrame,
       batchId: Long,
       model: OnlineLogreg,
-      store: MetricsStore,
+      store: MetricsSink,
       maxScoredRows: Int = 1000
   ): Unit = {
     if (batch.isEmpty) return
@@ -163,7 +163,7 @@ object StreamJob {
   }
 
   /** T3–T6: wire a parsed event stream into the full job. */
-  def start(events: DataFrame, conf: Config, model: OnlineLogreg, store: MetricsStore): StreamingQuery = {
+  def start(events: DataFrame, conf: Config, model: OnlineLogreg, store: MetricsSink): StreamingQuery = {
     conf.modelPath.foreach(p => model.snapshotPath = Some(p))
     sessionAggStream(events, conf).writeStream
       .outputMode("update")

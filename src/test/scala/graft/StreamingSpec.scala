@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ml.OnlineLogreg
-import graft.streaming.{MetricsStore, SessionWindows, StreamJob}
+import graft.streaming.{InMemoryKv, KvMetricsStore, MetricsStore, SessionWindows, StreamJob}
 
 class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -23,6 +23,20 @@ class StreamingSpec extends AnyFunSuite {
     assert(!txt.contains("\"batch_id\":1")) // evicted
     // no torn temp file left behind
     assert(!Files.exists(Paths.get(s"$dir/metrics.json.tmp")))
+  }
+
+  test("KvMetricsStore lays out keys like the reference Redis backend") {
+    val kv = new InMemoryKv
+    val store = new KvMetricsStore(kv, historyLimit = 3)
+    (1 to 5).foreach(i => store.update(Map(
+      "batch_id" -> i, "total_views" -> i * 10, "total_carts" -> i,
+      "total_purchases" -> i, "conversion_rate" -> 100.0)))
+    assert(store.size == 3) // LTRIM bounds history
+    assert(kv.get("current_metrics").exists(_.contains("\"batch_id\":5")))
+    // LPUSH → recent first
+    assert(kv.lrange("metrics_history", 0, 0).head.contains("\"batch_id\":5"))
+    assert(kv.get("total_views").contains("50"))
+    assert(kv.get("conversion_rate").contains("100.0"))
   }
 
   test("json escaping handles quotes and control chars") {
@@ -137,5 +151,27 @@ class StreamingSpec extends AnyFunSuite {
     val series = MetricsStore.conversionSeries(spark, metricsPath).collect()
     assert(series.nonEmpty)
     assert(series(0).getAs[Double]("conversion_rate") == 100.0) // 2 purchases / 2 carts
+    val preds = MetricsStore.predictionTable(spark, metricsPath).collect()
+    assert(preds.nonEmpty)
+    assert(preds.exists(_.getAs[String]("status") == "purchased"))
+    val probs = preds.map(_.getAs[Double]("purchase_probability"))
+    assert(probs.zip(probs.tail).forall { case (a, b) => a >= b }) // ranked desc
+
+    // the same batch pipeline drives the KV (Redis-fake) backend unchanged
+    val kv = new InMemoryKv
+    val kvStore = new KvMetricsStore(kv)
+    val model2 = new OnlineLogreg(nFeatures = 6)
+    val checkpoint2 = Files.createTempDirectory("graft-stream-cp2").toString
+    val q2 = StreamJob.sessionAggStream(events, conf).writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint2)
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+        StreamJob.processBatch(b, id, model2, kvStore)
+      }
+      .start()
+    try q2.processAllAvailable()
+    finally q2.stop()
+    assert(kv.get("current_metrics").exists(_.contains("\"total_purchases\":2")))
+    assert(kv.get("conversion_rate").contains("100.0"))
   }
 }
