@@ -492,6 +492,22 @@ object SparkEntry {
       a.join(b, Seq("id1")).select(col("id1"), col("id2"),
         Dedup.jaccard(col("w1"), col("w2")).as("jaccard"))
     },
+    // oracle for the minhashPairs VERIFY stage: the same shingle + exact-
+    // Jaccard kernels, but over a deterministic candidate set (doc_id
+    // distance ≤ 5) so DuckDB can hash-match what LSH bucketing (engine-
+    // specific) cannot. Spelled as explode(offsets) + equi-join — the
+    // shape that scales — not a range join.
+    "q_neardup_verify" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      val cand = docs
+        .select(col("doc_id").as("id1"), col("sh").as("sh1"),
+          explode(sequence(lit(1L), lit(5L))).as("off"))
+        .withColumn("id2", col("id1") + col("off"))
+      cand
+        .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .select(col("id1"), col("id2"), Dedup.jaccard(col("sh1"), col("sh2")).as("jaccard"))
+    },
     "q_minhash_pairs" -> { (s, d) =>
       Dedup.minhashPairs(Tables(s, d).documents, threshold = 0.05)
         .orderBy(col("jaccard").desc, col("id1"), col("id2")).limit(100)
@@ -970,6 +986,22 @@ object SparkEntry {
          |                 / len(list_distinct(list_concat(w1, w2)))
          |       END AS jaccard
          |FROM p""".stripMargin,
+    "q_neardup_verify" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $TokensSql AS toks FROM documents
+         |), d AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                             i -> array_to_string(toks[i:i+2], ' '))
+         |    END) AS sh
+         |  FROM t)
+         |SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |       CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+         |            ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |                 / len(list_distinct(list_concat(a.sh, b.sh)))
+         |       END AS jaccard
+         |FROM d a JOIN d b ON b.doc_id BETWEEN a.doc_id + 1 AND a.doc_id + 5""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang AS lang_declared, text, $TokensSql AS toks FROM documents

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.cli.{Preprocess, TrainIntent}
+import graft.cli.{CompareSpellings, Preprocess, TrainIntent}
 
 class CliSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
@@ -54,5 +54,20 @@ class CliSpec extends AnyFunSuite {
     // model round-trips
     val loaded = org.apache.spark.ml.classification.RandomForestClassificationModel.load(modelPath)
     assert(loaded.getNumTrees == 10)
+  }
+
+  test("CompareSpellings: cross-framework winner table, quality metrics tie") {
+    val Seq(w1, j1) = CompareSpellings.runMl(spark, TestSpark.Sf0001)
+    assert(w1.rows == j1.rows)
+    // identical features + same seed → quality must tie at the reference's
+    // 0.01 threshold (the table's whole point: only plan cost may differ)
+    assert(math.abs(w1.metrics.auc - j1.metrics.auc) < 0.01)
+    assert(math.abs(w1.metrics.f1 - j1.metrics.f1) < 0.01)
+    val rows = CompareSpellings.winnerTable(w1, j1)
+    assert(rows.map(_.metric) == Seq("AUC", "F1-Score", "Preprocessing (sec)",
+      "Training (sec)", "Total (sec)"))
+    assert(rows.take(2).forall(_.winner == "Tie"))
+    val table = CompareSpellings.render(w1, j1, rows)
+    assert(table.contains("| AUC |") && table.contains("| winner |"))
   }
 }
