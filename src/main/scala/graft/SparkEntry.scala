@@ -535,6 +535,13 @@ object SparkEntry {
       Similarity.lshKnn(emb.filter(col("vec_id") < 5), emb, k = 10, nPlanes = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
     },
+    "q_knn_ivf" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      // 8 lists / 4 probes suits the sf-scale corpus; at real scale nLists
+      // grows with sqrt(corpus) and nProbe tunes the recall/cost curve.
+      Similarity.ivfKnn(emb.filter(col("vec_id") < 5), emb, k = 10, nLists = 8, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    },
     "q_cosine_neardup" -> { (s, d) =>
       Similarity.cosineNearDupPairs(Tables(s, d).embeddings, threshold = 0.5)
         .orderBy(col("cos").desc, col("id1"), col("id2")).limit(100)

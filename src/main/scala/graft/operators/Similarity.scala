@@ -91,6 +91,62 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN top-k — the other classic scale path next to
+    * LSH: a k-means coarse quantizer assigns every corpus vector to one of
+    * `nLists` posting lists; each query probes only its `nProbe` nearest
+    * centroids' lists. Candidate count ≈ nProbe/nLists of the corpus (vs
+    * LSH's bucket-collision fraction), and recall/cost tunes smoothly via
+    * nProbe. The quantizer trains on the corpus (MLlib KMeans — iterative,
+    * but over vectors only); the centroid table is nLists×dim — tiny — and
+    * is broadcast for probe selection, so the only big shuffle is the
+    * posting-list equi-join on `list_id`.
+    */
+  def ivfKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+    val model = new KMeans().setK(nLists).setSeed(seed)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(corpusVec)
+    val posted = model.transform(corpusVec).select(col("neighbor_id"), col("nv"), col("list_id"))
+
+    val centroids = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("list_id", "cv")
+
+    // probe selection: nProbe nearest centroids per query, by the same
+    // euclidean metric the quantizer optimized
+    val cw = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("list_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("list_id"),
+        l2Distance(col("qv"), col("cv")).as("cdist"))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("qv"), col("list_id"))
+
+    val scored = posted
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Per-label centroid of the embedding column, element-wise: explode to
     * (label, dim_idx, component) → avg → reassemble ordered. One shuffle on
     * (label, idx) — never collects vectors; at scale this is the standard

@@ -57,6 +57,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("ivfKnn recall vs brute force ≥ 0.6 (8 lists, 4 probes)") {
+    val emb = Tables(spark, TestSpark.Sf0001).embeddings
+    val queries = emb.filter($"vec_id" < 10)
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keySet(Similarity.bruteForceKnn(queries, emb, k = 10))
+    val approx = Similarity.ivfKnn(queries, emb, k = 10, nLists = 8, nProbe = 4)
+    // contract: ≤ k ranked rows per query, ranks contiguous from 1
+    val byQuery = approx.collect().groupBy(_.getAs[Long]("query_id"))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rows.length))
+    }
+    val recall = (exact & keySet(approx)).size.toDouble / exact.size
+    assert(recall >= 0.6, s"recall $recall too low")
+  }
+
   test("cosineNearDupPairs finds planted duplicate vector") {
     val vecs = Seq(
       (1L, Array.tabulate(64)(i => math.sin(i.toDouble).toFloat)),
