@@ -158,11 +158,11 @@ object SparkEntry {
         .filter(col("l_shipdate") <= expr("TIMESTAMP '1998-09-02 00:00:00'"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          Money.moneySum(col("l_quantity")).as("sum_qty"),
+          Money.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          Money.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
             .as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2)
+          Money.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
             .as("sum_charge"),
           round(avg(col("l_quantity")), 6).as("avg_qty"),
           round(avg(col("l_extendedprice")), 6).as("avg_price"),
@@ -178,10 +178,10 @@ object SparkEntry {
         .join(t.lineitem.filter(col("l_shipdate") > expr("TIMESTAMP '1998-07-01 00:00:00'")),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderkey"), col("o_orderdate"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .agg(Money.microsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_u"))
+        .orderBy(col("rev_u").desc, col("o_orderkey"))
         .limit(10)
-        .withColumn("revenue", round(col("revenue"), 2))
+        .select(col("o_orderkey"), col("o_orderdate"), Money.microsToMoney(col("rev_u")).as("revenue"))
     },
     "q5_region_revenue" -> { (s, d) =>
       val t = Tables(s, d)
@@ -198,7 +198,7 @@ object SparkEntry {
           col("c_nationkey") === col("s_nationkey"))
         .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(Money.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
     },
     "q4_priority_check" -> { (s, d) =>
       val t = Tables(s, d)
@@ -216,7 +216,7 @@ object SparkEntry {
         .filter(col("l_shipdate").between(
           expr("TIMESTAMP '1996-01-01 00:00:00'"), expr("TIMESTAMP '1996-12-31 00:00:00'")) &&
           col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+        .agg(Money.moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"))
     },
     "q10_returned_items" -> { (s, d) =>
       val t = Tables(s, d)
@@ -226,10 +226,11 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
+        .agg(Money.microsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_u"))
+        .orderBy(col("rev_u").desc, col("c_custkey"))
         .limit(20)
-        .withColumn("revenue", round(col("revenue"), 2))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          Money.microsToMoney(col("rev_u")).as("revenue"))
     },
     "q12_shipmode_priority" -> { (s, d) =>
       val t = Tables(s, d)
@@ -247,17 +248,23 @@ object SparkEntry {
         .filter(col("l_shipdate").between(
           expr("TIMESTAMP '1997-01-01 00:00:00'"), expr("TIMESTAMP '1997-12-31 00:00:00'")))
         .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
-        .agg(
+        .agg {
+          // exact integer micros for both sums → the ratio is a single
+          // deterministic double division, immune to partition order
+          val revU = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e6), 0)
+            .cast("long")
           round(lit(100.0) *
-            sum(when(col("p_type") === "PROMO", col("l_extendedprice") * (lit(1) - col("l_discount")))
-              .otherwise(0.0)) /
-            sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 6).as("promo_revenue_pct")
-        )
+            sum(when(col("p_type") === "PROMO", revU).otherwise(0L)) /
+            sum(revU), 6).as("promo_revenue_pct")
+        }
     },
     "q_part_brand_stats" -> { (s, d) =>
       Tables(s, d).part.groupBy(col("p_brand")).agg(
         count(lit(1)).as("n_parts"),
-        avg(col("p_retailprice")).as("avg_retail"),
+        // exact micros sum → double division: order-independent (a bare
+        // avg(double) was the one unrounded money column left in the gate)
+        (Money.microsSum(col("p_retailprice")).cast("double") / lit(1e6) / count(lit(1)))
+          .as("avg_retail"),
         countDistinct(col("p_type")).as("n_types"),
         min(col("p_size")).as("min_size"),
         max(col("p_size")).as("max_size")
@@ -267,24 +274,25 @@ object SparkEntry {
       val t = Tables(s, d)
       val perCust = t.orders.groupBy(col("o_custkey")).agg(
         count(lit(1)).as("n_orders_raw"),
-        sum(col("o_totalprice")).as("total_spent_raw")
+        Money.microsSum(col("o_totalprice")).as("total_spent_u")
       )
       t.customer
         .join(perCust, col("c_custkey") === col("o_custkey"), "left")
         .select(
           col("c_custkey"), col("c_name"), col("c_mktsegment"),
           coalesce(col("n_orders_raw"), lit(0L)).as("n_orders"),
-          round(coalesce(col("total_spent_raw"), lit(0.0)), 2).as("total_spent")
+          Money.microsToMoney(coalesce(col("total_spent_u"), lit(0L))).as("total_spent")
         )
     },
     "q_top_customers" -> { (s, d) =>
       val t = Tables(s, d)
       t.customer.join(t.orders, col("c_custkey") === col("o_custkey"))
         .groupBy(col("c_custkey"), col("c_name"))
-        .agg(sum(col("o_totalprice")).as("revenue"), count(lit(1)).as("n_orders"))
-        .orderBy(col("revenue").desc, col("c_custkey"))
+        .agg(Money.microsSum(col("o_totalprice")).as("rev_u"), count(lit(1)).as("n_orders"))
+        .orderBy(col("rev_u").desc, col("c_custkey"))
         .limit(10)
-        .withColumn("revenue", round(col("revenue"), 2))
+        .select(col("c_custkey"), col("c_name"),
+          Money.microsToMoney(col("rev_u")).as("revenue"), col("n_orders"))
     },
     // ---- relational breadth: set ops, semi/anti joins, rollup, ranking,
     // ---- analytic windows, date/string functions, percentiles ----
@@ -700,11 +708,11 @@ object SparkEntry {
         |       CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
     "q1_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       round(sum(l_quantity), 2) AS sum_qty,
-        |       round(sum(l_extendedprice), 2) AS sum_base_price,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+      s"""SELECT l_returnflag, l_linestatus,
+        |       ${Money.sumSql("l_quantity")} AS sum_qty,
+        |       ${Money.sumSql("l_extendedprice")} AS sum_base_price,
+        |       ${Money.sumSql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+        |       ${Money.sumSql("l_extendedprice * (1 - l_discount) * (1 + l_tax)")} AS sum_charge,
         |       round(avg(l_quantity), 6) AS avg_qty,
         |       round(avg(l_extendedprice), 6) AS avg_price,
         |       round(avg(l_discount), 6) AS avg_disc,
@@ -713,8 +721,9 @@ object SparkEntry {
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q3_top_orders" ->
-      """WITH top AS (
-        |  SELECT o_orderkey, o_orderdate, sum(l_extendedprice * (1 - l_discount)) AS revenue
+      s"""WITH top AS (
+        |  SELECT o_orderkey, o_orderdate,
+        |         ${Money.microsSumSql("l_extendedprice * (1 - l_discount)")} AS rev_u
         |  FROM customer
         |  JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
@@ -722,10 +731,10 @@ object SparkEntry {
         |    AND o_orderdate < TIMESTAMP '1998-07-01 00:00:00'
         |    AND l_shipdate > TIMESTAMP '1998-07-01 00:00:00'
         |  GROUP BY o_orderkey, o_orderdate
-        |  ORDER BY revenue DESC, o_orderkey LIMIT 10)
-        |SELECT o_orderkey, o_orderdate, round(revenue, 2) AS revenue FROM top""".stripMargin,
+        |  ORDER BY rev_u DESC, o_orderkey LIMIT 10)
+        |SELECT o_orderkey, o_orderdate, ${Money.microsToMoneySql("rev_u")} AS revenue FROM top""".stripMargin,
     "q5_region_revenue" ->
-      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT n_name, ${Money.sumSql("l_extendedprice * (1 - l_discount)")} AS revenue
         |FROM customer, orders, lineitem, supplier, nation, region
         |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -741,23 +750,24 @@ object SparkEntry {
         |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
         |GROUP BY o_orderpriority""".stripMargin,
     "q6_forecast_revenue" ->
-      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+      s"""SELECT ${Money.sumSql("l_extendedprice * l_discount")} AS revenue
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
         |                     AND TIMESTAMP '1996-12-31 00:00:00'
         |  AND l_discount BETWEEN 0.03 AND 0.07 AND l_quantity < 24""".stripMargin,
     "q10_returned_items" ->
-      """WITH top AS (
+      s"""WITH top AS (
         |  SELECT c_custkey, c_name, n_name,
-        |         sum(l_extendedprice * (1 - l_discount)) AS revenue
+        |         ${Money.microsSumSql("l_extendedprice * (1 - l_discount)")} AS rev_u
         |  FROM customer
         |  JOIN orders ON c_custkey = o_custkey
         |  JOIN lineitem ON l_orderkey = o_orderkey
         |  JOIN nation ON c_nationkey = n_nationkey
         |  WHERE l_returnflag = 'R'
         |  GROUP BY c_custkey, c_name, n_name
-        |  ORDER BY revenue DESC, c_custkey LIMIT 20)
-        |SELECT c_custkey, c_name, n_name, round(revenue, 2) AS revenue FROM top""".stripMargin,
+        |  ORDER BY rev_u DESC, c_custkey LIMIT 20)
+        |SELECT c_custkey, c_name, n_name, ${Money.microsToMoneySql("rev_u")} AS revenue
+        |FROM top""".stripMargin,
     "q12_shipmode_priority" ->
       """SELECT l_linestatus,
         |       count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 END)
@@ -770,31 +780,38 @@ object SparkEntry {
     "q14_promo_effect" ->
       """SELECT round(100.0 *
         |         sum(CASE WHEN p_type = 'PROMO'
-        |             THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-        |         / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_revenue_pct
+        |             THEN CAST(round((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)
+        |             ELSE 0 END)
+        |         / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)), 6)
+        |         AS promo_revenue_pct
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
         |                     AND TIMESTAMP '1997-12-31 00:00:00'""".stripMargin,
     "q_part_brand_stats" ->
-      """SELECT p_brand, count(*) AS n_parts, avg(p_retailprice) AS avg_retail,
+      s"""SELECT p_brand, count(*) AS n_parts,
+        |       CAST(${Money.microsSumSql("p_retailprice")} AS DOUBLE) / 1e6 / count(*)
+        |         AS avg_retail,
         |       count(DISTINCT p_type) AS n_types, min(p_size) AS min_size,
         |       max(p_size) AS max_size
         |FROM part GROUP BY p_brand""".stripMargin,
     "q_customer_orders" ->
-      """SELECT c_custkey, c_name, c_mktsegment,
+      s"""SELECT c_custkey, c_name, c_mktsegment,
         |       coalesce(o.n_orders, 0) AS n_orders,
-        |       round(coalesce(o.total_spent, 0.0), 2) AS total_spent
+        |       ${Money.microsToMoneySql("coalesce(o.total_spent_u, 0)")} AS total_spent
         |FROM customer LEFT JOIN (
-        |  SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS total_spent
+        |  SELECT o_custkey, count(*) AS n_orders,
+        |         ${Money.microsSumSql("o_totalprice")} AS total_spent_u
         |  FROM orders GROUP BY o_custkey
         |) o ON c_custkey = o_custkey""".stripMargin,
     "q_top_customers" ->
-      """WITH top AS (
-        |  SELECT c_custkey, c_name, sum(o_totalprice) AS revenue, count(*) AS n_orders
+      s"""WITH top AS (
+        |  SELECT c_custkey, c_name, ${Money.microsSumSql("o_totalprice")} AS rev_u,
+        |         count(*) AS n_orders
         |  FROM customer JOIN orders ON c_custkey = o_custkey
         |  GROUP BY c_custkey, c_name
-        |  ORDER BY revenue DESC, c_custkey LIMIT 10)
-        |SELECT c_custkey, c_name, round(revenue, 2) AS revenue, n_orders FROM top""".stripMargin,
+        |  ORDER BY rev_u DESC, c_custkey LIMIT 10)
+        |SELECT c_custkey, c_name, ${Money.microsToMoneySql("rev_u")} AS revenue, n_orders
+        |FROM top""".stripMargin,
     "q_customers_without_orders" ->
       """SELECT c_custkey, c_name, c_mktsegment FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,

@@ -40,5 +40,14 @@ object Money {
   /** DuckDB oracle twin of [[moneySum]]. `over` carries an optional
     * `" OVER (...)"` clause for the windowed variant. */
   def sumSql(colExpr: String, over: String = ""): String =
-    s"CAST(floor((sum(CAST(round(($colExpr) * 1e6) AS BIGINT))$over + 5000) / 10000.0) AS BIGINT) / 100.0"
+    microsToMoneySql(microsSumSql(colExpr) + over)
+
+  /** DuckDB twin of [[microsSum]] — for oracles that aggregate and emit in
+    * separate query stages (top-N by revenue, coalesce-after-join). */
+  def microsSumSql(colExpr: String): String =
+    s"sum(CAST(round(($colExpr) * 1e6) AS BIGINT))"
+
+  /** DuckDB twin of [[microsToMoney]]. */
+  def microsToMoneySql(microsExpr: String): String =
+    s"CAST(floor(($microsExpr + 5000) / 10000.0) AS BIGINT) / 100.0"
 }
