@@ -38,6 +38,27 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "pure projection must not shuffle")
   }
 
+  test("lang-id argmax stays linear: one score kernel per language in the plan") {
+    // the r01 bug nested when()s that re-referenced prior score subtrees —
+    // Catalyst doesn't CSE across branches, so each language's
+    // filter+isInCollection kernel appeared ~2^n times (15.7 s / 5k docs).
+    // withLangId projects scores once; CollapseProject must NOT inline them
+    // back into the (twice-referencing) argmax projection.
+    val p = plan("q_lang_id")
+    // count a word unique to the German profile: each occurrence is one
+    // materialization of that language's score kernel
+    val kernels = "nicht".r.findAllIn(p).size
+    assert(kernels >= 1, s"score kernel not visible in plan:\n${p.take(3000)}")
+    assert(kernels <= 2, s"expected ≤ 2 copies of the de kernel, got $kernels:\n${p.take(3000)}")
+    assert(!p.contains("Exchange"), "lang-id is a pure scan, no shuffle")
+  }
+
+  test("fingerprint runs as the native codegen kernel, zero shuffles") {
+    val p = plan("q_fingerprints")
+    assert(p.contains("graft_fingerprint64"), s"native expression expected:\n${p.take(1500)}")
+    assert(!p.contains("Exchange"))
+  }
+
   test("media metadata query never reads the binary content from a media parquet") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-media").toString
