@@ -98,9 +98,47 @@ object TextSketches {
     acc
   }
 
+  /** Static kernel for distinct word w-shingles: one tokenize pass, one
+    * rolling StringBuilder per shingle, LinkedHashSet dedup (first-
+    * occurrence order — matching what array_distinct over the transform
+    * spelling produced). The columnar spelling (transform + slice +
+    * array_join per position, then array_distinct) allocates an array and
+    * re-joins strings per shingle position; this is the dominant cost of
+    * the shingle-verify joins at corpus scale.
+    */
+  def shinglesKernel(input: UTF8String, w: Int): GenericArrayData = {
+    val toks = tokenize(input.toString)
+    val out = new java.util.LinkedHashSet[String]()
+    if (toks.length < w) out.add(toks.mkString(" "))
+    else {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i <= toks.length - w) {
+        sb.setLength(0)
+        var j = 0
+        while (j < w) {
+          if (j > 0) sb.append(' ')
+          sb.append(toks(i + j))
+          j += 1
+        }
+        out.add(sb.toString)
+        i += 1
+      }
+    }
+    val arr = new Array[AnyRef](out.size)
+    val it = out.iterator
+    var j = 0
+    while (it.hasNext) { arr(j) = UTF8String.fromString(it.next()); j += 1 }
+    new GenericArrayData(arr)
+  }
+
   /** Column API: 64-bit SimHash of whitespace-tokenized text. */
   def simhash64(text: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(text)))
+
+  /** Column API: distinct word w-shingles (array<string>). */
+  def shingleSet(text: Column, w: Int): Column =
+    ColumnBridge.column(ShingleSet(ColumnBridge.expression(text), w))
 
   /** Column API: rolling-hash fingerprint (order-sensitive, whitespace-
     * normalized). */
@@ -158,6 +196,25 @@ case class MinHashSig(child: Expression, nPerms: Int, shingleWidth: Int, seed: L
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+/** Distinct word w-shingles of whitespace-tokenized text; texts shorter
+  * than w words contribute their whole normalized text as the single
+  * shingle (same contract as the minhash kernel's shingling).
+  */
+case class ShingleSet(child: Expression, w: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingle_set"
+
+  override def nullSafeEval(input: Any): Any =
+    TextSketches.shinglesKernel(input.asInstanceOf[UTF8String], w)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.TextSketches.shinglesKernel($c, $w)")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleSet =
     copy(child = newChild)
 }
 

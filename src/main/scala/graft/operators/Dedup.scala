@@ -41,9 +41,15 @@ object Dedup {
 
   /** Word w-shingles (default w=3), distinct, lowercased. Documents shorter
     * than w words get a single shingle = the whole normalized text, so they
-    * still participate.
+    * still participate. Native one-pass kernel — the columnar spelling
+    * (transform + slice + array_join per position + array_distinct) was the
+    * dominant cost of the shingle-verify joins; `shinglesColumnar` keeps it
+    * as the cross-implementation oracle for the equivalence spec.
     */
-  def shingles(text: Column, w: Int = 3): Column = {
+  def shingles(text: Column, w: Int = 3): Column =
+    graft.expressions.TextSketches.shingleSet(text, w)
+
+  private[graft] def shinglesColumnar(text: Column, w: Int = 3): Column = {
     val toks = TextFunctions.tokens(text)
     val joined = array_join(toks, " ")
     array_distinct(
@@ -57,10 +63,14 @@ object Dedup {
     )
   }
 
-  /** Exact Jaccard similarity of two shingle-set columns. */
+  /** Exact Jaccard similarity of two set columns (elements distinct, as
+    * [[shingles]] guarantees). |a∪b| is computed as |a|+|b|−|a∩b| — the
+    * union array is never materialized, halving the per-pair hash work in
+    * the verify joins (codegen CSEs the repeated intersect reference).
+    */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b))
-    val union = size(array_union(a, b))
+    val union = size(a) + size(b) - inter
     when(union === 0, lit(0.0)).otherwise(inter.cast("double") / union)
   }
 

@@ -71,6 +71,17 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.simhashPairs(small, maxBucketSize = 100).count() == 20L * 19 / 2)
   }
 
+  test("native shingle kernel matches the columnar spelling") {
+    val texts = Seq("", "one two", "a b c", "the quick brown fox the quick brown fox",
+      "x y z x y z w")
+    val df = texts.toDF("text").select(
+      Dedup.shingles($"text", 3).as("native"),
+      Dedup.shinglesColumnar($"text", 3).as("columnar"))
+    df.collect().foreach { r =>
+      assert(r.getSeq[String](0) == r.getSeq[String](1), s"mismatch for ${r}")
+    }
+  }
+
   test("jaccard on shingle arrays: exact values") {
     val df = Seq(("a b c d", "a b c d"), ("a b c d", "x y z w")).toDF("t1", "t2")
     val j = df.select(
