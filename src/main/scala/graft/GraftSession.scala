@@ -47,6 +47,14 @@ object GraftSession {
       "graft_minhash_sig",
       exprs => graft.expressions.MinHashSig(exprs.head, 32, 3, 42L),
       "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_fingerprint64",
+      exprs => graft.expressions.Fingerprint64(exprs.head),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_shingle_set",
+      exprs => graft.expressions.ShingleSet(exprs.head, 3),
+      "built-in")
   }
 
   /** Local session for tests and ad-hoc runs. */

@@ -41,6 +41,31 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getLong(0) == viaCol)
   }
 
+  test("SQL registration: graft_fingerprint64 / graft_shingle_set usable from SQL") {
+    GraftSession.tune(spark)
+    val r = spark.sql(
+      "SELECT graft_fingerprint64('hello world foo') AS fp, graft_shingle_set('a b c d') AS sh")
+      .collect()(0)
+    val viaCol = Seq("hello world foo").toDF("t")
+      .select(graft.functions.TextFunctions.fingerprint($"t")).as[Long].collect()(0)
+    assert(r.getLong(0) == viaCol)
+    assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
+  }
+
+  test("native kernels: null input → null; interpreted eval matches codegen") {
+    import graft.expressions.{Fingerprint64, ShingleSet}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.unsafe.types.UTF8String
+    // interpreted path (expression.eval) against the codegen'd query result
+    val fpInterp = Fingerprint64(Literal(UTF8String.fromString("hello world foo"),
+      org.apache.spark.sql.types.StringType)).eval(null)
+    val fpCodegen = Seq("hello world foo").toDF("t")
+      .select(graft.functions.TextFunctions.fingerprint($"t")).as[Long].collect()(0)
+    assert(fpInterp == fpCodegen)
+    assert(Fingerprint64(Literal(null, org.apache.spark.sql.types.StringType)).eval(null) == null)
+    assert(ShingleSet(Literal(null, org.apache.spark.sql.types.StringType), 3).eval(null) == null)
+  }
+
   test("OnlineLogreg.scoringColumn matches driver-side predictProba") {
     val m = new OnlineLogreg(nFeatures = 2, lr = 0.5, miniBatch = 10)
     val rng = new scala.util.Random(11)
