@@ -25,6 +25,10 @@ object TextSketches {
 
   private[expressions] val Prime = 2147483629L // largest prime < 2^31
 
+  /** The sketch modulus, exposed so operators can hash shingles the same
+    * way the kernels do (stoplists, diagnostics). */
+  val SketchPrime: Long = Prime
+
   private[expressions] def tokenize(s: String): Array[String] =
     s.toLowerCase.split("\\s+").filter(_.nonEmpty)
 
@@ -56,8 +60,20 @@ object TextSketches {
     out
   }
 
-  /** Static kernel for minhash signatures; perms passed as flat [a0,b0,a1,b1,…]. */
-  def minhashKernel(input: UTF8String, shingleWidth: Int, permsFlat: Array[Long]): GenericArrayData = {
+  /** Static kernel for minhash signatures; perms passed as flat
+    * [a0,b0,a1,b1,…]. `stopSorted` (sorted shingle hashes, possibly empty)
+    * excludes boilerplate shingles from the signature: on a corpus where
+    * most docs share a header/footer, the hot shingles dominate every
+    * lane's min and unrelated docs collide in every band — stopping them
+    * restores the signature's discriminative power (candidate pruning
+    * only; the exact-Jaccard verify still sees full shingle sets).
+    */
+  def minhashKernel(
+      input: UTF8String,
+      shingleWidth: Int,
+      permsFlat: Array[Long],
+      stopSorted: Array[Long]
+  ): GenericArrayData = {
     val nPerms = permsFlat.length / 2
     val toks = tokenize(input.toString)
     val shingles: Iterator[String] =
@@ -69,11 +85,13 @@ object TextSketches {
       val s = shingles.next()
       if (seen.add(s)) {
         val h = java.lang.Math.floorMod(hashToken(s), Prime)
-        var i = 0
-        while (i < nPerms) {
-          val v = java.lang.Math.floorMod(permsFlat(2 * i) * h + permsFlat(2 * i + 1), Prime)
-          if (v < mins(i)) mins(i) = v
-          i += 1
+        if (stopSorted.length == 0 || java.util.Arrays.binarySearch(stopSorted, h) < 0) {
+          var i = 0
+          while (i < nPerms) {
+            val v = java.lang.Math.floorMod(permsFlat(2 * i) * h + permsFlat(2 * i + 1), Prime)
+            if (v < mins(i)) mins(i) = v
+            i += 1
+          }
         }
       }
     }
@@ -146,11 +164,13 @@ object TextSketches {
     ColumnBridge.column(Fingerprint64(ColumnBridge.expression(text)))
 
   /** Column API: MinHash signature (array<long> of length nPerms) over
-    * distinct word w-shingles.
+    * distinct word w-shingles; `stopHashes` are shingle hashes (mod Prime)
+    * to exclude (see [[Dedup.hotShingleHashes]]).
     */
   def minhashSignature(text: Column, nPerms: Int = 32, shingleWidth: Int = 3,
-      seed: Long = 42L): Column =
-    ColumnBridge.column(MinHashSig(ColumnBridge.expression(text), nPerms, shingleWidth, seed))
+      seed: Long = 42L, stopHashes: Array[Long] = Array.empty): Column =
+    ColumnBridge.column(
+      MinHashSig(ColumnBridge.expression(text), nPerms, shingleWidth, seed, stopHashes))
 }
 
 /** bit j of result = sign of Σ_tokens(±1 per bit j of xxhash64(token)).
@@ -176,7 +196,8 @@ case class SimHash64(child: Expression) extends UnaryExpression {
   * with h(s) = xxhash64(s) mod p. Texts shorter than `shingleWidth` words
   * contribute their whole normalized text as the single shingle.
   */
-case class MinHashSig(child: Expression, nPerms: Int, shingleWidth: Int, seed: Long)
+case class MinHashSig(child: Expression, nPerms: Int, shingleWidth: Int, seed: Long,
+    stopHashes: Array[Long] = Array.empty)
     extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -185,14 +206,16 @@ case class MinHashSig(child: Expression, nPerms: Int, shingleWidth: Int, seed: L
   // deterministic permutation params, flat [a0,b0,a1,b1,…], same scheme
   // across the engine
   @transient private lazy val permsFlat: Array[Long] = MinHashSig.permsFlat(nPerms, seed)
+  @transient private lazy val stopSorted: Array[Long] = stopHashes.sorted
 
   override def nullSafeEval(input: Any): Any =
-    TextSketches.minhashKernel(input.asInstanceOf[UTF8String], shingleWidth, permsFlat)
+    TextSketches.minhashKernel(input.asInstanceOf[UTF8String], shingleWidth, permsFlat, stopSorted)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val permsRef = ctx.addReferenceObj("permsFlat", permsFlat, "long[]")
+    val stopRef = ctx.addReferenceObj("stopSorted", stopSorted, "long[]")
     defineCodeGen(ctx, ev,
-      c => s"graft.expressions.TextSketches.minhashKernel($c, $shingleWidth, $permsRef)")
+      c => s"graft.expressions.TextSketches.minhashKernel($c, $shingleWidth, $permsRef, $stopRef)")
   }
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSig =

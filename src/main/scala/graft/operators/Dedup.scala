@@ -37,6 +37,23 @@ object Dedup {
       "left_semi"
     )
 
+  /** Streaming twin of [[dropExactDuplicates]]: first-seen wins per content
+    * hash, with state bounded by the event-time watermark (two rows more
+    * than `delay` apart are allowed to both survive — the price of bounded
+    * state on an unbounded stream). Call on a streaming frame before its
+    * aggregation/sink stage.
+    */
+  def dropExactDuplicatesStream(
+      df: DataFrame,
+      tsCol: String,
+      delay: String = "10 minutes",
+      textCol: String = "text"
+  ): DataFrame =
+    df.withColumn("text_md5", md5(col(textCol)))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("text_md5")
+      .drop("text_md5")
+
   // ------------------------------------------------------------- shingles
 
   /** Word w-shingles (default w=3), distinct, lowercased. Documents shorter
@@ -80,8 +97,32 @@ object Dedup {
     * native expression (see expressions.TextSketches for why not 32
     * columnar `transform` passes).
     */
-  def minhashSignature(text: Column, nPerms: Int = 32, seed: Long = 42L): Column =
-    graft.expressions.TextSketches.minhashSignature(text, nPerms, seed = seed)
+  def minhashSignature(text: Column, nPerms: Int = 32, seed: Long = 42L,
+      stopHashes: Array[Long] = Array.empty): Column =
+    graft.expressions.TextSketches.minhashSignature(text, nPerms, seed = seed,
+      stopHashes = stopHashes)
+
+  /** Hashes (mod the sketch prime) of shingles appearing in more than
+    * `maxDocFrac` of documents — boilerplate headers/footers/licenses. The
+    * result is driver-collected but bounded: at most
+    * avgShinglesPerDoc / maxDocFrac entries can exceed the frequency bar
+    * (each doc contributes each shingle once), so with maxDocFrac ≥ 0.05
+    * this is thousands of longs, not a vocabulary.
+    */
+  def hotShingleHashes(
+      df: DataFrame,
+      textCol: String = "text",
+      maxDocFrac: Double = 0.1,
+      w: Int = 3
+  ): Array[Long] = {
+    require(maxDocFrac >= 0.01, "maxDocFrac < 1% would unbound the stoplist")
+    val nDocs = df.count()
+    df.select(explode(shingles(col(textCol), w)).as("sh"))
+      .groupBy(col("sh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > maxDocFrac * nDocs)
+      .select(pmod(xxhash64(col("sh")), lit(graft.expressions.TextSketches.SketchPrime)).as("h"))
+      .collect().map(_.getLong(0))
+  }
 
   /** Candidate near-duplicate pairs via LSH banding + exact-Jaccard verify.
     *
@@ -92,6 +133,10 @@ object Dedup {
     * @param maxBucketSize degenerate buckets (boilerplate corpora) are capped
     *        to bound the quadratic bucket join; dropped buckets mean recall
     *        loss, logged by the caller, never OOM.
+    * @param stopShingleDocFrac when set, shingles appearing in more than
+    *        this fraction of documents are excluded from SIGNATURES (not
+    *        from the exact-Jaccard verify): boilerplate shingles otherwise
+    *        dominate every lane's min and band unrelated docs together.
     */
   def minhashPairs(
       df: DataFrame,
@@ -101,17 +146,20 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.8,
       seed: Long = 42L,
-      maxBucketSize: Int = 10000
+      maxBucketSize: Int = 10000,
+      stopShingleDocFrac: Option[Double] = None
   ): DataFrame = {
     require(nPerms % bands == 0, "bands must divide nPerms")
     val rowsPerBand = nPerms / bands
+    val stop: Array[Long] =
+      stopShingleDocFrac.map(f => hotShingleHashes(df, textCol, f)).getOrElse(Array.empty)
 
     // Narrow banded frame: (id, band, band_hash) only — shingle arrays stay
     // out of the bucket shuffle entirely.
     val banded = df
       .select(col(idCol),
         posexplode(
-          bandHashes(minhashSignature(col(textCol), nPerms, seed), bands, rowsPerBand)
+          bandHashes(minhashSignature(col(textCol), nPerms, seed, stop), bands, rowsPerBand)
         ).as(Seq("band", "band_hash")))
 
     val bounded = banded
@@ -144,7 +192,7 @@ object Dedup {
     // when the slack leaves something to prune.
     val slack = 2.0 * math.sqrt(threshold * (1 - threshold) / nPerms)
     val prefiltered = if (threshold - slack > 0.05) {
-      val sigNarrow = df.select(col(idCol), minhashSignature(col(textCol), nPerms, seed).as("sig"))
+      val sigNarrow = df.select(col(idCol), minhashSignature(col(textCol), nPerms, seed, stop).as("sig"))
       val laneAgreement = size(filter(
         zip_with(col("sig1"), col("sig2"), (a, b) => a === b), x => x))
         .cast("double") / nPerms

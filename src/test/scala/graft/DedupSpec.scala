@@ -71,6 +71,36 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.simhashPairs(small, maxBucketSize = 100).count() == 20L * 19 / 2)
   }
 
+  test("hot-shingle stoplist: boilerplate stops dominating signatures") {
+    // 40 docs share an identical header; two (100, 101) also share a unique
+    // body. Header shingles appear in every doc; body shingles in 2/42.
+    val header = "terms of service apply to all content in this repository"
+    val body = "the quick brown fox jumps over the lazy dog tonight"
+    val docs = ((0 until 40).map(i => (i.toLong, s"$header unique tail number $i")) ++
+      Seq((100L, s"$header $body"), (101L, s"$header $body"))).toDF("doc_id", "text")
+
+    val hot = Dedup.hotShingleHashes(docs, maxDocFrac = 0.5)
+    assert(hot.nonEmpty, "header shingles must exceed the 50% doc-frequency bar")
+
+    // signatures WITH the stoplist separate boilerplate-only docs; the true
+    // dup pair still agrees on every lane (their non-stop shingles match)
+    val sigs = docs.select($"doc_id",
+      Dedup.minhashSignature($"text", stopHashes = hot).as("sig"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sigs(100L) == sigs(101L))
+    assert(sigs(0L) != sigs(1L), "distinct tails must differ once boilerplate is stopped")
+
+    // end-to-end: same verified pairs, stoplist or not (pruning is
+    // candidate-side only; exact-Jaccard verification is unchanged)
+    def keys(d: org.apache.spark.sql.DataFrame) =
+      d.select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val without = keys(Dedup.minhashPairs(docs, threshold = 0.8))
+    val withStop = keys(Dedup.minhashPairs(docs, threshold = 0.8,
+      stopShingleDocFrac = Some(0.5)))
+    assert(withStop.contains((100L, 101L)))
+    assert(withStop.subsetOf(without), "stoplist may only prune candidates, never add")
+  }
+
   test("native shingle kernel matches the columnar spelling") {
     val texts = Seq("", "one two", "a b c", "the quick brown fox the quick brown fox",
       "x y z x y z w")

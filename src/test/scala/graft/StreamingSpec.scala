@@ -103,6 +103,25 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq(7L)) // only user 7's 10:00 click attributes; 11:00 click and users 8/9 don't
   }
 
+  test("streaming exact dedup: first-seen wins within the watermark") {
+    val dir = Files.createTempDirectory("graft-dedup-in")
+    val checkpoint = Files.createTempDirectory("graft-dedup-cp").toString
+    Files.write(dir.resolve("b0.csv"),
+      ("1,2024-01-01 10:00:00,same text\n" +
+        "2,2024-01-01 10:00:30,same text\n" + // dup within watermark → dropped
+        "3,2024-01-01 10:01:00,other text").getBytes)
+    val stream = spark.readStream.schema("doc_id LONG, ts_str STRING, text STRING")
+      .csv(dir.toString)
+      .withColumn("ts", to_timestamp($"ts_str")).drop("ts_str")
+    val q = graft.operators.Dedup.dropExactDuplicatesStream(stream, "ts")
+      .writeStream.outputMode("append").format("memory").queryName("deduped")
+      .option("checkpointLocation", checkpoint).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val ids = spark.sql("SELECT doc_id FROM deduped").collect().map(_.getLong(0)).sorted
+    assert(ids.sameElements(Array(1L, 3L)))
+  }
+
   test("end-to-end stream: file source → watermark+window → foreachBatch → metrics JSON") {
     val dir = Files.createTempDirectory("graft-stream-in")
     val metricsPath = Files.createTempDirectory("graft-stream-m").toString + "/m.json"
