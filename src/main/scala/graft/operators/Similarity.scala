@@ -109,7 +109,8 @@ object Similarity {
       nProbe: Int = 4,
       seed: Long = 42L,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"
+      vecCol: String = "embedding",
+      trainFraction: Double = 1.0
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -118,9 +119,15 @@ object Similarity {
 
     val corpusVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
       array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+    // quantizer quality needs only a representative sample; at corpus scale
+    // train on a fraction (the iterative fit is the expensive step — the
+    // full corpus still gets assigned to lists by the one-pass transform)
+    val trainSet =
+      if (trainFraction >= 1.0) corpusVec
+      else corpusVec.sample(withReplacement = false, trainFraction, seed)
     val model = new KMeans().setK(nLists).setSeed(seed)
       .setFeaturesCol("features").setPredictionCol("list_id")
-      .fit(corpusVec)
+      .fit(trainSet)
     val posted = model.transform(corpusVec).select(col("neighbor_id"), col("nv"), col("list_id"))
 
     val centroids = model.clusterCenters.zipWithIndex.toSeq
