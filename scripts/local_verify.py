@@ -2,9 +2,18 @@
 """Local stand-in for the driver's correctness gate: run after
 `sbt "runMain graft.Verify <sfDir> <outDir>"`. Compares each query's parquet
 dump against its DuckDB oracle over the same tables. Dev tooling only (the
-shipped Scala library has no python dependency)."""
+shipped Scala library has no python dependency).
+
+Both sides are fetched THROUGH PANDAS, because that is the driver's path and
+pandas conversion is lossy in ways fetchall() is not: DuckDB's windowed
+sum(INTEGER) returns HUGEINT, which pandas renders as float64 (`9.0`) while
+Spark emits int64 (`9`) — fetchall() hid exactly that mismatch for three
+rounds (q_gap_sessions). We additionally hard-fail any oracle whose output
+contains HUGEINT/UHUGEINT/DECIMAL columns, so the class of bug is caught at
+the type level before hashing."""
 import json, math, sys, glob, os
 import duckdb
+import numpy as np
 import pyarrow.parquet as pq
 
 sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
@@ -17,21 +26,32 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
-def canon(cols, rows):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, bool):
-                v = int(v)
-            if isinstance(v, float):
-                if math.isnan(v): v = "NaN"
-                else: v = f"{v:.6g}"
-            vals.append(str(v))
-        out.append(tuple(vals))
-    return sorted(out), [cols[i] for i in order]
+# Types whose pandas conversion silently changes the value's repr vs Spark's
+# parquet dump (HUGEINT -> float64, DECIMAL -> decimal.Decimal objects).
+BANNED_TYPE_FRAGMENTS = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def canon_val(v):
+    if isinstance(v, np.ndarray):
+        v = v.tolist()
+    if isinstance(v, list):
+        return "[" + ",".join(canon_val(x) for x in v) + "]"
+    if isinstance(v, (bool, np.bool_)):
+        return str(int(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        return "NaN" if math.isnan(f) else f"{f:.6g}"
+    return str(v)
+
+
+def canon_df(df):
+    cols = sorted(df.columns)
+    rows = [tuple(canon_val(v) for v in row)
+            for row in df[cols].itertuples(index=False, name=None)]
+    return sorted(rows), list(cols)
+
 
 ok = fail = 0
 for name in sorted(oracle):
@@ -39,16 +59,18 @@ for name in sorted(oracle):
     if not os.path.isdir(res_dir):
         print(f"MISSING {name}: no spark output"); fail += 1; continue
     try:
-        spark_tbl = pq.read_table(res_dir)
-        s_cols = spark_tbl.column_names
-        s_rows = [tuple(d[c] for c in s_cols) for d in spark_tbl.to_pylist()]
+        spark_df = pq.read_table(res_dir).to_pandas()
         duck = con.sql(oracle[name])
-        d_cols = [c[0] for c in duck.description]
-        d_rows = duck.fetchall()
+        bad = [f"{c}:{t}" for c, t in zip(duck.columns, duck.types)
+               if any(frag in str(t).upper() for frag in BANNED_TYPE_FRAGMENTS)]
+        if bad:
+            print(f"ORACLE-TYPE {name}: {bad} — CAST to BIGINT/DOUBLE in the "
+                  f"oracle SQL (pandas mangles these types)"); fail += 1; continue
+        duck_df = duck.df()
     except Exception as e:
         print(f"ERROR   {name}: {e}"); fail += 1; continue
-    s_canon, s_names = canon(s_cols, s_rows)
-    d_canon, d_names = canon(d_cols, d_rows)
+    s_canon, s_names = canon_df(spark_df)
+    d_canon, d_names = canon_df(duck_df)
     if s_names != d_names:
         print(f"SCHEMA  {name}: spark={s_names} duck={d_names}"); fail += 1
     elif len(s_canon) != len(d_canon):
@@ -60,3 +82,4 @@ for name in sorted(oracle):
         print(f"OK      {name} ({len(s_canon)} rows)"); ok += 1
 print(f"\n{ok} ok, {fail} fail (of {len(oracle)} oracled; "
       f"{len(glob.glob(out_dir + '/q_*')) } spark outputs total)")
+sys.exit(1 if fail else 0)

@@ -464,7 +464,11 @@ object SparkEntry {
     // full scale-path pipeline: leakage-free features → distributed SGD fit →
     // distributed scoring (no collect anywhere except the gradient vector)
     "q_sgd_intent_scores" -> { (s, d) =>
+      // fit (epochs × scan) and the scoring pass share ONE materialization of
+      // the sessionization lineage; without this the scoring select re-derives
+      // the whole CSV-map → window → filter → aggregate chain from scratch.
       val features = sessionFeatures(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cols = IntentModel.FeatureCols.toSeq
       val model = graft.ml.DistributedSgd.fit(features, cols, epochs = 10, lr = 1.0)
       features.select(
@@ -873,7 +877,7 @@ object SparkEntry {
         |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
         |                             ROWS UNBOUNDED PRECEDING) AS session_idx
         |  FROM m)
-        |SELECT user_id, session_idx, count(*) AS n_events,
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
         |       max(ts_s) - min(ts_s) AS duration_s, ${Money.sumSql("value")} AS total_value
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
     "q_running_revenue" ->
