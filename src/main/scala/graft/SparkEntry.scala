@@ -152,6 +152,12 @@ object SparkEntry {
         approx_count_distinct(col("user_id")).as("approx_users")
       )
     },
+    // the exact half of q_approx_distinct, split out so it can hash-match a
+    // SQL oracle (the HLL column is engine-specific, ±5%-spec'd instead)
+    "q_exact_distinct" -> { (s, d) =>
+      Tables(s, d).events.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+    },
     // ---- relational core over the TPC-H-ish tables (joins/agg/sort/limit) ----
     "q1_pricing_summary" -> { (s, d) =>
       Tables(s, d).lineitem
@@ -538,6 +544,13 @@ object SparkEntry {
     "q_knn_bruteforce" -> { (s, d) =>
       val emb = Tables(s, d).embeddings
       Similarity.bruteForceKnn(emb.filter(col("vec_id") < 5), emb, k = 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    },
+    // same cosine + row_number kernel as the ANN variants, deterministic
+    // id-window candidate set — the oracle-able twin of lsh/ivf scoring
+    "q_knn_subset" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      Similarity.windowedKnn(emb.filter(col("vec_id") < 5), emb, k = 10, window = 100)
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
     },
     "q_knn_lsh" -> { (s, d) =>

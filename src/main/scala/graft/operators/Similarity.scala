@@ -43,6 +43,33 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Deterministic-candidate kNN: the exact score-and-rank kernel shared by
+    * every ANN variant (cosine → per-query row_number top-k), but with a
+    * candidate set that is a pure function of ids — neighbor_id within
+    * ±`window` of query_id — instead of hash buckets or posting lists.
+    * Exists so the scoring math has a hash-matched SQL oracle; the bucketing
+    * in `lshKnn`/`ivfKnn` is engine-specific and covered by recall specs.
+    */
+  def windowedKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      window: Int = 100,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("qv")))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = c
+      .join(q, col("neighbor_id") =!= col("query_id") &&
+        col("neighbor_id").between(col("query_id") - window, col("query_id") + window))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("nv")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** LSH-bucketed ANN top-k with `nTables` independent hash tables (classic
     * multi-table LSH): a corpus vector is a candidate if it shares a bucket
     * with the query in ANY table; the query additionally probes all
