@@ -46,6 +46,25 @@ def canon_val(v):
     return str(v)
 
 
+def dtype_mismatches(sdf, ddf):
+    """%.6g renders float64 9.0 and int64 9 identically, so the value hash
+    cannot see int-vs-float divergence — compare dtype KINDS explicitly.
+    The one legitimate case is pandas' null-induced int→float64 promotion,
+    tolerated only when the float side actually contains NaN."""
+    out = []
+    for c in sorted(set(sdf.columns) & set(ddf.columns)):
+        ks = {"u": "i"}.get(sdf[c].dtype.kind, sdf[c].dtype.kind)
+        kd = {"u": "i"}.get(ddf[c].dtype.kind, ddf[c].dtype.kind)
+        if ks == kd:
+            continue
+        if {ks, kd} == {"i", "f"}:
+            fcol = sdf[c] if ks == "f" else ddf[c]
+            if fcol.isna().any():
+                continue
+        out.append(f"{c}: spark={sdf[c].dtype} duck={ddf[c].dtype}")
+    return out
+
+
 def canon_df(df):
     cols = sorted(df.columns)
     rows = [tuple(canon_val(v) for v in row)
@@ -71,8 +90,11 @@ for name in sorted(oracle):
         print(f"ERROR   {name}: {e}"); fail += 1; continue
     s_canon, s_names = canon_df(spark_df)
     d_canon, d_names = canon_df(duck_df)
+    dtype_bad = dtype_mismatches(spark_df, duck_df)
     if s_names != d_names:
         print(f"SCHEMA  {name}: spark={s_names} duck={d_names}"); fail += 1
+    elif dtype_bad:
+        print(f"DTYPE   {name}: {dtype_bad}"); fail += 1
     elif len(s_canon) != len(d_canon):
         print(f"ROWS    {name}: spark={len(s_canon)} duck={len(d_canon)}"); fail += 1
     elif s_canon != d_canon:

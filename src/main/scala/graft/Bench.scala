@@ -31,7 +31,14 @@ object Bench {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Per-query hygiene: drop DataFrame caches (e.g. the SGD feature
+      // persist) and the RDD blocks MLlib fits (ALS/KMeans/RF) leave
+      // persisted, so no query's memory pinning bleeds into the next one's
+      // measurement. Cleanup cost is excluded from the per-query time.
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }

@@ -724,6 +724,23 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    // f0 is bucket 0 of the stub's 16-bin byte histogram: floorMod(byte,16)=0
+    // is exactly "low hex nibble is 0", countable from the hex dump; doing
+    // the ratio in FLOAT matches the kernel's float32 division bit-for-bit
+    // before the round(6), so even the stubbed feature math is hash-checked.
+    "q_media_features" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |         CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'
+        |              ELSE 'video/mp4' END AS media_type,
+        |         octet_length(encode(text)) AS n_bytes,
+        |         length(list_filter(regexp_extract_all(hex(encode(text)), '(.)(.)', 2),
+        |                            x -> x = '0')) AS n0
+        |  FROM documents)
+        |SELECT doc_id, media_type, n_bytes,
+        |       round(CAST(CAST(n0 AS FLOAT) / CAST(greatest(1, n_bytes) AS FLOAT) AS DOUBLE), 6)
+        |         AS f0
+        |FROM b""".stripMargin,
     "q1_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
         |       ${Money.sumSql("l_quantity")} AS sum_qty,
@@ -1081,6 +1098,26 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cos,
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM c)
-        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10""".stripMargin
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10""".stripMargin,
+    // same scoring kernel as q_knn_bruteforce but over the deterministic
+    // ±100-id candidate window — hash-matches the math the LSH/IVF variants
+    // share (their bucketing is engine-specific, recall-spec'd instead)
+    "q_knn_subset" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT q.query_id, e.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+        |  FROM q JOIN embeddings e
+        |    ON e.vec_id <> q.query_id
+        |   AND e.vec_id BETWEEN q.query_id - 100 AND q.query_id + 100
+        |), r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM c)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10""".stripMargin,
+    "q_exact_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users
+        |FROM events GROUP BY event_type""".stripMargin
   )
 }

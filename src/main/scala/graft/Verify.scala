@@ -31,6 +31,12 @@ object Verify {
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    // Drop DataFrame caches and leftover MLlib RDD persists so the gate
+    // process ends with zero pinned blocks (leak hygiene; queries run
+    // concurrently above, so per-query cleanup would race — once at the
+    // end is the safe point).
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
