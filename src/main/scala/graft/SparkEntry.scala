@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{Dedup, Featurize, Multimodal, SessionConf, Sessionize, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Featurize, Multimodal, Repetition, SessionConf, Sessionize, Similarity}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -440,6 +440,25 @@ object SparkEntry {
         TF.stopwordRatio(col("text")).as("stopword_ratio"),
         TF.qualityScore(col("text")).as("quality_score")
       )
+    },
+    // Gopher/C4-family repetition filters — one codegen'd projection,
+    // zero shuffle (operators.Repetition)
+    "q_repetition_scores" -> { (s, d) =>
+      Repetition.scores(Tables(s, d).documents.select(col("doc_id"), col("text")))
+    },
+    // as-of join: each purchase attributed to the user's most recent
+    // at-or-before view, via the one-shuffle union-scan spelling
+    // (operators.AsOfJoin; exact nanos time so tie semantics are testable)
+    "q_asof_attribution" -> { (s, d) =>
+      val ev = Tables(s, d).events
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ns"), col("event_id").as("purchase_id"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts_ns"), col("event_id").as("view_id"),
+          col("ts_ns").as("view_ts_ns"))
+      AsOfJoin.asOf(purchases, views, "user_id", "ts_ns", "view_id", Seq("view_id", "view_ts_ns"))
+        .select(col("purchase_id"), col("user_id"), col("view_id"),
+          (col("ts_ns") - col("view_ts_ns")).as("gap_ns"))
     },
     "q_tfidf_top_terms" -> { (s, d) =>
       graft.operators.TfIdf.topTerms(Tables(s, d).documents, k = 3)
@@ -991,6 +1010,52 @@ object SparkEntry {
          |           + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
          |         AS DOUBLE), 4) AS DOUBLE) AS quality_score
          |FROM m""".stripMargin,
+    // repetition filters: dup fracs via list_distinct; top-word share via
+    // unnest + per-word count (the oracle may shuffle — the Spark side is a
+    // zero-shuffle projection, which is the point)
+    "q_repetition_scores" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |         list_filter(regexp_split_to_array(lower(text), '\s+'), w -> w <> '') AS ws,
+        |         list_filter(string_split(text, chr(10)), l -> l <> '') AS ls
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, ws, ls,
+        |         list_transform(generate_series(1, len(ws) - 1),
+        |                        i -> ws[i] || ' ' || ws[i + 1]) AS bs
+        |  FROM t),
+        |top AS (
+        |  SELECT doc_id, max(c) AS topc FROM (
+        |    SELECT doc_id, w, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(ws) AS w FROM t) GROUP BY doc_id, w)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, len(ws) AS n_words,
+        |       round(CASE WHEN len(ws) = 0 THEN 0.0
+        |                  ELSE 1 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END, 6)
+        |         AS dup_word_frac,
+        |       round(CASE WHEN len(bs) = 0 THEN 0.0
+        |                  ELSE 1 - CAST(len(list_distinct(bs)) AS DOUBLE) / len(bs) END, 6)
+        |         AS dup_bigram_frac,
+        |       round(CASE WHEN len(ls) = 0 THEN 0.0
+        |                  ELSE 1 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END, 6)
+        |         AS dup_line_frac,
+        |       round(coalesce(CAST(top.topc AS DOUBLE) / nullif(len(ws), 0), 0.0), 6)
+        |         AS top_word_frac
+        |FROM b LEFT JOIN top ON b.doc_id = top.doc_id""".stripMargin,
+    // as-of semantics stated directly: the rn=1 row of all at-or-before
+    // views (all-pairs per key is fine at oracle scale; the Spark side's
+    // union-scan spelling is the one that scales)
+    "q_asof_attribution" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS tns
+        |           FROM events WHERE event_type = 'purchase'),
+        |v AS (SELECT event_id AS view_id, user_id, epoch_ns(ts) AS tns
+        |      FROM events WHERE event_type = 'view'),
+        |j AS (
+        |  SELECT p.purchase_id, p.user_id, v.view_id, p.tns - v.tns AS gap_ns,
+        |         row_number() OVER (PARTITION BY p.purchase_id
+        |                            ORDER BY v.tns DESC, v.view_id DESC) AS rn
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.tns <= p.tns)
+        |SELECT purchase_id, user_id, view_id, gap_ns FROM j WHERE rn = 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -137,7 +137,8 @@ object Similarity {
       seed: Long = 42L,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
-      trainFraction: Double = 1.0
+      trainFraction: Double = 1.0,
+      maxIter: Int = 10
   ): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -152,7 +153,14 @@ object Similarity {
     val trainSet =
       if (trainFraction >= 1.0) corpusVec
       else corpusVec.sample(withReplacement = false, trainFraction, seed)
+    // Coarse quantizers don't need a converged clustering, just a balanced
+    // partition of the space (FAISS trains IVF on a sample with few
+    // iterations): random init + capped iterations, because every extra
+    // k-means pass is a full scan of the train set — at this corpus size
+    // job-overhead-bound, at 100 TB scan-bound. Recall is governed by
+    // nProbe, not quantizer polish.
     val model = new KMeans().setK(nLists).setSeed(seed)
+      .setInitMode("random").setMaxIter(maxIter)
       .setFeaturesCol("features").setPredictionCol("list_id")
       .fit(trainSet)
     val posted = model.transform(corpusVec).select(col("neighbor_id"), col("nv"), col("list_id"))

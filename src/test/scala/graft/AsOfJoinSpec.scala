@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+
+class AsOfJoinSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def run(left: Seq[(Long, Long, Long)], right: Seq[(Long, Long, Long)]) = {
+    val l = left.toDF("user_id", "ts", "purchase_id")
+    val r = right.toDF("user_id", "ts", "view_id")
+      .withColumn("view_ts", col("ts"))
+    AsOfJoin.asOf(l, r, "user_id", "ts", "view_id", Seq("view_id", "view_ts"))
+      .select($"purchase_id", $"view_id", $"view_ts")
+      .as[(Long, Option[Long], Option[Long])].collect().toSet
+  }
+
+  test("matches the latest right row at or before each left ts") {
+    val got = run(
+      left = Seq((1L, 100L, 10L), (1L, 200L, 11L)),
+      right = Seq((1L, 50L, 20L), (1L, 150L, 21L), (1L, 250L, 22L)))
+    assert(got == Set((10L, Some(20L), Some(50L)), (11L, Some(21L), Some(150L))))
+  }
+
+  test("equal timestamps: right row is visible (<= semantics), max order col wins ties") {
+    val got = run(
+      left = Seq((1L, 100L, 10L)),
+      // two views exactly at the purchase ts — the larger view_id must win
+      right = Seq((1L, 100L, 20L), (1L, 100L, 21L)))
+    assert(got == Set((10L, Some(21L), Some(100L))))
+  }
+
+  test("left rows with no prior right row get nulls; keys don't leak across") {
+    val got = run(
+      left = Seq((1L, 100L, 10L), (2L, 500L, 11L)),
+      right = Seq((1L, 400L, 20L), (3L, 1L, 30L)))
+    assert(got == Set((10L, None, None), (11L, None, None)))
+  }
+
+  test("plan shape: exactly one shuffle (the key partitioning), no join node") {
+    val l = Seq((1L, 100L, 10L)).toDF("user_id", "ts", "purchase_id")
+    val r = Seq((1L, 50L, 20L)).toDF("user_id", "ts", "view_id")
+      .withColumn("view_ts", col("ts"))
+    val plan = AsOfJoin.asOf(l, r, "user_id", "ts", "view_id", Seq("view_id", "view_ts"))
+      .queryExecution.executedPlan.toString
+    assert("Exchange".r.findAllIn(plan).size == 1, s"want exactly 1 exchange:\n$plan")
+    assert(!plan.toLowerCase.contains("join"), s"union-scan spelling must not join:\n$plan")
+  }
+
+  test("agrees with the naive range-join spelling on random data") {
+    val rnd = new scala.util.Random(11)
+    val left = (1 to 300).map(i => (rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = (1 to 300).map(i => (rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, 1000L + i))
+    val got = run(left, right)
+
+    val naive = left.map { case (u, ts, pid) =>
+      val cands = right.filter(r => r._1 == u && r._2 <= ts)
+      if (cands.isEmpty) (pid, None, None)
+      else {
+        val best = cands.maxBy(r => (r._2, r._3))
+        (pid, Some(best._3), Some(best._2))
+      }
+    }.toSet
+    assert(got == naive)
+  }
+}

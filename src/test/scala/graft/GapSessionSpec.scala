@@ -76,4 +76,63 @@ class GapSessionSpec extends AnyFunSuite {
     val rows = spark.sql("SELECT * FROM gap_sessions_out").as[ClosedSession].collect()
     assert(rows.toSeq == Seq(ClosedSession(1L, 1000L, 1200L, 2, 200L, 3.0)))
   }
+
+  test("stream/batch parity: GapSessionizer ≡ Sessionize.gapSessions on the same events") {
+    // The W1≡J1 pattern applied to the T-plane: the stateful streaming
+    // operator and the lag+running-sum batch spelling must assign identical
+    // session boundaries. Values are multiples of 0.25 (exact in binary) so
+    // summation order can't perturb total_value.
+    val rnd = new scala.util.Random(7)
+    val events = (1 to 25).flatMap { u =>
+      var ts = u * 1000L
+      (1 to 40).map { i =>
+        ts += (if (rnd.nextInt(5) == 0) 3600L else 10L + rnd.nextInt(600))
+        (u.toLong, ts, rnd.nextInt(8) * 0.25)
+      }
+    }
+
+    // batch side: per-session aggregates, minus each user's final session
+    // (streaming with NoTimeout only emits sessions closed by gap evidence)
+    val df = events.toDF("user_id", "ts_s", "value")
+    val sess = Sessionize.gapSessions(df, "user_id", "ts_s", 900L)
+    val agg = sess.groupBy($"user_id", $"session_idx")
+      .agg(min($"ts_s").as("start_s"), max($"ts_s").as("end_s"),
+        count(lit(1)).as("n_events"), sum($"value").as("total_value"))
+    val lastIdx = sess.groupBy($"user_id").agg(max($"session_idx").as("_last"))
+    val expected = agg.join(lastIdx, "user_id").filter($"session_idx" < $"_last")
+      .select($"user_id", $"start_s", $"end_s", $"n_events",
+        ($"end_s" - $"start_s").as("duration_s"), $"total_value")
+      .as[ClosedSession].collect().toSet
+
+    // stream side: replay the same rows in ts order, split across two files
+    // processed as separate micro-batches (mtime-ordered, one file per
+    // trigger) so open sessions genuinely cross a batch boundary
+    val dir = Files.createTempDirectory("graft-gap-parity-in")
+    val checkpoint = Files.createTempDirectory("graft-gap-parity-cp").toString
+    val sorted = events.sortBy(_._2)
+    val cut = sorted(sorted.size / 2)._2
+    def csv(rows: Seq[(Long, Long, Double)]): String =
+      rows.map { case (u, t, v) => f"$u,$t,$v%.2f" }.mkString("\n")
+    val f0 = dir.resolve("b0.csv"); val f1 = dir.resolve("b1.csv")
+    Files.write(f0, csv(sorted.filter(_._2 <= cut)).getBytes)
+    Files.write(f1, csv(sorted.filter(_._2 > cut)).getBytes)
+    Files.setLastModifiedTime(f0, java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    Files.setLastModifiedTime(f1, java.nio.file.attribute.FileTime.fromMillis(2000000L))
+    val raw = spark.readStream
+      .schema("user_id LONG, ts_s LONG, value DOUBLE")
+      .option("maxFilesPerTrigger", 1)
+      .csv(dir.toString)
+      .as[Event]
+    val q = GapSessionizer.sessions(raw, gapSeconds = 900L, timeoutMs = 0L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gap_parity_out")
+      .option("checkpointLocation", checkpoint)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.sql("SELECT * FROM gap_parity_out").as[ClosedSession].collect().toSet
+
+    assert(got.nonEmpty)
+    assert(got == expected)
+  }
 }
