@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AsOfJoin, Dedup, Featurize, Multimodal, Repetition, SessionConf, Sessionize, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Featurize, HashSplit, Multimodal, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -440,6 +440,19 @@ object SparkEntry {
         TF.stopwordRatio(col("text")).as("stopword_ratio"),
         TF.qualityScore(col("text")).as("quality_score")
       )
+    },
+    // content-hash train/val/test assignment — stable across runs and
+    // engines, duplicate texts co-locate in one split (operators.HashSplit)
+    "q_hash_split" -> { (s, d) =>
+      HashSplit.assign(Tables(s, d).documents.select(col("doc_id"), col("text")), "text")
+        .select(col("doc_id"), col("bucket"), col("split"))
+    },
+    // SemDeDup: k-means-clustered cosine dedup; clustering is
+    // engine-specific (rows-only check) — planted-duplicate recall and
+    // keep-first retention are pinned in SemanticDedupSpec
+    "q_semantic_dedup" -> { (s, d) =>
+      SemanticDedup.dedup(Tables(s, d).embeddings, threshold = 0.9, nClusters = 8)
+        .groupBy(col("label")).agg(count(lit(1)).as("n_survivors"))
     },
     // Gopher/C4-family repetition filters — one codegen'd projection,
     // zero shuffle (operators.Repetition)
@@ -1010,6 +1023,23 @@ object SparkEntry {
          |           + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
          |         AS DOUBLE), 4) AS DOUBLE) AS quality_score
          |FROM m""".stripMargin,
+    // same ascii arithmetic as HashSplit.bucket — md5 hex is the one hash
+    // spelling engines agree on
+    "q_hash_split" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS h FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         (CASE WHEN ascii(substring(h, 1, 1)) >= 97
+        |               THEN ascii(substring(h, 1, 1)) - 87
+        |               ELSE ascii(substring(h, 1, 1)) - 48 END) * 16
+        |       + (CASE WHEN ascii(substring(h, 2, 1)) >= 97
+        |               THEN ascii(substring(h, 2, 1)) - 87
+        |               ELSE ascii(substring(h, 2, 1)) - 48 END) AS bucket
+        |  FROM h)
+        |SELECT doc_id, bucket,
+        |       CASE WHEN bucket < 205 THEN 'train'
+        |            WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
+        |FROM b""".stripMargin,
     // repetition filters: dup fracs via list_distinct; top-word share via
     // unnest + per-word count (the oracle may shuffle — the Spark side is a
     // zero-shuffle projection, which is the point)

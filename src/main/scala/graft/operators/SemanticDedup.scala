@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions.cosine
+
+/** SemDeDup-style semantic deduplication over an embedding column: cluster
+  * the corpus with a coarse k-means quantizer, compare vectors only WITHIN
+  * a cluster, and drop every vector that has a higher-similarity twin with
+  * a smaller id (keep-first retention, same convention as exact dedup).
+  *
+  * Where `Similarity.cosineNearDupPairs` buckets by random hyperplanes,
+  * the SemDeDup recipe clusters by data geometry — near-duplicates land in
+  * the same cluster with high probability even when they straddle a random
+  * hyperplane. Scale shape mirrors the IVF index: the iterative fit runs on
+  * a bounded sample, assignment is one broadcast-centroid pass, the
+  * within-cluster self-join is capped per cluster (dense clusters degrade
+  * to bounded recall loss, never a quadratic blowup).
+  */
+object SemanticDedup {
+
+  /** Near-duplicate pairs (id1 < id2, cosine ≥ threshold) found within
+    * shared k-means clusters.
+    */
+  def pairs(
+      df: DataFrame,
+      threshold: Double = 0.95,
+      nClusters: Int = 16,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxClusterSize: Int = 10000,
+      trainFraction: Double = 1.0,
+      maxIter: Int = 10
+  ): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+
+    val vec = df.select(col(idCol), col(vecCol),
+      array_to_vector(transform(col(vecCol), x => x.cast("double"))).as("features"))
+    val train =
+      if (trainFraction >= 1.0) vec
+      else vec.sample(withReplacement = false, trainFraction, seed)
+    val model = new KMeans().setK(nClusters).setSeed(seed)
+      .setInitMode("random").setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("cluster_id")
+      .fit(train)
+    val assigned = model.transform(vec)
+      .select(col(idCol), col(vecCol), col("cluster_id"))
+      .withColumn("cluster_n", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .filter(col("cluster_n") <= maxClusterSize)
+      .drop("cluster_n")
+
+    val l = assigned.select(col("cluster_id"), col(idCol).as("id1"), col(vecCol).as("v1"))
+    val r = assigned.select(col("cluster_id"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    l.join(r, Seq("cluster_id"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy(col("id1"), col("id2"))
+      .agg(max(col("cos")).as("cos"))
+  }
+
+  /** The deduplicated corpus: every row of `df` that does NOT have a
+    * detected twin with a smaller id (greedy keep-first — an id is dropped
+    * if ANY smaller id is near-identical, whether or not that smaller id
+    * itself survived; identical semantics to Dedup's exact keep-first).
+    */
+  def dedup(
+      df: DataFrame,
+      threshold: Double = 0.95,
+      nClusters: Int = 16,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxClusterSize: Int = 10000,
+      trainFraction: Double = 1.0,
+      maxIter: Int = 10
+  ): DataFrame = {
+    val drop = pairs(df, threshold, nClusters, seed, idCol, vecCol,
+      maxClusterSize, trainFraction, maxIter)
+      .select(col("id2").as(idCol)).distinct()
+    df.join(drop, Seq(idCol), "left_anti")
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.HashSplit
+
+class HashSplitSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("bucket equals the first md5 hex byte; split thresholds apply") {
+    // md5("hello") = 5d41... → bucket 0x5d = 93 → train
+    val got = HashSplit.assign(Seq(("hello", 1L)).toDF("text", "id"), "text")
+      .select($"bucket", $"split").as[(Int, String)].head()
+    assert(got == ((0x5d, "train")))
+  }
+
+  test("assignment is deterministic and duplicate keys co-locate") {
+    val df = Seq(("a", 1L), ("b", 2L), ("a", 3L)).toDF("text", "id")
+    val splits = HashSplit.assign(df, "text")
+      .select($"text", $"split").as[(String, String)].collect()
+    val byText = splits.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(byText("a").size == 1) // both copies of "a" in one split
+    val again = HashSplit.assign(df, "text")
+      .select($"text", $"split").as[(String, String)].collect()
+    assert(splits.sorted.sameElements(again.sorted))
+  }
+
+  test("splits are exhaustive, disjoint, and roughly 80/10/10 on 20k keys") {
+    val df = (1 to 20000).map(i => (s"key_$i", i.toLong)).toDF("text", "id")
+    val counts = HashSplit.assign(df, "text")
+      .groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(counts.values.sum == 20000L)
+    val train = counts("train").toDouble / 20000
+    val valF = counts("val").toDouble / 20000
+    assert(math.abs(train - 205.0 / 256) < 0.02, s"train frac $train")
+    assert(math.abs(valF - 25.0 / 256) < 0.02, s"val frac $valF")
+  }
+
+  test("zero-shuffle projection") {
+    val plan = HashSplit.assign(Seq(("x", 1L)).toDF("text", "id"), "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+}
