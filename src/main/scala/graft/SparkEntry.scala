@@ -451,7 +451,10 @@ object SparkEntry {
     // engine-specific (rows-only check) — planted-duplicate recall and
     // keep-first retention are pinned in SemanticDedupSpec
     "q_semantic_dedup" -> { (s, d) =>
-      SemanticDedup.dedup(Tables(s, d).embeddings, threshold = 0.9, nClusters = 8)
+      // nClusters follows the IVF sqrt(n) rule-of-thumb (32 ≈ sqrt(1k..10k)
+      // at bench scales): pair work per cluster shrinks quadratically with
+      // cluster count, which is what bounds the self-join at corpus scale
+      SemanticDedup.dedup(Tables(s, d).embeddings, threshold = 0.9, nClusters = 32)
         .groupBy(col("label")).agg(count(lit(1)).as("n_survivors"))
     },
     // Gopher/C4-family repetition filters — one codegen'd projection,
