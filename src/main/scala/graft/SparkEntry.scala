@@ -457,6 +457,15 @@ object SparkEntry {
       SemanticDedup.dedup(Tables(s, d).embeddings, threshold = 0.9, nClusters = 32)
         .groupBy(col("label")).agg(count(lit(1)).as("n_survivors"))
     },
+    // deterministic-assignment twin of semantic dedup: cluster_id is a pure
+    // function of the id, so the capped pairing + cosine-threshold math
+    // hash-matches a SQL oracle (k-means assignment itself can't)
+    "q_semdedup_subset" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+        .withColumn("cluster_id", pmod(col("vec_id"), lit(50)).cast("int"))
+      SemanticDedup.pairsWithin(emb, threshold = 0.2)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
+    },
     // Gopher/C4-family repetition filters — one codegen'd projection,
     // zero shuffle (operators.Repetition)
     "q_repetition_scores" -> { (s, d) =>
@@ -1043,6 +1052,14 @@ object SparkEntry {
         |       CASE WHEN bucket < 205 THEN 'train'
         |            WHEN bucket < 230 THEN 'val' ELSE 'test' END AS split
         |FROM b""".stripMargin,
+    "q_semdedup_subset" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |                  CAST(vec_id % 50 AS INT) AS c
+        |           FROM embeddings)
+        |SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |       round(list_cosine_similarity(a.v, b.v), 6) AS cos
+        |FROM e a JOIN e b ON a.c = b.c AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.2""".stripMargin,
     // repetition filters: dup fracs via list_distinct; top-word share via
     // unnest + per-word count (the oracle may shuffle — the Spark side is a
     // zero-shuffle projection, which is the point)

@@ -49,12 +49,27 @@ object SemanticDedup {
       .fit(train)
     val assigned = model.transform(vec)
       .select(col(idCol), col(vecCol), col("cluster_id"))
+    pairsWithin(assigned, threshold, idCol, vecCol, maxClusterSize)
+  }
+
+  /** Near-duplicate pairs within pre-assigned clusters (a frame carrying a
+    * `cluster_id` column). Split out so the threshold/pairing math has a
+    * deterministic-assignment twin that a SQL oracle can hash-match — the
+    * k-means assignment itself is engine-specific.
+    */
+  def pairsWithin(
+      assigned: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxClusterSize: Int = 10000
+  ): DataFrame = {
+    val capped = assigned
       .withColumn("cluster_n", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
       .filter(col("cluster_n") <= maxClusterSize)
       .drop("cluster_n")
-
-    val l = assigned.select(col("cluster_id"), col(idCol).as("id1"), col(vecCol).as("v1"))
-    val r = assigned.select(col("cluster_id"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    val l = capped.select(col("cluster_id"), col(idCol).as("id1"), col(vecCol).as("v1"))
+    val r = capped.select(col("cluster_id"), col(idCol).as("id2"), col(vecCol).as("v2"))
     l.join(r, Seq("cluster_id"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
