@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AsOfJoin, Dedup, Featurize, HashSplit, Multimodal, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity}
+import graft.operators.{AsOfJoin, Dedup, Featurize, GroupCap, HashSplit, Multimodal, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -440,6 +440,25 @@ object SparkEntry {
         TF.stopwordRatio(col("text")).as("stopword_ratio"),
         TF.qualityScore(col("text")).as("quality_score")
       )
+    },
+    // domain balancing: deterministic ≤50-docs-per-language cap, ranked by
+    // md5(id) so the draw is stable across engines (operators.GroupCap)
+    "q_group_cap" -> { (s, d) =>
+      GroupCap.capPerGroup(
+        Tables(s, d).documents.select(col("doc_id"), col("lang")), "lang", "doc_id", 50)
+        .select(col("doc_id"), col("lang"), col("samp_rank"))
+    },
+    // PII counts + redaction; the text is spiked with one synthetic
+    // email/URL/IP per doc (id-derived, reproducible in the oracle) so the
+    // regexes demonstrably fire — base documents carry no PII
+    "q_pii_scrub" -> { (s, d) =>
+      val spiked = Tables(s, d).documents.select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" contact: user"), col("doc_id").cast("string"),
+          lit("@example.com http://site"), col("doc_id").cast("string"),
+          lit(".org 10.0.0."), pmod(col("doc_id"), lit(256)).cast("string")).as("text"))
+      PiiScrub.profile(spiked)
     },
     // content-hash train/val/test assignment — stable across runs and
     // engines, duplicate texts co-locate in one split (operators.HashSplit)
@@ -1035,6 +1054,32 @@ object SparkEntry {
          |           + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
          |         AS DOUBLE), 4) AS DOUBLE) AS quality_score
          |FROM m""".stripMargin,
+    "q_group_cap" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |           AS samp_rank
+        |  FROM documents)
+        |SELECT doc_id, lang, samp_rank FROM r WHERE samp_rank <= 50""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         text || ' contact: user' || CAST(doc_id AS VARCHAR)
+        |              || '@example.com http://site' || CAST(doc_id AS VARCHAR)
+        |              || '.org 10.0.0.' || CAST(doc_id % 256 AS VARCHAR) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |         AS n_emails,
+        |       len(regexp_extract_all(t, 'https?://[^\s]+')) AS n_urls,
+        |       len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+        |       length(regexp_replace(regexp_replace(regexp_replace(t,
+        |                'https?://[^\s]+', '<URL>', 'g'),
+        |                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
+        |         AS redacted_len
+        |FROM s""".stripMargin,
     // same ascii arithmetic as HashSplit.bucket — md5 hex is the one hash
     // spelling engines agree on
     "q_hash_split" ->

@@ -27,6 +27,15 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_sum"), "map-side partial aggregation expected")
   }
 
+  test("as-of attribution: event_type filters pushed to both parquet scans, one shuffle, no join") {
+    val p = plan("q_asof_attribution")
+    assert("EqualTo\\(event_type,purchase\\)".r.findAllIn(p).size == 1, p)
+    assert("EqualTo\\(event_type,view\\)".r.findAllIn(p).size == 1, p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"union-scan spelling is one key shuffle:\n$p")
+    assert(!p.toLowerCase.contains("joinexec"), s"must not plan a join:\n$p")
+  }
+
   test("q5: dimension chain joins via broadcast, no sort-merge on dims") {
     val p = plan("q5_region_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
