@@ -55,6 +55,50 @@ object GraftSession {
       "graft_shingle_set",
       exprs => graft.expressions.ShingleSet(exprs.head, 3),
       "built-in")
+    // Composition operators exposed to SQL as well. The Column API builds
+    // opaque ColumnNode trees in Spark 4 (not registry-compatible Catalyst
+    // expressions), so these are registered from parsed SQL templates with
+    // the argument expression spliced in — still plain Catalyst after
+    // analysis, fully codegen'd, no UDFs. RepetitionSqlSpec pins template ≡
+    // Column-API equality so the two spellings can't drift.
+    def template(sqlText: String): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
+        org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
+      spark.sessionState.sqlParser.parseExpression(sqlText).transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if a.name.equalsIgnoreCase("__arg__") => exprs.head
+      }
+    }
+    // SQL-string-literal escape for a Java/RE2 regex (backslashes doubled)
+    def rq(re: String): String = "'" + re.replace("\\", "\\\\") + "'"
+    import graft.operators.PiiScrub.{EmailRe, Ipv4Re, UrlRe}
+    reg.createOrReplaceTempFunction(
+      "graft_pii_redact",
+      template(
+        s"""regexp_replace(regexp_replace(regexp_replace(__ARG__,
+           |  ${rq(UrlRe)}, '<URL>'), ${rq(EmailRe)}, '<EMAIL>'), ${rq(Ipv4Re)}, '<IP>')"""
+          .stripMargin),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_hash_bucket",
+      template(
+        """(CASE WHEN ascii(substring(md5(CAST(__ARG__ AS STRING)), 1, 1)) >= 97
+          |      THEN ascii(substring(md5(CAST(__ARG__ AS STRING)), 1, 1)) - 87
+          |      ELSE ascii(substring(md5(CAST(__ARG__ AS STRING)), 1, 1)) - 48 END) * 16
+          |+ (CASE WHEN ascii(substring(md5(CAST(__ARG__ AS STRING)), 2, 1)) >= 97
+          |        THEN ascii(substring(md5(CAST(__ARG__ AS STRING)), 2, 1)) - 87
+          |        ELSE ascii(substring(md5(CAST(__ARG__ AS STRING)), 2, 1)) - 48 END)"""
+          .stripMargin),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_dup_word_frac",
+      template(
+        """CASE WHEN size(filter(split(lower(__ARG__), '\\s+'), w -> w != '')) = 0
+          |     THEN CAST(0.0 AS DOUBLE)
+          |     ELSE 1.0 - CAST(size(array_distinct(
+          |            filter(split(lower(__ARG__), '\\s+'), w -> w != ''))) AS DOUBLE)
+          |          / size(filter(split(lower(__ARG__), '\\s+'), w -> w != '')) END"""
+          .stripMargin),
+      "built-in")
   }
 
   /** Local session for tests and ad-hoc runs. */

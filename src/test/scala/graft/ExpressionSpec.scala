@@ -52,6 +52,29 @@ class ExpressionSpec extends AnyFunSuite {
     assert(r.getSeq[String](1) == Seq("a b c", "b c d"))
   }
 
+  test("SQL registration: round-5 composition operators usable from SQL ≡ Column API") {
+    GraftSession.tune(spark)
+    val r = spark.sql(
+      """SELECT graft_pii_redact('mail x@y.de at 1.2.3.4') AS red,
+        |       graft_hash_bucket('hello') AS b,
+        |       round(graft_dup_word_frac('a b a'), 6) AS dw""".stripMargin)
+      .collect()(0)
+    assert(r.getString(0) == "mail <EMAIL> at <IP>")
+    assert(r.getInt(1) == 0x5d) // md5("hello") = 5d41...
+    assert(r.getDouble(2) == 0.333333)
+    // the SQL templates must agree with the Column-API spellings
+    import graft.operators.{HashSplit, PiiScrub, Repetition}
+    val c = Seq(("mail x@y.de at 1.2.3.4", "hello", "a b a")).toDF("p", "h", "d")
+      .select(
+        PiiScrub.redact($"p").as("red"),
+        HashSplit.bucket($"h").as("b"),
+        round(Repetition.dupFrac(Repetition.words($"d")), 6).as("dw"))
+      .collect()(0)
+    assert(c.getString(0) == r.getString(0))
+    assert(c.getInt(1) == r.getInt(1))
+    assert(c.getDouble(2) == r.getDouble(2))
+  }
+
   test("native kernels: null input → null; interpreted eval matches codegen") {
     import graft.expressions.{Fingerprint64, ShingleSet}
     import org.apache.spark.sql.catalyst.expressions.Literal
