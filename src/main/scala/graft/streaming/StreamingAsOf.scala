@@ -34,34 +34,56 @@ object StreamingAsOf {
       right_ts: Option[Long]
   )
 
-  /** Pure per-group transition — unit-testable like GapSessionizer's. */
+  /** Pure per-group transition — unit-testable like GapSessionizer's.
+    * `timeoutMs > 0` arms a processing-time timeout after each batch that
+    * touches the key; a timed-out key's state is evicted (keys that went
+    * quiet stop costing memory — the knob that keeps state at O(ACTIVE
+    * keys) on a corpus where keys churn). A left row for an evicted key
+    * simply rejoins as unmatched, the same answer the batch operator gives
+    * when no right row precedes it in the retained window.
+    */
   def processGroup(
       key: Long,
       rows: Iterator[In],
-      state: GroupState[LastRight]
+      state: GroupState[LastRight],
+      timeoutMs: Long = 0L
   ): Iterator[Out] = {
-    val sorted = rows.toSeq.sortBy(e => (e.ts, e.side, e.id))
-    var last = state.getOption
-    val out = Seq.newBuilder[Out]
-    sorted.foreach { e =>
-      if (e.side == 0) {
-        if (last.forall(lr => e.ts > lr.ts || (e.ts == lr.ts && e.id > lr.id)))
-          last = Some(LastRight(e.ts, e.id))
-      } else {
-        out += Out(key, e.ts, e.id, last.map(_.id), last.map(_.ts))
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val sorted = rows.toSeq.sortBy(e => (e.ts, e.side, e.id))
+      var last = state.getOption
+      val out = Seq.newBuilder[Out]
+      sorted.foreach { e =>
+        if (e.side == 0) {
+          if (last.forall(lr => e.ts > lr.ts || (e.ts == lr.ts && e.id > lr.id)))
+            last = Some(LastRight(e.ts, e.id))
+        } else {
+          out += Out(key, e.ts, e.id, last.map(_.id), last.map(_.ts))
+        }
       }
+      last.foreach { lr =>
+        state.update(lr)
+        if (timeoutMs > 0) state.setTimeoutDuration(timeoutMs)
+      }
+      out.result().iterator
     }
-    last.foreach(state.update)
-    out.result().iterator
   }
 
-  def join(tagged: Dataset[In]): Dataset[Out] = {
+  /** `timeoutMs = 0` (default) keeps state forever (NoTimeout — what
+    * synchronous tests need: a timeout-bearing query never quiesces under
+    * `processAllAvailable`); production streams pass an idle-key TTL.
+    */
+  def join(tagged: Dataset[In], timeoutMs: Long = 0L): Dataset[Out] = {
     implicit val stateEnc = Encoders.product[LastRight]
     implicit val outEnc = Encoders.product[Out]
+    val timeoutConf =
+      if (timeoutMs > 0) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
     tagged
       .groupByKey(_.key)(Encoders.scalaLong)
-      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout)(
-        (k, it, st: GroupState[LastRight]) => processGroup(k, it, st)
+      .flatMapGroupsWithState(OutputMode.Append(), timeoutConf)(
+        (k, it, st: GroupState[LastRight]) => processGroup(k, it, st, timeoutMs)
       )
   }
 }

@@ -33,6 +33,23 @@ class StreamingAsOfSpec extends AnyFunSuite {
     assert(out2 == Seq(Out(1L, 200L, 11L, Some(21L), Some(100L))))
   }
 
+  test("idle-key timeout evicts state; later lefts rejoin unmatched") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val st = TestGroupState.create[StreamingAsOf.LastRight](
+      org.apache.spark.api.java.Optional.of(StreamingAsOf.LastRight(100L, 20L)),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = true)
+    assert(StreamingAsOf.processGroup(1L, Iterator.empty, st, 60000L).isEmpty)
+    assert(st.isRemoved)
+    // after eviction the key behaves like a fresh one
+    val st2 = TestGroupState.create[StreamingAsOf.LastRight](
+      org.apache.spark.api.java.Optional.empty[StreamingAsOf.LastRight](),
+      GroupStateTimeout.ProcessingTimeTimeout,
+      0L, org.apache.spark.api.java.Optional.empty[Long](), hasTimedOut = false)
+    val out = StreamingAsOf.processGroup(1L, Iterator(In(1L, 300L, 1, 30L)), st2, 60000L).toSeq
+    assert(out == Seq(Out(1L, 300L, 30L, None, None)))
+  }
+
   test("stream/batch parity with operators.AsOfJoin on a two-batch replay") {
     val rnd = new scala.util.Random(13)
     val rows = (1 to 600).map { i =>
