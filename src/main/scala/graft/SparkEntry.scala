@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AsOfJoin, Dedup, Featurize, GroupCap, HashSplit, Multimodal, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity}
+import graft.operators.{AsOfJoin, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, Multimodal, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -440,6 +440,16 @@ object SparkEntry {
         TF.stopwordRatio(col("text")).as("stopword_ratio"),
         TF.qualityScore(col("text")).as("quality_score")
       )
+    },
+    // benchmark decontamination: training docs (19/20 of the corpus) that
+    // share ≥2 distinct 3-shingles with any "benchmark" doc (the other
+    // 1/20) — shingle-explode + equi-join, never all-pairs
+    "q_decontaminate" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      Decontaminate.overlaps(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        minShared = 2)
     },
     // domain balancing: deterministic ≤50-docs-per-language cap, ranked by
     // md5(id) so the draw is stable across engines (operators.GroupCap)
@@ -1054,6 +1064,24 @@ object SparkEntry {
          |           + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
          |         AS DOUBLE), 4) AS DOUBLE) AS quality_score
          |FROM m""".stripMargin,
+    // same shingle construction as q_neardup_verify's oracle (proven ≡ the
+    // native ShingleSet kernel)
+    "q_decontaminate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $TokensSql AS toks FROM documents
+         |), d AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                             i -> array_to_string(toks[i:i+2], ' '))
+         |    END) AS sh
+         |  FROM t),
+         |tr AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % 20 <> 0),
+         |be AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d WHERE doc_id % 20 = 0)
+         |SELECT tr.doc_id, be.bench_id, count(*) AS n_shared
+         |FROM tr JOIN be USING (s)
+         |GROUP BY tr.doc_id, be.bench_id
+         |HAVING count(*) >= 2""".stripMargin,
     "q_group_cap" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Decontaminate
+
+class DecontaminateSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val bench = Seq(
+    (100L, "the quick brown fox jumps over the lazy dog")
+  ).toDF("doc_id", "text")
+
+  test("a training doc quoting the benchmark is flagged; unrelated docs are not") {
+    val train = Seq(
+      (1L, "we show that the quick brown fox jumps far"), // 3 shared shingles
+      (2L, "completely different words entirely here now"),
+      (3L, "the quick brown fox jumps over the lazy dog indeed") // near-copy
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.overlaps(train, bench, minShared = 3)
+      .select($"doc_id", $"bench_id", $"n_shared")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got.map(_._1) == Set(1L, 3L))
+    // doc 1: "the quick brown","quick brown fox","brown fox jumps"
+    assert(got.find(_._1 == 1L).get._3 == 3L)
+    // doc 3 contains all 7 benchmark shingles
+    assert(got.find(_._1 == 3L).get._3 == 7L)
+  }
+
+  test("clean() drops exactly the flagged docs") {
+    val train = Seq(
+      (1L, "we show that the quick brown fox jumps far"),
+      (2L, "completely different words entirely here now")
+    ).toDF("doc_id", "text")
+    val kept = Decontaminate.clean(train, bench, minShared = 3)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
+  test("threshold is respected (below minShared survives)") {
+    val train = Seq((1L, "the quick brown cat sat still")).toDF("doc_id", "text")
+    // shares only "the quick brown"
+    assert(Decontaminate.overlaps(train, bench, minShared = 2).count() == 0)
+    assert(Decontaminate.overlaps(train, bench, minShared = 1).count() == 1)
+  }
+}
