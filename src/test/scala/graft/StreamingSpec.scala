@@ -193,4 +193,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(kv.get("current_metrics").exists(_.contains("\"total_purchases\":2")))
     assert(kv.get("conversion_rate").contains("100.0"))
   }
+
+  test("stateless curation ops (PiiScrub, HashSplit, Repetition) compose on a stream") {
+    // the curation projections are shuffle-free, so the SAME Column code
+    // runs unchanged on a streaming frame — the property that lets one
+    // pipeline definition serve both the batch backfill and the live feed
+    import graft.operators.{HashSplit, PiiScrub, Repetition}
+    val dir = Files.createTempDirectory("graft-curate-in")
+    val cp = Files.createTempDirectory("graft-curate-cp").toString
+    Files.write(dir.resolve("b0.csv"),
+      "1\tmail me at a@b.io today\n2\tclean text here here".getBytes)
+    val raw = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("sep", "\t")
+      .csv(dir.toString)
+    val out = raw.select(
+      org.apache.spark.sql.functions.col("doc_id"),
+      PiiScrub.emailCount(org.apache.spark.sql.functions.col("text")).as("n_emails"),
+      Repetition.dupFrac(Repetition.words(org.apache.spark.sql.functions.col("text")))
+        .as("dup_word_frac"),
+      HashSplit.split(org.apache.spark.sql.functions.col("text")).as("split"))
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("curate_out").option("checkpointLocation", cp).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val rows = spark.sql("SELECT doc_id, n_emails, dup_word_frac, split FROM curate_out")
+      .as[(Long, Int, Double, String)].collect().sortBy(_._1)
+    assert(rows.length == 2)
+    assert(rows(0)._2 == 1 && rows(1)._2 == 0)
+    assert(rows(1)._3 > 0.0) // "here here" repeats
+    assert(Set("train", "val", "test").contains(rows(0)._4))
+  }
 }
