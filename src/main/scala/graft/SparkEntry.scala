@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AsOfJoin, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, Multimodal, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity}
+import graft.operators.{AsOfJoin, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, LmScore, Multimodal, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -440,6 +440,12 @@ object SparkEntry {
         TF.stopwordRatio(col("text")).as("stopword_ratio"),
         TF.qualityScore(col("text")).as("quality_score")
       )
+    },
+    // bigram-LM perplexity-style quality score (self-scored corpus LM,
+    // add-1 smoothing) — the KenLM-filter shape (operators.LmScore)
+    "q_lm_score" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      LmScore.score(docs, docs)
     },
     // benchmark decontamination: training docs (19/20 of the corpus) that
     // share ≥2 distinct 3-shingles with any "benchmark" doc (the other
@@ -1064,6 +1070,23 @@ object SparkEntry {
          |           + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
          |         AS DOUBLE), 4) AS DOUBLE) AS quality_score
          |FROM m""".stripMargin,
+    "q_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |pos AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                 i -> toks[i] || ' ' || toks[i + 1])) AS b
+         |  FROM t),
+         |uni AS (SELECT w, count(*) AS cu
+         |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |bi AS (SELECT b, count(*) AS cb FROM pos GROUP BY b),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |      FROM (SELECT unnest(toks) AS w FROM t))
+         |SELECT pos.doc_id, count(*) AS n_bigrams,
+         |       round(avg(ln((bi.cb + 1.0) / (uni.cu + 1.0 * v.v))), 6) AS avg_logp
+         |FROM pos JOIN bi USING (b)
+         |         JOIN uni ON uni.w = split_part(pos.b, ' ', 1)
+         |         CROSS JOIN v
+         |GROUP BY pos.doc_id""".stripMargin,
     // same shingle construction as q_neardup_verify's oracle (proven ≡ the
     // native ShingleSet kernel)
     "q_decontaminate" ->

@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextFunctions
+
+/** Bigram language-model quality scoring — the KenLM-style perplexity
+  * filter of LLM data curation: score every document by the average
+  * add-k-smoothed bigram log-probability under an LM counted from a
+  * reference corpus, and drop the tail (gibberish, boilerplate, wrong
+  * language all score low).
+  *
+  * Scale shape: two count aggregations build the LM (one shuffle each);
+  * scoring explodes documents to bigram positions and joins the LM tables
+  * back. At corpus scale the LM tables are pruned with `minCount` (hapax
+  * n-grams are noise anyway), which keeps them broadcastable — the scoring
+  * join then never shuffles the corpus. Probabilities:
+  * P(w2|w1) = (c(w1 w2) + k) / (c(w1) + k·V), V = |vocab|.
+  */
+object LmScore {
+
+  /** Bigram position strings ("w1 w2", duplicates kept — these are
+    * positions, not types) from a token array.
+    */
+  def bigramPositions(toks: Column): Column = {
+    val n = size(toks)
+    zip_with(slice(toks, lit(1), greatest(n - 1, lit(0))),
+      slice(toks, lit(2), greatest(n - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b))
+  }
+
+  /** (doc_id, n_bigrams, avg_logp) for every document with ≥1 bigram,
+    * scored against an LM counted from `lm` (pass the same frame to
+    * self-score a corpus, or a clean reference corpus to filter against).
+    * `minCount` prunes LM entries below the threshold (0-count smoothing
+    * then applies to pruned positions via the left joins).
+    */
+  def score(
+      docs: DataFrame,
+      lm: DataFrame,
+      k: Double = 1.0,
+      minCount: Long = 1L,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val toksOf = (df: DataFrame) =>
+      df.select(col(idCol), TextFunctions.tokens(col(textCol)).as("toks"))
+    val lmToks = toksOf(lm)
+    val unis = lmToks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .filter(col("cu") >= minCount)
+    val bis = lmToks.select(explode(bigramPositions(col("toks"))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+    // V from the unpruned vocab: smoothing mass shouldn't depend on pruning
+    val vocab = lmToks.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+
+    toksOf(docs)
+      .select(col(idCol), explode(bigramPositions(col("toks"))).as("b"))
+      .join(bis, Seq("b"), "left")
+      .withColumn("w1", substring_index(col("b"), " ", 1))
+      .join(unis.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        log((coalesce(col("cb"), lit(0L)) + lit(k)) /
+          (coalesce(col("cu"), lit(0L)) + lit(k) * col("v"))).as("logp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 6).as("avg_logp"))
+  }
+}
