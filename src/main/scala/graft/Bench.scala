@@ -36,8 +36,10 @@ object Bench {
       // persist) and the RDD blocks MLlib fits (ALS/KMeans/RF) leave
       // persisted, so no query's memory pinning bleeds into the next one's
       // measurement. Cleanup cost is excluded from the per-query time.
+      // blocking: eviction must finish OUTSIDE this query's timed region,
+      // not race into the next one's
       spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       name -> dt
     }
     val qs = results

@@ -63,6 +63,8 @@ object GraftSession {
     // Column-API equality so the two spellings can't drift.
     def template(sqlText: String): Seq[org.apache.spark.sql.catalyst.expressions.Expression] =>
         org.apache.spark.sql.catalyst.expressions.Expression = { exprs =>
+      require(exprs.length == 1,
+        s"graft template functions take exactly 1 argument, got ${exprs.length}")
       spark.sessionState.sqlParser.parseExpression(sqlText).transformUp {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
             if a.name.equalsIgnoreCase("__arg__") => exprs.head

@@ -711,8 +711,10 @@ object SparkEntry {
       |  FROM cut GROUP BY user_session
       |)""".stripMargin
 
+  // \s+ split to mirror TextFunctions.tokens exactly — string_split on a
+  // single space would silently diverge on tabs/newlines inside text
   private val TokensSql =
-    "list_filter(string_split(lower(trim(text)), ' '), x -> len(x) > 0)"
+    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
   private val StopSql =
     "['the','a','of','and','to','in','is','it','that','for']"
 

@@ -53,13 +53,20 @@ object AsOfJoin {
       lit(null).cast(rOrdType).as("_rord"),
       struct(leftOther.map(col): _*).as("_lrow")
     )
-    val r = right.select(
-      col(keyCol), col(tsCol),
-      lit(0).as("_side"),
-      struct(payload.map(col): _*).as("_payload"),
-      col(rightOrderCol).as("_rord"),
-      lit(null).cast(lRowType).as("_lrow")
-    )
+    // null-key and null-ts right rows can never legitimately match
+    // ("right.ts <= left.ts" is unknowable) — without this filter, null-ts
+    // rows sort to the partition front (nulls-first asc) and would attach
+    // to every left row. Null-key/ts LEFT rows still emit, unmatched, like
+    // any left join.
+    val r = right
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
+      .select(
+        col(keyCol), col(tsCol),
+        lit(0).as("_side"),
+        struct(payload.map(col): _*).as("_payload"),
+        col(rightOrderCol).as("_rord"),
+        lit(null).cast(lRowType).as("_lrow")
+      )
     val w = Window
       .partitionBy(col(keyCol))
       .orderBy(col(tsCol), col("_side"), col("_rord"))

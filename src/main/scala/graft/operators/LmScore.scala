@@ -21,14 +21,10 @@ import graft.functions.TextFunctions
 object LmScore {
 
   /** Bigram position strings ("w1 w2", duplicates kept — these are
-    * positions, not types) from a token array.
+    * positions, not types) from a token array. One construction shared with
+    * the repetition filters so the two can't drift.
     */
-  def bigramPositions(toks: Column): Column = {
-    val n = size(toks)
-    zip_with(slice(toks, lit(1), greatest(n - 1, lit(0))),
-      slice(toks, lit(2), greatest(n - 1, lit(0))),
-      (a, b) => concat(a, lit(" "), b))
-  }
+  def bigramPositions(toks: Column): Column = Repetition.bigrams(toks)
 
   /** (doc_id, n_bigrams, avg_logp) for every document with ≥1 bigram,
     * scored against an LM counted from `lm` (pass the same frame to
@@ -57,11 +53,15 @@ object LmScore {
     val vocab = lmToks.select(explode(col("toks")).as("w"))
       .agg(countDistinct(col("w")).as("v"))
 
+    // with minCount pruning the LM tables are bounded (hapax mass removed)
+    // — broadcast them so the exploded corpus never shuffles; unpruned LMs
+    // can exceed executor memory, so leave those to AQE's own choice
+    val maybeBroadcast = (df: DataFrame) => if (minCount > 1L) broadcast(df) else df
     toksOf(docs)
       .select(col(idCol), explode(bigramPositions(col("toks"))).as("b"))
-      .join(bis, Seq("b"), "left")
+      .join(maybeBroadcast(bis), Seq("b"), "left")
       .withColumn("w1", substring_index(col("b"), " ", 1))
-      .join(unis.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+      .join(maybeBroadcast(unis.withColumnRenamed("w", "w1")), Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col(idCol),
         log((coalesce(col("cb"), lit(0L)) + lit(k)) /

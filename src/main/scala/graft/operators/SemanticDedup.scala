@@ -64,18 +64,24 @@ object SemanticDedup {
       vecCol: String = "embedding",
       maxClusterSize: Int = 10000
   ): DataFrame = {
+    // Oversized clusters are TRUNCATED to their maxClusterSize smallest ids
+    // (not dropped whole): the self-join stays bounded quadratic while the
+    // retained rows keep finding their duplicates — dropping the entire
+    // cluster would lose recall precisely where duplicates are densest.
     val capped = assigned
-      .withColumn("cluster_n", count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .filter(col("cluster_n") <= maxClusterSize)
-      .drop("cluster_n")
+      .withColumn("_cr",
+        row_number().over(Window.partitionBy(col("cluster_id")).orderBy(col(idCol))))
+      .filter(col("_cr") <= maxClusterSize)
+      .drop("_cr")
     val l = capped.select(col("cluster_id"), col(idCol).as("id1"), col(vecCol).as("v1"))
     val r = capped.select(col("cluster_id"), col(idCol).as("id2"), col(vecCol).as("v2"))
+    // each id lives in exactly one cluster, so every (id1, id2) pair is
+    // produced at most once — no dedup aggregation needed (unlike the
+    // multi-bucket LSH pairs, which must groupBy)
     l.join(r, Seq("cluster_id"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), cosine(col("v1"), col("v2")).as("cos"))
       .filter(col("cos") >= threshold)
-      .groupBy(col("id1"), col("id2"))
-      .agg(max(col("cos")).as("cos"))
   }
 
   /** The deduplicated corpus: every row of `df` that does NOT have a

@@ -50,6 +50,21 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(!plan.toLowerCase.contains("join"), s"union-scan spelling must not join:\n$plan")
   }
 
+  test("null-ts right rows never match; null-key/ts lefts emit unmatched") {
+    val l = Seq(
+      (Option(1L), Option(100L), 10L),
+      (Option.empty[Long], Option(50L), 11L), // null key
+      (Option(1L), Option.empty[Long], 12L) // null ts
+    ).toDF("user_id", "ts", "purchase_id")
+    val r = Seq(
+      (Option(1L), Option.empty[Long], 20L), // null ts — must never attach
+      (Option.empty[Long], Option(10L), 21L) // null key — must never attach
+    ).toDF("user_id", "ts", "view_id").withColumn("view_ts", col("ts"))
+    val got = AsOfJoin.asOf(l, r, "user_id", "ts", "view_id", Seq("view_id", "view_ts"))
+      .select($"purchase_id", $"view_id").as[(Long, Option[Long])].collect().toSet
+    assert(got == Set((10L, None), (11L, None), (12L, None)))
+  }
+
   test("agrees with the naive range-join spelling on random data") {
     val rnd = new scala.util.Random(11)
     val left = (1 to 300).map(i => (rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, i.toLong))
