@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AsOfJoin, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, LmScore, Multimodal, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity}
+import graft.operators.{AsOfJoin, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, LmScore, Multimodal, Packing, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -440,6 +440,11 @@ object SparkEntry {
         TF.stopwordRatio(col("text")).as("stopword_ratio"),
         TF.qualityScore(col("text")).as("quality_score")
       )
+    },
+    // GPT-style concat-and-split packing index: per-doc start offset /
+    // sequence assignment in 512-token windows, packed per language shard
+    "q_packing" -> { (s, d) =>
+      Packing.packingIndex(Tables(s, d).documents, seqLen = 512)
     },
     // bigram-LM perplexity-style quality score (self-scored corpus LM,
     // add-1 smoothing) — the KenLM-filter shape (operators.LmScore)
@@ -1072,6 +1077,23 @@ object SparkEntry {
          |           + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
          |         AS DOUBLE), 4) AS DOUBLE) AS quality_score
          |FROM m""".stripMargin,
+    "q_packing" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, lang, CAST(len($TokensSql) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |o AS (
+         |  SELECT doc_id, lang, n_tokens,
+         |         sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+         |                             ROWS UNBOUNDED PRECEDING) - n_tokens
+         |           AS start_offset
+         |  FROM t)
+         |SELECT doc_id, lang, n_tokens,
+         |       CAST(start_offset AS BIGINT) AS start_offset,
+         |       CAST(floor(start_offset / 512) AS BIGINT) AS seq_idx,
+         |       n_tokens > 0 AND
+         |         floor((start_offset + n_tokens - 1) / 512)
+         |           <> floor(start_offset / 512) AS straddles
+         |FROM o""".stripMargin,
     "q_lm_score" ->
       s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
          |pos AS (
