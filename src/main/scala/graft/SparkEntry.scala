@@ -528,6 +528,23 @@ object SparkEntry {
     "q_tfidf_top_terms" -> { (s, d) =>
       graft.operators.TfIdf.topTerms(Tables(s, d).documents, k = 3)
     },
+    // tokenizer-vocab seeding: freq-ranked deterministic token ids over the
+    // minCount-pruned vocabulary (operators.Vocab)
+    "q_vocab" -> { (s, d) =>
+      graft.operators.Vocab.build(Tables(s, d).documents, minCount = 2L)
+    },
+    // per-source curation report — the rollup a corpus dashboard reads:
+    // volume, language spread, exact-dup pressure, repetition level
+    "q_source_rollup" -> { (s, d) =>
+      Tables(s, d).documents.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).as("n_langs"),
+        sum(TF.tokenCount(col("text")).cast("long")).as("total_tokens"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"),
+        round(avg(Repetition.dupFrac(Repetition.words(col("text")))), 6)
+          .as("avg_dup_word_frac")
+      )
+    },
     "q_label_centroids" -> { (s, d) =>
       Similarity.labelCentroids(Tables(s, d).embeddings)
         .withColumn("centroid_val", round(col("centroid_val"), 6))
@@ -1077,6 +1094,26 @@ object SparkEntry {
          |           + (CASE WHEN avg_token_len BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.4 END) * 0.2
          |         AS DOUBLE), 4) AS DOUBLE) AS quality_score
          |FROM m""".stripMargin,
+    "q_vocab" ->
+      s"""WITH w AS (SELECT unnest($TokensSql) AS word FROM documents),
+         |c AS (SELECT word, count(*) AS n FROM w GROUP BY word HAVING count(*) >= 2)
+         |SELECT word, n,
+         |       CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS token_id
+         |FROM c""".stripMargin,
+    "q_source_rollup" ->
+      s"""WITH t AS (
+         |  SELECT source, lang, md5(text) AS h,
+         |         CAST(len($TokensSql) AS BIGINT) AS n_toks,
+         |         CASE WHEN len(ws) = 0 THEN 0.0
+         |              ELSE 1 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END AS dwf
+         |  FROM (SELECT *, list_filter(regexp_split_to_array(lower(text), '\\s+'),
+         |                              x -> x <> '') AS ws
+         |        FROM documents))
+         |SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
+         |       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+         |       count(*) - count(DISTINCT h) AS dup_docs,
+         |       round(avg(dwf), 6) AS avg_dup_word_frac
+         |FROM t GROUP BY source""".stripMargin,
     "q_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, CAST(len($TokensSql) AS BIGINT) AS n_tokens

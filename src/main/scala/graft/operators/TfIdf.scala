@@ -55,3 +55,30 @@ object TfIdf {
       .select(col(idCol), col("rank"), col("word"), round(col("tfidf"), 6).as("tfidf"))
   }
 }
+
+/** Frequency-ranked vocabulary construction — the seeding step of
+  * WordPiece/SentencePiece-style tokenizer training: distinct tokens with
+  * corpus counts and a deterministic dense id (rank by count desc, then
+  * token asc, so id assignment is reproducible across runs and engines).
+  *
+  * Scale shape: the count aggregate is a distributed shuffle over all
+  * token occurrences; the ranking window then runs over the PRUNED vocab
+  * only (`minCount` removes the hapax long tail — by Heaps' law the
+  * surviving vocabulary is sub-linear in corpus size and the global
+  * ordering is a small job, not a corpus-wide single-partition sort).
+  */
+object Vocab {
+
+  def build(
+      docs: DataFrame,
+      minCount: Long = 1L,
+      textCol: String = "text"
+  ): DataFrame = {
+    val counts = docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    counts.withColumn("token_id",
+      row_number().over(Window.orderBy(col("n").desc, col("word"))))
+  }
+}
