@@ -403,9 +403,7 @@ object SparkEntry {
           substring(col("c_name"), 1, 8).as("name_prefix"))
     },
     "q_word_freq" -> { (s, d) =>
-      Tables(s, d).documents
-        .select(explode(TF.tokens(col("text"))).as("word"))
-        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      graft.operators.Vocab.wordCounts(Tables(s, d).documents)
         .orderBy(col("n").desc, col("word"))
         .limit(20)
     },
@@ -536,14 +534,18 @@ object SparkEntry {
     // per-source curation report — the rollup a corpus dashboard reads:
     // volume, language spread, exact-dup pressure, repetition level
     "q_source_rollup" -> { (s, d) =>
-      Tables(s, d).documents.groupBy(col("source")).agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("lang")).as("n_langs"),
-        sum(TF.tokenCount(col("text")).cast("long")).as("total_tokens"),
-        (count(lit(1)) - countDistinct(md5(col("text")))).as("dup_docs"),
-        round(avg(Repetition.dupFrac(Repetition.words(col("text")))), 6)
-          .as("avg_dup_word_frac")
-      )
+      // tokenize once per row (one projected toks column feeds both the
+      // token total and the repetition metric — single tokenizer spelling)
+      Tables(s, d).documents
+        .select(col("source"), col("lang"), md5(col("text")).as("h"),
+          TF.tokens(col("text")).as("toks"))
+        .groupBy(col("source")).agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(size(col("toks")).cast("long")).as("total_tokens"),
+          (count(lit(1)) - countDistinct(col("h"))).as("dup_docs"),
+          round(avg(Repetition.dupFrac(col("toks"))), 6).as("avg_dup_word_frac")
+        )
     },
     "q_label_centroids" -> { (s, d) =>
       Similarity.labelCentroids(Tables(s, d).embeddings)
@@ -1103,12 +1105,10 @@ object SparkEntry {
     "q_source_rollup" ->
       s"""WITH t AS (
          |  SELECT source, lang, md5(text) AS h,
-         |         CAST(len($TokensSql) AS BIGINT) AS n_toks,
+         |         CAST(len(ws) AS BIGINT) AS n_toks,
          |         CASE WHEN len(ws) = 0 THEN 0.0
          |              ELSE 1 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) END AS dwf
-         |  FROM (SELECT *, list_filter(regexp_split_to_array(lower(text), '\\s+'),
-         |                              x -> x <> '') AS ws
-         |        FROM documents))
+         |  FROM (SELECT *, $TokensSql AS ws FROM documents))
          |SELECT source, count(*) AS n_docs, count(DISTINCT lang) AS n_langs,
          |       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
          |       count(*) - count(DISTINCT h) AS dup_docs,

@@ -69,16 +69,22 @@ object TfIdf {
   */
 object Vocab {
 
+  /** Corpus-wide (word, n) occurrence counts — the shared aggregation
+    * behind word-frequency reports and vocab construction (one spelling,
+    * so token-count semantics can't drift between them).
+    */
+  def wordCounts(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs
+      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+
   def build(
       docs: DataFrame,
       minCount: Long = 1L,
       textCol: String = "text"
-  ): DataFrame = {
-    val counts = docs
-      .select(explode(TextFunctions.tokens(col(textCol))).as("word"))
-      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+  ): DataFrame =
+    wordCounts(docs, textCol)
       .filter(col("n") >= minCount)
-    counts.withColumn("token_id",
-      row_number().over(Window.orderBy(col("n").desc, col("word"))))
-  }
+      .withColumn("token_id",
+        row_number().over(Window.orderBy(col("n").desc, col("word"))))
 }
