@@ -248,6 +248,79 @@ object SparkEntry {
           count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("low_line_count")
         )
     },
+    // TPC-H q7 shape: bidirectional nation-pair trade volume by year —
+    // the double-aliased dimension join (same nation table under two roles)
+    "q7_volume_shipping" -> { (s, d) =>
+      val t = Tables(s, d)
+      val n1 = t.nation.select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = t.nation.select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      t.supplier
+        .join(t.lineitem, col("l_suppkey") === col("s_suppkey"))
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter(
+          ((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")) &&
+            col("l_shipdate").between(
+              expr("TIMESTAMP '1996-01-01 00:00:00'"), expr("TIMESTAMP '1997-12-31 00:00:00'")))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(Money.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    },
+    // TPC-H q8 shape: one nation's share of a region's PROMO-part revenue
+    // by year — conditional-sum ratio in exact integer micros (q14 pattern)
+    "q8_market_share" -> { (s, d) =>
+      val t = Tables(s, d)
+      val region0Nations = broadcast(
+        t.nation.join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("c_nkey")))
+      val suppNation = broadcast(
+        t.nation.select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+      val volU = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e6), 0)
+        .cast("long")
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate").between(
+          expr("TIMESTAMP '1996-01-01 00:00:00'"), expr("TIMESTAMP '1997-12-31 00:00:00'")))
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .join(region0Nations, col("c_nationkey") === col("c_nkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", volU).otherwise(0L)).cast("double") /
+            sum(volU), 6).as("mkt_share"))
+    },
+    // TPC-H q13 shape: distribution of customers by order count (left join
+    // so zero-order customers land in the c_count=0 bucket)
+    "q13_customer_distribution" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    // TPC-H q18 shape: top large orders by total quantity (group-filter on
+    // an aggregate, then enrich through orders/customer)
+    "q18_large_orders" -> { (s, d) =>
+      val t = Tables(s, d)
+      val big = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(Money.moneySum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      big
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(100)
+    },
     "q14_promo_effect" -> { (s, d) =>
       val t = Tables(s, d)
       t.lineitem
@@ -916,6 +989,50 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY l_linestatus""".stripMargin,
+    "q7_volume_shipping" ->
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         |       CAST(year(l_shipdate) AS INT) AS l_year,
+         |       ${Money.sumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM supplier, lineitem, orders, customer, nation n1, nation n2
+         |WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+         |  AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+         |  AND c_nationkey = n2.n_nationkey
+         |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+         |  AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+         |                     AND TIMESTAMP '1997-12-31 00:00:00'
+         |GROUP BY n1.n_name, n2.n_name, year(l_shipdate)""".stripMargin,
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |       round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |               THEN CAST(round((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)
+        |               ELSE 0 END) AS DOUBLE)
+        |         / sum(CAST(round((l_extendedprice * (1 - l_discount)) * 1e6) AS BIGINT)), 6)
+        |         AS mkt_share
+        |FROM lineitem, part, orders, customer, supplier, nation n1, nation n2, region
+        |WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+        |  AND o_orderkey = l_orderkey
+        |  AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+        |                      AND TIMESTAMP '1997-12-31 00:00:00'
+        |  AND c_custkey = o_custkey AND c_nationkey = n1.n_nationkey
+        |  AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |  AND l_suppkey = s_suppkey AND s_nationkey = n2.n_nationkey
+        |GROUP BY year(o_orderdate)""".stripMargin,
+    "q13_customer_distribution" ->
+      """WITH per_cust AS (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |SELECT c_count, count(*) AS custdist FROM per_cust GROUP BY c_count""".stripMargin,
+    "q18_large_orders" ->
+      s"""WITH big AS (
+         |  SELECT l_orderkey, ${Money.sumSql("l_quantity")} AS total_qty
+         |  FROM lineitem GROUP BY l_orderkey
+         |  HAVING ${Money.sumSql("l_quantity")} > 150.0)
+         |SELECT c_name, c_custkey, o_orderkey, o_totalprice, total_qty
+         |FROM big JOIN orders ON o_orderkey = l_orderkey
+         |         JOIN customer ON c_custkey = o_custkey
+         |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
     "q14_promo_effect" ->
       """SELECT round(100.0 *
         |         sum(CASE WHEN p_type = 'PROMO'
