@@ -42,7 +42,12 @@ def canon_val(v):
         return str(int(v))
     if isinstance(v, (float, np.floating)):
         f = float(v)
-        return "NaN" if math.isnan(f) else f"{f:.6g}"
+        # repr = shortest round-trip: bit-faithful like the driver's compare.
+        # %.6g (used through round 5) hid a +/-1e3 absolute delta on ~1e14
+        # values (q_asof_attribution, driver-red/local-green round 5) —
+        # rounding discipline must live in the queries (round(_, 6) both
+        # sides), never in the gate.
+        return "NaN" if math.isnan(f) else repr(f)
     return str(v)
 
 

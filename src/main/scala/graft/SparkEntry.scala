@@ -584,17 +584,24 @@ object SparkEntry {
     },
     // as-of join: each purchase attributed to the user's most recent
     // at-or-before view, via the one-shuffle union-scan spelling
-    // (operators.AsOfJoin; exact nanos time so tie semantics are testable)
+    // (operators.AsOfJoin). Time axis is MICROSECONDS on both sides:
+    // DuckDB 1.0 truncates parquet TIMESTAMP(NANOS) to micros at scan
+    // (every epoch_ns(ts) % 1000 = 0), so an oracle over nanos is
+    // unreachable — and ordering must use the truncated value too, or a
+    // micro-level tie the nanos disambiguated picks different views per
+    // engine. Integer DIV, not /: ts_ns ~1e18 exceeds double's 2^53.
     "q_asof_attribution" -> { (s, d) =>
       val ev = Tables(s, d).events
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_ns"), col("event_id").as("purchase_id"))
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+          col("event_id").as("purchase_id"))
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts_ns"), col("event_id").as("view_id"),
-          col("ts_ns").as("view_ts_ns"))
-      AsOfJoin.asOf(purchases, views, "user_id", "ts_ns", "view_id", Seq("view_id", "view_ts_ns"))
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+          col("event_id").as("view_id"),
+          expr("ts_ns DIV 1000").as("view_ts_us"))
+      AsOfJoin.asOf(purchases, views, "user_id", "ts_us", "view_id", Seq("view_id", "view_ts_us"))
         .select(col("purchase_id"), col("user_id"), col("view_id"),
-          (col("ts_ns") - col("view_ts_ns")).as("gap_ns"))
+          (col("ts_us") - col("view_ts_us")).as("gap_us"))
     },
     "q_tfidf_top_terms" -> { (s, d) =>
       graft.operators.TfIdf.topTerms(Tables(s, d).documents, k = 3)
@@ -1368,18 +1375,21 @@ object SparkEntry {
         |FROM b LEFT JOIN top ON b.doc_id = top.doc_id""".stripMargin,
     // as-of semantics stated directly: the rn=1 row of all at-or-before
     // views (all-pairs per key is fine at oracle scale; the Spark side's
-    // union-scan spelling is the one that scales)
+    // union-scan spelling is the one that scales). Micros on both sides:
+    // DuckDB's parquet scan already truncated TIMESTAMP(NANOS) to micros,
+    // so epoch_ns(ts) // 1000 is exact here, and the Spark side feeds
+    // ts_ns DIV 1000 to the join so the time axes agree bit-for-bit.
     "q_asof_attribution" ->
-      """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) AS tns
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_ns(ts) // 1000 AS tus
         |           FROM events WHERE event_type = 'purchase'),
-        |v AS (SELECT event_id AS view_id, user_id, epoch_ns(ts) AS tns
+        |v AS (SELECT event_id AS view_id, user_id, epoch_ns(ts) // 1000 AS tus
         |      FROM events WHERE event_type = 'view'),
         |j AS (
-        |  SELECT p.purchase_id, p.user_id, v.view_id, p.tns - v.tns AS gap_ns,
+        |  SELECT p.purchase_id, p.user_id, v.view_id, p.tus - v.tus AS gap_us,
         |         row_number() OVER (PARTITION BY p.purchase_id
-        |                            ORDER BY v.tns DESC, v.view_id DESC) AS rn
-        |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.tns <= p.tns)
-        |SELECT purchase_id, user_id, view_id, gap_ns FROM j WHERE rn = 1""".stripMargin,
+        |                            ORDER BY v.tus DESC, v.view_id DESC) AS rn
+        |  FROM p LEFT JOIN v ON v.user_id = p.user_id AND v.tus <= p.tus)
+        |SELECT purchase_id, user_id, view_id, gap_us FROM j WHERE rn = 1""".stripMargin,
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,

@@ -65,6 +65,32 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Set((10L, None), (11L, None), (12L, None)))
   }
 
+  test("micros truncation ties: view_id DESC decides, not the lost nanos") {
+    // q_asof_attribution runs on ts_ns DIV 1000 (DuckDB truncates parquet
+    // TIMESTAMP(NANOS) to micros at scan, so micros is the shared time
+    // axis). Two views in the SAME microsecond — nanos order 20 before 21,
+    // so nanos-axis as-of would pick 21 by recency while a truncation that
+    // kept nanos ordering hidden in the sort could pick either. Pin the
+    // oracle's rule: among equal micros the larger view_id wins, on both
+    // the earlier-nanos and later-nanos layouts.
+    val purchases = Seq((1L, 1_000_002_500L, 10L), (2L, 1_000_002_500L, 11L))
+      .toDF("user_id", "ts_ns", "purchase_id")
+    val views = Seq(
+      (1L, 1_000_001_100L, 20L), // micro 1_000_001, earlier nanos
+      (1L, 1_000_001_900L, 21L), // micro 1_000_001, later nanos
+      (2L, 1_000_001_900L, 30L), // micro 1_000_001, later nanos
+      (2L, 1_000_001_100L, 31L)  // micro 1_000_001, earlier nanos but larger id
+    ).toDF("user_id", "ts_ns", "view_id")
+    def us(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("ts", expr("ts_ns DIV 1000")).drop("ts_ns")
+    val got = AsOfJoin.asOf(
+      us(purchases), us(views).withColumn("view_ts", col("ts")),
+      "user_id", "ts", "view_id", Seq("view_id", "view_ts"))
+      .select($"purchase_id", $"view_id").as[(Long, Option[Long])].collect().toSet
+    // larger view_id wins the micro-tie regardless of which nanos came last
+    assert(got == Set((10L, Some(21L)), (11L, Some(31L))))
+  }
+
   test("agrees with the naive range-join spelling on random data") {
     val rnd = new scala.util.Random(11)
     val left = (1 to 300).map(i => (rnd.nextInt(10).toLong, rnd.nextInt(1000).toLong, i.toLong))
