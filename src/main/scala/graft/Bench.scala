@@ -40,6 +40,10 @@ object Bench {
       // not race into the next one's
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      // settle GC debt outside the timed region too: a heap-heavy query's
+      // collection otherwise lands in the NEXT query's wall-clock (the
+      // r05 q_json_extract 12x spike sat right after the heaviest query)
+      System.gc()
       name -> dt
     }
     val qs = results

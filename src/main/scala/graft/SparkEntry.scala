@@ -523,6 +523,14 @@ object SparkEntry {
       val docs = Tables(s, d).documents
       LmScore.score(docs, docs)
     },
+    // stateless twin: pruned LM collected into map literals, scoring is a
+    // single zero-shuffle projection (the live-feed spelling — runs
+    // unchanged on a stream in append mode with no state; see
+    // LmScore.scoreStateless scaladoc for the driver-collect bound)
+    "q_lm_score_stateless" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      LmScore.scoreStateless(docs, docs, minCount = 2L)
+    },
     // benchmark decontamination: training docs (19/20 of the corpus) that
     // share ≥2 distinct 3-shingles with any "benchmark" doc (the other
     // 1/20) — shingle-explode + equi-join, never all-pairs
@@ -1270,6 +1278,29 @@ object SparkEntry {
          |       round(avg(ln((bi.cb + 1.0) / (uni.cu + 1.0 * v.v))), 6) AS avg_logp
          |FROM pos JOIN bi USING (b)
          |         JOIN uni ON uni.w = split_part(pos.b, ' ', 1)
+         |         CROSS JOIN v
+         |GROUP BY pos.doc_id""".stripMargin,
+    // pruned twin of q_lm_score: uni/bi HAVING >= 2, LEFT joins so pruned
+    // positions fall back to 0-count smoothing (V stays unpruned) — the
+    // same math LmScore.scoreStateless ships as map literals
+    "q_lm_score_stateless" ->
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |pos AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                 i -> toks[i] || ' ' || toks[i + 1])) AS b
+         |  FROM t),
+         |uni AS (SELECT w, count(*) AS cu
+         |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+         |        HAVING count(*) >= 2),
+         |bi AS (SELECT b, count(*) AS cb FROM pos GROUP BY b
+         |       HAVING count(*) >= 2),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |      FROM (SELECT unnest(toks) AS w FROM t))
+         |SELECT pos.doc_id, count(*) AS n_bigrams,
+         |       round(avg(ln((coalesce(bi.cb, 0) + 1.0) /
+         |                    (coalesce(uni.cu, 0) + 1.0 * v.v))), 6) AS avg_logp
+         |FROM pos LEFT JOIN bi USING (b)
+         |         LEFT JOIN uni ON uni.w = split_part(pos.b, ' ', 1)
          |         CROSS JOIN v
          |GROUP BY pos.doc_id""".stripMargin,
     // same shingle construction as q_neardup_verify's oracle (proven ≡ the

@@ -69,4 +69,67 @@ object LmScore {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_bigrams"), round(avg(col("logp")), 6).as("avg_logp"))
   }
+
+  /** Stateless per-row twin of [[score]]: the minCount-pruned LM tables are
+    * collected once and shipped into the plan as map literals, so scoring
+    * is a single zero-shuffle projection — no explode, no join, no
+    * aggregation. That is the spelling a LIVE FEED needs: it runs unchanged
+    * on a streaming frame in append mode with no watermark and no state
+    * store (the batch `score` ends in a streaming aggregation there), and
+    * the LM rides along as a broadcast model artifact the way a trained
+    * filter model would.
+    *
+    * The driver collect is bounded by construction — `minCount` must prune
+    * (require > 1), which caps the tables at the non-hapax mass. One honest
+    * caveat: Spark evaluates map-literal lookups by linear scan, so keep
+    * the pruned LM in the low thousands of entries; past that, the
+    * broadcast-JOIN spelling in [[score]] is the scale path.
+    *
+    * Math and output are identical to [[score]] (same bigram positions,
+    * same add-k smoothing, docs with zero bigrams dropped); per-document
+    * averaging folds the positions in array order, which is the same order
+    * the exploded rows reach `avg`, so the parity is exact, not approximate
+    * (pinned by LmScoreSpec and the streaming batch-parity spec).
+    */
+  def scoreStateless(
+      docs: DataFrame,
+      lm: DataFrame,
+      k: Double = 1.0,
+      minCount: Long = 2L,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    require(minCount > 1L,
+      "stateless scoring collects the LM to the driver; minCount must prune (> 1) to bound it")
+    val lmToks = lm.select(TextFunctions.tokens(col(textCol)).as("toks"))
+    val cu = lmToks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
+      .filter(col("cu") >= minCount)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val cb = lmToks.select(explode(bigramPositions(col("toks"))).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("cb"))
+      .filter(col("cb") >= minCount)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // V from the unpruned vocab, exactly like score()
+    val v = lmToks.select(explode(col("toks")).as("w"))
+      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+
+    val cuMap = typedlit(cu)
+    val cbMap = typedlit(cb)
+    // ANSI mode: element_at throws on a missing map key — try_element_at
+    // is the null-on-miss spelling the 0-count smoothing needs
+    val logpOf = (b: Column) =>
+      log((coalesce(try_element_at(cbMap, b), lit(0L)) + lit(k)) /
+        (coalesce(try_element_at(cuMap, substring_index(b, " ", 1)), lit(0L)) +
+          lit(k) * lit(v.toDouble)))
+    docs
+      .select(col(idCol), bigramPositions(TextFunctions.tokens(col(textCol))).as("_bs"))
+      .filter(size(col("_bs")) >= 1)
+      .select(col(idCol),
+        size(col("_bs")).cast("long").as("n_bigrams"),
+        round(
+          aggregate(col("_bs"), lit(0.0), (acc, b) => acc + logpOf(b)) /
+            size(col("_bs")),
+          6).as("avg_logp"))
+  }
 }

@@ -33,6 +33,30 @@ class LmScoreSpec extends AnyFunSuite {
     assert(byDoc(1L) == exp1)
   }
 
+  test("scoreStateless: exact parity with the exploded+join spelling") {
+    // same positions, same smoothing, same fold order — the two spellings
+    // must agree bit-for-bit, not approximately
+    val batch = LmScore.score(corpus, corpus, minCount = 2L)
+      .select($"doc_id", $"n_bigrams", $"avg_logp")
+      .as[(Long, Long, Double)].collect().toSet
+    val stateless = LmScore.scoreStateless(corpus, corpus, minCount = 2L)
+      .select($"doc_id", $"n_bigrams", $"avg_logp")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batch.nonEmpty && stateless == batch)
+  }
+
+  test("scoreStateless plan: zero shuffles — one projection, no join/agg") {
+    val plan = LmScore.scoreStateless(corpus, corpus, minCount = 2L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"stateless scoring must not shuffle:\n$plan")
+  }
+
+  test("scoreStateless refuses an unpruned (unbounded-collect) LM") {
+    intercept[IllegalArgumentException] {
+      LmScore.scoreStateless(corpus, corpus, minCount = 1L)
+    }
+  }
+
   test("gibberish scores lower than in-distribution text") {
     val lm = Seq.tabulate(50)(i => (i.toLong, "the cat sat on the mat")).toDF("doc_id", "text")
     val probe = Seq(

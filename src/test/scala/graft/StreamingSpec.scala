@@ -224,4 +224,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows(1)._3 > 0.0) // "here here" repeats
     assert(Set("train", "val", "test").contains(rows(0)._4))
   }
+
+  test("stateless LM scoring on a stream matches the batch scorer exactly") {
+    // LmScore.scoreStateless ships the pruned LM as map literals, so the
+    // scorer is a stateless projection: it runs on a streaming frame in
+    // APPEND mode with no watermark and no state store, and must emit the
+    // same rows (bit-for-bit, same fold order) the batch spelling computes
+    // on the same documents — the GapSessionizer parity pattern.
+    import graft.operators.LmScore
+    val lmCorpus = Seq.tabulate(6)(i => (100L + i, "the cat sat on the mat"))
+      .toDF("doc_id", "text")
+    val probe = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the mat sat on the cat"),
+      (3L, "zqx vnm wkj qpl"))
+    val expected = LmScore.score(probe.toDF("doc_id", "text"), lmCorpus, minCount = 2L)
+      .select($"doc_id", $"n_bigrams", $"avg_logp")
+      .as[(Long, Long, Double)].collect().toSet
+
+    val dir = Files.createTempDirectory("graft-lmstream-in")
+    val cp = Files.createTempDirectory("graft-lmstream-cp").toString
+    Files.write(dir.resolve("b0.csv"),
+      probe.map { case (id, t) => s"$id\t$t" }.mkString("\n").getBytes)
+    val raw = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .option("sep", "\t")
+      .csv(dir.toString)
+    val q = LmScore.scoreStateless(raw, lmCorpus, minCount = 2L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("lm_stream_out").option("checkpointLocation", cp).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.sql("SELECT doc_id, n_bigrams, avg_logp FROM lm_stream_out")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == expected && got.size == 3)
+  }
 }
