@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
@@ -320,6 +321,84 @@ object SparkEntry {
           col("o_totalprice"), col("total_qty"))
         .orderBy(col("total_qty").desc, col("o_orderkey"))
         .limit(100)
+    },
+    // TPC-H q17 shape — correlated scalar subquery, decorrelated the
+    // scale-right way: filter parts FIRST (broadcast), then one window
+    // over the surviving lines computes each part's average (selecting
+    // whole partkey groups can't change a per-partkey average), so the
+    // per-part avg costs one shuffle over the small selection instead of
+    // an aggregate over all of lineitem. Quantities are integral, so their
+    // double sum is exact in any order and the 0.2*avg boundary compares
+    // identically cross-engine.
+    "q17_small_qty_revenue" -> { (s, d) =>
+      val t = Tables(s, d)
+      val sel = t.lineitem
+        .join(broadcast(t.part.filter(col("p_brand") === "Brand#4" && col("p_size") <= 5)
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      sel
+        .withColumn("avg_qty", avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(Money.moneySum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    },
+    // TPC-H q19 shape — disjunction of brand/size/quantity conjuncts INSIDE
+    // the join condition: Catalyst extracts the common l_partkey equality
+    // for the broadcast hash join and evaluates the OR as a residual, the
+    // shape that breaks engines which only push conjunctive predicates
+    "q19_disjunctive_revenue" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.lineitem.join(broadcast(t.part),
+        col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#19" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(20, 30))))
+        .agg(Money.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+    },
+    // TPC-H q21 shape — EXISTS + NOT EXISTS against the same relation with
+    // different predicates, spelled as a left-semi then left-anti join
+    // (both shuffle on l_orderkey; no row multiplication): suppliers who
+    // were the ONLY supplier to have a returned line on a multi-supplier
+    // finished order
+    "q21_sole_returned_supplier" -> { (s, d) =>
+      val t = Tables(s, d)
+      val l1 = t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = t.lineitem
+        .select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"))
+      val returnedOthers = t.lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"))
+      l1
+        .join(others, col("x_orderkey") === col("l_orderkey") &&
+          col("x_suppkey") =!= col("l_suppkey"), "leftsemi")
+        .join(returnedOthers, col("x_orderkey") === col("l_orderkey") &&
+          col("x_suppkey") =!= col("l_suppkey"), "leftanti")
+        .join(broadcast(t.supplier), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    },
+    // TPC-H q22 shape — scalar-subquery threshold (global average balance,
+    // broadcast as a 1-row frame) + anti-join + per-nation rollup:
+    // above-average-balance customers who never placed an urgent order.
+    // The threshold is computed in exact integer micros (sum < 2^53, so
+    // the double division is bit-identical cross-engine).
+    "q22_idle_rich_customers" -> { (s, d) =>
+      val t = Tables(s, d)
+      val micros = round(col("c_acctbal") * lit(1e6), 0).cast("long")
+      val thresh = t.customer.filter(col("c_acctbal") > 0.0)
+        .agg((sum(micros).cast("double") / count(lit(1))).as("avg_micros"))
+      t.customer
+        .crossJoin(broadcast(thresh))
+        .filter(micros > col("avg_micros"))
+        .join(t.orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+          col("o_custkey") === col("c_custkey"), "leftanti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          Money.microsToMoney(sum(micros)).as("total_acctbal"))
     },
     "q14_promo_effect" -> { (s, d) =>
       val t = Tables(s, d)
@@ -1048,6 +1127,59 @@ object SparkEntry {
          |FROM big JOIN orders ON o_orderkey = l_orderkey
          |         JOIN customer ON c_custkey = o_custkey
          |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin,
+    // q17 stated with the correlated-subquery decorrelated as a grouped
+    // CTE; the Spark side's window over the part-filtered selection is
+    // value-identical (whole partkey groups survive the part filter)
+    "q17_small_qty_revenue" ->
+      s"""WITH sel AS (
+         |  SELECT l_partkey, l_quantity, l_extendedprice
+         |  FROM lineitem JOIN part ON l_partkey = p_partkey
+         |  WHERE p_brand = 'Brand#4' AND p_size <= 5),
+         |a AS (SELECT l_partkey, avg(l_quantity) AS avg_qty FROM sel GROUP BY l_partkey)
+         |SELECT round(${Money.sumSql("l_extendedprice")} / 7.0, 2) AS avg_yearly
+         |FROM sel JOIN a USING (l_partkey)
+         |WHERE l_quantity < 0.2 * avg_qty""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      s"""SELECT ${Money.sumSql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem JOIN part ON l_partkey = p_partkey
+         |WHERE (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+         |       AND l_quantity BETWEEN 1 AND 11)
+         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+         |       AND l_quantity BETWEEN 10 AND 20)
+         |   OR (p_brand = 'Brand#19' AND p_size BETWEEN 1 AND 25
+         |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q21_sole_returned_supplier" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |  JOIN orders ON o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+        |  JOIN supplier ON s_suppkey = l1.l_suppkey
+        |WHERE l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |                  WHERE l3.l_orderkey = l1.l_orderkey
+        |                    AND l3.l_suppkey <> l1.l_suppkey
+        |                    AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin,
+    // threshold in exact integer micros; CAST the sum to DOUBLE before the
+    // divide (a bare sum(BIGINT) is HUGEINT — the banned pandas-mangled
+    // type — and BIGINT*1.0 would detour through DECIMAL)
+    "q22_idle_rich_customers" ->
+      s"""WITH a AS (
+         |  SELECT CAST(sum(CAST(round(c_acctbal * 1e6) AS BIGINT)) AS DOUBLE)
+         |           / count(*) AS avg_micros
+         |  FROM customer WHERE c_acctbal > 0)
+         |SELECT c_nationkey, count(*) AS n_cust,
+         |       ${Money.microsToMoneySql("sum(CAST(round(c_acctbal * 1e6) AS BIGINT))")}
+         |         AS total_acctbal
+         |FROM customer, a
+         |WHERE CAST(round(c_acctbal * 1e6) AS BIGINT) > a.avg_micros
+         |  AND NOT EXISTS (SELECT 1 FROM orders o
+         |                  WHERE o.o_custkey = c_custkey
+         |                    AND o.o_orderpriority = '1-URGENT')
+         |GROUP BY c_nationkey""".stripMargin,
     "q14_promo_effect" ->
       """SELECT round(100.0 *
         |         sum(CASE WHEN p_type = 'PROMO'

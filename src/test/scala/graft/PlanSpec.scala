@@ -36,6 +36,40 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("joinexec"), s"must not plan a join:\n$p")
   }
 
+  test("q17: part filter broadcast, one shuffle for the per-part window") {
+    val p = plan("q17_small_qty_revenue")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    // part pushdown: brand+size filters reach the part scan
+    assert(p.contains("EqualTo(p_brand,Brand#4)"), p.take(2000))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      s"window + final agg should need exactly one hash exchange:\n$p")
+  }
+
+  test("q19: disjunctive join predicate still plans a broadcast hash join on l_partkey") {
+    val p = plan("q19_disjunctive_revenue")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the common l_partkey equality must be extracted for the join:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"OR-of-ANDs must not degrade to a nested-loop join:\n${p.take(2000)}")
+  }
+
+  test("q21: EXISTS/NOT EXISTS plan as semi + anti joins, no row multiplication") {
+    val p = plan("q21_sole_returned_supplier")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    // returnflag pushdown reaches the lineitem scans
+    assert(p.contains("EqualTo(l_returnflag,R)"), p.take(3000))
+  }
+
+  test("q22: threshold is a broadcast 1-row frame; urgent-order anti-join; no cartesian blowup") {
+    val p = plan("q22_idle_rich_customers")
+    assert(p.contains("LeftAnti"), p.take(3000))
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"),
+      s"priority filter must reach the orders scan:\n${p.take(3000)}")
+    // the only nested-loop allowed is the intentional 1-row threshold broadcast
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+  }
+
   test("q5: dimension chain joins via broadcast, no sort-merge on dims") {
     val p = plan("q5_region_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
