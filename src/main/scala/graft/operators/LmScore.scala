@@ -102,26 +102,43 @@ object LmScore {
     require(minCount > 1L,
       "stateless scoring collects the LM to the driver; minCount must prune (> 1) to bound it")
     val lmToks = lm.select(TextFunctions.tokens(col(textCol)).as("toks"))
-    val cu = lmToks.select(explode(col("toks")).as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("cu"))
-      .filter(col("cu") >= minCount)
+    // one tokenize+shuffle pass serves both V (unpruned vocab size, exactly
+    // like score()) and the pruned cu table: aggregate once, persist the
+    // small per-word frame, count + filtered-collect from the cache
+    val unisAll = lmToks.select(explode(col("toks")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cu")).persist()
+    val v = unisAll.count()
+    val cu = unisAll.filter(col("cu") >= minCount)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    unisAll.unpersist(blocking = false)
     val cb = lmToks.select(explode(bigramPositions(col("toks"))).as("b"))
       .groupBy(col("b")).agg(count(lit(1)).as("cb"))
       .filter(col("cb") >= minCount)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    // V from the unpruned vocab, exactly like score()
-    val v = lmToks.select(explode(col("toks")).as("w"))
-      .agg(countDistinct(col("w"))).collect()(0).getLong(0)
+    // Catalyst probes map literals by LINEAR scan, so a flat bigram map
+    // costs O(|cb|) per position. Nest it by first word instead: the outer
+    // map has at most |pruned vocab| keys (c(w1) >= c(w1 w2) >= minCount,
+    // so every bigram head survives the unigram pruning), and each inner
+    // map holds only that head's continuations — two short scans instead
+    // of one long one (~10x fewer key compares at our LM shape).
+    val cbNested: Map[String, Map[String, Long]] = cb
+      .groupBy { case (b, _) => b.substring(0, b.indexOf(' ')) }
+      .map { case (w1, m) =>
+        w1 -> m.map { case (b, c) => b.substring(b.indexOf(' ') + 1) -> c }
+      }
 
     val cuMap = typedlit(cu)
-    val cbMap = typedlit(cb)
+    val cbMap = typedlit(cbNested)
     // ANSI mode: element_at throws on a missing map key — try_element_at
-    // is the null-on-miss spelling the 0-count smoothing needs
-    val logpOf = (b: Column) =>
-      log((coalesce(try_element_at(cbMap, b), lit(0L)) + lit(k)) /
-        (coalesce(try_element_at(cuMap, substring_index(b, " ", 1)), lit(0L)) +
-          lit(k) * lit(v.toDouble)))
+    // is the null-on-miss spelling the 0-count smoothing needs (and it
+    // null-propagates through the missing-outer-key case of the nested map)
+    val logpOf = (b: Column) => {
+      val w1 = substring_index(b, " ", 1)
+      log((coalesce(
+        try_element_at(try_element_at(cbMap, w1), substring_index(b, " ", -1)),
+        lit(0L)) + lit(k)) /
+        (coalesce(try_element_at(cuMap, w1), lit(0L)) + lit(k) * lit(v.toDouble)))
+    }
     docs
       .select(col(idCol), bigramPositions(TextFunctions.tokens(col(textCol))).as("_bs"))
       .filter(size(col("_bs")) >= 1)
