@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AsOfJoin, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, LmScore, Multimodal, Packing, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity}
+import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, LmScore, Multimodal, Packing, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -795,6 +795,36 @@ object SparkEntry {
       cand
         .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
         .select(col("id1"), col("id2"), Dedup.jaccard(col("sh1"), col("sh2")).as("jaccard"))
+    },
+    // duplicate GROUPS from pairwise matches: shingle posting lists (hot
+    // shingles capped — the LSH maxBucketSize economics) → pairs sharing
+    // ≥5 shingles → connected components by iterative min-label
+    // propagation (operators.Components); every doc gets its component's
+    // min doc_id, isolated docs their own. Deterministic end-to-end, so
+    // the whole graph pipeline — including transitivity — is oracled via
+    // a recursive CTE.
+    "q_dedup_components" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val post = docs
+        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
+      // bucket spelling (same economics as Dedup's LSH banding): ONE
+      // groupBy builds each shingle's posting list, the size filter IS the
+      // hot-shingle cap, and pairs come from a bounded double-explode
+      // (≤ cap² per shingle) — one scan of the corpus, two shuffles total,
+      // vs the posting self-join's three scans and four
+      val edges = post.groupBy(col("sh")).agg(collect_list(col("doc_id")).as("docs"))
+        .filter(size(col("docs")) <= 20)
+        .select(explode(col("docs")).as("src"), col("docs"))
+        .select(col("src"), explode(col("docs")).as("dst"))
+        .filter(col("dst") > col("src"))
+        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 5)
+        .select(col("src"), col("dst"))
+      docs.select(col("doc_id"))
+        .join(Components.connectedComponents(edges),
+          col("node") === col("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
     },
     "q_minhash_pairs" -> { (s, d) =>
       Dedup.minhashPairs(Tables(s, d).documents, threshold = 0.05)
@@ -1622,6 +1652,34 @@ object SparkEntry {
          |                 / len(list_distinct(list_concat(a.sh, b.sh)))
          |       END AS jaccard
          |FROM d a JOIN d b ON b.doc_id BETWEEN a.doc_id + 1 AND a.doc_id + 5""".stripMargin,
+    // transitivity stated directly as a recursive CTE (reachability →
+    // min per node); oracle-validated against a union-find ground truth.
+    // Same shingle/posting/cap/≥5-shared construction as the Spark side.
+    "q_dedup_components" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $TokensSql AS toks FROM documents
+         |), d AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                             i -> array_to_string(toks[i:i+2], ' '))
+         |    END) AS sh
+         |  FROM t),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > 20),
+         |exf AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+         |      FROM exf a JOIN exf b ON a.s = b.s AND b.doc_id > a.doc_id
+         |      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5),
+         |bi AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM bi
+         |  UNION
+         |  SELECT reach.node, bi.b FROM reach JOIN bi ON bi.a = reach.r
+         |),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+         |SELECT doc_id, coalesce(comp.component, doc_id) AS component
+         |FROM documents LEFT JOIN comp ON comp.node = doc_id""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang AS lang_declared, text, $TokensSql AS toks FROM documents
