@@ -698,6 +698,14 @@ object SparkEntry {
     "q_vocab" -> { (s, d) =>
       graft.operators.Vocab.build(Tables(s, d).documents, minCount = 2L)
     },
+    // tokenizer application: every document encoded to its ordered
+    // token-id sequence under the q_vocab vocabulary (OOV → -1), the
+    // input a training shard / Packing consumes (operators.Vocab.encode)
+    "q_encode" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      graft.operators.Vocab.encode(docs,
+        graft.operators.Vocab.build(docs, minCount = 2L))
+    },
     // per-source curation report — the rollup a corpus dashboard reads:
     // volume, language spread, exact-dup pressure, repetition level
     "q_source_rollup" -> { (s, d) =>
@@ -1396,6 +1404,23 @@ object SparkEntry {
          |SELECT word, n,
          |       CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS token_id
          |FROM c""".stripMargin,
+    // same vocab construction as q_vocab; sequence order restored from the
+    // explode position (pos), never from row order
+    "q_encode" ->
+      s"""WITH w AS (SELECT unnest($TokensSql) AS word FROM documents),
+         |c AS (SELECT word, count(*) AS n FROM w GROUP BY word HAVING count(*) >= 2),
+         |v AS (SELECT word,
+         |        CAST(row_number() OVER (ORDER BY n DESC, word) AS INT) AS token_id
+         |      FROM c),
+         |t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |p AS (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS pos FROM t),
+         |tok AS (SELECT doc_id, pos, toks[pos] AS word FROM p),
+         |enc AS (SELECT tok.doc_id, tok.pos, coalesce(v.token_id, -1) AS tid
+         |        FROM tok LEFT JOIN v USING (word))
+         |SELECT doc_id, list(tid ORDER BY pos) AS token_ids,
+         |       count(*) AS n_tokens,
+         |       CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+         |FROM enc GROUP BY doc_id""".stripMargin,
     "q_source_rollup" ->
       s"""WITH t AS (
          |  SELECT source, lang, md5(text) AS h,

@@ -87,4 +87,33 @@ object Vocab {
       .filter(col("n") >= minCount)
       .withColumn("token_id",
         row_number().over(Window.orderBy(col("n").desc, col("word"))))
+
+  /** Token-id encoding of each document under a built vocab — the step
+    * between [[build]] and `Packing`: text → the ordered token-id sequence
+    * a training shard stores. OOV tokens (pruned below `minCount` at vocab
+    * build) encode as -1 (UNK), counted per doc in `n_unk`.
+    *
+    * Scale shape: the vocab is minCount-pruned hence broadcastable, so the
+    * corpus shuffles exactly once (the per-doc regroup); order is restored
+    * from the explode position, never from row order. Docs with zero
+    * tokens produce no row (there is no sequence to store).
+    */
+  def encode(
+      docs: DataFrame,
+      vocab: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(TextFunctions.tokens(col(textCol))).as(Seq("pos", "word")))
+      .join(broadcast(vocab.select(col("word"), col("token_id"))), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(struct(col("pos"),
+          coalesce(col("token_id").cast("long"), lit(-1L)).as("tid")))).as("_z"),
+        count(lit(1)).as("n_tokens"),
+        sum(when(col("token_id").isNull, 1L).otherwise(0L)).as("n_unk"))
+      .select(col(idCol), col("_z.tid").as("token_ids"),
+        col("n_tokens"), col("n_unk"))
 }

@@ -23,6 +23,18 @@ class VocabSpec extends AnyFunSuite {
     assert(got == Map("a" -> 1, "b" -> 2))
   }
 
+  test("encode: ordered ids under the vocab, OOV becomes -1 and is counted") {
+    val docs = Seq((1L, "b a b c a b"), (2L, "a c"), (3L, "zzz a")).toDF("doc_id", "text")
+    // vocab at minCount=2: a=1, b=2, c=3 (see the ranking test); zzz pruned
+    val got = Vocab.encode(docs, Vocab.build(docs, minCount = 2L))
+      .select($"doc_id", $"token_ids", $"n_tokens", $"n_unk")
+      .as[(Long, Seq[Long], Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((Seq(2L, 1L, 2L, 3L, 1L, 2L), 6L, 0L)))
+    assert(got(2L) == ((Seq(1L, 3L), 2L, 0L)))
+    assert(got(3L) == ((Seq(-1L, 1L), 2L, 1L))) // zzz is OOV
+  }
+
   test("construction is deterministic across runs") {
     val docs = (1 to 200).map(i => (i.toLong, s"w${i % 17} w${i % 5} common"))
       .toDF("doc_id", "text")
