@@ -620,6 +620,38 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(20)) === 0),
         minShared = 2)
     },
+    // the whole curation pipeline in ONE call — per-doc flags from exact
+    // dedup (md5-min window), quality (token count + Gopher dup-word
+    // fraction), and benchmark decontamination, composed into the final
+    // keep decision a corpus build would apply. Every stage is
+    // deterministic, so the COMPOSITION is oracled end-to-end (the keep
+    // comparison uses the unrounded dwf on both sides — bit-identical
+    // IEEE arithmetic — while the reported column is round(.,6))
+    "q_curation_report" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
+      val train = docs.filter(pmod(col("doc_id"), lit(20)) =!= 0)
+      val contaminatedIds = Decontaminate.overlaps(train, bench, minShared = 2)
+        .select(col("doc_id")).distinct()
+        .withColumn("contaminated", lit(true))
+      val dwf = Repetition.dupFrac(col("toks"))
+      docs
+        .select(col("doc_id"), TF.tokens(col("text")).as("toks"),
+          md5(col("text")).as("h"))
+        .withColumn("h_min", min(col("doc_id")).over(Window.partitionBy(col("h"))))
+        .join(broadcast(contaminatedIds), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          (pmod(col("doc_id"), lit(20)) === 0).as("is_bench"),
+          (col("doc_id") =!= col("h_min")).as("is_dup"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          round(dwf, 6).as("dup_word_frac"),
+          coalesce(col("contaminated"), lit(false)).as("contaminated"),
+          (pmod(col("doc_id"), lit(20)) =!= 0 &&
+            col("doc_id") === col("h_min") &&
+            size(col("toks")) >= 20 && dwf <= 0.6 &&
+            coalesce(col("contaminated"), lit(false)) === false).as("keep"))
+    },
     // domain balancing: deterministic ≤50-docs-per-language cap, ranked by
     // md5(id) so the draw is stable across engines (operators.GroupCap)
     "q_group_cap" -> { (s, d) =>
@@ -1490,6 +1522,36 @@ object SparkEntry {
          |         LEFT JOIN uni ON uni.w = split_part(pos.b, ' ', 1)
          |         CROSS JOIN v
          |GROUP BY pos.doc_id""".stripMargin,
+    // the composed pipeline, stated as one SQL document: dedup window +
+    // quality exprs + decontamination EXISTS, same thresholds; keep's dwf
+    // comparison is unrounded on both sides
+    "q_curation_report" ->
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS ws, md5(text) AS h FROM documents),
+         |shs AS (SELECT doc_id, list_distinct(
+         |    CASE WHEN len(ws) < 3 THEN [array_to_string(ws, ' ')]
+         |         ELSE list_transform(generate_series(1, len(ws) - 2),
+         |                             i -> array_to_string(ws[i:i+2], ' '))
+         |    END) AS sh FROM t),
+         |tr AS (SELECT doc_id, unnest(sh) AS s FROM shs WHERE doc_id % 20 <> 0),
+         |be AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM shs WHERE doc_id % 20 = 0),
+         |cont AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT tr.doc_id FROM tr JOIN be USING (s)
+         |  GROUP BY tr.doc_id, be.bench_id HAVING count(*) >= 2)),
+         |m AS (SELECT doc_id, h, min(doc_id) OVER (PARTITION BY h) AS h_min,
+         |             CASE WHEN len(ws) = 0 THEN 0.0
+         |                  ELSE 1 - CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws)
+         |             END AS dwf,
+         |             len(ws) AS nt
+         |      FROM t)
+         |SELECT doc_id,
+         |       doc_id % 20 = 0 AS is_bench,
+         |       doc_id <> h_min AS is_dup,
+         |       CAST(nt AS BIGINT) AS n_tokens,
+         |       round(dwf, 6) AS dup_word_frac,
+         |       doc_id IN (SELECT doc_id FROM cont) AS contaminated,
+         |       (doc_id % 20 <> 0 AND doc_id = h_min AND nt >= 20 AND dwf <= 0.6
+         |        AND doc_id NOT IN (SELECT doc_id FROM cont)) AS keep
+         |FROM m""".stripMargin,
     // same shingle construction as q_neardup_verify's oracle (proven ≡ the
     // native ShingleSet kernel)
     "q_decontaminate" ->
