@@ -70,6 +70,19 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p.take(3000))
   }
 
+  test("q_encode: vocab joins as broadcast; no nested-loop anywhere") {
+    val p = plan("q_encode")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("q_curation_report: contamination ids broadcast into the left join; no cartesian") {
+    val p = plan("q_curation_report")
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("q5: dimension chain joins via broadcast, no sort-merge on dims") {
     val p = plan("q5_region_revenue")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 3, p.take(2000))
