@@ -52,10 +52,12 @@ def canon_val(v):
 
 
 def dtype_mismatches(sdf, ddf):
-    """%.6g renders float64 9.0 and int64 9 identically, so the value hash
-    cannot see int-vs-float divergence — compare dtype KINDS explicitly.
-    The one legitimate case is pandas' null-induced int→float64 promotion,
-    tolerated only when the float side actually contains NaN."""
+    """Compare dtype KINDS explicitly. Since the repr() switch the value
+    compare does see int-vs-float divergence ('9' vs '9.0'), so this check's
+    remaining job is the OTHER direction: legitimizing pandas' null-induced
+    int→float64 promotion (tolerated only when the float side actually
+    contains NaN) while still failing promotions with no NaN to excuse
+    them — and failing them as a clear DTYPE line, not a value diff."""
     out = []
     for c in sorted(set(sdf.columns) & set(ddf.columns)):
         ks = {"u": "i"}.get(sdf[c].dtype.kind, sdf[c].dtype.kind)

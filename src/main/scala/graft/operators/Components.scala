@@ -39,6 +39,12 @@ object Components {
     * the minimum node id of the node's connected component. Nodes with no
     * edges don't appear (coalesce at the call site if isolated nodes need
     * their own singleton component).
+    *
+    * The returned frame IS the final round's persisted labels (unpersisting
+    * it here would force the caller's first action to recompute the whole
+    * iteration chain from already-released intermediates) — call
+    * `.unpersist()` on it when done, or rely on session-level cache hygiene
+    * (Bench clears per query; Verify at end of run).
     */
   def connectedComponents(
       edges: DataFrame,
@@ -67,8 +73,12 @@ object Components {
           col("a") === col("node"))
         .select(col("b").as("node"), col("label"), lit(null).cast("long").as("old"))
       val own = labels.select(col("node"), col("label"), col("label").as("old"))
+      // persisted for the round: the chase join below references m on BOTH
+      // sides, and without the cache the neighbor-min aggregate would
+      // execute twice per round
       val m = own.unionByName(msgs)
         .groupBy(col("node")).agg(min(col("label")).as("label"), max(col("old")).as("old"))
+        .persist()
       // pointer chase: follow the label to ITS label (the label is always a
       // node id of the same component, so the hop stays inside it) — this
       // doubles the distance covered per round, log(diameter) rounds total
@@ -78,7 +88,9 @@ object Components {
         .select(col("node"), coalesce(col("_ll"), col("label")).as("label"), col("old"))
         .persist()
       val changed = next.filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist(blocking = false) // next is materialized by the probe
+      // next is materialized by the probe — its inputs can release now
+      m.unpersist(blocking = false)
+      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0L
       it += 1
