@@ -25,6 +25,25 @@ object SparkEntry {
     * →product_id, `click`→cart. See sources.Tables.clickstream for the
     * rename-only variant; the day-session key gives a realistic label mix.
     */
+  /** Near-dup edge list shared by q_dedup_components / q_dedup_keep: pairs
+    * of docs sharing ≥5 distinct 3-shingles, via the bucket spelling (same
+    * economics as Dedup's LSH banding) — ONE groupBy builds each shingle's
+    * posting list, the size filter IS the hot-shingle cap, and pairs come
+    * from a bounded double-explode (≤ cap² per shingle): one corpus scan,
+    * two shuffles, vs a posting self-join's three scans and four.
+    */
+  private def shingleEdges(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
+      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= 20)
+      .select(explode(col("docs")).as("src"), col("docs"))
+      .select(col("src"), explode(col("docs")).as("dst"))
+      .filter(col("dst") > col("src"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .select(col("src"), col("dst"))
+
   private def clickstream(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events.select(
       concat(col("user_id").cast("string"), lit("_"), date_format(col("ts"), "yyyy-MM-dd"))
@@ -845,26 +864,20 @@ object SparkEntry {
     // a recursive CTE.
     "q_dedup_components" -> { (s, d) =>
       val docs = Tables(s, d).documents
-      val post = docs
-        .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("sh"))
-      // bucket spelling (same economics as Dedup's LSH banding): ONE
-      // groupBy builds each shingle's posting list, the size filter IS the
-      // hot-shingle cap, and pairs come from a bounded double-explode
-      // (≤ cap² per shingle) — one scan of the corpus, two shuffles total,
-      // vs the posting self-join's three scans and four
-      val edges = post.groupBy(col("sh")).agg(collect_list(col("doc_id")).as("docs"))
-        .filter(size(col("docs")) <= 20)
-        .select(explode(col("docs")).as("src"), col("docs"))
-        .select(col("src"), explode(col("docs")).as("dst"))
-        .filter(col("dst") > col("src"))
-        .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_shared"))
-        .filter(col("n_shared") >= 5)
-        .select(col("src"), col("dst"))
       docs.select(col("doc_id"))
-        .join(Components.connectedComponents(edges),
+        .join(Components.connectedComponents(shingleEdges(docs)),
           col("node") === col("doc_id"), "left")
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("component"))
+    },
+    // the deduplicated corpus itself: one canonical doc per near-dup
+    // group (the group's min id), isolated docs kept — what a corpus
+    // build consumes after the grouping step
+    "q_dedup_keep" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      Components.keepCanonical(
+        docs.select(col("doc_id"), col("source"), col("lang")),
+        shingleEdges(docs))
     },
     "q_minhash_pairs" -> { (s, d) =>
       Dedup.minhashPairs(Tables(s, d).documents, threshold = 0.05)
@@ -1767,6 +1780,33 @@ object SparkEntry {
          |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
          |SELECT doc_id, coalesce(comp.component, doc_id) AS component
          |FROM documents LEFT JOIN comp ON comp.node = doc_id""".stripMargin,
+    // q_dedup_components' CTE chain, filtered to the canonical survivors
+    "q_dedup_keep" ->
+      s"""WITH RECURSIVE t AS (
+         |  SELECT doc_id, $TokensSql AS toks FROM documents
+         |), d AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                             i -> array_to_string(toks[i:i+2], ' '))
+         |    END) AS sh
+         |  FROM t),
+         |ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+         |hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > 20),
+         |exf AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+         |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+         |      FROM exf a JOIN exf b ON a.s = b.s AND b.doc_id > a.doc_id
+         |      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5),
+         |bi AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e),
+         |reach(node, r) AS (
+         |  SELECT a, a FROM bi
+         |  UNION
+         |  SELECT reach.node, bi.b FROM reach JOIN bi ON bi.a = reach.r
+         |),
+         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+         |SELECT doc_id, source, lang
+         |FROM documents LEFT JOIN comp ON comp.node = doc_id
+         |WHERE comp.component IS NULL OR comp.component = doc_id""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang AS lang_declared, text, $TokensSql AS toks FROM documents

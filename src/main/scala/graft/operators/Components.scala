@@ -98,4 +98,23 @@ object Components {
     bidir.unpersist(blocking = false)
     labels.select(col("node"), col("label").as("component"))
   }
+
+  /** The deduplicated corpus: one canonical row per near-dup group — the
+    * row whose id IS the component label (its group's minimum id), plus
+    * every row with no edges. One left join against the component map; no
+    * extra shuffle beyond [[connectedComponents]] itself.
+    */
+  def keepCanonical(
+      rows: DataFrame,
+      edges: DataFrame,
+      idCol: String = "doc_id",
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIter: Int = 20
+  ): DataFrame =
+    rows
+      .join(connectedComponents(edges, srcCol, dstCol, maxIter),
+        col("node") === col(idCol), "left")
+      .filter(col("component").isNull || col("component") === col(idCol))
+      .drop("node", "component")
 }
