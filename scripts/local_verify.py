@@ -95,6 +95,16 @@ for name in sorted(oracle):
         duck_df = duck.df()
     except Exception as e:
         print(f"ERROR   {name}: {e}"); fail += 1; continue
+    # The driver's compare sorts rows via pandas sort_values, which dies on
+    # array/struct cells (`unhashable type: numpy.ndarray` — q_encode,
+    # round 7's red cell). canon_df below tolerates arrays, so without this
+    # guard the gate is local-green/driver-red: ban nested cells outright.
+    nested = [c for df in (spark_df, duck_df) for c in df.columns
+              if df[c].map(lambda v: isinstance(v, (np.ndarray, list, dict))).any()]
+    if nested:
+        print(f"NESTED  {name}: array/struct columns {sorted(set(nested))} — "
+              f"driver's sort_values crashes on these; serialize to a string "
+              f"on BOTH sides (array_join / string_agg)"); fail += 1; continue
     s_canon, s_names = canon_df(spark_df)
     d_canon, d_names = canon_df(duck_df)
     dtype_bad = dtype_mismatches(spark_df, duck_df)

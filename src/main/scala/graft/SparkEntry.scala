@@ -754,8 +754,14 @@ object SparkEntry {
     // input a training shard / Packing consumes (operators.Vocab.encode)
     "q_encode" -> { (s, d) =>
       val docs = Tables(s, d).documents
+      // the driver's oracle compare sorts rows through pandas, which cannot
+      // hash array cells — ship the sequence as a space-joined string (the
+      // operator itself still returns the typed Array[Long], spec-covered)
       graft.operators.Vocab.encode(docs,
         graft.operators.Vocab.build(docs, minCount = 2L))
+        .select(col("doc_id"),
+          array_join(col("token_ids").cast("array<string>"), " ").as("token_seq"),
+          col("n_tokens"), col("n_unk"))
     },
     // per-source curation report — the rollup a corpus dashboard reads:
     // volume, language spread, exact-dup pressure, repetition level
@@ -1462,7 +1468,8 @@ object SparkEntry {
          |tok AS (SELECT doc_id, pos, toks[pos] AS word FROM p),
          |enc AS (SELECT tok.doc_id, tok.pos, coalesce(v.token_id, -1) AS tid
          |        FROM tok LEFT JOIN v USING (word))
-         |SELECT doc_id, list(tid ORDER BY pos) AS token_ids,
+         |SELECT doc_id,
+         |       string_agg(CAST(tid AS VARCHAR), ' ' ORDER BY pos) AS token_seq,
          |       count(*) AS n_tokens,
          |       CAST(sum(CASE WHEN tid = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
          |FROM enc GROUP BY doc_id""".stripMargin,
