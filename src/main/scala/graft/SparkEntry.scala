@@ -926,6 +926,35 @@ object SparkEntry {
       Similarity.ivfKnn(emb.filter(col("vec_id") < 5), emb, k = 10, nLists = 8, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
     },
+    // product-quantization compression pass: every vector → m=4 one-byte
+    // codes under the deterministic codebook (the corpus-scale persist step;
+    // operators.ProductQuantization.encode). Codes ship as a space-joined
+    // string — the driver compare cannot hash array cells.
+    "q_pq_codes" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      val cb = graft.operators.ProductQuantization.fixedCodebooks(emb, m = 4, k = 8, dim = 64)
+      graft.operators.ProductQuantization.encode(emb, cb)
+        .select(col("vec_id"),
+          array_join(col("codes").cast("array<string>"), " ").as("code_seq"))
+    },
+    // ADC top-k under the same deterministic codebook — oracles the
+    // asymmetric-distance math engine-vs-engine (the windowedKnn pattern);
+    // the trained path is q_knn_pq (RNG, recall-spec'd)
+    "q_pq_subset" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      val cb = graft.operators.ProductQuantization.fixedCodebooks(emb, m = 4, k = 8, dim = 64)
+      graft.operators.ProductQuantization.adcTopK(emb.filter(col("vec_id") < 5), emb, cb, k = 10)
+        .select(col("query_id"), col("neighbor_id"), round(col("adist"), 6).as("adist"), col("rank"))
+    },
+    "q_knn_pq" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      // m=8 subspaces × 16 codes suits the 64-dim embeddings; rerank=50
+      // re-scores the ADC shortlist exactly (IVFADC+R refinement)
+      val cb = graft.operators.ProductQuantization.train(emb, m = 8, k = 16, dim = 64)
+      graft.operators.ProductQuantization.adcTopK(emb.filter(col("vec_id") < 5), emb, cb,
+          k = 10, rerank = 50)
+        .select(col("query_id"), col("neighbor_id"), round(col("sq_l2"), 6).as("sq_l2"), col("rank"))
+    },
     "q_cosine_neardup" -> { (s, d) =>
       Similarity.cosineNearDupPairs(Tables(s, d).embeddings, threshold = 0.5)
         .orderBy(col("cos").desc, col("id1"), col("id2")).limit(100)
@@ -1872,6 +1901,54 @@ object SparkEntry {
         |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10""".stripMargin,
     "q_exact_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+    // PQ deterministic-codebook twins. The codebook is the 8 lowest-id
+    // vectors' subspace slices (m=4 × 16 dims); per-subspace squared L2 is
+    // a list_sum left fold — bit-identical to Spark's aggregate fold — so
+    // argmin ties resolve to the same lowest code in both engines.
+    "q_pq_codes" ->
+      s"""$PqEncodeSql
+         |SELECT vec_id, string_agg(CAST(code AS VARCHAR), ' ' ORDER BY s) AS code_seq
+         |FROM enc GROUP BY vec_id""".stripMargin,
+    // ADC: a candidate's score is the s-ordered fold of the QUERY's exact
+    // subspace distances to the candidate's assigned centroids — list(sq
+    // ORDER BY s) reproduces Spark's subspace fold order exactly, so
+    // equal-code candidates tie bit-identically and neighbor_id decides
+    "q_pq_subset" ->
+      s"""$PqEncodeSql,
+         |score AS (
+         |  SELECT qd.vec_id AS query_id, enc.vec_id AS neighbor_id,
+         |         list_sum(list(qd.sq ORDER BY qd.s)) AS adist
+         |  FROM enc JOIN dist qd ON qd.s = enc.s AND qd.code = enc.code
+         |  WHERE qd.vec_id < 5 AND enc.vec_id <> qd.vec_id
+         |  GROUP BY 1, 2),
+         |r AS (
+         |  SELECT query_id, neighbor_id, adist,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+         |  FROM score)
+         |SELECT query_id, neighbor_id, round(adist, 6) AS adist, rank
+         |FROM r WHERE rank <= 10""".stripMargin
   )
+
+  /** Shared CTE prefix for the PQ oracles: deterministic codebook (8 lowest
+    * vec_ids, m=4 subspaces × 16 dims), per-(vector, subspace, centroid)
+    * squared distances, and the argmin code assignment.
+    */
+  private val PqEncodeSql: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cbrow AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
+      |          FROM e ORDER BY vec_id LIMIT 8),
+      |sub AS (SELECT s FROM generate_series(0, 3) t(s)),
+      |cb AS (SELECT s, code, v[(s*16+1):((s+1)*16)] AS cv FROM cbrow, sub),
+      |d AS (SELECT vec_id, s, v[(s*16+1):((s+1)*16)] AS dv FROM e, sub),
+      |dist AS (
+      |  SELECT d.vec_id, d.s, cb.code,
+      |         list_sum(list_transform(list_zip(d.dv, cb.cv),
+      |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS sq
+      |  FROM d JOIN cb USING (s)),
+      |enc AS (
+      |  SELECT vec_id, s, code, sq FROM
+      |    (SELECT *, row_number() OVER (PARTITION BY vec_id, s
+      |                                  ORDER BY sq, code) AS rn FROM dist)
+      |  WHERE rn = 1)""".stripMargin
 }

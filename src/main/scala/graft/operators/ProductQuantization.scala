@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for ANN search (Jégou, Douze & Schmid 2011,
+  * "Product Quantization for Nearest Neighbor Search", IEEE TPAMI) — the
+  * embedding-compression scale path next to LSH bucketing and IVF posting
+  * lists: split each d-dim vector into `m` subspaces, quantize every
+  * subspace slice to one of `k` learned centroids, and store only the m
+  * small code ints (64-dim float32 → 4–8 bytes, a 32–64× compression).
+  * Search is asymmetric distance computation (ADC): a query computes its
+  * m×k table of exact subspace distances ONCE, then every candidate costs
+  * m table lookups + m adds — no per-pair vector arithmetic at all.
+  *
+  * Scale shape: codebooks are m×k×(d/m) doubles — a few KB — shipped as
+  * expression literals, so [[encode]] is a zero-shuffle codegen'd
+  * projection over the corpus and the encoded table is what a 100 TB
+  * deployment persists (the raw vectors stay in cold storage). [[adcTopK]]
+  * broadcasts the (small) query side with its precomputed tables; the
+  * corpus streams map-side and only the per-query top-k shuffles. PQ ranks
+  * the WHOLE corpus per query (compression, not candidate pruning) — at
+  * full scale it composes with IVF (probe lists first, ADC-rank inside
+  * them); the optional `rerank` stage re-scores the ADC shortlist with
+  * exact distances, the standard IVFADC+R refinement.
+  */
+object ProductQuantization {
+
+  /** m × k × (dim/m): `codebooks(s)(j)` is centroid j of subspace s. */
+  type Codebooks = Array[Array[Array[Double]]]
+
+  private def asDouble(v: Column): Column = transform(v, _.cast("double"))
+
+  /** Squared L2 between two double arrays — a sequential left fold in
+    * array order, so a DuckDB `list_sum` twin is bit-identical.
+    */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+
+  private def centroidLit(c: Array[Double]): Column = array(c.toSeq.map(lit): _*)
+
+  private def subspace(v: Column, s: Int, dsub: Int): Column =
+    slice(v, s * dsub + 1, dsub)
+
+  /** Learned codebooks: one sampled MLlib KMeans per subspace. Same
+    * economics as the IVF coarse quantizer ([[Similarity.ivfKnn]]): random
+    * init + capped iterations on a representative sample — codebook polish
+    * buys little once cells are balanced, and every extra pass is a full
+    * scan of the train set. RNG inside (seeded KMeans), so trained-PQ
+    * queries are recall-spec'd, not SQL-oracled; the deterministic
+    * encode/ADC math is oracled via [[fixedCodebooks]].
+    */
+  def train(
+      corpus: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      dim: Int = 64,
+      seed: Long = 42L,
+      trainFraction: Double = 1.0,
+      maxIter: Int = 10,
+      vecCol: String = "embedding"
+  ): Codebooks = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val vd = asDouble(col(vecCol))
+    val sliced = corpus.select(
+      (0 until m).map(s => array_to_vector(subspace(vd, s, dsub)).as(s"s$s")): _*)
+    val trainSet =
+      if (trainFraction >= 1.0) sliced
+      else sliced.sample(withReplacement = false, trainFraction, seed)
+    trainSet.persist()
+    try {
+      (0 until m).toArray.map { s =>
+        new KMeans().setK(k).setSeed(seed + s)
+          .setInitMode("random").setMaxIter(maxIter)
+          .setFeaturesCol(s"s$s").setPredictionCol("c")
+          .fit(trainSet)
+          .clusterCenters.map(_.toArray)
+      }
+    } finally { trainSet.unpersist(); () }
+  }
+
+  /** Deterministic codebooks: the subspace slices of the `k` lowest-id
+    * corpus rows. Exists so the encode + ADC math has a hash-matched SQL
+    * oracle (the [[Similarity.windowedKnn]] pattern — deterministic
+    * candidates, engine-checked arithmetic); quantization QUALITY is
+    * [[train]]'s job. Collects exactly k rows — bounded by construction.
+    */
+  def fixedCodebooks(
+      corpus: DataFrame,
+      m: Int = 4,
+      k: Int = 8,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Codebooks = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    val rows = corpus
+      .select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .orderBy(col(idCol))
+      .limit(k)
+      .select(col("v"))
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(rows.length == k, s"corpus has only ${rows.length} rows, need $k")
+    (0 until m).toArray.map(s => rows.map(_.slice(s * dsub, s * dsub + dsub)))
+  }
+
+  /** PQ codes for every corpus row: per subspace, the argmin-distance
+    * centroid index (ties → lowest code, both engines). A zero-shuffle
+    * projection — this is the compression pass a corpus-scale deployment
+    * runs once and persists.
+    */
+  def encode(
+      corpus: DataFrame,
+      codebooks: Codebooks,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    val vd = asDouble(col(vecCol))
+    val codeCols = codebooks.zipWithIndex.map { case (cb, s) =>
+      val sl = subspace(vd, s, dsub)
+      val dists = array(cb.map(c => sqDist(sl, centroidLit(c))).toSeq: _*)
+      // array_position is 1-based and returns the FIRST index of the min —
+      // the lowest code on ties, matching the oracle's ORDER BY sq, code
+      (array_position(dists, array_min(dists)) - 1).cast("int")
+    }
+    corpus.select(col(idCol), array(codeCols.toSeq: _*).as("codes"))
+  }
+
+  /** ADC top-k: each query precomputes its m×k subspace-distance table
+    * (exact query slice vs every centroid), then every encoded corpus row
+    * scores as the fold of m table lookups — `adist` approximates squared
+    * L2. `rerank` > 0 re-scores that many ADC-shortlisted candidates per
+    * query with EXACT squared L2 (the ADC+R refinement): the shortlist is
+    * queries×rerank rows — small — so the exact pass broadcasts it against
+    * the corpus and never rescans more than the shortlist.
+    */
+  def adcTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      codebooks: Codebooks,
+      k: Int = 10,
+      rerank: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val dsub = codebooks(0)(0).length
+    val qvd = asDouble(col(vecCol))
+    val qtab = array(codebooks.zipWithIndex.map { case (cb, s) =>
+      val sl = subspace(qvd, s, dsub)
+      array(cb.map(c => sqDist(sl, centroidLit(c))).toSeq: _*)
+    }.toSeq: _*)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), qtab.as("qtab")))
+    val encoded = encode(corpus, codebooks, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("codes"))
+    // fold in subspace order — the oracle's list_sum(list(sq ORDER BY s))
+    // is the same left fold, so equal-code candidates tie EXACTLY in both
+    // engines and the neighbor_id tie-break decides identically
+    val adist = aggregate(
+      zip_with(col("qtab"), col("codes"), (tab, code) => element_at(tab, code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = encoded
+      .join(q, col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    val approx = scored.withColumn("rank", row_number().over(w))
+    if (rerank <= 0) approx.filter(col("rank") <= k)
+    else {
+      val shortlist = approx.filter(col("rank") <= math.max(k, rerank)).drop("rank", "adist")
+      val qv = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
+      val cv = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"))
+      val exact = cv
+        .join(broadcast(shortlist), Seq("neighbor_id"))
+        .join(qv, Seq("query_id"))
+        .select(col("query_id"), col("neighbor_id"), sqDist(col("qv"), col("nv")).as("sq_l2"))
+      val rw = Window.partitionBy(col("query_id")).orderBy(col("sq_l2"), col("neighbor_id"))
+      exact.withColumn("rank", row_number().over(rw)).filter(col("rank") <= k)
+    }
+  }
+}
