@@ -948,9 +948,12 @@ object SparkEntry {
     },
     "q_knn_pq" -> { (s, d) =>
       val emb = Tables(s, d).embeddings
-      // m=8 subspaces × 16 codes suits the 64-dim embeddings; rerank=50
-      // re-scores the ADC shortlist exactly (IVFADC+R refinement)
-      val cb = graft.operators.ProductQuantization.train(emb, m = 8, k = 16, dim = 64)
+      // m=4 subspaces × 16 codes, 5 k-means passes: each extra subspace or
+      // pass is another full KMeans job, and the exact rerank below carries
+      // recall regardless of codebook polish (the IVF-quantizer economics);
+      // PqSpec's recall bound runs the finer m=8 codebook
+      val cb = graft.operators.ProductQuantization.train(emb, m = 4, k = 16, dim = 64,
+        maxIter = 5)
       graft.operators.ProductQuantization.adcTopK(emb.filter(col("vec_id") < 5), emb, cb,
           k = 10, rerank = 50)
         .select(col("query_id"), col("neighbor_id"), round(col("sq_l2"), 6).as("sq_l2"), col("rank"))
