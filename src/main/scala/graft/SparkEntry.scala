@@ -958,6 +958,15 @@ object SparkEntry {
           k = 10, rerank = 50)
         .select(col("query_id"), col("neighbor_id"), round(col("sq_l2"), 6).as("sq_l2"), col("rank"))
     },
+    // exact-substring duplication (Lee et al. 2021, suffix-array dedup as
+    // rolling 8-token window hashes): maximal cross-doc duplicated spans,
+    // then the corpus with those spans cut out
+    "q_substring_spans" -> { (s, d) =>
+      graft.operators.SubstringDedup.duplicatedSpans(Tables(s, d).documents, w = 8)
+    },
+    "q_substring_clean" -> { (s, d) =>
+      graft.operators.SubstringDedup.removeSpans(Tables(s, d).documents, w = 8)
+    },
     "q_cosine_neardup" -> { (s, d) =>
       Similarity.cosineNearDupPairs(Tables(s, d).embeddings, threshold = 0.5)
         .orderBy(col("cos").desc, col("id1"), col("id2")).limit(100)
@@ -1930,8 +1939,57 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
          |  FROM score)
          |SELECT query_id, neighbor_id, round(adist, 6) AS adist, rank
-         |FROM r WHERE rank <= 10""".stripMargin
+         |FROM r WHERE rank <= 10""".stripMargin,
+    // exact-substring twins: md5 window hashing, distinct-doc dup test and
+    // gaps-and-islands span merge are all integer/string arithmetic —
+    // bit-exact cross-engine by construction
+    "q_substring_spans" ->
+      s"""$SubstrSpansSql
+         |SELECT doc_id, span_start, span_end, n_windows FROM spans""".stripMargin,
+    "q_substring_clean" ->
+      s"""$SubstrSpansSql,
+         |pos AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks)-1)) AS i FROM t),
+         |kept AS (
+         |  SELECT p.doc_id, p.i, p.toks[p.i+1] AS tok
+         |  FROM pos p LEFT JOIN spans s
+         |    ON s.doc_id = p.doc_id AND p.i BETWEEN s.span_start AND s.span_end
+         |  WHERE s.doc_id IS NULL),
+         |ck AS (SELECT doc_id, count(*) AS n_kept,
+         |              md5(string_agg(tok, ' ' ORDER BY i)) AS clean_md5
+         |       FROM kept GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.toks) AS n_tokens,
+         |       len(t.toks) - coalesce(ck.n_kept, 0) AS n_removed,
+         |       coalesce(ck.clean_md5, md5('')) AS clean_md5
+         |FROM t LEFT JOIN ck USING (doc_id)""".stripMargin
   )
+
+  /** Shared CTE prefix for the exact-substring oracles: rolling 8-token
+    * window hashes, hashes in ≥2 distinct docs, and the merged maximal
+    * spans (overlapping-or-adjacent windows coalesce).
+    */
+  private val SubstrSpansSql: String =
+    s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+       |wh AS (
+       |  SELECT doc_id, pos, md5(array_to_string(toks[(pos+1):(pos+8)], ' ')) AS h
+       |  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks)-8)) AS pos
+       |        FROM t WHERE len(toks) >= 8)),
+       |dup AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+       |dw AS (SELECT wh.doc_id, wh.pos FROM wh JOIN dup USING (h)),
+       |fl AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos > coalesce(max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
+       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+       |              THEN 1 ELSE 0 END AS ns
+       |  FROM dw),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
+       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+       |  FROM fl),
+       |spans AS (
+       |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
+       |         CAST(count(*) AS BIGINT) AS n_windows
+       |  FROM isl GROUP BY doc_id, g)""".stripMargin
 
   /** Shared CTE prefix for the PQ oracles: deterministic codebook (8 lowest
     * vec_ids, m=4 subspaces × 16 dims), per-(vector, subspace, centroid)
