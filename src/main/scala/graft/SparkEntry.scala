@@ -958,6 +958,31 @@ object SparkEntry {
           k = 10, rerank = 50)
         .select(col("query_id"), col("neighbor_id"), round(col("sq_l2"), 6).as("sq_l2"), col("rank"))
     },
+    // CCNet-style quality tiers: per-language exact terciles of the
+    // bigram-LM score (rounded score + doc_id ordering is fully
+    // deterministic, so the rank-based spelling is engine-reproducible;
+    // operators.QualityBuckets.byApproxThresholds is the sort-free twin)
+    "q_quality_buckets" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val scored = LmScore.score(docs, docs)
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      graft.operators.QualityBuckets.byNtile(scored, n = 3)
+        .select(col("doc_id"), col("lang"), col("avg_logp"), col("bucket"))
+    },
+    // skew-mitigation salted join: lineitem⋈orders with the key salted 8
+    // ways — result rows are provably identical to the plain inner join, so
+    // the oracle IS the plain join (operators.SkewJoin)
+    "q_salted_join" -> { (s, d) =>
+      val t = Tables(s, d)
+      graft.operators.SkewJoin.saltedInner(
+          t.lineitem.select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          t.orders.select(col("o_orderkey"), col("o_orderpriority")),
+          "l_orderkey", "o_orderkey", salts = 8)
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_items"),
+          Money.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    },
     // exact-substring duplication (Lee et al. 2021, suffix-array dedup as
     // rolling 8-token window hashes): maximal cross-doc duplicated spans,
     // then the corpus with those spans cut out
@@ -1940,6 +1965,38 @@ object SparkEntry {
          |  FROM score)
          |SELECT query_id, neighbor_id, round(adist, 6) AS adist, rank
          |FROM r WHERE rank <= 10""".stripMargin,
+    // per-lang NTILE over (rounded score, doc_id) — the rounded score is
+    // the hash-matched q_lm_score value, so the ordering (and therefore
+    // every bucket) is bit-identical cross-engine
+    "q_quality_buckets" ->
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |pos AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                 i -> toks[i] || ' ' || toks[i + 1])) AS b
+         |  FROM t),
+         |uni AS (SELECT w, count(*) AS cu
+         |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+         |bi AS (SELECT b, count(*) AS cb FROM pos GROUP BY b),
+         |v AS (SELECT count(DISTINCT w) AS v
+         |      FROM (SELECT unnest(toks) AS w FROM t)),
+         |sc AS (
+         |  SELECT pos.doc_id,
+         |         round(avg(ln((bi.cb + 1.0) / (uni.cu + 1.0 * v.v))), 6) AS avg_logp
+         |  FROM pos JOIN bi USING (b)
+         |           JOIN uni ON uni.w = split_part(pos.b, ' ', 1)
+         |           CROSS JOIN v
+         |  GROUP BY pos.doc_id)
+         |SELECT sc.doc_id, d.lang, sc.avg_logp,
+         |       CAST(ntile(3) OVER (PARTITION BY d.lang
+         |                           ORDER BY sc.avg_logp, sc.doc_id) AS INT) AS bucket
+         |FROM sc JOIN documents d USING (doc_id)""".stripMargin,
+    // the salted join is row-identical to the plain inner join by
+    // construction — the oracle states the plain join
+    "q_salted_join" ->
+      s"""SELECT o_orderpriority, count(*) AS n_items,
+         |       ${Money.sumSql("l_extendedprice * (1 - l_discount)")} AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY o_orderpriority""".stripMargin,
     // exact-substring twins: md5 window hashing, distinct-doc dup test and
     // gaps-and-islands span merge are all integer/string arithmetic —
     // bit-exact cross-engine by construction
