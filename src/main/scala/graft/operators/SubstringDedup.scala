@@ -36,13 +36,20 @@ object SubstringDedup {
       textCol: String = "text"
   ): DataFrame = {
     require(w >= 2, s"window width $w must be >= 2")
-    val t = toks(textCol)
+    // tokenize in a SEPARATE projection: a higher-order-function lambda
+    // re-evaluates its whole body per element, so inlining tokens(text)
+    // into the transform below would regex-split the document once per
+    // WINDOW — O(n²) per doc. Bound as a column it's once per row, and
+    // CollapseProject keeps the stage split (the column is referenced
+    // several times and is non-cheap).
+    val t = col("_toks")
     // sequence(0, n) runs DESCENDING when n < 0 — guard short docs explicitly
     val idx = when(size(t) >= w, sequence(lit(0), size(t) - w))
       .otherwise(array().cast("array<int>"))
     val wins = transform(idx, i =>
       struct(i.as("pos"), md5(concat_ws(" ", slice(t, i + 1, lit(w)))).as("h")))
     docs
+      .select(col(idCol), toks(textCol).as("_toks"))
       .select(col(idCol), explode(wins).as("w"))
       .select(col(idCol), col("w.pos").as("pos"), col("w.h").as("h"))
   }
