@@ -53,7 +53,23 @@ object QualityBuckets {
   ): DataFrame = {
     require(n >= 2, s"n $n must be >= 2")
     val cuts = df.stat.approxQuantile(scoreCol, (1 until n).map(_.toDouble / n).toArray, relErr)
-    val bucket = cuts.zipWithIndex.reverse.foldLeft(lit(n): Column) {
+    bucketByCuts(df, cuts, scoreCol)
+  }
+
+  /** Bucket assignment from precomputed ascending cutoffs — a pure
+    * projection (no action, no state), so it runs unchanged on a STREAMING
+    * frame: compute the cuts once from the reference corpus (or a prior
+    * [[byApproxThresholds]] run), then tier live documents in append mode —
+    * CCNet bucketing as a feed filter. Bucket i (1-based) is
+    * `score <= cuts(i-1)`, else `cuts.length + 1`.
+    */
+  def bucketByCuts(
+      df: DataFrame,
+      cuts: Array[Double],
+      scoreCol: String = "avg_logp"
+  ): DataFrame = {
+    require(cuts.nonEmpty && cuts.sameElements(cuts.sorted), "cuts must be ascending")
+    val bucket = cuts.zipWithIndex.reverse.foldLeft(lit(cuts.length + 1): Column) {
       case (acc, (t, i)) => when(col(scoreCol) <= t, i + 1).otherwise(acc)
     }
     df.withColumn("bucket", bucket)

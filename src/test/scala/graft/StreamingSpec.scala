@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ml.OnlineLogreg
+import graft.sources.Tables
 import graft.streaming.{InMemoryKv, KvMetricsStore, MetricsStore, SessionWindows, StreamJob}
 
 class StreamingSpec extends AnyFunSuite {
@@ -258,5 +259,38 @@ class StreamingSpec extends AnyFunSuite {
     val got = spark.sql("SELECT doc_id, n_bigrams, avg_logp FROM lm_stream_out")
       .as[(Long, Long, Double)].collect().toSet
     assert(got == expected && got.size == 3)
+  }
+
+  test("quality-tiering a stream with batch-computed cuts matches the batch buckets") {
+    // the CCNet feed-filter composition: cuts come from ONE approx-quantile
+    // pass over the reference corpus (a batch action), after which
+    // scoreStateless → bucketByCuts is a stateless projection pipeline that
+    // tiers live documents in append mode — stream ≡ batch, bit-for-bit.
+    import graft.operators.{LmScore, QualityBuckets}
+    val corpus = Tables(spark, TestSpark.Sf0001).documents
+    val scored = LmScore.score(corpus, corpus, minCount = 2L)
+    val cuts = scored.stat.approxQuantile("avg_logp", Array(1.0 / 3, 2.0 / 3), 0.001)
+
+    val probe = corpus.filter($"doc_id" < 20).select($"doc_id", $"text")
+    val expected = QualityBuckets.bucketByCuts(
+        LmScore.scoreStateless(probe, corpus, minCount = 2L), cuts)
+      .select($"doc_id", $"bucket").as[(Long, Int)].collect().toSet
+
+    val dir = Files.createTempDirectory("graft-qbstream-in").toString
+    val cp = Files.createTempDirectory("graft-qbstream-cp").toString
+    probe.write.mode("overwrite").parquet(dir)
+    val raw = spark.readStream
+      .schema("doc_id LONG, text STRING")
+      .parquet(dir)
+    val q = QualityBuckets.bucketByCuts(
+        LmScore.scoreStateless(raw, corpus, minCount = 2L), cuts)
+      .select($"doc_id", $"bucket")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("qb_stream_out").option("checkpointLocation", cp).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.sql("SELECT doc_id, bucket FROM qb_stream_out")
+      .as[(Long, Int)].collect().toSet
+    assert(got == expected && got.nonEmpty)
   }
 }
