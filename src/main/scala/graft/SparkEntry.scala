@@ -992,6 +992,16 @@ object SparkEntry {
     "q_substring_clean" -> { (s, d) =>
       graft.operators.SubstringDedup.removeSpans(Tables(s, d).documents, w = 8)
     },
+    // IVFADC — the FAISS-default composition: coarse lists + PQ on
+    // residuals + ADC inside the nProbe probed lists + exact rerank.
+    // RNG (two seeded k-means stages) → rows-only; recall-spec'd in PqSpec,
+    // ADC math oracled via q_pq_subset
+    "q_knn_ivfpq" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      graft.operators.ProductQuantization.ivfAdcKnn(emb.filter(col("vec_id") < 5), emb,
+          k = 10, nLists = 8, nProbe = 4, m = 4, codes = 16, rerank = 50)
+        .select(col("query_id"), col("neighbor_id"), round(col("sq_l2"), 6).as("sq_l2"), col("rank"))
+    },
     "q_cosine_neardup" -> { (s, d) =>
       Similarity.cosineNearDupPairs(Tables(s, d).embeddings, threshold = 0.5)
         .orderBy(col("cos").desc, col("id1"), col("id2")).limit(100)

@@ -130,7 +130,9 @@ object ProductQuantization {
       // the lowest code on ties, matching the oracle's ORDER BY sq, code
       (array_position(dists, array_min(dists)) - 1).cast("int")
     }
-    corpus.select(col(idCol), array(codeCols.toSeq: _*).as("codes"))
+    // input columns ride along (still a pure projection) so callers like
+    // [[ivfAdcKnn]] keep their list assignment next to the codes
+    corpus.withColumn("codes", array(codeCols.toSeq: _*))
   }
 
   /** ADC top-k: each query precomputes its m×k subspace-distance table
@@ -171,16 +173,124 @@ object ProductQuantization {
     val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
     val approx = scored.withColumn("rank", row_number().over(w))
     if (rerank <= 0) approx.filter(col("rank") <= k)
-    else {
-      val shortlist = approx.filter(col("rank") <= math.max(k, rerank)).drop("rank", "adist")
-      val qv = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
-      val cv = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"))
-      val exact = cv
-        .join(broadcast(shortlist), Seq("neighbor_id"))
-        .join(qv, Seq("query_id"))
-        .select(col("query_id"), col("neighbor_id"), sqDist(col("qv"), col("nv")).as("sq_l2"))
-      val rw = Window.partitionBy(col("query_id")).orderBy(col("sq_l2"), col("neighbor_id"))
-      exact.withColumn("rank", row_number().over(rw)).filter(col("rank") <= k)
-    }
+    else exactRerank(approx.filter(col("rank") <= math.max(k, rerank)),
+      queries, corpus, k, idCol, vecCol)
+  }
+
+  /** IVFADC (Jégou 2011 §V / the FAISS default index): the IVF coarse
+    * quantizer routes every corpus vector to one of `nLists` posting lists,
+    * PQ codebooks train on the RESIDUAL (vector − its list centroid) — the
+    * residual distribution is tighter than the raw space, so the same code
+    * budget quantizes finer — and a query ADC-scans only its `nProbe`
+    * nearest lists. This is the composition that makes billion-vector ANN
+    * economic: candidate count ≈ nProbe/nLists of the corpus, each
+    * candidate costs m table lookups, and the persisted index row is
+    * (list_id, id, m codes) — a few bytes per vector.
+    *
+    * Both k-means stages are RNG (seeded): recall-spec'd like
+    * [[Similarity.ivfKnn]]; the deterministic ADC arithmetic is oracled
+    * through [[adcTopK]]'s fixed-codebook twin.
+    */
+  def ivfAdcKnn(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      nLists: Int = 16,
+      nProbe: Int = 4,
+      m: Int = 8,
+      codes: Int = 16,
+      dim: Int = 64,
+      seed: Long = 42L,
+      maxIter: Int = 5,
+      rerank: Int = 0,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = corpus.sparkSession
+    import spark.implicits._
+
+    // coarse quantizer — same economics as Similarity.ivfKnn: random init,
+    // capped passes; recall is governed by nProbe, not centroid polish
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      array_to_vector(asDouble(col(vecCol))).as("features"))
+    val coarse = new KMeans().setK(nLists).setSeed(seed)
+      .setInitMode("random").setMaxIter(maxIter)
+      .setFeaturesCol("features").setPredictionCol("list_id")
+      .fit(corpusVec)
+    val centroids = coarse.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toArray) }
+      .toDF("list_id", "cv")
+    val posted = coarse.transform(corpusVec)
+      .join(broadcast(centroids), Seq("list_id"))
+      // bind the residual as a column: HOF lambdas re-evaluate their body
+      // per element, so downstream slices must reference a bound attribute
+      .select(col("neighbor_id"), col("list_id"),
+        zip_with(asDouble(col("nv")), col("cv"), (x, c) => x - c).as("resid"))
+
+    // PQ on residuals; the index a deployment persists is (list, id, codes)
+    val cb = train(posted, m, codes, dim, seed + 1000, maxIter = maxIter, vecCol = "resid")
+    val encoded = encode(posted, cb, idCol = "neighbor_id", vecCol = "resid")
+      .select(col("list_id"), col("neighbor_id"), col("codes"))
+
+    // probe selection, then one ADC table per (query, probed list) — the
+    // residual query differs per list, so the table does too
+    val cw = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("list_id"))
+    val probes = queries
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+      .join(broadcast(centroids))
+      .select(col("query_id"), col("qv"), col("list_id"),
+        graft.functions.VectorFunctions.l2Distance(col("qv"), col("cv")).as("cdist"),
+        col("cv"))
+      .withColumn("crank", row_number().over(cw))
+      .filter(col("crank") <= nProbe)
+      .select(col("query_id"), col("list_id"),
+        zip_with(col("qv"), col("cv"), (x, c) => x - c).as("qr"))
+    val qtab = array(cb.zipWithIndex.map { case (sub, s) =>
+      val sl = subspace(col("qr"), s, dsub)
+      array(sub.map(c => sqDist(sl, centroidLit(c))).toSeq: _*)
+    }.toSeq: _*)
+    val q = broadcast(probes.select(col("query_id"), col("list_id"), qtab.as("qtab")))
+
+    val adist = aggregate(
+      zip_with(col("qtab"), col("codes"), (tab, code) => element_at(tab, code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    // every corpus vector lives in exactly one list, so a (query, neighbor)
+    // pair appears at most once — no dedup aggregate needed
+    val scored = encoded
+      .join(q, Seq("list_id"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("adist"), col("neighbor_id"))
+    val approx = scored.withColumn("rank", row_number().over(w))
+    if (rerank <= 0) approx.filter(col("rank") <= k)
+    else exactRerank(approx.filter(col("rank") <= math.max(k, rerank)),
+      queries, corpus, k, idCol, vecCol)
+  }
+
+  /** Exact squared-L2 re-scoring of an ADC shortlist (the +R refinement):
+    * the shortlist is queries×rerank rows — small — so it broadcasts
+    * against the corpus and nothing rescans beyond it.
+    */
+  private def exactRerank(
+      shortlist: DataFrame,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      idCol: String,
+      vecCol: String
+  ): DataFrame = {
+    val pairs = shortlist.select(col("query_id"), col("neighbor_id"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv")))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"))
+    val exact = cv
+      .join(broadcast(pairs), Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"), sqDist(col("qv"), col("nv")).as("sq_l2"))
+    val rw = Window.partitionBy(col("query_id")).orderBy(col("sq_l2"), col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(rw)).filter(col("rank") <= k)
   }
 }

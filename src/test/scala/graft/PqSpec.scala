@@ -23,7 +23,7 @@ class PqSpec extends AnyFunSuite {
       (2L, Array(1.0f, -1.0f, 4.0f, 1.0f)) // near cb0[0], cb1[1]
     ).toDF("vec_id", "embedding")
     val codes = ProductQuantization.encode(df, handCb)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](r.fieldIndex("codes"))).toMap
     assert(codes(1L) == Seq(1, 0))
     assert(codes(2L) == Seq(0, 1))
   }
@@ -31,7 +31,7 @@ class PqSpec extends AnyFunSuite {
   test("encode ties resolve to the lowest code") {
     // equidistant from both centroids of each subspace
     val df = Seq((1L, Array(5.0f, 5.0f, 2.5f, 2.5f))).toDF("vec_id", "embedding")
-    val codes = ProductQuantization.encode(df, handCb).collect()(0).getSeq[Int](1)
+    val codes = ProductQuantization.encode(df, handCb).collect()(0) match { case r => r.getSeq[Int](r.fieldIndex("codes")) }
     assert(codes == Seq(0, 0))
   }
 
@@ -43,7 +43,7 @@ class PqSpec extends AnyFunSuite {
     val res = ProductQuantization.adcTopK(
       emb.filter($"vec_id" === 100L), emb.filter($"vec_id" < 50), cb, k = 5)
     val codes = ProductQuantization.encode(emb.filter($"vec_id" < 50), cb)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toArray).toMap
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getSeq[Int](r.fieldIndex("codes")).toArray).toMap
     val qv = emb.filter($"vec_id" === 100L)
       .select($"embedding").collect()(0).getSeq[Float](0).map(_.toDouble).toArray
     res.collect().foreach { r =>
@@ -89,6 +89,38 @@ class PqSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = (exact & approx).size.toDouble / exact.size
     assert(recall >= 0.6, s"recall $recall too low")
+  }
+
+  test("IVFADC: recall vs exact L2 with residual codebooks and rerank") {
+    val emb = Tables(spark, TestSpark.Sf0001).embeddings
+    val queries = emb.filter($"vec_id" < 10)
+    val q = broadcast(queries.select($"vec_id".as("query_id"), $"embedding".as("qv")))
+    val scored = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("nv"))
+      .join(q, $"neighbor_id" =!= $"query_id")
+      .select($"query_id", $"neighbor_id",
+        graft.functions.VectorFunctions.l2Distance($"qv", $"nv").as("l2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"query_id").orderBy($"l2", $"neighbor_id")
+    val exact = scored.withColumn("rank", row_number().over(w)).filter($"rank" <= 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    val approx = ProductQuantization.ivfAdcKnn(queries, emb,
+        k = 10, nLists = 8, nProbe = 4, m = 8, codes = 16, rerank = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // candidate pool is only nProbe/nLists of the corpus — probe recall
+    // bounds total recall, same regime as SimilaritySpec's ivfKnn bound
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall too low")
+
+    // contract: ranks contiguous from 1, self excluded
+    val rows = ProductQuantization.ivfAdcKnn(queries, emb,
+      k = 10, nLists = 8, nProbe = 4, m = 8, codes = 16).collect()
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (qid, rs) =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+      assert(!rs.exists(_.getAs[Long]("neighbor_id") == qid))
+    }
   }
 
   test("plan: encode is a zero-shuffle projection; ADC corpus side never shuffles vectors") {
