@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, LmScore, Multimodal, Packing, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity}
+import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, IntervalOverlap, LmScore, Multimodal, Packing, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -43,6 +43,16 @@ object SparkEntry {
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 5)
       .select(col("src"), col("dst"))
+
+  /** Gap-session bounds shared by the interval-overlap queries: one row per
+    * (user, session) with inclusive [start_s, end_s] epoch-second bounds.
+    */
+  private def gapSessionBounds(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.gapSessions(Tables(spark, dir).events, "user_id", "ts",
+        gapSeconds = 1800L, tieBreakCol = Some("event_id"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts").cast("long")).as("start_s"),
+        max(col("ts").cast("long")).as("end_s"))
 
   private def clickstream(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events.select(
@@ -531,6 +541,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_s"),
           Money.moneySum(col("value")).as("total_value"))
+    },
+    // interval overlap WITHOUT an interval self-join: per-session count of
+    // other sessions (any user) open at the same time, via two bucketized
+    // order statistics (IntervalOverlap.countLE). The oracle states the same
+    // counts through an independent spelling — a sorted running sum over the
+    // merged start/end point stream.
+    "q_session_overlap" -> { (s, d) =>
+      IntervalOverlap.overlapCounts(gapSessionBounds(s, d),
+        Seq("user_id", "session_idx"), "start_s", "end_s", width = 3600L)
+    },
+    // concurrency timeline: per-hour started/ended/still-open session counts;
+    // the only ordered pass is over the tiny per-hour table
+    "q_concurrency_timeline" -> { (s, d) =>
+      IntervalOverlap.concurrencyTimeline(gapSessionBounds(s, d), "start_s", "end_s", 3600L)
     },
     // explicit window frames: running total + trailing moving average
     "q_running_revenue" -> { (s, d) =>
@@ -1069,6 +1093,29 @@ object SparkEntry {
 
   // \s+ split to mirror TextFunctions.tokens exactly — string_split on a
   // single space would silently diverge on tabs/newlines inside text
+  /** DuckDB twin of `gapSessionBounds`: CTE chain ending in `sess(user_id,
+    * session_idx, start_s, end_s)` — the same lag+cumsum spelling as the
+    * q_gap_sessions oracle.
+    */
+  private val SessionBoundsCte: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+      |         lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
+      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
+      |  FROM events
+      |), m AS (
+      |  SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS new_s
+      |  FROM g
+      |), sx AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                             ROWS UNBOUNDED PRECEDING) AS session_idx
+      |  FROM m
+      |), sess AS (
+      |  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+      |         min(ts_s) AS start_s, max(ts_s) AS end_s
+      |  FROM sx GROUP BY user_id, session_idx
+      |)""".stripMargin
+
   private val TokensSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
   private val StopSql =
@@ -1444,6 +1491,49 @@ object SparkEntry {
         |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
         |       max(ts_s) - min(ts_s) AS duration_s, ${Money.sumSql("value")} AS total_value
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+    // independent spelling of interval overlap: running sum over the merged
+    // sorted point stream (starts count before a probe at the same value for
+    // <=; ends count after a probe at the same value for <). The Spark side
+    // computes the same two order statistics bucketized.
+    "q_session_overlap" ->
+      s"""$SessionBoundsCte,
+        |p1 AS (
+        |  SELECT start_s AS v, 1 AS st, CAST(NULL AS BIGINT) AS uid,
+        |         CAST(NULL AS BIGINT) AS sid FROM sess
+        |  UNION ALL
+        |  SELECT end_s AS v, 0 AS st, user_id, session_idx FROM sess
+        |), r1 AS (
+        |  SELECT uid, sid, st,
+        |         sum(st) OVER (ORDER BY v, st DESC ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM p1
+        |), a AS (SELECT uid, sid, CAST(c AS BIGINT) AS n_start_le FROM r1 WHERE st = 0),
+        |p2 AS (
+        |  SELECT end_s AS v, 1 AS en, CAST(NULL AS BIGINT) AS uid,
+        |         CAST(NULL AS BIGINT) AS sid FROM sess
+        |  UNION ALL
+        |  SELECT start_s AS v, 0 AS en, user_id, session_idx FROM sess
+        |), r2 AS (
+        |  SELECT uid, sid, en,
+        |         sum(en) OVER (ORDER BY v, en ASC ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM p2
+        |), b AS (SELECT uid, sid, CAST(c AS BIGINT) AS n_end_lt FROM r2 WHERE en = 0)
+        |SELECT a.uid AS user_id, a.sid AS session_idx,
+        |       CAST(a.n_start_le - b.n_end_lt - 1 AS BIGINT) AS n_overlap
+        |FROM a JOIN b ON a.uid = b.uid AND a.sid = b.sid""".stripMargin,
+    "q_concurrency_timeline" ->
+      s"""$SessionBoundsCte,
+        |st AS (SELECT start_s // 3600 AS bucket, count(*) AS n_started FROM sess GROUP BY 1),
+        |en AS (SELECT end_s // 3600 AS bucket, count(*) AS n_ended FROM sess GROUP BY 1),
+        |j AS (
+        |  SELECT COALESCE(st.bucket, en.bucket) AS bucket,
+        |         COALESCE(st.n_started, 0) AS n_started,
+        |         COALESCE(en.n_ended, 0) AS n_ended
+        |  FROM st FULL OUTER JOIN en ON st.bucket = en.bucket
+        |)
+        |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(n_started AS BIGINT) AS n_started,
+        |       CAST(n_ended AS BIGINT) AS n_ended,
+        |       CAST(sum(n_started) OVER w - sum(n_ended) OVER w AS BIGINT) AS n_open_after
+        |FROM j WINDOW w AS (ORDER BY bucket ROWS UNBOUNDED PRECEDING)""".stripMargin,
     "q_running_revenue" ->
       s"""SELECT o_custkey, o_orderkey,
         |       ${Money.sumSql("o_totalprice",

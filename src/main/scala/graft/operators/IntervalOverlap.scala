@@ -1,0 +1,139 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Interval-overlap analytics without an interval self-join.
+  *
+  * The naive spelling of "how many sessions overlap session i" is a non-equi
+  * self-join (`a.start <= b.end AND b.start <= a.end`) — a broadcast
+  * nested-loop at best and O(n²) pairs at 100 TB. Both operators here avoid
+  * it with order statistics:
+  *
+  *   overlaps(i) = |{j : start_j <= end_i}| − |{j : end_j < start_i}| − 1
+  *
+  * (closed intervals; the −1 removes i itself, which always satisfies both).
+  * Each rank count is computed by `countLE` with a bucketized two-level
+  * scheme — one tiny per-bucket histogram plus an equi-join on the bucket
+  * key for the residual — so the only row-scale shuffles are an aggregate
+  * and one equi-join whose fan-out is bounded by points-per-bucket, never a
+  * pairwise product and never a global row-level sort.
+  *
+  * Reference scope: the reference's session analytics stop at per-session
+  * aggregates (src/spark/preprocessing.py:63-79); concurrency/overlap is
+  * part of the training-pipeline extension set (SURVEY §2.12).
+  */
+object IntervalOverlap {
+
+  /** For every probe row, count points with `point <= v` (or `< v` when
+    * `strict`). Returns `probes` key columns + `outCol` (long).
+    *
+    * Two-level rank count:
+    *   1. bucket histogram: points grouped by `point DIV width` — a table of
+    *      O(time-range / width) rows (bounded by the time axis, NOT by data
+    *      volume; hours over a decade is < 100k rows).
+    *   2. exclusive prefix for each probe bucket via a broadcast non-equi
+    *      join of the two tiny bucket tables (B_points × B_probes pairs,
+    *      both bounded as above).
+    *   3. residual: equi-join probes to the points of their OWN bucket and
+    *      count those `<= v` — fan-out is points-per-bucket, tunable with
+    *      `width`.
+    *
+    * `keyCols` must uniquely identify a probe row.
+    */
+  def countLE(
+      probes: DataFrame,
+      keyCols: Seq[String],
+      probeCol: String,
+      points: DataFrame,
+      pointCol: String,
+      strict: Boolean,
+      width: Long,
+      outCol: String
+  ): DataFrame = {
+    require(width > 0, "bucket width must be positive")
+    val keyC = keyCols.map(col)
+
+    val pts = points.select(col(pointCol).cast("long").as("_v"))
+      .withColumn("_b", expr(s"_v DIV $width"))
+    val bucketCounts = pts.groupBy(col("_b")).agg(count(lit(1)).as("_n"))
+
+    val pr = probes.select(keyC :+ col(probeCol).cast("long").as("_pv"): _*)
+      .withColumn("_pb", expr(s"_pv DIV $width"))
+
+    // Exclusive prefix per distinct probe bucket: tiny × tiny broadcast join.
+    val probeBuckets = pr.select(col("_pb")).distinct()
+    val prefix = probeBuckets.alias("q")
+      .join(broadcast(bucketCounts.alias("h")), col("h._b") < col("q._pb"), "left")
+      .groupBy(col("q._pb").as("_pb"))
+      .agg(coalesce(sum(col("h._n")), lit(0L)).as("_prefix"))
+
+    // Residual: same-bucket points <= / < the probe value.
+    val cmp = if (strict) col("p._v") < col("pr._pv") else col("p._v") <= col("pr._pv")
+    val residual = pr.alias("pr")
+      .join(pts.alias("p"), col("p._b") === col("pr._pb"), "left")
+      .groupBy(keyC :+ col("pr._pb").as("_pb"): _*)
+      .agg(sum(when(cmp, 1L).otherwise(0L)).as("_res"))
+
+    residual
+      .join(broadcast(prefix), Seq("_pb"))
+      .select(keyC :+ (coalesce(col("_res"), lit(0L)) + col("_prefix")).as(outCol): _*)
+  }
+
+  /** Per-interval count of OTHER intervals it overlaps (closed-interval
+    * semantics: touching endpoints overlap). `keyCols` identify an interval;
+    * start/end columns must be integral (e.g., epoch seconds).
+    */
+  def overlapCounts(
+      intervals: DataFrame,
+      keyCols: Seq[String],
+      startCol: String,
+      endCol: String,
+      width: Long = 3600L
+  ): DataFrame = {
+    val starts = intervals.select(col(startCol))
+    val ends = intervals.select(col(endCol))
+    val nStartLeEnd =
+      countLE(intervals, keyCols, endCol, starts, startCol, strict = false, width, "_n_start_le")
+    val nEndLtStart =
+      countLE(intervals, keyCols, startCol, ends, endCol, strict = true, width, "_n_end_lt")
+    nStartLeEnd
+      .join(nEndLtStart, keyCols)
+      .select(keyCols.map(col) :+
+        (col("_n_start_le") - col("_n_end_lt") - lit(1L)).as("n_overlap"): _*)
+  }
+
+  /** Concurrency timeline: for each bucket (hour by default) that contains a
+    * start or an end, how many intervals started / ended in it and how many
+    * are still open after it (cumulative starts − cumulative ends through
+    * the bucket; closed intervals, so an interval ending inside bucket h is
+    * closed after h).
+    *
+    * The ONLY ordered pass runs over the per-bucket table — O(time-range /
+    * width) rows, so the single-partition window is bounded by the calendar,
+    * not the corpus. All row-scale work is two map-side-combining aggregates.
+    */
+  def concurrencyTimeline(
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      width: Long = 3600L
+  ): DataFrame = {
+    val started = intervals
+      .groupBy(expr(s"CAST($startCol AS BIGINT) DIV $width").as("bucket"))
+      .agg(count(lit(1)).as("n_started"))
+    val ended = intervals
+      .groupBy(expr(s"CAST($endCol AS BIGINT) DIV $width").as("bucket"))
+      .agg(count(lit(1)).as("n_ended"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    started
+      .join(ended, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_started"), lit(0L)).as("n_started"),
+        coalesce(col("n_ended"), lit(0L)).as("n_ended"))
+      .withColumn("n_open_after",
+        sum(col("n_started")).over(w) - sum(col("n_ended")).over(w))
+  }
+}
