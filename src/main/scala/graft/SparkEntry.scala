@@ -602,6 +602,14 @@ object SparkEntry {
         .orderBy(col("n").desc, col("word"))
         .limit(20)
     },
+    // exact heavy hitters at sketch cost: Misra-Gries candidates (O(k)
+    // shuffle per partition, any item cardinality) + exact second pass over
+    // candidate rows only — the output is deterministic even though the
+    // intermediate sketch is not, so the oracle is the plain histogram filter
+    "q_heavy_hitters" -> { (s, d) =>
+      graft.operators.HeavyHitters
+        .heavyHitters(Tables(s, d).documents, Seq("source"), "lang", k = 2)
+    },
     "q_value_percentiles" -> { (s, d) =>
       Tables(s, d).events.groupBy(col("event_type")).agg(
         round(expr("percentile(value, 0.5)"), 6).as("p50"),
@@ -1571,6 +1579,18 @@ object SparkEntry {
          |  SELECT word, count(*) AS n FROM w GROUP BY word
          |  ORDER BY n DESC, word LIMIT 20)
          |SELECT word, n FROM c""".stripMargin,
+    // items with count > n_group/(k+1), k=2 — exactly what the two-pass
+    // sketch computes, stated as the straight histogram filter
+    "q_heavy_hitters" ->
+      """WITH c AS (
+        |  SELECT source, lang, count(*) AS n_item FROM documents
+        |  WHERE lang IS NOT NULL GROUP BY source, lang
+        |), t AS (
+        |  SELECT source, CAST(sum(n_item) AS BIGINT) AS n_group FROM c GROUP BY source
+        |)
+        |SELECT c.source, c.lang, c.n_item, t.n_group
+        |FROM c JOIN t USING (source)
+        |WHERE c.n_item * 3 > t.n_group""".stripMargin,
     "q_value_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
         |       round(quantile_cont(value, 0.9), 6) AS p90
