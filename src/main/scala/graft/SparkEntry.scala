@@ -568,6 +568,45 @@ object SparkEntry {
         round(avg(col("o_totalprice")).over(trailing3), 6).as("trailing3_avg")
       )
     },
+    // window-function medley (§2.5 breadth): lead gap, ntile quartile,
+    // percent_rank / cume_dist — total order via the orderkey tie-break so
+    // every rank is engine-independent
+    "q_order_window_funcs" -> { (s, d) =>
+      val seqW = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val priceW = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, d).orders.select(
+        col("o_custkey"), col("o_orderkey"),
+        (lead(col("o_orderdate").cast("timestamp").cast("long"), 1).over(seqW) -
+          col("o_orderdate").cast("timestamp").cast("long")).as("next_gap_s"),
+        ntile(4).over(priceW).as("price_quartile"),
+        round(percent_rank().over(priceW), 6).as("price_pct_rank"),
+        round(cume_dist().over(priceW), 6).as("price_cume_dist"))
+    },
+    // pivot: wide per-hour event-type counts with an explicit value list
+    // (deterministic column set; absent combos coalesced to 0 on both sides)
+    "q_pivot_type_hour" -> { (s, d) =>
+      Tables(s, d).events
+        .groupBy(hour(col("ts")).as("hour_of_day"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("hour_of_day"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error"))
+    },
+    // cube with grouping_id: all four (status × priority) rollup combinations
+    // in one pass (Expand + single aggregate, not four scans)
+    "q_cube_status" -> { (s, d) =>
+      Tables(s, d).orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Money.moneySum(col("o_totalprice")).as("revenue"),
+          grouping_id().cast("long").as("gid"))
+    },
     // funnel: users whose first view < first click < first purchase
     "q_event_funnel" -> { (s, d) =>
       val firsts = Tables(s, d).events
@@ -1551,6 +1590,29 @@ object SparkEntry {
         |             ORDER BY o_orderdate, o_orderkey
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS trailing3_avg
         |FROM orders""".stripMargin,
+    "q_order_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lead(CAST(floor(epoch(o_orderdate)) AS BIGINT), 1)
+        |         OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |         - CAST(floor(epoch(o_orderdate)) AS BIGINT) AS next_gap_s,
+        |       CAST(ntile(4) OVER wp AS INT) AS price_quartile,
+        |       round(percent_rank() OVER wp, 6) AS price_pct_rank,
+        |       round(cume_dist() OVER wp, 6) AS price_cume_dist
+        |FROM orders
+        |WINDOW wp AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)""".stripMargin,
+    "q_pivot_type_hour" ->
+      """SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+        |       count(*) FILTER (WHERE event_type = 'view') AS n_view,
+        |       count(*) FILTER (WHERE event_type = 'click') AS n_click,
+        |       count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+        |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+        |       count(*) FILTER (WHERE event_type = 'error') AS n_error
+        |FROM events GROUP BY 1""".stripMargin,
+    "q_cube_status" ->
+      s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+        |       ${Money.sumSql("o_totalprice")} AS revenue,
+        |       CAST(GROUPING_ID(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)""".stripMargin,
     "q_event_funnel" ->
       """WITH f AS (
         |  SELECT user_id,
