@@ -598,6 +598,14 @@ object SparkEntry {
           coalesce(col("signup"), lit(0L)).as("n_signup"),
           coalesce(col("error"), lit(0L)).as("n_error"))
     },
+    // the spark.sql entry path: the IDENTICAL ANSI text runs here over temp
+    // views and in DuckDB as the oracle — proving engine-portable SQL intake
+    "q_sql_parity" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.orders.createOrReplaceTempView("orders")
+      t.customer.createOrReplaceTempView("customer")
+      s.sql(SqlParitySql)
+    },
     // cube with grouping_id: all four (status × priority) rollup combinations
     // in one pass (Expand + single aggregate, not four scans)
     "q_cube_status" -> { (s, d) =>
@@ -1140,6 +1148,16 @@ object SparkEntry {
 
   // \s+ split to mirror TextFunctions.tokens exactly — string_split on a
   // single space would silently diverge on tabs/newlines inside text
+  /** One ANSI text, two engines: executed verbatim by `spark.sql` (the SQL
+    * entry path over temp views) AND by DuckDB as its own oracle. Integer
+    * aggregates only, so no float-summation-order caveats apply.
+    */
+  private[graft] val SqlParitySql: String =
+    """SELECT c_mktsegment, count(*) AS n_orders,
+      |       min(o_orderkey) AS min_orderkey, max(o_orderkey) AS max_orderkey
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_mktsegment""".stripMargin
+
   /** DuckDB twin of `gapSessionBounds`: CTE chain ending in `sess(user_id,
     * session_idx, start_s, end_s)` — the same lag+cumsum spelling as the
     * q_gap_sessions oracle.
@@ -1608,6 +1626,7 @@ object SparkEntry {
         |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |       count(*) FILTER (WHERE event_type = 'error') AS n_error
         |FROM events GROUP BY 1""".stripMargin,
+    "q_sql_parity" -> SqlParitySql,
     "q_cube_status" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
         |       ${Money.sumSql("o_totalprice")} AS revenue,

@@ -13,6 +13,30 @@ class StreamingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  test("freq_sketch aggregates on a stream: final candidates cover true heavy hitters") {
+    val dir = Files.createTempDirectory("graft-fs-items")
+    val checkpoint = Files.createTempDirectory("graft-fs-cp").toString
+    // two micro-batch files so the sketch's partial states actually merge
+    val b0 = Seq.fill(12)("x") ++ Seq.fill(5)("y") ++ Seq("a", "b", "c")
+    val b1 = Seq.fill(9)("x") ++ Seq.fill(6)("y") ++ Seq("d", "e")
+    Files.write(dir.resolve("b0.csv"), b0.mkString("\n").getBytes)
+    Files.write(dir.resolve("b1.csv"), b1.mkString("\n").getBytes)
+    val q = spark.readStream.schema("item STRING").csv(dir.toString)
+      .agg(graft.expressions.FreqSketch.freq_sketch(col("item"), 3).as("cand"))
+      .select(map_keys(col("cand")).as("keys"))
+      .writeStream.outputMode("complete").format("memory").queryName("fs_stream")
+      .option("checkpointLocation", checkpoint).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val keys = spark.sql("SELECT keys FROM fs_stream").as[Seq[String]].collect().head.toSet
+    val all = b0 ++ b1
+    val hh = all.groupBy(identity).collect {
+      case (v, occ) if occ.size * 4 > all.size => v
+    }.toSet
+    assert(hh == Set("x", "y"))
+    assert(hh.subsetOf(keys) && keys.size <= 3)
+  }
+
   test("MetricsStore writes atomic, parseable JSON with bounded history") {
     val dir = Files.createTempDirectory("graft-metrics").toString
     val store = new MetricsStore(s"$dir/metrics.json", historyLimit = 3)
