@@ -36,6 +36,31 @@ object Sinks {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Range-clustered parquet: repartition by range on `sortCols`, sort
+    * within partitions, bound file size with `maxRecordsPerFile`. Each
+    * output file then covers a narrow, mostly-disjoint key range, so parquet
+    * footer min/max (zone maps) let ANY later range predicate on those
+    * columns skip whole files/row-groups — the sort costs one shuffle at
+    * write time and pays on every subsequent scan. This is the clustering
+    * story where a partition column would be too fine-grained (e.g.
+    * timestamps).
+    */
+  def writeRangeClustered(
+      df: DataFrame,
+      path: String,
+      sortCols: Seq[String],
+      nFiles: Int = 8,
+      maxRecordsPerFile: Long = 0L
+  ): Unit = {
+    val cols = sortCols.map(org.apache.spark.sql.functions.col)
+    df.repartitionByRange(nFiles, cols: _*)
+      .sortWithinPartitions(cols: _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .parquet(path)
+  }
+
   def writeCsv(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
 

@@ -128,6 +128,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq(7L)) // only user 7's 10:00 click attributes; 11:00 click and users 8/9 don't
   }
 
+  test("native dropDuplicatesWithinWatermark: one survivor per key on a stream") {
+    val dir = Files.createTempDirectory("graft-ddw")
+    val checkpoint = Files.createTempDirectory("graft-ddw-cp").toString
+    Files.write(dir.resolve("b0.csv"),
+      ("1,2024-01-01 10:00:00\n1,2024-01-01 10:00:30\n" +
+        "2,2024-01-01 10:01:00\n2,2024-01-01 10:01:05\n3,2024-01-01 10:02:00").getBytes)
+    val q = spark.readStream.schema("id LONG, ts_str STRING").csv(dir.toString)
+      .withColumn("ts", to_timestamp(col("ts_str"))).drop("ts_str")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("id")
+      .writeStream.outputMode("append").format("memory").queryName("ddw")
+      .option("checkpointLocation", checkpoint).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val ids = spark.sql("SELECT id FROM ddw").as[Long].collect().sorted.toSeq
+    assert(ids == Seq(1L, 2L, 3L))
+  }
+
   test("streaming exact dedup: first-seen wins within the watermark") {
     val dir = Files.createTempDirectory("graft-dedup-in")
     val checkpoint = Files.createTempDirectory("graft-dedup-cp").toString
