@@ -53,6 +53,9 @@ object SparkEntry {
       .groupBy(col("user_id"), col("session_idx"))
       .agg(min(col("ts").cast("long")).as("start_s"),
         max(col("ts").cast("long")).as("end_s"))
+      // overlapCounts reads this frame four times (probes + points, twice);
+      // the Verify/Bench harness unpersists between queries
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   private def clickstream(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).events.select(

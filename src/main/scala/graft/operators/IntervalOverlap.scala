@@ -33,9 +33,9 @@ object IntervalOverlap {
     *   1. bucket histogram: points grouped by `point DIV width` — a table of
     *      O(time-range / width) rows (bounded by the time axis, NOT by data
     *      volume; hours over a decade is < 100k rows).
-    *   2. exclusive prefix for each probe bucket via a broadcast non-equi
-    *      join of the two tiny bucket tables (B_points × B_probes pairs,
-    *      both bounded as above).
+    *   2. exclusive prefix per probe bucket via one ordered cumsum over the
+    *      merged bucket table — the only ordered pass in the operator, and
+    *      it runs over O(buckets) rows, not data rows.
     *   3. residual: equi-join probes to the points of their OWN bucket and
     *      count those `<= v` — fan-out is points-per-bucket, tunable with
     *      `width`.
@@ -62,12 +62,19 @@ object IntervalOverlap {
     val pr = probes.select(keyC :+ col(probeCol).cast("long").as("_pv"): _*)
       .withColumn("_pb", expr(s"_pv DIV $width"))
 
-    // Exclusive prefix per distinct probe bucket: tiny × tiny broadcast join.
-    val probeBuckets = pr.select(col("_pb")).distinct()
-    val prefix = probeBuckets.alias("q")
-      .join(broadcast(bucketCounts.alias("h")), col("h._b") < col("q._pb"), "left")
-      .groupBy(col("q._pb").as("_pb"))
-      .agg(coalesce(sum(col("h._n")), lit(0L)).as("_prefix"))
+    // Exclusive prefix per distinct probe bucket: one cumsum over the merged
+    // bucket table (bounded by the time axis, so the single-partition window
+    // is safe by construction).
+    val probeBuckets = pr.select(col("_pb").as("_b")).distinct()
+      .withColumn("_isprobe", lit(1))
+    val wcum = Window.orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = probeBuckets
+      .join(bucketCounts, Seq("_b"), "full_outer")
+      .select(col("_b"), coalesce(col("_n"), lit(0L)).as("_n"), col("_isprobe"))
+      .withColumn("_prefix", coalesce(sum(col("_n")).over(wcum), lit(0L)))
+      .filter(col("_isprobe") === 1)
+      .select(col("_b").as("_pb"), col("_prefix"))
 
     // Residual: same-bucket points <= / < the probe value.
     val cmp = if (strict) col("p._v") < col("pr._pv") else col("p._v") <= col("pr._pv")
