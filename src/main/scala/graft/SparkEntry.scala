@@ -652,6 +652,21 @@ object SparkEntry {
         .orderBy(col("n").desc, col("word"))
         .limit(20)
     },
+    // BPE trainer surface: iteration-0 adjacent-pair counts (the aggregate
+    // every merge step re-runs), oracled; deterministic tie-break ordering
+    "q_bpe_pair_counts" -> { (s, d) =>
+      graft.operators.Bpe.pairCounts(
+          graft.operators.Bpe.symbolize(
+            graft.operators.Vocab.wordCounts(Tables(s, d).documents)))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(20)
+    },
+    // the learned merge table itself (iterative argmax — no single-SQL
+    // oracle; BpeSpec pins the whole table against a naive reference)
+    "q_bpe_merges" -> { (s, d) =>
+      graft.operators.Bpe.mergeTable(s,
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents), nMerges = 10)
+    },
     // exact heavy hitters at sketch cost: Misra-Gries candidates (O(k)
     // shuffle per partition, any item cardinality) + exact second pass over
     // candidate rows only — the output is deterministic even though the
@@ -1663,6 +1678,22 @@ object SparkEntry {
          |  SELECT word, count(*) AS n FROM w GROUP BY word
          |  ORDER BY n DESC, word LIMIT 20)
          |SELECT word, n FROM c""".stripMargin,
+    // BPE iteration-0: char-pair counts (with the </w> end marker) over the
+    // word-frequency table, weighted by word count
+    "q_bpe_pair_counts" ->
+      s"""WITH tok AS (SELECT unnest($TokensSql) AS word FROM documents),
+        |w AS (SELECT word, count(*) AS n FROM tok GROUP BY word),
+        |px AS (SELECT word, n, unnest(range(1, length(word) + 1)) AS i FROM w),
+        |p AS (
+        |  SELECT substring(word, i, 1) AS l,
+        |         CASE WHEN i = length(word) THEN '</w>'
+        |              ELSE substring(word, i + 1, 1) END AS r,
+        |         n
+        |  FROM px
+        |)
+        |SELECT l, r, CAST(sum(n) AS BIGINT) AS cnt
+        |FROM p GROUP BY l, r
+        |ORDER BY cnt DESC, l, r LIMIT 20""".stripMargin,
     // items with count > n_group/(k+1), k=2 — exactly what the two-pass
     // sketch computes, stated as the straight histogram filter
     "q_heavy_hitters" ->

@@ -1,0 +1,77 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** One BPE merge step applied to a symbol array: greedy left-to-right
+  * replacement of every adjacent (a, b) with the concatenation ab —
+  * overlapping candidates resolve leftmost-first ("a a a" under (a,a) →
+  * ["aa", "a"]), the contract every BPE implementation shares (Sennrich
+  * 2016, learn_bpe).
+  *
+  * A native kernel because the column-function spelling would be a
+  * sequential fold with lookahead — `transform` can't consume two elements,
+  * and an `aggregate` lambda re-boxes the accumulator array per element.
+  * Codegen calls the static kernel, so N merge steps stay N tight loops
+  * inside one WholeStageCodegen span.
+  */
+object BpeMerge {
+
+  /** Static kernel targeted by generated code (and nullSafeEval). */
+  def mergePairKernel(
+      arr: ArrayData,
+      a: UTF8String,
+      b: UTF8String,
+      merged: UTF8String
+  ): ArrayData = {
+    val n = arr.numElements()
+    val out = new Array[AnyRef](n)
+    var o = 0
+    var i = 0
+    while (i < n) {
+      if (i < n - 1 && arr.getUTF8String(i).equals(a) && arr.getUTF8String(i + 1).equals(b)) {
+        out(o) = merged
+        i += 2
+      } else {
+        out(o) = arr.getUTF8String(i)
+        i += 1
+      }
+      o += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(out, o).asInstanceOf[Array[Any]])
+  }
+
+  /** Column API: apply the merge (a, b) → ab to an `array<string>` column. */
+  def mergePair(syms: Column, a: String, b: String): Column =
+    ColumnBridge.column(PairMerge(ColumnBridge.expression(syms), a, b))
+}
+
+case class PairMerge(child: Expression, a: String, b: String) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_merge_pair"
+
+  @transient private lazy val aU8 = UTF8String.fromString(a)
+  @transient private lazy val bU8 = UTF8String.fromString(b)
+  @transient private lazy val mergedU8 = UTF8String.fromString(a + b)
+
+  override def nullSafeEval(input: Any): Any =
+    BpeMerge.mergePairKernel(input.asInstanceOf[ArrayData], aU8, bU8, mergedU8)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val u8 = "org.apache.spark.unsafe.types.UTF8String"
+    val aRef = ctx.addReferenceObj("bpeA", aU8, u8)
+    val bRef = ctx.addReferenceObj("bpeB", bU8, u8)
+    val mRef = ctx.addReferenceObj("bpeM", mergedU8, u8)
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.BpeMerge.mergePairKernel($c, $aRef, $bRef, $mRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PairMerge =
+    copy(child = newChild)
+}

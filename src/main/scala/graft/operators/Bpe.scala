@@ -1,0 +1,104 @@
+package graft.operators
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+import graft.expressions.BpeMerge
+
+/** Byte-pair-encoding tokenizer training (Sennrich, Haddow & Birch 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units") as an
+  * iterative DataFrame job.
+  *
+  * BPE trains on the WORD-FREQUENCY table, not the corpus: one corpus-scale
+  * shuffle builds (word, n) — `Vocab.wordCounts` — and every later pass
+  * touches only |V| rows. That separation is the 100 TB story: the corpus is
+  * petabytes, its distinct-word table is millions of rows, and web-noise
+  * corpora (typos, URLs, code) are exactly where |V| outgrows one machine
+  * and the usual single-node trainers stop working.
+  *
+  * Per merge step, matching the reference algorithm exactly:
+  *   1. adjacent-pair counts weighted by word frequency — one map-side-
+  *      combining aggregate over the vocab;
+  *   2. argmax with a deterministic (count DESC, left, right) tie-break —
+  *      a 1-row collect (the Components-style bounded driver probe);
+  *   3. apply the merge to every word — a zero-shuffle projection through
+  *      the native `PairMerge` kernel (greedy leftmost-first).
+  * N merges = N×(aggregate + projection); the vocab stays persisted and is
+  * swapped generation-to-generation like `Components` rounds.
+  *
+  * The reference pipeline has no subword trainer (its TF-IDF tokenizer is
+  * word-level, src/spark/preprocessing.py); this extends SURVEY §2.12's
+  * vocabulary block (`Vocab`) down to subword units.
+  */
+object Bpe {
+
+  /** End-of-word marker, its own symbol (Sennrich's `</w>`). */
+  val EndMark = "</w>"
+
+  final case class Merge(idx: Int, left: String, right: String, cnt: Long)
+
+  /** (word, n) → (word, n, syms): characters plus the end marker. */
+  def symbolize(wordCounts: DataFrame): DataFrame =
+    wordCounts.withColumn("syms",
+      concat(split(col("word"), ""), array(lit(EndMark))))
+
+  /** Frequency of every adjacent symbol pair, weighted by word count.
+    * Output: (l, r, cnt).
+    */
+  def pairCounts(vocab: DataFrame): DataFrame =
+    vocab
+      .filter(size(col("syms")) >= 2)
+      .select(col("n"), explode(expr(
+        "transform(sequence(0, size(syms) - 2)," +
+          " i -> named_struct('l', syms[i], 'r', syms[i + 1]))")).as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("n")).as("cnt"))
+
+  /** Learn up to `nMerges` merges. Stops early when no pair reaches
+    * `minPairCount` (or the vocab has no pairs left). Deterministic for any
+    * input partitioning: ties break on (left, right) lexicographically.
+    */
+  def trainMerges(
+      wordCounts: DataFrame,
+      nMerges: Int,
+      minPairCount: Long = 1L
+  ): Seq[Merge] = {
+    require(nMerges >= 0 && nMerges <= 100000, "nMerges in 0..100000")
+    val merges = new ArrayBuffer[Merge]()
+    var vocab = symbolize(wordCounts).persist(StorageLevel.MEMORY_AND_DISK)
+    try {
+      var i = 0
+      var done = false
+      while (i < nMerges && !done) {
+        val top = pairCounts(vocab)
+          .orderBy(desc("cnt"), asc("l"), asc("r"))
+          .limit(1)
+          .collect() // exactly one row — bounded driver probe
+        if (top.isEmpty || top.head.getLong(2) < minPairCount) done = true
+        else {
+          val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+          merges += Merge(i, l, r, c)
+          val next = vocab
+            .withColumn("syms", BpeMerge.mergePair(col("syms"), l, r))
+            .persist(StorageLevel.MEMORY_AND_DISK)
+          next.count() // materialize before dropping the parent generation
+          vocab.unpersist(blocking = false)
+          vocab = next
+          i += 1
+        }
+      }
+    } finally vocab.unpersist(blocking = false)
+    merges.toSeq
+  }
+
+  /** The learned merge table as a DataFrame (merge_idx, left, right, cnt). */
+  def mergeTable(spark: SparkSession, wordCounts: DataFrame, nMerges: Int): DataFrame = {
+    import spark.implicits._
+    trainMerges(wordCounts, nMerges)
+      .map(m => (m.idx, m.left, m.right, m.cnt))
+      .toDF("merge_idx", "left", "right", "cnt")
+  }
+}

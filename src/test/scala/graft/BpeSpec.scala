@@ -1,0 +1,104 @@
+package graft
+
+import scala.collection.mutable
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.expressions.BpeMerge
+import graft.operators.Bpe
+
+class BpeSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---- naive single-threaded reference (Sennrich learn_bpe semantics) ----
+
+  private def mergeSeq(syms: Vector[String], l: String, r: String): Vector[String] = {
+    val out = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) { out += l + r; i += 2 }
+      else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def naiveBpe(words: Map[String, Long], nMerges: Int): Seq[(String, String, Long)] = {
+    var vocab: Map[Vector[String], Long] =
+      words.map { case (w, n) => (w.split("").toVector :+ Bpe.EndMark) -> n }
+    val out = mutable.ArrayBuffer.empty[(String, String, Long)]
+    var continue = true
+    while (continue && out.size < nMerges) {
+      val counts = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+      for ((syms, n) <- vocab; i <- 0 until syms.length - 1)
+        counts((syms(i), syms(i + 1))) += n
+      if (counts.isEmpty) continue = false
+      else {
+        val ((l, r), c) = counts.minBy { case ((l, r), c) => (-c, l, r) }
+        out += ((l, r, c))
+        vocab = vocab.map { case (syms, n) => mergeSeq(syms, l, r) -> n }
+      }
+    }
+    out.toSeq
+  }
+
+  private val SennrichCorpus =
+    Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+
+  test("merge table matches the naive reference on the classic corpus") {
+    val wc = SennrichCorpus.toSeq.toDF("word", "n")
+    val got = Bpe.trainMerges(wc, 10).map(m => (m.left, m.right, m.cnt))
+    assert(got == naiveBpe(SennrichCorpus, 10))
+    // spot-check the famous first merges: (e,s) 9 then (es,t) 9
+    assert(got.take(2) == Seq(("e", "s", 9L), ("es", "t", 9L)))
+  }
+
+  test("PairMerge kernel: leftmost-first on overlaps, ends, no-match") {
+    val df = Seq(
+      Seq("a", "a", "a"),
+      Seq("x", "a", "a"),
+      Seq("a", "b", "a", "b"),
+      Seq("z"),
+      Seq[String]()
+    ).toDF("syms")
+    val aa = df.select(BpeMerge.mergePair($"syms", "a", "a")).as[Seq[String]].collect()
+    assert(aa(0) == Seq("aa", "a") && aa(1) == Seq("x", "aa"))
+    val ab = df.select(BpeMerge.mergePair($"syms", "a", "b")).as[Seq[String]].collect()
+    assert(ab(2) == Seq("ab", "ab") && ab(3) == Seq("z") && ab(4) == Seq())
+  }
+
+  test("deterministic for any partitioning (tie-break on left, right)") {
+    val words = Map("ab" -> 2L, "cd" -> 2L, "ce" -> 1L, "ad" -> 1L)
+    val expected = naiveBpe(words, 6)
+    for (p <- Seq(1, 3, 7)) {
+      val wc = words.toSeq.toDF("word", "n").repartition(p)
+      val got = Bpe.trainMerges(wc, 6).map(m => (m.left, m.right, m.cnt))
+      assert(got == expected, s"partitions=$p")
+    }
+  }
+
+  test("stops early when every word is a single symbol") {
+    val wc = Seq(("ab", 1L)).toDF("word", "n")
+    // ab -> a,b,</w>: merges (a,b), (ab,</w>), then no pairs remain
+    val got = Bpe.trainMerges(wc, 10)
+    assert(got.map(m => (m.left, m.right)) == Seq(("a", "b"), ("ab", Bpe.EndMark)))
+  }
+
+  test("minPairCount stops below the threshold") {
+    val wc = Seq(("ab", 5L), ("xy", 1L)).toDF("word", "n")
+    val got = Bpe.trainMerges(wc, 10, minPairCount = 3L)
+    // (a,b)=5 and (ab,</w>)=5 qualify; the xy pairs at 1 do not
+    assert(got.map(_.cnt).forall(_ >= 3L))
+    assert(got.map(m => (m.left, m.right)) == Seq(("a", "b"), ("ab", Bpe.EndMark)))
+  }
+
+  test("pairCounts weights by word frequency and appends the end marker") {
+    val vocab = Bpe.symbolize(Seq(("aa", 3L), ("ab", 2L)).toDF("word", "n"))
+    val got = Bpe.pairCounts(vocab)
+      .as[(String, String, Long)].collect().map(t => (t._1, t._2) -> t._3).toMap
+    assert(got == Map(
+      ("a", "a") -> 3L, ("a", "b") -> 2L,
+      ("a", Bpe.EndMark) -> 3L, ("b", Bpe.EndMark) -> 2L))
+  }
+}
