@@ -667,6 +667,15 @@ object SparkEntry {
       graft.operators.Bpe.mergeTable(s,
         graft.operators.Vocab.wordCounts(Tables(s, d).documents), nMerges = 10)
     },
+    // the subword vocabulary those merges induce over the corpus (encode
+    // path: merges as literals, one zero-shuffle projection + one groupBy)
+    "q_bpe_subwords" -> { (s, d) =>
+      val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+      val merges = graft.operators.Bpe.trainMerges(wc, 10)
+      graft.operators.Bpe.subwordVocab(wc, merges)
+        .orderBy(col("n_tokens").desc, col("subword"))
+        .limit(30)
+    },
     // exact heavy hitters at sketch cost: Misra-Gries candidates (O(k)
     // shuffle per partition, any item cardinality) + exact second pass over
     // candidate rows only — the output is deterministic even though the

@@ -49,6 +49,32 @@ object BpeMerge {
   /** Column API: apply the merge (a, b) → ab to an `array<string>` column. */
   def mergePair(syms: Column, a: String, b: String): Column =
     ColumnBridge.column(PairMerge(ColumnBridge.expression(syms), a, b))
+
+  /** Static kernel: apply a whole merge table in rank order — the BPE
+    * ENCODE path (tokenize new text under learned merges). Flat layout
+    * [a0, b0, ab0, a1, b1, ab1, …].
+    */
+  def applyMergesKernel(arr: ArrayData, flat: Array[UTF8String]): ArrayData = {
+    var cur = arr
+    var k = 0
+    while (k < flat.length) {
+      cur = mergePairKernel(cur, flat(k), flat(k + 1), flat(k + 2))
+      k += 3
+    }
+    if (cur eq arr) { // no merges: still detach from the (reusable) input row
+      val n = arr.numElements()
+      val out = new Array[AnyRef](n)
+      var i = 0
+      while (i < n) { out(i) = arr.getUTF8String(i); i += 1 }
+      new GenericArrayData(out.asInstanceOf[Array[Any]])
+    } else cur
+  }
+
+  /** Column API: apply `merges` in learned order to an `array<string>`
+    * column (one tight pass per merge, all inside one codegen'd call).
+    */
+  def applyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    ColumnBridge.column(ApplyMerges(ColumnBridge.expression(syms), merges))
 }
 
 case class PairMerge(child: Expression, a: String, b: String) extends UnaryExpression {
@@ -73,5 +99,30 @@ case class PairMerge(child: Expression, a: String, b: String) extends UnaryExpre
   }
 
   override protected def withNewChildInternal(newChild: Expression): PairMerge =
+    copy(child = newChild)
+}
+
+case class ApplyMerges(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_apply"
+
+  @transient private lazy val flat: Array[UTF8String] =
+    merges.flatMap { case (a, b) =>
+      Seq(UTF8String.fromString(a), UTF8String.fromString(b), UTF8String.fromString(a + b))
+    }.toArray
+
+  override def nullSafeEval(input: Any): Any =
+    BpeMerge.applyMergesKernel(input.asInstanceOf[ArrayData], flat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val flatRef = ctx.addReferenceObj("bpeFlat", flat,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.BpeMerge.applyMergesKernel($c, $flatRef)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ApplyMerges =
     copy(child = newChild)
 }

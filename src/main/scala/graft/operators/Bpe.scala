@@ -101,4 +101,23 @@ object Bpe {
       .map(m => (m.idx, m.left, m.right, m.cnt))
       .toDF("merge_idx", "left", "right", "cnt")
   }
+
+  /** ENCODE path: re-tokenize the word table under a learned merge list —
+    * merges ship as expression literals (bounded by nMerges), applied in
+    * rank order by the native kernel in one zero-shuffle projection.
+    * Adds `syms` (final subword sequence per word).
+    */
+  def encodeWords(wordCounts: DataFrame, merges: Seq[Merge]): DataFrame =
+    symbolize(wordCounts).withColumn("syms",
+      graft.expressions.BpeMerge.applyMerges(
+        col("syms"), merges.sortBy(_.idx).map(m => (m.left, m.right))))
+
+  /** The corpus subword vocabulary induced by the merges: explode encoded
+    * words, weight by word frequency. Output (subword, n_tokens).
+    */
+  def subwordVocab(wordCounts: DataFrame, merges: Seq[Merge]): DataFrame =
+    encodeWords(wordCounts, merges)
+      .select(explode(col("syms")).as("subword"), col("n"))
+      .groupBy(col("subword"))
+      .agg(sum(col("n")).as("n_tokens"))
 }

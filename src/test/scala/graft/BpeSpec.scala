@@ -93,6 +93,31 @@ class BpeSpec extends AnyFunSuite {
     assert(got.map(m => (m.left, m.right)) == Seq(("a", "b"), ("ab", Bpe.EndMark)))
   }
 
+  test("encodeWords applies the merge table in rank order (matches naive)") {
+    val wc = SennrichCorpus.toSeq.toDF("word", "n")
+    val merges = Bpe.trainMerges(wc, 8)
+    val got = Bpe.encodeWords(wc, merges)
+      .select($"word", $"syms").as[(String, Seq[String])].collect().toMap
+    // naive: start from chars+</w>, apply each merge greedily in order
+    val expected = SennrichCorpus.keys.map { w =>
+      var syms = w.split("").toVector :+ Bpe.EndMark
+      merges.foreach(m => syms = mergeSeq(syms, m.left, m.right))
+      w -> syms
+    }.toMap
+    assert(got.view.mapValues(_.toVector).toMap == expected)
+    // reconstruction invariant: concatenating subwords restores word + </w>
+    got.foreach { case (w, syms) => assert(syms.mkString == w + Bpe.EndMark) }
+  }
+
+  test("subwordVocab weights exploded subwords by word frequency") {
+    val wc = Seq(("ab", 3L), ("ac", 2L)).toDF("word", "n")
+    val merges = Seq(Bpe.Merge(0, "a", "b", 3L)) // only ab merges
+    val got = Bpe.subwordVocab(wc, merges)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "ab" -> 3L, Bpe.EndMark -> 5L, "a" -> 2L, "c" -> 2L))
+  }
+
   test("pairCounts weights by word frequency and appends the end marker") {
     val vocab = Bpe.symbolize(Seq(("aa", 3L), ("ab", 2L)).toDF("word", "n"))
     val got = Bpe.pairCounts(vocab)
