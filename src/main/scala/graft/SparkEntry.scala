@@ -559,6 +559,17 @@ object SparkEntry {
     "q_concurrency_timeline" -> { (s, d) =>
       IntervalOverlap.concurrencyTimeline(gapSessionBounds(s, d), "start_s", "end_s", 3600L)
     },
+    // densification: regular per-user hourly grid over each user's own span,
+    // missing hours zero-filled, hourly avg value carried forward
+    "q_gap_fill" -> { (s, d) =>
+      val hourly = Tables(s, d).events
+        .groupBy(col("user_id"),
+          expr("CAST(ts AS LONG) DIV 3600").as("h"))
+        .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 6).as("v"))
+      graft.operators.Densify
+        .densify(hourly, "user_id", "h", counts = Seq("n_events"), carried = Seq("v"))
+        .withColumnRenamed("v", "value_ff")
+    },
     // explicit window frames: running total + trailing moving average
     "q_running_revenue" -> { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -1612,6 +1623,24 @@ object SparkEntry {
         |SELECT a.uid AS user_id, a.sid AS session_idx,
         |       CAST(a.n_start_le - b.n_end_lt - 1 AS BIGINT) AS n_overlap
         |FROM a JOIN b ON a.uid = b.uid AND a.sid = b.sid""".stripMargin,
+    "q_gap_fill" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, value FROM events
+        |), a AS (
+        |  SELECT user_id, h, count(*) AS n_events, round(avg(value), 6) AS v
+        |  FROM e GROUP BY user_id, h
+        |), b AS (
+        |  SELECT user_id, min(h) AS lo, max(h) AS hi FROM a GROUP BY user_id
+        |), sp AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1)) AS h FROM b
+        |), j AS (
+        |  SELECT sp.user_id, sp.h, COALESCE(a.n_events, 0) AS n_events, a.v
+        |  FROM sp LEFT JOIN a ON sp.user_id = a.user_id AND sp.h = a.h
+        |)
+        |SELECT user_id, h, CAST(n_events AS BIGINT) AS n_events,
+        |       last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY h
+        |         ROWS UNBOUNDED PRECEDING) AS value_ff
+        |FROM j""".stripMargin,
     "q_concurrency_timeline" ->
       s"""$SessionBoundsCte,
         |st AS (SELECT start_s // 3600 AS bucket, count(*) AS n_started FROM sess GROUP BY 1),

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series densification: turn a sparse per-(group, bucket) frame into a
+  * regular one — every bucket between each group's first and last
+  * observation exists, absent buckets zero-filled, and carried metrics
+  * forward-filled (`last IGNORE NULLS`).
+  *
+  * Scale shape: the spine explodes `sequence(lo, hi)` PER GROUP, so row
+  * growth is each group's own active span (never the global calendar), and
+  * every shuffle in the pipeline hashes on the group key family — the spine
+  * aggregate, the left join back, and the fill window. Feature pipelines
+  * need this before any fixed-stride temporal model (lag features, rolling
+  * windows over regular grids); the reference has no counterpart
+  * (SURVEY §2.12 extension).
+  */
+object Densify {
+
+  /** Per-group regular bucket spine: one row per (group, bucket) for every
+    * bucket in [min observed, max observed] of that group. `bucketCol` must
+    * be integral.
+    */
+  def spine(df: DataFrame, groupCol: String, bucketCol: String): DataFrame =
+    df.groupBy(col(groupCol))
+      .agg(min(col(bucketCol)).as("_lo"), max(col(bucketCol)).as("_hi"))
+      .select(col(groupCol), explode(sequence(col("_lo"), col("_hi"))).as(bucketCol))
+
+  /** Forward-fill `fillCols` within each group in `orderCol` order. Rows
+    * before a group's first non-null value stay null.
+    */
+  def forwardFill(
+      df: DataFrame,
+      groupCol: String,
+      orderCol: String,
+      fillCols: Seq[String]
+  ): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    fillCols.foldLeft(df) { (acc, c) =>
+      acc.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+  }
+
+  /** Densify + zero-fill counts + forward-fill carried metrics in one call.
+    * `counts` are coalesced to 0 on spine-only rows; `carried` are
+    * forward-filled.
+    */
+  def densify(
+      agg: DataFrame,
+      groupCol: String,
+      bucketCol: String,
+      counts: Seq[String],
+      carried: Seq[String]
+  ): DataFrame = {
+    val sp = spine(agg, groupCol, bucketCol)
+    val joined = sp.join(agg, Seq(groupCol, bucketCol), "left")
+    val zeroed = counts.foldLeft(joined) { (acc, c) =>
+      acc.withColumn(c, coalesce(col(c), lit(0L)))
+    }
+    forwardFill(zeroed, groupCol, bucketCol, carried)
+  }
+}
