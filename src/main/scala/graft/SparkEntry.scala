@@ -701,6 +701,15 @@ object SparkEntry {
         round(expr("percentile(value, 0.9)"), 6).as("p90")
       )
     },
+    // §2.4 breadth: Pearson correlation / sample covariance / stddev per
+    // group (rounded — covariance sums are partition-order-sensitive)
+    "q_value_correlation" -> { (s, d) =>
+      Tables(s, d).lineitem.groupBy(col("l_returnflag")).agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_cov"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("price_stddev"),
+        count(lit(1)).as("n"))
+    },
     // custom TypedImperativeAggregate: bounded-heap top-k with map-side combine
     "q_topk_prices" -> { (s, d) =>
       Tables(s, d).lineitem
@@ -1744,6 +1753,13 @@ object SparkEntry {
         |SELECT c.source, c.lang, c.n_item, t.n_group
         |FROM c JOIN t USING (source)
         |WHERE c.n_item * 3 > t.n_group""".stripMargin,
+    "q_value_correlation" ->
+      """SELECT l_returnflag,
+        |       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+        |       round(covar_samp(l_quantity, l_extendedprice), 4) AS qty_price_cov,
+        |       round(stddev_samp(l_extendedprice), 4) AS price_stddev,
+        |       count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_value_percentiles" ->
       """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
         |       round(quantile_cont(value, 0.9), 6) AS p90

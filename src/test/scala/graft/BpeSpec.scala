@@ -126,4 +126,13 @@ class BpeSpec extends AnyFunSuite {
       ("a", "a") -> 3L, ("a", "b") -> 2L,
       ("a", Bpe.EndMark) -> 3L, ("b", Bpe.EndMark) -> 2L))
   }
+
+  test("plan: one merge step is exactly one pair-count shuffle, merge itself shuffle-free") {
+    val vocab = Bpe.symbolize(Seq(("ab", 1L)).toDF("word", "n"))
+    val countPlan = Bpe.pairCounts(vocab).queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(countPlan).size == 1, countPlan)
+    val mergePlan = vocab.withColumn("syms", BpeMerge.mergePair($"syms", "a", "b"))
+      .queryExecution.executedPlan.toString
+    assert(!mergePlan.contains("Exchange"), mergePlan)
+  }
 }
