@@ -111,6 +111,27 @@ object IntervalOverlap {
         (col("_n_start_le") - col("_n_end_lt") - lit(1L)).as("n_overlap"): _*)
   }
 
+  /** Per-bucket boundary deltas: each interval contributes a +start and a
+    * +end boundary row, ONE aggregate sums them — (bucket, n_started,
+    * n_ended). Single shuffle, and the spelling runs unchanged on a
+    * STREAMING frame of closed intervals (one stateful aggregate — no
+    * stream-unsupported join); StreamingSpec pins stream ≡ batch.
+    */
+  def boundaryDeltas(
+      intervals: DataFrame,
+      startCol: String,
+      endCol: String,
+      width: Long = 3600L
+  ): DataFrame =
+    intervals
+      .select(explode(array(
+        struct(expr(s"CAST($startCol AS BIGINT) DIV $width").as("bucket"),
+          lit(1L).as("s"), lit(0L).as("e")),
+        struct(expr(s"CAST($endCol AS BIGINT) DIV $width").as("bucket"),
+          lit(0L).as("s"), lit(1L).as("e")))).as("b"))
+      .groupBy(col("b.bucket").as("bucket"))
+      .agg(sum(col("b.s")).as("n_started"), sum(col("b.e")).as("n_ended"))
+
   /** Concurrency timeline: for each bucket (hour by default) that contains a
     * start or an end, how many intervals started / ended in it and how many
     * are still open after it (cumulative starts − cumulative ends through
@@ -119,7 +140,7 @@ object IntervalOverlap {
     *
     * The ONLY ordered pass runs over the per-bucket table — O(time-range /
     * width) rows, so the single-partition window is bounded by the calendar,
-    * not the corpus. All row-scale work is two map-side-combining aggregates.
+    * not the corpus. All row-scale work is one map-side-combining aggregate.
     */
   def concurrencyTimeline(
       intervals: DataFrame,
@@ -127,19 +148,9 @@ object IntervalOverlap {
       endCol: String,
       width: Long = 3600L
   ): DataFrame = {
-    val started = intervals
-      .groupBy(expr(s"CAST($startCol AS BIGINT) DIV $width").as("bucket"))
-      .agg(count(lit(1)).as("n_started"))
-    val ended = intervals
-      .groupBy(expr(s"CAST($endCol AS BIGINT) DIV $width").as("bucket"))
-      .agg(count(lit(1)).as("n_ended"))
     val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    started
-      .join(ended, Seq("bucket"), "full_outer")
-      .select(col("bucket"),
-        coalesce(col("n_started"), lit(0L)).as("n_started"),
-        coalesce(col("n_ended"), lit(0L)).as("n_ended"))
+    boundaryDeltas(intervals, startCol, endCol, width)
       .withColumn("n_open_after",
         sum(col("n_started")).over(w) - sum(col("n_ended")).over(w))
   }

@@ -128,6 +128,51 @@ class StreamingSpec extends AnyFunSuite {
     assert(rows == Seq(7L)) // only user 7's 10:00 click attributes; 11:00 click and users 8/9 don't
   }
 
+  test("streaming concurrency deltas over gap-closed sessions match the batch spelling") {
+    import graft.streaming.GapSessionizer
+    import graft.operators.{IntervalOverlap, Sessionize}
+    // events: two users, sessions split by >900s gaps across two micro-batches
+    val events = Seq(
+      (1L, 1000L, 1.0), (1L, 1100L, 1.0), (1L, 5000L, 1.0), (1L, 5100L, 1.0),
+      (1L, 9900L, 1.0), (2L, 1050L, 1.0), (2L, 7000L, 1.0), (2L, 12000L, 1.0))
+    val dir = Files.createTempDirectory("graft-conc-in")
+    val checkpoint = Files.createTempDirectory("graft-conc-cp").toString
+    val sorted = events.sortBy(_._2)
+    val (h0, h1) = sorted.splitAt(sorted.size / 2)
+    def csv(rows: Seq[(Long, Long, Double)]) =
+      rows.map { case (u, t, v) => s"$u,$t,$v" }.mkString("\n")
+    val f0 = dir.resolve("b0.csv"); val f1 = dir.resolve("b1.csv")
+    Files.write(f0, csv(h0).getBytes)
+    Files.write(f1, csv(h1).getBytes)
+    Files.setLastModifiedTime(f0, java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    Files.setLastModifiedTime(f1, java.nio.file.attribute.FileTime.fromMillis(2000000L))
+    spark.conf.set("spark.sql.streaming.fileSource.maxFilesPerTrigger", "1")
+    try {
+      val raw = spark.readStream
+        .schema("user_id LONG, ts_s LONG, value DOUBLE").csv(dir.toString)
+        .as[GapSessionizer.Event]
+      val closed = GapSessionizer.sessions(raw, gapSeconds = 900L, timeoutMs = 0L)
+      val deltas = IntervalOverlap.boundaryDeltas(closed.toDF(), "start_s", "end_s", 3600L)
+      val q = deltas.writeStream.outputMode("complete").format("memory")
+        .queryName("conc_deltas").option("checkpointLocation", checkpoint).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val got = spark.sql("SELECT bucket, n_started, n_ended FROM conc_deltas")
+        .as[(Long, Long, Long)].collect().toSet
+      // batch twin on the SAME events, minus each user's final (never-closed
+      // by gap evidence under NoTimeout) session
+      val sess = Sessionize.gapSessions(events.toDF("user_id", "ts_s", "value"),
+        "user_id", "ts_s", 900L)
+      val agg = sess.groupBy($"user_id", $"session_idx")
+        .agg(min($"ts_s").as("start_s"), max($"ts_s").as("end_s"))
+      val lastIdx = sess.groupBy($"user_id").agg(max($"session_idx").as("_last"))
+      val closedBatch = agg.join(lastIdx, "user_id").filter($"session_idx" < $"_last")
+      val expected = IntervalOverlap.boundaryDeltas(closedBatch, "start_s", "end_s", 3600L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got == expected && got.nonEmpty)
+    } finally spark.conf.unset("spark.sql.streaming.fileSource.maxFilesPerTrigger")
+  }
+
   test("native dropDuplicatesWithinWatermark: one survivor per key on a stream") {
     val dir = Files.createTempDirectory("graft-ddw")
     val checkpoint = Files.createTempDirectory("graft-ddw-cp").toString
