@@ -663,6 +663,12 @@ object SparkEntry {
         .orderBy(col("n").desc, col("word"))
         .limit(20)
     },
+    // RAG-prep chunking: fixed-size token windows with overlap — tokenize
+    // once, one transform(sequence) explode, zero shuffles
+    "q_chunking" -> { (s, d) =>
+      graft.operators.Chunker.chunk(Tables(s, d).documents,
+        Seq("doc_id"), "text", chunkSize = 40, overlap = 10)
+    },
     // BPE trainer surface: iteration-0 adjacent-pair counts (the aggregate
     // every merge step re-runs), oracled; deterministic tie-break ordering
     "q_bpe_pair_counts" -> { (s, d) =>
@@ -1725,6 +1731,18 @@ object SparkEntry {
          |  SELECT word, count(*) AS n FROM w GROUP BY word
          |  ORDER BY n DESC, word LIMIT 20)
          |SELECT word, n FROM c""".stripMargin,
+    // stride = 40 - 10 = 30; DuckDB list slice toks[st+1 : st+40] is the
+    // 40-token window (inclusive bounds)
+    "q_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+        |c AS (
+        |  SELECT doc_id, unnest(range(0, len(toks), 30)) AS st, toks
+        |  FROM t WHERE len(toks) > 0
+        |)
+        |SELECT doc_id, CAST(st // 30 AS BIGINT) AS chunk_idx,
+        |       array_to_string(toks[st + 1:st + 40], ' ') AS chunk_text,
+        |       CAST(len(toks[st + 1:st + 40]) AS BIGINT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
     // BPE iteration-0: char-pair counts (with the </w> end marker) over the
     // word-frequency table, weighted by word count
     "q_bpe_pair_counts" ->
