@@ -101,6 +101,27 @@ object GraftSession {
           |          / size(filter(split(lower(__ARG__), '\\s+'), w -> w != '')) END"""
           .stripMargin),
       "built-in")
+    // custom aggregates (the analyzer wraps AggregateFunctions itself);
+    // k / merge-pair arguments must be foldable literals
+    def litOf(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Any = {
+      require(e.foldable, s"$what must be a literal")
+      e.eval()
+    }
+    reg.createOrReplaceTempFunction(
+      "graft_top_k",
+      exprs => graft.expressions.TopKAgg(exprs.head,
+        litOf(exprs(1), "k").asInstanceOf[Number].intValue),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_freq_sketch",
+      exprs => graft.expressions.FreqSketch(exprs.head,
+        litOf(exprs(1), "k").asInstanceOf[Number].intValue),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bpe_merge_pair",
+      exprs => graft.expressions.PairMerge(exprs.head,
+        litOf(exprs(1), "left").toString, litOf(exprs(2), "right").toString),
+      "built-in")
   }
 
   /** Local session for tests and ad-hoc runs. */

@@ -75,6 +75,22 @@ class ExpressionSpec extends AnyFunSuite {
     assert(c.getDouble(2) == r.getDouble(2))
   }
 
+  test("SQL registration: graft_top_k / graft_freq_sketch / graft_bpe_merge_pair") {
+    GraftSession.tune(spark)
+    Seq(("a", 5.0), ("a", 1.0), ("b", 2.0), ("a", 9.0))
+      .toDF("item", "v").createOrReplaceTempView("hh_in")
+    val topk = spark.sql("SELECT graft_top_k(v, 2) AS t FROM hh_in")
+      .collect()(0).getSeq[Double](0)
+    assert(topk == Seq(9.0, 5.0))
+    val keys = spark.sql("SELECT map_keys(graft_freq_sketch(item, 1)) AS k FROM hh_in")
+      .collect()(0).getSeq[String](0)
+    assert(keys == Seq("a")) // 3 of 4 rows — survives k=1 by the MG guarantee
+    val merged = spark.sql(
+      "SELECT graft_bpe_merge_pair(array('l', 'o', 'w'), 'l', 'o') AS m")
+      .collect()(0).getSeq[String](0)
+    assert(merged == Seq("lo", "w"))
+  }
+
   test("native kernels: null input → null; interpreted eval matches codegen") {
     import graft.expressions.{Fingerprint64, ShingleSet}
     import org.apache.spark.sql.catalyst.expressions.Literal
