@@ -612,6 +612,17 @@ object SparkEntry {
           coalesce(col("signup"), lit(0L)).as("n_signup"),
           coalesce(col("error"), lit(0L)).as("n_error"))
     },
+    // §2.3 breadth: FULL OUTER join of two aggregated key spaces (event
+    // users vs order customers), survivors from either side zero-filled
+    "q_full_outer_activity" -> { (s, d) =>
+      val t = Tables(s, d)
+      val ev = t.events.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val ord = t.orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      ev.join(ord, col("user_id") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("user_id"), col("o_custkey")).as("key_id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
     // the spark.sql entry path: the IDENTICAL ANSI text runs here over temp
     // views and in DuckDB as the oracle — proving engine-portable SQL intake
     "q_sql_parity" -> { (s, d) =>
@@ -1697,6 +1708,13 @@ object SparkEntry {
         |       count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
         |       count(*) FILTER (WHERE event_type = 'error') AS n_error
         |FROM events GROUP BY 1""".stripMargin,
+    "q_full_outer_activity" ->
+      """WITH ev AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+        |ord AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey)
+        |SELECT COALESCE(user_id, o_custkey) AS key_id,
+        |       CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+        |       CAST(COALESCE(n_orders, 0) AS BIGINT) AS n_orders
+        |FROM ev FULL OUTER JOIN ord ON user_id = o_custkey""".stripMargin,
     "q_sql_parity" -> SqlParitySql,
     "q_cube_status" ->
       s"""SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,

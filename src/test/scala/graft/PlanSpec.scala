@@ -115,6 +115,23 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"))
   }
 
+  test("cube: one Expand pass and one shuffle, not four scans") {
+    val p = plan("q_cube_status")
+    assert(p.contains("Expand"), p)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, "cube must scan once:\n" + p)
+  }
+
+  test("pivot: one scan, two map-side-combining aggregates (count, then pivotfirst)") {
+    val p = plan("q_pivot_type_hour")
+    // (hour, type) count shuffles on the pair, pivotfirst re-keys on hour —
+    // both with partial aggregation; never a per-value scan
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 2, p)
+    assert("FileScan parquet".r.findAllIn(p).size == 1, "pivot must scan once:\n" + p)
+    assert(p.contains("partial_pivotfirst"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
   test("media metadata query never reads the binary content from a media parquet") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-media").toString
