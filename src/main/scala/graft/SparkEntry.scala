@@ -674,6 +674,13 @@ object SparkEntry {
         .orderBy(col("n").desc, col("word"))
         .limit(20)
     },
+    // mixture materialization: downsample per-language to 2:1:1:1:1 target
+    // weights — binding language kept whole, md5-deterministic membership
+    "q_mixture_rebalance" -> { (s, d) =>
+      graft.operators.Mixture.rebalance(Tables(s, d).documents, "lang", "doc_id",
+          Map("en" -> 2.0, "zh" -> 1.0, "es" -> 1.0, "de" -> 1.0, "fr" -> 1.0))
+        .select(col("doc_id"), col("lang"), col("samp_rank"), col("keep_n"))
+    },
     // RAG-prep chunking: fixed-size token windows with overlap — tokenize
     // once, one transform(sequence) explode, zero shuffles
     "q_chunking" -> { (s, d) =>
@@ -1749,6 +1756,24 @@ object SparkEntry {
          |  SELECT word, count(*) AS n FROM w GROUP BY word
          |  ORDER BY n DESC, word LIMIT 20)
          |SELECT word, n FROM c""".stripMargin,
+    "q_mixture_rebalance" ->
+      """WITH w(lang, wt) AS (
+        |  VALUES ('en', 2.0), ('zh', 1.0), ('es', 1.0), ('de', 1.0), ('fr', 1.0)
+        |), c AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        |), s AS (
+        |  SELECT min(c.n / w.wt) AS scale FROM c JOIN w USING (lang)
+        |), q AS (
+        |  SELECT w.lang, CAST(floor(w.wt * s.scale) AS BIGINT) AS keep_n FROM w, s
+        |), r AS (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |           AS samp_rank
+        |  FROM documents
+        |)
+        |SELECT r.doc_id, r.lang, CAST(r.samp_rank AS BIGINT) AS samp_rank, q.keep_n
+        |FROM r JOIN q ON r.lang = q.lang WHERE r.samp_rank <= q.keep_n""".stripMargin,
     // stride = 40 - 10 = 30; DuckDB list slice toks[st+1 : st+40] is the
     // 40-token window (inclusive bounds)
     "q_chunking" ->

@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Static data-mixture materialization: downsample each source so the kept
+  * corpus matches target mixture weights as closely as availability allows
+  * (the materialization step behind mixture-tuning work à la DoReMi /
+  * the Pile's per-source weights — the weights themselves come from
+  * elsewhere; this operator realizes them deterministically).
+  *
+  * Given relative target weights w_s, the largest corpus honoring them
+  * keeps `floor(w_s · scale)` docs of source s, where
+  * `scale = min_s(n_s / w_s)` — the binding source is kept whole, every
+  * other source is cut down proportionally. Selection within a source is
+  * the [[GroupCap]] md5-order rank: a pure function of the data, so the
+  * materialized mixture is identical across runs, engines, and
+  * partitionings (true RNG would rebuild a different corpus every time).
+  *
+  * Scale shape: source counts and quotas are an aggregate over |sources|
+  * rows broadcast back; selection is ONE shuffle on the source key + a
+  * bounded per-group rank (hot sources: pre-cap via bucket limits, as
+  * GroupCap documents).
+  */
+object Mixture {
+
+  /** Keep a deterministic subset realizing `weights` (relative, > 0;
+    * sources absent from `weights` are dropped). Adds `samp_rank` (md5-order
+    * rank within source) and `keep_n` (the source's quota).
+    */
+  def rebalance(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weights: Map[String, Double]
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF(sourceCol, "_w")
+
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+    // scale = min over sources of n_s / w_s — an aggregate over |sources| rows
+    val quotas = counts
+      .join(wdf, sourceCol)
+      .withColumn("_scale", min(col("_n") / col("_w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col(sourceCol), floor(col("_w") * col("_scale")).cast("long").as("keep_n"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(GroupCap.sampleKey(col(idCol)), col(idCol))
+    docs
+      .join(broadcast(quotas), sourceCol)
+      .withColumn("samp_rank", row_number().over(w).cast("long"))
+      .filter(col("samp_rank") <= col("keep_n"))
+  }
+}

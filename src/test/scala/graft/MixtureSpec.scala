@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Mixture
+
+class MixtureSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def corpus(sizes: Map[String, Int]) =
+    sizes.toSeq.flatMap { case (s, n) => (1 to n).map(i => (s"${s}_$i", s)) }
+      .toDF("doc_id", "src")
+
+  test("uniform weights equalize sources to the smallest one") {
+    val df = corpus(Map("a" -> 10, "b" -> 4, "c" -> 7))
+    val kept = Mixture.rebalance(df, "src", "doc_id", Map("a" -> 1.0, "b" -> 1.0, "c" -> 1.0))
+      .groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("a" -> 4L, "b" -> 4L, "c" -> 4L))
+  }
+
+  test("non-uniform weights: binding source kept whole, others cut to ratio") {
+    val df = corpus(Map("a" -> 20, "b" -> 6))
+    // scale = min(20/2, 6/1) = 6 → keep a: 12, b: 6 (b binds, kept whole)
+    val kept = Mixture.rebalance(df, "src", "doc_id", Map("a" -> 2.0, "b" -> 1.0))
+      .groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("a" -> 12L, "b" -> 6L))
+  }
+
+  test("sources without a weight are dropped") {
+    val df = corpus(Map("a" -> 5, "x" -> 5))
+    val srcs = Mixture.rebalance(df, "src", "doc_id", Map("a" -> 1.0))
+      .select($"src").distinct().as[String].collect().toSeq
+    assert(srcs == Seq("a"))
+  }
+
+  test("membership is deterministic for any partitioning") {
+    val df = corpus(Map("a" -> 30, "b" -> 11))
+    val w = Map("a" -> 1.0, "b" -> 1.0)
+    val expected = Mixture.rebalance(df, "src", "doc_id", w)
+      .select($"doc_id").as[String].collect().toSet
+    for (p <- Seq(1, 5)) {
+      val got = Mixture.rebalance(df.repartition(p), "src", "doc_id", w)
+        .select($"doc_id").as[String].collect().toSet
+      assert(got == expected, s"partitions=$p")
+    }
+  }
+
+  test("quota column matches floor(w * min(n/w))") {
+    val df = corpus(Map("a" -> 9, "b" -> 5, "c" -> 2))
+    // weights 3:1:1 → scale = min(3, 5, 2) = 2 → quotas 6, 2, 2
+    val q = Mixture.rebalance(df, "src", "doc_id", Map("a" -> 3.0, "b" -> 1.0, "c" -> 1.0))
+      .select($"src", $"keep_n").distinct().as[(String, Long)].collect().toMap
+    assert(q == Map("a" -> 6L, "b" -> 2L, "c" -> 2L))
+  }
+}
