@@ -24,6 +24,35 @@ class StorageSpec extends AnyFunSuite {
       Tables(spark, TestSpark.Sf0001).orders.filter(year($"o_orderdate") === 1996).count())
   }
 
+  test("parquet mergeSchema: reads the union schema across evolved files") {
+    val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
+    Seq((1L, "a")).toDF("id", "v1").write.parquet(dir + "/gen=1")
+    Seq((2L, 3.5)).toDF("id", "v2").write.parquet(dir + "/gen=2")
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet == Set("id", "v1", "v2", "gen"))
+    val rows = merged.select($"id", $"v1", $"v2")
+      .as[(Long, Option[String], Option[Double])].collect().sortBy(_._1)
+    assert(rows.toSeq == Seq((1L, Some("a"), None), (2L, None, Some(3.5))))
+  }
+
+  test("csv PERMISSIVE mode: malformed rows land in the corrupt-record column") {
+    val dir = Files.createTempDirectory("graft-corrupt")
+    Files.write(dir.resolve("in.csv"), "1,ok\nnot_a_number,bad\n3,fine".getBytes)
+    val df = spark.read
+      .schema("id LONG, label STRING, _corrupt_record STRING")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir.toString)
+      .cache() // corrupt-record column requires a materialized frame to filter on
+    try {
+      val good = df.filter($"_corrupt_record".isNull).select($"id").as[Long].collect().sorted
+      val bad = df.filter($"_corrupt_record".isNotNull).select($"_corrupt_record")
+        .as[String].collect()
+      assert(good.toSeq == Seq(1L, 3L))
+      assert(bad.toSeq == Seq("not_a_number,bad"))
+    } finally df.unpersist()
+  }
+
   test("range-clustered write: per-file key ranges are disjoint (zone-map layout)") {
     val dir = Files.createTempDirectory("graft-zone").toString + "/orders"
     val t = Tables(spark, TestSpark.Sf0001)
