@@ -681,6 +681,15 @@ object SparkEntry {
           Map("en" -> 2.0, "zh" -> 1.0, "es" -> 1.0, "de" -> 1.0, "fr" -> 1.0))
         .select(col("doc_id"), col("lang"), col("samp_rank"), col("keep_n"))
     },
+    // token-budget mixture: per-language TOKEN budgets (mixtures are
+    // specified in tokens); md5-order prefix of docs that fit the budget
+    "q_mixture_tokens" -> { (s, d) =>
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("lang"),
+        TF.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.operators.Mixture.rebalanceTokens(docs, "lang", "doc_id", "n_tok",
+          Map("en" -> 2.0, "zh" -> 1.0, "es" -> 1.0, "de" -> 1.0, "fr" -> 1.0))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("tok_cum"), col("budget_n"))
+    },
     // RAG-prep chunking: fixed-size token windows with overlap — tokenize
     // once, one transform(sequence) explode, zero shuffles
     "q_chunking" -> { (s, d) =>
@@ -1774,6 +1783,26 @@ object SparkEntry {
         |)
         |SELECT r.doc_id, r.lang, CAST(r.samp_rank AS BIGINT) AS samp_rank, q.keep_n
         |FROM r JOIN q ON r.lang = q.lang WHERE r.samp_rank <= q.keep_n""".stripMargin,
+    "q_mixture_tokens" ->
+      s"""WITH w(lang, wt) AS (
+        |  VALUES ('en', 2.0), ('zh', 1.0), ('es', 1.0), ('de', 1.0), ('fr', 1.0)
+        |), d AS (
+        |  SELECT doc_id, lang, CAST(len($TokensSql) AS BIGINT) AS n_tok FROM documents
+        |), t AS (
+        |  SELECT lang, CAST(sum(n_tok) AS BIGINT) AS tt FROM d GROUP BY lang
+        |), s AS (
+        |  SELECT min(t.tt / w.wt) AS scale FROM t JOIN w USING (lang)
+        |), q AS (
+        |  SELECT w.lang, CAST(floor(w.wt * s.scale) AS BIGINT) AS budget_n FROM w, s
+        |), r AS (
+        |  SELECT doc_id, lang, n_tok,
+        |         CAST(sum(n_tok) OVER (PARTITION BY lang
+        |                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+        |                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tok_cum
+        |  FROM d
+        |)
+        |SELECT r.doc_id, r.lang, r.n_tok, r.tok_cum, q.budget_n
+        |FROM r JOIN q USING (lang) WHERE r.tok_cum <= q.budget_n""".stripMargin,
     // stride = 40 - 10 = 30; DuckDB list slice toks[st+1 : st+40] is the
     // 40-token window (inclusive bounds)
     "q_chunking" ->

@@ -55,4 +55,41 @@ object Mixture {
       .withColumn("samp_rank", row_number().over(w).cast("long"))
       .filter(col("samp_rank") <= col("keep_n"))
   }
+
+  /** Token-budget variant — mixtures are usually specified in TOKENS, not
+    * documents: per source keep the md5-order prefix of documents whose
+    * running token total stays within `floor(w_s · min_t(T_t / w_t))`
+    * (T_s = source token total). A document is kept iff it fits the
+    * remaining budget entirely, so kept totals are ≤ budget and
+    * deterministic. Adds `tok_cum` (inclusive running total) and
+    * `budget_n` (the source's token budget).
+    */
+  def rebalanceTokens(
+      docs: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      tokenCol: String,
+      weights: Map[String, Double]
+  ): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val wdf = weights.toSeq.toDF(sourceCol, "_w")
+
+    val totals = docs.groupBy(col(sourceCol)).agg(sum(col(tokenCol)).as("_t"))
+    val budgets = totals
+      .join(wdf, sourceCol)
+      .withColumn("_scale", min(col("_t") / col("_w")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .select(col(sourceCol), floor(col("_w") * col("_scale")).cast("long").as("budget_n"))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(sourceCol))
+      .orderBy(GroupCap.sampleKey(col(idCol)), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docs
+      .join(broadcast(budgets), sourceCol)
+      .withColumn("tok_cum", sum(col(tokenCol)).over(w).cast("long"))
+      .filter(col("tok_cum") <= col("budget_n"))
+  }
 }

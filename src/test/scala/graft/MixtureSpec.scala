@@ -46,6 +46,27 @@ class MixtureSpec extends AnyFunSuite {
     }
   }
 
+  test("token budgets: kept totals stay within floor(w * min(T/w)) per source") {
+    val df = Seq(
+      ("a1", "a", 10L), ("a2", "a", 10L), ("a3", "a", 10L), // T_a = 30
+      ("b1", "b", 4L), ("b2", "b", 5L) //                      T_b = 9
+    ).toDF("doc_id", "src", "n_tok")
+    // uniform weights: scale = min(30, 9) = 9 → budgets a: 9, b: 9
+    val kept = graft.operators.Mixture
+      .rebalanceTokens(df, "src", "doc_id", "n_tok", Map("a" -> 1.0, "b" -> 1.0))
+      .select($"src", $"n_tok").as[(String, Long)].collect()
+    val bySrc = kept.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    // a's docs are 10 tokens each — none fits a 9-token budget; b keeps both
+    assert(bySrc == Map("b" -> 9L))
+    // larger budget: weights a:4, b:1 → scale = min(30/4, 9) = 7.5 → a: 30, b: 7
+    val kept2 = graft.operators.Mixture
+      .rebalanceTokens(df, "src", "doc_id", "n_tok", Map("a" -> 4.0, "b" -> 1.0))
+      .select($"src", $"n_tok").as[(String, Long)].collect()
+    val bySrc2 = kept2.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(bySrc2("a") == 30L) // binding side kept whole
+    assert(bySrc2("b") <= 7L && bySrc2("b") > 0L)
+  }
+
   test("quota column matches floor(w * min(n/w))") {
     val df = corpus(Map("a" -> 9, "b" -> 5, "c" -> 2))
     // weights 3:1:1 → scale = min(3, 5, 2) = 2 → quotas 6, 2, 2
