@@ -24,7 +24,20 @@ object Bench {
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Forensics knobs (default = the driver's exact behavior):
+    //   SPARK_GRAFT_BENCH_ONLY  comma-separated query-name filter
+    //   SPARK_GRAFT_BENCH_ORDER "alpha" (default) | "reverse"
+    //   SPARK_GRAFT_BENCH_REPS  run the whole set N times; report per-query MEDIAN
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt
+    val sortedAll = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered0 = only.fold(sortedAll)(keep => sortedAll.filter(q => keep(q._1)))
+    val ordered =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse")) ordered0.reverse
+      else ordered0
+
+    def runOnce(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
@@ -42,10 +55,25 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
       // settle GC debt outside the timed region too: a heap-heavy query's
       // collection otherwise lands in the NEXT query's wall-clock (the
-      // r05 q_json_extract 12x spike sat right after the heaviest query)
+      // r05 q_json_extract 12x spike sat right after the heaviest query).
+      // After a heavy query, System.gc() only *requests* a cycle — G1's
+      // concurrent phases can still be running when the next timer starts
+      // (r8 driver artifact showed 1.6-2.3x spikes on the queries right
+      // after the heap-heaviest ones under driver load; local isolation
+      // runs showed none) — so gc twice and give the concurrent threads a
+      // moment to drain before the next timed region.
       System.gc()
+      if (dt > 2.0) { Thread.sleep(250); System.gc() }
       name -> dt
     }
+
+    val runs = (1 to reps).map(_ => runOnce())
+    val results: Seq[(String, Double)] =
+      if (reps == 1) runs.head
+      else ordered.map(_._1).zipWithIndex.map { case (name, i) =>
+        val samples = runs.map(_(i)._2).sorted
+        name -> samples(samples.length / 2)
+      }
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")

@@ -105,7 +105,9 @@ object GraftSession {
     // k / merge-pair arguments must be foldable literals
     def litOf(e: org.apache.spark.sql.catalyst.expressions.Expression, what: String): Any = {
       require(e.foldable, s"$what must be a literal")
-      e.eval()
+      val v = e.eval()
+      require(v != null, s"$what must be non-null")
+      v
     }
     reg.createOrReplaceTempFunction(
       "graft_top_k",

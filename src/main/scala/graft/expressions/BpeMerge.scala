@@ -61,7 +61,12 @@ object BpeMerge {
       cur = mergePairKernel(cur, flat(k), flat(k + 1), flat(k + 2))
       k += 3
     }
-    if (cur eq arr) { // no merges: still detach from the (reusable) input row
+    if (cur eq arr) {
+      // no merges: return a fresh ArrayData WRAPPER so the caller never
+      // holds the input row's own ArrayData. NOTE the UTF8String elements
+      // still alias the input row's byte buffer — consumers must copy via
+      // an UnsafeProjection before buffering (all current usages are plain
+      // projections, which do).
       val n = arr.numElements()
       val out = new Array[AnyRef](n)
       var i = 0

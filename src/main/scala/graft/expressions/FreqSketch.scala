@@ -119,7 +119,12 @@ case class FreqSketch(
     val it = m.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      // NOT writeUTF: it caps the encoded key at 65535 bytes and throws
+      // UTFDataFormatException past that — sketched items can be long
+      // (e.g. whole documents as heavy-hitter keys)
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -131,7 +136,12 @@ case class FreqSketch(
     val n = in.readInt()
     val m = createAggregationBuffer()
     var i = 0
-    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      m.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     m
   }
 

@@ -27,22 +27,40 @@ object Mixture {
   /** Keep a deterministic subset realizing `weights` (relative, > 0;
     * sources absent from `weights` are dropped). Adds `samp_rank` (md5-order
     * rank within source) and `keep_n` (the source's quota).
+    *
+    * Every weighted source must actually have rows: a weight over an empty
+    * source would otherwise be silently dropped by the counts join and the
+    * realized mixture would deviate arbitrarily from the request (the only
+    * strict reading — scale by the empty source's n/w = 0 — keeps nothing),
+    * so `requireAllPresent` (default) fails fast instead.
     */
   def rebalance(
       docs: DataFrame,
       sourceCol: String,
       idCol: String,
-      weights: Map[String, Double]
+      weights: Map[String, Double],
+      requireAllPresent: Boolean = true
   ): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0), "weights must be positive")
     val spark = docs.sparkSession
     import spark.implicits._
     val wdf = weights.toSeq.toDF(sourceCol, "_w")
 
-    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
-    // scale = min over sources of n_s / w_s — an aggregate over |sources| rows
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n0"))
+    // scale = min over sources of n_s / w_s — an aggregate over |sources| rows.
+    // right_outer from the weight table so a weighted-but-empty source is
+    // SEEN (null _n0): raise_error inside the same tiny quota job when
+    // requireAllPresent, else dropped exactly as the old inner join did.
+    val guard =
+      if (requireAllPresent)
+        when(col("_n0").isNull, raise_error(concat(
+          lit("Mixture.rebalance: weighted source has zero rows: "), col(sourceCol))))
+          .otherwise(col("_n0"))
+      else col("_n0")
     val quotas = counts
-      .join(wdf, sourceCol)
+      .join(wdf, Seq(sourceCol), "right_outer")
+      .withColumn("_n", guard)
+      .filter(col("_n").isNotNull)
       .withColumn("_scale", min(col("_n") / col("_w")).over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
       .select(col(sourceCol), floor(col("_w") * col("_scale")).cast("long").as("keep_n"))

@@ -58,6 +58,19 @@ class HeavyHittersSpec extends AnyFunSuite {
     assert(m == Map("a" -> 3L, "b" -> 2L, "c" -> 1L))
   }
 
+  test("serialization round-trips keys past the 64 KiB writeUTF limit") {
+    // items whose UTF-8 encoding exceeds 65535 bytes would have thrown
+    // UTFDataFormatException under the old writeUTF spelling at shuffle time
+    val big = "x" * 70000
+    val sk = graft.expressions.FreqSketch(
+      org.apache.spark.sql.catalyst.expressions.Literal("dummy"), 3)
+    val buf = sk.createAggregationBuffer()
+    buf.put(big, 41L)
+    buf.put("small", 7L)
+    val back = sk.deserialize(sk.serialize(buf))
+    assert(back.get(big) == 41L && back.get("small") == 7L && back.size == 2)
+  }
+
   test("nulls are skipped and do not count toward group size") {
     val df = Seq(Some("a"), Some("a"), None, Some("b")).toDF("item")
     val got = HeavyHitters.heavyHitters(df, Seq.empty, "item", k = 1)

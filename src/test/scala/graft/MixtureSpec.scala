@@ -67,6 +67,20 @@ class MixtureSpec extends AnyFunSuite {
     assert(bySrc2("b") <= 7L && bySrc2("b") > 0L)
   }
 
+  test("weighted source with zero rows fails fast; opt-out drops it silently") {
+    val df = corpus(Map("a" -> 5))
+    val w = Map("a" -> 1.0, "ghost" -> 1.0)
+    val e = intercept[Exception] {
+      Mixture.rebalance(df, "src", "doc_id", w).count()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("zero rows")))
+    val kept = Mixture.rebalance(df, "src", "doc_id", w, requireAllPresent = false)
+      .groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(kept == Map("a" -> 5L))
+  }
+
   test("quota column matches floor(w * min(n/w))") {
     val df = corpus(Map("a" -> 9, "b" -> 5, "c" -> 2))
     // weights 3:1:1 → scale = min(3, 5, 2) = 2 → quotas 6, 2, 2
