@@ -171,6 +171,26 @@ object SparkEntry {
         col("max_price"), col("unique_items")
       )
     },
+    // The plan you'd actually run at 100x: HLL approx_count_distinct for
+    // unique_items instead of countDistinct's Expand over the x10 sliding
+    // row multiplication (exact distinct is also unsupported in real
+    // streaming aggregation). No oracle — the HLL estimate is
+    // engine-specific; StreamingSpec bounds it against the exact twin.
+    "q_sliding_windows_approx" -> { (s, d) =>
+      SessionWindows.slidingSessionAgg(
+        clickstream(s, d),
+        sessionCol = "user_session", tsCol = "event_time", typeCol = "event_type",
+        priceCol = "price", itemCol = "product_id",
+        cartType = "click", exactDistinct = false
+      ).select(
+        col("user_session"),
+        col("window.start").cast("long").as("window_start_s"),
+        col("view_count"), col("cart_count"), col("purchase_count"),
+        col("total_events"), col("session_duration"),
+        round(col("avg_price"), 6).as("avg_price"),
+        col("max_price"), col("unique_items")
+      )
+    },
     // P9: real from_json struct extraction (vs the regexp spelling used by
     // the clickstream mapping)
     "q_json_extract" -> { (s, d) =>
@@ -1161,8 +1181,16 @@ object SparkEntry {
           k = 10, nLists = 8, nProbe = 4, m = 4, codes = 16, rerank = 50)
         .select(col("query_id"), col("neighbor_id"), round(col("sq_l2"), 6).as("sq_l2"), col("rank"))
     },
+    // Random synthetic embeddings have no cosine>=0.5 pairs, so plant
+    // deterministic near-duplicates (vec_id 1..3 copied under negated ids):
+    // the run proves OUTPUT rows end-to-end (pairs (-i, i) at cos 1.0), not
+    // just that the plan executes; SimilaritySpec pins recall separately.
     "q_cosine_neardup" -> { (s, d) =>
-      Similarity.cosineNearDupPairs(Tables(s, d).embeddings, threshold = 0.5)
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id").between(1, 3))
+        .select((-col("vec_id")).as("vec_id"), col("embedding"))
+      Similarity.cosineNearDupPairs(emb.unionByName(planted), threshold = 0.5)
+        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .orderBy(col("cos").desc, col("id1"), col("id2")).limit(100)
     },
     // ---- multimodal binary-column plumbing (decode step stubbed) ----

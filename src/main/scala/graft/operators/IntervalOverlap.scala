@@ -147,11 +147,20 @@ object IntervalOverlap {
       startCol: String,
       endCol: String,
       width: Long = 3600L
-  ): DataFrame = {
+  ): DataFrame =
+    openAfter(boundaryDeltas(intervals, startCol, endCol, width))
+
+  /** Fold the running `n_open_after` prefix over a boundary-delta table.
+    * Shared by the batch [[concurrencyTimeline]] and the streaming
+    * foreachBatch sink (graft.streaming.ConcurrencySink), where each
+    * micro-batch's complete-mode delta table arrives as a plain batch frame.
+    * The single-partition window is over the bucket table — bounded by the
+    * time axis, not the corpus.
+    */
+  def openAfter(deltas: DataFrame): DataFrame = {
     val w = Window.orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    boundaryDeltas(intervals, startCol, endCol, width)
-      .withColumn("n_open_after",
-        sum(col("n_started")).over(w) - sum(col("n_ended")).over(w))
+    deltas.withColumn("n_open_after",
+      sum(col("n_started")).over(w) - sum(col("n_ended")).over(w))
   }
 }

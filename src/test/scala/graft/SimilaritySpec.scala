@@ -86,6 +86,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L))
   }
 
+  test("q_cosine_neardup returns the planted pairs (-i, i) at cos 1.0") {
+    val got = SparkEntry.queries("q_cosine_neardup")(spark, TestSpark.Sf0001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    for (i <- 1L to 3L) {
+      val hit = got.find(p => p._1 == -i && p._2 == i)
+      assert(hit.exists(_._3 == 1.0), s"missing planted pair (-$i, $i): ${got.toSeq}")
+    }
+  }
+
   test("cosineNearDupPairs: maxBucketSize bounds the hot-bucket join") {
     // 1,000 copies of one vector all land in a single LSH bucket — the
     // uncapped self-join is ~500k pairs; the cap drops the bucket instead.

@@ -87,6 +87,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(full.getAs[Long]("session_duration") == 30)
   }
 
+  test("approx sliding twin: HLL unique_items tracks exact within 10% (or ±2)") {
+    val exact = SparkEntry.queries("q_sliding_windows")(spark, TestSpark.Sf0001)
+      .select($"user_session", $"window_start_s", $"unique_items".as("exact_u"),
+        $"total_events".as("te_exact"))
+    val approx = SparkEntry.queries("q_sliding_windows_approx")(spark, TestSpark.Sf0001)
+      .select($"user_session", $"window_start_s", $"unique_items".as("approx_u"),
+        $"total_events".as("te_approx"))
+    val joined = exact.join(approx, Seq("user_session", "window_start_s")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("te_exact") == r.getAs[Long]("te_approx"), r.toString)
+      val e = r.getAs[Long]("exact_u"); val a = r.getAs[Long]("approx_u")
+      assert(math.abs(a - e) <= math.max(2L, (0.1 * e).toLong), r.toString)
+    }
+  }
+
   test("stream-static enrichment join (streaming events ⋈ static dim)") {
     val dir = Files.createTempDirectory("graft-enrich-in")
     val checkpoint = Files.createTempDirectory("graft-enrich-cp").toString
@@ -170,6 +186,52 @@ class StreamingSpec extends AnyFunSuite {
       val expected = IntervalOverlap.boundaryDeltas(closedBatch, "start_s", "end_s", 3600L)
         .as[(Long, Long, Long)].collect().toSet
       assert(got == expected && got.nonEmpty)
+    } finally spark.conf.unset("spark.sql.streaming.fileSource.maxFilesPerTrigger")
+  }
+
+  test("foreachBatch concurrency sink publishes the batch timeline on a stream") {
+    import graft.streaming.{ConcurrencySink, GapSessionizer}
+    import graft.operators.{IntervalOverlap, Sessionize}
+    val events = Seq(
+      (1L, 1000L, 1.0), (1L, 1100L, 1.0), (1L, 5000L, 1.0), (1L, 5100L, 1.0),
+      (1L, 9900L, 1.0), (2L, 1050L, 1.0), (2L, 7000L, 1.0), (2L, 12000L, 1.0))
+    val dir = Files.createTempDirectory("graft-csink-in")
+    val checkpoint = Files.createTempDirectory("graft-csink-cp").toString
+    val sorted = events.sortBy(_._2)
+    val (h0, h1) = sorted.splitAt(sorted.size / 2)
+    def csv(rows: Seq[(Long, Long, Double)]) =
+      rows.map { case (u, t, v) => s"$u,$t,$v" }.mkString("\n")
+    val f0 = dir.resolve("b0.csv"); val f1 = dir.resolve("b1.csv")
+    Files.write(f0, csv(h0).getBytes)
+    Files.write(f1, csv(h1).getBytes)
+    Files.setLastModifiedTime(f0, java.nio.file.attribute.FileTime.fromMillis(1000000L))
+    Files.setLastModifiedTime(f1, java.nio.file.attribute.FileTime.fromMillis(2000000L))
+    spark.conf.set("spark.sql.streaming.fileSource.maxFilesPerTrigger", "1")
+    try {
+      val raw = spark.readStream
+        .schema("user_id LONG, ts_s LONG, value DOUBLE").csv(dir.toString)
+        .as[GapSessionizer.Event]
+      val closed = GapSessionizer.sessions(raw, gapSeconds = 900L, timeoutMs = 0L)
+      val deltas = IntervalOverlap.boundaryDeltas(closed.toDF(), "start_s", "end_s", 3600L)
+      @volatile var last: Set[(Long, Long, Long, Long)] = Set.empty
+      val q = ConcurrencySink.start(deltas, checkpoint) { tl =>
+        last = tl.select($"bucket", $"n_started", $"n_ended", $"n_open_after")
+          .as[(Long, Long, Long, Long)].collect().toSet
+      }
+      try q.processAllAvailable()
+      finally q.stop()
+      // batch twin on the SAME events, minus each user's final (never
+      // gap-closed under NoTimeout) session
+      val sess = Sessionize.gapSessions(events.toDF("user_id", "ts_s", "value"),
+        "user_id", "ts_s", 900L)
+      val agg = sess.groupBy($"user_id", $"session_idx")
+        .agg(min($"ts_s").as("start_s"), max($"ts_s").as("end_s"))
+      val lastIdx = sess.groupBy($"user_id").agg(max($"session_idx").as("_last"))
+      val closedBatch = agg.join(lastIdx, "user_id").filter($"session_idx" < $"_last")
+      val expected = IntervalOverlap.concurrencyTimeline(closedBatch, "start_s", "end_s", 3600L)
+        .select($"bucket", $"n_started", $"n_ended", $"n_open_after")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(last == expected && last.nonEmpty)
     } finally spark.conf.unset("spark.sql.streaming.fileSource.maxFilesPerTrigger")
   }
 
