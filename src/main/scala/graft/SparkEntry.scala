@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, IntervalOverlap, LmScore, Multimodal, Packing, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity}
+import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, IntervalOverlap, LmScore, Multimodal, Packing, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -857,6 +857,17 @@ object SparkEntry {
         Tables(s, d).documents.select(col("doc_id"), col("lang")), "lang", "doc_id", 50)
         .select(col("doc_id"), col("lang"), col("samp_rank"))
     },
+    // weighted curation draw: 20 docs per source, inclusion probability
+    // proportional to (n_chars + 1) — Efraimidis–Spirakis race with a
+    // md5-derived uniform, so membership is deterministic and DuckDB
+    // replicates it with identical arithmetic (operators.WeightedSample)
+    "q_weighted_sample" -> { (s, d) =>
+      WeightedSample.samplePerGroup(
+        Tables(s, d).documents.select(col("doc_id"), col("source"),
+          (col("n_chars") + 1).cast("double").as("w")),
+        "source", "doc_id", "w", 20)
+        .select(col("doc_id"), col("source"), col("es_rank"))
+    },
     // PII counts + redaction; the text is spiked with one synthetic
     // email/URL/IP per doc (id-derived, reproducible in the oracle) so the
     // regexes demonstrably fire — base documents carry no PII
@@ -1211,6 +1222,14 @@ object SparkEntry {
       Undersample.balance(sessionFeatures(s, d))
         .groupBy(col("label")).agg(count(lit(1)).as("n"))
     },
+    // deterministic twin of the RNG undersample: exactly the minority count
+    // kept per class in md5(id) order — full kept MEMBERSHIP hash-matched
+    // (the seeded sampleBy above can only ever get a rows-only check)
+    "q_balanced_deterministic" -> { (s, d) =>
+      Undersample.balanceDeterministic(
+        sessionFeatures(s, d).select(col("user_session"), col("label")))
+        .select(col("user_session"), col("label"), col("bal_rank"))
+    },
     "q_rf_metrics" -> { (s, d) =>
       val (_, m) = IntentModel.trainEval(sessionFeatures(s, d))
       s.createDataFrame(Seq((m.auc, m.accuracy, m.f1, m.weightedRecall)))
@@ -1313,6 +1332,17 @@ object SparkEntry {
       "SELECT count(DISTINCT user_id) AS n_purchase_users FROM events WHERE event_type = 'purchase'",
     "q_label_dist" ->
       s"$FeaturesSql SELECT label, count(*) AS n FROM features GROUP BY label",
+    "q_balanced_deterministic" ->
+      s"""$FeaturesSql, r AS (
+         |  SELECT user_session, label,
+         |         row_number() OVER (PARTITION BY label
+         |                            ORDER BY md5(CAST(user_session AS VARCHAR)),
+         |                                     user_session) AS bal_rank
+         |  FROM features),
+         |m AS (SELECT min(n) AS min_n
+         |      FROM (SELECT count(*) AS n FROM features GROUP BY label))
+         |SELECT user_session, label, CAST(bal_rank AS BIGINT) AS bal_rank
+         |FROM r, m WHERE bal_rank <= min_n""".stripMargin,
     "q_value_describe" ->
       """SELECT event_type, count(value) AS cnt, round(avg(value), 6) AS mean,
         |       round(stddev_samp(value), 6) AS std, min(value) AS min_v, max(value) AS max_v
@@ -2071,6 +2101,21 @@ object SparkEntry {
         |           AS samp_rank
         |  FROM documents)
         |SELECT doc_id, lang, samp_rank FROM r WHERE samp_rank <= 50""".stripMargin,
+    // Efraimidis–Spirakis with a 48-bit md5-derived uniform: the +0.5 and
+    // the /2^48 are exact in doubles, so both engines compute the same u;
+    // ln/division agree to the ulp on identical inputs and ties break on
+    // doc_id
+    "q_weighted_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source ORDER BY
+        |           -ln((('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+        |                + 0.5) / 281474976710656.0)
+        |             / CAST(n_chars + 1 AS DOUBLE),
+        |           doc_id) AS es_rank
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(es_rank AS BIGINT) AS es_rank
+        |FROM r WHERE es_rank <= 20""".stripMargin,
     "q_pii_scrub" ->
       """WITH s AS (
         |  SELECT doc_id,

@@ -15,6 +15,31 @@ import org.apache.spark.sql.functions._
   */
 object Undersample {
 
+  /** Deterministic twin of [[balance]]: EXACTLY the minority-class count
+    * kept from every class, membership ranked by md5(id) (the
+    * [[graft.operators.GroupCap]] draw) instead of Bernoulli RNG — same
+    * class-balancing semantics, but reproducible across runs/engines and
+    * therefore DuckDB-oracle-able (q_balanced_deterministic), where the
+    * seeded `sampleBy` can only ever get a rows-only check. No driver
+    * round-trip either: the min class count rides in as a broadcast 1-row
+    * frame instead of a collect.
+    */
+  def balanceDeterministic(
+      df: DataFrame,
+      labelCol: String = "label",
+      idCol: String = "user_session"
+  ): DataFrame = {
+    val minN = df.groupBy(col(labelCol)).agg(count(lit(1)).as("_n"))
+      .agg(min(col("_n")).as("_min_n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(labelCol))
+      .orderBy(md5(col(idCol).cast("string")), col(idCol))
+    df.withColumn("bal_rank", row_number().over(w).cast("long"))
+      .crossJoin(broadcast(minN))
+      .filter(col("bal_rank") <= col("_min_n"))
+      .drop("_min_n")
+  }
+
   def balance(df: DataFrame, labelCol: String = "label", seed: Long = 42L): DataFrame = {
     val counts = df
       .groupBy(col(labelCol).cast("int").as("l"))

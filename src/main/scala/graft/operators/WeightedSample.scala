@@ -1,0 +1,70 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic weighted sampling without replacement — the missing piece
+  * between [[HashSplit]] (uniform assignment), [[GroupCap]] (uniform
+  * per-group cap) and [[Mixture]] (per-source quotas): keep `n` rows per
+  * group with inclusion probability PROPORTIONAL TO A WEIGHT (token count,
+  * quality score, ...), yet fully reproducible — membership is a pure
+  * function of the data, stable across runs, engines, and partitionings,
+  * which is what a training pipeline needs for auditable curation draws
+  * (true RNG sampling rebuilds a different dataset every run).
+  *
+  * Method: Efraimidis–Spirakis exponential race. Each row gets
+  * `es_key = -ln(u) / w` where `u ∈ (0,1)` is a uniform draw derived from
+  * md5(id) (48 bits of the hex digest — the one hash spelling engines
+  * agree on, per [[HashSplit]]); the n smallest keys per group win. This
+  * realizes weighted sampling without replacement (P(row first) = w/Σw,
+  * then recurse), Efraimidis & Spirakis 2006 — deterministic here because
+  * `u` is content-keyed rather than drawn.
+  *
+  * Scale shape: identical to [[GroupCap]] — one shuffle on the group key,
+  * per-group bounded rank (row_number needs the full group on a partition;
+  * pre-cap pathological hot groups first). Zero driver state; the es_key
+  * is a zero-shuffle projection.
+  */
+object WeightedSample {
+
+  private val TwoPow48 = 281474976710656.0
+
+  /** Uniform (0,1) draw as a pure function of the key: the first 12 hex
+    * chars of md5(key) as a 48-bit integer, +0.5 to dodge both endpoints
+    * (u = 0 would make -ln(u) infinite). Exactly representable in a double
+    * (48 < 53 bits), so the arithmetic is bit-identical in any engine:
+    * DuckDB spells it `(('0x' || substring(md5(k),1,12))::BIGINT + 0.5) / 2^48`.
+    */
+  def uniform(key: Column): Column =
+    (conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long") + lit(0.5)) /
+      lit(TwoPow48)
+
+  /** Efraimidis–Spirakis race key: smaller wins. Non-positive weights get
+    * an infinite key — never selected while positive-weight rows remain
+    * (and ANSI mode would otherwise throw DIVIDE_BY_ZERO on w = 0).
+    */
+  def esKey(key: Column, weight: Column): Column = {
+    val w = weight.cast("double")
+    when(w <= 0, lit(Double.PositiveInfinity)).otherwise(-log(uniform(key)) / w)
+  }
+
+  /** Keep at most `n` rows per `groupCol` with probability proportional to
+    * `weightCol` (without replacement), adding `es_rank` (1-based rank in
+    * race order — exposed so downstream can tighten the cap without
+    * re-shuffling). Deterministic: ties (impossible for distinct ids, but
+    * belt-and-braces) break on `idCol`.
+    */
+  def samplePerGroup(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      n: Int
+  ): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(esKey(col(idCol), col(weightCol)), col(idCol))
+    df.withColumn("es_rank", row_number().over(w).cast("long"))
+      .filter(col("es_rank") <= n)
+  }
+}
