@@ -1021,6 +1021,13 @@ object SparkEntry {
     "q_fingerprints" -> { (s, d) =>
       Tables(s, d).documents.select(col("doc_id"), TF.fingerprint(col("text")).as("fp"))
     },
+    // portable twin of q_fingerprints: md5-derived token hash instead of
+    // xxhash64, so the exact fingerprint values hash-match a DuckDB oracle
+    // (the xxhash kernel above stays engine-hash ✘O, equivalence-spec'd)
+    "q_fingerprints_md5" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"), TF.fingerprintPortable(col("text")).as("fp"))
+    },
     // ---- dedup over documents ----
     "q_dedup_exact" -> { (s, d) =>
       Dedup.exactGroups(Tables(s, d).documents).select(
@@ -1823,6 +1830,16 @@ object SparkEntry {
          |  SELECT word, count(*) AS n FROM w GROUP BY word
          |  ORDER BY n DESC, word LIMIT 20)
          |SELECT word, n FROM c""".stripMargin,
+    // same fold as TextFunctions.fingerprintPortable: 48-bit md5 token hash
+    // mod the 31-bit prime, polynomial acc*31+h mod prime (list_reduce has
+    // no init arg in DuckDB 1.0 — prepend the 0 seed)
+    "q_fingerprints_md5" ->
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents)
+         |SELECT doc_id, list_reduce(
+         |  list_prepend(CAST(0 AS BIGINT), list_transform(toks, tok ->
+         |    ('0x' || substring(md5(tok), 1, 12))::BIGINT % 2147483629)),
+         |  (acc, h) -> (acc * 31 + h) % 2147483629) AS fp
+         |FROM t""".stripMargin,
     "q_mixture_rebalance" ->
       """WITH w(lang, wt) AS (
         |  VALUES ('en', 2.0), ('zh', 1.0), ('es', 1.0), ('de', 1.0), ('fr', 1.0)

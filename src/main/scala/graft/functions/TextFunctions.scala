@@ -151,4 +151,20 @@ object TextFunctions {
       lit(0L),
       (acc, t) => pmod(acc * 31L + pmod(xxhash64(t), lit(FpPrime)), lit(FpPrime))
     )
+
+  /** Portable fingerprint: the same polynomial fold as [[fingerprint]] but
+    * with a 48-bit-md5 token hash instead of xxhash64, so the exact value
+    * reproduces in ANY engine (q_fingerprints_md5's DuckDB oracle spells it
+    * with list_reduce) — the cross-system spelling for pipeline handoffs,
+    * where the xxhash variant stays the fast intra-Spark default. Zero
+    * shuffle; built-in codegen'd HOFs only.
+    */
+  def fingerprintPortable(text: Column): Column =
+    aggregate(
+      tokens(text),
+      lit(0L),
+      (acc, t) => pmod(
+        acc * 31L + pmod(conv(substring(md5(t), 1, 12), 16, 10).cast("long"), lit(FpPrime)),
+        lit(FpPrime))
+    )
 }

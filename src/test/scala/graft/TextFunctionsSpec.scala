@@ -52,6 +52,24 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(df.collect().forall(r => r.getLong(0) == r.getLong(1)))
   }
 
+  test("portable fingerprint matches closed-form md5 arithmetic and stays order-sensitive") {
+    def ref(s: String): Long = {
+      val toks = s.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      val P = 2147483629L
+      toks.foldLeft(0L) { (acc, t) =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hex = md.digest(t.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+        (acc * 31 + java.lang.Long.parseLong(hex.substring(0, 12), 16) % P) % P
+      }
+    }
+    val texts = Seq("", "one", "hello world foo", "foo world hello",
+      "The QUICK brown   fox")
+    texts.foreach { t =>
+      assert(one(t, TextFunctions.fingerprintPortable($"text")) == ref(t), s"text=<$t>")
+    }
+    assert(ref("hello world foo") != ref("foo world hello"))
+  }
+
   test("langId tie goes to the alphabetically earlier language") {
     assert(one("que une", TextFunctions.langId($"text")) == "fr") // que∈es,fr; une∈fr → fr=2 > es=1
     assert(one("el le", TextFunctions.langId($"text")) == "es")   // el∈es, le∈fr: 1–1 tie → es
