@@ -860,9 +860,13 @@ object SparkEntry {
     // weighted curation draw: 20 docs per source, inclusion probability
     // proportional to (n_chars + 1) — Efraimidis–Spirakis race with a
     // md5-derived uniform, so membership is deterministic and DuckDB
-    // replicates it with identical arithmetic (operators.WeightedSample)
+    // replicates it with identical arithmetic (operators.WeightedSample).
+    // Shipped spelling is the bounded-heap aggregate (map-side-combining
+    // MinKByAgg — ≤ 20 pairs/source/partition through the shuffle, no
+    // full-group sort), hash-matched against the same oracle as the
+    // window path — the equivalence the spec also pins.
     "q_weighted_sample" -> { (s, d) =>
-      WeightedSample.samplePerGroup(
+      WeightedSample.samplePerGroupAtScale(
         Tables(s, d).documents.select(col("doc_id"), col("source"),
           (col("n_chars") + 1).cast("double").as("w")),
         "source", "doc_id", "w", 20)

@@ -67,4 +67,34 @@ object WeightedSample {
     df.withColumn("es_rank", row_number().over(w).cast("long"))
       .filter(col("es_rank") <= n)
   }
+
+  /** The 100-TB spelling of [[samplePerGroup]]: identical membership and
+    * ranks, but the winners are found by a bounded-heap aggregate
+    * ([[graft.expressions.MinKByAgg]], lexicographic `(es_key, id)` — the
+    * window's exact order), which combines MAP-SIDE: each partition ships
+    * ≤ n pairs per group through the shuffle, where `row_number` must
+    * co-locate and sort the whole group on one partition (the hot-group
+    * hazard). One O(n·|groups|) agg + one equi-join on the unique id to
+    * recover the full rows — no full-group sort anywhere. `idCol` must be
+    * integral (the heap payload is a long).
+    */
+  def samplePerGroupAtScale(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      weightCol: String,
+      n: Int
+  ): DataFrame = {
+    val winners = df
+      .select(col(groupCol), esKey(col(idCol), col(weightCol)).as("_es"),
+        col(idCol).cast("long").as("_id"))
+      .groupBy(col(groupCol))
+      .agg(graft.expressions.MinKByAgg.min_k_by(col("_es"), col("_id"), n).as("_top"))
+      .select(col(groupCol), posexplode(col("_top")).as(Seq("_pos", "_s")))
+      .select(col(groupCol), col("_s.id").as("_id"),
+        (col("_pos") + 1).cast("long").as("es_rank"))
+    df.join(winners,
+        df(groupCol) === winners(groupCol) && col(idCol).cast("long") === col("_id"))
+      .drop(winners(groupCol)).drop("_id")
+  }
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.WeightedSample
@@ -59,6 +60,28 @@ class WeightedSampleSpec extends AnyFunSuite {
     val kept = WeightedSample.samplePerGroup(df, "g", "id", "w", 2)
       .select($"id").as[Long].collect().toSet
     assert(kept == Set(2L, 3L))
+  }
+
+  test("bounded-heap scale path selects the identical membership and ranks") {
+    val df = (1L to 800L).map(i => (i, s"s${i % 5}", 0.5 + (i % 11))).toDF("id", "g", "w")
+    val window = WeightedSample.samplePerGroup(df, "g", "id", "w", 30)
+      .select($"g", $"id", $"es_rank").as[(String, Long, Long)].collect().toSet
+    for (p <- Seq(1, 7)) {
+      val heap = WeightedSample.samplePerGroupAtScale(df.repartition(p), "g", "id", "w", 30)
+        .select($"g", $"id", $"es_rank").as[(String, Long, Long)].collect().toSet
+      assert(heap == window, s"partitions=$p")
+    }
+  }
+
+  test("min_k_by is exact under partial aggregation (groups smaller than k too)") {
+    val df = (1L to 100L).map(i => (i, if (i <= 3) "tiny" else "big")).toDF("id", "g")
+    val got = df.repartition(13)
+      .groupBy($"g")
+      .agg(graft.expressions.MinKByAgg.min_k_by($"id".cast("double"), $"id", 10).as("t"))
+      .select($"g", expr("transform(t, s -> s.id)").as("ids"))
+      .as[(String, Seq[Long])].collect().toMap
+    assert(got("tiny") == (1L to 3L))
+    assert(got("big") == (4L to 13L))
   }
 
   test("balanceDeterministic keeps exactly the minority count per class") {
