@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, IntervalOverlap, LmScore, Multimodal, Packing, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity, WeightedSample}
+import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, IntervalOverlap, LmScore, Mixture, Multimodal, Packing, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -856,6 +856,16 @@ object SparkEntry {
       GroupCap.capPerGroup(
         Tables(s, d).documents.select(col("doc_id"), col("lang")), "lang", "doc_id", 50)
         .select(col("doc_id"), col("lang"), col("samp_rank"))
+    },
+    // temperature-flattened mixture (alpha = 0.5): w_s = sqrt(n_s/N) per
+    // source, then the deterministic md5-order rebalance — low-resource
+    // sources up-weighted without hand-tuned numbers (XLM-R/mBERT trick);
+    // weights rounded to 6 decimals so DuckDB reproduces the quota math
+    "q_mixture_temperature" -> { (s, d) =>
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("source"))
+      val w = Mixture.temperatureWeights(docs, "source", 0.5)
+      Mixture.rebalance(docs, "source", "doc_id", w)
+        .select(col("doc_id"), col("source"), col("samp_rank"), col("keep_n"))
     },
     // weighted curation draw: 20 docs per source, inclusion probability
     // proportional to (n_chars + 1) — Efraimidis–Spirakis race with a
@@ -2122,6 +2132,21 @@ object SparkEntry {
         |           AS samp_rank
         |  FROM documents)
         |SELECT doc_id, lang, samp_rank FROM r WHERE samp_rank <= 50""".stripMargin,
+    // w = round(pow(n/N, 0.5), 6) exactly as Mixture.temperatureWeights
+    // rounds, so the quota arithmetic downstream is engine-identical
+    "q_mixture_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+        |t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+        |w AS (SELECT source, n, round(pow(n / tot, 0.5), 6) AS wt FROM c, t),
+        |s AS (SELECT min(n / wt) AS scale FROM w),
+        |q AS (SELECT source, CAST(floor(wt * scale) AS BIGINT) AS keep_n FROM w, s),
+        |r AS (SELECT doc_id, source,
+        |        row_number() OVER (PARTITION BY source
+        |                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |          AS samp_rank
+        |      FROM documents)
+        |SELECT r.doc_id, r.source, CAST(r.samp_rank AS BIGINT) AS samp_rank, q.keep_n
+        |FROM r JOIN q USING (source) WHERE r.samp_rank <= q.keep_n""".stripMargin,
     // Efraimidis–Spirakis with a 48-bit md5-derived uniform: the +0.5 and
     // the /2^48 are exact in doubles, so both engines compute the same u;
     // ln/division agree to the ulp on identical inputs and ties break on

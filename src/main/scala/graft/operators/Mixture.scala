@@ -74,6 +74,33 @@ object Mixture {
       .filter(col("samp_rank") <= col("keep_n"))
   }
 
+  /** Temperature-scaled source weights — the multilingual/multi-source
+    * sampling trick (public: XLM-R, mBERT): w_s = (n_s / Σn)^α, with
+    * α ∈ (0, 1] flattening the natural distribution (α = 1 keeps it,
+    * α → 0 approaches uniform), so low-resource sources are up-weighted
+    * without hand-tuning per-source numbers. Feed the result straight into
+    * [[rebalance]] / [[rebalanceTokens]].
+    *
+    * Driver-side probe over the |sources|-row count aggregate (bounded by
+    * the source vocabulary, not data volume). Weights are rounded to 6
+    * decimals so an external engine reproduces the downstream quota
+    * arithmetic exactly (q_mixture_temperature's DuckDB oracle).
+    */
+  def temperatureWeights(
+      docs: DataFrame,
+      sourceCol: String,
+      alpha: Double
+  ): Map[String, Double] = {
+    require(alpha > 0 && alpha <= 1, "alpha in (0, 1]")
+    val counts = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = counts.values.sum.toDouble
+    counts.map { case (s, n) =>
+      s -> BigDecimal(math.pow(n / total, alpha))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+  }
+
   /** Token-budget variant — mixtures are usually specified in TOKENS, not
     * documents: per source keep the md5-order prefix of documents whose
     * running token total stays within `floor(w_s · min_t(T_t / w_t))`

@@ -81,6 +81,22 @@ class MixtureSpec extends AnyFunSuite {
     assert(kept == Map("a" -> 5L))
   }
 
+  test("temperature weights flatten toward uniform as alpha drops") {
+    val df = corpus(Map("big" -> 90, "small" -> 10))
+    val w1 = Mixture.temperatureWeights(df, "src", 1.0)
+    val w5 = Mixture.temperatureWeights(df, "src", 0.5)
+    // alpha=1: ratio 9:1 (natural); alpha=0.5: sqrt ratio 3:1
+    assert(math.abs(w1("big") / w1("small") - 9.0) < 1e-4)
+    assert(math.abs(w5("big") / w5("small") - 3.0) < 1e-4)
+    // realized mixture under alpha=0.5: scale = min(90/w_b, 10/w_s); small
+    // binds and is kept whole; big gets floor(w_b*scale) = 29 (the ideal 3x
+    // = 30 loses one to the 6-decimal weight rounding — floor(29.99997);
+    // deterministic and engine-identical, so the oracle sees the same 29)
+    val kept = Mixture.rebalance(df, "src", "doc_id", w5)
+      .groupBy($"src").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 10L && kept("big") == 29L)
+  }
+
   test("quota column matches floor(w * min(n/w))") {
     val df = corpus(Map("a" -> 9, "b" -> 5, "c" -> 2))
     // weights 3:1:1 → scale = min(3, 5, 2) = 2 → quotas 6, 2, 2

@@ -37,6 +37,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(hh.subsetOf(keys) && keys.size <= 3)
   }
 
+  test("min_k_by merges across micro-batches: streaming winners equal batch winners") {
+    val dir = Files.createTempDirectory("graft-mkb-items")
+    val checkpoint = Files.createTempDirectory("graft-mkb-cp").toString
+    // ids interleaved so each micro-batch holds some of the final winners
+    val b0 = (1L to 40L).filter(_ % 2 == 0)
+    val b1 = (1L to 40L).filter(_ % 2 == 1)
+    Files.write(dir.resolve("b0.csv"), b0.mkString("\n").getBytes)
+    Files.write(dir.resolve("b1.csv"), b1.mkString("\n").getBytes)
+    spark.conf.set("spark.sql.streaming.fileSource.maxFilesPerTrigger", "1")
+    try {
+      // race key = deterministic md5 uniform, weight 1 — same draw as the
+      // batch WeightedSample path
+      val key = graft.operators.WeightedSample.esKey(col("id"), lit(1.0))
+      val q = spark.readStream.schema("id LONG").csv(dir.toString)
+        .agg(graft.expressions.MinKByAgg.min_k_by(key, col("id"), 5).as("t"))
+        .select(expr("transform(t, s -> s.id)").as("ids"))
+        .writeStream.outputMode("complete").format("memory").queryName("mkb_stream")
+        .option("checkpointLocation", checkpoint).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val got = spark.sql("SELECT ids FROM mkb_stream").as[Seq[Long]].collect().head
+      val expected = (1L to 40L).toDF("id")
+        .agg(graft.expressions.MinKByAgg.min_k_by(key, col("id"), 5).as("t"))
+        .select(expr("transform(t, s -> s.id)").as("ids"))
+        .as[Seq[Long]].collect().head
+      assert(got == expected && got.size == 5)
+    } finally spark.conf.unset("spark.sql.streaming.fileSource.maxFilesPerTrigger")
+  }
+
   test("MetricsStore writes atomic, parseable JSON with bounded history") {
     val dir = Files.createTempDirectory("graft-metrics").toString
     val store = new MetricsStore(s"$dir/metrics.json", historyLimit = 3)
