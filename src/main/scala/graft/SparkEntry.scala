@@ -818,6 +818,16 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(20)) === 0),
         minShared = 2)
     },
+    // large-benchmark spelling: Bloom prefilter (Spark's own
+    // BloomFilterAggregate/MightContain, ~10 bits/shingle broadcast) + a
+    // shuffled exact verify — identical output, so the same oracle
+    "q_decontaminate_bloom" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      Decontaminate.overlapsViaBloom(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0),
+        minShared = 2)
+    },
     // the whole curation pipeline in ONE call — per-doc flags from exact
     // dedup (md5-min window), quality (token count + Gopher dup-word
     // fraction), and benchmark decontamination, composed into the final
@@ -1331,6 +1341,26 @@ object SparkEntry {
 
   private val TokensSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+
+  /** Shared by q_decontaminate and q_decontaminate_bloom (identical output
+    * by construction — the Bloom prefilter is exact after verification).
+    */
+  private lazy val DecontaminateSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, $TokensSql AS toks FROM documents
+       |), d AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(generate_series(1, len(toks) - 2),
+       |                             i -> array_to_string(toks[i:i+2], ' '))
+       |    END) AS sh
+       |  FROM t),
+       |tr AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % 20 <> 0),
+       |be AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d WHERE doc_id % 20 = 0)
+       |SELECT tr.doc_id, be.bench_id, count(*) AS n_shared
+       |FROM tr JOIN be USING (s)
+       |GROUP BY tr.doc_id, be.bench_id
+       |HAVING count(*) >= 2""".stripMargin
   private val StopSql =
     "['the','a','of','and','to','in','is','it','that','for']"
 
@@ -2108,22 +2138,10 @@ object SparkEntry {
          |FROM m""".stripMargin,
     // same shingle construction as q_neardup_verify's oracle (proven ≡ the
     // native ShingleSet kernel)
-    "q_decontaminate" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $TokensSql AS toks FROM documents
-         |), d AS (
-         |  SELECT doc_id, list_distinct(
-         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |         ELSE list_transform(generate_series(1, len(toks) - 2),
-         |                             i -> array_to_string(toks[i:i+2], ' '))
-         |    END) AS sh
-         |  FROM t),
-         |tr AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % 20 <> 0),
-         |be AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d WHERE doc_id % 20 = 0)
-         |SELECT tr.doc_id, be.bench_id, count(*) AS n_shared
-         |FROM tr JOIN be USING (s)
-         |GROUP BY tr.doc_id, be.bench_id
-         |HAVING count(*) >= 2""".stripMargin,
+    "q_decontaminate" -> DecontaminateSql,
+    // the Bloom path has no false negatives and exact-verifies the rest, so
+    // its output is IDENTICAL to the broadcast path — same oracle
+    "q_decontaminate_bloom" -> DecontaminateSql,
     "q_group_cap" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -41,6 +41,65 @@ object Decontaminate {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** [[overlaps]] for a benchmark suite too large to broadcast as a hash
+    * relation: a Bloom filter over the benchmark's shingle hashes is ~10
+    * bits per shingle (vs ~100+ bytes per entry in a broadcast hash map —
+    * two orders of magnitude smaller for the same membership question), so
+    * the might-contain prefilter still runs MAP-SIDE over the training
+    * corpus, and only the surviving ~fpp fraction of (doc, shingle) rows
+    * enters the shuffled exact equi-join that removes false positives.
+    * No false negatives (Bloom guarantee) + exact verify ⇒ output is
+    * IDENTICAL to [[overlaps]] — which is why q_decontaminate_bloom
+    * hash-matches the same DuckDB oracle, and the spec pins equality.
+    *
+    * Built on Spark's own sketch expressions (BloomFilterAggregate /
+    * BloomFilterMightContain — the machinery behind runtime join
+    * filters), composed via the graftbridge: the filter aggregates
+    * distributed over the benchmark, one bounded binary collects to the
+    * driver, and the probe is a codegen'd predicate on xxhash64(shingle).
+    */
+  def overlapsViaBloom(
+      train: DataFrame,
+      bench: DataFrame,
+      minShared: Int = 5,
+      w: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      expectedShingles: Long = 1000000L,
+      fpp: Double = 0.01
+  ): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.graftbridge.ColumnBridge
+    import org.apache.spark.sql.types.BinaryType
+
+    val b = bench.select(col(idCol).as("bench_id"),
+      explode(Dedup.shingles(col(textCol), w)).as("sh"))
+    // bits per the standard BF sizing: m = -n ln(p) / (ln 2)^2
+    val numBits = math.max(64L,
+      (-expectedShingles * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    val bfAgg = ColumnBridge.column(
+      BloomFilterAggregate(
+        ColumnBridge.expression(xxhash64(col("sh"))),
+        Literal(expectedShingles), Literal(numBits), 0, 0).toAggregateExpression())
+    val bf = b.select(bfAgg.as("bf")).head().getAs[Array[Byte]](0)
+
+    val mightContain = ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal(bf, BinaryType),
+        ColumnBridge.expression(xxhash64(col("sh")))))
+    val t = train.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), w)).as("sh"))
+      .filter(mightContain)
+    // exact verify on the prefiltered survivors — a shuffled equi-join on
+    // the shingle key (NOT broadcast: this path exists precisely because
+    // the bench side is assumed too big for that)
+    t.join(b.hint("shuffle_hash"), Seq("sh"))
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** The decontaminated corpus: training rows with NO benchmark overlap at
     * the threshold.
     */

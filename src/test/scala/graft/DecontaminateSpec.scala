@@ -28,6 +28,24 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(got.find(_._1 == 3L).get._3 == 7L)
   }
 
+  test("Bloom prefilter path returns the identical overlap table") {
+    // 60 training docs (3 contaminated at different overlap levels) so the
+    // prefilter actually discards most (doc, shingle) rows before the join
+    val train = ((1L to 57L).map(i => (i, s"filler words number $i about data systems and sorting here")) ++
+      Seq(
+        (58L, "we show that the quick brown fox jumps far"),
+        (59L, "the quick brown fox jumps over the lazy dog indeed"),
+        (60L, "lazy dog sleeping near the quick brown fox today"))).toDF("doc_id", "text")
+    for (minShared <- Seq(1, 3)) {
+      val exact = Decontaminate.overlaps(train, bench, minShared)
+        .as[(Long, Long, Long)].collect().toSet
+      val bloom = Decontaminate.overlapsViaBloom(train, bench, minShared,
+        expectedShingles = 1000L)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(bloom == exact && exact.nonEmpty, s"minShared=$minShared")
+    }
+  }
+
   test("clean() drops exactly the flagged docs") {
     val train = Seq(
       (1L, "we show that the quick brown fox jumps far"),
