@@ -1106,6 +1106,15 @@ object SparkEntry {
         docs.select(col("doc_id"), col("source"), col("lang")),
         shingleEdges(docs))
     },
+    // quality-policy canonicalization: keep the LONGEST doc per near-dup
+    // cluster (ties → smaller id) — deterministic, so the survivor set
+    // hash-matches the recursive-CTE oracle
+    "q_dedup_keep_best" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      Components.keepBest(
+        docs.select(col("doc_id"), col("n_chars")), shingleEdges(docs))
+        .select(col("doc_id"), col("component"), col("n_chars"))
+    },
     "q_minhash_pairs" -> { (s, d) =>
       Dedup.minhashPairs(Tables(s, d).documents, threshold = 0.05)
         .orderBy(col("jaccard").desc, col("id1"), col("id2")).limit(100)
@@ -1341,6 +1350,35 @@ object SparkEntry {
 
   private val TokensSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+
+  /** Shared CTE chain for the near-dup component oracles (q_dedup_components
+    * / q_dedup_keep / q_dedup_keep_best): shingle edges (hot-shingle cap 20,
+    * ≥ 5 shared) → recursive min-label reachability → `comp(node,
+    * component)`. Mirrors `shingleEdges` + `Components.connectedComponents`.
+    */
+  private lazy val DedupCompCte: String =
+    s"""WITH RECURSIVE t AS (
+       |  SELECT doc_id, $TokensSql AS toks FROM documents
+       |), d AS (
+       |  SELECT doc_id, list_distinct(
+       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |         ELSE list_transform(generate_series(1, len(toks) - 2),
+       |                             i -> array_to_string(toks[i:i+2], ' '))
+       |    END) AS sh
+       |  FROM t),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
+       |hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > 20),
+       |exf AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
+       |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |      FROM exf a JOIN exf b ON a.s = b.s AND b.doc_id > a.doc_id
+       |      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5),
+       |bi AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e),
+       |reach(node, r) AS (
+       |  SELECT a, a FROM bi
+       |  UNION
+       |  SELECT reach.node, bi.b FROM reach JOIN bi ON bi.a = reach.r
+       |),
+       |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)""".stripMargin
 
   /** Shared by q_decontaminate and q_decontaminate_bloom (identical output
     * by construction — the Bloom prefilter is exact after verification).
@@ -2345,57 +2383,27 @@ object SparkEntry {
     // min per node); oracle-validated against a union-find ground truth.
     // Same shingle/posting/cap/≥5-shared construction as the Spark side.
     "q_dedup_components" ->
-      s"""WITH RECURSIVE t AS (
-         |  SELECT doc_id, $TokensSql AS toks FROM documents
-         |), d AS (
-         |  SELECT doc_id, list_distinct(
-         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |         ELSE list_transform(generate_series(1, len(toks) - 2),
-         |                             i -> array_to_string(toks[i:i+2], ' '))
-         |    END) AS sh
-         |  FROM t),
-         |ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
-         |hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > 20),
-         |exf AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
-         |      FROM exf a JOIN exf b ON a.s = b.s AND b.doc_id > a.doc_id
-         |      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5),
-         |bi AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e),
-         |reach(node, r) AS (
-         |  SELECT a, a FROM bi
-         |  UNION
-         |  SELECT reach.node, bi.b FROM reach JOIN bi ON bi.a = reach.r
-         |),
-         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+      s"""$DedupCompCte
          |SELECT doc_id, coalesce(comp.component, doc_id) AS component
          |FROM documents LEFT JOIN comp ON comp.node = doc_id""".stripMargin,
     // q_dedup_components' CTE chain, filtered to the canonical survivors
     "q_dedup_keep" ->
-      s"""WITH RECURSIVE t AS (
-         |  SELECT doc_id, $TokensSql AS toks FROM documents
-         |), d AS (
-         |  SELECT doc_id, list_distinct(
-         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |         ELSE list_transform(generate_series(1, len(toks) - 2),
-         |                             i -> array_to_string(toks[i:i+2], ' '))
-         |    END) AS sh
-         |  FROM t),
-         |ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
-         |hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > 20),
-         |exf AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-         |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
-         |      FROM exf a JOIN exf b ON a.s = b.s AND b.doc_id > a.doc_id
-         |      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5),
-         |bi AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e),
-         |reach(node, r) AS (
-         |  SELECT a, a FROM bi
-         |  UNION
-         |  SELECT reach.node, bi.b FROM reach JOIN bi ON bi.a = reach.r
-         |),
-         |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)
+      s"""$DedupCompCte
          |SELECT doc_id, source, lang
          |FROM documents LEFT JOIN comp ON comp.node = doc_id
          |WHERE comp.component IS NULL OR comp.component = doc_id""".stripMargin,
+    // same components, quality policy: longest doc per cluster survives
+    "q_dedup_keep_best" ->
+      s"""$DedupCompCte,
+         |wc AS (
+         |  SELECT doc_id, n_chars, coalesce(comp.component, doc_id) AS component
+         |  FROM documents LEFT JOIN comp ON comp.node = doc_id),
+         |r AS (
+         |  SELECT doc_id, component, n_chars,
+         |         row_number() OVER (PARTITION BY component
+         |                            ORDER BY n_chars DESC, doc_id) AS rk
+         |  FROM wc)
+         |SELECT doc_id, component, n_chars FROM r WHERE rk = 1""".stripMargin,
     "q_lang_id" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang AS lang_declared, text, $TokensSql AS toks FROM documents

@@ -117,4 +117,38 @@ object Components {
         col("node") === col(idCol), "left")
       .filter(col("component").isNull || col("component") === col(idCol))
       .drop("node", "component")
+
+  /** [[keepCanonical]] with a QUALITY policy instead of min-id: keep the
+    * row with the highest `scoreCol` in each near-dup cluster (ties break
+    * on the smaller id) — what corpus curation actually wants ("of these
+    * near-duplicates, keep the longest / highest-quality copy"), and still
+    * fully deterministic, so an external engine reproduces the survivor
+    * set (q_dedup_keep_best). Singletons (no edges) keep themselves,
+    * labeled with their own id as `component`.
+    *
+    * Scale: the per-cluster rank windows over near-dup CLUSTERS — bounded
+    * by cluster size (clique-ish, small by construction of the capped edge
+    * builder), not by the corpus.
+    */
+  def keepBest(
+      rows: DataFrame,
+      edges: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "n_chars",
+      srcCol: String = "src",
+      dstCol: String = "dst",
+      maxIter: Int = 20
+  ): DataFrame = {
+    val withComp = rows
+      .join(connectedComponents(edges, srcCol, dstCol, maxIter),
+        col("node") === col(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .drop("node")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    withComp.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .drop("_rk")
+  }
 }

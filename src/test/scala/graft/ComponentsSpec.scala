@@ -38,6 +38,18 @@ class ComponentsSpec extends AnyFunSuite {
       Map(2L -> 2L, 31L -> 2L, 42L -> 2L, 50L -> 2L))
   }
 
+  test("keepBest keeps the highest score per cluster, min id on ties, singletons themselves") {
+    val rows = Seq(
+      (1L, 50L), (2L, 80L), (3L, 80L), // cluster {1,2,3}: 2 and 3 tie at 80 -> 2 wins
+      (4L, 10L), (5L, 99L),            // cluster {4,5}: 5 wins
+      (9L, 7L)                         // singleton: survives as its own component
+    ).toDF("doc_id", "n_chars")
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("src", "dst")
+    val got = Components.keepBest(rows, edges)
+      .select($"doc_id", $"component", $"n_chars").as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((2L, 1L, 80L), (5L, 4L, 99L), (9L, 9L, 7L)))
+  }
+
   test("agrees with a driver-side union-find on a seeded random graph") {
     val rnd = new scala.util.Random(7)
     val edges = Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
