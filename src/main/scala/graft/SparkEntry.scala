@@ -867,6 +867,13 @@ object SparkEntry {
         Tables(s, d).documents.select(col("doc_id"), col("lang")), "lang", "doc_id", 50)
         .select(col("doc_id"), col("lang"), col("samp_rank"))
     },
+    // Morton/z-order key — the multi-dim clustering projection behind
+    // Sinks-style zone-map layouts (operators.ZOrder): pure shift/mask
+    // integer arithmetic, zero shuffle, engine-identical
+    "q_zorder_key" -> { (s, d) =>
+      Tables(s, d).lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.ZOrder.zkey2(col("l_partkey"), col("l_suppkey")).as("zkey"))
+    },
     // temperature-flattened mixture (alpha = 0.5): w_s = sqrt(n_s/N) per
     // source, then the deterministic md5-order rebalance — low-resource
     // sources up-weighted without hand-tuned numbers (XLM-R/mBERT trick);
@@ -2188,6 +2195,26 @@ object SparkEntry {
         |           AS samp_rank
         |  FROM documents)
         |SELECT doc_id, lang, samp_rank FROM r WHERE samp_rank <= 50""".stripMargin,
+    // the classic 16->32 bit-spread chain, spelled with the same masks as
+    // ZOrder.spread16 (DuckDB BIGINT <<,|,& match Spark's long ops exactly)
+    "q_zorder_key" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         l_partkey % 65536 AS x0, l_suppkey % 65536 AS y0
+        |  FROM lineitem),
+        |s1 AS (SELECT l_orderkey, l_linenumber,
+        |         ((x0 | (x0 << 8)) & 16711935) AS x1,
+        |         ((y0 | (y0 << 8)) & 16711935) AS y1 FROM b),
+        |s2 AS (SELECT l_orderkey, l_linenumber,
+        |         ((x1 | (x1 << 4)) & 252645135) AS x2,
+        |         ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+        |s3 AS (SELECT l_orderkey, l_linenumber,
+        |         ((x2 | (x2 << 2)) & 858993459) AS x3,
+        |         ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+        |s4 AS (SELECT l_orderkey, l_linenumber,
+        |         ((x3 | (x3 << 1)) & 1431655765) AS x4,
+        |         ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3)
+        |SELECT l_orderkey, l_linenumber, (x4 | (y4 << 1)) AS zkey FROM s4""".stripMargin,
     // w = round(pow(n/N, 0.5), 6) exactly as Mixture.temperatureWeights
     // rounds, so the quota arithmetic downstream is engine-identical
     "q_mixture_temperature" ->

@@ -81,6 +81,39 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == t.orders.count())
   }
 
+  test("zkey2 matches the hand-computed Morton table on the 4x4 grid") {
+    import graft.operators.ZOrder
+    val got = (for { y <- 0 to 3; x <- 0 to 3 } yield (x, y)).toDF("x", "y")
+      .select($"x", $"y", ZOrder.zkey2($"x", $"y").as("z"))
+      .as[(Int, Int, Long)].collect().map { case (x, y, z) => (x, y) -> z }.toMap
+    val expected = Map(
+      (0, 0) -> 0L, (1, 0) -> 1L, (0, 1) -> 2L, (1, 1) -> 3L,
+      (2, 0) -> 4L, (3, 0) -> 5L, (2, 1) -> 6L, (3, 1) -> 7L,
+      (0, 2) -> 8L, (1, 2) -> 9L, (0, 3) -> 10L, (1, 3) -> 11L,
+      (2, 2) -> 12L, (3, 2) -> 13L, (2, 3) -> 14L, (3, 3) -> 15L)
+    assert(got == expected)
+  }
+
+  test("z-ordered write: every file covers a bounded rectangle in BOTH dimensions") {
+    import graft.operators.ZOrder
+    val dir = Files.createTempDirectory("graft-zorder").toString + "/grid"
+    // complete 64x64 grid, one sorted partition split at exact 1024-row
+    // boundaries -> each file is exactly one 32x32 quadrant (z < 1024 iff
+    // x < 32 and y < 32, etc.)
+    val grid = (for { y <- 0 until 64; x <- 0 until 64 } yield (x, y)).toDF("x", "y")
+    ZOrder.writeZOrdered(grid, dir, "x", "y", nFiles = 1, maxRecordsPerFile = 1024L)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length == 4, s"expected 4 quadrant files, got ${files.length}")
+    val boxes = files.map { f =>
+      spark.read.parquet(f).agg(min($"x"), max($"x"), min($"y"), max($"y"))
+        .as[(Int, Int, Int, Int)].collect().head
+    }.toSet
+    assert(boxes == Set((0, 31, 0, 31), (32, 63, 0, 31), (0, 31, 32, 63), (32, 63, 32, 63)))
+    // so a predicate on EITHER x or y alone prunes to half the files by
+    // footer min/max — the property single-column range clustering lacks
+  }
+
   test("bucketed tables join with zero exchanges") {
     val t = Tables(spark, TestSpark.Sf0001)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
