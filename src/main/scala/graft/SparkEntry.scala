@@ -867,6 +867,15 @@ object SparkEntry {
         Tables(s, d).documents.select(col("doc_id"), col("lang")), "lang", "doc_id", 50)
         .select(col("doc_id"), col("lang"), col("samp_rank"))
     },
+    // pair-producing range join (operators.RangeJoin): which sessions span
+    // each hour mark — planned as a bucket equi-join, never a nested loop
+    "q_range_join" -> { (s, d) =>
+      val sess = gapSessionBounds(s, d)
+      val marks = sess.select((expr("start_s DIV 3600") * 3600).as("mark_s")).distinct()
+      graft.operators.RangeJoin
+        .pointInInterval(marks, "mark_s", sess, "start_s", "end_s", 3600L)
+        .select(col("mark_s"), col("user_id"), col("session_idx"))
+    },
     // Morton/z-order key — the multi-dim clustering projection behind
     // Sinks-style zone-map layouts (operators.ZOrder): pure shift/mask
     // integer arithmetic, zero shuffle, engine-identical
@@ -1819,6 +1828,14 @@ object SparkEntry {
         |SELECT a.uid AS user_id, a.sid AS session_idx,
         |       CAST(a.n_start_le - b.n_end_lt - 1 AS BIGINT) AS n_overlap
         |FROM a JOIN b ON a.uid = b.uid AND a.sid = b.sid""".stripMargin,
+    // the naive BETWEEN spelling IS the oracle — DuckDB can afford it at
+    // verify scale; the Spark side must produce identical pairs from the
+    // bucketized equi-join
+    "q_range_join" ->
+      s"""$SessionBoundsCte,
+        |marks AS (SELECT DISTINCT (start_s // 3600) * 3600 AS mark_s FROM sess)
+        |SELECT m.mark_s, s.user_id, s.session_idx
+        |FROM marks m JOIN sess s ON m.mark_s BETWEEN s.start_s AND s.end_s""".stripMargin,
     "q_gap_fill" ->
       """WITH e AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, value FROM events
