@@ -211,6 +211,17 @@ object SparkEntry {
       Tables(s, d).events.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("exact_users"))
     },
+    // incremental distinct: per-(type, hour) HLL sketches unioned up to
+    // per-type — the sketch-once/rollup-many pattern (operators.SketchRollup).
+    // DataSketches estimate is engine-specific -> rows-only; the spec pins
+    // rollup within 2% of the direct sketch and ±5% of exact
+    "q_hll_rollup" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("event_type"), hour(col("ts")).as("h"), col("user_id"))
+      val fine = graft.operators.SketchRollup.sketchBy(
+        ev, Seq("event_type", "h"), "user_id")
+      graft.operators.SketchRollup.rollupEstimate(fine, Seq("event_type"))
+    },
     // ---- relational core over the TPC-H-ish tables (joins/agg/sort/limit) ----
     "q1_pricing_summary" -> { (s, d) =>
       Tables(s, d).lineitem
