@@ -463,6 +463,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_cust"),
           Money.microsToMoney(sum(micros)).as("total_acctbal"))
     },
+    // TPC-H Q15 (the one remaining numbered query the shipped schema can
+    // express — q2/q9/q11/q16/q20 need partsupp, which doesn't exist):
+    // top supplier by 1996-Q1 revenue; the max rides as a broadcast 1-row
+    // frame, ties (if any) returned by both engines identically
+    "q15_top_supplier" -> { (s, d) =>
+      val t = Tables(s, d)
+      val revenue = t.lineitem
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(Money.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      val maxRev = revenue.agg(max(col("total_revenue")).as("_max_rev"))
+      t.supplier.join(revenue, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("_max_rev"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    },
     "q14_promo_effect" -> { (s, d) =>
       val t = Tables(s, d)
       t.lineitem
@@ -1711,6 +1729,17 @@ object SparkEntry {
          |                  WHERE o.o_custkey = c_custkey
          |                    AND o.o_orderpriority = '1-URGENT')
          |GROUP BY c_nationkey""".stripMargin,
+    "q15_top_supplier" ->
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |         ${Money.sumSql("l_extendedprice * (1 - l_discount)")} AS total_revenue
+         |  FROM lineitem
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         |  GROUP BY l_suppkey)
+         |SELECT s_suppkey, s_name, total_revenue
+         |FROM supplier JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)""".stripMargin,
     "q14_promo_effect" ->
       """SELECT round(100.0 *
         |         sum(CASE WHEN p_type = 'PROMO'
