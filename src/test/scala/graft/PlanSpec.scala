@@ -109,6 +109,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), "lang-id is a pure scan, no shuffle")
   }
 
+  test("weighted sample ships the bounded-heap aggregate: partial min_k_by, no window sort") {
+    val p = plan("q_weighted_sample")
+    assert(p.contains("partial_graft_min_k_by"),
+      s"map-side partial heap aggregation expected:\n${p.take(2000)}")
+    assert(!p.contains("Window"), "the heap path must not fall back to row_number")
+  }
+
+  test("z-order key is a pure zero-shuffle projection") {
+    val p = plan("q_zorder_key")
+    assert(!p.contains("Exchange"), s"pure projection must not shuffle:\n${p.take(1500)}")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber"),
+      s"scan must prune to the four used columns:\n${p.take(1500)}")
+  }
+
+  test("portable fingerprint is a zero-shuffle projection") {
+    val p = plan("q_fingerprints_md5")
+    assert(!p.contains("Exchange"), s"pure projection must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("range join plans as a bucket equi-join, never a nested loop") {
+    val p = plan("q_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(2000))
+  }
+
   test("fingerprint runs as the native codegen kernel, zero shuffles") {
     val p = plan("q_fingerprints")
     assert(p.contains("graft_fingerprint64"), s"native expression expected:\n${p.take(1500)}")
