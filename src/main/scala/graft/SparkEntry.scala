@@ -896,6 +896,18 @@ object SparkEntry {
         Tables(s, d).documents.select(col("doc_id"), col("lang")), "lang", "doc_id", 50)
         .select(col("doc_id"), col("lang"), col("samp_rank"))
     },
+    // deterministic negative sampling for implicit-feedback training
+    // (operators.NegativeSampler): 5 unseen items per user via md5 hash
+    // slots over the indexed item universe — never a users x items cross
+    // join; fully engine-reproducible
+    "q_negative_samples" -> { (s, d) =>
+      val inter = Tables(s, d).events
+        .select(col("user_id"),
+          from_json(col("props"), lit("k INT")).getField("k").cast("long").as("item_id"))
+        .filter(col("item_id").isNotNull)
+      graft.operators.NegativeSampler.sample(inter, "user_id", "item_id", k = 5)
+        .select(col("user_id"), col("item_id"), col("neg_rank"))
+    },
     // pair-producing range join (operators.RangeJoin): which sessions span
     // each hour mark — planned as a bucket equi-join, never a nested loop
     "q_range_join" -> { (s, d) =>
@@ -1868,6 +1880,41 @@ object SparkEntry {
         |SELECT a.uid AS user_id, a.sid AS session_idx,
         |       CAST(a.n_start_le - b.n_end_lt - 1 AS BIGINT) AS n_overlap
         |FROM a JOIN b ON a.uid = b.uid AND a.sid = b.sid""".stripMargin,
+    // same hash-slot arithmetic as NegativeSampler: 48-bit md5 of
+    // "user_slot" mod |universe|, min-slot dedupe, anti-join positives,
+    // first 5 by slot
+    "q_negative_samples" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item_id
+        |  FROM events WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
+        |), univ AS (
+        |  SELECT item_id, row_number() OVER (ORDER BY item_id) - 1 AS idx
+        |  FROM (SELECT DISTINCT item_id FROM inter)
+        |), n AS (SELECT count(*) AS n_items FROM univ),
+        |slots AS (
+        |  SELECT user_id, unnest(range(1, 11)) AS slot
+        |  FROM (SELECT DISTINCT user_id FROM inter)
+        |), h AS (
+        |  SELECT user_id, slot,
+        |         ('0x' || substring(md5(CAST(user_id AS VARCHAR) || '_'
+        |                                || CAST(slot AS VARCHAR)), 1, 12))::BIGINT
+        |           % n_items AS cidx
+        |  FROM slots, n
+        |), cand AS (
+        |  SELECT h.user_id, univ.item_id, h.slot FROM h JOIN univ ON univ.idx = h.cidx
+        |), ded AS (
+        |  SELECT user_id, item_id, min(slot) AS slot FROM cand GROUP BY user_id, item_id
+        |), neg AS (
+        |  SELECT d.user_id, d.item_id, d.slot FROM ded d
+        |  LEFT JOIN inter i ON i.user_id = d.user_id AND i.item_id = d.item_id
+        |  WHERE i.user_id IS NULL
+        |), r AS (
+        |  SELECT user_id, item_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY slot, item_id) AS neg_rank
+        |  FROM neg)
+        |SELECT user_id, item_id, CAST(neg_rank AS BIGINT) AS neg_rank
+        |FROM r WHERE neg_rank <= 5""".stripMargin,
     // the naive BETWEEN spelling IS the oracle — DuckDB can afford it at
     // verify scale; the Spark side must produce identical pairs from the
     // bucketized equi-join
