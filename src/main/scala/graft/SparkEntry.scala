@@ -847,6 +847,12 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(20)) === 0),
         minShared = 2)
     },
+    // which sources mirror each other: per-shingle source sets exploded to
+    // pairs (bounded by the source vocabulary) — never a source x source
+    // join (Decontaminate.sourceOverlap)
+    "q_source_overlap" -> { (s, d) =>
+      Decontaminate.sourceOverlap(Tables(s, d).documents)
+    },
     // large-benchmark spelling: Bloom prefilter (Spark's own
     // BloomFilterAggregate/MightContain, ~10 bits/shingle broadcast) + a
     // shuffled exact verify — identical output, so the same oracle
@@ -2288,6 +2294,22 @@ object SparkEntry {
     // same shingle construction as q_neardup_verify's oracle (proven ≡ the
     // native ShingleSet kernel)
     "q_decontaminate" -> DecontaminateSql,
+    // the self-join spelling is affordable at verify scale and is the
+    // independent oracle for the set-explode Spark shape
+    "q_source_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, $TokensSql AS toks FROM documents
+         |), d AS (
+         |  SELECT source, unnest(list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                             i -> array_to_string(toks[i:i+2], ' '))
+         |    END)) AS s
+         |  FROM t),
+         |ss AS (SELECT DISTINCT source, s FROM d)
+         |SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+         |FROM ss a JOIN ss b ON a.s = b.s AND a.source < b.source
+         |GROUP BY a.source, b.source""".stripMargin,
     // the Bloom path has no false negatives and exact-verifies the rest, so
     // its output is IDENTICAL to the broadcast path — same oracle
     "q_decontaminate_bloom" -> DecontaminateSql,

@@ -100,6 +100,32 @@ object Decontaminate {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Corpus diagnostic: the SOURCE-pair overlap matrix — for every pair of
+    * sources, how many distinct shingles they share. This is how you find
+    * out which feeds are mirroring each other (and will defeat per-source
+    * quotas) before training. Never a source × source join: distinct
+    * (source, shingle) rows aggregate per shingle to a source SET (bounded
+    * by the source vocabulary, not data volume), and pairs explode within
+    * each set — one shuffle on the shingle, pair fan-out ≤ |sources|² per
+    * shingle.
+    */
+  def sourceOverlap(
+      docs: DataFrame,
+      sourceCol: String = "source",
+      textCol: String = "text",
+      w: Int = 3
+  ): DataFrame = {
+    val sh = docs
+      .select(col(sourceCol).as("_src"), explode(Dedup.shingles(col(textCol), w)).as("sh"))
+      .distinct()
+    sh.groupBy(col("sh")).agg(collect_set(col("_src")).as("_srcs"))
+      .select(explode(col("_srcs")).as("source_a"), col("_srcs"))
+      .select(col("source_a"), explode(col("_srcs")).as("source_b"))
+      .filter(col("source_a") < col("source_b"))
+      .groupBy(col("source_a"), col("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** The decontaminated corpus: training rows with NO benchmark overlap at
     * the threshold.
     */

@@ -56,6 +56,21 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(kept == Set(2L))
   }
 
+  test("sourceOverlap counts distinct shared shingles per source pair, no self pairs") {
+    val docs = Seq(
+      (1L, "a", "the quick brown fox jumps high"),
+      (2L, "b", "the quick brown fox jumps low"),  // shares 3 shingles with a
+      (3L, "b", "the quick brown cat sits"),        // adds 1 more shared ("the quick brown")
+      (4L, "c", "entirely different content here now")
+    ).toDF("doc_id", "source", "text")
+    val got = Decontaminate.sourceOverlap(docs)
+      .as[(String, String, Long)].collect().toSet
+    // a∩b distinct shingles: "the quick brown", "quick brown fox",
+    // "brown fox jumps" -> 3 (doc 3's repeat of "the quick brown" is
+    // already counted once); c shares nothing
+    assert(got == Set(("a", "b", 3L)))
+  }
+
   test("threshold is respected (below minShared survives)") {
     val train = Seq((1L, "the quick brown cat sat still")).toDF("doc_id", "text")
     // shares only "the quick brown"
