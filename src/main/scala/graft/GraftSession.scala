@@ -32,6 +32,12 @@ object GraftSession {
     // int64 as a long (nanos since epoch); sources.Tables converts to a
     // proper TimestampType column.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // BloomFilterAggregate (Decontaminate.overlapsViaBloom) silently clamps
+    // to these runtime-filter caps; the defaults (4M items / 64 Mbit) are
+    // sized for join pruning, not a corpus-scale membership prefilter.
+    // 100M items / 2^30 bits ≈ a 128 MB filter — still a sane broadcast.
+    c.set("spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "100000000")
+    c.set("spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "1073741824")
     registerFunctions(spark)
     spark
   }

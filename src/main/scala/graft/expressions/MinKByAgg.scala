@@ -58,7 +58,17 @@ case class MinKByAgg(
     val kv = keyChild.eval(input)
     val iv = idChild.eval(input)
     if (kv != null && iv != null) {
-      val pair = (kv.asInstanceOf[Double], iv.asInstanceOf[Long])
+      // tolerant numeric conversion like TopKAgg — the SQL registration
+      // (graft_min_k_by) has no coercion, so INT/FLOAT args must not CCE
+      val kd = kv match {
+        case x: java.lang.Number => x.doubleValue()
+        case other => other.asInstanceOf[Double]
+      }
+      val il = iv match {
+        case x: java.lang.Number => x.longValue()
+        case other => other.asInstanceOf[Long]
+      }
+      val pair = (kd, il)
       if (heap.size < k) heap.add(pair)
       else if (beats(pair, heap.peek())) { heap.poll(); heap.add(pair) }
     }

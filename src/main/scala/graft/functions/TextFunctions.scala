@@ -164,7 +164,7 @@ object TextFunctions {
       tokens(text),
       lit(0L),
       (acc, t) => pmod(
-        acc * 31L + pmod(conv(substring(md5(t), 1, 12), 16, 10).cast("long"), lit(FpPrime)),
+        acc * 31L + pmod(graft.operators.HashSplit.md548(t), lit(FpPrime)),
         lit(FpPrime))
     )
 }

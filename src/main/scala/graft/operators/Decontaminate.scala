@@ -73,11 +73,31 @@ object Decontaminate {
     import org.apache.spark.sql.graftbridge.ColumnBridge
     import org.apache.spark.sql.types.BinaryType
 
+    // persisted: BOTH the filter-build action and the exact-verify join
+    // scan the exploded bench side; without the cache the benchmark suite
+    // is read and re-shingled twice per call (session hygiene unpersists —
+    // Bench per query, Verify at end of run — the Components precedent)
     val b = bench.select(col(idCol).as("bench_id"),
       explode(Dedup.shingles(col(textCol), w)).as("sh"))
+      .persist()
     // bits per the standard BF sizing: m = -n ln(p) / (ln 2)^2
     val numBits = math.max(64L,
       (-expectedShingles * math.log(fpp) / (math.log(2) * math.log(2))).toLong)
+    // BloomFilterAggregate silently clamps to the runtime-filter conf caps
+    // (Math.min against maxNumItems/maxNumBits) — a clamped filter keeps
+    // working but its fpp degrades toward 1 and the prefilter stops
+    // filtering, defeating the method at exactly the scale it exists for.
+    // Fail loudly instead; GraftSession.tune raises the caps well past the
+    // runtime-filter defaults.
+    val conf = bench.sparkSession.conf
+    val maxItems = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumItems")
+      .map(_.toLong).getOrElse(4000000L)
+    val maxBits = conf.getOption("spark.sql.optimizer.runtime.bloomFilter.maxNumBits")
+      .map(_.toLong).getOrElse(67108864L)
+    require(expectedShingles <= maxItems && numBits <= maxBits,
+      s"requested Bloom filter ($expectedShingles items / $numBits bits) exceeds " +
+        s"spark.sql.optimizer.runtime.bloomFilter.maxNumItems/maxNumBits " +
+        s"($maxItems / $maxBits) and would be silently clamped — raise the confs")
     val bfAgg = ColumnBridge.column(
       BloomFilterAggregate(
         ColumnBridge.expression(xxhash64(col("sh"))),

@@ -28,6 +28,15 @@ object HashSplit {
     hexVal(substring(h, 1, 1)) * 16 + hexVal(substring(h, 2, 1))
   }
 
+  /** 48-bit integer from the first 12 hex chars of md5(key) — THE shared
+    * engine-portable uniform hash (WeightedSample's race draw,
+    * NegativeSampler's slot candidates, the portable fingerprint's token
+    * hash all byte-match DuckDB's `('0x' || substring(md5(k),1,12))::BIGINT`
+    * through this one spelling; 48 < 53 bits keeps it exact in doubles).
+    */
+  def md548(key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long")
+
   /** Split label from bucket thresholds: bucket < trainUpTo → "train",
     * < valUpTo → "val", else "test". Defaults ≈ 80/10/10.
     */

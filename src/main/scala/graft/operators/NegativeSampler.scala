@@ -50,10 +50,9 @@ object NegativeSampler {
     val slots = inter.select(col(userCol)).distinct()
       .crossJoin(broadcast(n))
       .withColumn("_slot", explode(sequence(lit(1), lit(k * oversample))))
-    // 48-bit md5 of "user_slot" — the engine-portable uniform (HashSplit)
-    val h = conv(substring(md5(concat(
-      col(userCol).cast("string"), lit("_"), col("_slot").cast("string"))), 1, 12),
-      16, 10).cast("long")
+    // 48-bit md5 of "user_slot" — the shared engine-portable uniform
+    val h = HashSplit.md548(concat(
+      col(userCol).cast("string"), lit("_"), col("_slot").cast("string")))
     val cand = slots
       .withColumn("_cidx", pmod(h, col("_n_items")))
       .join(broadcast(univ), col("_cidx") === col("_idx"))

@@ -37,23 +37,29 @@ object WeightedSample {
     * DuckDB spells it `(('0x' || substring(md5(k),1,12))::BIGINT + 0.5) / 2^48`.
     */
   def uniform(key: Column): Column =
-    (conv(substring(md5(key.cast("string")), 1, 12), 16, 10).cast("long") + lit(0.5)) /
-      lit(TwoPow48)
+    (HashSplit.md548(key) + lit(0.5)) / lit(TwoPow48)
 
   /** Efraimidis–Spirakis race key: smaller wins. Non-positive weights get
     * an infinite key — never selected while positive-weight rows remain
-    * (and ANSI mode would otherwise throw DIVIDE_BY_ZERO on w = 0).
+    * (and ANSI mode would otherwise throw DIVIDE_BY_ZERO on w = 0). A null
+    * key or weight also maps to +Infinity: without the coalesce, the null
+    * race key would sort NULLS FIRST under the ascending window order and
+    * null-id rows would silently ALWAYS win the draw.
     */
   def esKey(key: Column, weight: Column): Column = {
     val w = weight.cast("double")
-    when(w <= 0, lit(Double.PositiveInfinity)).otherwise(-log(uniform(key)) / w)
+    coalesce(
+      when(w <= 0, lit(Double.PositiveInfinity)).otherwise(-log(uniform(key)) / w),
+      lit(Double.PositiveInfinity))
   }
 
   /** Keep at most `n` rows per `groupCol` with probability proportional to
     * `weightCol` (without replacement), adding `es_rank` (1-based rank in
     * race order — exposed so downstream can tighten the cap without
     * re-shuffling). Deterministic: ties (impossible for distinct ids, but
-    * belt-and-braces) break on `idCol`.
+    * belt-and-braces) break on `idCol`. Rows with a null id or weight are
+    * EXCLUDED from the draw — the contract both this and the at-scale
+    * spelling share (the heap aggregate cannot carry a null payload).
     */
   def samplePerGroup(
       df: DataFrame,
@@ -64,7 +70,8 @@ object WeightedSample {
   ): DataFrame = {
     val w = Window.partitionBy(col(groupCol))
       .orderBy(esKey(col(idCol), col(weightCol)), col(idCol))
-    df.withColumn("es_rank", row_number().over(w).cast("long"))
+    df.filter(col(idCol).isNotNull && col(weightCol).isNotNull)
+      .withColumn("es_rank", row_number().over(w).cast("long"))
       .filter(col("es_rank") <= n)
   }
 
@@ -86,6 +93,7 @@ object WeightedSample {
       n: Int
   ): DataFrame = {
     val winners = df
+      .filter(col(idCol).isNotNull && col(weightCol).isNotNull)
       .select(col(groupCol), esKey(col(idCol), col(weightCol)).as("_es"),
         col(idCol).cast("long").as("_id"))
       .groupBy(col(groupCol))

@@ -89,6 +89,12 @@ class ExpressionSpec extends AnyFunSuite {
       "SELECT graft_bpe_merge_pair(array('l', 'o', 'w'), 'l', 'o') AS m")
       .collect()(0).getSeq[String](0)
     assert(merged == Seq("lo", "w"))
+    // min_k_by must tolerate INT args from SQL (no coercion in the
+    // registration; the old asInstanceOf cast threw ClassCastException)
+    val mkb = spark.sql(
+      "SELECT transform(graft_min_k_by(CAST(v AS INT), CAST(v AS INT), 2), s -> s.id) AS t FROM hh_in")
+      .collect()(0).getSeq[Long](0)
+    assert(mkb == Seq(1L, 2L))
   }
 
   test("native kernels: null input → null; interpreted eval matches codegen") {

@@ -53,6 +53,21 @@ class WeightedSampleSpec extends AnyFunSuite {
     }
   }
 
+  test("null id or weight is excluded from the draw in BOTH paths") {
+    val df = Seq(
+      (Option(1L), "g", Option(1.0)),
+      (Option.empty[Long], "g", Option(1.0)), // null id
+      (Option(3L), "g", Option.empty[Double]) // null weight
+    ).toDF("id", "g", "w")
+    // n = 3 > valid rows: without the exclusion contract the null rows
+    // would be kept (null es_key even sorts NULLS FIRST in the window)
+    val win = WeightedSample.samplePerGroup(df, "g", "id", "w", 3)
+      .select($"id").as[Option[Long]].collect().toSet
+    val heap = WeightedSample.samplePerGroupAtScale(df, "g", "id", "w", 3)
+      .select($"id").as[Option[Long]].collect().toSet
+    assert(win == Set(Some(1L)) && heap == win)
+  }
+
   test("zero weight is rejected by the math (infinite key never wins)") {
     // w -> 0 drives -ln(u)/w -> +inf: a zero-weight row must never be kept
     // while positive-weight rows remain
