@@ -66,6 +66,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.streaming.fileSource.maxFilesPerTrigger")
   }
 
+  test("per-group streaming weighted sample (update mode) converges to the batch draw") {
+    val dir = Files.createTempDirectory("graft-mkbg-items")
+    val checkpoint = Files.createTempDirectory("graft-mkbg-cp").toString
+    val rows = (1L to 60L).map(i => (i, s"g${i % 3}"))
+    val (b0, b1) = rows.partition(_._1 % 2 == 0)
+    def csv(rs: Seq[(Long, String)]) = rs.map { case (i, g) => s"$i,$g" }.mkString("\n")
+    Files.write(dir.resolve("b0.csv"), csv(b0).getBytes)
+    Files.write(dir.resolve("b1.csv"), csv(b1).getBytes)
+    spark.conf.set("spark.sql.streaming.fileSource.maxFilesPerTrigger", "1")
+    try {
+      val key = graft.operators.WeightedSample.esKey(col("id"), lit(1.0))
+      def winners(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy($"g")
+        .agg(graft.expressions.MinKByAgg.min_k_by(key, col("id"), 4).as("t"))
+        .select($"g", expr("transform(t, s -> s.id)").as("ids"))
+      val q = winners(spark.readStream.schema("id LONG, g STRING").csv(dir.toString))
+        .writeStream.outputMode("update").format("memory").queryName("mkb_groups")
+        .option("checkpointLocation", checkpoint).start()
+      try q.processAllAvailable()
+      finally q.stop()
+      // update mode re-emits a group on every change: the LAST emission per
+      // group is the converged state
+      val got = spark.sql("SELECT g, ids FROM mkb_groups")
+        .as[(String, Seq[Long])].collect().groupBy(_._1)
+        .map { case (g, rs) => g -> rs.last._2 }
+      val expected = winners(rows.toDF("id", "g"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(got == expected && got.size == 3)
+    } finally spark.conf.unset("spark.sql.streaming.fileSource.maxFilesPerTrigger")
+  }
+
   test("MetricsStore writes atomic, parseable JSON with bounded history") {
     val dir = Files.createTempDirectory("graft-metrics").toString
     val store = new MetricsStore(s"$dir/metrics.json", historyLimit = 3)
