@@ -914,6 +914,18 @@ object SparkEntry {
       graft.operators.NegativeSampler.sample(inter, "user_id", "item_id", k = 5)
         .select(col("user_id"), col("item_id"), col("neg_rank"))
     },
+    // KEYED range join: assign every event to ITS user's containing
+    // gap-session by time range — shuffle key (user_id, bucket), residual
+    // BETWEEN; each event matches exactly one session by construction
+    "q_event_sessions" -> { (s, d) =>
+      val sess = gapSessionBounds(s, d)
+      val ev = Tables(s, d).events
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("ts_s"))
+      graft.operators.RangeJoin
+        .pointInInterval(ev, "ts_s", sess, "start_s", "end_s", 3600L,
+          keyCols = Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("session_idx"))
+    },
     // pair-producing range join (operators.RangeJoin): which sessions span
     // each hour mark — planned as a bucket equi-join, never a nested loop
     "q_range_join" -> { (s, d) =>
@@ -1921,6 +1933,13 @@ object SparkEntry {
         |  FROM neg)
         |SELECT user_id, item_id, CAST(neg_rank AS BIGINT) AS neg_rank
         |FROM r WHERE neg_rank <= 5""".stripMargin,
+    "q_event_sessions" ->
+      s"""$SessionBoundsCte
+        |SELECT e.event_id, e.user_id, s.session_idx
+        |FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |      FROM events) e
+        |JOIN sess s ON e.user_id = s.user_id
+        |           AND e.ts_s BETWEEN s.start_s AND s.end_s""".stripMargin,
     // the naive BETWEEN spelling IS the oracle — DuckDB can afford it at
     // verify scale; the Spark side must produce identical pairs from the
     // bucketized equi-join

@@ -25,6 +25,12 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  /** `keyCols` (present on BOTH sides) add an equi-key to the bucket join —
+    * the keyed variant: "match each point to this key's intervals" (events
+    * to their session, trades to their order's window). The shuffle key
+    * becomes (keys..., bucket), so per-key interval skew spreads over the
+    * bucket axis too.
+    */
   def pointInInterval(
       points: DataFrame,
       pointCol: String,
@@ -32,7 +38,8 @@ object RangeJoin {
       loCol: String,
       hiCol: String,
       width: Long,
-      maxBucketsPerInterval: Long = 100000L
+      maxBucketsPerInterval: Long = 100000L,
+      keyCols: Seq[String] = Nil
   ): DataFrame = {
     require(width > 0, "bucket width must be positive")
     val ib = intervals
@@ -46,7 +53,7 @@ object RangeJoin {
       .withColumn("_b", explode(sequence(col("_lb"), col("_hb"))))
       .drop("_lb", "_hb")
     val pb = points.withColumn("_b", expr(s"CAST($pointCol AS BIGINT) DIV $width"))
-    pb.join(ib, Seq("_b"))
+    pb.join(ib, Seq("_b") ++ keyCols)
       .filter(col(pointCol).cast("long").between(
         col(loCol).cast("long"), col(hiCol).cast("long")))
       .drop("_b")

@@ -27,6 +27,25 @@ class RangeJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("keyed variant matches the naive keyed BETWEEN join") {
+    val rnd = new scala.util.Random(17)
+    val points = (1 to 200).map(i =>
+      (i.toLong, s"u${rnd.nextInt(5)}", rnd.nextInt(5000).toLong))
+      .toDF("pid", "u", "p")
+    val intervals = (1 to 40).map { i =>
+      val lo = rnd.nextInt(4500).toLong
+      (i.toLong, s"u${rnd.nextInt(5)}", lo, lo + rnd.nextInt(800).toLong)
+    }.toDF("iid", "u", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, "p", intervals, "lo", "hi", 250L,
+        keyCols = Seq("u"))
+      .select($"pid", $"iid").as[(Long, Long)].collect()
+    val naive = points.join(intervals.withColumnRenamed("u", "u2"),
+        $"u" === $"u2" && $"p".between($"lo", $"hi"))
+      .select($"pid", $"iid").as[(Long, Long)].collect()
+    assert(got.sorted.sameElements(naive.sorted) && got.nonEmpty)
+    assert(got.length == got.distinct.length)
+  }
+
   test("plans as an equi-join: no nested loop, no cartesian product") {
     val points = spark.range(100).select($"id".as("p"))
     val intervals = spark.range(50)
