@@ -914,6 +914,19 @@ object SparkEntry {
       graft.operators.NegativeSampler.sample(inter, "user_id", "item_id", k = 5)
         .select(col("user_id"), col("item_id"), col("neg_rank"))
     },
+    // unbroadcastable-catalog negative sampling: same hash-slot draw, but
+    // the universe index is bucketed (no global sort) and the slot→item
+    // resolution is a shuffled equi-join — nothing about the item catalog
+    // is broadcast, so it survives a billion-item catalog
+    "q_negative_samples_scalable" -> { (s, d) =>
+      val inter = Tables(s, d).events
+        .select(col("user_id"),
+          from_json(col("props"), lit("k INT")).getField("k").cast("long").as("item_id"))
+        .filter(col("item_id").isNotNull)
+      graft.operators.NegativeSampler.sampleScalable(
+        inter, "user_id", "item_id", k = 5, indexBuckets = 64)
+        .select(col("user_id"), col("item_id"), col("neg_rank"))
+    },
     // KEYED range join: assign every event to ITS user's containing
     // gap-session by time range — shuffle key (user_id, bucket), residual
     // BETWEEN; each event matches exactly one session by construction
@@ -1909,6 +1922,45 @@ object SparkEntry {
         |), univ AS (
         |  SELECT item_id, row_number() OVER (ORDER BY item_id) - 1 AS idx
         |  FROM (SELECT DISTINCT item_id FROM inter)
+        |), n AS (SELECT count(*) AS n_items FROM univ),
+        |slots AS (
+        |  SELECT user_id, unnest(range(1, 11)) AS slot
+        |  FROM (SELECT DISTINCT user_id FROM inter)
+        |), h AS (
+        |  SELECT user_id, slot,
+        |         ('0x' || substring(md5(CAST(user_id AS VARCHAR) || '_'
+        |                                || CAST(slot AS VARCHAR)), 1, 12))::BIGINT
+        |           % n_items AS cidx
+        |  FROM slots, n
+        |), cand AS (
+        |  SELECT h.user_id, univ.item_id, h.slot FROM h JOIN univ ON univ.idx = h.cidx
+        |), ded AS (
+        |  SELECT user_id, item_id, min(slot) AS slot FROM cand GROUP BY user_id, item_id
+        |), neg AS (
+        |  SELECT d.user_id, d.item_id, d.slot FROM ded d
+        |  LEFT JOIN inter i ON i.user_id = d.user_id AND i.item_id = d.item_id
+        |  WHERE i.user_id IS NULL
+        |), r AS (
+        |  SELECT user_id, item_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY slot, item_id) AS neg_rank
+        |  FROM neg)
+        |SELECT user_id, item_id, CAST(neg_rank AS BIGINT) AS neg_rank
+        |FROM r WHERE neg_rank <= 5""".stripMargin,
+    // scalable twin: identical slot arithmetic; the universe index is the
+    // bucketed one — row_number over (md5_48 % 64, md5_48, item) replays
+    // offset + within-bucket rank exactly
+    "q_negative_samples_scalable" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item_id
+        |  FROM events WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
+        |), ih AS (
+        |  SELECT item_id,
+        |         ('0x' || substring(md5(CAST(item_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |  FROM (SELECT DISTINCT item_id FROM inter)
+        |), univ AS (
+        |  SELECT item_id, row_number() OVER (ORDER BY h % 64, h, item_id) - 1 AS idx
+        |  FROM ih
         |), n AS (SELECT count(*) AS n_items FROM univ),
         |slots AS (
         |  SELECT user_id, unnest(range(1, 11)) AS slot
