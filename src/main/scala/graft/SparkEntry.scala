@@ -955,6 +955,14 @@ object SparkEntry {
       Tables(s, d).lineitem.select(col("l_orderkey"), col("l_linenumber"),
         graft.operators.ZOrder.zkey2(col("l_partkey"), col("l_suppkey")).as("zkey"))
     },
+    // 3-dimensional Morton key (ZOrder.zkeyN): bit i of dim j at position
+    // i*3 + j — the projection behind >2-dim clustered writes; still pure
+    // integer shift/mask, zero shuffle, engine-identical
+    "q_zorder3_key" -> { (s, d) =>
+      Tables(s, d).lineitem.select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.ZOrder.zkeyN(
+          Seq(col("l_partkey"), col("l_suppkey"), col("l_linenumber")), 16).as("zkey3"))
+    },
     // temperature-flattened mixture (alpha = 0.5): w_s = sqrt(n_s/N) per
     // source, then the deterministic md5-order rebalance — low-resource
     // sources up-weighted without hand-tuned numbers (XLM-R/mBERT trick);
@@ -2412,6 +2420,17 @@ object SparkEntry {
         |         ((x3 | (x3 << 1)) & 1431655765) AS x4,
         |         ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3)
         |SELECT l_orderkey, l_linenumber, (x4 | (y4 << 1)) AS zkey FROM s4""".stripMargin,
+    // same bit-by-bit interleave as ZOrder.zkeyN, generated term-for-term
+    // (TPC-H keys are non-negative, so DuckDB % equals Spark pmod)
+    "q_zorder3_key" -> {
+      val terms = for {
+        (c, j) <- Seq("l_partkey", "l_suppkey", "l_linenumber").zipWithIndex
+        i <- 0 until 16
+      } yield s"((((CAST($c AS BIGINT) % 65536) >> $i) & 1) << ${i * 3 + j})"
+      s"""SELECT l_orderkey, l_linenumber,
+         |       (${terms.mkString(" | ")}) AS zkey3
+         |FROM lineitem""".stripMargin
+    },
     // w = round(pow(n/N, 0.5), 6) exactly as Mixture.temperatureWeights
     // rounds, so the quota arithmetic downstream is engine-identical
     "q_mixture_temperature" ->

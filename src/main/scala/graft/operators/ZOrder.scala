@@ -33,6 +33,28 @@ object ZOrder {
     spread16(pmod(x.cast("long"), lit(65536L)))
       .bitwiseOR(shiftleft(spread16(pmod(y.cast("long"), lit(65536L))), 1))
 
+  /** d-dimensional Morton key: bit i of dimension j lands at position
+    * i·d + j, so sorting by the key keeps rows close in EVERY dimension at
+    * once. The bit-by-bit spelling (d · bitsPerDim shift/mask terms, all
+    * folded into one codegen'd integer expression) trades the 2-dim
+    * magic-mask spread for generality; `zkeyN(Seq(x, y), 16)` produces the
+    * identical key to [[zkey2]] (spec-pinned). Inputs clamp to bitsPerDim
+    * bits via pmod; d · bitsPerDim must fit a signed long.
+    */
+  def zkeyN(cols: Seq[Column], bitsPerDim: Int = 16): Column = {
+    val d = cols.length
+    require(d >= 2, "zkeyN needs at least 2 dimensions")
+    require(bitsPerDim >= 1 && d * bitsPerDim <= 63,
+      s"d * bitsPerDim = ${d * bitsPerDim} must be in [2, 63]")
+    val m = 1L << bitsPerDim
+    val terms = for {
+      (c, j) <- cols.zipWithIndex
+      x = pmod(c.cast("long"), lit(m))
+      i <- 0 until bitsPerDim
+    } yield shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), i * d + j)
+    terms.reduce(_.bitwiseOR(_))
+  }
+
   /** Z-order-clustered parquet: attach the z-key, range-partition and sort
     * by it, bound file size — each file then holds a contiguous z-range,
     * i.e. a bounded rectangle in (xCol, yCol). The `_zkey` column is kept
@@ -47,7 +69,30 @@ object ZOrder {
       nFiles: Int = 8,
       maxRecordsPerFile: Long = 0L
   ): Unit =
-    df.withColumn("_zkey", zkey2(col(xCol), col(yCol)))
+    writeKeyed(df, path, zkey2(col(xCol), col(yCol)), nFiles, maxRecordsPerFile)
+
+  /** d-dimensional z-ordered parquet: same layout contract as the 2-dim
+    * overload — each file holds a contiguous z-range, i.e. a bounded BOX in
+    * every one of `keyCols`, so zone maps prune on ANY dimension.
+    */
+  def writeZOrdered(
+      df: DataFrame,
+      path: String,
+      keyCols: Seq[String],
+      bitsPerDim: Int,
+      nFiles: Int,
+      maxRecordsPerFile: Long
+  ): Unit =
+    writeKeyed(df, path, zkeyN(keyCols.map(col), bitsPerDim), nFiles, maxRecordsPerFile)
+
+  private def writeKeyed(
+      df: DataFrame,
+      path: String,
+      zkey: Column,
+      nFiles: Int,
+      maxRecordsPerFile: Long
+  ): Unit =
+    df.withColumn("_zkey", zkey)
       .repartitionByRange(nFiles, col("_zkey"))
       .sortWithinPartitions(col("_zkey"))
       .write

@@ -114,6 +114,52 @@ class StorageSpec extends AnyFunSuite {
     // footer min/max — the property single-column range clustering lacks
   }
 
+  test("zkeyN generalizes zkey2: identical key at d=2, closed-form at d=3") {
+    import graft.operators.ZOrder
+    val pts = (for { y <- 0 to 40; x <- 0 to 40 } yield (x * 997, y * 1501)).toDF("x", "y")
+    val diff = pts.select(
+      (ZOrder.zkeyN(Seq($"x", $"y"), 16) =!= ZOrder.zkey2($"x", $"y")).as("ne"))
+      .filter($"ne").count()
+    assert(diff == 0)
+    // d=3, 2 bits/dim: interleave (x,y,z) bit-by-bit — enumerate all 64
+    val cube = (for { z <- 0 to 3; y <- 0 to 3; x <- 0 to 3 } yield (x, y, z))
+      .toDF("x", "y", "z")
+    val got = cube.select($"x", $"y", $"z",
+      ZOrder.zkeyN(Seq($"x", $"y", $"z"), 2).as("k"))
+      .as[(Int, Int, Int, Long)].collect()
+    got.foreach { case (x, y, z, k) =>
+      val expect = (0 until 2).map { i =>
+        (((x >> i) & 1) << (i * 3)) | (((y >> i) & 1) << (i * 3 + 1)) |
+          (((z >> i) & 1) << (i * 3 + 2))
+      }.reduce(_ | _)
+      assert(k == expect, s"($x,$y,$z)")
+    }
+  }
+
+  test("3-dim z-ordered write: every file covers a bounded BOX in all three dims") {
+    import graft.operators.ZOrder
+    val dir = Files.createTempDirectory("graft-zorder3").toString + "/cube"
+    // complete 16x16x16 cube, one sorted partition split at exact 512-row
+    // boundaries -> each file is exactly one 8x8x8 octant
+    val cube = (for { z <- 0 until 16; y <- 0 until 16; x <- 0 until 16 } yield (x, y, z))
+      .toDF("x", "y", "z")
+    ZOrder.writeZOrdered(cube, dir, Seq("x", "y", "z"), bitsPerDim = 4,
+      nFiles = 1, maxRecordsPerFile = 512L)
+    val files = new java.io.File(dir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+    assert(files.length == 8, s"expected 8 octant files, got ${files.length}")
+    val boxes = files.map { f =>
+      spark.read.parquet(f)
+        .agg(min($"x"), max($"x"), min($"y"), max($"y"), min($"z"), max($"z"))
+        .as[(Int, Int, Int, Int, Int, Int)].collect().head
+    }.toSet
+    val expected = for { zo <- Set(0, 8); yo <- Set(0, 8); xo <- Set(0, 8) }
+      yield (xo, xo + 7, yo, yo + 7, zo, zo + 7)
+    assert(boxes == expected)
+    // a predicate on ANY single dimension prunes half the files by footer
+    // min/max — the d-dim generalization of the quadrant property above
+  }
+
   test("bucketed tables join with zero exchanges") {
     val t = Tables(spark, TestSpark.Sf0001)
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force the issue
