@@ -823,6 +823,18 @@ object SparkEntry {
     "q_packing" -> { (s, d) =>
       Packing.packingIndex(Tables(s, d).documents, seqLen = 512)
     },
+    // equal-token training shards from a deterministic md5 shuffle order:
+    // the global token prefix sum runs as range-repartition + partitioned
+    // cumsum + bounded offsets (operators.PrefixSum) — never the
+    // single-partition global window the naive spelling plans
+    "q_token_shards" -> { (s, d) =>
+      val docs = Tables(s, d).documents.select(col("doc_id"),
+        TF.tokenCount(col("text")).cast("long").as("n_tokens"),
+        HashSplit.md548(col("doc_id")).as("h"))
+      graft.operators.PrefixSum
+        .budgetShards(docs, Seq("h", "doc_id"), "n_tokens", budget = 20000L)
+        .select(col("doc_id"), col("n_tokens"), col("running_total"), col("shard"))
+    },
     // bigram-LM perplexity-style quality score (self-scored corpus LM,
     // add-1 smoothing) — the KenLM-filter shape (operators.LmScore)
     "q_lm_score" -> { (s, d) =>
@@ -2283,6 +2295,23 @@ object SparkEntry {
          |       count(*) - count(DISTINCT h) AS dup_docs,
          |       round(avg(dwf), 6) AS avg_dup_word_frac
          |FROM t GROUP BY source""".stripMargin,
+    // the oracle replays the prefix sum as the naive global window —
+    // DuckDB can afford one partition at verify scale; the Spark side must
+    // telescope to identical totals from the distributed three-step
+    "q_token_shards" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, CAST(len($TokensSql) AS BIGINT) AS n_tokens,
+         |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+         |  FROM documents
+         |), r AS (
+         |  SELECT doc_id, n_tokens,
+         |         CAST(sum(n_tokens) OVER (ORDER BY h, doc_id
+         |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |           AS running_total
+         |  FROM t)
+         |SELECT doc_id, n_tokens, running_total,
+         |       CAST((running_total - n_tokens) // 20000 AS BIGINT) AS shard
+         |FROM r""".stripMargin,
     "q_packing" ->
       s"""WITH t AS (
          |  SELECT doc_id, lang, CAST(len($TokensSql) AS BIGINT) AS n_tokens
