@@ -1250,6 +1250,24 @@ object SparkEntry {
       Similarity.windowedKnn(emb.filter(col("vec_id") < 5), emb, k = 10, window = 100)
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
     },
+    // symmetric int8 scalar quantization (operators.Quantize): scale =
+    // max|x|/127, codes = floor(x/scale + 0.5) clamped — zero-shuffle
+    // projection, order-independent per element, engine-identical
+    "q_quantize_int8" -> { (s, d) =>
+      graft.operators.Quantize.withInt8(Tables(s, d).embeddings, "embedding")
+        .select(col("vec_id"), round(col("q_scale"), 6).as("q_scale"),
+          array_join(col("q_codes").cast("array<string>"), " ").as("code_seq"))
+    },
+    // the same deterministic-candidate kNN kernel, run over int8 codes:
+    // integer dot products are exact in doubles, so the quantized cosine
+    // (and its ranking) reproduces bit-for-bit cross-engine
+    "q_knn_int8_subset" -> { (s, d) =>
+      val emb = graft.operators.Quantize.withInt8(Tables(s, d).embeddings, "embedding")
+        .select(col("vec_id"), col("q_codes"))
+      Similarity.windowedKnn(emb.filter(col("vec_id") < 5), emb,
+        k = 10, window = 100, vecCol = "q_codes")
+        .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    },
     "q_knn_lsh" -> { (s, d) =>
       val emb = Tables(s, d).embeddings
       // 4 planes → 16 buckets fits the sf-scale corpus (500–5000 vectors);
@@ -2727,6 +2745,47 @@ object SparkEntry {
         |  FROM q JOIN embeddings e
         |    ON e.vec_id <> q.query_id
         |   AND e.vec_id BETWEEN q.query_id - 100 AND q.query_id + 100
+        |), r AS (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+        |  FROM c)
+        |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10""".stripMargin,
+    // same scale/code arithmetic as Quantize.int8Codes, term for term
+    "q_quantize_int8" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+        |           / 127.0 AS sc
+        |  FROM embeddings)
+        |SELECT vec_id, round(sc, 6) AS q_scale,
+        |       array_to_string(list_transform(v, x -> CASE WHEN sc = 0 THEN 0
+        |         ELSE GREATEST(-127, LEAST(127, CAST(floor(x / sc + 0.5) AS INT))) END), ' ')
+        |         AS code_seq
+        |FROM s""".stripMargin,
+    // quantized cosine spelled dot/(sqrt(na)*sqrt(nb)) with integer sums —
+    // the exact formula windowedKnn computes, so even near-ties order
+    // identically
+    "q_knn_int8_subset" ->
+      """WITH s AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x)))
+        |           / 127.0 AS sc
+        |  FROM embeddings),
+        |e AS (
+        |  SELECT vec_id,
+        |         list_transform(v, x -> CASE WHEN sc = 0 THEN 0.0
+        |           ELSE CAST(GREATEST(-127, LEAST(127, CAST(floor(x / sc + 0.5) AS INT)))
+        |                AS DOUBLE) END) AS q
+        |  FROM s),
+        |qs AS (SELECT vec_id AS query_id, q AS qv FROM e WHERE vec_id < 5),
+        |c AS (
+        |  SELECT qs.query_id, e.vec_id AS neighbor_id,
+        |         list_inner_product(qs.qv, e.q)
+        |           / (sqrt(list_inner_product(qs.qv, qs.qv))
+        |              * sqrt(list_inner_product(e.q, e.q))) AS cos
+        |  FROM qs JOIN e
+        |    ON e.vec_id <> qs.query_id
+        |   AND e.vec_id BETWEEN qs.query_id - 100 AND qs.query_id + 100
         |), r AS (
         |  SELECT query_id, neighbor_id, cos,
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
