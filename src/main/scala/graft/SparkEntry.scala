@@ -926,6 +926,27 @@ object SparkEntry {
       graft.operators.NegativeSampler.sample(inter, "user_id", "item_id", k = 5)
         .select(col("user_id"), col("item_id"), col("neg_rank"))
     },
+    // retrieval eval harness (operators.RankingEval): score the
+    // deterministic activity-rank recommendation (items by event count per
+    // user) against purchase ground truth — per-user recall@10, MRR, nDCG
+    "q_ranking_metrics" -> { (s, d) =>
+      val inter = Tables(s, d).events
+        .select(col("user_id"), col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").cast("long").as("item_id"))
+        .filter(col("item_id").isNotNull)
+      val ranked = inter.groupBy(col("user_id"), col("item_id"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("user_id")).orderBy(col("n").desc, col("item_id"))))
+        .filter(col("rank") <= 10)
+      val rel = inter.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("item_id"))
+      graft.operators.RankingEval.metrics(ranked, rel, k = 10, "user_id", "item_id")
+        .select(col("user_id"), col("n_rel"), col("hits"),
+          round(col("recall_at_k"), 6).as("recall_at_k"),
+          round(col("mrr"), 6).as("mrr"),
+          round(col("ndcg_at_k"), 6).as("ndcg_at_k"))
+    },
     // unbroadcastable-catalog negative sampling: same hash-slot draw, but
     // the universe index is bucketed (no global sort) and the slot→item
     // resolution is a shuffled equi-join — nothing about the item catalog
@@ -1984,6 +2005,50 @@ object SparkEntry {
         |  FROM neg)
         |SELECT user_id, item_id, CAST(neg_rank AS BIGINT) AS neg_rank
         |FROM r WHERE neg_rank <= 5""".stripMargin,
+    // IDCG replayed as the same left fold (list_reduce needs the 0.0 seed
+    // prepended — no init arg in DuckDB 1.0); every float output round-6
+    "q_ranking_metrics" ->
+      """WITH inter AS (
+        |  SELECT user_id, event_type,
+        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item_id
+        |  FROM events WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
+        |), cnt AS (
+        |  SELECT user_id, item_id, count(*) AS n FROM inter GROUP BY 1, 2
+        |), rk AS (
+        |  SELECT user_id, item_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY n DESC, item_id) AS rank
+        |  FROM cnt
+        |), rel AS (
+        |  SELECT DISTINCT user_id, item_id FROM inter WHERE event_type = 'purchase'
+        |), nr AS (SELECT user_id, count(*) AS n_rel FROM rel GROUP BY 1),
+        |h AS (
+        |  SELECT r.user_id,
+        |         sum(CASE WHEN rel.item_id IS NOT NULL THEN 1 ELSE 0 END) AS hits,
+        |         min(CASE WHEN rel.item_id IS NOT NULL THEN r.rank END) AS first_hit,
+        |         sum(CASE WHEN rel.item_id IS NOT NULL
+        |                  THEN CAST(1.0 AS DOUBLE) / log2(r.rank + 1)
+        |                  ELSE CAST(0.0 AS DOUBLE) END) AS dcg
+        |  FROM rk r LEFT JOIN rel ON r.user_id = rel.user_id AND r.item_id = rel.item_id
+        |  WHERE r.rank <= 10
+        |  GROUP BY r.user_id
+        |), m AS (
+        |  SELECT nr.user_id, nr.n_rel,
+        |         COALESCE(h.hits, 0) AS hits,
+        |         CAST(COALESCE(h.hits, 0) AS DOUBLE) / nr.n_rel AS recall_raw,
+        |         COALESCE(CAST(1.0 AS DOUBLE) / h.first_hit, CAST(0.0 AS DOUBLE)) AS mrr_raw,
+        |         COALESCE(h.dcg, CAST(0.0 AS DOUBLE))
+        |           / list_reduce(
+        |               list_prepend(CAST(0.0 AS DOUBLE),
+        |                 list_transform(range(1, least(10, nr.n_rel) + 1),
+        |                   i -> CAST(1.0 AS DOUBLE) / log2(i + 1))),
+        |               (a, x) -> a + x) AS ndcg_raw
+        |  FROM nr LEFT JOIN h ON nr.user_id = h.user_id
+        |)
+        |SELECT user_id, CAST(n_rel AS BIGINT) AS n_rel, CAST(hits AS BIGINT) AS hits,
+        |       round(recall_raw, 6) AS recall_at_k,
+        |       round(mrr_raw, 6) AS mrr,
+        |       round(ndcg_raw, 6) AS ndcg_at_k
+        |FROM m""".stripMargin,
     // scalable twin: identical slot arithmetic; the universe index is the
     // bucketed one — row_number over (md5_48 % 64, md5_48, item) replays
     // offset + within-bucket rank exactly
