@@ -926,6 +926,22 @@ object SparkEntry {
       graft.operators.NegativeSampler.sample(inter, "user_id", "item_id", k = 5)
         .select(col("user_id"), col("item_id"), col("neg_rank"))
     },
+    // trailing-window anomaly detection (operators.Anomaly): each
+    // (type, hour) event count z-scored against its previous 24 observed
+    // hours — bounded ROWS frame per key, flag from the round-6 z so the
+    // threshold boundary is engine-identical
+    "q_anomaly_zscore" -> { (s, d) =>
+      val hourly = Tables(s, d).events
+        .select(col("event_type"), col("ts").cast("long").as("ts_s"))
+        .withColumn("h", expr("ts_s DIV 3600"))
+        .groupBy(col("event_type"), col("h")).agg(count(lit(1)).as("n_events"))
+      graft.operators.Anomaly
+        .trailingZScores(hourly, Seq("event_type"), "h", "n_events")
+        .select(col("event_type"), col("h"), col("n_events"), col("trailing_n"),
+          round(col("trailing_mean"), 6).as("trailing_mean"),
+          round(col("trailing_std"), 6).as("trailing_std"),
+          round(col("z"), 6).as("z"), col("is_anomaly"))
+    },
     // retrieval eval harness (operators.RankingEval): score the
     // deterministic activity-rank recommendation (items by event count per
     // user) against purchase ground truth — per-user recall@10, MRR, nDCG
@@ -2005,6 +2021,32 @@ object SparkEntry {
         |  FROM neg)
         |SELECT user_id, item_id, CAST(neg_rank AS BIGINT) AS neg_rank
         |FROM r WHERE neg_rank <= 5""".stripMargin,
+    // identical frame spelling; flag from round-6 z on both sides so the
+    // |z| > 3 boundary can't flip on a last-ulp stddev difference
+    "q_anomaly_zscore" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h FROM events
+        |), a AS (
+        |  SELECT event_type, h, count(*) AS n_events FROM e GROUP BY 1, 2
+        |), s AS (
+        |  SELECT event_type, h, n_events,
+        |         count(n_events) OVER w AS trailing_n,
+        |         avg(n_events) OVER w AS trailing_mean,
+        |         stddev_samp(n_events) OVER w AS trailing_std
+        |  FROM a WINDOW w AS (PARTITION BY event_type ORDER BY h
+        |                      ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        |), z AS (
+        |  SELECT event_type, h, n_events, trailing_n, trailing_mean, trailing_std,
+        |         CASE WHEN trailing_n >= 12 AND trailing_std > 0
+        |              THEN (n_events - trailing_mean) / trailing_std END AS z
+        |  FROM s)
+        |SELECT event_type, CAST(h AS BIGINT) AS h, CAST(n_events AS BIGINT) AS n_events,
+        |       CAST(trailing_n AS BIGINT) AS trailing_n,
+        |       round(trailing_mean, 6) AS trailing_mean,
+        |       round(trailing_std, 6) AS trailing_std,
+        |       round(z, 6) AS z,
+        |       COALESCE(abs(round(z, 6)) > 3.0, FALSE) AS is_anomaly
+        |FROM z""".stripMargin,
     // IDCG replayed as the same left fold (list_reduce needs the 0.0 seed
     // prepended — no init arg in DuckDB 1.0); every float output round-6
     "q_ranking_metrics" ->
