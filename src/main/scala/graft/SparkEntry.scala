@@ -926,6 +926,20 @@ object SparkEntry {
       graft.operators.NegativeSampler.sample(inter, "user_id", "item_id", k = 5)
         .select(col("user_id"), col("item_id"), col("neg_rank"))
     },
+    // ordered conversion funnel (operators.Funnel): first view, first
+    // click at-or-after it, first purchase at-or-after that — chained
+    // conditional-min windows over ONE user partition (single exchange,
+    // no self-joins); micros arithmetic so both engines agree exactly
+    "q_funnel" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_type"), expr("ts_ns DIV 1000").as("ts_us"))
+      graft.operators.Funnel
+        .ordered(ev, "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
+        .select(col("user_id"), col("t_step1"), col("t_step2"), col("t_step3"),
+          col("stage"),
+          (col("t_step2") - col("t_step1")).as("us_view_to_click"),
+          (col("t_step3") - col("t_step2")).as("us_click_to_purchase"))
+    },
     // trailing-window anomaly detection (operators.Anomaly): each
     // (type, hour) event count z-scored against its previous 24 observed
     // hours — bounded ROWS frame per key, flag from the round-6 z so the
@@ -2021,6 +2035,32 @@ object SparkEntry {
         |  FROM neg)
         |SELECT user_id, item_id, CAST(neg_rank AS BIGINT) AS neg_rank
         |FROM r WHERE neg_rank <= 5""".stripMargin,
+    // chained conditional mins replayed as grouped passes; micros on both
+    // sides (DuckDB's scan already truncated nanos -> micros)
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
+        |  FROM e GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, s1.t1,
+        |         min(CASE WHEN e.event_type = 'click' AND e.ts_us >= s1.t1
+        |                  THEN e.ts_us END) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id, s1.t1
+        |), s3 AS (
+        |  SELECT e.user_id, s2.t1, s2.t2,
+        |         min(CASE WHEN e.event_type = 'purchase' AND e.ts_us >= s2.t2
+        |                  THEN e.ts_us END) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id, s2.t1, s2.t2
+        |)
+        |SELECT user_id, CAST(t1 AS BIGINT) AS t_step1, CAST(t2 AS BIGINT) AS t_step2,
+        |       CAST(t3 AS BIGINT) AS t_step3,
+        |       (t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT + (t3 IS NOT NULL)::INT
+        |         AS stage,
+        |       CAST(t2 - t1 AS BIGINT) AS us_view_to_click,
+        |       CAST(t3 - t2 AS BIGINT) AS us_click_to_purchase
+        |FROM s3""".stripMargin,
     // identical frame spelling; flag from round-6 z on both sides so the
     // |z| > 3 boundary can't flip on a last-ulp stddev difference
     "q_anomaly_zscore" ->
