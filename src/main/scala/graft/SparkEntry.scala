@@ -926,6 +926,18 @@ object SparkEntry {
       graft.operators.NegativeSampler.sample(inter, "user_id", "item_id", k = 5)
         .select(col("user_id"), col("item_id"), col("neg_rank"))
     },
+    // capped co-occurrence (operators.CoOccur): item pairs sharing >= 2
+    // users, each user's basket first capped to 20 md5-ranked items so a
+    // hot user can't go quadratic — deterministic, engine-reproducible
+    "q_copurchase" -> { (s, d) =>
+      val inter = Tables(s, d).events
+        .select(col("user_id"),
+          from_json(col("props"), lit("k INT")).getField("k").cast("long").as("item_id"))
+        .filter(col("item_id").isNotNull)
+      graft.operators.CoOccur.pairs(inter, "user_id", "item_id",
+        capPerUser = 20, minCount = 2L)
+        .select(col("item_a"), col("item_b"), col("n_users"))
+    },
     // ordered conversion funnel (operators.Funnel): first view, first
     // click at-or-after it, first purchase at-or-after that — chained
     // conditional-min windows over ONE user partition (single exchange,
@@ -2035,6 +2047,25 @@ object SparkEntry {
         |  FROM neg)
         |SELECT user_id, item_id, CAST(neg_rank AS BIGINT) AS neg_rank
         |FROM r WHERE neg_rank <= 5""".stripMargin,
+    // same md5-rank basket cap, then the canonical a < b pair count
+    "q_copurchase" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item_id
+        |  FROM events WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
+        |), capped AS (
+        |  SELECT user_id, item_id FROM (
+        |    SELECT user_id, item_id,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ('0x' || substring(md5(CAST(item_id AS VARCHAR)), 1, 12))::BIGINT,
+        |                      item_id) AS r
+        |    FROM inter)
+        |  WHERE r <= 20
+        |)
+        |SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS n_users
+        |FROM capped a JOIN capped b
+        |  ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     // chained conditional mins replayed as grouped passes; micros on both
     // sides (DuckDB's scan already truncated nanos -> micros)
     "q_funnel" ->
