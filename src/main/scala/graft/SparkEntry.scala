@@ -926,6 +926,14 @@ object SparkEntry {
       graft.operators.NegativeSampler.sample(inter, "user_id", "item_id", k = 5)
         .select(col("user_id"), col("item_id"), col("neg_rank"))
     },
+    // per-user value trend (operators.Trend): closed-form OLS over
+    // (hours-since-first-event, value) from round-6 sufficient statistics
+    // — one exchange, engine-bitwise-identical derived floats
+    "q_trend_slopes" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("ts").cast("long").as("ts_s"), col("value"))
+      graft.operators.Trend.olsPerGroup(ev, Seq("user_id"), "ts_s", "value")
+    },
     // capped co-occurrence (operators.CoOccur): item pairs sharing >= 2
     // users, each user's basket first capped to 20 md5-ranked items so a
     // hot user can't go quadratic — deterministic, engine-reproducible
@@ -2047,6 +2055,34 @@ object SparkEntry {
         |  FROM neg)
         |SELECT user_id, item_id, CAST(neg_rank AS BIGINT) AS neg_rank
         |FROM r WHERE neg_rank <= 5""".stripMargin,
+    // identical rebased-x stats (round-6 BEFORE the derived arithmetic on
+    // both sides), then the same closed-form slope/intercept/R2
+    "q_trend_slopes" ->
+      """WITH e AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value FROM events
+        |), b AS (
+        |  SELECT user_id,
+        |         (ts_s - min(ts_s) OVER (PARTITION BY user_id))
+        |           / CAST(3600.0 AS DOUBLE) AS x,
+        |         CAST(value AS DOUBLE) AS y
+        |  FROM e
+        |), st AS (
+        |  SELECT user_id, count(*) AS n,
+        |         round(sum(x), 6) AS sx, round(sum(y), 6) AS sy,
+        |         round(sum(x * y), 6) AS sxy, round(sum(x * x), 6) AS sxx,
+        |         round(sum(y * y), 6) AS syy
+        |  FROM b GROUP BY user_id
+        |)
+        |SELECT user_id, CAST(n AS BIGINT) AS n, sx, sy, sxy, sxx, syy,
+        |       round(CASE WHEN n * sxx - sx * sx > 0
+        |         THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6) AS slope,
+        |       round(CASE WHEN n * sxx - sx * sx > 0
+        |         THEN (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n END, 6)
+        |         AS intercept,
+        |       round(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        |         THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+        |              / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6) AS r2
+        |FROM st""".stripMargin,
     // same md5-rank basket cap, then the canonical a < b pair count
     "q_copurchase" ->
       """WITH inter AS (
