@@ -926,6 +926,16 @@ object SparkEntry {
       graft.operators.NegativeSampler.sample(inter, "user_id", "item_id", k = 5)
         .select(col("user_id"), col("item_id"), col("neg_rank"))
     },
+    // per-type winsorization (operators.Winsorize): clip value to the
+    // [p01, p99] group fences — exact interpolated percentiles, fences
+    // round-6 before the clip so boundary rows are engine-identical
+    "q_winsorize" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.operators.Winsorize.clipPerGroup(ev, Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("fence_lo"), col("fence_hi"), col("clipped"))
+    },
     // per-user value trend (operators.Trend): closed-form OLS over
     // (hours-since-first-event, value) from round-6 sufficient statistics
     // — one exchange, engine-bitwise-identical derived floats
@@ -2055,6 +2065,18 @@ object SparkEntry {
         |  FROM neg)
         |SELECT user_id, item_id, CAST(neg_rank AS BIGINT) AS neg_rank
         |FROM r WHERE neg_rank <= 5""".stripMargin,
+    // quantile_cont is DuckDB's exact interpolated percentile (same
+    // definition as Spark's percentile); fences round-6 on both sides
+    "q_winsorize" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |         round(quantile_cont(CAST(value AS DOUBLE), 0.01), 6) AS fence_lo,
+        |         round(quantile_cont(CAST(value AS DOUBLE), 0.99), 6) AS fence_hi
+        |  FROM events GROUP BY event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value, f.fence_lo, f.fence_hi,
+        |       LEAST(GREATEST(CAST(e.value AS DOUBLE), f.fence_lo), f.fence_hi) AS clipped
+        |FROM events e JOIN f ON e.event_type = f.event_type""".stripMargin,
     // identical rebased-x stats (round-6 BEFORE the derived arithmetic on
     // both sides), then the same closed-form slope/intercept/R2
     "q_trend_slopes" ->
