@@ -926,6 +926,15 @@ object SparkEntry {
       graft.operators.NegativeSampler.sample(inter, "user_id", "item_id", k = 5)
         .select(col("user_id"), col("item_id"), col("neg_rank"))
     },
+    // fixed-iteration PageRank over the shingle near-dup graph
+    // (operators.PageRank): which doc in a duplicate cluster is the hub —
+    // 5 power-iteration rounds, round-9 state each round so both engines
+    // carry identical floats
+    "q_pagerank" -> { (s, d) =>
+      val edges = shingleEdges(Tables(s, d).documents)
+      graft.operators.PageRank.ranks(edges, "src", "dst", iterations = 5)
+        .select(col("node").as("doc_id"), round(col("rank"), 6).as("pagerank"))
+    },
     // per-type winsorization (operators.Winsorize): clip value to the
     // [p01, p99] group fences — exact interpolated percentiles, fences
     // round-6 before the clip so boundary rows are engine-identical
@@ -1563,7 +1572,10 @@ object SparkEntry {
     * ≥ 5 shared) → recursive min-label reachability → `comp(node,
     * component)`. Mirrors `shingleEdges` + `Components.connectedComponents`.
     */
-  private lazy val DedupCompCte: String =
+  /** Shingle-edge construction through the bidirectional edge list `bi` —
+    * the common prefix of the component oracles and q_pagerank.
+    */
+  private lazy val EdgesCte: String =
     s"""WITH RECURSIVE t AS (
        |  SELECT doc_id, $TokensSql AS toks FROM documents
        |), d AS (
@@ -1579,7 +1591,10 @@ object SparkEntry {
        |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
        |      FROM exf a JOIN exf b ON a.s = b.s AND b.doc_id > a.doc_id
        |      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5),
-       |bi AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e),
+       |bi AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e)""".stripMargin
+
+  private lazy val DedupCompCte: String =
+    s"""$EdgesCte,
        |reach(node, r) AS (
        |  SELECT a, a FROM bi
        |  UNION
@@ -2065,6 +2080,25 @@ object SparkEntry {
         |  FROM neg)
         |SELECT user_id, item_id, CAST(neg_rank AS BIGINT) AS neg_rank
         |FROM r WHERE neg_rank <= 5""".stripMargin,
+    // unrolled power iteration over the shared edge CTE; every round
+    // rounds to 9 decimals exactly as PageRank.ranks does
+    "q_pagerank" -> {
+      val iters = (1 to 5).map { i =>
+        s"""r$i AS (
+           |  SELECT bi.b AS node,
+           |         round(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+           |               + CAST(0.85 AS DOUBLE) * sum(r${i - 1}.r / deg.d), 9) AS r
+           |  FROM bi JOIN r${i - 1} ON r${i - 1}.node = bi.a JOIN deg ON deg.a = bi.a
+           |  GROUP BY bi.b)""".stripMargin
+      }.mkString(",\n")
+      s"""$EdgesCte,
+         |deg AS (SELECT a, count(*) AS d FROM bi GROUP BY a),
+         |nn AS (SELECT count(DISTINCT a) AS n FROM bi),
+         |r0 AS (SELECT DISTINCT a AS node,
+         |         round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 9) AS r FROM bi),
+         |$iters
+         |SELECT node AS doc_id, round(r, 6) AS pagerank FROM r5""".stripMargin
+    },
     // quantile_cont is DuckDB's exact interpolated percentile (same
     // definition as Spark's percentile); fences round-6 on both sides
     "q_winsorize" ->
