@@ -859,6 +859,15 @@ object SparkEntry {
         docs.filter(pmod(col("doc_id"), lit(20)) === 0),
         minShared = 2)
     },
+    // graded contamination (operators.Decontaminate.overlapFraction): per
+    // training doc, the fraction of its distinct shingles found anywhere
+    // in the benchmark — the audit/threshold signal behind the boolean gate
+    "q_decontaminate_frac" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      Decontaminate.overlapFraction(
+        docs.filter(pmod(col("doc_id"), lit(20)) =!= 0),
+        docs.filter(pmod(col("doc_id"), lit(20)) === 0))
+    },
     // which sources mirror each other: per-shingle source sets exploded to
     // pairs (bounded by the source vocabulary) — never a source x source
     // join (Decontaminate.sourceOverlap)
@@ -2690,6 +2699,27 @@ object SparkEntry {
     // same shingle construction as q_neardup_verify's oracle (proven ≡ the
     // native ShingleSet kernel)
     "q_decontaminate" -> DecontaminateSql,
+    // distinct benchmark shingle set, semi-join count per training doc
+    "q_decontaminate_frac" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $TokensSql AS toks FROM documents
+         |), d AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                             i -> array_to_string(toks[i:i+2], ' '))
+         |    END) AS sh
+         |  FROM t),
+         |tr AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % 20 <> 0),
+         |bs AS (SELECT DISTINCT unnest(sh) AS s FROM d WHERE doc_id % 20 = 0),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tr GROUP BY doc_id),
+         |hit AS (SELECT tr.doc_id, count(*) AS n_hit
+         |        FROM tr JOIN bs ON tr.s = bs.s GROUP BY tr.doc_id)
+         |SELECT tot.doc_id, CAST(tot.n_shingles AS BIGINT) AS n_shingles,
+         |       CAST(COALESCE(hit.n_hit, 0) AS BIGINT) AS n_hit,
+         |       round(CAST(COALESCE(hit.n_hit, 0) AS DOUBLE) / tot.n_shingles, 6)
+         |         AS contamination_frac
+         |FROM tot LEFT JOIN hit ON tot.doc_id = hit.doc_id""".stripMargin,
     // the self-join spelling is affordable at verify scale and is the
     // independent oracle for the set-explode Spark shape
     "q_source_overlap" ->

@@ -120,6 +120,35 @@ object Decontaminate {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Graded contamination: per training document, the FRACTION of its
+    * distinct shingles that appear anywhere in the benchmark suite —
+    * 0.0 = clean, 1.0 = fully contained. The boolean ≥ `minShared` gate
+    * ([[overlaps]]) is the drop policy; the fraction is what you threshold
+    * per-benchmark, report in a curation audit, or regress leakage
+    * against. Same scale shape: the benchmark's distinct-shingle SET
+    * broadcasts (smaller still than the (bench_id, shingle) pairs), the
+    * corpus streams through a map-side semi-join, one doc-key aggregate.
+    */
+  def overlapFraction(
+      train: DataFrame,
+      bench: DataFrame,
+      w: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val t = train.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), w)).as("sh"))
+    val bsh = bench.select(explode(Dedup.shingles(col(textCol), w)).as("sh")).distinct()
+    val tot = t.groupBy(col("doc_id")).agg(count(lit(1)).as("n_shingles"))
+    val hit = t.join(broadcast(bsh), Seq("sh"), "left_semi")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hit"))
+    tot.join(hit, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_shingles"),
+        coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+        round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_shingles"), 6)
+          .as("contamination_frac"))
+  }
+
   /** Corpus diagnostic: the SOURCE-pair overlap matrix — for every pair of
     * sources, how many distinct shingles they share. This is how you find
     * out which feeds are mirroring each other (and will defeat per-source

@@ -28,6 +28,22 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(got.find(_._1 == 3L).get._3 == 7L)
   }
 
+  test("overlapFraction: closed-form fractions, clean docs report 0.0") {
+    val train = Seq(
+      (1L, "we show that the quick brown fox jumps far"), // 3 of 6 shingles hit
+      (2L, "completely different words entirely here now"), // clean
+      (3L, "the quick brown fox jumps over the lazy dog") // full containment
+    ).toDF("doc_id", "text")
+    val got = Decontaminate.overlapFraction(train, bench)
+      .select($"doc_id", $"n_shingles", $"n_hit", $"contamination_frac")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 9 tokens -> 7 distinct shingles; 3 appear in the benchmark
+    assert(got(1L) == ((1L, 7L, 3L, 0.428571)))
+    assert(got(2L)._3 == 0L && got(2L)._4 == 0.0)
+    // doc 3 is the benchmark text: every shingle hits
+    assert(got(3L)._4 == 1.0)
+  }
+
   test("Bloom prefilter path returns the identical overlap table") {
     // 60 training docs (3 contaminated at different overlap levels) so the
     // prefilter actually discards most (doc, shingle) rows before the join
