@@ -944,6 +944,15 @@ object SparkEntry {
       graft.operators.PageRank.ranks(edges, "src", "dst", iterations = 5)
         .select(col("node").as("doc_id"), round(col("rank"), 6).as("pagerank"))
     },
+    // Neyman-allocation stratified sample (operators.StratifiedSample):
+    // 200 events split across event types proportional to N_s*sigma_s —
+    // variance from EXACT integer cents sums, md5-order membership
+    "q_stratified_neyman" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.operators.StratifiedSample
+        .neyman(ev, "event_type", "event_id", "value", totalN = 200)
+    },
     // per-type winsorization (operators.Winsorize): clip value to the
     // [p01, p99] group fences — exact interpolated percentiles, fences
     // round-6 before the clip so boundary rows are engine-identical
@@ -2108,6 +2117,43 @@ object SparkEntry {
          |$iters
          |SELECT node AS doc_id, round(r, 6) AS pagerank FROM r5""".stripMargin
     },
+    // same integer-cents moments, identical IEEE derivation of sigma,
+    // round-6 weights, floor quotas, md5-order membership
+    "q_stratified_neyman" ->
+      """WITH e AS (
+        |  SELECT event_id, event_type,
+        |         CAST(round(value * 100, 0) AS BIGINT) AS c
+        |  FROM events
+        |), st AS (
+        |  SELECT event_type, count(*) AS n_s,
+        |         CAST(sum(c) AS BIGINT) AS sy, CAST(sum(c * c) AS BIGINT) AS syy
+        |  FROM e GROUP BY event_type
+        |), w AS (
+        |  SELECT event_type, n_s,
+        |         round(n_s * sqrt(GREATEST(
+        |           CASE WHEN n_s > 1
+        |                THEN (CAST(syy AS DOUBLE) / n_s
+        |                      - (CAST(sy AS DOUBLE) / n_s) * (CAST(sy AS DOUBLE) / n_s))
+        |                     * n_s / (n_s - 1.0)
+        |                ELSE CAST(0.0 AS DOUBLE) END, CAST(0.0 AS DOUBLE))), 6) AS w_s
+        |  FROM st
+        |), tw AS (SELECT round(sum(w_s), 6) AS w_tot FROM w),
+        |q AS (
+        |  SELECT w.event_type, w.n_s, w.w_s,
+        |         CASE WHEN tw.w_tot > 0
+        |              THEN LEAST(CAST(floor(200 * w.w_s / tw.w_tot) AS BIGINT), w.n_s)
+        |              ELSE 0 END AS quota
+        |  FROM w, tw
+        |), r AS (
+        |  SELECT event_id, event_type,
+        |         row_number() OVER (PARTITION BY event_type
+        |           ORDER BY ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT,
+        |                    event_id) AS samp_rank
+        |  FROM e)
+        |SELECT r.event_id, r.event_type, CAST(r.samp_rank AS BIGINT) AS samp_rank,
+        |       CAST(q.quota AS BIGINT) AS quota
+        |FROM r JOIN q ON r.event_type = q.event_type
+        |WHERE r.samp_rank <= q.quota""".stripMargin,
     // quantile_cont is DuckDB's exact interpolated percentile (same
     // definition as Spark's percentile); fences round-6 on both sides
     "q_winsorize" ->
