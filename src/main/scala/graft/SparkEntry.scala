@@ -745,6 +745,13 @@ object SparkEntry {
       graft.operators.Chunker.chunk(Tables(s, d).documents,
         Seq("doc_id"), "text", chunkSize = 40, overlap = 10)
     },
+    // content-defined chunking (operators.CdcChunker): boundary after any
+    // position whose trailing 8-gram md5-48 ≡ 0 (mod 64) — shift-tolerant
+    // chunk-level dedup prep, zero shuffles
+    "q_cdc_chunks" -> { (s, d) =>
+      graft.operators.CdcChunker.chunks(Tables(s, d).documents,
+        Seq("doc_id"), "text", w = 8, divisor = 64)
+    },
     // BPE trainer surface: iteration-0 adjacent-pair counts (the aggregate
     // every merge step re-runs), oracled; deterministic tie-break ordering
     "q_bpe_pair_counts" -> { (s, d) =>
@@ -2523,6 +2530,26 @@ object SparkEntry {
         |       array_to_string(toks[st + 1:st + 40], ' ') AS chunk_text,
         |       CAST(len(toks[st + 1:st + 40]) AS BIGINT) AS n_chunk_tokens
         |FROM c""".stripMargin,
+    // same trailing-8-gram md5-48 boundary draw; range() end is exclusive
+    // so cuts stop at n-1 and the tail chunk stays nonempty
+    "q_cdc_chunks" ->
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |c AS (
+        |  SELECT doc_id, text, n,
+        |    list_filter(range(8, GREATEST(n, 8)), i ->
+        |      ('0x' || substring(md5(substring(text, CAST(i - 7 AS INT), 8)), 1, 12))::BIGINT
+        |        % 64 = 0) AS cuts
+        |  FROM d),
+        |s AS (
+        |  SELECT doc_id, text, n,
+        |    list_prepend(CAST(1 AS BIGINT), list_transform(cuts, c -> c + 1)) AS starts,
+        |    list_append(cuts, CAST(n AS BIGINT)) AS ends
+        |  FROM c)
+        |SELECT doc_id, j AS chunk_idx, starts[j] AS start_pos,
+        |       ends[j] - starts[j] + 1 AS chunk_len,
+        |       md5(substring(text, CAST(starts[j] AS INT),
+        |                     CAST(ends[j] - starts[j] + 1 AS INT))) AS chunk_md5
+        |FROM s, unnest(range(1, len(starts) + 1)) AS t(j)""".stripMargin,
     // BPE iteration-0: char-pair counts (with the </w> end marker) over the
     // word-frequency table, weighted by word count
     "q_bpe_pair_counts" ->
