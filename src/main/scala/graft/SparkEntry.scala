@@ -1090,6 +1090,17 @@ object SparkEntry {
         graft.operators.ZOrder.zkeyN(
           Seq(col("l_partkey"), col("l_suppkey"), col("l_linenumber")), 16).as("zkey3"))
     },
+    // Hilbert index (operators.Hilbert): the better-locality sibling of
+    // q_zorder_key — unrolled xy2d rotate-and-flip, one named projection
+    // per bit level, zero shuffle, pure integer arithmetic
+    "q_hilbert_key" -> { (s, d) =>
+      graft.operators.Hilbert.withKey(
+        Tables(s, d).lineitem
+          .select(col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_suppkey")),
+        "l_partkey", "l_suppkey", "hkey", bits = 16)
+        .select(col("l_orderkey"), col("l_linenumber"), col("hkey"))
+    },
     // temperature-flattened mixture (alpha = 0.5): w_s = sqrt(n_s/N) per
     // source, then the deterministic md5-order rebalance — low-resource
     // sources up-weighted without hand-tuned numbers (XLM-R/mBERT trick);
@@ -2850,6 +2861,30 @@ object SparkEntry {
       s"""SELECT l_orderkey, l_linenumber,
          |       (${terms.mkString(" | ")}) AS zkey3
          |FROM lineitem""".stripMargin
+    },
+    // the identical unrolled xy2d chain, one CTE per bit level (generated
+    // like q_zorder3_key's terms); within a CTE the x/y/d aliases on the
+    // SELECT items still read the INPUT row, exactly like the Spark
+    // level projections reading the previous level's columns
+    "q_hilbert_key" -> {
+      val lvls = (15 to 0 by -1).zipWithIndex.map { case (k, i) =>
+        s"""h${i + 1} AS (
+           |  SELECT l_orderkey, l_linenumber,
+           |    CASE WHEN ((y >> $k) & 1) = 1 THEN x
+           |         WHEN ((x >> $k) & 1) = 1 THEN 65535 - y ELSE y END AS x,
+           |    CASE WHEN ((y >> $k) & 1) = 1 THEN y
+           |         WHEN ((x >> $k) & 1) = 1 THEN 65535 - x ELSE x END AS y,
+           |    d + (xor(((x >> $k) & 1) * 3, (y >> $k) & 1) << ${2 * k}) AS d
+           |  FROM h$i)""".stripMargin
+      }
+      s"""WITH h0 AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |         CAST(l_partkey % 65536 AS BIGINT) AS x,
+         |         CAST(l_suppkey % 65536 AS BIGINT) AS y,
+         |         CAST(0 AS BIGINT) AS d
+         |  FROM lineitem),
+         |${lvls.mkString(",\n")}
+         |SELECT l_orderkey, l_linenumber, d AS hkey FROM h16""".stripMargin
     },
     // w = round(pow(n/N, 0.5), 6) exactly as Mixture.temperatureWeights
     // rounds, so the quota arithmetic downstream is engine-identical
