@@ -1291,6 +1291,21 @@ object SparkEntry {
       Dedup.exactGroups(Tables(s, d).documents).select(
         col("doc_id"), col("text_md5"), col("n_copies"))
     },
+    // continuous-ingest admission (operators.IncrementalDedup): corpus =
+    // doc_id % 5 <> 0, batch = the rest PLUS planted exact copies (corpus
+    // copies at +1M, batch copies at +2M — the fixture has no byte dups,
+    // so the plants make every decision class produce rows, the
+    // q_cosine_neardup lesson)
+    "q_incremental_dedup" -> { (s, d) =>
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .unionByName(corpus.filter(col("doc_id") % 11 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      graft.operators.IncrementalDedup.admit(batch, corpus)
+    },
     "q_jaccard_adjacent" -> { (s, d) =>
       val docs = Tables(s, d).documents
         .select(col("doc_id"), array_distinct(TF.tokens(col("text"))).as("words"))
@@ -3011,6 +3026,58 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY md5(text)""".stripMargin,
+    // the admission pipeline spelled stage by stage: exact md5 joins, then
+    // the capped shingle candidate join + exact-Jaccard verify (all-int
+    // output — no rounding anywhere)
+    "q_incremental_dedup" ->
+      s"""WITH b0 AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text FROM documents
+         |  WHERE doc_id % 5 <> 0 AND doc_id % 11 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text FROM documents
+         |  WHERE doc_id % 5 = 0 AND doc_id % 7 = 1
+         |), c0 AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+         |bh AS (SELECT doc_id, text, md5(text) AS h FROM b0),
+         |cg AS (SELECT md5(text) AS h, min(doc_id) AS cmatch FROM c0 GROUP BY 1),
+         |s1 AS (SELECT bh.doc_id, bh.text, bh.h, cg.cmatch FROM bh LEFT JOIN cg USING (h)),
+         |bg AS (SELECT h, min(doc_id) AS brep FROM s1 WHERE cmatch IS NULL GROUP BY h),
+         |s2 AS (SELECT s1.*, bg.brep FROM s1 LEFT JOIN bg USING (h)),
+         |tb AS (SELECT doc_id, $TokensSql AS toks FROM s2
+         |       WHERE cmatch IS NULL AND doc_id = brep),
+         |db AS (SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                             i -> array_to_string(toks[i:i+2], ' '))
+         |    END) AS sh FROM tb),
+         |tc AS (SELECT doc_id, $TokensSql AS toks FROM c0),
+         |dc AS (SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                             i -> array_to_string(toks[i:i+2], ' '))
+         |    END) AS sh FROM tc),
+         |cex AS (SELECT doc_id AS cid, unnest(sh) AS s FROM dc),
+         |hot AS (SELECT s FROM cex GROUP BY s HAVING count(*) > 20),
+         |cexf AS (SELECT cid, s FROM cex WHERE s NOT IN (SELECT s FROM hot)),
+         |bex AS (SELECT doc_id, unnest(sh) AS s FROM db),
+         |bexf AS (SELECT doc_id, s FROM bex WHERE s NOT IN (SELECT s FROM hot)),
+         |cand AS (SELECT bexf.doc_id, cexf.cid FROM bexf JOIN cexf USING (s)
+         |         GROUP BY 1, 2 HAVING count(*) >= 5),
+         |ver AS (SELECT cand.doc_id, min(cand.cid) AS nmatch
+         |        FROM cand JOIN db x ON x.doc_id = cand.doc_id
+         |                  JOIN dc y ON y.doc_id = cand.cid
+         |        WHERE CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+         |              / len(list_distinct(list_concat(x.sh, y.sh))) >= 0.5
+         |        GROUP BY 1)
+         |SELECT s2.doc_id,
+         |  CASE WHEN s2.cmatch IS NOT NULL THEN 'corpus_exact'
+         |       WHEN s2.doc_id <> s2.brep THEN 'batch_exact'
+         |       WHEN ver.nmatch IS NOT NULL THEN 'corpus_near' ELSE 'kept' END AS decision,
+         |  CASE WHEN s2.cmatch IS NOT NULL THEN s2.cmatch
+         |       WHEN s2.doc_id <> s2.brep THEN s2.brep
+         |       ELSE ver.nmatch END AS match_id
+         |FROM s2 LEFT JOIN ver ON ver.doc_id = s2.doc_id""".stripMargin,
     "q_tfidf_top_terms" ->
       s"""WITH terms AS (
          |  SELECT doc_id, unnest($TokensSql) AS word FROM documents
