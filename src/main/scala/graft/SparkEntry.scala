@@ -1004,6 +1004,23 @@ object SparkEntry {
           (col("t_step2") - col("t_step1")).as("us_view_to_click"),
           (col("t_step3") - col("t_step2")).as("us_click_to_purchase"))
     },
+    // the streaming funnel operator (streaming.StreamingFunnel) run
+    // statically — one batch per user group, so the emitted final states
+    // must equal the batch chained-min funnel (the stream/batch parity the
+    // spec pins, here oracled end-to-end); stage-0 users emit nothing
+    "q_funnel_stream" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns DIV 1000").as("ts_us"))
+        .as[graft.streaming.StreamingFunnel.Event]
+      graft.streaming.StreamingFunnel.funnel(ev, Seq("view", "click", "purchase"))
+        .toDF()
+        .select(col("user_id"),
+          array_join(expr("transform(times, x -> cast(x AS string))"), ",")
+            .as("times_str"),
+          col("stage").cast("long").as("stage"))
+    },
     // trailing-window anomaly detection (operators.Anomaly): each
     // (type, hour) event count z-scored against its previous 24 observed
     // hours — bounded ROWS frame per key, flag from the round-6 z so the
@@ -2246,6 +2263,32 @@ object SparkEntry {
         |FROM capped a JOIN capped b
         |  ON a.user_id = b.user_id AND a.item_id < b.item_id
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // the batch funnel chain again (stream/batch parity makes it the
+    // oracle for the static streaming run); the times prefix serialized —
+    // t-nulls only ever trail, so the filtered list IS the prefix
+    "q_funnel_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+        |), s1 AS (
+        |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
+        |  FROM e GROUP BY user_id
+        |), s2 AS (
+        |  SELECT e.user_id, s1.t1,
+        |         min(CASE WHEN e.event_type = 'click' AND e.ts_us >= s1.t1
+        |                  THEN e.ts_us END) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id, s1.t1
+        |), s3 AS (
+        |  SELECT e.user_id, s2.t1, s2.t2,
+        |         min(CASE WHEN e.event_type = 'purchase' AND e.ts_us >= s2.t2
+        |                  THEN e.ts_us END) AS t3
+        |  FROM e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id, s2.t1, s2.t2
+        |)
+        |SELECT user_id,
+        |       array_to_string(list_filter([t1, t2, t3], x -> x IS NOT NULL), ',')
+        |         AS times_str,
+        |       CAST((t1 IS NOT NULL)::INT + (t2 IS NOT NULL)::INT
+        |            + (t3 IS NOT NULL)::INT AS BIGINT) AS stage
+        |FROM s3 WHERE t1 IS NOT NULL""".stripMargin,
     // chained conditional mins replayed as grouped passes; micros on both
     // sides (DuckDB's scan already truncated nanos -> micros)
     "q_funnel" ->
