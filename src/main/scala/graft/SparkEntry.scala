@@ -1021,6 +1021,14 @@ object SparkEntry {
             .as("times_str"),
           col("stage").cast("long").as("stage"))
     },
+    // distribution drift per event type vs the pooled rest
+    // (operators.Drift): bucketed two-sample KS + PSI on a fixed 64-bucket
+    // grid — integer bucket counts make the CDFs engine-exact
+    "q_drift_by_type" -> { (s, d) =>
+      graft.operators.Drift.vsRest(
+        Tables(s, d).events.select(col("event_type"), col("value")),
+        "event_type", "value", nBuckets = 64)
+    },
     // trailing-window anomaly detection (operators.Anomaly): each
     // (type, hour) event count z-scored against its previous 24 observed
     // hours — bounded ROWS frame per key, flag from the round-6 z so the
@@ -2263,6 +2271,45 @@ object SparkEntry {
         |FROM capped a JOIN capped b
         |  ON a.user_id = b.user_id AND a.item_id < b.item_id
         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+    // bucket ids from identical IEEE (v-lo)/(hi-lo)*64 arithmetic; integer
+    // cumsums make the CDFs exact; psi spells pG/pR with the same +eps
+    // association as Drift.vsRest (1e-6 scientific literal IS a double in
+    // DuckDB — the decimal-literal ban hits 0.000001, not 1e-6)
+    "q_drift_by_type" ->
+      """WITH r AS (SELECT event_type AS g, value AS v FROM events
+        |           WHERE value IS NOT NULL),
+        |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM r),
+        |bk AS (SELECT g,
+        |         CASE WHEN hi = lo THEN 0
+        |              ELSE CAST(LEAST(GREATEST(floor((v - lo) / (hi - lo) * 64),
+        |                                       CAST(0.0 AS DOUBLE)),
+        |                              CAST(63.0 AS DOUBLE)) AS BIGINT)
+        |         END AS b
+        |       FROM r, bounds),
+        |c AS (SELECT g, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
+        |gs AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM c GROUP BY g),
+        |spine AS (SELECT gs.g, gs.n_g, t.b
+        |          FROM gs, (SELECT unnest(range(0, 64)) AS b) t),
+        |f AS (SELECT spine.g, spine.b, spine.n_g, coalesce(c.cnt, 0) AS cnt
+        |      FROM spine LEFT JOIN c ON c.g = spine.g AND c.b = spine.b),
+        |pb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS c_all FROM f GROUP BY b),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM c),
+        |e AS (SELECT f.g, f.b, f.n_g, f.cnt, pb.c_all, tot.n_all,
+        |        CAST(sum(f.cnt) OVER (PARTITION BY f.g ORDER BY f.b)
+        |             AS BIGINT) AS cum_g,
+        |        CAST(sum(pb.c_all) OVER (PARTITION BY f.g ORDER BY f.b)
+        |             AS BIGINT) AS cum_all
+        |      FROM f JOIN pb USING (b), tot)
+        |SELECT g AS event_type, max(n_g) AS n,
+        |  round(max(abs(CAST(cum_g AS DOUBLE) / n_g
+        |                - CAST(cum_all - cum_g AS DOUBLE) / (n_all - n_g))), 6)
+        |    AS ks_d,
+        |  round(sum((CAST(cnt AS DOUBLE) / n_g + 1e-6
+        |             - (CAST(c_all - cnt AS DOUBLE) / (n_all - n_g) + 1e-6))
+        |            * ln((CAST(cnt AS DOUBLE) / n_g + 1e-6)
+        |                 / (CAST(c_all - cnt AS DOUBLE) / (n_all - n_g) + 1e-6))), 6)
+        |    AS psi
+        |FROM e WHERE n_all - n_g > 0 GROUP BY g""".stripMargin,
     // the batch funnel chain again (stream/batch parity makes it the
     // oracle for the static streaming run); the times prefix serialized —
     // t-nulls only ever trail, so the filtered list IS the prefix

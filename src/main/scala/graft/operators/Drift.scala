@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift detection — the monitoring step a continuously-fed
+  * training pipeline runs before admitting a new slice of data: for every
+  * group (source, day, feed), how far does its value distribution sit from
+  * the rest of the corpus? Emits the two standard metrics per group:
+  *
+  *   - `ks_d`  — two-sample Kolmogorov–Smirnov statistic,
+  *     max_x |CDF_group(x) − CDF_rest(x)|, evaluated on bucket edges.
+  *   - `psi`   — population stability index,
+  *     Σ_b (p_b − q_b) · ln(p_b / q_b), with ε-smoothed bucket masses
+  *     (the credit-scoring / model-monitoring industry metric; > 0.25 is
+  *     the conventional "investigate" bar).
+  *
+  * Both are computed on a FIXED equi-width bucketing of the global
+  * [min, max] value range (`nBuckets`, default 64). Exact KS needs the
+  * order statistics of the pooled sample — a global sort that becomes THE
+  * bottleneck at 100 TB — while bucketed ECDFs need one (group, bucket)
+  * aggregate and a window over `nBuckets` rows per group; the bucket-edge
+  * evaluation grid bounds the KS error by the largest bucket mass, and
+  * PSI is defined on buckets anyway. Integer bucket counts make every
+  * ratio engine-exact; the two emitted metrics round to 6 decimals.
+  *
+  * Scale shape: one 2-row-broadcast (global min/max), one shuffle to
+  * (group, bucket) counts — rest/total masses derive from per-bucket and
+  * per-group aggregates of that SAME small table (|groups| · nBuckets
+  * rows), so nothing after the first aggregate touches the raw data.
+  *
+  * Reference scope: the reference has no drift monitoring; SURVEY §2.12
+  * extension (data-quality family with [[QualityBuckets]], [[Anomaly]]).
+  */
+object Drift {
+
+  /** Per-group drift vs the rest of the corpus: (group, n, ks_d, psi).
+    * Groups see the pooled complement as their reference; `eps` smooths
+    * empty-bucket masses in PSI (standard practice — ln(0) otherwise).
+    */
+  def vsRest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      nBuckets: Int = 64,
+      eps: Double = 1e-6
+  ): DataFrame = {
+    require(nBuckets >= 2, "nBuckets must be >= 2")
+    val v = col(valueCol)
+    // null measurements carry no distribution evidence — excluded from
+    // masses AND group sizes, so the ECDFs still reach exactly 1
+    val rows = df.filter(v.isNotNull)
+    val bounds = rows.agg(min(v).as("_lo"), max(v).as("_hi"))
+    // bucket = floor((v - lo) / span * nB) clamped to [0, nB-1]; span = 0
+    // (constant column) puts everything in bucket 0
+    val bucketed = rows.select(col(groupCol), v.as("_v"))
+      .crossJoin(broadcast(bounds))
+      .select(col(groupCol),
+        when(col("_hi") === col("_lo"), lit(0L)).otherwise(
+          least(
+            greatest(
+              floor((col("_v") - col("_lo")) / (col("_hi") - col("_lo")) * nBuckets),
+              lit(0.0)),
+            lit(nBuckets - 1.0)).cast("long")).as("_b"))
+    val counts = bucketed.groupBy(col(groupCol), col("_b"))
+      .agg(count(lit(1)).as("_c"))
+    // densify: every (group, bucket) cell, zero-filled — the ECDF window
+    // must step through empty buckets too
+    val groups = counts.groupBy(col(groupCol)).agg(sum(col("_c")).as("_n_g"))
+    val spine = groups.crossJoin(
+      broadcast(df.sparkSession.range(nBuckets).select(col("id").as("_b"))))
+    val full = spine.join(counts, Seq(groupCol, "_b"), "left")
+      .select(col(groupCol), col("_b"), col("_n_g"),
+        coalesce(col("_c"), lit(0L)).as("_c"))
+    val perBucket = full.groupBy(col("_b")).agg(sum(col("_c")).as("_c_all"))
+    val total = counts.agg(sum(col("_c")).as("_n_all"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_b"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val enriched = full
+      .join(broadcast(perBucket), Seq("_b"))
+      .crossJoin(broadcast(total))
+      .withColumn("_cum_g", sum(col("_c")).over(w))
+      .withColumn("_cum_all", sum(col("_c_all")).over(w))
+    val nRest = col("_n_all") - col("_n_g")
+    val cdfG = col("_cum_g").cast("double") / col("_n_g")
+    val cdfR = (col("_cum_all") - col("_cum_g")).cast("double") / nRest
+    val pG = col("_c").cast("double") / col("_n_g") + eps
+    val pR = (col("_c_all") - col("_c")).cast("double") / nRest + eps
+    enriched
+      .filter(nRest > 0)
+      .groupBy(col(groupCol))
+      .agg(
+        max(col("_n_g")).as("n"),
+        round(max(abs(cdfG - cdfR)), 6).as("ks_d"),
+        round(sum((pG - pR) * log(pG / pR)), 6).as("psi"))
+  }
+}
