@@ -842,6 +842,16 @@ object SparkEntry {
         .budgetShards(docs, Seq("h", "doc_id"), "n_tokens", budget = 20000L)
         .select(col("doc_id"), col("n_tokens"), col("running_total"), col("shard"))
     },
+    // character-entropy quality signal (TF.charEntropyFromChars):
+    // bits/char of the char distribution — repetitive garbage scores low,
+    // base64 noise high; chars bound as a column ONCE (the langId lesson)
+    "q_char_entropy" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"), TF.chars(col("text")).as("_cs"))
+        .select(col("doc_id"),
+          size(col("_cs")).cast("long").as("n_chars"),
+          round(TF.charEntropyFromChars(col("_cs")), 6).as("char_entropy"))
+    },
     // bigram-LM perplexity-style quality score (self-scored corpus LM,
     // add-1 smoothing) — the KenLM-filter shape (operators.LmScore)
     "q_lm_score" -> { (s, d) =>
@@ -2718,6 +2728,26 @@ object SparkEntry {
          |       len(list_filter($TokensSql, x -> list_contains($StopSql, x))) AS stop_hits,
          |       length(text) AS text_len
          |FROM documents""".stripMargin,
+    // per-codepoint split on both engines (fixture is BMP-only — the CDC
+    // oracle already leans on the same length/substring parity); +0.0
+    // normalizes -0.0 exactly like the Spark side
+    "q_char_entropy" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |         list_filter(list_transform(range(1, length(text) + 1),
+        |                                    i -> substring(text, CAST(i AS INT), 1)),
+        |                     x -> len(x) > 0) AS cs
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(cs) AS BIGINT) AS n_chars,
+        |       round(CASE WHEN len(cs) = 0 THEN CAST(0.0 AS DOUBLE)
+        |         ELSE -list_sum(list_transform(
+        |                list_transform(list_distinct(cs),
+        |                               ch -> len(list_filter(cs, x -> x = ch))),
+        |                c2 -> CAST(c2 AS DOUBLE) / len(cs)
+        |                      * log2(CAST(c2 AS DOUBLE) / len(cs))))
+        |              + CAST(0.0 AS DOUBLE)
+        |         END, 6) AS char_entropy
+        |FROM c""".stripMargin,
     "q_quality_scores" ->
       s"""WITH t AS (
          |  SELECT doc_id, text,

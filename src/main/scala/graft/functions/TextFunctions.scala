@@ -65,6 +65,33 @@ object TextFunctions {
     round(lengthOk * 0.4 + punctOk * 0.2 + stopOk * 0.2 + wordLenOk * 0.2, 4)
   }
 
+  /** Shannon entropy (bits/character) of the text's character
+    * distribution — the compression-proxy quality signal: machine-generated
+    * or repetitive garbage sits far below natural prose (English lands
+    * around 4–4.5 bits/char), while encrypted/base64 noise sits near the
+    * alphabet ceiling. Deterministic integer character counts, so the
+    * whole signal SQL-oracles (round the output — the Σ p·log2 p fold is
+    * a float sum).
+    *
+    * Takes the CHARACTER ARRAY, not the text: the count kernel references
+    * the array once per distinct character, and a raw `split(text, "")`
+    * argument would re-split per reference (the langId duplication
+    * lesson) — callers bind `chars(text)` as a named column first.
+    */
+  def chars(text: Column): Column =
+    filter(split(text, ""), c => length(c) > 0)
+
+  def charEntropyFromChars(cs: Column): Column = {
+    val n = size(cs)
+    val counts = transform(array_distinct(cs), ch => size(filter(cs, x => x === ch)))
+    // + 0.0 normalizes the single-distinct-char case: the fold yields
+    // ±0.0, whose negation is -0.0, and repr(-0.0) ≠ repr(0.0) in the
+    // driver's hash compare; IEEE -0.0 + 0.0 = +0.0 on both engines
+    when(n === 0, lit(0.0)).otherwise(
+      -aggregate(counts, lit(0.0),
+        (acc, c) => acc + c.cast("double") / n * log2(c.cast("double") / n)) + lit(0.0))
+  }
+
   /** n-gram/stopword language-ID heuristic over {en, es, de, fr, zh}.
     * CJK characters short-circuit to zh; otherwise argmax of function-word
     * hits per language (ties → alphabetical, deterministic).

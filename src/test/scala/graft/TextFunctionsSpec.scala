@@ -27,6 +27,26 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(prose > junk)
   }
 
+  test("charEntropy: closed forms, garbage ordering, empty text") {
+    def ent(s: String): Double =
+      one(s, TextFunctions.charEntropyFromChars(TextFunctions.chars($"text")))
+        .asInstanceOf[Double]
+    assert(ent("") == 0.0)
+    assert(ent("aaaa") == 0.0)                      // single symbol → -0.0 normalized
+    assert(math.abs(ent("abab") - 1.0) < 1e-12)     // two equiprobable symbols
+    assert(math.abs(ent("abcdabcd") - 2.0) < 1e-12) // four equiprobable symbols
+    // driver replica on arbitrary text
+    val s = "the quick brown fox jumps over the lazy dog"
+    val counts = s.groupBy(identity).view.mapValues(_.length).values
+    val exp = -counts.map { c =>
+      val p = c.toDouble / s.length; p * (math.log(p) / math.log(2))
+    }.sum
+    assert(math.abs(ent(s) - exp) < 1e-9)
+    // repetitive garbage scores below prose; base64-ish noise above it
+    assert(ent("spam spam spam spam spam spam") < ent(s))
+    assert(ent("q8Zf3kT9mWx2Lp0vYb7cRj5nHd4gA1eU6sIo") > ent(s))
+  }
+
   test("langId detects obvious languages and CJK") {
     assert(one("the cat is in the house and it is warm", TextFunctions.langId($"text")) == "en")
     assert(one("el perro es grande y la casa es bonita en un lugar", TextFunctions.langId($"text")) == "es")
