@@ -980,6 +980,16 @@ object SparkEntry {
         .select(col("event_id"), col("event_type"), col("value"),
           col("fence_lo"), col("fence_hi"), col("clipped"))
     },
+    // per-type robust standardization (operators.RobustScale): median/MAD
+    // z-scores — the outlier-immune scaler; med and mad round-6 BEFORE the
+    // division, zero-MAD groups yield null z
+    "q_robust_scale" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("event_id"), col("event_type"), col("value"))
+      graft.operators.RobustScale.zScores(ev, Seq("event_type"), "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"), col("robust_z"))
+    },
     // per-user value trend (operators.Trend): closed-form OLS over
     // (hours-since-first-event, value) from round-6 sufficient statistics
     // — one exchange, engine-bitwise-identical derived floats
@@ -2234,6 +2244,27 @@ object SparkEntry {
         |SELECT e.event_id, e.event_type, e.value, f.fence_lo, f.fence_hi,
         |       LEAST(GREATEST(CAST(e.value AS DOUBLE), f.fence_lo), f.fence_hi) AS clipped
         |FROM events e JOIN f ON e.event_type = f.event_type""".stripMargin,
+    // quantile_cont twice (the winsorize parity), second pass over
+    // |v - med| with the round-6 med; the 1.4826 consistency constant is
+    // CAST AS DOUBLE (decimal-literal ban) — DECIMAL(5,4)→double equals
+    // strtod here since 14826/10000.0 is correctly rounded
+    "q_robust_scale" ->
+      """WITH f AS (
+        |  SELECT event_type,
+        |         round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6) AS med
+        |  FROM events GROUP BY event_type
+        |), f2 AS (
+        |  SELECT e.event_type,
+        |         round(quantile_cont(abs(CAST(e.value AS DOUBLE) - f.med), 0.5), 6)
+        |           AS mad
+        |  FROM events e JOIN f USING (event_type) GROUP BY e.event_type
+        |)
+        |SELECT e.event_id, e.event_type, e.value, f.med, f2.mad,
+        |       CASE WHEN f2.mad > 0
+        |            THEN round((CAST(e.value AS DOUBLE) - f.med)
+        |                       / (CAST(1.4826 AS DOUBLE) * f2.mad), 6)
+        |       END AS robust_z
+        |FROM events e JOIN f USING (event_type) JOIN f2 USING (event_type)""".stripMargin,
     // identical rebased-x stats (round-6 BEFORE the derived arithmetic on
     // both sides), then the same closed-form slope/intercept/R2
     "q_trend_slopes" ->
