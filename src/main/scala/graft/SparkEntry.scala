@@ -1237,6 +1237,15 @@ object SparkEntry {
     "q_tfidf_top_terms" -> { (s, d) =>
       graft.operators.TfIdf.topTerms(Tables(s, d).documents, k = 3)
     },
+    // Okapi BM25 retrieval (operators.Bm25): top-10 docs per query for a
+    // fixed 4-query workload — query terms broadcast against the posting
+    // lists, corpus tokenized once, never reshuffled for the join; one
+    // OOV term ("zzzmissing") exercises the no-posting path
+    "q_bm25_top_docs" -> { (s, d) =>
+      import s.implicits._
+      val queries = Bm25Queries.toDF("query_id", "term")
+      graft.operators.Bm25.topDocs(Tables(s, d).documents, queries, topK = 10)
+    },
     // tokenizer-vocab seeding: freq-ranked deterministic token ids over the
     // minCount-pruned vocabulary (operators.Vocab)
     "q_vocab" -> { (s, d) =>
@@ -1662,6 +1671,20 @@ object SparkEntry {
 
   private val TokensSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
+
+  /** Fixed BM25 query workload (q_bm25_top_docs) — shared by the Spark
+    * query and the generated DuckDB VALUES clause so they cannot drift.
+    * "zzzmissing" is deliberately out-of-vocab (no posting → contributes
+    * nothing; the "oov" query still ranks on its in-vocab term).
+    */
+  private val Bm25Queries: Seq[(String, String)] = Seq(
+    ("perf", "spark"), ("perf", "slow"), ("perf", "join"),
+    ("windowing", "window"), ("windowing", "sort"), ("windowing", "merge"),
+    ("storage", "table"), ("storage", "scan"), ("storage", "column"),
+    ("oov", "zzzmissing"), ("oov", "stream"))
+
+  private val Bm25ValuesSql: String =
+    Bm25Queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
 
   /** Shared CTE chain for the near-dup component oracles (q_dedup_components
     * / q_dedup_keep / q_dedup_keep_best): shingle edges (hot-shingle cap 20,
@@ -3245,6 +3268,42 @@ object SparkEntry {
          |         row_number() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) AS rank
          |  FROM scored)
          |SELECT doc_id, rank, word, round(tfidf, 6) AS tfidf FROM ranked WHERE rank <= 3""".stripMargin,
+    // BM25: float ops spelled term-for-term as Bm25.topDocs evaluates them
+    // (k1+1, 1-b, avgdl division) so both engines run identical IEEE ops
+    // on the exact integer tf/df/dl/N inputs; score round-6 BEFORE ranking.
+    "q_bm25_top_docs" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $TokensSql AS toks FROM documents
+         |), stats AS (
+         |  SELECT count(*) AS n, sum(len(toks)) AS tot FROM tok
+         |), terms AS (
+         |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS word FROM tok
+         |), tf AS (
+         |  SELECT doc_id, dl, word, count(*) AS tf FROM terms GROUP BY doc_id, dl, word
+         |), df AS (
+         |  SELECT word, count(*) AS df FROM tf GROUP BY word
+         |), q(query_id, word) AS (VALUES $Bm25ValuesSql
+         |), qt AS (
+         |  SELECT DISTINCT q.query_id, q.word,
+         |         ln((CAST(stats.n AS DOUBLE) - df.df + CAST(0.5 AS DOUBLE))
+         |            / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf
+         |  FROM q JOIN df ON q.word = df.word CROSS JOIN stats
+         |), scored AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |         round(sum(
+         |           qt.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |           / (tf.tf + CAST(1.2 AS DOUBLE)
+         |              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+         |                 + CAST(0.75 AS DOUBLE) * tf.dl
+         |                   / (CAST(stats.tot AS DOUBLE) / stats.n)))), 6) AS score
+         |  FROM tf JOIN qt ON tf.word = qt.word CROSS JOIN stats
+         |  GROUP BY qt.query_id, tf.doc_id
+         |), ranked AS (
+         |  SELECT query_id, doc_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, doc_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10""".stripMargin,
     "q_label_centroids" ->
       """SELECT label, i - 1 AS idx, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val
         |FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
