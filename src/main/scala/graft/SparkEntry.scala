@@ -1014,6 +1014,15 @@ object SparkEntry {
     // click at-or-after it, first purchase at-or-after that — chained
     // conditional-min windows over ONE user partition (single exchange,
     // no self-joins); micros arithmetic so both engines agree exactly
+    // daily cohort retention matrix (operators.Cohorts): users cohorted by
+    // first-active day, cell (cohort, offset) = distinct users active that
+    // many days later + the cohort-normalized rate — two bounded shuffles,
+    // no count-distinct Expand (per-user period sets fold in the first agg)
+    "q_cohort_retention" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("ts").cast("long").as("ts_s"))
+      graft.operators.Cohorts.retention(ev, periodSeconds = 86400L)
+    },
     "q_funnel" -> { (s, d) =>
       val ev = Tables(s, d).events
         .select(col("user_id"), col("event_type"), expr("ts_ns DIV 1000").as("ts_us"))
@@ -2402,6 +2411,30 @@ object SparkEntry {
         |FROM s3 WHERE t1 IS NOT NULL""".stripMargin,
     // chained conditional mins replayed as grouped passes; micros on both
     // sides (DuckDB's scan already truncated nanos -> micros)
+    // cohort retention: DISTINCT (user, day) replaces the collect_set fold;
+    // counts exact integers, ratio round-6 on both engines
+    "q_cohort_retention" ->
+      """WITH p AS (
+        |  SELECT DISTINCT user_id AS u,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS period
+        |  FROM events
+        |), c AS (
+        |  SELECT u, min(period) AS cohort FROM p GROUP BY u
+        |), o AS (
+        |  SELECT p.u, c.cohort, p.period - c.cohort AS period_offset
+        |  FROM p JOIN c ON p.u = c.u
+        |), cells AS (
+        |  SELECT cohort, period_offset, count(*) AS n_active
+        |  FROM o GROUP BY cohort, period_offset
+        |), sized AS (
+        |  SELECT cohort, period_offset, n_active,
+        |         max(CASE WHEN period_offset = 0 THEN n_active END)
+        |           OVER (PARTITION BY cohort) AS cohort_size
+        |  FROM cells)
+        |SELECT cohort, period_offset, CAST(n_active AS BIGINT) AS n_active,
+        |       CAST(cohort_size AS BIGINT) AS cohort_size,
+        |       round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
+        |FROM sized""".stripMargin,
     "q_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
