@@ -1023,6 +1023,17 @@ object SparkEntry {
         .select(col("user_id"), col("ts").cast("long").as("ts_s"))
       graft.operators.Cohorts.retention(ev, periodSeconds = 86400L)
     },
+    // leave-one-out target encoding (operators.TargetEncode): per-event
+    // user purchase-rate feature with the row's own label excluded — the
+    // 0/1 label keeps every sufficient statistic an exact integer
+    "q_target_encode_loo" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("event_id"), col("user_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+      graft.operators.TargetEncode.leaveOneOut(ev, Seq("user_id"), "y")
+        .select(col("event_id"), col("user_id"), col("y"), col("te_n"),
+          col("te_sum"), col("loo_rate"), col("loo_smoothed"))
+    },
     "q_funnel" -> { (s, d) =>
       val ev = Tables(s, d).events
         .select(col("user_id"), col("event_type"), expr("ts_ns DIV 1000").as("ts_us"))
@@ -2435,6 +2446,27 @@ object SparkEntry {
         |       CAST(cohort_size AS BIGINT) AS cohort_size,
         |       round(CAST(n_active AS DOUBLE) / cohort_size, 6) AS retention
         |FROM sized""".stripMargin,
+    // LOO target encoding: exact-integer n/Σy per category; rate and
+    // smoothed rate spelled op-for-op as TargetEncode evaluates them
+    "q_target_encode_loo" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events
+        |), g AS (
+        |  SELECT user_id, count(*) AS te_n, CAST(sum(y) AS BIGINT) AS te_sum
+        |  FROM e GROUP BY user_id
+        |), p AS (
+        |  SELECT CAST(sum(y) AS DOUBLE) / count(*) AS prior FROM e
+        |)
+        |SELECT e.event_id, e.user_id, CAST(e.y AS BIGINT) AS y,
+        |       CAST(g.te_n AS BIGINT) AS te_n, g.te_sum,
+        |       CASE WHEN g.te_n > 1
+        |            THEN round(CAST(g.te_sum - e.y AS DOUBLE) / (g.te_n - 1), 6)
+        |       END AS loo_rate,
+        |       round((g.te_sum - e.y + CAST(10.0 AS DOUBLE) * p.prior)
+        |             / (g.te_n - 1 + CAST(10.0 AS DOUBLE)), 6) AS loo_smoothed
+        |FROM e JOIN g ON e.user_id = g.user_id CROSS JOIN p""".stripMargin,
     "q_funnel" ->
       """WITH e AS (
         |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
