@@ -1257,6 +1257,13 @@ object SparkEntry {
     "q_tfidf_top_terms" -> { (s, d) =>
       graft.operators.TfIdf.topTerms(Tables(s, d).documents, k = 3)
     },
+    // exact Jaccard-threshold self-join (operators.SimilarityJoin):
+    // AllPairs/PPJoin prefix filtering — every pair ≥ 0.6, NO LSH false
+    // negatives, never an all-pairs join; spec proves ≡ naive exhaustively
+    "q_similarity_join" -> { (s, d) =>
+      graft.operators.SimilarityJoin.jaccardSelfJoin(
+        Tables(s, d).documents, threshold = 0.6)
+    },
     // Okapi BM25 retrieval (operators.Bm25): top-10 docs per query for a
     // fixed 4-query workload — query terms broadcast against the posting
     // lists, corpus tokenized once, never reshuffled for the join; one
@@ -3419,6 +3426,50 @@ object SparkEntry {
          |                 / len(list_distinct(list_concat(a.sh, b.sh)))
          |       END AS jaccard
          |FROM d a JOIN d b ON b.doc_id BETWEEN a.doc_id + 1 AND a.doc_id + 5""".stripMargin,
+    // prefix-filter similarity join: same df-ordered prefix + size-filter
+    // + exact-verify spelling as SimilarityJoin (the q_copurchase
+    // replicate-the-capped-spelling discipline; ≡ naive is spec-proven)
+    "q_similarity_join" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $TokensSql AS toks FROM documents
+         |), d AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                             i -> array_to_string(toks[i:i+2], ' '))
+         |    END) AS sh
+         |  FROM t
+         |), sz AS (
+         |  SELECT doc_id, len(sh) AS n FROM d
+         |), ex AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM d
+         |), dfq AS (
+         |  SELECT s, count(*) AS df FROM ex GROUP BY s
+         |), rk AS (
+         |  SELECT ex.doc_id, ex.s,
+         |         row_number() OVER (PARTITION BY ex.doc_id
+         |                            ORDER BY dfq.df, ex.s) AS rn
+         |  FROM ex JOIN dfq ON ex.s = dfq.s
+         |), pref AS (
+         |  SELECT rk.doc_id, rk.s, sz.n
+         |  FROM rk JOIN sz ON rk.doc_id = sz.doc_id
+         |  WHERE rk.rn <= sz.n - CAST(ceil(CAST(0.6 AS DOUBLE) * sz.n) AS BIGINT) + 1
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM pref a JOIN pref b
+         |    ON a.s = b.s AND b.doc_id > a.doc_id
+         |   AND b.n >= CAST(0.6 AS DOUBLE) * a.n - CAST(1e-9 AS DOUBLE)
+         |   AND b.n <= a.n / CAST(0.6 AS DOUBLE) + CAST(1e-9 AS DOUBLE)
+         |), v AS (
+         |  SELECT c.id1, c.id2,
+         |         CAST(len(list_intersect(d1.sh, d2.sh)) AS DOUBLE)
+         |         / (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh)))
+         |           AS jaccard
+         |  FROM cand c
+         |  JOIN d d1 ON c.id1 = d1.doc_id
+         |  JOIN d d2 ON c.id2 = d2.doc_id)
+         |SELECT id1, id2, jaccard FROM v
+         |WHERE jaccard >= CAST(0.6 AS DOUBLE)""".stripMargin,
     // transitivity stated directly as a recursive CTE (reachability →
     // min per node); oracle-validated against a union-find ground truth.
     // Same shingle/posting/cap/≥5-shared construction as the Spark side.
