@@ -1264,6 +1264,14 @@ object SparkEntry {
       graft.operators.SimilarityJoin.jaccardSelfJoin(
         Tables(s, d).documents, threshold = 0.6)
     },
+    // distributed PCA top component (operators.Pca): one MomentMatrixAgg
+    // scan (O(d²) shuffle bytes, no explode), round-6 sufficient stats,
+    // then a deterministic 5-round driver power iteration the generated
+    // oracle replays term-for-term — first 8 embedding dims
+    "q_pca_top_component" -> { (s, d) =>
+      graft.operators.Pca.topComponent(
+        s, Tables(s, d).embeddings, "embedding", d = 8, iters = 5)
+    },
     // Okapi BM25 retrieval (operators.Bm25): top-10 docs per query for a
     // fixed 4-query workload — query terms broadcast against the posting
     // lists, corpus tokenized once, never reshuffled for the join; one
@@ -1712,6 +1720,53 @@ object SparkEntry {
 
   private val Bm25ValuesSql: String =
     Bm25Queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
+
+  /** Generated DuckDB replay of Pca.topComponent (d = 8, 5 iterations):
+    * round-6 moment sums, covariance from rounded stats, the power
+    * iteration unrolled CTE-per-round with ascending-index left-assoc
+    * sums — term-for-term the arithmetic Pca.powerIteration performs.
+    */
+  private lazy val PcaOracleSql: String = {
+    val D = 8; val Iters = 5
+    def el(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+    val dims = 0 until D
+    val sCols = dims.map(i => s"round(sum(${el(i)}), 6) AS s$i")
+    val qCols = for { i <- dims; j <- dims }
+      yield s"round(sum(${el(i)} * ${el(j)}), 6) AS q${i}_$j"
+    val covCols = for { i <- dims; j <- dims }
+      yield s"q${i}_$j / n - (s$i / n) * (s$j / n) AS c${i}_$j"
+    val v0 = dims.map(i =>
+      s"CAST(1.0 AS DOUBLE) / sqrt(CAST($D.0 AS DOUBLE)) AS v0_$i")
+    def matvec(t: Int, vPrev: Int) = dims.map(i =>
+      dims.map(j => s"c${i}_$j * v${vPrev}_$j").mkString(" + ") + s" AS w${t}_$i")
+    def normed(t: Int) =
+      "sqrt(" + dims.map(i => s"w${t}_$i * w${t}_$i").mkString(" + ") + s") AS nrm$t"
+    val iterCtes = (1 to Iters).flatMap { t =>
+      Seq(
+        s"w$t AS (SELECT *, ${matvec(t, t - 1).mkString(", ")} FROM it${t - 1})",
+        s"n$t AS (SELECT *, ${normed(t)} FROM w$t)",
+        s"it$t AS (SELECT *, ${dims.map(i => s"w${t}_$i / nrm$t AS v${t}_$i").mkString(", ")} FROM n$t)")
+    }
+    val wf = dims.map(i =>
+      dims.map(j => s"c${i}_$j * v${Iters}_$j").mkString(" + ") + s" AS wf_$i")
+    val eig = dims.map(i => s"v${Iters}_$i * wf_$i").mkString(" + ")
+    val rows = dims.map(i =>
+      s"SELECT CAST($i AS BIGINT) AS idx, round(v${Iters}_$i, 6) AS loading, " +
+        s"round(eig, 6) AS eigval FROM fin").mkString("\nUNION ALL ")
+    s"""WITH st AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         ${(sCols ++ qCols).mkString(",\n         ")}
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= $D
+       |), c AS (
+       |  SELECT n, ${covCols.mkString(",\n         ")}
+       |  FROM st
+       |), it0 AS (SELECT *, ${v0.mkString(", ")} FROM c),
+       |${iterCtes.mkString(",\n")},
+       |wfin AS (SELECT *, ${wf.mkString(", ")} FROM it$Iters),
+       |fin AS (SELECT *, $eig AS eig FROM wfin)
+       |$rows""".stripMargin
+  }
 
   /** Shared CTE chain for the near-dup component oracles (q_dedup_components
     * / q_dedup_keep / q_dedup_keep_best): shingle edges (hot-shingle cap 20,
@@ -3376,6 +3431,7 @@ object SparkEntry {
          |                            ORDER BY score DESC, doc_id) AS rank
          |  FROM scored)
          |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10""".stripMargin,
+    "q_pca_top_component" -> PcaOracleSql,
     "q_label_centroids" ->
       """SELECT label, i - 1 AS idx, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val
         |FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
