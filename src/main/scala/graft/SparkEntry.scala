@@ -1014,6 +1014,15 @@ object SparkEntry {
     // click at-or-after it, first purchase at-or-after that — chained
     // conditional-min windows over ONE user partition (single exchange,
     // no self-joins); micros arithmetic so both engines agree exactly
+    // first-order Markov transitions (operators.Markov): P(next | cur)
+    // over per-user event sequences, micros time + event_id tiebreak —
+    // one window exchange, |states|²-bounded tail
+    "q_markov_transitions" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
+      graft.operators.Markov.transitions(ev)
+    },
     // daily cohort retention matrix (operators.Cohorts): users cohorted by
     // first-active day, cell (cohort, offset) = distinct users active that
     // many days later + the cohort-normalized rate — two bounded shuffles,
@@ -1271,6 +1280,13 @@ object SparkEntry {
     "q_pca_top_component" -> { (s, d) =>
       graft.operators.Pca.topComponent(
         s, Tables(s, d).embeddings, "embedding", d = 8, iters = 5)
+    },
+    // Pearson correlation matrix (operators.Correlation): upper triangle
+    // over the first 8 embedding dims, from the SAME MomentMatrixAgg scan
+    // as PCA — one aggregate, two consumers
+    "q_correlation_matrix" -> { (s, d) =>
+      graft.operators.Correlation.matrix(
+        s, Tables(s, d).embeddings, "embedding", d = 8)
     },
     // Okapi BM25 retrieval (operators.Bm25): top-10 docs per query for a
     // fixed 4-query workload — query terms broadcast against the posting
@@ -1726,8 +1742,11 @@ object SparkEntry {
     * iteration unrolled CTE-per-round with ascending-index left-assoc
     * sums — term-for-term the arithmetic Pca.powerIteration performs.
     */
-  private lazy val PcaOracleSql: String = {
-    val D = 8; val Iters = 5
+  /** Shared generated CTE prefix (`st` → `c`): round-6 moment sums over
+    * the first D embedding dims and the covariance matrix derived from
+    * them — the common head of the PCA and correlation oracles.
+    */
+  private def momentCovCte(D: Int): String = {
     def el(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
     val dims = 0 until D
     val sCols = dims.map(i => s"round(sum(${el(i)}), 6) AS s$i")
@@ -1735,6 +1754,20 @@ object SparkEntry {
       yield s"round(sum(${el(i)} * ${el(j)}), 6) AS q${i}_$j"
     val covCols = for { i <- dims; j <- dims }
       yield s"q${i}_$j / n - (s$i / n) * (s$j / n) AS c${i}_$j"
+    s"""WITH st AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n,
+       |         ${(sCols ++ qCols).mkString(",\n         ")}
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= $D
+       |), c AS (
+       |  SELECT n, ${covCols.mkString(",\n         ")}
+       |  FROM st
+       |)""".stripMargin
+  }
+
+  private lazy val PcaOracleSql: String = {
+    val D = 8; val Iters = 5
+    val dims = 0 until D
     val v0 = dims.map(i =>
       s"CAST(1.0 AS DOUBLE) / sqrt(CAST($D.0 AS DOUBLE)) AS v0_$i")
     def matvec(t: Int, vPrev: Int) = dims.map(i =>
@@ -1753,19 +1786,26 @@ object SparkEntry {
     val rows = dims.map(i =>
       s"SELECT CAST($i AS BIGINT) AS idx, round(v${Iters}_$i, 6) AS loading, " +
         s"round(eig, 6) AS eigval FROM fin").mkString("\nUNION ALL ")
-    s"""WITH st AS (
-       |  SELECT CAST(count(*) AS DOUBLE) AS n,
-       |         ${(sCols ++ qCols).mkString(",\n         ")}
-       |  FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) >= $D
-       |), c AS (
-       |  SELECT n, ${covCols.mkString(",\n         ")}
-       |  FROM st
-       |), it0 AS (SELECT *, ${v0.mkString(", ")} FROM c),
+    s"""${momentCovCte(D)},
+       |it0 AS (SELECT *, ${v0.mkString(", ")} FROM c),
        |${iterCtes.mkString(",\n")},
        |wfin AS (SELECT *, ${wf.mkString(", ")} FROM it$Iters),
        |fin AS (SELECT *, $eig AS eig FROM wfin)
        |$rows""".stripMargin
+  }
+
+  /** Generated DuckDB replay of Correlation.matrix (d = 8): Pearson r for
+    * every upper-triangle pair from the same rounded moment stats.
+    */
+  private lazy val CorrelationOracleSql: String = {
+    val D = 8
+    val rows = for { i <- 0 until D; j <- i until D } yield
+      s"SELECT CAST($i AS BIGINT) AS i, CAST($j AS BIGINT) AS j, " +
+        s"CASE WHEN c${i}_$i <= 0 OR c${j}_$j <= 0 THEN NULL " +
+        s"ELSE round(c${i}_$j / (sqrt(c${i}_$i) * sqrt(c${j}_$j)), 6) END AS corr " +
+        "FROM c"
+    s"""${momentCovCte(D)}
+       |${rows.mkString("\nUNION ALL ")}""".stripMargin
   }
 
   /** Shared CTE chain for the near-dup component oracles (q_dedup_components
@@ -2484,6 +2524,28 @@ object SparkEntry {
         |FROM s3 WHERE t1 IS NOT NULL""".stripMargin,
     // chained conditional mins replayed as grouped passes; micros on both
     // sides (DuckDB's scan already truncated nanos -> micros)
+    // Markov transitions: lead over (user; ts_us, event_id) — micros on
+    // both sides (nanos truncate at the DuckDB scan), integer counts,
+    // probability round-6
+    "q_markov_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS cur, epoch_ns(ts) // 1000 AS ts_us,
+        |         event_id
+        |  FROM events
+        |), seq AS (
+        |  SELECT cur,
+        |         lead(cur) OVER (PARTITION BY user_id
+        |                         ORDER BY ts_us, event_id) AS next
+        |  FROM e
+        |), pairs AS (
+        |  SELECT cur, next, count(*) AS n FROM seq
+        |  WHERE next IS NOT NULL GROUP BY cur, next
+        |), tot AS (
+        |  SELECT cur, CAST(sum(n) AS BIGINT) AS n_from FROM pairs GROUP BY cur
+        |)
+        |SELECT p.cur, p.next, CAST(p.n AS BIGINT) AS n, t.n_from,
+        |       round(CAST(p.n AS DOUBLE) / t.n_from, 6) AS p
+        |FROM pairs p JOIN tot t ON p.cur = t.cur""".stripMargin,
     // cohort retention: DISTINCT (user, day) replaces the collect_set fold;
     // counts exact integers, ratio round-6 on both engines
     "q_cohort_retention" ->
@@ -3432,6 +3494,7 @@ object SparkEntry {
          |  FROM scored)
          |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10""".stripMargin,
     "q_pca_top_component" -> PcaOracleSql,
+    "q_correlation_matrix" -> CorrelationOracleSql,
     "q_label_centroids" ->
       """SELECT label, i - 1 AS idx, round(avg(CAST(embedding[i] AS DOUBLE)), 6) AS centroid_val
         |FROM embeddings CROSS JOIN generate_series(1, 64) t(i)
