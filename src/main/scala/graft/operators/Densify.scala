@@ -62,4 +62,44 @@ object Densify {
     }
     forwardFill(zeroed, groupCol, bucketCol, carried)
   }
+
+  /** Linear interpolation of `valueCol` across null gap rows: a gap row
+    * between observed neighbors (pb, pv) and (nb, nv) gets
+    * pv + (nv − pv) · (b − pb)/(nb − pb); rows before a group's first or
+    * after its last observation stay null (no extrapolation). Both
+    * direction windows share ONE partitioning and sort (backward last +
+    * forward first over the same (group, bucket) order), so the whole
+    * fill costs a single exchange. Output column `<valueCol>_interp`,
+    * rounded to `roundTo` decimals via the explicit floor(x·10^r + 0.5)
+    * spelling, NOT the round() builtin: interpolated values are dense
+    * rationals that can land within an ulp of a decimal half-boundary,
+    * where Spark's BigDecimal HALF_UP and DuckDB's scaled-double round()
+    * disagree — floor/multiply/add are plain IEEE ops both engines
+    * evaluate identically on identical inputs.
+    */
+  def interpolate(
+      df: DataFrame,
+      groupCol: String,
+      bucketCol: String,
+      valueCol: String,
+      roundTo: Int = 6
+  ): DataFrame = {
+    val wb = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val b = col(bucketCol)
+    val obsBucket = when(v.isNotNull, b)
+    val prevV = last(v, ignoreNulls = true).over(wb)
+    val prevB = last(obsBucket, ignoreNulls = true).over(wb)
+    val nextV = first(v, ignoreNulls = true).over(wf)
+    val nextB = first(obsBucket, ignoreNulls = true).over(wf)
+    val raw = when(v.isNotNull, v)
+      .when(prevV.isNotNull && nextV.isNotNull,
+        prevV + (nextV - prevV) *
+          ((b - prevB).cast("double") / (nextB - prevB)))
+    val scale = lit(math.pow(10.0, roundTo))
+    df.withColumn(s"${valueCol}_interp", floor(raw * scale + lit(0.5)) / scale)
+  }
 }
