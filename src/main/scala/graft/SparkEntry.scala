@@ -619,6 +619,29 @@ object SparkEntry {
         .densify(hourly, "user_id", "h", counts = Seq("n_events"), carried = Seq("v"))
         .withColumnRenamed("v", "value_ff")
     },
+    // linear-interpolation gap fill (Densify.interpolate): q_gap_fill's
+    // spine, but gap hours land on the line between observed neighbors —
+    // one exchange drives both direction windows
+    "q_interpolate" -> { (s, d) =>
+      val hourly = Tables(s, d).events
+        .groupBy(col("user_id"),
+          expr("CAST(ts AS LONG) DIV 3600").as("h"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val dense = graft.operators.Densify.spine(hourly, "user_id", "h")
+        .join(hourly, Seq("user_id", "h"), "left")
+      graft.operators.Densify.interpolate(dense, "user_id", "h", "v")
+        .select(col("user_id"), col("h"), col("v"), col("v_interp"))
+    },
+    // Levenshtein verification of candidate pairs (operators.EditDistance):
+    // the character-level near-dup check over the same adjacent-id
+    // candidate window q_jaccard_adjacent uses — never all-pairs
+    "q_editdist_verify" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val pairs = docs
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        .union(docs.select(col("doc_id").as("id1"), (col("doc_id") + 2).as("id2")))
+      graft.operators.EditDistance.verify(pairs, docs)
+    },
     // explicit window frames: running total + trailing moving average
     "q_running_revenue" -> { (s, d) =>
       val w = org.apache.spark.sql.expressions.Window
@@ -2739,6 +2762,61 @@ object SparkEntry {
         |marks AS (SELECT DISTINCT (start_s // 3600) * 3600 AS mark_s FROM sess)
         |SELECT m.mark_s, s.user_id, s.session_idx
         |FROM marks m JOIN sess s ON m.mark_s BETWEEN s.start_s AND s.end_s""".stripMargin,
+    // linear interpolation: same spine as q_gap_fill; pv/pb from the
+    // backward IGNORE NULLS window, nv/nb forward; the interp expression
+    // is spelled op-for-op as Densify.interpolate evaluates it
+    "q_interpolate" ->
+      """WITH hourly AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |         round(avg(value), 6) AS v
+        |  FROM events GROUP BY user_id, h
+        |), bounds AS (
+        |  SELECT user_id, min(h) AS lo, max(h) AS hi FROM hourly GROUP BY user_id
+        |), spine AS (
+        |  SELECT user_id, unnest(range(lo, hi + 1)) AS h FROM bounds
+        |), j AS (
+        |  SELECT s.user_id, s.h, hr.v
+        |  FROM spine s LEFT JOIN hourly hr
+        |    ON s.user_id = hr.user_id AND s.h = hr.h
+        |), m AS (
+        |  SELECT user_id, h, v,
+        |         last_value(v IGNORE NULLS) OVER wb AS pv,
+        |         last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |           OVER wb AS pb,
+        |         first_value(v IGNORE NULLS) OVER wf AS nv,
+        |         first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS)
+        |           OVER wf AS nb
+        |  FROM j
+        |  WINDOW wb AS (PARTITION BY user_id ORDER BY h
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wf AS (PARTITION BY user_id ORDER BY h
+        |                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT user_id, h, v,
+        |       floor((CASE WHEN v IS NOT NULL THEN v
+        |                   WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |                   THEN pv + (nv - pv) * (CAST(h - pb AS DOUBLE) / (nb - pb))
+        |              END) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |         / CAST(1000000.0 AS DOUBLE) AS v_interp
+        |FROM m""".stripMargin,
+    // Levenshtein verify: identical unit-cost DP in both engines — exact
+    // integer distance, one exact division for the normalization
+    "q_editdist_verify" ->
+      """WITH pairs AS (
+        |  SELECT doc_id AS id1, doc_id + 1 AS id2 FROM documents
+        |  UNION ALL
+        |  SELECT doc_id AS id1, doc_id + 2 AS id2 FROM documents
+        |)
+        |SELECT p.id1, p.id2,
+        |       CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist,
+        |       CASE WHEN greatest(length(a.text), length(b.text)) = 0
+        |            THEN CAST(0.0 AS DOUBLE)
+        |            ELSE round(CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |                       / greatest(length(a.text), length(b.text)), 6)
+        |       END AS norm_dist
+        |FROM pairs p
+        |JOIN documents a ON p.id1 = a.doc_id
+        |JOIN documents b ON p.id2 = b.doc_id""".stripMargin,
     "q_gap_fill" ->
       """WITH e AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, value FROM events
