@@ -1037,6 +1037,23 @@ object SparkEntry {
     // click at-or-after it, first purchase at-or-after that — chained
     // conditional-min windows over ONE user partition (single exchange,
     // no self-joins); micros arithmetic so both engines agree exactly
+    // SCD Type-2 dimension build (operators.Scd2): each user's event_type
+    // changelog collapsed to maximal validity intervals — one exchange for
+    // change-detection lag, interval lead, and version number
+    "q_scd2_intervals" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("user_id"), expr("ts_ns DIV 1000").as("ts_us"),
+          col("event_id"), col("event_type"))
+      graft.operators.Scd2.buildIntervals(
+        ev, Seq("user_id"), "ts_us", "event_id", Seq("event_type"))
+    },
+    // triangle count + local clustering coefficient (operators.Triangles)
+    // over the shingle near-dup graph: tight template clusters (c → 1)
+    // vs boilerplate hubs (c → 0)
+    "q_triangle_stats" -> { (s, d) =>
+      graft.operators.Triangles.nodeStats(
+        shingleEdges(Tables(s, d).documents))
+    },
     // first-order Markov transitions (operators.Markov): P(next | cur)
     // over per-user event sequences, micros time + event_id tiebreak —
     // one window exchange, |states|²-bounded tail
@@ -2547,6 +2564,48 @@ object SparkEntry {
         |FROM s3 WHERE t1 IS NOT NULL""".stripMargin,
     // chained conditional mins replayed as grouped passes; micros on both
     // sides (DuckDB's scan already truncated nanos -> micros)
+    // SCD2: same lag-change-filter → lead-interval chain; micros time,
+    // event_id tiebreak; version CAST to Spark's INT
+    "q_scd2_intervals" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id, event_type
+        |  FROM events
+        |), lagd AS (
+        |  SELECT *, lag(event_type) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts_us, event_id) AS prev
+        |  FROM e
+        |), chg AS (
+        |  SELECT user_id, ts_us, event_id, event_type
+        |  FROM lagd WHERE prev IS NULL OR prev <> event_type
+        |)
+        |SELECT user_id, event_type, ts_us AS valid_from,
+        |       lead(ts_us) OVER w AS valid_to,
+        |       CAST(row_number() OVER w AS INT) AS version,
+        |       (lead(ts_us) OVER w IS NULL) AS is_current
+        |FROM chg
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)""".stripMargin,
+    // triangles on the shared shingle-edge CTE: two-hop join finds each
+    // a<b<c exactly once; degrees from the bidirectional list
+    "q_triangle_stats" ->
+      s"""$EdgesCte,
+         |tri AS (
+         |  SELECT ab.src AS a, ab.dst AS b, bc.dst AS c
+         |  FROM e ab
+         |  JOIN e bc ON ab.dst = bc.src
+         |  JOIN e ac ON ac.src = ab.src AND ac.dst = bc.dst
+         |), tcount AS (
+         |  SELECT node, CAST(count(*) AS BIGINT) AS triangles
+         |  FROM (SELECT unnest([a, b, c]) AS node FROM tri) GROUP BY node
+         |), deg AS (
+         |  SELECT a AS node, count(*) AS degree FROM bi GROUP BY a
+         |)
+         |SELECT d.node, CAST(d.degree AS BIGINT) AS degree,
+         |       coalesce(t.triangles, 0) AS triangles,
+         |       CASE WHEN d.degree >= 2
+         |            THEN round(CAST(2.0 AS DOUBLE) * coalesce(t.triangles, 0)
+         |                       / (d.degree * (d.degree - 1)), 6)
+         |       END AS clustering
+         |FROM deg d LEFT JOIN tcount t ON d.node = t.node""".stripMargin,
     // Markov transitions: lead over (user; ts_us, event_id) — micros on
     // both sides (nanos truncate at the DuckDB scan), integer counts,
     // probability round-6
