@@ -1063,6 +1063,24 @@ object SparkEntry {
           expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
       graft.operators.Markov.transitions(ev)
     },
+    // per-state conditional entropy of the Markov chain (stateEntropy):
+    // H(next | cur) from exact count ratios — the predictability profile
+    "q_markov_entropy" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
+      graft.operators.Markov.stateEntropy(graft.operators.Markov.transitions(ev))
+    },
+    // classical additive seasonal decomposition (operators.Seasonal):
+    // hourly value series split into 24h-MA trend + hour-of-day seasonal
+    // + residual; series is bucket-bounded so the global sort is over the
+    // time axis, never the fact table
+    "q_seasonal_decompose" -> { (s, d) =>
+      val series = Tables(s, d).events
+        .groupBy(expr("CAST(ts AS LONG) DIV 3600").as("h"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      graft.operators.Seasonal.decompose(series, "h", "v", period = 24)
+    },
     // daily cohort retention matrix (operators.Cohorts): users cohorted by
     // first-active day, cell (cohort, offset) = distinct users active that
     // many days later + the cohort-normalized rate — two bounded shuffles,
@@ -2628,6 +2646,67 @@ object SparkEntry {
         |SELECT p.cur, p.next, CAST(p.n AS BIGINT) AS n, t.n_from,
         |       round(CAST(p.n AS DOUBLE) / t.n_from, 6) AS p
         |FROM pairs p JOIN tot t ON p.cur = t.cur""".stripMargin,
+    // Markov entropy: exact n/n_from ratios inside -(p·ln p), sum round-6
+    "q_markov_entropy" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS cur, epoch_ns(ts) // 1000 AS ts_us,
+        |         event_id
+        |  FROM events
+        |), seq AS (
+        |  SELECT cur,
+        |         lead(cur) OVER (PARTITION BY user_id
+        |                         ORDER BY ts_us, event_id) AS next
+        |  FROM e
+        |), pairs AS (
+        |  SELECT cur, next, count(*) AS n FROM seq
+        |  WHERE next IS NOT NULL GROUP BY cur, next
+        |), tot AS (
+        |  SELECT cur, CAST(sum(n) AS BIGINT) AS n_from FROM pairs GROUP BY cur
+        |)
+        |SELECT t.cur, t.n_from,
+        |       round(sum(-((CAST(p.n AS DOUBLE) / t.n_from)
+        |                   * ln(CAST(p.n AS DOUBLE) / t.n_from))), 6) AS entropy
+        |FROM pairs p JOIN tot t ON p.cur = t.cur
+        |GROUP BY t.cur, t.n_from""".stripMargin,
+    // seasonal decomposition: centered 24-row MA (12 preceding / 11
+    // following) — NO float is ever aggregated: lossless integer micros,
+    // exact window/group sums, identical final divisions, floor rounds
+    "q_seasonal_decompose" ->
+      """WITH series AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |         round(avg(value), 6) AS v
+        |  FROM events GROUP BY h
+        |), vi AS (
+        |  SELECT h, v,
+        |         CAST(round(v * CAST(1000000.0 AS DOUBLE)) AS BIGINT) AS vim
+        |  FROM series
+        |), t AS (
+        |  SELECT h, v, vim,
+        |         CASE WHEN count(vim) OVER w = 24
+        |              THEN CAST(sum(vim) OVER w AS BIGINT)
+        |         END AS tsum,
+        |         h % 24 AS phase
+        |  FROM vi
+        |  WINDOW w AS (ORDER BY h ROWS BETWEEN 12 PRECEDING AND 11 FOLLOWING)
+        |), t2 AS (
+        |  SELECT h, v, phase, tsum,
+        |         floor(CAST(tsum AS DOUBLE) / CAST(24000000.0 AS DOUBLE)
+        |               * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |           / CAST(1000000.0 AS DOUBLE) AS trend,
+        |         24 * vim - tsum AS det
+        |  FROM t
+        |), seas AS (
+        |  SELECT phase,
+        |         floor(CAST(sum(det) AS DOUBLE)
+        |               / (count(*) * CAST(24000000.0 AS DOUBLE))
+        |               * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |           / CAST(1000000.0 AS DOUBLE) AS seasonal
+        |  FROM t2 WHERE tsum IS NOT NULL GROUP BY phase
+        |)
+        |SELECT t2.h, t2.phase, t2.v, t2.trend, s.seasonal,
+        |       floor((t2.v - t2.trend - s.seasonal) * CAST(1000000.0 AS DOUBLE)
+        |             + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE) AS resid
+        |FROM t2 LEFT JOIN seas s ON t2.phase = s.phase""".stripMargin,
     // cohort retention: DISTINCT (user, day) replaces the collect_set fold;
     // counts exact integers, ratio round-6 on both engines
     "q_cohort_retention" ->

@@ -46,4 +46,19 @@ object Markov {
       .withColumn("p", round(col("n").cast("double") / col("n_from"), 6))
       .select(col("cur"), col("next"), col("n"), col("n_from"), col("p"))
   }
+
+  /** Per-state conditional entropy H(next | cur) in nats, from the output
+    * of [[transitions]] — the chain's predictability profile: H → 0 means
+    * the state's successor is deterministic (bot-like), high H means
+    * diffuse behavior. Uses the EXACT n/n_from ratios (not the round-6
+    * display probability), rounds the final sum to 6; the per-state term
+    * count is |states|-bounded so the float sum is tiny and stable.
+    */
+  def stateEntropy(trans: DataFrame): DataFrame = {
+    val p = col("n").cast("double") / col("n_from")
+    trans
+      .groupBy(col("cur"), col("n_from"))
+      .agg(round(sum(-(p * log(p))), 6).as("entropy"))
+      .select(col("cur"), col("n_from"), col("entropy"))
+  }
 }
