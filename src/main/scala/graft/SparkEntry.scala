@@ -2747,10 +2747,14 @@ object SparkEntry {
         |SELECT e.event_id, e.user_id, CAST(e.y AS BIGINT) AS y,
         |       CAST(g.te_n AS BIGINT) AS te_n, g.te_sum,
         |       CASE WHEN g.te_n > 1
-        |            THEN round(CAST(g.te_sum - e.y AS DOUBLE) / (g.te_n - 1), 6)
+        |            THEN floor(CAST(g.te_sum - e.y AS DOUBLE) / (g.te_n - 1)
+        |                       * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |                 / CAST(1000000.0 AS DOUBLE)
         |       END AS loo_rate,
-        |       round((g.te_sum - e.y + CAST(10.0 AS DOUBLE) * p.prior)
-        |             / (g.te_n - 1 + CAST(10.0 AS DOUBLE)), 6) AS loo_smoothed
+        |       floor((g.te_sum - e.y + CAST(10.0 AS DOUBLE) * p.prior)
+        |             / (g.te_n - 1 + CAST(10.0 AS DOUBLE))
+        |             * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE))
+        |         / CAST(1000000.0 AS DOUBLE) AS loo_smoothed
         |FROM e JOIN g ON e.user_id = g.user_id CROSS JOIN p""".stripMargin,
     "q_funnel" ->
       """WITH e AS (

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Leave-one-out target encoding — the high-cardinality categorical
@@ -49,13 +49,18 @@ object TargetEncode {
     require(totN > 0, "TargetEncode.leaveOneOut: empty input")
     val prior = totS.toDouble / totN
 
+    // floor(x·10⁶ + 0.5) rounding, not round(): these rates are exact
+    // small-denominator rationals that DO land on decimal half-boundaries
+    // (a real sf0.1 red cell at prior = 0.20084 → smoothed = 0.1250875),
+    // where the engines' round() implementations disagree.
+    def floor6(c: Column): Column = floor(c * lit(1e6) + lit(0.5)) / lit(1e6)
     val diff = col("te_sum") - col(labelCol)
     df.join(g, keyCols)
       .withColumn("loo_rate",
         when(col("te_n") > 1,
-          round(diff.cast("double") / (col("te_n") - 1), 6)))
+          floor6(diff.cast("double") / (col("te_n") - 1))))
       .withColumn("loo_smoothed",
-        round((diff + lit(smoothing) * lit(prior)) /
-          (col("te_n") - 1 + lit(smoothing)), 6))
+        floor6((diff + lit(smoothing) * lit(prior)) /
+          (col("te_n") - 1 + lit(smoothing))))
   }
 }
