@@ -1128,6 +1128,20 @@ object SparkEntry {
             .as("times_str"),
           col("stage").cast("long").as("stage"))
     },
+    // funnel time-to-convert percentiles (operators.Quantiles): exact
+    // interpolated p25/p50/p75/p90 of the step gaps via the rank-bracket
+    // spelling — engine built-in quantiles diverge by >1 ulp on 1e10-scale
+    // micro gaps, so the interpolation is replayed term-for-term instead
+    "q_funnel_quantiles" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_type"), expr("ts_ns DIV 1000").as("ts_us"))
+      val f = graft.operators.Funnel
+        .ordered(ev, "user_id", "event_type", "ts_us", Seq("view", "click", "purchase"))
+      val gaps = f.select(explode(map(
+        lit("view_to_click"), col("t_step2") - col("t_step1"),
+        lit("click_to_purchase"), col("t_step3") - col("t_step2"))).as(Seq("gap", "v")))
+      graft.operators.Quantiles.byGroup(gaps, "gap", "v", Seq(25, 50, 75, 90))
+    },
     // distribution drift per event type vs the pooled rest
     // (operators.Drift): bucketed two-sample KS + PSI on a fixed 64-bucket
     // grid — integer bucket counts make the CDFs engine-exact
@@ -1923,7 +1937,53 @@ object SparkEntry {
   private val StopSql =
     "['the','a','of','and','to','in','is','it','that','for']"
 
+  /** Generated replay of Quantiles.byGroup over the funnel step gaps: the
+    * rank-bracket interpolation with integer position math — no engine
+    * quantile built-in, no output rounding needed (identical IEEE ops).
+    */
+  private lazy val FunnelQuantilesSql: String = {
+    val ps = Seq(25, 50, 75, 90)
+    def lo(p: Int) = s"CAST(floor(((nn - 1) * $p) / CAST(100.0 AS DOUBLE)) AS BIGINT)"
+    val abCols = ps.flatMap(p => Seq(
+      s"max(CASE WHEN rn = ${lo(p)} THEN v END) AS a$p",
+      s"max(CASE WHEN rn = least(${lo(p)} + 1, nn - 1) THEN v END) AS b$p"))
+    val qCols = ps.map(p =>
+      s"CAST(a$p AS DOUBLE) + ((n - 1) * $p % 100) / CAST(100.0 AS DOUBLE) * (b$p - a$p) AS p$p")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
+       |), s1 AS (
+       |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
+       |  FROM e GROUP BY user_id
+       |), s2 AS (
+       |  SELECT e.user_id, s1.t1,
+       |         min(CASE WHEN e.event_type = 'click' AND e.ts_us >= s1.t1
+       |                  THEN e.ts_us END) AS t2
+       |  FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id, s1.t1
+       |), s3 AS (
+       |  SELECT e.user_id, s2.t1, s2.t2,
+       |         min(CASE WHEN e.event_type = 'purchase' AND e.ts_us >= s2.t2
+       |                  THEN e.ts_us END) AS t3
+       |  FROM e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id, s2.t1, s2.t2
+       |), gaps AS (
+       |  SELECT 'view_to_click' AS gap, t2 - t1 AS v FROM s3
+       |  UNION ALL
+       |  SELECT 'click_to_purchase' AS gap, t3 - t2 AS v FROM s3
+       |), ranked AS (
+       |  SELECT gap, v,
+       |         CAST(row_number() OVER (PARTITION BY gap ORDER BY v) AS BIGINT) - 1 AS rn,
+       |         CAST(count(*) OVER (PARTITION BY gap) AS BIGINT) AS nn
+       |  FROM gaps WHERE v IS NOT NULL
+       |), br AS (
+       |  SELECT gap, CAST(count(*) AS BIGINT) AS n,
+       |         ${abCols.mkString(",\n         ")}
+       |  FROM ranked GROUP BY gap
+       |)
+       |SELECT gap, n, ${qCols.mkString(",\n       ")}
+       |FROM br""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "q_funnel_quantiles" -> FunnelQuantilesSql,
     "q_session_features" -> s"$FeaturesSql SELECT * FROM features",
     "q_session_features_join" -> s"$FeaturesSql SELECT * FROM features",
     "q_first_purchase" ->

@@ -19,7 +19,13 @@ object Verify {
     // concurrently so small queries overlap the iterative ML fits instead of
     // queuing behind them (cuts the gate's wall time roughly in half).
     val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    val tasks = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    // Dev-loop filter (driver leaves it unset → full dump): run only the
+    // named queries and dump only their oracles, so local_verify checks
+    // exactly the filtered set — never a stale earlier dump in the same dir.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val queries = only.fold(SparkEntry.queries)(k => SparkEntry.queries.filter(q => k(q._1)))
+    val tasks = queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
@@ -49,7 +55,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = only.fold(SparkEntry.oracleSql)(k => SparkEntry.oracleSql.filter(o => k(o._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
