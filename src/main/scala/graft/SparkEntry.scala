@@ -1071,6 +1071,16 @@ object SparkEntry {
           expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
       graft.operators.Markov.stateEntropy(graft.operators.Markov.transitions(ev))
     },
+    // stationary distribution + entropy rate of the event-type chain
+    // (Markov.stationary): fixed-round power iteration on the bounded
+    // |states|² matrix, every float op replayed by the generated oracle
+    "q_markov_stationary" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
+      graft.operators.Markov.stationary(
+        graft.operators.Markov.transitions(ev), MarkovStatesList)
+    },
     // classical additive seasonal decomposition (operators.Seasonal):
     // hourly value series split into 24h-MA trend + hour-of-day seasonal
     // + residual; series is bucket-bounded so the global sort is over the
@@ -1937,6 +1947,73 @@ object SparkEntry {
   private val StopSql =
     "['the','a','of','and','to','in','is','it','that','for']"
 
+  /** The event-type alphabet the Markov stationary query fixes as its
+    * contract — ONE list feeds the Spark workload and the generated
+    * oracle (the Bm25Queries single-source discipline).
+    */
+  private val MarkovStatesList = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Generated DuckDB replay of Markov.stationary over [[MarkovStatesList]]:
+    * exact-integer transition counts pivoted to one row, 12 power-iteration
+    * rounds with L1 renormalization unrolled CTE-per-round (ascending-index
+    * left-assoc sums — the driver fold order), per-state entropies as
+    * explicit zero-gated term chains, floor(x·10⁶+0.5) output rounding.
+    */
+  private lazy val MarkovStationarySql: String = {
+    val sts = MarkovStatesList
+    val k = sts.length; val Iters = 12
+    val dims = 0 until k
+    def f6(x: String) =
+      s"floor(($x) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)"
+    val cntCols = for { i <- dims; j <- dims } yield
+      s"count(*) FILTER (WHERE cur = '${sts(i)}' AND next = '${sts(j)}') AS n${i}_$j"
+    val fromCols = dims.map(i =>
+      dims.map(j => s"n${i}_$j").mkString(" + ") + s" AS f$i")
+    val pCols = for { i <- dims; j <- dims } yield
+      s"CASE WHEN f$i = 0 THEN CAST(${if (i == j) "1.0" else "0.0"} AS DOUBLE) " +
+        s"ELSE CAST(n${i}_$j AS DOUBLE) / f$i END AS p${i}_$j"
+    val hCols = dims.map(i => dims.map(j =>
+      s"CASE WHEN n${i}_$j > 0 THEN -(p${i}_$j * ln(p${i}_$j)) " +
+        "ELSE CAST(0.0 AS DOUBLE) END").mkString(" + ") + s" AS h$i")
+    val pi0 = dims.map(j => s"CAST(1.0 AS DOUBLE) / $k AS pi0_$j")
+    val iterCtes = (1 to Iters).flatMap { t =>
+      val mv = dims.map(j =>
+        dims.map(i => s"pi${t - 1}_$i * p${i}_$j").mkString(" + ") + s" AS w${t}_$j")
+      val sm = dims.map(j => s"w${t}_$j").mkString(" + ") + s" AS s$t"
+      Seq(
+        s"mw$t AS (SELECT *, ${mv.mkString(", ")} FROM mi${t - 1})",
+        s"ms$t AS (SELECT *, $sm FROM mw$t)",
+        s"mi$t AS (SELECT *, ${dims.map(j => s"w${t}_$j / s$t AS pi${t}_$j").mkString(", ")} FROM ms$t)")
+    }
+    val rate = dims.map(i => s"pi${Iters}_$i * h$i").mkString(" + ")
+    val rows = dims.map(i =>
+      s"SELECT '${sts(i)}' AS state, ${f6(s"pi${Iters}_$i")} AS pi, " +
+        s"${f6(s"h$i")} AS h_state, ${f6("er")} AS entropy_rate FROM fin")
+      .mkString("\nUNION ALL ")
+    s"""WITH e AS (
+       |  SELECT user_id, event_type AS cur, epoch_ns(ts) // 1000 AS ts_us,
+       |         event_id
+       |  FROM events
+       |), seq AS (
+       |  SELECT cur,
+       |         lead(cur) OVER (PARTITION BY user_id
+       |                         ORDER BY ts_us, event_id) AS next
+       |  FROM e
+       |), cnt AS (
+       |  SELECT ${cntCols.mkString(",\n         ")}
+       |  FROM seq WHERE next IS NOT NULL
+       |), base AS (
+       |  SELECT *, ${fromCols.mkString(",\n         ")} FROM cnt
+       |), pm AS (
+       |  SELECT *, ${pCols.mkString(",\n         ")} FROM base
+       |), hm AS (
+       |  SELECT *, ${hCols.mkString(",\n         ")} FROM pm
+       |), mi0 AS (SELECT *, ${pi0.mkString(", ")} FROM hm),
+       |${iterCtes.mkString(",\n")},
+       |fin AS (SELECT *, $rate AS er FROM mi$Iters)
+       |$rows""".stripMargin
+  }
+
   /** Generated replay of Quantiles.byGroup over the funnel step gaps: the
     * rank-bracket interpolation with integer position math — no engine
     * quantile built-in, no output rounding needed (identical IEEE ops).
@@ -1984,6 +2061,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = Map(
     "q_funnel_quantiles" -> FunnelQuantilesSql,
+    "q_markov_stationary" -> MarkovStationarySql,
     "q_session_features" -> s"$FeaturesSql SELECT * FROM features",
     "q_session_features_join" -> s"$FeaturesSql SELECT * FROM features",
     "q_first_purchase" ->

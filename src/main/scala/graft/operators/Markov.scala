@@ -61,4 +61,86 @@ object Markov {
       .agg(round(sum(-(p * log(p))), 6).as("entropy"))
       .select(col("cur"), col("n_from"), col("entropy"))
   }
+
+  /** Stationary distribution π (πP = π) and entropy RATE of the chain —
+    * the long-run fraction of time spent in each state and the per-step
+    * information production Σᵢ πᵢ·H(next|i), the single-number
+    * "predictability of the whole behavior stream" that complements the
+    * per-state profile of [[stateEntropy]].
+    *
+    * Determinism contract (the [[graft.operators.Pca]] replay pattern):
+    * the |states|² exact-integer transition counts are a bounded driver
+    * probe; π comes from a FIXED `iters` of power iteration from the
+    * uniform start with L1 renormalization each round, every float op an
+    * ascending-index left fold the generated DuckDB oracle replays
+    * term-for-term. Output floats use the floor(x·10⁶+0.5)/10⁶ spelling
+    * (arithmetic-derived values — library round() is not cross-engine
+    * safe on them).
+    *
+    * The state alphabet is the operator's CONTRACT (like funnel steps):
+    * transitions touching a state outside `states` are excluded from the
+    * counts on both engines. A state with no outgoing transitions gets a
+    * self-loop row (the standard absorbing-state completion).
+    *
+    * Scale shape: everything distributed is [[transitions]] (one window
+    * exchange); the driver math is O(|states|²·iters) on a ≤alphabet²
+    * matrix — microseconds, like the PCA eigensolve.
+    */
+  def stationary(
+      trans: DataFrame,
+      states: Seq[String],
+      iters: Int = 12
+  ): DataFrame = {
+    require(states.nonEmpty, "Markov.stationary: empty state alphabet")
+    val spark = trans.sparkSession
+    import spark.implicits._
+    val k = states.length
+    val idx = states.zipWithIndex.toMap
+    // bounded driver probe: at most |observed states|² exact counts
+    val nMat = Array.ofDim[Long](k, k)
+    trans.select(col("cur"), col("next"), col("n"))
+      .as[(String, String, Long)].collect()
+      .foreach { case (c, x, n) =>
+        for { i <- idx.get(c); j <- idx.get(x) } nMat(i)(j) += n
+      }
+    val nFrom: Array[Long] = nMat.map(_.sum)
+    val p = Array.tabulate(k, k) { (i, j) =>
+      if (nFrom(i) == 0L) { if (i == j) 1.0 else 0.0 }
+      else nMat(i)(j).toDouble / nFrom(i)
+    }
+    // fixed-iteration power method, ascending-index folds throughout —
+    // exactly the arithmetic the generated oracle unrolls
+    var pi = Array.fill(k)(1.0 / k)
+    var t = 0
+    while (t < iters) {
+      val next = Array.tabulate(k) { j =>
+        var acc = 0.0; var i = 0
+        while (i < k) { acc += pi(i) * p(i)(j); i += 1 }
+        acc
+      }
+      var s = 0.0; var j = 0
+      while (j < k) { s += next(j); j += 1 }
+      pi = next.map(_ / s)
+      t += 1
+    }
+    // H(next|i): zero-count cells contribute an exact 0.0 so the fold
+    // order is the plain ascending-j chain the oracle spells out
+    val h = Array.tabulate(k) { i =>
+      var acc = 0.0; var j = 0
+      while (j < k) {
+        val pij = p(i)(j)
+        acc += (if (nMat(i)(j) > 0L) -(pij * math.log(pij)) else 0.0)
+        j += 1
+      }
+      acc
+    }
+    var rate = 0.0
+    var ri = 0
+    while (ri < k) { rate += pi(ri) * h(ri); ri += 1 }
+    def floor6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    states.zipWithIndex
+      .map { case (st, i) => (st, floor6(pi(i)), floor6(h(i)), floor6(rate)) }
+      .toDF("state", "pi", "h_state", "entropy_rate")
+  }
 }
+
