@@ -1363,6 +1363,12 @@ object SparkEntry {
       graft.operators.Pca.topComponent(
         s, Tables(s, d).embeddings, "embedding", d = 8, iters = 5)
     },
+    // top-two PCA via Hotelling deflation (Pca.topTwoComponents): second
+    // power iteration on C − λ₁v₁v₁ᵀ, both replayed by the generated oracle
+    "q_pca_two_components" -> { (s, d) =>
+      graft.operators.Pca.topTwoComponents(
+        s, Tables(s, d).embeddings, "embedding", d = 8, iters = 5)
+    },
     // Pearson correlation matrix (operators.Correlation): upper triangle
     // over the first 8 embedding dims, from the SAME MomentMatrixAgg scan
     // as PCA — one aggregate, two consumers
@@ -1876,6 +1882,68 @@ object SparkEntry {
        |$rows""".stripMargin
   }
 
+  /** Unrolled power-iteration CTE block over matrix columns `$mat{i}_{j}`
+    * (available from CTE `$src`): emits `${v}it0 … ${v}it$iters` carrying
+    * all upstream columns; final unit-vector columns are `${v}${iters}_i`.
+    * Same arithmetic as [[graft.operators.Pca.powerIteration]]: uniform
+    * start, ascending-index left-assoc matvec and norm sums.
+    */
+  private def powerIterCtes(D: Int, iters: Int, mat: String, v: String, src: String): String = {
+    val dims = 0 until D
+    val v0 = dims.map(i =>
+      s"CAST(1.0 AS DOUBLE) / sqrt(CAST($D.0 AS DOUBLE)) AS ${v}0_$i")
+    val iterCtes = (1 to iters).flatMap { t =>
+      val mv = dims.map(i =>
+        dims.map(j => s"$mat${i}_$j * ${v}${t - 1}_$j").mkString(" + ") +
+          s" AS ${v}w${t}_$i")
+      val nrm = "sqrt(" +
+        dims.map(i => s"${v}w${t}_$i * ${v}w${t}_$i").mkString(" + ") +
+        s") AS ${v}nrm$t"
+      Seq(
+        s"${v}cw$t AS (SELECT *, ${mv.mkString(", ")} FROM ${v}it${t - 1})",
+        s"${v}cn$t AS (SELECT *, $nrm FROM ${v}cw$t)",
+        s"${v}it$t AS (SELECT *, ${dims.map(i => s"${v}w${t}_$i / ${v}nrm$t AS ${v}${t}_$i").mkString(", ")} FROM ${v}cn$t)")
+    }
+    (s"${v}it0 AS (SELECT *, ${v0.mkString(", ")} FROM $src)" +: iterCtes)
+      .mkString(",\n")
+  }
+
+  /** Generated DuckDB replay of Pca.topTwoComponents (d = 8, 5 rounds per
+    * component): first power iteration on `c`, Hotelling deflation
+    * dc = c − λ₁v₁v₁ᵀ, second power iteration on `dc`, floor(x·10⁶+0.5)
+    * output rounding on both loadings and eigenvalues.
+    */
+  private lazy val PcaTwoOracleSql: String = {
+    val D = 8; val Iters = 5
+    val dims = 0 until D
+    def f6(x: String) =
+      s"floor(($x) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)"
+    def rayleigh(mat: String, v: String, wf: String) = {
+      val wfCols = dims.map(i =>
+        dims.map(j => s"$mat${i}_$j * ${v}${Iters}_$j").mkString(" + ") + s" AS ${wf}_$i")
+      val eigSum = dims.map(i => s"${v}${Iters}_$i * ${wf}_$i").mkString(" + ")
+      (wfCols, eigSum)
+    }
+    val (wf1, eig1) = rayleigh("c", "v", "vwf")
+    val defl = for { i <- dims; j <- dims }
+      yield s"c${i}_$j - eig1 * v${Iters}_$i * v${Iters}_$j AS dc${i}_$j"
+    val (wf2, eig2) = rayleigh("dc", "u", "uwf")
+    val rows = dims.map(i =>
+      s"SELECT CAST($i AS BIGINT) AS idx, ${f6(s"v${Iters}_$i")} AS loading1, " +
+        s"${f6("eig1")} AS eigval1, ${f6(s"u${Iters}_$i")} AS loading2, " +
+        s"${f6("eig2")} AS eigval2 FROM fin2")
+      .mkString("\nUNION ALL ")
+    s"""${momentCovCte(D)},
+       |${powerIterCtes(D, Iters, "c", "v", "c")},
+       |vwfin AS (SELECT *, ${wf1.mkString(", ")} FROM vit$Iters),
+       |fin1 AS (SELECT *, $eig1 AS eig1 FROM vwfin),
+       |defl AS (SELECT *, ${defl.mkString(",\n       ")} FROM fin1),
+       |${powerIterCtes(D, Iters, "dc", "u", "defl")},
+       |uwfin AS (SELECT *, ${wf2.mkString(", ")} FROM uit$Iters),
+       |fin2 AS (SELECT *, $eig2 AS eig2 FROM uwfin)
+       |$rows""".stripMargin
+  }
+
   /** Generated DuckDB replay of Correlation.matrix (d = 8): Pearson r for
     * every upper-triangle pair from the same rounded moment stats.
     */
@@ -2062,6 +2130,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_funnel_quantiles" -> FunnelQuantilesSql,
     "q_markov_stationary" -> MarkovStationarySql,
+    "q_pca_two_components" -> PcaTwoOracleSql,
     "q_session_features" -> s"$FeaturesSql SELECT * FROM features",
     "q_session_features_join" -> s"$FeaturesSql SELECT * FROM features",
     "q_first_purchase" ->

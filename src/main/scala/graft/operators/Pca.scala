@@ -83,6 +83,36 @@ object Pca {
     (v, eig)
   }
 
+  /** Top TWO components via Hotelling deflation: once (v₁, λ₁) is fixed,
+    * the dominant direction is subtracted from the covariance —
+    * C′ = C − λ₁v₁v₁ᵀ — and the same fixed-round power iteration runs on
+    * C′, whose dominant eigenpair is the original second component. Both
+    * iterations replay term-for-term in the generated oracle (identical
+    * IEEE arithmetic from the shared round-6 moment stats), so the full
+    * two-component decomposition stays hash-oracle-able. Output floats
+    * use the floor(x·10⁶+0.5)/10⁶ spelling (arithmetic-derived values).
+    */
+  def topTwoComponents(
+      spark: SparkSession,
+      df: DataFrame,
+      vecCol: String,
+      d: Int,
+      iters: Int = 5,
+      roundTo: Option[Int] = Some(6)
+  ): DataFrame = {
+    import spark.implicits._
+    val (n, s, q) = momentStats(df, vecCol, d, roundTo)
+    require(n > 0, "Pca.topTwoComponents: no usable vectors")
+    val cov = covFromStats(n, s, q)
+    val (v1, e1) = powerIteration(cov, iters)
+    val cov2 = Array.tabulate(d, d)((i, j) => cov(i)(j) - e1 * v1(i) * v1(j))
+    val (v2, e2) = powerIteration(cov2, iters)
+    def floor6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    (0 until d)
+      .map(i => (i.toLong, floor6(v1(i)), floor6(e1), floor6(v2(i)), floor6(e2)))
+      .toDF("idx", "loading1", "eigval1", "loading2", "eigval2")
+  }
+
   /** DataFrame surface: (idx, loading, eigval) — one row per dimension. */
   def topComponent(
       spark: SparkSession,

@@ -63,6 +63,26 @@ class PcaSpec extends AnyFunSuite {
     assert(math.abs(eig - (3 + math.sqrt(2.0))) < 1e-9)
   }
 
+  test("deflation recovers a planted second direction, orthogonal to the first") {
+    // two independent planted axes: e0 with sd 10, e1 with sd 3, e2 noise
+    val rnd = new scala.util.Random(7)
+    val vecs = Seq.fill(800)(Array(
+      (rnd.nextGaussian() * 10).toFloat,
+      (rnd.nextGaussian() * 3).toFloat,
+      (rnd.nextGaussian() * 0.1).toFloat))
+    val df = vecs.map(v => Tuple1(v)).toDF("embedding")
+    val r = Pca.topTwoComponents(spark, df, "embedding", d = 3, iters = 20)
+      .collect().sortBy(_.getLong(0))
+    val v1 = r.map(_.getDouble(1)); val v2 = r.map(_.getDouble(3))
+    assert(math.abs(v1(0)) > 0.999, "first component ≈ ±e0")
+    assert(math.abs(v2(1)) > 0.999, "second component ≈ ±e1")
+    val dot = v1.zip(v2).map { case (a, b) => a * b }.sum
+    assert(math.abs(dot) < 1e-3, s"components orthogonal, dot=$dot")
+    val e1 = r.head.getDouble(2); val e2 = r.head.getDouble(4)
+    assert(e1 > e2 && e2 > 1.0, s"eigval order: $e1 > $e2")
+    assert(r.forall(row => row.getDouble(2) == e1 && row.getDouble(4) == e2))
+  }
+
   test("deterministic across partitionings (rounded stats)") {
     val rnd = new scala.util.Random(23)
     val vecs = Seq.fill(300)(Array.fill(8)(rnd.nextGaussian().toFloat))
