@@ -1054,6 +1054,13 @@ object SparkEntry {
       graft.operators.Triangles.nodeStats(
         shingleEdges(Tables(s, d).documents))
     },
+    // 2-core of the near-dup graph (operators.KCore): fixed-budget peel
+    // with a monotone fixpoint early-exit — the dense template/boilerplate
+    // core vs the long-tail periphery; exact integers end-to-end
+    "q_kcore" -> { (s, d) =>
+      graft.operators.KCore.peel(
+        shingleEdges(Tables(s, d).documents), k = 2, rounds = 8)
+    },
     // first-order Markov transitions (operators.Markov): P(next | cur)
     // over per-user event sequences, micros time + event_id tiebreak —
     // one window exchange, |states|²-bounded tail
@@ -1984,6 +1991,30 @@ object SparkEntry {
        |      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5),
        |bi AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e)""".stripMargin
 
+  /** Generated replay of KCore.peel(k=2, rounds=8) over the shingle graph:
+    * the peel unrolled round-per-CTE from the shared [[EdgesCte]] — the
+    * oracle always runs the full round budget; the Spark side's fixpoint
+    * early-exit is result-identical because peeling is monotone.
+    */
+  private lazy val KCoreOracleSql: String = {
+    val K = 2; val R = 8
+    // MATERIALIZED: DuckDB inlines plain CTEs, and each round references
+    // the previous one twice — unmaterialized, the plan (and the scan of
+    // documents.parquet) doubles per round until the fd limit blows
+    val peels = (1 to R).flatMap { r =>
+      Seq(
+        s"kd$r AS (SELECT a, count(*) AS n FROM kb${r - 1} GROUP BY a)",
+        s"kk$r AS MATERIALIZED (SELECT a FROM kd$r WHERE n >= $K)",
+        s"kb$r AS MATERIALIZED (SELECT e.a, e.b FROM kb${r - 1} e " +
+          s"JOIN kk$r x ON e.a = x.a JOIN kk$r y ON e.b = y.a)")
+    }
+    s"""$EdgesCte,
+       |kb0 AS MATERIALIZED (SELECT a, b FROM bi),
+       |${peels.mkString(",\n")}
+       |SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
+       |FROM kb$R GROUP BY a""".stripMargin
+  }
+
   private lazy val DedupCompCte: String =
     s"""$EdgesCte,
        |reach(node, r) AS (
@@ -2131,6 +2162,7 @@ object SparkEntry {
     "q_funnel_quantiles" -> FunnelQuantilesSql,
     "q_markov_stationary" -> MarkovStationarySql,
     "q_pca_two_components" -> PcaTwoOracleSql,
+    "q_kcore" -> KCoreOracleSql,
     "q_session_features" -> s"$FeaturesSql SELECT * FROM features",
     "q_session_features_join" -> s"$FeaturesSql SELECT * FROM features",
     "q_first_purchase" ->
