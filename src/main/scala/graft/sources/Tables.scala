@@ -40,7 +40,16 @@ final case class Tables(spark: SparkSession, dir: String) {
         raw
           .withColumn("ts_ns", col("ts"))
           .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
-      case _ => raw.withColumn("ts_ns", expr("CAST(ts AS LONG) * 1000000000"))
+      case _ =>
+        // Driver-regenerated data ships ts as parquet timestamp[us] (read as
+        // TIMESTAMP_NTZ). Normalize to TimestampType (session TZ is UTC) and
+        // synthesize ts_ns = micros * 1000 so downstream exact arithmetic
+        // (`ts_ns DIV 1000`) agrees bit-for-bit with DuckDB's epoch_ns(ts),
+        // which also carries zero sub-micro digits here. ANSI forbids
+        // NTZ -> BIGINT, so go through unix_micros, not CAST(ts AS LONG).
+        raw
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
     }
   }
 
