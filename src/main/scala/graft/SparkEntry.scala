@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AsOfJoin, Components, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, IntervalOverlap, LmScore, Mixture, Multimodal, Packing, PiiScrub, Repetition, SemanticDedup, SessionConf, Sessionize, Similarity, WeightedSample}
+import graft.operators.{AsOfJoin, Autocorrelation, Changepoint, Components, Concentration, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, PiiScrub, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -1724,6 +1724,27 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.toMediaTable(Tables(s, d).documents))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
     },
+    // ---- series analytics, concentration, segmentation, clustering ----
+    // Replayable k-means (operators.KMeansReplay): clustering moved OUT of
+    // the RNG/rows-only MLlib class into a full hash oracle — integer-micros
+    // coordinates make every distance an exact BIGINT, seeds are md5-ranked,
+    // centers are floor(S/n + 0.5) integer division, 3 fixed Lloyd rounds.
+    // The generated oracle (KMeansOracleSql) replays every round.
+    "q_kmeans_clusters" -> { (s, d) =>
+      KMeansReplay.clusterStats(s, Tables(s, d).embeddings, "embedding", 64, 8, 3)
+    },
+    // Gini of per-user purchase spend (operators.Concentration): exact
+    // integer micros + rank formula; the one double expression replays.
+    "q_spend_gini" -> ((s, d) => Concentration.spendGini(Tables(s, d).events)),
+    // best single mean-shift split of the hourly series — prefix sums over
+    // exact integer counts; even the float argmax agrees bit-for-bit
+    "q_changepoint" -> ((s, d) => Changepoint.bestMeanShift(Tables(s, d).events)),
+    // ACF lags 1..6 of the zero-filled hourly series from exact integer
+    // sufficient statistics only (no float ever aggregated)
+    "q_acf_hourly" -> ((s, d) => Autocorrelation.hourlyAcf(Tables(s, d).events, 6)),
+    // RFM quartile segmentation — deterministic ntile(4) under a total
+    // (metric, user_id) order; money via the integer-micros accumulator
+    "q_rfm_segments" -> ((s, d) => Rfm.segments(Tables(s, d).events)),
     // ---- ML plane (RNG/ML — rows-only checks, properties in ScalaTest) ----
     "q_balanced_label_dist" -> { (s, d) =>
       Undersample.balance(sessionFeatures(s, d))
@@ -4251,7 +4272,72 @@ object SparkEntry {
          |SELECT t.doc_id, len(t.toks) AS n_tokens,
          |       len(t.toks) - coalesce(ck.n_kept, 0) AS n_removed,
          |       coalesce(ck.clean_md5, md5('')) AS clean_md5
-         |FROM t LEFT JOIN ck USING (doc_id)""".stripMargin
+         |FROM t LEFT JOIN ck USING (doc_id)""".stripMargin,
+    // generated full replay of the 3-round integer-micros Lloyd iteration
+    "q_kmeans_clusters" -> KMeansOracleSql,
+    // Gini rank formula over exact integer micros; single replayed double
+    // expression, floor-6 output (arithmetic-derived float)
+    "q_spend_gini" ->
+      """WITH sp AS (
+        |  SELECT user_id, sum(CAST(round((value) * 1e6) AS BIGINT)) AS m
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), rk AS (
+        |  SELECT m, row_number() OVER (ORDER BY m, user_id) AS i FROM sp
+        |), ag AS (
+        |  SELECT count(*) AS n_users, CAST(sum(m) AS BIGINT) AS tot,
+        |         CAST(sum(i * m) AS BIGINT) AS sw
+        |  FROM rk
+        |)
+        |SELECT n_users,
+        |       CAST(floor((tot + 5000) / 10000.0) AS BIGINT) / 100.0 AS total_money,
+        |       floor((2.0 * CAST(sw AS DOUBLE)
+        |                / (CAST(n_users AS DOUBLE) * CAST(tot AS DOUBLE))
+        |              - CAST(n_users + 1 AS DOUBLE) / CAST(n_users AS DOUBLE))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS gini
+        |FROM ag""".stripMargin,
+    // integer prefix sums; the split statistic is identical IEEE on both
+    // engines so the float argmax (gap DESC, t) agrees bit-for-bit
+    "q_changepoint" ->
+      """WITH hrs AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS c
+        |  FROM events GROUP BY 1
+        |), ser AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS t,
+        |         CAST(sum(c) OVER (ORDER BY h ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ps,
+        |         CAST(sum(c) OVER () AS BIGINT) AS tot,
+        |         count(*) OVER () AS tt
+        |  FROM hrs
+        |), sp AS (
+        |  SELECT h, t, CAST(ps AS DOUBLE) / CAST(t AS DOUBLE) AS mb,
+        |         CAST(tot - ps AS DOUBLE) / CAST(tt - t AS DOUBLE) AS ma
+        |  FROM ser WHERE t < tt
+        |), g AS (SELECT h, t, mb, ma, abs(mb - ma) AS gap FROM sp)
+        |SELECT h AS split_hour, t AS t_split,
+        |       floor(mb * 1000000.0 + 0.5) / 1000000.0 AS mean_before,
+        |       floor(ma * 1000000.0 + 0.5) / 1000000.0 AS mean_after,
+        |       floor(gap * 1000000.0 + 0.5) / 1000000.0 AS gap
+        |FROM g
+        |QUALIFY row_number() OVER (ORDER BY gap DESC, t) = 1""".stripMargin,
+    // generated per-lag replay from exact integer sufficient statistics
+    "q_acf_hourly" -> AcfOracleSql,
+    // deterministic ntile under a total order; Money integer-micros twin
+    "q_rfm_segments" ->
+      """WITH pu AS (
+        |  SELECT user_id, max(CAST(floor(epoch(ts)) AS BIGINT)) AS rec_s,
+        |         count(*) AS freq,
+        |         sum(CAST(round((value) * 1e6) AS BIGINT)) AS mon
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), seg AS (
+        |  SELECT user_id, mon,
+        |         CAST(ntile(4) OVER (ORDER BY rec_s, user_id) AS BIGINT) * 100
+        |       + CAST(ntile(4) OVER (ORDER BY freq, user_id) AS BIGINT) * 10
+        |       + CAST(ntile(4) OVER (ORDER BY mon, user_id) AS BIGINT) AS segment
+        |  FROM pu
+        |)
+        |SELECT segment, count(*) AS n_users,
+        |       CAST(floor((CAST(sum(mon) AS BIGINT) + 5000) / 10000.0) AS BIGINT) / 100.0
+        |         AS total_money
+        |FROM seg GROUP BY segment""".stripMargin
   )
 
   /** Shared CTE prefix for the exact-substring oracles: rolling 8-token
@@ -4303,4 +4389,87 @@ object SparkEntry {
       |    (SELECT *, row_number() OVER (PARTITION BY vec_id, s
       |                                  ORDER BY sq, code) AS rn FROM dist)
       |  WHERE rn = 1)""".stripMargin
+
+  /** Generated DuckDB replay of KMeansReplay.clusterStats (d=64, k=8,
+    * 3 rounds): integer-micros points via the floor(x·10⁶+0.5) spelling,
+    * md5-rank seeds, per-round cross-join argmin (QUALIFY over (dist, cid))
+    * and floor(S/n + 0.5) centers — every distance an exact BIGINT, every
+    * center one replayed double division, so the hash match is structural.
+    */
+  private lazy val KMeansOracleSql: String = {
+    val D = 64; val K = 8; val R = 3
+    val dims = 0 until D
+    val ptCols = dims.map(i =>
+      s"CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x$i")
+    val distExpr =
+      dims.map(i => s"(p.x$i - c.x$i) * (p.x$i - c.x$i)").mkString(" + ")
+    val centerCols = dims.map(i =>
+      s"CAST(floor(CAST(sum(p.x$i) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS x$i")
+    val roundCtes = (0 to R).map { r =>
+      val assignCte =
+        s"d$r AS (SELECT p.vec_id, c.cid, $distExpr AS dist\n" +
+          s"  FROM pts p CROSS JOIN c$r c),\n" +
+          s"a$r AS (SELECT vec_id, cid, dist FROM d$r\n" +
+          s"  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)"
+      if (r == R) assignCte
+      else assignCte + ",\n" +
+        s"c${r + 1} AS (SELECT a.cid AS cid, ${centerCols.mkString(", ")}\n" +
+        s"  FROM a$r a JOIN pts p USING (vec_id) GROUP BY a.cid)"
+    }
+    s"""WITH pts AS (
+       |  SELECT vec_id, ${ptCols.mkString(",\n         ")}
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= $D
+       |), sd AS (
+       |  SELECT vec_id,
+       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+       |  FROM pts
+       |), c0 AS (
+       |  SELECT sd.cid AS cid, ${dims.map(i => s"p.x$i").mkString(", ")}
+       |  FROM sd JOIN pts p USING (vec_id) WHERE sd.cid < $K
+       |),
+       |${roundCtes.mkString(",\n")}
+       |SELECT cid AS cluster_id, count(*) AS n_points,
+       |       CAST(sum(dist) AS BIGINT) AS inertia
+       |FROM a$R GROUP BY cid""".stripMargin
+  }
+
+  /** Generated DuckDB replay of Autocorrelation.hourlyAcf (lags 1..6):
+    * dense zero-filled hour grid, exact integer sufficient statistics
+    * (T, Σx, Σx², per-lag Σx·x_ℓ and the two boundary sums), one replayed
+    * double expression per lag with m = S/T, floor-6 output.
+    */
+  private lazy val AcfOracleSql: String = {
+    val L = 6
+    val lagCols = (1 to L).map(l => s"lag(x, $l) OVER (ORDER BY h) AS x$l")
+    val aggCols = (1 to L).flatMap(l =>
+      Seq(
+        s"CAST(sum(x * x$l) AS BIGINT) AS p$l",
+        s"CAST(sum(CASE WHEN x$l IS NOT NULL THEN x END) AS BIGINT) AS a$l",
+        s"CAST(sum(x$l) AS BIGINT) AS b$l"))
+    val m = "(CAST(s AS DOUBLE) / CAST(tt AS DOUBLE))"
+    val rows = (1 to L).map { l =>
+      val num = s"CAST(p$l AS DOUBLE) - $m * CAST(a$l + b$l AS DOUBLE)" +
+        s" + CAST(tt - $l AS DOUBLE) * $m * $m"
+      val den = s"CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * $m"
+      s"SELECT CAST($l AS BIGINT) AS lag, " +
+        s"floor((($num) / ($den)) * 1000000.0 + 0.5) / 1000000.0 AS acf FROM ag"
+    }
+    s"""WITH hrs AS (
+       |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS c
+       |  FROM events GROUP BY 1
+       |), bnd AS (SELECT min(h) AS h0, max(h) AS h1 FROM hrs),
+       |dense AS (
+       |  SELECT g.h, COALESCE(hrs.c, 0) AS x
+       |  FROM (SELECT unnest(range((SELECT h0 FROM bnd), (SELECT h1 FROM bnd) + 1)) AS h) g
+       |  LEFT JOIN hrs ON g.h = hrs.h
+       |), lg AS (
+       |  SELECT x, ${lagCols.mkString(", ")} FROM dense
+       |), ag AS (
+       |  SELECT count(*) AS tt, CAST(sum(x) AS BIGINT) AS s,
+       |         CAST(sum(x * x) AS BIGINT) AS q,
+       |         ${aggCols.mkString(",\n         ")}
+       |  FROM lg
+       |)
+       |${rows.mkString("\nUNION ALL ")}""".stripMargin
+  }
 }
