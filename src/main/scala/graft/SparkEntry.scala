@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AsOfJoin, Autocorrelation, Changepoint, Components, Concentration, Decontaminate, Dedup, Featurize, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, PiiScrub, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, WeightedSample}
+import graft.operators.{AbTest, AsOfJoin, Attribution, Autocorrelation, Changepoint, Collocations, Components, Concentration, Decontaminate, Dedup, Diversity, Featurize, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, PiiScrub, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -1745,6 +1745,19 @@ object SparkEntry {
     // RFM quartile segmentation — deterministic ntile(4) under a total
     // (metric, user_id) order; money via the integer-micros accumulator
     "q_rfm_segments" -> ((s, d) => Rfm.segments(Tables(s, d).events)),
+    // linear multi-touch attribution (operators.Attribution): equal split
+    // of purchase value across the 24h preceding views — integer micros
+    // credit via floor division (remainder drops identically both engines)
+    "q_linear_attribution" -> ((s, d) => Attribution.linearByHour(Tables(s, d).events)),
+    // deterministic A/B lift + pooled two-proportion z (operators.AbTest):
+    // md5-48 arm assignment, one replayed double expression for lift/z
+    "q_ab_lift" -> ((s, d) => AbTest.conversionLift(Tables(s, d).events)),
+    // HHI deciles of per-user event-type mix (operators.Diversity): one
+    // division of two exact integers per user, integer-only report
+    "q_hhi_buckets" -> ((s, d) => Diversity.hhiBuckets(Tables(s, d).events)),
+    // bigram PMI collocations (operators.Collocations): exact counts, ln
+    // replayed (TfIdf/BM25 precedent), min support 5
+    "q_pmi_bigrams" -> ((s, d) => Collocations.pmiBigrams(Tables(s, d).documents)),
     // ---- ML plane (RNG/ML — rows-only checks, properties in ScalaTest) ----
     "q_balanced_label_dist" -> { (s, d) =>
       Undersample.balance(sessionFeatures(s, d))
@@ -4337,7 +4350,105 @@ object SparkEntry {
         |SELECT segment, count(*) AS n_users,
         |       CAST(floor((CAST(sum(mon) AS BIGINT) + 5000) / 10000.0) AS BIGINT) / 100.0
         |         AS total_money
-        |FROM seg GROUP BY segment""".stripMargin
+        |FROM seg GROUP BY segment""".stripMargin,
+    // exact micros time axis (epoch_ns//1000 ≡ ts_ns DIV 1000); integer
+    // floor-division credit — non-negative operands, so // ≡ Spark DIV
+    "q_linear_attribution" ->
+      """WITH p AS (
+        |  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS p_us,
+        |         CAST(round((value) * 1e6) AS BIGINT) AS value_micros
+        |  FROM events WHERE event_type = 'purchase'
+        |), v AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS v_us
+        |  FROM events WHERE event_type = 'view'
+        |), j AS (
+        |  SELECT p.purchase_id, p.value_micros, v.v_us
+        |  FROM p JOIN v USING (user_id)
+        |  WHERE v.v_us < p.p_us AND v.v_us >= p.p_us - 86400000000
+        |), c AS (
+        |  SELECT v_us,
+        |         value_micros // (count(*) OVER (PARTITION BY purchase_id)) AS credit_micros
+        |  FROM j
+        |)
+        |SELECT (v_us // 3600000000) % 24 AS hour_of_day,
+        |       count(*) AS n_credited_views,
+        |       CAST(floor((CAST(sum(credit_micros) AS BIGINT) + 5000) / 10000.0) AS BIGINT)
+        |         / 100.0 AS attributed_money
+        |FROM c GROUP BY 1""".stripMargin,
+    // md5-48 arms (the shared HashSplit spelling); lift and z are single
+    // replayed double expressions over exact integer counts
+    "q_ab_lift" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 10
+        |              THEN 1 ELSE 0 END AS conv
+        |  FROM events GROUP BY user_id
+        |), a AS (
+        |  SELECT ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2
+        |           AS arm, conv
+        |  FROM u
+        |), ag AS (
+        |  SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+        |         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+        |  FROM a
+        |)
+        |SELECT n_a, n_b, conv_a, conv_b,
+        |       floor((CASE WHEN n_a = 0 OR n_b = 0 THEN 0.0
+        |              ELSE CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |                   - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) END)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS lift,
+        |       floor((CASE WHEN n_a = 0 OR n_b = 0 OR conv_a + conv_b = 0
+        |                     OR conv_a + conv_b = n_a + n_b THEN 0.0
+        |              ELSE (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+        |                    - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+        |                   / sqrt((CAST(conv_a + conv_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+        |                          * (1.0 - CAST(conv_a + conv_b AS DOUBLE)
+        |                                   / CAST(n_a + n_b AS DOUBLE))
+        |                          * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+        |              END)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS z
+        |FROM ag""".stripMargin,
+    // HHI = Σc²/T² is ONE division of exact integers — the decile floor
+    // lands identically even exactly on a bucket boundary
+    "q_hhi_buckets" ->
+      """WITH ct AS (
+        |  SELECT user_id, event_type, count(*) AS c FROM events GROUP BY 1, 2
+        |), per AS (
+        |  SELECT user_id, CAST(sum(c * c) AS BIGINT) AS ss,
+        |         CAST(sum(c) AS BIGINT) AS t
+        |  FROM ct GROUP BY user_id
+        |), h AS (
+        |  SELECT CAST(ss AS DOUBLE) / CAST(t * t AS DOUBLE) AS hhi, t FROM per
+        |)
+        |SELECT CAST(floor(hhi * 10.0) AS BIGINT) AS bucket, count(*) AS n_users,
+        |       CAST(sum(t) AS BIGINT) AS n_events
+        |FROM h GROUP BY 1""".stripMargin,
+    // adjacent-bigram PMI against raw corpus unigram marginals; ln replay
+    "q_pmi_bigrams" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $TokensSql AS toks FROM documents
+         |), bi AS (
+         |  SELECT unnest(list_transform(generate_series(2, len(toks)),
+         |                               i -> struct_pack(w1 := toks[i-1], w2 := toks[i])))
+         |           AS b
+         |  FROM t WHERE len(toks) >= 2
+         |), bc AS (
+         |  SELECT b.w1 AS w1, b.w2 AS w2, count(*) AS n_pair
+         |  FROM bi GROUP BY 1, 2 HAVING count(*) >= 5
+         |), uni AS (
+         |  SELECT w, count(*) AS cu
+         |  FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w
+         |), nb AS (
+         |  SELECT CAST(sum(len(toks) - 1) AS BIGINT) AS n_bi
+         |  FROM t WHERE len(toks) >= 2
+         |)
+         |SELECT bc.w1, bc.w2, bc.n_pair,
+         |       floor(ln(CAST(bc.n_pair AS DOUBLE) * CAST(nb.n_bi AS DOUBLE)
+         |                / (CAST(u1.cu AS DOUBLE) * CAST(u2.cu AS DOUBLE)))
+         |             * 1000000.0 + 0.5) / 1000000.0 AS pmi
+         |FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w, nb""".stripMargin
   )
 
   /** Shared CTE prefix for the exact-substring oracles: rolling 8-token
