@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AbTest, AsOfJoin, Attribution, Autocorrelation, Changepoint, Collocations, Components, Concentration, Decontaminate, Dedup, Diversity, Featurize, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, PiiScrub, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, WeightedSample}
+import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Collocations, Components, Concentration, Decontaminate, Dedup, Dispersion, Diversity, Featurize, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Paths, PiiScrub, RankTest, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -1758,6 +1758,16 @@ object SparkEntry {
     // bigram PMI collocations (operators.Collocations): exact counts, ln
     // replayed (TfIdf/BM25 precedent), min support 5
     "q_pmi_bigrams" -> ((s, d) => Collocations.pmiBigrams(Tables(s, d).documents)),
+    // event-type trigram paths (operators.Paths): the 3-gram extension of
+    // the Markov operator — one user exchange serves both leads
+    "q_event_trigrams" -> ((s, d) => Paths.eventTrigrams(Tables(s, d).events)),
+    // Fano factor per type over the dense global hour grid — burstiness
+    "q_fano_factor" -> ((s, d) => Dispersion.fanoByType(Tables(s, d).events)),
+    // market-basket lift on the type vocabulary (distinct-user incidence)
+    "q_event_type_lift" -> ((s, d) => Association.typeLift(Tables(s, d).events)),
+    // Mann–Whitney U weekend-vs-weekday purchase values, tie-corrected z;
+    // doubled average ranks keep every rank sum an exact BIGINT
+    "q_rank_sum_test" -> ((s, d) => RankTest.weekendRankSum(Tables(s, d).events)),
     // ---- ML plane (RNG/ML — rows-only checks, properties in ScalaTest) ----
     "q_balanced_label_dist" -> { (s, d) =>
       Undersample.balance(sessionFeatures(s, d))
@@ -4448,7 +4458,101 @@ object SparkEntry {
          |       floor(ln(CAST(bc.n_pair AS DOUBLE) * CAST(nb.n_bi AS DOUBLE)
          |                / (CAST(u1.cu AS DOUBLE) * CAST(u2.cu AS DOUBLE)))
          |             * 1000000.0 + 0.5) / 1000000.0 AS pmi
-         |FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w, nb""".stripMargin
+         |FROM bc JOIN uni u1 ON bc.w1 = u1.w JOIN uni u2 ON bc.w2 = u2.w, nb""".stripMargin,
+    // micros ordering + event_id tie-break (the q_markov discipline)
+    "q_event_trigrams" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type AS e1, epoch_ns(ts) // 1000 AS ts_us, event_id
+        |  FROM events
+        |), lg AS (
+        |  SELECT user_id, e1,
+        |         lead(e1, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS e2,
+        |         lead(e1, 2) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS e3
+        |  FROM e
+        |)
+        |SELECT e1, e2, e3, count(*) AS n
+        |FROM lg WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 HAVING count(*) >= 10""".stripMargin,
+    // dense type × hour grid; population variance from exact integers
+    "q_fano_factor" ->
+      """WITH hc AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), bnd AS (
+        |  SELECT min(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h0,
+        |         max(CAST(floor(epoch(ts)) AS BIGINT) // 3600) AS h1
+        |  FROM events
+        |), grid AS (
+        |  SELECT t.event_type, g.h
+        |  FROM (SELECT DISTINCT event_type FROM events) t,
+        |       (SELECT unnest(range((SELECT h0 FROM bnd), (SELECT h1 FROM bnd) + 1)) AS h) g
+        |), dense AS (
+        |  SELECT grid.event_type, COALESCE(hc.c, 0) AS x
+        |  FROM grid LEFT JOIN hc ON grid.event_type = hc.event_type AND grid.h = hc.h
+        |), ag AS (
+        |  SELECT event_type, count(*) AS n_hours, CAST(sum(x) AS BIGINT) AS s,
+        |         CAST(sum(x * x) AS BIGINT) AS q
+        |  FROM dense GROUP BY event_type
+        |)
+        |SELECT event_type, n_hours,
+        |       floor((CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS mean_per_hour,
+        |       floor(((CAST(q AS DOUBLE) / CAST(n_hours AS DOUBLE)
+        |               - (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE))
+        |                 * (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)))
+        |              / (CAST(s AS DOUBLE) / CAST(n_hours AS DOUBLE)))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS fano
+        |FROM ag""".stripMargin,
+    // distinct-user incidence; lift is one replayed double expression
+    "q_event_type_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |tot AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+        |pr AS (
+        |  SELECT x.event_type AS type_a, y.event_type AS type_b, count(*) AS n_both
+        |  FROM ut x JOIN ut y ON x.user_id = y.user_id
+        |                     AND x.event_type < y.event_type
+        |  GROUP BY 1, 2
+        |)
+        |SELECT pr.type_a, pr.type_b, ta.n_t AS n_a, tb.n_t AS n_b, pr.n_both,
+        |       floor((CAST(pr.n_both AS DOUBLE) * CAST(nu.n_users AS DOUBLE)
+        |              / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS lift
+        |FROM pr JOIN tot ta ON pr.type_a = ta.event_type
+        |        JOIN tot tb ON pr.type_b = tb.event_type, nu""".stripMargin,
+    // doubled average ranks (rank + rank + cnt − 1) keep rank sums exact;
+    // epoch-day weekday arithmetic, no engine dow numbering
+    "q_rank_sum_test" ->
+      """WITH p AS (
+        |  SELECT CAST(round((value) * 1e6) AS BIGINT) AS v,
+        |         ((CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7) >= 5 AS is_weekend
+        |  FROM events WHERE event_type = 'purchase'
+        |), r AS (
+        |  SELECT v, is_weekend,
+        |         CAST(rank() OVER (ORDER BY v) AS BIGINT) AS rk,
+        |         count(*) OVER (PARTITION BY v) AS cnt
+        |  FROM p
+        |), r2t AS (SELECT is_weekend, rk * 2 + cnt - 1 AS r2 FROM r),
+        |ag AS (
+        |  SELECT CAST(sum(CASE WHEN is_weekend THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN NOT is_weekend THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |         CAST(sum(CASE WHEN is_weekend THEN r2 ELSE 0 END) AS BIGINT) AS r2_a
+        |  FROM r2t
+        |), tc AS (
+        |  SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tcorr
+        |  FROM (SELECT count(*) AS t FROM p GROUP BY v)
+        |)
+        |SELECT n_a, n_b, r2_a - n_a * (n_a + 1) AS u2_a,
+        |       floor(((CAST(r2_a - n_a * (n_a + 1) AS DOUBLE)
+        |               - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |              / (2.0 * sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+        |                            * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+        |                               - CAST(tcorr AS DOUBLE)
+        |                                 / (CAST(n_a + n_b AS DOUBLE)
+        |                                    * (CAST(n_a + n_b AS DOUBLE) - 1.0))))))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS z
+        |FROM ag, tc""".stripMargin
   )
 
   /** Shared CTE prefix for the exact-substring oracles: rolling 8-token
