@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Collocations, Components, Concentration, Decontaminate, Dedup, Dispersion, Diversity, Featurize, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Paths, PiiScrub, RankTest, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, WeightedSample}
+import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Decontaminate, Dedup, Dispersion, Diversity, Featurize, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, RankTest, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -1768,6 +1768,15 @@ object SparkEntry {
     // Mann–Whitney U weekend-vs-weekday purchase values, tie-corrected z;
     // doubled average ranks keep every rank sum an exact BIGINT
     "q_rank_sum_test" -> ((s, d) => RankTest.weekendRankSum(Tables(s, d).events)),
+    // daily churn ledger (operators.Churn): one user exchange for both
+    // lag and lead; deterministic first/last-day edges
+    "q_daily_churn" -> ((s, d) => Churn.dailyLedger(Tables(s, d).events)),
+    // gaps-and-islands longest-streak histogram (operators.Streaks)
+    "q_user_streaks" -> ((s, d) => Streaks.maxStreakHistogram(Tables(s, d).events)),
+    // Pareto curve: top-p% users' revenue share at standard cutoffs
+    "q_revenue_pareto" -> ((s, d) => Pareto.revenueShares(s, Tables(s, d).events)),
+    // per-source n_chars decile profile — the mixture batch-effect check
+    "q_source_deciles" -> ((s, d) => SourceProfile.decileProfile(Tables(s, d).documents)),
     // ---- ML plane (RNG/ML — rows-only checks, properties in ScalaTest) ----
     "q_balanced_label_dist" -> { (s, d) =>
       Undersample.balance(sessionFeatures(s, d))
@@ -4552,7 +4561,68 @@ object SparkEntry {
         |                                 / (CAST(n_a + n_b AS DOUBLE)
         |                                    * (CAST(n_a + n_b AS DOUBLE) - 1.0))))))
         |             * 1000000.0 + 0.5) / 1000000.0 AS z
-        |FROM ag, tc""".stripMargin
+        |FROM ag, tc""".stripMargin,
+    // one user exchange for both lag and lead; integer day arithmetic
+    "q_daily_churn" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+        |  FROM events
+        |), f AS (
+        |  SELECT user_id, d,
+        |         lag(d, 1) OVER (PARTITION BY user_id ORDER BY d) AS prev,
+        |         lead(d, 1) OVER (PARTITION BY user_id ORDER BY d) AS next
+        |  FROM ud
+        |)
+        |SELECT d, count(*) AS n_active,
+        |       CAST(sum(CASE WHEN prev IS NULL OR prev < d - 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_new,
+        |       CAST(sum(CASE WHEN next = d + 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_retained,
+        |       CAST(sum(CASE WHEN next IS NULL OR next > d + 1 THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_churned
+        |FROM f GROUP BY d""".stripMargin,
+    // textbook gaps-and-islands: island id = day - row_number
+    "q_user_streaks" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS d
+        |  FROM events
+        |), i AS (
+        |  SELECT user_id,
+        |         d - row_number() OVER (PARTITION BY user_id ORDER BY d) AS isl
+        |  FROM ud
+        |), il AS (SELECT user_id, count(*) AS len FROM i GROUP BY user_id, isl),
+        |mx AS (SELECT user_id, max(len) AS streak_days FROM il GROUP BY user_id)
+        |SELECT streak_days, count(*) AS n_users FROM mx GROUP BY streak_days""".stripMargin,
+    // head = greatest(1, (n*p) DIV 100) users by DESC spend; exact micros
+    "q_revenue_pareto" ->
+      """WITH sp AS (
+        |  SELECT user_id, sum(CAST(round((value) * 1e6) AS BIGINT)) AS m
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |), rkd AS (
+        |  SELECT m, row_number() OVER (ORDER BY m DESC, user_id) AS rk,
+        |         count(*) OVER () AS n, CAST(sum(m) OVER () AS BIGINT) AS tot,
+        |         CAST(sum(m) OVER (ORDER BY m DESC, user_id ROWS UNBOUNDED PRECEDING)
+        |              AS BIGINT) AS cum
+        |  FROM sp
+        |), cuts AS (SELECT unnest([1, 5, 10, 20]) AS pct)
+        |SELECT CAST(cuts.pct AS BIGINT) AS pct, rkd.rk AS k_users,
+        |       CAST(floor((cum + 5000) / 10000.0) AS BIGINT) / 100.0 AS head_money,
+        |       floor((CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE)) * 1000000.0 + 0.5)
+        |         / 1000000.0 AS share
+        |FROM rkd JOIN cuts ON rkd.rk = greatest(1, (rkd.n * cuts.pct) // 100)""".stripMargin,
+    // deterministic ntile over (n_chars, doc_id); exact-ratio mean
+    "q_source_deciles" ->
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |         CAST(ntile(10) OVER (PARTITION BY source ORDER BY n_chars, doc_id)
+        |              AS BIGINT) AS decile
+        |  FROM documents
+        |)
+        |SELECT source, decile, count(*) AS n_docs, min(n_chars) AS min_chars,
+        |       max(n_chars) AS max_chars,
+        |       floor((CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |             * 1000000.0 + 0.5) / 1000000.0 AS mean_chars
+        |FROM d GROUP BY 1, 2""".stripMargin
   )
 
   /** Shared CTE prefix for the exact-substring oracles: rolling 8-token

@@ -86,15 +86,21 @@ object Densify {
   ): DataFrame = {
     val wb = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wf = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // The forward look runs as a RUNNING `last` over the reverse sort, not
+    // `first` over a (currentRow, unboundedFollowing) frame: Spark executes
+    // shrinking frames by re-aggregating the remainder per row — O(n²) per
+    // partition (measured 25 s on a ~700-row-per-group sf0.1 series vs
+    // ~1 s this way). Same hash partitioning, so still ONE exchange; the
+    // second in-partition sort is O(n log n).
+    val wfRev = Window.partitionBy(col(groupCol)).orderBy(col(bucketCol).desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val v = col(valueCol)
     val b = col(bucketCol)
     val obsBucket = when(v.isNotNull, b)
     val prevV = last(v, ignoreNulls = true).over(wb)
     val prevB = last(obsBucket, ignoreNulls = true).over(wb)
-    val nextV = first(v, ignoreNulls = true).over(wf)
-    val nextB = first(obsBucket, ignoreNulls = true).over(wf)
+    val nextV = last(v, ignoreNulls = true).over(wfRev)
+    val nextB = last(obsBucket, ignoreNulls = true).over(wfRev)
     val raw = when(v.isNotNull, v)
       .when(prevV.isNotNull && nextV.isNotNull,
         prevV + (nextV - prevV) *
