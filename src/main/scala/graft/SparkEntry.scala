@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Decontaminate, Dedup, Dispersion, Diversity, Featurize, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, RankTest, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, WeightedSample}
+import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Featurize, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, RankTest, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Wavelet, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -1777,6 +1777,13 @@ object SparkEntry {
     "q_revenue_pareto" -> ((s, d) => Pareto.revenueShares(s, Tables(s, d).events)),
     // per-source n_chars decile profile — the mixture batch-effect check
     "q_source_deciles" -> ((s, d) => SourceProfile.decileProfile(Tables(s, d).documents)),
+    // CUPED variance-reduced lift (operators.Cuped): pre-period spend as
+    // the covariate; arm means of the adjusted outcome expand to pure
+    // integer sufficient statistics — no per-user float ever aggregated
+    "q_cuped_lift" -> ((s, d) => Cuped.adjustedLift(Tables(s, d).events)),
+    // Haar wavelet energy by scale (operators.Wavelet): unnormalized
+    // integer cascade, exact BIGINT energies
+    "q_wavelet_energy" -> ((s, d) => Wavelet.hourlyEnergy(Tables(s, d).events)),
     // ---- ML plane (RNG/ML — rows-only checks, properties in ScalaTest) ----
     "q_balanced_label_dist" -> { (s, d) =>
       Undersample.balance(sessionFeatures(s, d))
@@ -4622,7 +4629,12 @@ object SparkEntry {
         |       max(n_chars) AS max_chars,
         |       floor((CAST(sum(n_chars) AS DOUBLE) / CAST(count(*) AS DOUBLE))
         |             * 1000000.0 + 0.5) / 1000000.0 AS mean_chars
-        |FROM d GROUP BY 1, 2""".stripMargin
+        |FROM d GROUP BY 1, 2""".stripMargin,
+    // generated: theta/x-bar replicated textually so every use is the
+    // same IEEE tree; all stats integer cents
+    "q_cuped_lift" -> CupedOracleSql,
+    // generated: 4-level unnormalized Haar cascade, exact integers
+    "q_wavelet_energy" -> WaveletOracleSql
   )
 
   /** Shared CTE prefix for the exact-substring oracles: rolling 8-token
@@ -4756,5 +4768,89 @@ object SparkEntry {
        |  FROM lg
        |)
        |${rows.mkString("\nUNION ALL ")}""".stripMargin
+  }
+
+  /** Generated DuckDB replay of Cuped.adjustedLift: integer-cents
+    * sufficient statistics; the θ and x̄ sub-expressions are spliced
+    * textually into every use site so both engines evaluate the identical
+    * IEEE tree each time.
+    */
+  private lazy val CupedOracleSql: String = {
+    val theta = "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)" +
+      " / CAST(n AS DOUBLE)) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)" +
+      " * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
+    val xbar = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
+    def adj(g: String) =
+      s"(CAST(sy_$g AS DOUBLE) - $theta * (CAST(sx_$g AS DOUBLE)" +
+        s" - CAST(n_$g AS DOUBLE) * $xbar)) / CAST(n_$g AS DOUBLE)"
+    def mean(g: String) = s"CAST(sy_$g AS DOUBLE) / CAST(n_$g AS DOUBLE)"
+    def f6(e: String) = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
+    s"""WITH bnd AS (
+       |  SELECT (min(CAST(floor(epoch(ts)) AS BIGINT))
+       |          + max(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS t_mid
+       |  FROM events
+       |), per AS (
+       |  SELECT user_id,
+       |         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+       |                            < (SELECT t_mid FROM bnd)
+       |                       THEN CAST(round((value) * 100) AS BIGINT)
+       |                       ELSE 0 END) AS BIGINT) AS x,
+       |         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+       |                            >= (SELECT t_mid FROM bnd)
+       |                       THEN CAST(round((value) * 100) AS BIGINT)
+       |                       ELSE 0 END) AS BIGINT) AS y
+       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+       |), a AS (
+       |  SELECT x, y,
+       |         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 AS arm
+       |  FROM per
+       |), ag AS (
+       |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+       |         CAST(sum(x * x) AS BIGINT) AS sxx,
+       |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+       |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+       |         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
+       |         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
+       |         CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
+       |         CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
+       |  FROM a
+       |)
+       |SELECT n_a, n_b, ${f6(theta)} AS theta,
+       |       ${f6(s"(${mean("b")} - ${mean("a")}) / 100.0")} AS lift_raw,
+       |       ${f6(s"(${adj("b")} - ${adj("a")}) / 100.0")} AS lift_cuped
+       |FROM ag""".stripMargin
+  }
+
+  /** Generated DuckDB replay of Wavelet.hourlyEnergy (4 levels): the
+    * integer pair cascade with incomplete tail pairs dropped at each
+    * level, energies as exact BIGINT sums of squared details.
+    */
+  private lazy val WaveletOracleSql: String = {
+    val L = 4
+    val levelCtes = (1 to L).map { l =>
+      val src = if (l == 1) "dense" else s"l${l - 1}"
+      s"""p$l AS (
+         |  SELECT t // 2 AS tp, count(*) AS np,
+         |         CAST(sum(CASE WHEN t % 2 = 0 THEN a ELSE 0 END) AS BIGINT) AS even,
+         |         CAST(sum(CASE WHEN t % 2 = 1 THEN a ELSE 0 END) AS BIGINT) AS odd
+         |  FROM $src GROUP BY 1
+         |), l$l AS (SELECT tp AS t, even + odd AS a FROM p$l WHERE np = 2),
+         |e$l AS (
+         |  SELECT CAST($l AS BIGINT) AS level, count(*) AS n_coeffs,
+         |         CAST(sum((even - odd) * (even - odd)) AS BIGINT) AS energy
+         |  FROM p$l WHERE np = 2)""".stripMargin
+    }
+    s"""WITH hrs AS (
+       |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS c
+       |  FROM events GROUP BY 1
+       |), bnd AS (SELECT min(h) AS h0, max(h) AS h1 FROM hrs),
+       |dense AS (
+       |  SELECT g.h - (SELECT h0 FROM bnd) AS t, COALESCE(hrs.c, 0) AS a
+       |  FROM (SELECT unnest(range((SELECT h0 FROM bnd), (SELECT h1 FROM bnd) + 1)) AS h) g
+       |  LEFT JOIN hrs ON g.h = hrs.h
+       |),
+       |${levelCtes.mkString(",\n")}
+       |${(1 to L).map(l => s"SELECT level, n_coeffs, energy FROM e$l").mkString("\nUNION ALL ")}""".stripMargin
   }
 }
