@@ -32,8 +32,8 @@ object SparkEntry {
     * from a bounded double-explode (≤ cap² per shingle): one corpus scan,
     * two shuffles, vs a posting self-join's three scans and four.
     */
-  private def shingleEdges(docs: DataFrame): DataFrame =
-    docs
+  private def shingleEdges(docs: DataFrame): DataFrame = {
+    val e = docs
       .select(col("doc_id"), explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
       .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= 20)
@@ -43,6 +43,14 @@ object SparkEntry {
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 5)
       .select(col("src"), col("dst"))
+    // Deliberately NOT persisted (r12 A/B, sf0.1): consumers reference the
+    // subplan twice via their undirected unions, but both branches run in
+    // ONE scan-bound job with idle cores — the double build is parallel
+    // slack. A lazy persist makes the branches race the un-populated cache
+    // (slowest option); an eager count serializes an extra job + cache
+    // write and nets out slower for the Components family too. Leave lazy.
+    e
+  }
 
   /** Gap-session bounds shared by the interval-overlap queries: one row per
     * (user, session) with inclusive [start_s, end_s] epoch-second bounds.

@@ -47,8 +47,13 @@ object SimilarityJoin {
   ): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0,
       s"SimilarityJoin.jaccardSelfJoin: threshold must be in (0, 1], got $threshold")
+    // The shingled corpus feeds FOUR consumers (sizes, the df explode and
+    // both verify sides) and the prefix feeds both sides of the candidate
+    // self-join — persist them or Spark re-tokenizes the corpus per
+    // consumer (measured: 10.8 s → ~6 s at sf0.1). MEMORY_AND_DISK
+    // default spills rather than OOMs at scale.
     val sh = docs.select(col(idCol).as("id"),
-      Dedup.shingles(col(textCol), shingleWidth).as("sh"))
+      Dedup.shingles(col(textCol), shingleWidth).as("sh")).persist()
     val sized = sh.select(col("id"), col("sh"), size(col("sh")).as("n"))
     val ex = sh.select(col("id"), explode(col("sh")).as("s"))
     val dfreq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
@@ -61,6 +66,7 @@ object SimilarityJoin {
       .join(sized.select(col("id"), col("n")), Seq("id"))
       .filter(col("rn") <= col("n") - ceil(lit(threshold) * col("n")) + 1)
       .select(col("id"), col("s"), col("n"))
+      .persist()
 
     val cand = pref.as("a")
       .join(pref.as("b"),

@@ -67,7 +67,10 @@ object SubstringDedup {
       idCol: String = "doc_id",
       textCol: String = "text"
   ): DataFrame = {
-    val wh = windowHashes(docs, w, idCol, textCol)
+    // persisted: both the distinct-doc aggregate and the semi-join back
+    // read the window hashes — without the cache the tokenize + per-window
+    // md5 scan (the pipeline's dominant cost) runs twice
+    val wh = windowHashes(docs, w, idCol, textCol).persist()
     // one hash-shuffle; a hash shared by millions of docs is still one
     // aggregate row — there is no pairwise materialization anywhere
     val dup = wh.groupBy(col("h"))
