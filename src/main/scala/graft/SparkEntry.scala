@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Featurize, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, RankTest, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Wavelet, WeightedSample}
+import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Featurize, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, RankTest, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -1792,6 +1792,11 @@ object SparkEntry {
     // Haar wavelet energy by scale (operators.Wavelet): unnormalized
     // integer cascade, exact BIGINT energies
     "q_wavelet_energy" -> ((s, d) => Wavelet.hourlyEnergy(Tables(s, d).events)),
+    // hour-of-week traffic matrix (operators.Tempo): epoch-day dow
+    // arithmetic; share is one replayed division
+    "q_hour_of_week" -> ((s, d) => Tempo.hourOfWeekProfile(Tables(s, d).events)),
+    // inter-purchase gap histogram — exact micros lags, floor-hour buckets
+    "q_repurchase_gaps" -> ((s, d) => Tempo.repurchaseGaps(Tables(s, d).events)),
     // ---- ML plane (RNG/ML — rows-only checks, properties in ScalaTest) ----
     "q_balanced_label_dist" -> { (s, d) =>
       Undersample.balance(sessionFeatures(s, d))
@@ -4642,7 +4647,34 @@ object SparkEntry {
     // same IEEE tree; all stats integer cents
     "q_cuped_lift" -> CupedOracleSql,
     // generated: 4-level unnormalized Haar cascade, exact integers
-    "q_wavelet_energy" -> WaveletOracleSql
+    "q_wavelet_energy" -> WaveletOracleSql,
+    // epoch-day dow (0=Monday), never engine dayofweek numbering
+    "q_hour_of_week" ->
+      """WITH cell AS (
+        |  SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400 + 3) % 7 AS dow,
+        |         (CAST(floor(epoch(ts)) AS BIGINT) // 3600) % 24 AS hour_of_day
+        |  FROM events
+        |), ag AS (
+        |  SELECT dow, hour_of_day, count(*) AS n_events FROM cell GROUP BY 1, 2
+        |)
+        |SELECT dow, hour_of_day, n_events,
+        |       floor(CAST(n_events AS DOUBLE)
+        |             / CAST(CAST(sum(n_events) OVER () AS BIGINT) AS DOUBLE)
+        |             * 1000000.0 + 0.5) / 1000000.0 AS share
+        |FROM ag""".stripMargin,
+    // exact micros lags (epoch_ns//1000 ≡ ts_ns DIV 1000), event_id ties
+    "q_repurchase_gaps" ->
+      """WITH p AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS ts_us, event_id
+        |  FROM events WHERE event_type = 'purchase'
+        |), lg AS (
+        |  SELECT ts_us,
+        |         lag(ts_us, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+        |           AS prev_us
+        |  FROM p
+        |)
+        |SELECT (ts_us - prev_us) // 3600000000 AS gap_hours, count(*) AS n_gaps
+        |FROM lg WHERE prev_us IS NOT NULL GROUP BY 1""".stripMargin
   )
 
   /** Shared CTE prefix for the exact-substring oracles: rolling 8-token
