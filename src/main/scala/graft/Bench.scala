@@ -37,11 +37,16 @@ object Bench {
       if (sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse")) ordered0.reverse
       else ordered0
 
+    // A query failing in ANY rep marks it failed in the JSON line: silent
+    // shrinkage (r9's 58 instant "timings") must be machine-visible, not
+    // just a stderr line the driver's parser never reads.
+    val failed = scala.collection.mutable.LinkedHashSet.empty[String]
     def runOnce(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
         case e: Throwable =>
+          failed += name
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -78,8 +83,9 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val failedList = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.size},"failed_queries":$failedList,"sf":"$sfDir"}"""
     println(line)
     // sbt interleaves the stdout line with log noise, which has cost the
     // round driver its parse before — persist the same line to a file too.

@@ -4396,7 +4396,7 @@ object SparkEntry {
       """WITH p AS (
         |  SELECT user_id, event_id AS purchase_id, epoch_ns(ts) // 1000 AS p_us,
         |         CAST(round((value) * 1e6) AS BIGINT) AS value_micros
-        |  FROM events WHERE event_type = 'purchase'
+        |  FROM events WHERE event_type = 'purchase' AND value >= 0
         |), v AS (
         |  SELECT user_id, epoch_ns(ts) // 1000 AS v_us
         |  FROM events WHERE event_type = 'view'

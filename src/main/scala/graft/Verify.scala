@@ -25,18 +25,26 @@ object Verify {
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
     val queries = only.fold(SparkEntry.queries)(k => SparkEntry.queries.filter(q => k(q._1)))
+    val failed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val tasks = queries.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
             .parquet(s"$outDir/$name")
           catch { case e: Throwable =>
+            failed.add(name)
             System.err.println(s"[verify] $name failed: ${e.getMessage}")
           }
       })
     }
     tasks.foreach(_.get())
     pool.shutdown()
+    // Machine-readable summary: a red query must change this line, not just
+    // emit a stderr message nobody greps (the r9 silent-shrinkage lesson).
+    val failedNames = failed.toArray(Array.empty[String]).sorted
+    System.err.println(
+      s"[verify] ${queries.size - failedNames.length} ok / ${failedNames.length} failed" +
+        (if (failedNames.nonEmpty) failedNames.mkString(": ", ", ", "") else ""))
     // Drop DataFrame caches and leftover MLlib RDD persists so the gate
     // process ends with zero pinned blocks (leak hygiene; queries run
     // concurrently above, so per-query cleanup would race — once at the

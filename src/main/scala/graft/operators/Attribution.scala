@@ -29,8 +29,12 @@ object Attribution {
     * the crediting VIEW's UTC hour of day.
     */
   def linearByHour(events: DataFrame, windowSecs: Long = 86400L): DataFrame = {
+    // The integer-DIV credit split below is only engine-portable for
+    // non-negative operands (Spark DIV truncates toward zero, DuckDB //
+    // floors) — enforce the invariant instead of assuming it, so a refund
+    // row (negative value) is excluded rather than silently hash-diverging.
     val p = events
-      .filter(col("event_type") === "purchase")
+      .filter(col("event_type") === "purchase" && col("value") >= 0)
       .select(
         col("user_id"),
         col("event_id").as("purchase_id"),
