@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Featurize, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, RankTest, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
+import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Featurize, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -199,6 +199,29 @@ object SparkEntry {
         col("max_price"), col("unique_items")
       )
     },
+    // exact-twin CHECK for the approx sliding windows (the
+    // q_semdedup_subset pattern): join the exact and HLL spellings on the
+    // window key and pin |approx − exact| ≤ max(1, 5%·exact) as a boolean
+    // the oracle states as TRUE — per-window cardinalities are tiny, where
+    // HLL++ is exact-or-nearly, so the bound is structural, not luck.
+    "q_sliding_approx_checked" -> { (s, d) =>
+      def half(exact: Boolean) = SessionWindows.slidingSessionAgg(
+        clickstream(s, d),
+        sessionCol = "user_session", tsCol = "event_time", typeCol = "event_type",
+        priceCol = "price", itemCol = "product_id",
+        cartType = "click", exactDistinct = exact
+      ).select(
+        col("user_session"),
+        col("window.start").cast("long").as("window_start_s"),
+        col("unique_items"))
+      half(exact = true)
+        .join(half(exact = false).withColumnRenamed("unique_items", "approx_items"),
+          Seq("user_session", "window_start_s"))
+        .select(col("user_session"), col("window_start_s"), col("unique_items"),
+          (abs(col("approx_items") - col("unique_items")) <=
+            greatest(lit(1.0), col("unique_items") * lit(0.05)))
+            .as("approx_within_5pct"))
+    },
     // P9: real from_json struct extraction (vs the regexp spelling used by
     // the clickstream mapping)
     "q_json_extract" -> { (s, d) =>
@@ -229,6 +252,25 @@ object SparkEntry {
       val fine = graft.operators.SketchRollup.sketchBy(
         ev, Seq("event_type", "h"), "user_id")
       graft.operators.SketchRollup.rollupEstimate(fine, Seq("event_type"))
+    },
+    // exact-twin CHECK for the HLL rollup (the q_semdedup_subset pattern):
+    // DuckDB can't replay the DataSketches estimate, but it CAN assert the
+    // CONTRACT — per-type exact distinct counts plus a boolean pinning the
+    // rolled-up estimate within ±5% of exact (TRUE on every row in the
+    // oracle). If the sketch-once/union-up path ever drifts past the bound,
+    // the Spark boolean flips and the driver hash mismatches.
+    "q_hll_rollup_checked" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("event_type"), hour(col("ts")).as("h"), col("user_id"))
+      val fine = graft.operators.SketchRollup.sketchBy(
+        ev, Seq("event_type", "h"), "user_id")
+      val rolled = graft.operators.SketchRollup.rollupEstimate(fine, Seq("event_type"))
+      ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+        .join(rolled, Seq("event_type"))
+        .select(col("event_type"), col("exact_users"),
+          (abs(col("approx_distinct") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("rollup_within_5pct"))
     },
     // ---- relational core over the TPC-H-ish tables (joins/agg/sort/limit) ----
     "q1_pricing_summary" -> { (s, d) =>
@@ -1785,6 +1827,13 @@ object SparkEntry {
     "q_revenue_pareto" -> ((s, d) => Pareto.revenueShares(s, Tables(s, d).events)),
     // per-source n_chars decile profile — the mixture batch-effect check
     "q_source_deciles" -> ((s, d) => SourceProfile.decileProfile(Tables(s, d).documents)),
+    // the mapping half of the curation story (q_source_deciles is the
+    // summary half): per-doc cross-source quantile normalization onto the
+    // pooled n_chars distribution — histogram ranks, integer bracket math,
+    // one replayed IEEE interpolation (operators.QuantileNormalize)
+    "q_quantile_normalize" -> { (s, d) =>
+      QuantileNormalize.toPooled(Tables(s, d).documents)
+    },
     // CUPED variance-reduced lift (operators.Cuped): pre-period spend as
     // the covariate; arm means of the adjusted outcome expand to pure
     // integer sufficient statistics — no per-user float ever aggregated
@@ -2318,6 +2367,23 @@ object SparkEntry {
         |       round(avg(price), 6) AS avg_price,
         |       max(price) AS max_price,
         |       count(DISTINCT product_id) AS unique_items
+        |FROM slotted GROUP BY user_session, slot""".stripMargin,
+    // the estimate itself is engine-specific; the CONTRACT (±max(1, 5%)
+    // of exact) is the oracled fact — TRUE per row, flipped by any drift
+    "q_sliding_approx_checked" ->
+      """WITH ev AS (
+        |  SELECT CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d') AS user_session,
+        |         event_type, ts,
+        |         regexp_extract(props, '"k": (\d+)', 1) AS product_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events
+        |), slotted AS (
+        |  SELECT *, unnest(generate_series((ts_s - 300) // 30 + 1, ts_s // 30)) AS slot
+        |  FROM ev
+        |)
+        |SELECT user_session, slot * 30 AS window_start_s,
+        |       count(DISTINCT product_id) AS unique_items,
+        |       TRUE AS approx_within_5pct
         |FROM slotted GROUP BY user_session, slot""".stripMargin,
     "q_json_extract" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
@@ -4246,6 +4312,12 @@ object SparkEntry {
     "q_exact_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users
         |FROM events GROUP BY event_type""".stripMargin,
+    // the sketch-once/union-up estimate is engine-specific; the oracled
+    // fact is the exact counts plus the ±5% contract boolean
+    "q_hll_rollup_checked" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+        |       TRUE AS rollup_within_5pct
+        |FROM events GROUP BY event_type""".stripMargin,
     // PQ deterministic-codebook twins. The codebook is the 8 lowest-id
     // vectors' subspace slices (m=4 × 16 dims); per-subspace squared L2 is
     // a list_sum left fold — bit-identical to Spark's aggregate fold — so
@@ -4674,7 +4746,48 @@ object SparkEntry {
         |  FROM p
         |)
         |SELECT (ts_us - prev_us) // 3600000000 AS gap_hours, count(*) AS n_gaps
-        |FROM lg WHERE prev_us IS NOT NULL GROUP BY 1""".stripMargin
+        |FROM lg WHERE prev_us IS NOT NULL GROUP BY 1""".stripMargin,
+    // histogram ranks (doubled-rank averages stay integer), integer bracket
+    // positions (non-negative, // ≡ DIV), one identically-spelled float
+    // interpolation; windowed sums CAST AS BIGINT (DuckDB HUGEINT)
+    "q_quantile_normalize" ->
+      """WITH d AS (SELECT doc_id, source AS src, n_chars AS v FROM documents),
+        |sh AS (SELECT src, v, count(*) AS cnt FROM d GROUP BY src, v),
+        |sr AS (
+        |  SELECT src, v, cnt,
+        |         CAST(coalesce(sum(cnt) OVER (PARTITION BY src ORDER BY v
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              AS BIGINT) AS cum_below,
+        |         CAST(sum(cnt) OVER (PARTITION BY src) AS BIGINT) AS n_s
+        |  FROM sh),
+        |ph AS (SELECT v, count(*) AS pcnt FROM d GROUP BY v),
+        |pp AS (
+        |  SELECT v, pcnt,
+        |         CAST(coalesce(sum(pcnt) OVER (ORDER BY v
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              AS BIGINT) AS pcum_below
+        |  FROM ph),
+        |nt AS (SELECT count(*) AS n_total FROM d),
+        |k AS (
+        |  SELECT src, v,
+        |         CASE WHEN n_s = 1 THEN n_total - 1
+        |              ELSE (2*cum_below + cnt - 1) * (n_total - 1) END AS a,
+        |         CASE WHEN n_s = 1 THEN 2 ELSE 2*(n_s - 1) END AS dd,
+        |         n_total
+        |  FROM sr, nt),
+        |k2 AS (SELECT src, v, dd, a // dd AS lo, a % dd AS rem,
+        |              least(a // dd + 1, n_total - 1) AS hi
+        |       FROM k),
+        |m AS (
+        |  SELECT k2.src, k2.v,
+        |         CAST(plo.v AS DOUBLE)
+        |           + CAST(k2.rem AS DOUBLE) / CAST(k2.dd AS DOUBLE)
+        |             * CAST(phi.v - plo.v AS DOUBLE) AS norm
+        |  FROM k2
+        |  JOIN pp plo ON k2.lo >= plo.pcum_below AND k2.lo < plo.pcum_below + plo.pcnt
+        |  JOIN pp phi ON k2.hi >= phi.pcum_below AND k2.hi < phi.pcum_below + phi.pcnt)
+        |SELECT d.doc_id, d.src AS source, d.v AS n_chars, m.norm AS norm_n_chars
+        |FROM d JOIN m ON d.src = m.src AND d.v = m.v""".stripMargin
   )
 
   /** Shared CTE prefix for the exact-substring oracles: rolling 8-token

@@ -50,8 +50,14 @@ object SimilarityJoin {
     // The shingled corpus feeds FOUR consumers (sizes, the df explode and
     // both verify sides) and the prefix feeds both sides of the candidate
     // self-join — persist them or Spark re-tokenizes the corpus per
-    // consumer (measured: 10.8 s → ~6 s at sf0.1). MEMORY_AND_DISK
-    // default spills rather than OOMs at scale.
+    // consumer. Reproduced r11: 2.2–2.6 s at sf0.1 with the persists
+    // (TimeQ isolation AND a REPS=3 sequential full-Bench median) vs
+    // ~11 s without (r9); the 14.4 s in BENCH_r10.json was gate-host
+    // load, not a cache race. MEMORY_AND_DISK default spills rather than
+    // OOMs at scale. Lifecycle: the blocks live until the session drops
+    // them — Bench/Verify clearCache() per query; a long-lived session
+    // should clearCache (or unpersist these) after materializing the
+    // result, since the returned frame consumes them lazily.
     val sh = docs.select(col(idCol).as("id"),
       Dedup.shingles(col(textCol), shingleWidth).as("sh")).persist()
     val sized = sh.select(col("id"), col("sh"), size(col("sh")).as("n"))

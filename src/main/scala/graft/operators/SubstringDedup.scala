@@ -69,7 +69,10 @@ object SubstringDedup {
   ): DataFrame = {
     // persisted: both the distinct-doc aggregate and the semi-join back
     // read the window hashes — without the cache the tokenize + per-window
-    // md5 scan (the pipeline's dominant cost) runs twice
+    // md5 scan (the pipeline's dominant cost) runs twice. Lifecycle: the
+    // returned frame consumes the cache lazily, so the blocks live until
+    // the session drops them — Bench/Verify clearCache() per query; a
+    // long-lived session should clearCache after materializing.
     val wh = windowHashes(docs, w, idCol, textCol).persist()
     // one hash-shuffle; a hash shared by millions of docs is still one
     // aggregate row — there is no pairwise materialization anywhere
