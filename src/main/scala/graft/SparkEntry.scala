@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Featurize, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
+import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Featurize, GmmReplay, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -1782,6 +1782,19 @@ object SparkEntry {
     // The generated oracle (KMeansOracleSql) replays every round.
     "q_kmeans_clusters" -> { (s, d) =>
       KMeansReplay.clusterStats(s, Tables(s, d).embeddings, "embedding", 64, 8, 3)
+    },
+    // Replayable GMM soft clustering (operators.GmmReplay): fixed-round
+    // spherical EM whose exp() is the 16-squaring pseudo-exp kernel — pure
+    // IEEE ·/+ both engines replay bit-for-bit; responsibilities integer
+    // micros, M-step exact BIGINT sums. Generated oracle (GmmOracleSql)
+    // replays both EM rounds and the final E-step.
+    // σ² = 0.05: x = −d²/(2σ²·10¹²) then spans ≈ [−28, −16] on this
+    // corpus (measured) — discriminating responsibilities without hitting
+    // the −30 clamp; the default 0.25 concentrates every pair near
+    // uniform (high-dim distance concentration).
+    "q_gmm_soft" -> { (s, d) =>
+      GmmReplay.softAssignments(s, Tables(s, d).embeddings, "embedding", 64, 8, 2,
+        sigmaSq = 0.05d)
     },
     // Gini of per-user purchase spend (operators.Concentration): exact
     // integer micros + rank formula; the one double expression replays.
@@ -4399,6 +4412,8 @@ object SparkEntry {
          |FROM t LEFT JOIN ck USING (doc_id)""".stripMargin,
     // generated full replay of the 3-round integer-micros Lloyd iteration
     "q_kmeans_clusters" -> KMeansOracleSql,
+    // generated full replay of the 2-round pseudo-exp EM (soft clustering)
+    "q_gmm_soft" -> GmmOracleSql,
     // Gini rank formula over exact integer micros; single replayed double
     // expression, floor-6 output (arithmetic-derived float)
     "q_spend_gini" ->
@@ -4881,6 +4896,114 @@ object SparkEntry {
        |SELECT cid AS cluster_id, count(*) AS n_points,
        |       CAST(sum(dist) AS BIGINT) AS inertia
        |FROM a$R GROUP BY cid""".stripMargin
+  }
+
+  /** Generated DuckDB replay of GmmReplay.softAssignments (d=64, k=8,
+    * 2 EM rounds, σ²=0.25): the pseudo-exp kernel pexp(x)=(1+x/2¹⁶)^(2¹⁶)
+    * is 16 explicit IEEE squarings via lateral column aliases — pure ·/+
+    * arithmetic both engines replay bit-for-bit. The E-step denominator is
+    * the same fixed left-assoc sum over ascending cid the Scala side folds
+    * (COALESCE-to-0.0 keeps dropped clusters exact: +0.0 is the IEEE
+    * identity on the positive kernel values); responsibilities quantize to
+    * integer micros, and the M-step is exact BIGINT sufficient statistics
+    * with the same floor(S/w + 0.5) centers and truncating piq division as
+    * KMeansOracleSql — so the hash match is structural.
+    */
+  private lazy val GmmOracleSql: String = {
+    val D = 64; val K = 8; val R = 2
+    // IDENTICAL IEEE product to GmmReplay.softAssignments' internal
+    // 2σ²·10¹² — spliced via Double.toString so both engines divide by
+    // the same double
+    val twoSigmaSqE12 = 2.0d * 0.05d * 1.0e12d
+    val dims = 0 until D
+    val cids = 0 until K
+    val ptCols = dims.map(i =>
+      s"CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x$i")
+    val distExpr =
+      dims.map(i => s"(p.x$i - c.x$i) * (p.x$i - c.x$i)").mkString(" + ")
+    // one E-step against center table c$r: BIGINT distance, clamped x,
+    // pseudo-exp, pivot to num{c} columns, fixed-order den, micro resps.
+    // MATERIALIZED everywhere: DuckDB expands lateral/projected aliases by
+    // TREE SUBSTITUTION, so 16 chained squarings in one SELECT become a
+    // 2¹⁶-node expression (23 s planning, measured) — one materialized CTE
+    // per squaring keeps the tree linear (0.7 s). Same reason the Scala
+    // side chains named columns (GmmReplay.withPexp).
+    def eStep(r: Int): String = {
+      val pexpCtes = (1 to 16).map(i =>
+        s"px${r}_$i AS MATERIALIZED (SELECT vec_id, cid, piq, p * p AS p FROM px${r}_${i - 1})")
+        .mkString(",\n")
+      val pivots = cids.map(c =>
+        s"max(CASE WHEN cid = $c THEN num END) AS num$c").mkString(",\n         ")
+      val den = cids.map(c => s"COALESCE(num$c, 0.0)").reduceLeft((a, b) => s"($a + $b)")
+      val resps = cids.map(c =>
+        s"CAST(floor(num$c / den * 1000000.0 + 0.5) AS BIGINT) AS r$c")
+        .mkString(",\n         ")
+      s"""e$r AS MATERIALIZED (
+         |  SELECT p.vec_id, c.cid, c.piq,
+         |         greatest(-CAST($distExpr AS DOUBLE) / $twoSigmaSqE12, -30.0) AS x
+         |  FROM pts p CROSS JOIN c$r c
+         |), px${r}_0 AS MATERIALIZED (
+         |  SELECT vec_id, cid, piq, 1.0 + x / 65536.0 AS p
+         |  FROM e$r
+         |),
+         |$pexpCtes,
+         |pv$r AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         $pivots
+         |  FROM (SELECT vec_id, cid, CAST(piq AS DOUBLE) * p AS num FROM px${r}_16)
+         |  GROUP BY vec_id
+         |), rr$r AS MATERIALIZED (
+         |  SELECT vec_id,
+         |         $resps
+         |  FROM (SELECT *, $den AS den FROM pv$r)
+         |)""".stripMargin
+    }
+    // one M-step from rr$r: unpivot the K resp columns back to rows, then
+    // ONE exact-BIGINT sufficient-statistics aggregate grouped by cid and
+    // ONE center projection (zero-weight clusters drop via the WHERE) —
+    // K+65 expressions instead of the K·(d+1)-column pivoted spelling
+    def mStep(r: Int): String = {
+      val unpiv = cids.map(c =>
+        s"SELECT vec_id, $c AS cid, r$c AS rv FROM rr$r WHERE r$c IS NOT NULL")
+        .mkString("\n  UNION ALL\n  ")
+      val sums = (dims.map(i => s"CAST(sum(ru.rv * p.x$i) AS BIGINT) AS s$i") :+
+        s"CAST(sum(ru.rv) AS BIGINT) AS w").mkString(",\n         ")
+      val mu = dims.map(i =>
+        s"CAST(floor(CAST(s$i AS DOUBLE) / CAST(w AS DOUBLE) + 0.5) AS BIGINT) AS x$i")
+        .mkString(",\n         ")
+      s"""ru$r AS MATERIALIZED (
+         |  $unpiv
+         |), s$r AS MATERIALIZED (
+         |  SELECT ru.cid,
+         |         $sums
+         |  FROM ru$r ru JOIN pts p USING (vec_id) GROUP BY ru.cid
+         |), c${r + 1} AS MATERIALIZED (
+         |  SELECT CAST(cid AS BIGINT) AS cid,
+         |         CAST(w * 1000000 // (SELECT sum(w) FROM s$r) AS BIGINT) AS piq,
+         |         $mu
+         |  FROM s$r WHERE w > 0
+         |)""".stripMargin
+    }
+    val roundCtes = (0 to R).map(r => if (r == R) eStep(r) else eStep(r) + ",\n" + mStep(r))
+    val unpivot = cids.map(c =>
+      s"SELECT vec_id, CAST($c AS BIGINT) AS cid, r$c AS resp_micro FROM rr$R WHERE r$c IS NOT NULL")
+      .mkString("\nUNION ALL\n")
+    s"""WITH pts AS MATERIALIZED (
+       |  SELECT vec_id, ${ptCols.mkString(",\n         ")}
+       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= $D
+       |), sd AS (
+       |  SELECT vec_id,
+       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
+       |  FROM pts
+       |), c0 AS MATERIALIZED (
+       |  SELECT sd.cid AS cid, CAST(${1000000 / K} AS BIGINT) AS piq,
+       |         ${dims.map(i => s"p.x$i").mkString(", ")}
+       |  FROM sd JOIN pts p USING (vec_id) WHERE sd.cid < $K
+       |),
+       |${roundCtes.mkString(",\n")}
+       |SELECT vec_id, cid, resp_micro FROM (
+       |$unpivot)
+       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY resp_micro DESC, cid) = 1""".stripMargin
   }
 
   /** Generated DuckDB replay of Autocorrelation.hourlyAcf (lags 1..6):
