@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Featurize, GmmReplay, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
+import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Dsir, Featurize, GmmReplay, GopherFilter, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -1846,6 +1846,22 @@ object SparkEntry {
     // one replayed IEEE interpolation (operators.QuantileNormalize)
     "q_quantile_normalize" -> { (s, d) =>
       QuantileNormalize.toPooled(Tables(s, d).documents)
+    },
+    // Gopher hard quality gates (operators.GopherFilter, Rae 2021 A1.1):
+    // every gate an INTEGER comparison (thresholds cross-multiplied), so
+    // the whole filter battery hash-oracles with no rounding anywhere
+    "q_gopher_gates" -> ((s, d) => GopherFilter.gates(Tables(s, d).documents)),
+    // DSIR importance selection (operators.Dsir, Xie 2023): en-lang target
+    // domain, md5-48 hashed unigram+bigram buckets, integer-micro λ per
+    // bucket, exact BIGINT per-doc scores, PrefixSum distributed top-25%
+    "q_dsir_scores" -> { (s, d) =>
+      Dsir.importanceScores(Tables(s, d).documents, col("lang") === "en")
+    },
+    // corpus duplication profile (SubstringDedup.dupNgramStats — Lee
+    // 2021's headline metric): per-source fraction of 8-gram positions
+    // duplicated anywhere in the corpus; aggregated-hash-table join only
+    "q_dup_ngram_stats" -> { (s, d) =>
+      graft.operators.SubstringDedup.dupNgramStats(Tables(s, d).documents, w = 8)
     },
     // CUPED variance-reduced lift (operators.Cuped): pre-period spend as
     // the covariate; arm means of the adjusted outcome expand to pure
@@ -4802,7 +4818,99 @@ object SparkEntry {
         |  JOIN pp plo ON k2.lo >= plo.pcum_below AND k2.lo < plo.pcum_below + plo.pcnt
         |  JOIN pp phi ON k2.hi >= phi.pcum_below AND k2.hi < phi.pcum_below + phi.pcnt)
         |SELECT d.doc_id, d.src AS source, d.v AS n_chars, m.norm AS norm_n_chars
-        |FROM d JOIN m ON d.src = m.src AND d.v = m.v""".stripMargin
+        |FROM d JOIN m ON d.src = m.src AND d.v = m.v""".stripMargin,
+    // Gopher gate battery: every threshold cross-multiplied to an integer
+    // comparison — no float, no rounding, structural hash match
+    "q_gopher_gates" ->
+      s"""WITH t AS (SELECT doc_id, text, $TokensSql AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_words,
+         |         CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS sum_len,
+         |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |         CAST((length(text) - length(translate(text, '#', '')))
+         |            + (length(text) - length(translate(text, '…', ''))) AS BIGINT) AS n_sym,
+         |         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |                              s -> list_contains(toks, s))) AS BIGINT) AS n_stop
+         |  FROM t),
+         |g AS (
+         |  SELECT doc_id, n_words,
+         |         (n_words BETWEEN 50 AND 100000) AS g_word_count,
+         |         (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS g_word_len,
+         |         (10 * n_sym <= n_words) AS g_symbol,
+         |         (5 * n_alpha >= 4 * n_words) AS g_alpha,
+         |         (n_stop >= 2) AS g_stop
+         |  FROM m),
+         |k AS (
+         |  SELECT *,
+         |         CAST((CASE WHEN g_word_count THEN 0 ELSE 1 END)
+         |            + (CASE WHEN g_word_len THEN 0 ELSE 2 END)
+         |            + (CASE WHEN g_symbol THEN 0 ELSE 4 END)
+         |            + (CASE WHEN g_alpha THEN 0 ELSE 8 END)
+         |            + (CASE WHEN g_stop THEN 0 ELSE 16 END) AS BIGINT) AS reject_mask
+         |  FROM g)
+         |SELECT doc_id, n_words, g_word_count, g_word_len, g_symbol, g_alpha,
+         |       g_stop, reject_mask, (reject_mask = 0) AS keep
+         |FROM k""".stripMargin,
+    // DSIR: md5-48 hashed unigram+bigram buckets, λ and the norm term
+    // quantized to integer micros ONCE each (ln replay, TfIdf precedent),
+    // per-doc scores exact BIGINT sums, top-25% under (score, id) order
+    "q_dsir_scores" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, (lang = 'en') AS is_t, $TokensSql AS toks FROM documents),
+         |pos AS (
+         |  SELECT doc_id, is_t,
+         |         ('0x' || substring(md5(g), 1, 12))::BIGINT % 1024 AS bk
+         |  FROM (SELECT doc_id, is_t,
+         |               unnest(toks || list_transform(generate_series(1, len(toks) - 1),
+         |                      i -> toks[i] || ' ' || toks[i + 1])) AS g
+         |        FROM t)),
+         |cnt AS (
+         |  SELECT bk, count(*) AS rc, count(*) FILTER (is_t) AS tc
+         |  FROM pos GROUP BY bk),
+         |lam AS (
+         |  SELECT bk, CAST(floor((ln(tc + 1) - ln(rc + 1)) * 1000000.0 + 0.5) AS BIGINT)
+         |           AS lam_q
+         |  FROM cnt),
+         |tots AS (
+         |  SELECT count(*) AS r_tot, count(*) FILTER (is_t) AS t_tot FROM pos),
+         |gq AS (
+         |  SELECT CAST(floor((ln(t_tot + 1024) - ln(r_tot + 1024)) * 1000000.0 + 0.5)
+         |              AS BIGINT) AS gq
+         |  FROM tots),
+         |sc AS (
+         |  SELECT doc_id, count(*) AS n_grams, CAST(sum(lam_q) AS BIGINT) AS s_lam
+         |  FROM pos JOIN lam USING (bk) GROUP BY doc_id),
+         |scored AS (
+         |  SELECT doc_id, n_grams, s_lam - n_grams * gq AS score_micro
+         |  FROM sc, gq),
+         |rk AS (
+         |  SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS r,
+         |         count(*) OVER () AS n
+         |  FROM scored)
+         |SELECT doc_id, n_grams, score_micro,
+         |       (r <= greatest(1, (n * 25) // 100)) AS selected
+         |FROM rk""".stripMargin,
+    // per-source duplicated-8-gram fraction: aggregated hash tables only,
+    // one replayed floor-6 division at the end
+    "q_dup_ngram_stats" ->
+      s"""WITH t AS (SELECT source, $TokensSql AS toks FROM documents),
+         |wh AS (
+         |  SELECT source, md5(array_to_string(toks[(pos+1):(pos+8)], ' ')) AS h
+         |  FROM (SELECT source, toks, unnest(generate_series(0, len(toks)-8)) AS pos
+         |        FROM t WHERE len(toks) >= 8)),
+         |sh AS (SELECT source, h, count(*) AS c_sh FROM wh GROUP BY source, h),
+         |th AS (SELECT h, CAST(sum(c_sh) AS BIGINT) AS c_h FROM sh GROUP BY h),
+         |ag AS (
+         |  SELECT sh.source,
+         |         CAST(sum(c_sh) AS BIGINT) AS n_positions,
+         |         CAST(sum(CASE WHEN c_h >= 2 THEN c_sh ELSE 0 END) AS BIGINT)
+         |           AS n_dup_positions
+         |  FROM sh JOIN th USING (h) GROUP BY sh.source)
+         |SELECT source, n_positions, n_dup_positions,
+         |       floor(CAST(n_dup_positions AS DOUBLE) / CAST(n_positions AS DOUBLE)
+         |             * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+         |FROM ag""".stripMargin
   )
 
   /** Shared CTE prefix for the exact-substring oracles: rolling 8-token

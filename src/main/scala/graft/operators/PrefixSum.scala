@@ -39,8 +39,21 @@ object PrefixSum {
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
     val ord = orderCols.map(col)
+    // PERSISTED — correctness, not speed: the offsets branch and the main
+    // branch below both read this frame, and they are only consistent if
+    // they see the SAME range boundaries. Unpersisted, Spark's
+    // ReuseExchange dedupes the two identical range exchanges; but over a
+    // cached/persisted input that reuse can fail, each branch re-samples
+    // its OWN boundaries, and the telescope breaks — ranks drift by
+    // ±partition-skew (caught by the q_dsir_scores sf0.1 gate; the same
+    // latent hazard sat under q_token_shards). Materializing the
+    // partitioning once makes both branches read one InMemoryRelation
+    // whose lineage holds one exchange. Lifecycle as SubstringDedup: the
+    // returned frame consumes the cache lazily; Bench/Verify clearCache
+    // per query.
     val ranged = df.repartitionByRange(n, ord: _*)
       .withColumn("_pid", spark_partition_id())
+      .persist()
     val within = Window.partitionBy(col("_pid")).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // per-partition totals: ≤ numPartitions rows, so the one

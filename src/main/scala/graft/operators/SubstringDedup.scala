@@ -131,4 +131,45 @@ object SubstringDedup {
         (col("n_tokens") - size(col("kept"))).as("n_removed"),
         md5(concat_ws(" ", col("kept"))).as("clean_md5"))
   }
+
+  /** The paper's HEADLINE measurement (Lee et al. 2021 report it per
+    * corpus): the fraction of w-gram positions whose w-gram occurs more
+    * than once in the whole corpus (within- OR cross-document), broken out
+    * per source — the duplication profile a curation report leads with.
+    * Returns (source, n_positions, n_dup_positions, dup_frac floor-6).
+    *
+    * Scale shape: everything happens on AGGREGATED hash tables — per
+    * (source, hash) counts, then per-hash totals, then one join of the two
+    * pre-aggregated frames on the hash. Positions are never joined back
+    * row-wise, so a hash shared by millions of positions is one row end to
+    * end. The one replayed float is the final division (floor-6).
+    */
+  def dupNgramStats(
+      docs: DataFrame,
+      w: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      srcCol: String = "source"
+  ): DataFrame = {
+    require(w >= 2, s"window width $w must be >= 2")
+    val t = col("_toks")
+    val idx = when(size(t) >= w, sequence(lit(0), size(t) - w))
+      .otherwise(array().cast("array<int>"))
+    val wins = transform(idx, i => md5(concat_ws(" ", slice(t, i + 1, lit(w)))))
+    val bySrcHash = docs
+      .select(col(srcCol), toks(textCol).as("_toks"))
+      .select(col(srcCol), explode(wins).as("h"))
+      .groupBy(col(srcCol), col("h"))
+      .agg(count(lit(1)).as("c_sh"))
+    val byHash = bySrcHash.groupBy(col("h")).agg(sum(col("c_sh")).as("c_h"))
+    bySrcHash
+      .join(byHash, Seq("h"))
+      .groupBy(col(srcCol))
+      .agg(
+        sum(col("c_sh")).as("n_positions"),
+        sum(when(col("c_h") >= 2L, col("c_sh")).otherwise(0L)).as("n_dup_positions"))
+      .select(col(srcCol), col("n_positions"), col("n_dup_positions"),
+        (floor(col("n_dup_positions").cast("double") / col("n_positions").cast("double")
+          * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("dup_frac"))
+  }
 }

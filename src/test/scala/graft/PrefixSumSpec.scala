@@ -44,6 +44,34 @@ class PrefixSumSpec extends AnyFunSuite {
     assert(shards.distinct.sorted.sameElements(0L to shards.max))
   }
 
+  test("constant-1 runningTotal over a PERSISTED input equals global row_number") {
+    // Regression (r13): over a cached input the offsets branch and the main
+    // branch each re-sampled their own range boundaries (ReuseExchange does
+    // not fire across an InMemoryRelation), drifting ranks by up to the
+    // partition skew — caught by the q_dsir_scores sf0.1 gate. The persist
+    // inside runningTotal pins one materialized partitioning for both.
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(7)
+    val df = (1 to 5000).map(i => (i.toLong, rnd.nextInt(100000).toLong))
+      .toDF("id", "score")
+      .repartition(8)
+      .withColumn("_negscore", -$"score")
+      .withColumn("_one", org.apache.spark.sql.functions.lit(1L))
+      .persist()
+    df.count()
+    try {
+      val ranked = PrefixSum.runningTotal(df, Seq("_negscore", "id"), "_one", "_rk")
+        .select($"id", $"_rk").as[(Long, Long)].collect().toMap
+      val truth = df
+        .withColumn("_rk",
+          org.apache.spark.sql.functions.row_number()
+            .over(Window.orderBy($"_negscore", $"id")).cast("long"))
+        .select($"id", $"_rk").as[(Long, Long)].collect().toMap
+      val bad = truth.collect { case (id, rk) if ranked(id) != rk => (id, rk, ranked(id)) }
+      assert(bad.isEmpty, s"first mismatches: ${bad.take(5)}")
+    } finally df.unpersist()
+  }
+
   test("full input flows through a range exchange and a _pid window, never one task") {
     val p = PrefixSum.runningTotal(rows, Seq("k"), "v", numPartitions = 7)
       .queryExecution.executedPlan.toString

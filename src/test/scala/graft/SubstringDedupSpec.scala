@@ -81,4 +81,36 @@ class SubstringDedupSpec extends AnyFunSuite {
   private def md5Of(s: String): String =
     java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+
+  test("dupNgramStats: per-source duplicated-position fractions, hand-traced") {
+    // w=2 bigram positions:
+    //   s1/doc1 "a b c"   → "a b", "b c"
+    //   s1/doc2 "b c d"   → "b c", "c d"
+    //   s2/doc3 "b c b c" → "b c", "c b", "b c"
+    //   s2/doc4 "x y"     → "x y"
+    // corpus totals: "b c"×4 (dup), others ×1
+    // s1: 4 positions, 2 dup → 0.5 ; s2: 4 positions, 2 dup → 0.5
+    val docs = Seq(
+      (1L, "s1", "a b c"), (2L, "s1", "b c d"),
+      (3L, "s2", "b c b c"), (4L, "s2", "x y")
+    ).toDF("doc_id", "source", "text")
+    val got = SubstringDedup.dupNgramStats(docs, w = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got === Map("s1" -> ((4L, 2L, 0.5d)), "s2" -> ((4L, 2L, 0.5d))))
+  }
+
+  test("dupNgramStats: a duplicate WITHIN one document counts") {
+    val docs = Seq((1L, "s1", "a b a b")).toDF("doc_id", "source", "text")
+    // positions: "a b", "b a", "a b" → 2 of 3 duplicated
+    val got = SubstringDedup.dupNgramStats(docs, w = 2).collect()
+    assert(got.length === 1)
+    assert((got.head.getLong(1), got.head.getLong(2)) === ((3L, 2L)))
+  }
+
+  test("dupNgramStats: sources shorter than w vanish, no division by zero") {
+    val docs = Seq((1L, "s1", "a b c"), (2L, "s2", "solo")).toDF("doc_id", "source", "text")
+    val got = SubstringDedup.dupNgramStats(docs, w = 2).collect()
+    assert(got.map(_.getString(0)).toSeq === Seq("s1"))
+  }
 }
