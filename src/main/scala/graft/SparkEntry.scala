@@ -1621,6 +1621,14 @@ object SparkEntry {
     "q_simhash_sigs" -> { (s, d) =>
       Tables(s, d).documents.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
     },
+    // portable md5-48 SimHash twin (TF.simhash48FromHashes): the
+    // q_fingerprints_md5 pattern applied to the SimHash sketch — exact
+    // signature oracled, xxhash64 kernel stays the intra-Spark default
+    "q_simhash_md5" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"), TF.md548Tokens(col("text")).as("_hs"))
+        .select(col("doc_id"), TF.simhash48FromHashes(col("_hs")).as("simhash48"))
+    },
     "q_simhash_pairs" -> { (s, d) =>
       Dedup.simhashPairs(Tables(s, d).documents, maxHamming = 16)
         .orderBy(col("hamming"), col("id1"), col("id2")).limit(100)
@@ -1862,6 +1870,12 @@ object SparkEntry {
     // duplicated anywhere in the corpus; aggregated-hash-table join only
     "q_dup_ngram_stats" -> { (s, d) =>
       graft.operators.SubstringDedup.dupNgramStats(Tables(s, d).documents, w = 8)
+    },
+    // length-bucketed batching padding report (operators.Batching): the
+    // dynamic-batching waste comparison — all-integer until one replayed
+    // floor-6 division; ranks via the distributed PrefixSum
+    "q_batch_padding" -> { (s, d) =>
+      graft.operators.Batching.paddingReport(Tables(s, d).documents, m = 32)
     },
     // CUPED variance-reduced lift (operators.Cuped): pre-period spend as
     // the covariate; arm means of the adjusted outcome expand to pure
@@ -3476,6 +3490,35 @@ object SparkEntry {
          |    ('0x' || substring(md5(tok), 1, 12))::BIGINT % 2147483629)),
          |  (acc, h) -> (acc * 31 + h) % 2147483629) AS fp
          |FROM t""".stripMargin,
+    // generated 48-bit portable SimHash replay: per-bit ±1 position sums
+    // (independent expressions in ONE select — no alias chaining, so no
+    // tree-substitution blowup), sign bits OR'd as a power-of-two sum
+    "q_simhash_md5" -> SimhashMd5OracleSql,
+    // dynamic-batching padding waste: two global ranks, (rk-1)//32 batch
+    // ids, integer per-batch padding, one replayed floor-6 division
+    "q_batch_padding" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($TokensSql) AS BIGINT) AS n_tokens
+         |           FROM documents),
+         |a AS (SELECT n_tokens, row_number() OVER (ORDER BY doc_id) AS rk FROM t),
+         |ab AS (SELECT (rk - 1) // 32 AS b, count(*) AS bn,
+         |              max(n_tokens) AS bmax, CAST(sum(n_tokens) AS BIGINT) AS bsum
+         |       FROM a GROUP BY 1),
+         |ar AS (SELECT 'arrival' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+         |              CAST(sum(bsum) AS BIGINT) AS total_tokens,
+         |              CAST(sum(bn * bmax - bsum) AS BIGINT) AS total_padding
+         |       FROM ab),
+         |s AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens, doc_id) AS rk FROM t),
+         |sb AS (SELECT (rk - 1) // 32 AS b, count(*) AS bn,
+         |              max(n_tokens) AS bmax, CAST(sum(n_tokens) AS BIGINT) AS bsum
+         |       FROM s GROUP BY 1),
+         |sr AS (SELECT 'length_sorted' AS strategy, CAST(count(*) AS BIGINT) AS n_batches,
+         |              CAST(sum(bsum) AS BIGINT) AS total_tokens,
+         |              CAST(sum(bn * bmax - bsum) AS BIGINT) AS total_padding
+         |       FROM sb)
+         |SELECT strategy, n_batches, total_tokens, total_padding,
+         |       floor(CAST(total_padding AS DOUBLE) / CAST(total_tokens AS DOUBLE)
+         |             * 1000000.0 + 0.5) / 1000000.0 AS overhead
+         |FROM (SELECT * FROM ar UNION ALL SELECT * FROM sr)""".stripMargin,
     "q_mixture_rebalance" ->
       """WITH w(lang, wt) AS (
         |  VALUES ('en', 2.0), ('zh', 1.0), ('es', 1.0), ('de', 1.0), ('fr', 1.0)
@@ -4912,6 +4955,30 @@ object SparkEntry {
          |             * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
          |FROM ag""".stripMargin
   )
+
+  /** Generated DuckDB replay of TF.simhash48FromHashes: one md5-48 per
+    * token, 48 independent ±1 position sums (sign of each = one output
+    * bit). All integers; empty docs sign to 0 everywhere → signature 0.
+    */
+  private lazy val SimhashMd5OracleSql: String = {
+    val bitSums = (0 until 48).map(j =>
+      s"coalesce(list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)), 0) AS c$j")
+      .mkString(",\n         ")
+    val sig = (0 until 48).map(j =>
+      s"(CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END)").mkString("\n       + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_transform($TokensSql, tok ->
+       |    ('0x' || substring(md5(tok), 1, 12))::BIGINT) AS hs
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM t
+       |)
+       |SELECT doc_id,
+       |       CAST($sig AS BIGINT) AS simhash48
+       |FROM c""".stripMargin
+  }
 
   /** Shared CTE prefix for the exact-substring oracles: rolling 8-token
     * window hashes, hashes in ≥2 distinct docs, and the merged maximal

@@ -194,4 +194,30 @@ object TextFunctions {
         acc * 31L + pmod(graft.operators.HashSplit.md548(t), lit(FpPrime)),
         lit(FpPrime))
     )
+
+  /** md5-48 hashes of the whitespace tokens — bind this ONCE as a named
+    * column before folding over it ([[simhash48FromHashes]]): a HOF lambda
+    * re-evaluates its argument per element, and 48 bit-folds over an
+    * inlined `transform(tokens(text), md548)` would run the tokenizer and
+    * md5 48× per document (the windowHashes lesson).
+    */
+  def md548Tokens(text: Column): Column =
+    transform(tokens(text), t => graft.operators.HashSplit.md548(t))
+
+  /** Portable 48-bit SimHash (Charikar 2002) from a bound md5-48 hash
+    * array: bit j of the output is the sign of Σ over token POSITIONS of
+    * (±1 per bit j of the token's hash) — the [[fingerprintPortable]]
+    * story applied to the SimHash sketch: md5-48 reproduces in any engine,
+    * so the exact signature hash-oracles (q_simhash_md5), while the
+    * xxhash64 kernel ([[graft.expressions.TextSketches.simhash64]]) stays
+    * the fast intra-Spark default. Zero shuffle; 48 integer folds over the
+    * already-hashed array, built-in codegen'd HOFs only. Empty documents
+    * sign to 0 on every bit → signature 0 in both engines.
+    */
+  def simhash48FromHashes(hs: Column): Column =
+    (0 until 48).map { j =>
+      val cj = aggregate(hs, lit(0L), (acc, h) =>
+        acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
+      when(cj > 0L, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
 }
