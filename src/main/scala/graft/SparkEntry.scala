@@ -1629,6 +1629,14 @@ object SparkEntry {
         .select(col("doc_id"), TF.md548Tokens(col("text")).as("_hs"))
         .select(col("doc_id"), TF.simhash48FromHashes(col("_hs")).as("simhash48"))
     },
+    // portable md5-48 MinHash twin (TF.minhash48Lanes): lane-salted md5
+    // minima over distinct 3-shingles — the sketch trilogy's third member
+    "q_minhash_md5_sigs" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"), TF.tokens(col("text")).as("_toks"))
+        .select(col("doc_id"), TF.shingles3(col("_toks")).as("_sh"))
+        .select(col("doc_id") +: TF.minhash48Lanes(col("_sh"), 16): _*)
+    },
     "q_simhash_pairs" -> { (s, d) =>
       Dedup.simhashPairs(Tables(s, d).documents, maxHamming = 16)
         .orderBy(col("hamming"), col("id1"), col("id2")).limit(100)
@@ -3494,6 +3502,10 @@ object SparkEntry {
     // (independent expressions in ONE select — no alias chaining, so no
     // tree-substitution blowup), sign bits OR'd as a power-of-two sum
     "q_simhash_md5" -> SimhashMd5OracleSql,
+    // generated 16-lane portable MinHash replay: lane-salted md5-48
+    // minima over the distinct-3-shingle list (independent expressions,
+    // no alias chaining)
+    "q_minhash_md5_sigs" -> MinhashMd5OracleSql,
     // dynamic-batching padding waste: two global ranks, (rk-1)//32 batch
     // ids, integer per-batch padding, one replayed floor-6 division
     "q_batch_padding" ->
@@ -4978,6 +4990,28 @@ object SparkEntry {
        |SELECT doc_id,
        |       CAST($sig AS BIGINT) AS simhash48
        |FROM c""".stripMargin
+  }
+
+  /** Generated DuckDB replay of TF.minhash48Lanes over TF.shingles3: lane
+    * i = min over distinct 3-shingles of md5-48("i <shingle>"); docs
+    * shorter than 3 tokens shingle to their whole text.
+    */
+  private lazy val MinhashMd5OracleSql: String = {
+    val lanes = (0 until 16).map(i =>
+      s"list_min(list_transform(sh, s -> ('0x' || substring(md5('$i ' || s), 1, 12))::BIGINT)) AS mh$i")
+      .mkString(",\n       ")
+    s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+       |sg AS (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_distinct(list_transform(
+       |                     generate_series(1, len(toks) - 2),
+       |                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+       |         END AS sh
+       |  FROM t)
+       |SELECT doc_id,
+       |       $lanes
+       |FROM sg""".stripMargin
   }
 
   /** Shared CTE prefix for the exact-substring oracles: rolling 8-token

@@ -220,4 +220,33 @@ object TextFunctions {
         acc + when(shiftright(h, j).bitwiseAND(lit(1L)) === 1L, lit(1L)).otherwise(lit(-1L)))
       when(cj > 0L, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
+
+  /** Distinct word 3-shingles as a bound column — the minhash kernel's
+    * shingling contract (docs shorter than w contribute their whole
+    * normalized text as the single shingle, so no doc is shingle-less)
+    * spelled with built-in HOFs for cross-engine replay. Bind ONCE before
+    * folding ([[minhash48Lanes]] folds 16× over it).
+    */
+  def shingles3(toks: Column): Column =
+    when(size(toks) < 3, array(concat_ws(" ", toks)))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(toks) - 3),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+
+  /** Portable MinHash lanes (Broder 1997) from a bound shingle array: lane
+    * i's value is min over shingles of md5-48("i <shingle>") — lane-salted
+    * md5 instead of the kernel's (a·h+b) mod p universal hashes, so there
+    * is NO multiply to overflow and the exact lane minima reproduce in any
+    * engine (q_minhash_md5_sigs; the [[fingerprintPortable]] /
+    * [[simhash48FromHashes]] portability story completing the sketch
+    * trilogy). Zero shuffle: a per-row projection of `nLanes` integer
+    * folds; the xxhash64 kernel (TextSketches.minhashSignature) stays the
+    * fast intra-Spark default for banding.
+    */
+  def minhash48Lanes(shingles: Column, nLanes: Int = 16): Seq[Column] =
+    (0 until nLanes).map { i =>
+      array_min(transform(shingles, s =>
+        graft.operators.HashSplit.md548(concat_ws(" ", lit(i.toString), s))))
+        .as(s"mh$i")
+    }
 }
