@@ -157,6 +157,30 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("partial_count"), p)
   }
 
+  test("r13 portable sketches and gopher gates: zero-shuffle projections, pruned scans") {
+    Seq("q_gopher_gates", "q_simhash_md5", "q_minhash_md5_sigs").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must be a pure projection:\n${p.take(1500)}")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q must prune to (doc_id, text):\n${p.take(1500)}")
+    }
+  }
+
+  test("dsir: bounded broadcast joins for the lambda tables, no cartesian on data scale") {
+    val p = plan("q_dsir_scores")
+    assert(p.contains("BroadcastHashJoin"), s"λ join must broadcast:\n${p.take(2000)}")
+    assert(!p.toLowerCase.contains("cartesianproduct"),
+      s"only the 1-row norm-term cross join may appear, as broadcast:\n${p.take(2000)}")
+  }
+
+  test("dup-ngram profile: aggregates before the hash join, never positions joined row-wise") {
+    val p = plan("q_dup_ngram_stats")
+    // both join inputs are aggregates: partial_sum/partial_count appear
+    // upstream of the SortMergeJoin/ShuffledHashJoin on h
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(2000))
+    assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2000))
+  }
+
   test("media metadata query never reads the binary content from a media parquet") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-media").toString

@@ -502,4 +502,32 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Long, Int)].collect().toSet
     assert(got == expected && got.nonEmpty)
   }
+
+  test("gopher gates on a stream match the batch gates exactly") {
+    // GopherFilter.gates is all integer comparisons over one projection —
+    // no aggregation, no state — so the published quality filter runs
+    // unchanged on a live feed in append mode (the LmScore stateless
+    // parity pattern): the ingest-time drop decision is the same decision
+    // the batch pipeline would make.
+    import graft.operators.GopherFilter
+    val probe = Tables(spark, TestSpark.Sf0001).documents
+      .filter($"doc_id" < 20).select($"doc_id", $"text")
+    val expected = GopherFilter.gates(probe)
+      .select($"doc_id", $"reject_mask", $"keep")
+      .as[(Long, Long, Boolean)].collect().toSet
+
+    val dir = Files.createTempDirectory("graft-gopher-in").toString
+    val cp = Files.createTempDirectory("graft-gopher-cp").toString
+    probe.write.mode("overwrite").parquet(dir)
+    val raw = spark.readStream.schema("doc_id LONG, text STRING").parquet(dir)
+    val q = GopherFilter.gates(raw)
+      .select($"doc_id", $"reject_mask", $"keep")
+      .writeStream.outputMode("append").format("memory")
+      .queryName("gopher_stream_out").option("checkpointLocation", cp).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.sql("SELECT doc_id, reject_mask, keep FROM gopher_stream_out")
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
 }
