@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Dsir, Featurize, GmmReplay, GopherFilter, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
+import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Dsir, Featurize, GmmReplay, GopherFilter, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, RepetitionCoverage, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -1332,6 +1332,13 @@ object SparkEntry {
     // MinKByAgg — ≤ 20 pairs/source/partition through the shuffle, no
     // full-group sort), hash-matched against the same oracle as the
     // window path — the equivalence the spec also pins.
+    // deterministic weighted-fair training order (operators.Interleave):
+    // WFQ virtual finish times v = (md5_rank · 10⁹) DIV w_micros with
+    // temperature weights computed in-plan; global position via the
+    // PrefixSum distributed rank
+    "q_training_order" -> { (s, d) =>
+      graft.operators.Interleave.trainingOrder(Tables(s, d).documents)
+    },
     "q_weighted_sample" -> { (s, d) =>
       WeightedSample.samplePerGroupAtScale(
         Tables(s, d).documents.select(col("doc_id"), col("source"),
@@ -1441,6 +1448,14 @@ object SparkEntry {
       import s.implicits._
       val queries = Bm25Queries.toDF("query_id", "term")
       graft.operators.Bm25.topDocs(Tables(s, d).documents, queries, topK = 10)
+    },
+    // hybrid lexical+dense retrieval fused by RRF (operators.
+    // HybridRetrieval): query-by-example probes (doc_id < 5) — distinct
+    // tokens as a more-like-this BM25 query (integer-micro term scores)
+    // + embedding cosine kNN, top-20 lists fused by 1/(60+rank)
+    "q_rrf_fusion" -> { (s, d) =>
+      val t = Tables(s, d)
+      graft.operators.HybridRetrieval.fuseByExample(t.documents, t.embeddings)
     },
     // tokenizer-vocab seeding: freq-ranked deterministic token ids over the
     // minCount-pruned vocabulary (operators.Vocab)
@@ -1588,6 +1603,13 @@ object SparkEntry {
     // min doc_id, isolated docs their own. Deterministic end-to-end, so
     // the whole graph pipeline — including transitivity — is oracled via
     // a recursive CTE.
+    // deterministic synchronous LPA communities over the near-dup graph
+    // (operators.LabelPropagation): 3 fixed rounds, most-frequent-neighbor
+    // label with smallest-label ties — the finer-than-components split
+    "q_lpa_communities" -> { (s, d) =>
+      graft.operators.LabelPropagation.communities(
+        shingleEdges(Tables(s, d).documents))
+    },
     "q_dedup_components" -> { (s, d) =>
       val docs = Tables(s, d).documents
       docs.select(col("doc_id"))
@@ -1842,6 +1864,10 @@ object SparkEntry {
     "q_event_trigrams" -> ((s, d) => Paths.eventTrigrams(Tables(s, d).events)),
     // Fano factor per type over the dense global hour grid — burstiness
     "q_fano_factor" -> ((s, d) => Dispersion.fanoByType(Tables(s, d).events)),
+    // integer-replay EWMA (operators.Ewma): exact BIGINT recurrence
+    // s += floor((10⁶x − s)/2³) over each type's dense daily counts —
+    // sequential state hash-oracled via a recursive-CTE replay
+    "q_ewma_daily" -> ((s, d) => graft.operators.Ewma.bucketEwma(Tables(s, d).events)),
     // market-basket lift on the type vocabulary (distinct-user incidence)
     "q_event_type_lift" -> ((s, d) => Association.typeLift(Tables(s, d).events)),
     // Mann–Whitney U weekend-vs-weekday purchase values, tie-corrected z;
@@ -1884,6 +1910,13 @@ object SparkEntry {
     // floor-6 division; ranks via the distributed PrefixSum
     "q_batch_padding" -> { (s, d) =>
       graft.operators.Batching.paddingReport(Tables(s, d).documents, m = 32)
+    },
+    // Gopher A1.2 repetition gates (operators.RepetitionCoverage): char
+    // coverage of top 2..4-grams and duplicated 5..10-grams, one
+    // zero-shuffle HOF projection; gates are cross-multiplied integers,
+    // fractions one replayed floor-6 division each
+    "q_gopher_repetition" -> { (s, d) =>
+      RepetitionCoverage.gates(Tables(s, d).documents)
     },
     // CUPED variance-reduced lift (operators.Cuped): pre-period spend as
     // the covariate; arm means of the adjusted outcome expand to pure
@@ -2188,6 +2221,30 @@ object SparkEntry {
        |FROM kb$R GROUP BY a""".stripMargin
   }
 
+  /** Generated replay of LabelPropagation.communities(rounds = 3) over the
+    * shingle graph — one MATERIALIZED CTE per synchronous round; the
+    * arg-max (most frequent neighbor label, smallest label on ties) is a
+    * (c DESC, label ASC) row_number, mirroring max(struct(c, −label)).
+    */
+  private lazy val LpaOracleSql: String = {
+    val R = 3
+    val rounds = (1 to R).map { r =>
+      s"""l$r AS MATERIALIZED (
+         |  SELECT node, label FROM (
+         |    SELECT node, label,
+         |           row_number() OVER (PARTITION BY node
+         |                              ORDER BY c DESC, label ASC) AS rn
+         |    FROM (SELECT e.a AS node, l.label, count(*) AS c
+         |          FROM bi e JOIN l${r - 1} l ON l.node = e.b
+         |          GROUP BY e.a, l.label))
+         |  WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""$EdgesCte,
+       |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM bi),
+       |$rounds
+       |SELECT node, label AS community FROM l$R""".stripMargin
+  }
+
   private lazy val DedupCompCte: String =
     s"""$EdgesCte,
        |reach(node, r) AS (
@@ -2336,6 +2393,7 @@ object SparkEntry {
     "q_markov_stationary" -> MarkovStationarySql,
     "q_pca_two_components" -> PcaTwoOracleSql,
     "q_kcore" -> KCoreOracleSql,
+    "q_lpa_communities" -> LpaOracleSql,
     "q_session_features" -> s"$FeaturesSql SELECT * FROM features",
     "q_session_features_join" -> s"$FeaturesSql SELECT * FROM features",
     "q_first_purchase" ->
@@ -3891,6 +3949,29 @@ object SparkEntry {
         |           AS samp_rank
         |  FROM documents)
         |SELECT doc_id, lang, samp_rank FROM r WHERE samp_rank <= 50""".stripMargin,
+    // WFQ training order: md5 per-source ranks, in-plan temperature
+    // weights (identical pow/floor spelling), integer virtual times
+    // (both operands positive so DIV ≡ //), global row_number twin of
+    // the PrefixSum rank
+    "q_training_order" ->
+      """WITH c AS (SELECT source, count(*) AS ns FROM documents GROUP BY source),
+        |t AS (SELECT count(*) AS n FROM documents),
+        |w AS (SELECT source,
+        |         CAST(floor(pow(CAST(ns AS DOUBLE) / CAST(n AS DOUBLE), 0.5)
+        |                    * 1000000.0 + 0.5) AS BIGINT) AS w_micros
+        |       FROM c CROSS JOIN t),
+        |r AS (SELECT doc_id, source,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |             AS BIGINT) AS src_rank
+        |      FROM documents),
+        |v AS (SELECT r.doc_id, r.source, r.src_rank, w.w_micros,
+        |             (r.src_rank * 1000000000) // w.w_micros AS vtime
+        |      FROM r JOIN w USING (source))
+        |SELECT doc_id, source, src_rank, w_micros, vtime,
+        |       CAST(row_number() OVER (ORDER BY vtime, source, doc_id) AS BIGINT)
+        |         AS global_pos
+        |FROM v""".stripMargin,
     // the classic 16->32 bit-spread chain, spelled with the same masks as
     // ZOrder.spread16 (DuckDB BIGINT <<,|,& match Spark's long ops exactly)
     "q_zorder_key" ->
@@ -4175,6 +4256,81 @@ object SparkEntry {
          |                            ORDER BY score DESC, doc_id) AS rank
          |  FROM scored)
          |SELECT query_id, rank, doc_id, score FROM ranked WHERE rank <= 10""".stripMargin,
+    // hybrid RRF fusion: BM25 chain with per-term floor-micro quantization
+    // BEFORE the per-(query,doc) sum (exact BIGINT ranking — dozens of
+    // terms per query-by-example probe is past the float-sum hazard), the
+    // q_knn_bruteforce cosine chain, FULL JOIN, 1/(60+rank) in fixed
+    // lex+dense order, one replayed floor-6 of the fused score
+    "q_rrf_fusion" ->
+      s"""WITH tok AS (
+         |  SELECT doc_id, $TokensSql AS toks FROM documents
+         |), stats AS (
+         |  SELECT count(*) AS n, sum(len(toks)) AS tot FROM tok
+         |), terms AS (
+         |  SELECT doc_id, len(toks) AS dl, unnest(toks) AS word FROM tok
+         |), tf AS (
+         |  SELECT doc_id, dl, word, count(*) AS tf FROM terms GROUP BY doc_id, dl, word
+         |), df AS (
+         |  SELECT word, count(*) AS df FROM tf GROUP BY word
+         |), q AS (
+         |  SELECT doc_id AS query_id, unnest(list_distinct(toks)) AS word
+         |  FROM tok WHERE doc_id < 5
+         |), qt AS (
+         |  SELECT DISTINCT q.query_id, q.word,
+         |         ln((CAST(stats.n AS DOUBLE) - df.df + CAST(0.5 AS DOUBLE))
+         |            / (df.df + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) AS idf
+         |  FROM q JOIN df ON q.word = df.word CROSS JOIN stats
+         |), lexs AS (
+         |  SELECT qt.query_id, tf.doc_id,
+         |         sum(CAST(floor(
+         |           qt.idf * (tf.tf * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+         |           / (tf.tf + CAST(1.2 AS DOUBLE)
+         |              * (CAST(1.0 AS DOUBLE) - CAST(0.75 AS DOUBLE)
+         |                 + CAST(0.75 AS DOUBLE) * tf.dl
+         |                   / (CAST(stats.tot AS DOUBLE) / stats.n)))
+         |           * 1000000.0 + 0.5) AS BIGINT)) AS lex_micros
+         |  FROM tf JOIN qt ON tf.word = qt.word CROSS JOIN stats
+         |  WHERE tf.doc_id <> qt.query_id
+         |  GROUP BY qt.query_id, tf.doc_id
+         |), lexr AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY lex_micros DESC, doc_id) AS lex_rank
+         |  FROM lexs
+         |  QUALIFY lex_rank <= 20
+         |), dq AS (
+         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |  FROM embeddings WHERE vec_id < 5
+         |), dc AS (
+         |  SELECT dq.query_id, e.vec_id AS doc_id,
+         |         list_cosine_similarity(dq.qv, CAST(e.embedding AS DOUBLE[])) AS cos
+         |  FROM dq CROSS JOIN embeddings e WHERE e.vec_id <> dq.query_id
+         |), dr AS (
+         |  SELECT query_id, doc_id,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY cos DESC, doc_id) AS dense_rank
+         |  FROM dc
+         |  QUALIFY dense_rank <= 20
+         |), fused AS (
+         |  SELECT coalesce(l.query_id, d.query_id) AS query_id,
+         |         coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |         l.lex_rank, d.dense_rank,
+         |         floor(((CASE WHEN l.lex_rank IS NULL THEN CAST(0.0 AS DOUBLE)
+         |                 ELSE CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + l.lex_rank) END)
+         |              + (CASE WHEN d.dense_rank IS NULL THEN CAST(0.0 AS DOUBLE)
+         |                 ELSE CAST(1.0 AS DOUBLE) / (CAST(60.0 AS DOUBLE) + d.dense_rank) END))
+         |               * 1000000.0 + 0.5) / 1000000.0 AS rrf_score
+         |  FROM lexr l FULL OUTER JOIN dr d
+         |    ON l.query_id = d.query_id AND l.doc_id = d.doc_id
+         |), ranked AS (
+         |  SELECT query_id, doc_id, rrf_score, lex_rank, dense_rank,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY rrf_score DESC, doc_id) AS rank
+         |  FROM fused)
+         |SELECT query_id, CAST(rank AS INT) AS rank, doc_id, rrf_score,
+         |       CAST(coalesce(lex_rank, 0) AS INT) AS lex_rank,
+         |       CAST(coalesce(dense_rank, 0) AS INT) AS dense_rank
+         |FROM ranked WHERE rank <= 10""".stripMargin,
     "q_pca_top_component" -> PcaOracleSql,
     "q_correlation_matrix" -> CorrelationOracleSql,
     "q_label_centroids" ->
@@ -4660,6 +4816,40 @@ object SparkEntry {
         |SELECT e1, e2, e3, count(*) AS n
         |FROM lg WHERE e2 IS NOT NULL AND e3 IS NOT NULL
         |GROUP BY 1, 2, 3 HAVING count(*) >= 10""".stripMargin,
+    // EWMA integer recurrence replayed as a recursive CTE: each step is
+    // one iteration (~20 ms each in DuckDB — why the oracled contract is
+    // the 30-step DAILY series); the per-type list rides INSIDE the
+    // recursion so no other CTE is re-evaluated per step; the floor
+    // division is spelled on doubles (Spark DIV truncates toward zero,
+    // DuckDB // floors — Δ is negative on every decay)
+    "q_ewma_daily" ->
+      """WITH RECURSIVE hc AS MATERIALIZED (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS h,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), span AS MATERIALIZED (
+        |  SELECT min(h) AS h0, max(h) AS h1 FROM hc
+        |), dense AS MATERIALIZED (
+        |  SELECT t.event_type, g.h, coalesce(hc.c, 0) AS x
+        |  FROM (SELECT DISTINCT event_type FROM hc) t
+        |  CROSS JOIN (SELECT unnest(range(h0, h1 + 1)) AS h FROM span) g
+        |  LEFT JOIN hc ON hc.event_type = t.event_type AND hc.h = g.h
+        |), lists AS MATERIALIZED (
+        |  SELECT event_type, list({'h': h, 'x': x} ORDER BY h) AS lst
+        |  FROM dense GROUP BY event_type
+        |), r AS (
+        |  SELECT event_type, lst, 1 AS idx,
+        |         CAST(lst[1].x * 1000000 AS BIGINT) AS s
+        |  FROM lists
+        |  UNION ALL
+        |  SELECT event_type, lst, idx + 1,
+        |         s + CAST(floor((lst[idx + 1].x * 1000000 - s) / 8.0) AS BIGINT)
+        |  FROM r WHERE idx < len(lst)
+        |)
+        |SELECT event_type, lst[idx].h * 86400 AS bucket_s,
+        |       CAST(lst[idx].x AS BIGINT) AS n_events,
+        |       s AS ewma_micros, CAST(s AS DOUBLE) / 1000000.0 AS ewma
+        |FROM r""".stripMargin,
     // dense type × hour grid; population variance from exact integers
     "q_fano_factor" ->
       """WITH hc AS (
@@ -4907,6 +5097,86 @@ object SparkEntry {
          |SELECT doc_id, n_words, g_word_count, g_word_len, g_symbol, g_alpha,
          |       g_stop, reject_mask, (reject_mask = 0) AS keep
          |FROM k""".stripMargin,
+    // Gopher A1.2 char-coverage gates: relational replay of the HOF
+    // kernels — grams via unnest(range)+list_slice, top-gram by
+    // (c DESC, gram ASC) row_number (ties = smallest gram, matching the
+    // first-maximal-run fold), dup coverage as DISTINCT position union.
+    // All integers until the replayed floor-6 divisions.
+    "q_gopher_repetition" -> {
+      val topDefs = RepetitionCoverage.TopThresholds
+      val dupDefs = RepetitionCoverage.DupThresholds
+      val nsValues = (topDefs ++ dupDefs).map { case (n, _) => s"($n)" }.mkString(",")
+      val joins =
+        topDefs.map { case (n, _) =>
+          s"LEFT JOIN topg t$n ON t$n.doc_id = b.doc_id AND t$n.n = $n"
+        } ++ dupDefs.map { case (n, _) =>
+          s"LEFT JOIN covsum c$n ON c$n.doc_id = b.doc_id AND c$n.n = $n"
+        }
+      val covCols =
+        topDefs.map { case (n, _) => s"coalesce(t$n.covered, 0) AS cov_t$n" } ++
+          dupDefs.map { case (n, _) => s"coalesce(c$n.covered, 0) AS cov_d$n" }
+      def fracSql(cov: String, out: String) =
+        s"""CAST(CASE WHEN sum_len = 0 THEN 0
+           |     ELSE floor(CAST($cov AS DOUBLE) / CAST(sum_len AS DOUBLE)
+           |                * 1000000.0 + 0.5) / 1000000.0 END AS DOUBLE) AS $out"""
+          .stripMargin
+      val fracs =
+        topDefs.map { case (n, _) => fracSql(s"cov_t$n", s"top${n}_char_frac") } ++
+          dupDefs.map { case (n, _) => fracSql(s"cov_d$n", s"dup${n}_char_frac") }
+      val maskTerms = (topDefs.map { case (n, t) => (s"cov_t$n", t) } ++
+        dupDefs.map { case (n, t) => (s"cov_d$n", t) }).zipWithIndex.map {
+        case ((cov, t), i) =>
+          s"(CASE WHEN $cov * 100 <= $t * sum_len THEN 0 ELSE ${1L << i} END)"
+      }.mkString("\n       + ")
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, toks, len(toks) AS n_tok,
+         |         CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+         |              AS BIGINT) AS sum_len
+         |  FROM t),
+         |ns(n) AS (VALUES $nsValues),
+         |starts AS (
+         |  SELECT doc_id, n, toks,
+         |         unnest(range(1, n_tok - n + 2)) AS j
+         |  FROM base CROSS JOIN ns
+         |  WHERE n_tok >= n),
+         |grams AS (
+         |  SELECT doc_id, n, CAST(j AS BIGINT) AS j,
+         |         array_to_string(list_slice(toks, j, j + n - 1), ' ') AS gram
+         |  FROM starts),
+         |gc AS (
+         |  SELECT doc_id, n, gram, count(*) AS c
+         |  FROM grams GROUP BY doc_id, n, gram),
+         |topg AS (
+         |  SELECT doc_id, n, CAST(c * (len(gram) - (n - 1)) AS BIGINT) AS covered
+         |  FROM (SELECT doc_id, n, gram, c,
+         |               row_number() OVER (PARTITION BY doc_id, n
+         |                                  ORDER BY c DESC, gram ASC) AS rn
+         |        FROM gc)
+         |  WHERE rn = 1 AND n <= 4),
+         |dstart AS (
+         |  SELECT g.doc_id, g.n, g.j
+         |  FROM grams g JOIN gc USING (doc_id, n, gram)
+         |  WHERE gc.c >= 2 AND g.n >= 5),
+         |covpos AS (
+         |  SELECT DISTINCT doc_id, n, j + o AS p
+         |  FROM (SELECT doc_id, n, j, unnest(range(0, n)) AS o FROM dstart)),
+         |covsum AS (
+         |  SELECT cp.doc_id, cp.n,
+         |         CAST(sum(len(list_extract(b.toks, cp.p))) AS BIGINT) AS covered
+         |  FROM covpos cp JOIN base b USING (doc_id)
+         |  GROUP BY cp.doc_id, cp.n),
+         |wide AS (
+         |  SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_words, b.sum_len,
+         |         ${covCols.mkString(",\n         ")}
+         |  FROM base b
+         |  ${joins.mkString("\n  ")})
+         |SELECT doc_id, n_words, sum_len,
+         |       ${fracs.mkString(",\n       ")},
+         |       CAST($maskTerms AS BIGINT) AS reject_mask,
+         |       (($maskTerms) = 0) AS keep
+         |FROM wide""".stripMargin
+    },
     // DSIR: md5-48 hashed unigram+bigram buckets, λ and the norm term
     // quantized to integer micros ONCE each (ln replay, TfIdf precedent),
     // per-doc scores exact BIGINT sums, top-25% under (score, id) order

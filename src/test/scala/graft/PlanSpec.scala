@@ -181,6 +181,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.toLowerCase.contains("cartesianproduct"), p.take(2000))
   }
 
+  test("gopher repetition coverage is a zero-shuffle projection") {
+    val p = plan("q_gopher_repetition")
+    assert(!p.contains("Exchange"), s"pure projection must not shuffle:\n${p.take(1500)}")
+  }
+
+  test("rrf fusion: query sides broadcast, corpus never sort-merge-joined") {
+    val p = plan("q_rrf_fusion")
+    assert(p.contains("BroadcastExchange"), "query terms / probe vectors must broadcast")
+    assert(!p.contains("CartesianProduct"), s"no cartesian on data scale:\n${p.take(1500)}")
+  }
+
+  test("training order ranks via range partitioning, no single-partition window on data") {
+    val p = plan("q_training_order")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"PrefixSum rank must range-partition:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("media metadata query never reads the binary content from a media parquet") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-plan-media").toString
