@@ -107,24 +107,38 @@ object RepetitionCoverage {
       acc => acc.getField("acc"))
 
   /** Characters of tokens covered by any duplicated n-gram, each token
-    * position counted once: fold token positions p adding length(tok_p)
-    * iff some duplicate start lies in [p−n+1, p] (the interval-union
-    * membership test). `toks` and `dStart` MUST be bound columns — the
-    * fold lambda references them per element, and an inlined expression
-    * tree there is re-evaluated per element (the SubstringDedup
-    * windowHashes lesson; the first draft of this operator paid it).
+    * position counted once — an INTERVAL-MERGE fold over gram start
+    * positions: dup start j covers tokens [j, j+n−1]; ascending j means
+    * the newly-covered segment is [max(j, lastEnd+1), j+n−1], whose token
+    * chars are summed with one slice per MERGED SEGMENT (the first
+    * spelling probed membership per token position — O(L·n) slice
+    * allocations/doc/n; this is O(dup starts + covered tokens)).
+    * `toks` and `dStart` MUST be bound columns — the fold lambda
+    * references them per element, and an inlined expression tree there is
+    * re-evaluated per element (the SubstringDedup windowHashes lesson;
+    * the first draft of this operator paid it at O(L⁴)/doc).
     */
   private def dupCoveredChars(toks: Column, dStart: Column, n: Int): Column = {
-    val nTok = size(toks)
     val nG = size(dStart)
-    when(nTok >= 1,
-      aggregate(sequence(lit(1), nTok), lit(0L), (acc, p) => {
-        val lo = greatest(p - (n - 1), lit(1))
-        val hi = least(p, nG)
-        val covered = hi >= lo && exists(slice(dStart, lo, hi - lo + 1), b => b)
-        acc + when(covered, length(element_at(toks, p)).cast("long"))
-          .otherwise(lit(0L))
-      })).otherwise(lit(0L))
+    when(nG >= 1,
+      aggregate(
+        sequence(lit(1), nG),
+        struct(lit(0L).as("acc"), lit(0).as("lastEnd")),
+        (st, j) => {
+          val isDup = element_at(dStart, j)
+          val lo = greatest(j, st.getField("lastEnd") + 1)
+          val hi = j + lit(n - 1) // ≤ nTok since j ≤ nG = nTok − n + 1
+          // lastEnd ≤ j+n−2 for ascending starts, so the segment is
+          // non-empty whenever isDup; the when() keeps the slice lazy
+          val segChars = aggregate(
+            transform(slice(toks, lo, hi - lo + 1), t => length(t).cast("long")),
+            lit(0L), (a, v) => a + v)
+          struct(
+            when(isDup, st.getField("acc") + segChars)
+              .otherwise(st.getField("acc")).as("acc"),
+            when(isDup, hi).otherwise(st.getField("lastEnd")).as("lastEnd"))
+        },
+        st => st.getField("acc"))).otherwise(lit(0L))
   }
 
   /** Per-document A1.2 gate table:
