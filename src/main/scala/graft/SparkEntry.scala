@@ -981,6 +981,12 @@ object SparkEntry {
     // deterministic, so the COMPOSITION is oracled end-to-end (the keep
     // comparison uses the unrounded dwf on both sides — bit-identical
     // IEEE arithmetic — while the reported column is round(.,6))
+    // end-to-end curation decision ledger (operators.CurationLedger):
+    // one row per doc with every stage verdict (bench hold-out, Gopher
+    // A1.1 + A1.2 gates, exact-dup keeper, contamination) + final keep
+    "q_curation_ledger" -> { (s, d) =>
+      graft.operators.CurationLedger.ledger(Tables(s, d).documents)
+    },
     "q_curation_report" -> { (s, d) =>
       val docs = Tables(s, d).documents
       val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
@@ -1033,6 +1039,17 @@ object SparkEntry {
       val edges = shingleEdges(Tables(s, d).documents)
       graft.operators.PageRank.ranks(edges, "src", "dst", iterations = 5)
         .select(col("node").as("doc_id"), round(col("rank"), 6).as("pagerank"))
+    },
+    // contamination expansion via seeded PPR (operators.
+    // PersonalizedPageRank): random walks restarting at the benchmark
+    // docs (doc_id % 20 = 0, the Decontaminate convention) score
+    // transitive proximity to the contaminated region; exact BIGINT mass
+    // at scale 1e12, 4 rounds
+    "q_ppr_contamination" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      graft.operators.PersonalizedPageRank.seededRanks(
+        shingleEdges(docs),
+        docs.filter(expr("doc_id % 20 = 0")).select(col("doc_id").as("node")))
     },
     // Neyman-allocation stratified sample (operators.StratifiedSample):
     // 200 events split across event types proportional to N_s*sigma_s —
@@ -1821,6 +1838,12 @@ object SparkEntry {
     "q_kmeans_clusters" -> { (s, d) =>
       KMeansReplay.clusterStats(s, Tables(s, d).embeddings, "embedding", 64, 8, 3)
     },
+    // greedy k-center coreset (operators.KCenter, Gonzalez 1985): 8
+    // maximally-spread embeddings — md5-min start, farthest-point rounds
+    // on exact BIGINT distances, nearest-center assignment for every point
+    "q_kcenter_coreset" -> { (s, d) =>
+      graft.operators.KCenter.greedyCoreset(s, Tables(s, d).embeddings)
+    },
     // Replayable GMM soft clustering (operators.GmmReplay): fixed-round
     // spherical EM whose exp() is the 16-squaring pseudo-exp kernel — pure
     // IEEE ·/+ both engines replay bit-for-bit; responsibilities integer
@@ -2388,6 +2411,114 @@ object SparkEntry {
        |FROM br""".stripMargin
   }
 
+  private lazy val GopherGatesOracleSql: String =
+      s"""WITH t AS (SELECT doc_id, text, $TokensSql AS toks FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         CAST(len(toks) AS BIGINT) AS n_words,
+         |         CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS sum_len,
+         |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
+         |         CAST((length(text) - length(translate(text, '#', '')))
+         |            + (length(text) - length(translate(text, '…', ''))) AS BIGINT) AS n_sym,
+         |         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |                              s -> list_contains(toks, s))) AS BIGINT) AS n_stop
+         |  FROM t),
+         |g AS (
+         |  SELECT doc_id, n_words,
+         |         (n_words BETWEEN 50 AND 100000) AS g_word_count,
+         |         (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS g_word_len,
+         |         (10 * n_sym <= n_words) AS g_symbol,
+         |         (5 * n_alpha >= 4 * n_words) AS g_alpha,
+         |         (n_stop >= 2) AS g_stop
+         |  FROM m),
+         |k AS (
+         |  SELECT *,
+         |         CAST((CASE WHEN g_word_count THEN 0 ELSE 1 END)
+         |            + (CASE WHEN g_word_len THEN 0 ELSE 2 END)
+         |            + (CASE WHEN g_symbol THEN 0 ELSE 4 END)
+         |            + (CASE WHEN g_alpha THEN 0 ELSE 8 END)
+         |            + (CASE WHEN g_stop THEN 0 ELSE 16 END) AS BIGINT) AS reject_mask
+         |  FROM g)
+         |SELECT doc_id, n_words, g_word_count, g_word_len, g_symbol, g_alpha,
+         |       g_stop, reject_mask, (reject_mask = 0) AS keep
+         |FROM k""".stripMargin
+
+  private lazy val GopherRepetitionOracleSql: String = {
+      val topDefs = RepetitionCoverage.TopThresholds
+      val dupDefs = RepetitionCoverage.DupThresholds
+      val nsValues = (topDefs ++ dupDefs).map { case (n, _) => s"($n)" }.mkString(",")
+      val joins =
+        topDefs.map { case (n, _) =>
+          s"LEFT JOIN topg t$n ON t$n.doc_id = b.doc_id AND t$n.n = $n"
+        } ++ dupDefs.map { case (n, _) =>
+          s"LEFT JOIN covsum c$n ON c$n.doc_id = b.doc_id AND c$n.n = $n"
+        }
+      val covCols =
+        topDefs.map { case (n, _) => s"coalesce(t$n.covered, 0) AS cov_t$n" } ++
+          dupDefs.map { case (n, _) => s"coalesce(c$n.covered, 0) AS cov_d$n" }
+      def fracSql(cov: String, out: String) =
+        s"""CAST(CASE WHEN sum_len = 0 THEN 0
+           |     ELSE floor(CAST($cov AS DOUBLE) / CAST(sum_len AS DOUBLE)
+           |                * 1000000.0 + 0.5) / 1000000.0 END AS DOUBLE) AS $out"""
+          .stripMargin
+      val fracs =
+        topDefs.map { case (n, _) => fracSql(s"cov_t$n", s"top${n}_char_frac") } ++
+          dupDefs.map { case (n, _) => fracSql(s"cov_d$n", s"dup${n}_char_frac") }
+      val maskTerms = (topDefs.map { case (n, t) => (s"cov_t$n", t) } ++
+        dupDefs.map { case (n, t) => (s"cov_d$n", t) }).zipWithIndex.map {
+        case ((cov, t), i) =>
+          s"(CASE WHEN $cov * 100 <= $t * sum_len THEN 0 ELSE ${1L << i} END)"
+      }.mkString("\n       + ")
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |base AS (
+         |  SELECT doc_id, toks, len(toks) AS n_tok,
+         |         CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
+         |              AS BIGINT) AS sum_len
+         |  FROM t),
+         |ns(n) AS (VALUES $nsValues),
+         |starts AS (
+         |  SELECT doc_id, n, toks,
+         |         unnest(range(1, n_tok - n + 2)) AS j
+         |  FROM base CROSS JOIN ns
+         |  WHERE n_tok >= n),
+         |grams AS (
+         |  SELECT doc_id, n, CAST(j AS BIGINT) AS j,
+         |         array_to_string(list_slice(toks, j, j + n - 1), ' ') AS gram
+         |  FROM starts),
+         |gc AS (
+         |  SELECT doc_id, n, gram, count(*) AS c
+         |  FROM grams GROUP BY doc_id, n, gram),
+         |topg AS (
+         |  SELECT doc_id, n, CAST(c * (len(gram) - (n - 1)) AS BIGINT) AS covered
+         |  FROM (SELECT doc_id, n, gram, c,
+         |               row_number() OVER (PARTITION BY doc_id, n
+         |                                  ORDER BY c DESC, gram ASC) AS rn
+         |        FROM gc)
+         |  WHERE rn = 1 AND n <= 4),
+         |dstart AS (
+         |  SELECT g.doc_id, g.n, g.j
+         |  FROM grams g JOIN gc USING (doc_id, n, gram)
+         |  WHERE gc.c >= 2 AND g.n >= 5),
+         |covpos AS (
+         |  SELECT DISTINCT doc_id, n, j + o AS p
+         |  FROM (SELECT doc_id, n, j, unnest(range(0, n)) AS o FROM dstart)),
+         |covsum AS (
+         |  SELECT cp.doc_id, cp.n,
+         |         CAST(sum(len(list_extract(b.toks, cp.p))) AS BIGINT) AS covered
+         |  FROM covpos cp JOIN base b USING (doc_id)
+         |  GROUP BY cp.doc_id, cp.n),
+         |wide AS (
+         |  SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_words, b.sum_len,
+         |         ${covCols.mkString(",\n         ")}
+         |  FROM base b
+         |  ${joins.mkString("\n  ")})
+         |SELECT doc_id, n_words, sum_len,
+         |       ${fracs.mkString(",\n       ")},
+         |       CAST($maskTerms AS BIGINT) AS reject_mask,
+         |       (($maskTerms) = 0) AS keep
+         |FROM wide""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q_funnel_quantiles" -> FunnelQuantilesSql,
     "q_markov_stationary" -> MarkovStationarySql,
@@ -2884,6 +3015,36 @@ object SparkEntry {
          |         round(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 9) AS r FROM bi),
          |$iters
          |SELECT node AS doc_id, round(r, 6) AS pagerank FROM r5""".stripMargin
+    },
+    // seeded PPR: integer mass replay — r//d contributions (non-negative,
+    // so // ≡ DIV), per-node sums CAST BIGINT before the one float op per
+    // node-round (0.85·s + 0.5 floor), MATERIALIZED round-per-CTE
+    "q_ppr_contamination" -> {
+      val iters = (1 to 4).map { i =>
+        s"""p$i AS MATERIALIZED (
+           |  SELECT m.node,
+           |         b2.tele + CAST(floor(CAST(0.85 AS DOUBLE)
+           |             * CAST(m.s AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT) AS r
+           |  FROM (SELECT bi.b AS node,
+           |               CAST(sum(p${i - 1}.r // deg.d) AS BIGINT) AS s
+           |        FROM bi JOIN p${i - 1} ON p${i - 1}.node = bi.a
+           |             JOIN deg ON deg.a = bi.a
+           |        GROUP BY bi.b) m
+           |  JOIN pbase b2 ON b2.node = m.node)""".stripMargin
+      }.mkString(",\n")
+      s"""$EdgesCte,
+         |deg AS (SELECT a, count(*) AS d FROM bi GROUP BY a),
+         |pns AS (SELECT count(DISTINCT a) AS n FROM bi WHERE a % 20 = 0),
+         |pbase AS MATERIALIZED (
+         |  SELECT DISTINCT a AS node,
+         |         CASE WHEN a % 20 = 0
+         |              THEN 150000000000 // (SELECT n FROM pns) ELSE 0 END AS tele,
+         |         CASE WHEN a % 20 = 0
+         |              THEN 1000000000000 // (SELECT n FROM pns) ELSE 0 END AS r0v
+         |  FROM bi),
+         |p0 AS (SELECT node, r0v AS r FROM pbase),
+         |$iters
+         |SELECT node, r AS ppr_e12 FROM p4""".stripMargin
     },
     // same integer-cents moments, identical IEEE derivation of sigma,
     // round-6 weights, floor quotas, md5-order membership
@@ -3871,6 +4032,29 @@ object SparkEntry {
     // the composed pipeline, stated as one SQL document: dedup window +
     // quality exprs + decontamination EXISTS, same thresholds; keep's dwf
     // comparison is unrounded on both sides
+    // ledger oracle NESTS the per-stage oracle SQLs as derived tables, so
+    // the composed contract cannot drift from the stage contracts
+    "q_curation_ledger" ->
+      s"""WITH gq AS (SELECT doc_id, keep FROM ($GopherGatesOracleSql) gqx),
+         |gr AS (SELECT doc_id, keep FROM ($GopherRepetitionOracleSql) grx),
+         |cont AS (SELECT DISTINCT doc_id FROM ($DecontaminateSql) cx),
+         |dupx AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 20 <> 0),
+         |dmin AS (SELECT h, min(doc_id) AS keeper FROM dupx GROUP BY h)
+         |SELECT d.doc_id,
+         |       (d.doc_id % 20 = 0) AS is_bench,
+         |       gq.keep AS g_quality,
+         |       gr.keep AS g_repetition,
+         |       coalesce(dx.doc_id <> dm.keeper, FALSE) AS is_exact_dup,
+         |       (cont.doc_id IS NOT NULL) AS is_contaminated,
+         |       ((d.doc_id % 20 <> 0) AND gq.keep AND gr.keep
+         |        AND coalesce(dx.doc_id = dm.keeper, TRUE)
+         |        AND cont.doc_id IS NULL) AS keep
+         |FROM documents d
+         |JOIN gq USING (doc_id)
+         |JOIN gr USING (doc_id)
+         |LEFT JOIN dupx dx ON dx.doc_id = d.doc_id
+         |LEFT JOIN dmin dm ON dm.h = dx.h
+         |LEFT JOIN cont ON cont.doc_id = d.doc_id""".stripMargin,
     "q_curation_report" ->
       s"""WITH t AS (SELECT doc_id, $TokensSql AS ws, md5(text) AS h FROM documents),
          |shs AS (SELECT doc_id, list_distinct(
@@ -4639,6 +4823,7 @@ object SparkEntry {
          |FROM t LEFT JOIN ck USING (doc_id)""".stripMargin,
     // generated full replay of the 3-round integer-micros Lloyd iteration
     "q_kmeans_clusters" -> KMeansOracleSql,
+    "q_kcenter_coreset" -> KCenterOracleSql,
     // generated full replay of the 2-round pseudo-exp EM (soft clustering)
     "q_gmm_soft" -> GmmOracleSql,
     // Gini rank formula over exact integer micros; single replayed double
@@ -5066,117 +5251,14 @@ object SparkEntry {
         |FROM d JOIN m ON d.src = m.src AND d.v = m.v""".stripMargin,
     // Gopher gate battery: every threshold cross-multiplied to an integer
     // comparison — no float, no rounding, structural hash match
-    "q_gopher_gates" ->
-      s"""WITH t AS (SELECT doc_id, text, $TokensSql AS toks FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |         CAST(len(toks) AS BIGINT) AS n_words,
-         |         CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS sum_len,
-         |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
-         |         CAST((length(text) - length(translate(text, '#', '')))
-         |            + (length(text) - length(translate(text, '…', ''))) AS BIGINT) AS n_sym,
-         |         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-         |                              s -> list_contains(toks, s))) AS BIGINT) AS n_stop
-         |  FROM t),
-         |g AS (
-         |  SELECT doc_id, n_words,
-         |         (n_words BETWEEN 50 AND 100000) AS g_word_count,
-         |         (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS g_word_len,
-         |         (10 * n_sym <= n_words) AS g_symbol,
-         |         (5 * n_alpha >= 4 * n_words) AS g_alpha,
-         |         (n_stop >= 2) AS g_stop
-         |  FROM m),
-         |k AS (
-         |  SELECT *,
-         |         CAST((CASE WHEN g_word_count THEN 0 ELSE 1 END)
-         |            + (CASE WHEN g_word_len THEN 0 ELSE 2 END)
-         |            + (CASE WHEN g_symbol THEN 0 ELSE 4 END)
-         |            + (CASE WHEN g_alpha THEN 0 ELSE 8 END)
-         |            + (CASE WHEN g_stop THEN 0 ELSE 16 END) AS BIGINT) AS reject_mask
-         |  FROM g)
-         |SELECT doc_id, n_words, g_word_count, g_word_len, g_symbol, g_alpha,
-         |       g_stop, reject_mask, (reject_mask = 0) AS keep
-         |FROM k""".stripMargin,
+    "q_gopher_gates" -> GopherGatesOracleSql,
     // Gopher A1.2 char-coverage gates: relational replay of the HOF
     // kernels — grams via unnest(range)+list_slice, top-gram by
     // (c DESC, gram ASC) row_number (ties = smallest gram, matching the
     // first-maximal-run fold), dup coverage as DISTINCT position union.
     // All integers until the replayed floor-6 divisions.
-    "q_gopher_repetition" -> {
-      val topDefs = RepetitionCoverage.TopThresholds
-      val dupDefs = RepetitionCoverage.DupThresholds
-      val nsValues = (topDefs ++ dupDefs).map { case (n, _) => s"($n)" }.mkString(",")
-      val joins =
-        topDefs.map { case (n, _) =>
-          s"LEFT JOIN topg t$n ON t$n.doc_id = b.doc_id AND t$n.n = $n"
-        } ++ dupDefs.map { case (n, _) =>
-          s"LEFT JOIN covsum c$n ON c$n.doc_id = b.doc_id AND c$n.n = $n"
-        }
-      val covCols =
-        topDefs.map { case (n, _) => s"coalesce(t$n.covered, 0) AS cov_t$n" } ++
-          dupDefs.map { case (n, _) => s"coalesce(c$n.covered, 0) AS cov_d$n" }
-      def fracSql(cov: String, out: String) =
-        s"""CAST(CASE WHEN sum_len = 0 THEN 0
-           |     ELSE floor(CAST($cov AS DOUBLE) / CAST(sum_len AS DOUBLE)
-           |                * 1000000.0 + 0.5) / 1000000.0 END AS DOUBLE) AS $out"""
-          .stripMargin
-      val fracs =
-        topDefs.map { case (n, _) => fracSql(s"cov_t$n", s"top${n}_char_frac") } ++
-          dupDefs.map { case (n, _) => fracSql(s"cov_d$n", s"dup${n}_char_frac") }
-      val maskTerms = (topDefs.map { case (n, t) => (s"cov_t$n", t) } ++
-        dupDefs.map { case (n, t) => (s"cov_d$n", t) }).zipWithIndex.map {
-        case ((cov, t), i) =>
-          s"(CASE WHEN $cov * 100 <= $t * sum_len THEN 0 ELSE ${1L << i} END)"
-      }.mkString("\n       + ")
-      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
-         |base AS (
-         |  SELECT doc_id, toks, len(toks) AS n_tok,
-         |         CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
-         |              AS BIGINT) AS sum_len
-         |  FROM t),
-         |ns(n) AS (VALUES $nsValues),
-         |starts AS (
-         |  SELECT doc_id, n, toks,
-         |         unnest(range(1, n_tok - n + 2)) AS j
-         |  FROM base CROSS JOIN ns
-         |  WHERE n_tok >= n),
-         |grams AS (
-         |  SELECT doc_id, n, CAST(j AS BIGINT) AS j,
-         |         array_to_string(list_slice(toks, j, j + n - 1), ' ') AS gram
-         |  FROM starts),
-         |gc AS (
-         |  SELECT doc_id, n, gram, count(*) AS c
-         |  FROM grams GROUP BY doc_id, n, gram),
-         |topg AS (
-         |  SELECT doc_id, n, CAST(c * (len(gram) - (n - 1)) AS BIGINT) AS covered
-         |  FROM (SELECT doc_id, n, gram, c,
-         |               row_number() OVER (PARTITION BY doc_id, n
-         |                                  ORDER BY c DESC, gram ASC) AS rn
-         |        FROM gc)
-         |  WHERE rn = 1 AND n <= 4),
-         |dstart AS (
-         |  SELECT g.doc_id, g.n, g.j
-         |  FROM grams g JOIN gc USING (doc_id, n, gram)
-         |  WHERE gc.c >= 2 AND g.n >= 5),
-         |covpos AS (
-         |  SELECT DISTINCT doc_id, n, j + o AS p
-         |  FROM (SELECT doc_id, n, j, unnest(range(0, n)) AS o FROM dstart)),
-         |covsum AS (
-         |  SELECT cp.doc_id, cp.n,
-         |         CAST(sum(len(list_extract(b.toks, cp.p))) AS BIGINT) AS covered
-         |  FROM covpos cp JOIN base b USING (doc_id)
-         |  GROUP BY cp.doc_id, cp.n),
-         |wide AS (
-         |  SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_words, b.sum_len,
-         |         ${covCols.mkString(",\n         ")}
-         |  FROM base b
-         |  ${joins.mkString("\n  ")})
-         |SELECT doc_id, n_words, sum_len,
-         |       ${fracs.mkString(",\n       ")},
-         |       CAST($maskTerms AS BIGINT) AS reject_mask,
-         |       (($maskTerms) = 0) AS keep
-         |FROM wide""".stripMargin
-    },
+    "q_gopher_repetition" -> GopherRepetitionOracleSql,
+
     // DSIR: md5-48 hashed unigram+bigram buckets, λ and the norm term
     // quantized to integer micros ONCE each (ln replay, TfIdf precedent),
     // per-doc scores exact BIGINT sums, top-25% under (score, id) order
@@ -5340,6 +5422,60 @@ object SparkEntry {
     * and floor(S/n + 0.5) centers — every distance an exact BIGINT, every
     * center one replayed double division, so the hash match is structural.
     */
+  /** Generated replay of KCenter.greedyCoreset(d=64, k=8): md5-min start,
+    * per-round farthest point under (dmin DESC, vec_id) with already-
+    * selected ids excluded, LEAST-folded running dmin, final nearest-
+    * center assignment by (d2, c_id) row_number. Distances are the same
+    * BIGINT Σ(Δ²) as the k-means oracle, via range(1,65) list lambdas.
+    */
+  private lazy val KCenterOracleSql: String = {
+    val K = 8
+    def dist(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> ($a.m[i] - $b.m[i]) * ($a.m[i] - $b.m[i]))) AS BIGINT)"
+    val rounds = (2 to K).flatMap { i =>
+      Seq(
+        s"""s$i AS MATERIALIZED (
+           |  SELECT vec_id, m FROM d${i - 1}
+           |  WHERE vec_id NOT IN (${(1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")})
+           |  ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin) ++
+        (if (i < K) Seq(
+          s"""d$i AS MATERIALIZED (
+             |  SELECT d.vec_id, d.m, LEAST(d.dmin, ${dist("d", s"s$i")}) AS dmin
+             |  FROM d${i - 1} d CROSS JOIN s$i)""".stripMargin)
+        else Nil)
+    }.mkString(",\n")
+    val selUnion = (1 to K)
+      .map(i => s"SELECT vec_id AS c_id, m AS cm, $i AS sel_rank FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH em AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 64),
+       |                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS m
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+       |s1 AS MATERIALIZED (
+       |  SELECT vec_id, m FROM em
+       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
+       |d1 AS MATERIALIZED (
+       |  SELECT em.vec_id, em.m, ${dist("em", "s1")} AS dmin
+       |  FROM em CROSS JOIN s1),
+       |$rounds,
+       |selc AS MATERIALIZED ($selUnion),
+       |a AS (
+       |  SELECT em.vec_id, selc.c_id, selc.sel_rank,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |              i -> (em.m[i] - selc.cm[i]) * (em.m[i] - selc.cm[i]))) AS BIGINT) AS d2
+       |  FROM em CROSS JOIN selc),
+       |n AS (
+       |  SELECT vec_id, c_id, d2,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
+       |  FROM a)
+       |SELECT n.vec_id, n.c_id AS nearest_center, n.d2,
+       |       CAST(coalesce(s.sel_rank, 0) AS INT) AS sel_rank
+       |FROM n LEFT JOIN (SELECT c_id, sel_rank FROM selc) s ON s.c_id = n.vec_id
+       |WHERE n.rn = 1""".stripMargin
+  }
+
   private lazy val KMeansOracleSql: String = {
     val D = 64; val K = 8; val R = 3
     val dims = 0 until D
