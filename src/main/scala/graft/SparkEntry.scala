@@ -987,6 +987,10 @@ object SparkEntry {
     "q_curation_ledger" -> { (s, d) =>
       graft.operators.CurationLedger.ledger(Tables(s, d).documents)
     },
+    // first-failing-stage yield waterfall over the ledger
+    "q_curation_waterfall" -> { (s, d) =>
+      graft.operators.CurationLedger.waterfall(Tables(s, d).documents)
+    },
     "q_curation_report" -> { (s, d) =>
       val docs = Tables(s, d).documents
       val bench = docs.filter(pmod(col("doc_id"), lit(20)) === 0)
@@ -1838,6 +1842,14 @@ object SparkEntry {
     "q_kmeans_clusters" -> { (s, d) =>
       KMeansReplay.clusterStats(s, Tables(s, d).embeddings, "embedding", 64, 8, 3)
     },
+    // clustering evaluation (operators.ClusterEval): ARI + purity of the
+    // replayable k-means assignments against the embedding labels
+    "q_cluster_ari" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      graft.operators.ClusterEval.ariPurity(
+        KMeansReplay.assignments(s, emb, "embedding", 64, 8, 3),
+        emb.select(col("vec_id"), col("label")))
+    },
     // greedy k-center coreset (operators.KCenter, Gonzalez 1985): 8
     // maximally-spread embeddings — md5-min start, farthest-point rounds
     // on exact BIGINT distances, nearest-center assignment for every point
@@ -2410,6 +2422,28 @@ object SparkEntry {
        |SELECT gap, n, ${qCols.mkString(",\n       ")}
        |FROM br""".stripMargin
   }
+
+  private lazy val CurationLedgerOracleSql: String =
+      s"""WITH gq AS (SELECT doc_id, keep FROM ($GopherGatesOracleSql) gqx),
+         |gr AS (SELECT doc_id, keep FROM ($GopherRepetitionOracleSql) grx),
+         |cont AS (SELECT DISTINCT doc_id FROM ($DecontaminateSql) cx),
+         |dupx AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 20 <> 0),
+         |dmin AS (SELECT h, min(doc_id) AS keeper FROM dupx GROUP BY h)
+         |SELECT d.doc_id,
+         |       (d.doc_id % 20 = 0) AS is_bench,
+         |       gq.keep AS g_quality,
+         |       gr.keep AS g_repetition,
+         |       coalesce(dx.doc_id <> dm.keeper, FALSE) AS is_exact_dup,
+         |       (cont.doc_id IS NOT NULL) AS is_contaminated,
+         |       ((d.doc_id % 20 <> 0) AND gq.keep AND gr.keep
+         |        AND coalesce(dx.doc_id = dm.keeper, TRUE)
+         |        AND cont.doc_id IS NULL) AS keep
+         |FROM documents d
+         |JOIN gq USING (doc_id)
+         |JOIN gr USING (doc_id)
+         |LEFT JOIN dupx dx ON dx.doc_id = d.doc_id
+         |LEFT JOIN dmin dm ON dm.h = dx.h
+         |LEFT JOIN cont ON cont.doc_id = d.doc_id""".stripMargin
 
   private lazy val GopherGatesOracleSql: String =
       s"""WITH t AS (SELECT doc_id, text, $TokensSql AS toks FROM documents),
@@ -4034,27 +4068,33 @@ object SparkEntry {
     // comparison is unrounded on both sides
     // ledger oracle NESTS the per-stage oracle SQLs as derived tables, so
     // the composed contract cannot drift from the stage contracts
-    "q_curation_ledger" ->
-      s"""WITH gq AS (SELECT doc_id, keep FROM ($GopherGatesOracleSql) gqx),
-         |gr AS (SELECT doc_id, keep FROM ($GopherRepetitionOracleSql) grx),
-         |cont AS (SELECT DISTINCT doc_id FROM ($DecontaminateSql) cx),
-         |dupx AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 20 <> 0),
-         |dmin AS (SELECT h, min(doc_id) AS keeper FROM dupx GROUP BY h)
-         |SELECT d.doc_id,
-         |       (d.doc_id % 20 = 0) AS is_bench,
-         |       gq.keep AS g_quality,
-         |       gr.keep AS g_repetition,
-         |       coalesce(dx.doc_id <> dm.keeper, FALSE) AS is_exact_dup,
-         |       (cont.doc_id IS NOT NULL) AS is_contaminated,
-         |       ((d.doc_id % 20 <> 0) AND gq.keep AND gr.keep
-         |        AND coalesce(dx.doc_id = dm.keeper, TRUE)
-         |        AND cont.doc_id IS NULL) AS keep
-         |FROM documents d
-         |JOIN gq USING (doc_id)
-         |JOIN gr USING (doc_id)
-         |LEFT JOIN dupx dx ON dx.doc_id = d.doc_id
-         |LEFT JOIN dmin dm ON dm.h = dx.h
-         |LEFT JOIN cont ON cont.doc_id = d.doc_id""".stripMargin,
+    "q_curation_ledger" -> CurationLedgerOracleSql,
+    // waterfall: conditional counts over the nested ledger, one UNION ALL
+    // row per stage with first-failing-stage attribution
+    "q_curation_waterfall" ->
+      s"""WITH led AS (SELECT * FROM ($CurationLedgerOracleSql) lx),
+         |ag AS (
+         |  SELECT count(*) AS n_total,
+         |    CAST(sum(CASE WHEN is_bench THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(sum(CASE WHEN NOT is_bench AND NOT g_quality THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+         |    CAST(sum(CASE WHEN NOT is_bench AND g_quality AND NOT g_repetition
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+         |    CAST(sum(CASE WHEN NOT is_bench AND g_quality AND g_repetition
+         |                       AND is_exact_dup THEN 1 ELSE 0 END) AS BIGINT) AS d4,
+         |    CAST(sum(CASE WHEN NOT is_bench AND g_quality AND g_repetition
+         |                       AND NOT is_exact_dup AND is_contaminated
+         |                  THEN 1 ELSE 0 END) AS BIGINT) AS d5
+         |  FROM led)
+         |SELECT 1 AS stage_order, 'bench_holdout' AS stage,
+         |       n_total AS n_in, d1 AS n_dropped, n_total - d1 AS n_out FROM ag
+         |UNION ALL SELECT 2, 'quality_gates', n_total - d1, d2,
+         |       n_total - d1 - d2 FROM ag
+         |UNION ALL SELECT 3, 'repetition_gates', n_total - d1 - d2, d3,
+         |       n_total - d1 - d2 - d3 FROM ag
+         |UNION ALL SELECT 4, 'exact_dedup', n_total - d1 - d2 - d3, d4,
+         |       n_total - d1 - d2 - d3 - d4 FROM ag
+         |UNION ALL SELECT 5, 'decontamination', n_total - d1 - d2 - d3 - d4, d5,
+         |       n_total - d1 - d2 - d3 - d4 - d5 FROM ag""".stripMargin,
     "q_curation_report" ->
       s"""WITH t AS (SELECT doc_id, $TokensSql AS ws, md5(text) AS h FROM documents),
          |shs AS (SELECT doc_id, list_distinct(
@@ -4824,6 +4864,44 @@ object SparkEntry {
     // generated full replay of the 3-round integer-micros Lloyd iteration
     "q_kmeans_clusters" -> KMeansOracleSql,
     "q_kcenter_coreset" -> KCenterOracleSql,
+    // ARI + purity of the replayed k-means vs labels: contingency from
+    // the shared KMeansCtes assignment a3; pair counts x(x−1)//2 exact
+    // (even product, non-negative so // ≡ DIV); one fixed-spelling
+    // rational over integers < 2^53 → floor-6; degenerate denominator→1
+    "q_cluster_ari" ->
+      s"""$KMeansCtes,
+         |cont AS (
+         |  SELECT a.cid AS c, e.label AS l, count(*) AS nij
+         |  FROM a3 a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |idx AS (
+         |  SELECT CAST(sum(nij * (nij - 1) // 2) AS BIGINT) AS pair_index,
+         |         CAST(sum(nij) AS BIGINT) AS n
+         |  FROM cont),
+         |ap AS (
+         |  SELECT CAST(sum(a_ * (a_ - 1) // 2) AS BIGINT) AS a_pairs
+         |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS a_ FROM cont GROUP BY c)),
+         |bp AS (
+         |  SELECT CAST(sum(b_ * (b_ - 1) // 2) AS BIGINT) AS b_pairs
+         |  FROM (SELECT CAST(sum(nij) AS BIGINT) AS b_ FROM cont GROUP BY l)),
+         |pu AS (
+         |  SELECT CAST(sum(m_) AS BIGINT) AS purity_hits
+         |  FROM (SELECT max(nij) AS m_ FROM cont GROUP BY c))
+         |SELECT n, pair_index, a_pairs, b_pairs, purity_hits,
+         |  CAST(CASE WHEN (CAST(a_pairs + b_pairs AS DOUBLE) / 2.0
+         |                  - CAST(a_pairs AS DOUBLE) * CAST(b_pairs AS DOUBLE)
+         |                    / CAST(n * (n - 1) // 2 AS DOUBLE)) = 0.0
+         |       THEN 1.0
+         |       ELSE floor((CAST(pair_index AS DOUBLE)
+         |                   - CAST(a_pairs AS DOUBLE) * CAST(b_pairs AS DOUBLE)
+         |                     / CAST(n * (n - 1) // 2 AS DOUBLE))
+         |                  / (CAST(a_pairs + b_pairs AS DOUBLE) / 2.0
+         |                     - CAST(a_pairs AS DOUBLE) * CAST(b_pairs AS DOUBLE)
+         |                       / CAST(n * (n - 1) // 2 AS DOUBLE))
+         |                  * 1000000.0 + 0.5) / 1000000.0 END AS DOUBLE) AS ari,
+         |  floor(CAST(purity_hits AS DOUBLE) / CAST(n AS DOUBLE)
+         |        * 1000000.0 + 0.5) / 1000000.0 AS purity
+         |FROM idx CROSS JOIN ap CROSS JOIN bp CROSS JOIN pu""".stripMargin,
     // generated full replay of the 2-round pseudo-exp EM (soft clustering)
     "q_gmm_soft" -> GmmOracleSql,
     // Gini rank formula over exact integer micros; single replayed double
@@ -5476,7 +5554,11 @@ object SparkEntry {
        |WHERE n.rn = 1""".stripMargin
   }
 
-  private lazy val KMeansOracleSql: String = {
+  /** Shared k-means replay CTE chain (pts/seeds/rounds up to the final
+    * assignment CTE a3) — consumed by both the cluster-stats oracle and
+    * the ARI/purity oracle so the replayed trajectory cannot drift.
+    */
+  private lazy val KMeansCtes: String = {
     val D = 64; val K = 8; val R = 3
     val dims = 0 until D
     val ptCols = dims.map(i =>
@@ -5507,11 +5589,14 @@ object SparkEntry {
        |  SELECT sd.cid AS cid, ${dims.map(i => s"p.x$i").mkString(", ")}
        |  FROM sd JOIN pts p USING (vec_id) WHERE sd.cid < $K
        |),
-       |${roundCtes.mkString(",\n")}
+       |${roundCtes.mkString(",\n")}""".stripMargin
+  }
+
+  private lazy val KMeansOracleSql: String =
+    s"""$KMeansCtes
        |SELECT cid AS cluster_id, count(*) AS n_points,
        |       CAST(sum(dist) AS BIGINT) AS inertia
-       |FROM a$R GROUP BY cid""".stripMargin
-  }
+       |FROM a3 GROUP BY cid""".stripMargin
 
   /** Generated DuckDB replay of GmmReplay.softAssignments (d=64, k=8,
     * 2 EM rounds, σ²=0.25): the pseudo-exp kernel pexp(x)=(1+x/2¹⁶)^(2¹⁶)
