@@ -1850,6 +1850,16 @@ object SparkEntry {
         KMeansReplay.assignments(s, emb, "embedding", 64, 8, 3),
         emb.select(col("vec_id"), col("label")))
     },
+    // NMI of the same k-means assignments vs labels (operators.ClusterEval):
+    // same exact contingency table as the ARI; ln terms quantized to
+    // integer micros BEFORE the order-free BIGINT sums (the q_rrf_fusion
+    // ln discipline), one replayed float normalization, floor-6
+    "q_cluster_nmi" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      graft.operators.ClusterEval.nmi(
+        KMeansReplay.assignments(s, emb, "embedding", 64, 8, 3),
+        emb.select(col("vec_id"), col("label")))
+    },
     // greedy k-center coreset (operators.KCenter, Gonzalez 1985): 8
     // maximally-spread embeddings — md5-min start, farthest-point rounds
     // on exact BIGINT distances, nearest-center assignment for every point
@@ -4902,6 +4912,45 @@ object SparkEntry {
          |  floor(CAST(purity_hits AS DOUBLE) / CAST(n AS DOUBLE)
          |        * 1000000.0 + 0.5) / 1000000.0 AS purity
          |FROM idx CROSS JOIN ap CROSS JOIN bp CROSS JOIN pu""".stripMargin,
+    // NMI over the same contingency table: each (nij/n)·ln(nij·n/(ai·bj))
+    // and marginal-entropy term is floor(x·1e6 + 0.5) BEFORE the BIGINT
+    // sum (order-free; 1e6 is the proven ln-term granularity), final
+    // 2·MI/(HU+HV) one replayed division, floor-6; HU+HV=0 → 1
+    "q_cluster_nmi" ->
+      s"""$KMeansCtes,
+         |cont AS (
+         |  SELECT a.cid AS c, e.label AS l, count(*) AS nij
+         |  FROM a3 a JOIN embeddings e ON e.vec_id = a.vec_id
+         |  GROUP BY 1, 2),
+         |nt AS (SELECT CAST(sum(nij) AS BIGINT) AS n FROM cont),
+         |am AS (SELECT c, CAST(sum(nij) AS BIGINT) AS a_ FROM cont GROUP BY c),
+         |bm AS (SELECT l, CAST(sum(nij) AS BIGINT) AS b_ FROM cont GROUP BY l),
+         |mi AS (
+         |  SELECT CAST(sum(CAST(floor(
+         |      (CAST(cont.nij AS DOUBLE) / CAST(nt.n AS DOUBLE))
+         |      * ln((CAST(cont.nij AS DOUBLE) * CAST(nt.n AS DOUBLE))
+         |           / (CAST(am.a_ AS DOUBLE) * CAST(bm.b_ AS DOUBLE)))
+         |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS mi_e6,
+         |    max(nt.n) AS n
+         |  FROM cont JOIN am USING (c) JOIN bm USING (l) CROSS JOIN nt),
+         |hu AS (
+         |  SELECT CAST(sum(CAST(floor(
+         |      -(CAST(a_ AS DOUBLE) / CAST(nt.n AS DOUBLE))
+         |      * ln(CAST(a_ AS DOUBLE) / CAST(nt.n AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hu_e6
+         |  FROM am CROSS JOIN nt),
+         |hv AS (
+         |  SELECT CAST(sum(CAST(floor(
+         |      -(CAST(b_ AS DOUBLE) / CAST(nt.n AS DOUBLE))
+         |      * ln(CAST(b_ AS DOUBLE) / CAST(nt.n AS DOUBLE))
+         |      * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS hv_e6
+         |  FROM bm CROSS JOIN nt)
+         |SELECT n, mi_e6, hu_e6, hv_e6,
+         |  CAST(CASE WHEN hu_e6 + hv_e6 = 0 THEN 1.0
+         |       ELSE floor((2.0 * CAST(mi_e6 AS DOUBLE))
+         |                  / CAST(hu_e6 + hv_e6 AS DOUBLE)
+         |                  * 1000000.0 + 0.5) / 1000000.0 END AS DOUBLE) AS nmi
+         |FROM mi CROSS JOIN hu CROSS JOIN hv""".stripMargin,
     // generated full replay of the 2-round pseudo-exp EM (soft clustering)
     "q_gmm_soft" -> GmmOracleSql,
     // Gini rank formula over exact integer micros; single replayed double

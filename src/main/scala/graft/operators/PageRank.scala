@@ -19,9 +19,13 @@ import org.apache.spark.sql.functions._
   * unrolled DuckDB spelling).
   *
   * Undirected: every node has degree ≥ 1, so there are no dangling-mass
-  * corrections to model. The edge list and degree table are persisted for
-  * the iteration's reuse; the caller (or the session's cache clear) owns
-  * their lifetime.
+  * corrections to model. Iteration hygiene matches [[LabelPropagation]]:
+  * the edge list, degree table and 1-row node count are persisted for the
+  * loop and released at the end; each round's ranks are persisted +
+  * materialized + released so lineage stays flat (the unpersisted 5-deep
+  * chain re-planned poorly under AQE — BENCH_r11's 21 s regression). The
+  * RETURNED frame is the final round's persisted ranks — `.unpersist()`
+  * when done (or rely on the session's cache clear).
   */
 object PageRank {
 
@@ -38,12 +42,16 @@ object PageRank {
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .persist()
     val deg = bi.groupBy(col("a")).agg(count(lit(1)).as("d")).persist()
-    val n = bi.select(col("a")).distinct().agg(count(lit(1)).as("_n"))
+    // 1-row count, computed ONCE and persisted — each round broadcasts it
+    // without re-running the distinct
+    val n = bi.select(col("a")).distinct().agg(count(lit(1)).as("_n")).persist()
     var r = bi.select(col("a").as("node")).distinct()
       .crossJoin(broadcast(n))
       .select(col("node"), round(lit(1.0) / col("_n"), 9).as("r"))
+      .persist()
+    r.count()
     for (_ <- 1 to iterations) {
-      r = bi
+      val next = bi
         .join(r.withColumnRenamed("node", "a"), Seq("a"))
         .join(deg, Seq("a"))
         .select(col("b").as("node"), (col("r") / col("d")).as("_c"))
@@ -51,7 +59,14 @@ object PageRank {
         .crossJoin(broadcast(n))
         .select(col("node"),
           round(lit(teleport) / col("_n") + lit(damping) * col("_s"), 9).as("r"))
+        .persist()
+      next.count()
+      r.unpersist()
+      r = next
     }
+    bi.unpersist()
+    deg.unpersist()
+    n.unpersist()
     r.select(col("node"), col("r").as("rank"))
   }
 }

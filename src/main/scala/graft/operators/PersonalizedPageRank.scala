@@ -29,6 +29,11 @@ import org.apache.spark.sql.functions._
   * one node-keyed aggregate + one join to the persisted teleport table —
   * the [[Components]]/[[PageRank]] bounded-iteration shape; seeds attach
   * via a semi join (never broadcast-assumed), no collect anywhere.
+  * Lifecycle matches [[LabelPropagation]]: bi/deg/base are persisted for
+  * the loop and released before returning; each round's ranks are
+  * persisted + materialized + released. The RETURNED frame is the final
+  * round's persisted ranks — `.unpersist()` when done (or rely on the
+  * session's cache clear).
   */
 object PersonalizedPageRank {
 
@@ -63,9 +68,10 @@ object PersonalizedPageRank {
         when(col("_seed") === 1L, expr(s"$T DIV _ns")).otherwise(lit(0L)).as("tele"),
         when(col("_seed") === 1L, expr(s"$S DIV _ns")).otherwise(lit(0L)).as("r0"))
       .persist()
-    var r = base.select(col("node"), col("r0").as("r"))
+    var r = base.select(col("node"), col("r0").as("r")).persist()
+    r.count()
     for (_ <- 1 to iterations) {
-      r = bi
+      val next = bi
         .join(r.withColumnRenamed("node", "a"), Seq("a"))
         .join(deg, Seq("a"))
         .select(col("b").as("node"), expr("r DIV d").as("_c"))
@@ -75,7 +81,14 @@ object PersonalizedPageRank {
           (col("tele") +
             floor(lit(0.85d) * col("_s").cast("double") + lit(0.5d)).cast("long"))
             .as("r"))
+        .persist()
+      next.count()
+      r.unpersist()
+      r = next
     }
+    bi.unpersist()
+    deg.unpersist()
+    base.unpersist()
     r.select(col("node"), col("r").as("ppr_e12"))
   }
 }
