@@ -149,6 +149,26 @@ object SparkEntry {
       )
     },
     "q_conversion_totals" -> ((s, d) => Featurize.batchTotals(clickstream(s, d), ClickConf)),
+    // ---- §2.11 serving-plane reads (reference dashboard/app.py) ----
+    // Each replays event-time hour batches through the REAL MetricsStore
+    // JSON file (streaming.MetricsReplay), then runs the dashboard query
+    // over the store — the full write→serve round trip is what's oracled.
+    // conversion-rate time series, most recent 50 batches (app.py:227-238)
+    "q_metrics_series" -> { (s, d) =>
+      val p = graft.streaming.MetricsReplay.ensureStore(Tables(s, d).events, d)
+      graft.streaming.MetricsStore.conversionSeries(s, p, 50)
+    },
+    // event-distribution totals over the last 10 batches (app.py:243-266)
+    "q_metrics_eventdist" -> { (s, d) =>
+      val p = graft.streaming.MetricsReplay.ensureStore(Tables(s, d).events, d)
+      graft.streaming.MetricsReplay.eventDistribution(s, p, 10)
+    },
+    // intent-bucketed prediction table over the newest batch's scored
+    // sessions (app.py:311-354; purchased ▸ high ▸ medium ▸ browsing)
+    "q_metrics_predictions" -> { (s, d) =>
+      val p = graft.streaming.MetricsReplay.ensureStore(Tables(s, d).events, d)
+      graft.streaming.MetricsStore.predictionTable(s, p, 20)
+    },
     "q_heuristic_scores" -> { (s, d) =>
       val f = sessionFeatures(s, d)
       val score = Heuristic.score(col("cart_count"), col("view_count"))
@@ -2614,6 +2634,69 @@ object SparkEntry {
         |                 / count(CASE WHEN event_type = 'click' THEN 1 END) * 100.0
         |       END AS conversion_rate
         |FROM events""".stripMargin,
+    // serving-plane replay twins: hour buckets of event time are the
+    // deterministic batch ids; conversion rate is the single exact-integer
+    // division; "timestamp" is the bucket start ISO-UTC (make_timestamp
+    // takes naive-UTC micros, matching the JVM's ZoneOffset.UTC format)
+    "q_metrics_series" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS batch_id,
+        |         count(CASE WHEN event_type = 'click' THEN 1 END) AS total_carts,
+        |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS total_purchases
+        |  FROM events GROUP BY 1)
+        |SELECT batch_id,
+        |       strftime(make_timestamp(batch_id * 3600 * 1000000),
+        |                '%Y-%m-%dT%H:%M:%S') AS "timestamp",
+        |       CASE WHEN total_carts = 0 THEN 0.0
+        |            ELSE CAST(total_purchases AS DOUBLE) / total_carts * 100.0
+        |       END AS conversion_rate
+        |FROM b ORDER BY batch_id DESC LIMIT 50""".stripMargin,
+    // last-10 batches = the 10 largest PRESENT hour buckets (rank, not a
+    // calendar cutoff — empty hours never entered the history)
+    "q_metrics_eventdist" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS batch_id,
+        |         count(CASE WHEN event_type = 'view' THEN 1 END) AS total_views,
+        |         count(CASE WHEN event_type = 'click' THEN 1 END) AS total_carts,
+        |         count(CASE WHEN event_type = 'purchase' THEN 1 END) AS total_purchases
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY batch_id DESC) AS rn FROM b)
+        |SELECT count(*) AS n_batches,
+        |       CAST(sum(total_views) AS BIGINT) AS total_views,
+        |       CAST(sum(total_carts) AS BIGINT) AS total_carts,
+        |       CAST(sum(total_purchases) AS BIGINT) AS total_purchases
+        |FROM r WHERE rn <= 10""".stripMargin,
+    // newest-batch sessions, heuristic-ladder probability, reference
+    // status bucketing; top-20 by (probability desc, session_id) — a
+    // deterministic total order, so the 20-row set is engine-identical
+    "q_metrics_predictions" ->
+      """WITH ev AS (
+        |  SELECT CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d')
+        |           AS session_id,
+        |         event_type, value, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events),
+        |mb AS (SELECT max(ts_s // 3600) AS m FROM ev),
+        |f AS (
+        |  SELECT session_id,
+        |         count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
+        |         count(CASE WHEN event_type = 'click' THEN 1 END) AS cart_count,
+        |         max(ts_s) - min(ts_s) AS session_duration,
+        |         round(avg(value), 6) AS avg_price,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchased
+        |  FROM ev, mb WHERE ev.ts_s // 3600 = mb.m GROUP BY session_id),
+        |sc AS (
+        |  SELECT *, CAST(CASE WHEN cart_count >= 3 THEN 0.85
+        |       WHEN cart_count >= 1 THEN 0.60 WHEN view_count >= 10 THEN 0.35
+        |       WHEN view_count >= 5 THEN 0.20 ELSE 0.05 END AS DOUBLE)
+        |    AS purchase_probability
+        |  FROM f)
+        |SELECT session_id, view_count, cart_count, session_duration, avg_price,
+        |       purchase_probability,
+        |       CASE WHEN purchased = 1 THEN 'purchased'
+        |            WHEN purchase_probability > 0.7 THEN 'high_intent'
+        |            WHEN purchase_probability > 0.4 THEN 'medium_intent'
+        |            ELSE 'browsing' END AS status
+        |FROM sc ORDER BY purchase_probability DESC, session_id LIMIT 20""".stripMargin,
     "q_heuristic_scores" ->
       s"""$FeaturesSql, scored AS (
          |  SELECT user_session, cart_count, view_count,

@@ -33,7 +33,11 @@ final class MetricsStore(path: String, historyLimit: Int = 1000) extends Metrics
     val doc = Map("current" -> current, "history" -> history.toSeq)
     val target = Paths.get(path)
     Option(target.getParent).foreach(Files.createDirectories(_))
-    val tmp: Path = Paths.get(path + ".tmp")
+    // unique temp name: CONCURRENT writers to the same path (e.g. two
+    // replays of the same dataset) must each move their own temp file —
+    // a shared ".tmp" makes one writer's move race the other's write
+    val tmp: Path = Paths.get(
+      path + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
     Files.write(tmp, MetricsStore.toJson(doc).getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
