@@ -144,8 +144,37 @@ object RepetitionCoverage {
   /** Per-document A1.2 gate table:
     * (doc_id, n_words, sum_len, top{2,3,4}_char_frac, dup{5..10}_char_frac,
     *  reject_mask, keep).
+    *
+    * Built on the native one-pass kernel
+    * ([[graft.expressions.RepCoverage]]) — identical values to the staged
+    * HOF spelling [[gatesHof]] (the spec pins kernel ≡ HOF on the fixture
+    * corpus), at one tight loop per document instead of 9 expression-tree
+    * folds.
     */
   def gates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    // one kernel call bound as a column, fields projected in a SECOND
+    // select — _k is referenced 11×, which (non-cheap, multi-use) is what
+    // keeps CollapseProject from inlining the kernel per field
+    val covered = docs
+      .select(col(idCol),
+        graft.expressions.RepCoverage.coverage(col(textCol)).as("_k"))
+      .select(
+        col(idCol) +:
+          col("_k.n_words").as("n_words") +:
+          col("_k.sum_len").as("sum_len") +:
+          (TopThresholds.map { case (n, _) => col(s"_k.top$n").as(s"_top$n") } ++
+            DupThresholds.map { case (n, _) => col(s"_k.dup$n").as(s"_dup$n") }): _*)
+    finish(covered, idCol)
+  }
+
+  /** The staged-HOF spelling of [[gates]] (column functions only) — kept
+    * as the kernel's cross-implementation witness.
+    */
+  def gatesHof(
       docs: DataFrame,
       idCol: String = "doc_id",
       textCol: String = "text"
@@ -196,6 +225,14 @@ object RepetitionCoverage {
         } ++ DupThresholds.map { case (n, _) =>
           dupCoveredChars(toks, col(s"_ds$n"), n).as(s"_dup$n")
         }): _*)
+    finish(covered, idCol)
+  }
+
+  /** Gates + fractions from the covered-character integer table
+    * (idCol, n_words, sum_len, _top{2,3,4}, _dup{5..10}) — shared by the
+    * kernel and HOF paths.
+    */
+  private def finish(covered: DataFrame, idCol: String): DataFrame = {
     val gateCols = (TopThresholds.map { case (n, t) => (s"_top$n", t) } ++
       DupThresholds.map { case (n, t) => (s"_dup$n", t) })
     val mask = gateCols.zipWithIndex.map { case ((c, t), i) =>

@@ -71,4 +71,33 @@ final class RepetitionCoverageSpec extends AnyFunSuite {
       org.apache.spark.sql.functions.col("dup5_char_frac") > 1.0).count()
     assert(bad === 0L)
   }
+
+  test("native kernel ≡ staged HOF spelling on the fixture corpus") {
+    val docs = sources.Tables(spark, "/root/testdata/sf0.001").documents
+    val k = RepetitionCoverage.gates(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val h = RepetitionCoverage.gatesHof(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    assert(k.keySet === h.keySet)
+    k.foreach { case (id, row) => assert(row === h(id), s"doc $id diverged") }
+  }
+
+  test("native kernel ≡ HOF on constructed edge docs (ties, unicode, empties)") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c a b c",
+      2L -> Seq.fill(20)("a").mkString(" "),
+      3L -> "",
+      4L -> "  spaced   out\ttabs\nnewlines  ",
+      5L -> "CasE Case cASe case CASE case",
+      6L -> "é ü é ü é ü ñ",
+      7L -> "x y z x y z x y z w",
+      8L -> "one two three four five six seven eight nine ten one two three four five six seven eight nine ten"
+    ).toDF("doc_id", "text")
+    val k = RepetitionCoverage.gates(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    val h = RepetitionCoverage.gatesHof(docs).collect()
+      .map(r => r.getLong(0) -> r.toSeq).toMap
+    k.foreach { case (id, row) => assert(row === h(id), s"doc $id diverged") }
+  }
 }
