@@ -951,6 +951,18 @@ object SparkEntry {
       val docs = Tables(s, d).documents
       LmScore.score(docs, docs)
     },
+    // DoReMi-style domain reweighting (operators.Doremi): per-domain
+    // excess bigram-LM loss (lossless e6 from the round-6 per-doc series)
+    // → pseudo-exp multiplicative boost on a sqrt-temperature baseline,
+    // uniform-smoothed; every sum an exact BIGINT, pexp the shared
+    // 16-squaring kernel
+    "q_doremi_weights" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val loss = LmScore.score(docs, docs)
+        .select(col("doc_id"),
+          expr("-CAST(round(avg_logp * 1000000.0) AS BIGINT)").as("loss_e6"))
+      graft.operators.Doremi.weights(docs, loss)
+    },
     // stateless twin: pruned LM collected into map literals, scoring is a
     // single zero-shuffle projection (the live-feed spelling — runs
     // unchanged on a stream in append mode with no state; see
@@ -2451,6 +2463,66 @@ object SparkEntry {
        |)
        |SELECT gap, n, ${qCols.mkString(",\n       ")}
        |FROM br""".stripMargin
+  }
+
+  // bigram-LM per-doc scores — shared by q_lm_score and nested (derived
+  // table) by the DoReMi oracle so the loss contract cannot drift
+  private lazy val LmScoreOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+       |pos AS (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+       |                 i -> toks[i] || ' ' || toks[i + 1])) AS b
+       |  FROM t),
+       |uni AS (SELECT w, count(*) AS cu
+       |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
+       |bi AS (SELECT b, count(*) AS cb FROM pos GROUP BY b),
+       |v AS (SELECT count(DISTINCT w) AS v
+       |      FROM (SELECT unnest(toks) AS w FROM t))
+       |SELECT pos.doc_id, count(*) AS n_bigrams,
+       |       round(avg(ln((bi.cb + 1.0) / (uni.cu + 1.0 * v.v))), 6) AS avg_logp
+       |FROM pos JOIN bi USING (b)
+       |         JOIN uni ON uni.w = split_part(pos.b, ' ', 1)
+       |         CROSS JOIN v
+       |GROUP BY pos.doc_id""".stripMargin
+
+  // DoReMi domain weights: nested LM-loss oracle, exact integer-micro
+  // domain sums, quantized excess → 16-squaring pexp replay, sqrt
+  // temperature baseline, e6-quantized weights summed exactly, one
+  // fixed-spelling smoothed normalization (floor-6)
+  private lazy val DoremiOracleSql: String = {
+    val squarings = (1 to 16)
+      .map(i => s"p$i AS (SELECT *, e${i - 1} * e${i - 1} AS e$i FROM p${i - 1})")
+      .mkString(",\n")
+    s"""WITH lmq AS (SELECT * FROM ($LmScoreOracleSql) z),
+       |dl AS (SELECT doc_id,
+       |         -CAST(round(avg_logp * 1000000.0) AS BIGINT) AS loss_e6
+       |       FROM lmq),
+       |ds AS (SELECT d.source, count(*) AS n_docs,
+       |         CAST(sum(l.loss_e6) AS BIGINT) AS sum_loss_e6
+       |       FROM documents d JOIN dl l USING (doc_id) GROUP BY d.source),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
+       |          CAST(sum(sum_loss_e6) AS BIGINT) AS ts, count(*) AS k
+       |        FROM ds),
+       |ex AS (SELECT ds.source, ds.n_docs, ds.sum_loss_e6, tot.tn, tot.k,
+       |        CAST(floor(greatest(0.0,
+       |             CAST(ds.sum_loss_e6 AS DOUBLE) / CAST(ds.n_docs AS DOUBLE)
+       |             - CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE))
+       |             + 0.5) AS BIGINT) AS excess_e6
+       |       FROM ds CROSS JOIN tot),
+       |p0 AS (SELECT *,
+       |         1.0 + (CAST(excess_e6 AS DOUBLE) / 1000000.0) / 65536.0 AS e0
+       |       FROM ex),
+       |$squarings,
+       |w AS (SELECT source, n_docs, sum_loss_e6, excess_e6, k,
+       |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(tn AS DOUBLE))
+       |             * e16 * 1000000.0 + 0.5) AS BIGINT) AS w_e6
+       |      FROM p16),
+       |tw AS (SELECT CAST(sum(w_e6) AS BIGINT) AS tot_w FROM w)
+       |SELECT source, n_docs, sum_loss_e6, excess_e6, w_e6,
+       |  floor((0.99 * CAST(w_e6 AS DOUBLE) / CAST(tot_w AS DOUBLE)
+       |         + 0.01 / CAST(k AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+       |    AS weight
+       |FROM w CROSS JOIN tw""".stripMargin
   }
 
   private lazy val CurationLedgerOracleSql: String =
@@ -4116,23 +4188,8 @@ object SparkEntry {
          |         floor((start_offset + n_tokens - 1) / 512)
          |           <> floor(start_offset / 512) AS straddles
          |FROM o""".stripMargin,
-    "q_lm_score" ->
-      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
-         |pos AS (
-         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
-         |                 i -> toks[i] || ' ' || toks[i + 1])) AS b
-         |  FROM t),
-         |uni AS (SELECT w, count(*) AS cu
-         |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
-         |bi AS (SELECT b, count(*) AS cb FROM pos GROUP BY b),
-         |v AS (SELECT count(DISTINCT w) AS v
-         |      FROM (SELECT unnest(toks) AS w FROM t))
-         |SELECT pos.doc_id, count(*) AS n_bigrams,
-         |       round(avg(ln((bi.cb + 1.0) / (uni.cu + 1.0 * v.v))), 6) AS avg_logp
-         |FROM pos JOIN bi USING (b)
-         |         JOIN uni ON uni.w = split_part(pos.b, ' ', 1)
-         |         CROSS JOIN v
-         |GROUP BY pos.doc_id""".stripMargin,
+    "q_lm_score" -> LmScoreOracleSql,
+    "q_doremi_weights" -> DoremiOracleSql,
     // pruned twin of q_lm_score: uni/bi HAVING >= 2, LEFT joins so pruned
     // positions fall back to 0-count smoothing (V stays unpruned) — the
     // same math LmScore.scoreStateless ships as map literals

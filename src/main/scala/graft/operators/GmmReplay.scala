@@ -44,23 +44,10 @@ import org.apache.spark.sql.functions._
 object GmmReplay {
 
   private val ClampFloor = -30.0d
-  private val Squarings = 16
-  private val PexpBase = (1L << Squarings).toDouble // 65536
 
-  /** pexp as a named-column chain: each squaring references the PREVIOUS
-    * named column, keeping the Catalyst tree linear (a self-referencing
-    * fold would build a 2^16-node tree).
-    */
-  private def withPexp(df: DataFrame, xCol: String, outCol: String): DataFrame = {
-    val seeded = df.withColumn(s"${outCol}_p0",
-      lit(1.0d) + col(xCol) / lit(PexpBase))
-    val chained = (1 to Squarings).foldLeft(seeded) { (d, i) =>
-      d.withColumn(s"${outCol}_p$i",
-        col(s"${outCol}_p${i - 1}") * col(s"${outCol}_p${i - 1}"))
-    }
-    chained.withColumn(outCol, col(s"${outCol}_p$Squarings"))
-      .drop((0 to Squarings).map(i => s"${outCol}_p$i"): _*)
-  }
+  /** pexp chain — shared kernel, see [[PseudoExp.chain]]. */
+  private def withPexp(df: DataFrame, xCol: String, outCol: String): DataFrame =
+    PseudoExp.chain(df, xCol, outCol)
 
   /** One E-step: per point, the micro-quantized responsibility for every
     * surviving center as columns r{cid} (fixed-cid-order denominator;
