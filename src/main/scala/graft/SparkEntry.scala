@@ -1663,6 +1663,16 @@ object SparkEntry {
       graft.operators.LabelPropagation.communities(
         shingleEdges(Tables(s, d).documents))
     },
+    // per-community dedup quality (operators.CommunityQuality): exact
+    // capped-pair intra-community Jaccard over the LPA communities — the
+    // audit that separates real duplicate families from bridge artifacts;
+    // md5-rank cap bounds the pair fan-out by construction
+    "q_community_quality" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      graft.operators.CommunityQuality.intraJaccard(
+        docs,
+        graft.operators.LabelPropagation.communities(shingleEdges(docs)))
+    },
     "q_dedup_components" -> { (s, d) =>
       val docs = Tables(s, d).documents
       docs.select(col("doc_id"))
@@ -2661,6 +2671,50 @@ object SparkEntry {
     "q_pca_two_components" -> PcaTwoOracleSql,
     "q_kcore" -> KCoreOracleSql,
     "q_lpa_communities" -> LpaOracleSql,
+    // per-community capped-pair Jaccard: NESTS the LPA oracle (derived
+    // table) so the community contract cannot drift; md5-48 rank cap,
+    // per-pair e6 quantization before the exact BIGINT sums
+    "q_community_quality" ->
+      s"""WITH lpa AS (SELECT * FROM ($LpaOracleSql) lz),
+         |t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |d AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                             i -> array_to_string(toks[i:i+2], ' '))
+         |    END) AS sh
+         |  FROM t),
+         |mem AS (
+         |  SELECT lpa.community, lpa.node AS doc_id, d.sh
+         |  FROM lpa JOIN d ON d.doc_id = lpa.node),
+         |cap AS (
+         |  SELECT community, doc_id, sh FROM (
+         |    SELECT mem.*, row_number() OVER (PARTITION BY community
+         |      ORDER BY ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT,
+         |               doc_id) AS rn
+         |    FROM mem) z
+         |  WHERE rn <= 8),
+         |pr AS (
+         |  SELECT a.community,
+         |    CAST(floor(
+         |      CASE WHEN len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) = 0
+         |           THEN 0.0
+         |           ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+         |                / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |      END * 1000000.0 + 0.5) AS BIGINT) AS j_e6
+         |  FROM cap a JOIN cap b
+         |    ON a.community = b.community AND b.doc_id > a.doc_id),
+         |sz AS (SELECT community, count(*) AS n_members FROM lpa GROUP BY community),
+         |sp AS (SELECT community, count(*) AS n_sampled FROM cap GROUP BY community),
+         |ag AS (
+         |  SELECT community, count(*) AS n_pairs,
+         |         CAST(sum(j_e6) AS BIGINT) AS sum_j_e6, min(j_e6) AS min_j_e6
+         |  FROM pr GROUP BY community)
+         |SELECT ag.community, sz.n_members, sp.n_sampled, ag.n_pairs,
+         |       ag.sum_j_e6, ag.min_j_e6,
+         |       floor(CAST(ag.sum_j_e6 AS DOUBLE) / CAST(ag.n_pairs AS DOUBLE)
+         |             / 1000000.0 * 1000000.0 + 0.5) / 1000000.0 AS mean_jaccard
+         |FROM ag JOIN sz USING (community) JOIN sp USING (community)""".stripMargin,
     "q_session_features" -> s"$FeaturesSql SELECT * FROM features",
     "q_session_features_join" -> s"$FeaturesSql SELECT * FROM features",
     "q_first_purchase" ->
