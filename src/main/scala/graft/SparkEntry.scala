@@ -1411,6 +1411,21 @@ object SparkEntry {
           lit(".org 10.0.0."), pmod(col("doc_id"), lit(256)).cast("string")).as("text"))
       PiiScrub.profile(spiked)
     },
+    // extended PII battery: display-format phones + 13-19-digit payment-card
+    // candidates gated by the Luhn mod-10 checksum (an integer HOF fold,
+    // spelled identically in the oracle). Spiked like q_pii_scrub: one phone
+    // and two 16-digit card runs per doc, id-derived — whether each card
+    // passes Luhn varies with doc_id, so the gate demonstrably separates
+    "q_pii_scrub2" -> { (s, d) =>
+      val id2 = lpad(pmod(col("doc_id"), lit(100)).cast("string"), 2, "0")
+      val spiked = Tables(s, d).documents.select(
+        col("doc_id"),
+        concat(col("text"),
+          lit(" ph (5"), id2, lit(") 555-01"), id2,
+          lit(" card 4"), lpad(col("doc_id").cast("string"), 15, "0"),
+          lit(" alt 5"), lpad((col("doc_id") * 3 + 1).cast("string"), 15, "0")).as("text"))
+      PiiScrub.profile2(spiked)
+    },
     // content-hash train/val/test assignment — stable across runs and
     // engines, duplicate texts co-locate in one split (operators.HashSplit)
     "q_hash_split" -> { (s, d) =>
@@ -1741,6 +1756,15 @@ object SparkEntry {
       val emb = Tables(s, d).embeddings
       Similarity.windowedKnn(emb.filter(col("vec_id") < 5), emb, k = 10, window = 100)
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
+    },
+    // Matryoshka truncation evaluation: recall@10 of prefix-dim cosine
+    // retrieval (8/16/32 of 64 dims) vs full-dim, per probe — both sides
+    // exact brute-force rankings with id tie-breaks, so the whole
+    // evaluation is deterministic and hash-oracled (operators.Matryoshka)
+    "q_matryoshka_recall" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      graft.operators.Matryoshka.prefixRecall(
+        emb.filter(col("vec_id") < 8), emb, dims = Seq(8, 16, 32), k = 10)
     },
     // symmetric int8 scalar quantization (operators.Quantize): scale =
     // max|x|/127, codes = floor(x/scale + 0.5) clamped — zero-shuffle
@@ -4503,6 +4527,31 @@ object SparkEntry {
         |                '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'))
         |         AS redacted_len
         |FROM s""".stripMargin,
+    // same spike derivation + the Luhn fold term for term (rightmost digit
+    // weight 1, every second digit doubled with digit-sum)
+    "q_pii_scrub2" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         text || ' ph (5' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |              || ') 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0')
+        |              || ' card 4' || lpad(CAST(doc_id AS VARCHAR), 15, '0')
+        |              || ' alt 5' || lpad(CAST(doc_id * 3 + 1 AS VARCHAR), 15, '0') AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |       len(regexp_extract_all(t, '\(\d{3}\) \d{3}-\d{4}')) AS n_phones,
+        |       len(regexp_extract_all(t, '\b\d{13,19}\b')) AS n_card_candidates,
+        |       len(list_filter(regexp_extract_all(t, '\b\d{13,19}\b'),
+        |         c -> list_sum(list_transform(generate_series(1, length(c)),
+        |              i -> CASE WHEN (length(c) - i) % 2 = 1
+        |                   THEN CASE WHEN CAST(substring(c, i, 1) AS INT) * 2 > 9
+        |                        THEN CAST(substring(c, i, 1) AS INT) * 2 - 9
+        |                        ELSE CAST(substring(c, i, 1) AS INT) * 2 END
+        |                   ELSE CAST(substring(c, i, 1) AS INT) END)) % 10 = 0))
+        |         AS n_cards_valid,
+        |       length(regexp_replace(regexp_replace(t,
+        |                '\b\d{13,19}\b', '<CARD>', 'g'),
+        |                '\(\d{3}\) \d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_len
+        |FROM s""".stripMargin,
     // same ascii arithmetic as HashSplit.bucket — md5 hex is the one hash
     // spelling engines agree on
     "q_hash_split" ->
@@ -4936,6 +4985,34 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
         |  FROM c)
         |SELECT query_id, neighbor_id, round(cos, 6) AS cos, rank FROM r WHERE rank <= 10""".stripMargin,
+    // the q_knn_bruteforce ranking kernel run at three prefix widths via
+    // list_slice — recall is a pure set intersection of the two rankings
+    "q_matryoshka_recall" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8),
+        |fr AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q.query_id, e.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY q.query_id
+        |             ORDER BY list_cosine_similarity(q.qv, e.v) DESC, e.vec_id) AS rank
+        |    FROM q CROSS JOIN e WHERE e.vec_id <> q.query_id)
+        |  WHERE rank <= 10),
+        |dims AS (SELECT unnest([8, 16, 32]) AS dim),
+        |pref AS (
+        |  SELECT dim, query_id, neighbor_id FROM (
+        |    SELECT d.dim, q.query_id, e.vec_id AS neighbor_id,
+        |           row_number() OVER (PARTITION BY d.dim, q.query_id
+        |             ORDER BY list_cosine_similarity(list_slice(q.qv, 1, d.dim),
+        |                                             list_slice(e.v, 1, d.dim)) DESC,
+        |                      e.vec_id) AS rank
+        |    FROM dims d CROSS JOIN q CROSS JOIN e WHERE e.vec_id <> q.query_id)
+        |  WHERE rank <= 10)
+        |SELECT p.dim, p.query_id,
+        |       CAST(count(f.neighbor_id) AS BIGINT) AS n_hits,
+        |       round(CAST(count(f.neighbor_id) AS DOUBLE) / 10, 6) AS recall
+        |FROM pref p LEFT JOIN fr f
+        |  ON p.query_id = f.query_id AND p.neighbor_id = f.neighbor_id
+        |GROUP BY p.dim, p.query_id""".stripMargin,
     // same scale/code arithmetic as Quantize.int8Codes, term for term
     "q_quantize_int8" ->
       """WITH s AS (

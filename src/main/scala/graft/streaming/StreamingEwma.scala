@@ -32,7 +32,8 @@ object StreamingEwma {
       lastEmitted: Long,
       pendingBucket: Long,
       pendingCount: Long,
-      started: Boolean
+      started: Boolean,
+      droppedLate: Long = 0L
   )
   final case class Point(event_type: String, bucket_s: Long, n_events: Long, ewma_micros: Long)
 
@@ -62,6 +63,13 @@ object StreamingEwma {
     if (counts.isEmpty) return Iterator.empty
     val maxB = counts.keys.max
     val origin = if (st.started) st.lastEmitted + 1 else counts.keys.min
+    // Bucket-aligned arrival is an ASSUMPTION, not an invariant: an
+    // observation landing at or below lastEmitted can no longer change an
+    // emitted level. Count it (cumulatively, in state) instead of letting
+    // the violation vanish silently — ops can alert on a growing counter.
+    val late =
+      if (st.started) counts.iterator.collect { case (b, c) if b < origin => c }.sum
+      else 0L
     var s = st.s
     var started = st.started
     val out = Seq.newBuilder[Point]
@@ -73,7 +81,7 @@ object StreamingEwma {
       out += Point(key, b * bucketSeconds, x, s)
       b += 1
     }
-    state.update(EwmaState(s, maxB - 1, maxB, counts(maxB), started))
+    state.update(EwmaState(s, maxB - 1, maxB, counts(maxB), started, st.droppedLate + late))
     out.result().iterator
   }
 

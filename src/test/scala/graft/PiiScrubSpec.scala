@@ -43,4 +43,43 @@ class PiiScrubSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  // ---- extended battery: phones + Luhn-gated cards ----
+
+  private def profile2(text: String): (Int, Int, Int, Int) =
+    PiiScrub.profile2(Seq((1L, text)).toDF("doc_id", "text"))
+      .select($"n_phones", $"n_card_candidates", $"n_cards_valid", $"redacted_len")
+      .as[(Int, Int, Int, Int)].head()
+
+  test("Luhn separates valid from invalid card numbers") {
+    // 4532015112830366 is a classic valid test PAN; flipping the check
+    // digit must fail; a 13-digit run is still a candidate
+    val (ph, cand, valid, _) = profile2(
+      "pay 4532015112830366 or 4532015112830367 maybe 4222222222222")
+    assert(ph == 0)
+    assert(cand == 3)
+    assert(valid == 2) // 4532015112830366 and 4222222222222 both pass Luhn
+  }
+
+  test("phone detection and redaction") {
+    val (ph, cand, valid, _) = profile2("call (555) 555-0123 or (01) 99 nope")
+    assert((ph, cand, valid) == ((1, 0, 0)))
+    val got = Seq(1).toDF("i").select(
+      PiiScrub.redact2(org.apache.spark.sql.functions.lit(
+        "call (555) 555-0123 card 4532015112830366 end")).as("r")).as[String].head()
+    assert(got == "call <PHONE> card <CARD> end")
+  }
+
+  test("digit runs outside 13-19 digits are not card candidates") {
+    val (_, cand, valid, _) = profile2(
+      "short 123456789012 long 12345678901234567890")
+    assert(cand == 0)
+    assert(valid == 0)
+  }
+
+  test("profile2 is a zero-shuffle projection") {
+    val plan = PiiScrub.profile2(Seq((1L, "x")).toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
 }

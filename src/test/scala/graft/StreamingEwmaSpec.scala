@@ -56,6 +56,24 @@ final class StreamingEwmaSpec extends AnyFunSuite {
     assert(out2 === Seq(Point("b", 50L, 2L, 2000000L)))
   }
 
+  test("late arrival below an emitted bucket is counted, not silently lost") {
+    val st = freshState()
+    StreamingEwma.processGroup("c",
+      Iterator(Obs("c", 0L), Obs("c", 1L), Obs("c", 2L)), st, 3, 10L).toSeq
+    assert(st.get.lastEmitted === 1L && st.get.droppedLate === 0L)
+    // buckets 0 and 1 are already emitted — two violations of the
+    // bucket-aligned-arrival assumption; bucket 2 stays open and intact
+    val st2 = freshState(Some(st.get))
+    val out = StreamingEwma.processGroup("c",
+      Iterator(Obs("c", 0L), Obs("c", 1L), Obs("c", 3L)), st2, 3, 10L).toSeq
+    assert(out === Seq(Point("c", 20L, 1L, st.get.s + (1000000L - st.get.s) / 8)))
+    assert(st2.get.droppedLate === 2L)
+    // the counter is cumulative across batches
+    val st3 = freshState(Some(st2.get))
+    StreamingEwma.processGroup("c", Iterator(Obs("c", 1L), Obs("c", 4L)), st3, 3, 10L).toSeq
+    assert(st3.get.droppedLate === 3L)
+  }
+
   test("two-micro-batch file replay matches the batch operator") {
     import spark.implicits._
     // every type present in bucket 0 → streaming origin == batch global
