@@ -1426,6 +1426,34 @@ object SparkEntry {
           lit(" alt 5"), lpad((col("doc_id") * 3 + 1).cast("string"), 15, "0")).as("text"))
       PiiScrub.profile2(spiked)
     },
+    // Deequ-style declarative data-quality report (operators.DataQuality):
+    // completeness / range / domain / uniqueness constraints in ONE
+    // aggregation pass + an anti-join FK check. Violations are injected
+    // deterministically (id-derived, reproduced in the oracle) — the clean
+    // tables would make every verdict a trivial pass
+    "q_dq_report" -> { (s, d) =>
+      val t = Tables(s, d)
+      val dirty = t.events.select(
+        when(pmod(col("event_id"), lit(101)) === 0, lit(0L))
+          .otherwise(col("event_id")).as("event_id"),
+        when(pmod(col("event_id"), lit(97)) === 0, lit(null).cast("long"))
+          .otherwise(col("user_id")).as("user_id"),
+        when(pmod(col("event_id"), lit(89)) === 0, col("user_id") + 10000000L)
+          .otherwise(col("user_id")).as("fk_user_id"),
+        when(pmod(col("event_id"), lit(71)) === 0, upper(col("event_type")))
+          .otherwise(col("event_type")).as("event_type"),
+        when(pmod(col("event_id"), lit(53)) === 0, -col("value") - 1.0)
+          .otherwise(col("value")).as("value"))
+      val checks = Seq(
+        "complete_user_id" -> col("user_id").isNull,
+        "value_nonnegative" -> (col("value") < 0.0),
+        "event_type_domain" ->
+          !col("event_type").isin("view", "click", "purchase", "signup", "error"))
+      graft.operators.DataQuality.finish(
+        graft.operators.DataQuality.report(dirty, checks, uniqueCols = Seq("event_id"))
+          .unionByName(graft.operators.DataQuality.fkViolations(
+            dirty, "fk_user_id", t.customer, "c_custkey", "fk_user_customer")))
+    },
     // content-hash train/val/test assignment — stable across runs and
     // engines, duplicate texts co-locate in one split (operators.HashSplit)
     "q_hash_split" -> { (s, d) =>
@@ -4552,6 +4580,44 @@ object SparkEntry {
         |                '\b\d{13,19}\b', '<CARD>', 'g'),
         |                '\(\d{3}\) \d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_len
         |FROM s""".stripMargin,
+    // same injected violations, one UNION ALL branch per constraint; the
+    // fraction is exact integer floor-division on both engines
+    "q_dq_report" ->
+      """WITH dirty AS (
+        |  SELECT CASE WHEN event_id % 101 = 0 THEN 0 ELSE event_id END AS event_id,
+        |         CASE WHEN event_id % 97 = 0 THEN NULL ELSE user_id END AS user_id,
+        |         CASE WHEN event_id % 89 = 0 THEN user_id + 10000000 ELSE user_id END
+        |           AS fk_user_id,
+        |         CASE WHEN event_id % 71 = 0 THEN upper(event_type) ELSE event_type END
+        |           AS event_type,
+        |         CASE WHEN event_id % 53 = 0 THEN -value - 1.0 ELSE value END AS value
+        |  FROM events),
+        |base AS (
+        |  SELECT 'complete_user_id' AS check_name,
+        |         CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT) AS n_bad,
+        |         count(*) AS n_total FROM dirty
+        |  UNION ALL
+        |  SELECT 'value_nonnegative',
+        |         CAST(count(*) FILTER (WHERE value < 0.0) AS BIGINT), count(*) FROM dirty
+        |  UNION ALL
+        |  SELECT 'event_type_domain',
+        |         CAST(count(*) FILTER (WHERE event_type NOT IN
+        |           ('view', 'click', 'purchase', 'signup', 'error')) AS BIGINT),
+        |         count(*) FROM dirty
+        |  UNION ALL
+        |  SELECT 'unique_event_id',
+        |         CAST(count(event_id) - count(DISTINCT event_id) AS BIGINT),
+        |         count(*) FROM dirty
+        |  UNION ALL
+        |  SELECT 'fk_user_customer',
+        |         (SELECT CAST(count(*) AS BIGINT) FROM dirty d
+        |          WHERE d.fk_user_id IS NOT NULL AND NOT EXISTS
+        |            (SELECT 1 FROM customer c WHERE c.c_custkey = d.fk_user_id)),
+        |         count(*) FROM dirty)
+        |SELECT check_name, n_bad, n_total,
+        |       n_bad * 1000000 // n_total AS bad_micros,
+        |       n_bad = 0 AS passed
+        |FROM base""".stripMargin,
     // same ascii arithmetic as HashSplit.bucket — md5 hex is the one hash
     // spelling engines agree on
     "q_hash_split" ->

@@ -40,11 +40,9 @@ object Components {
     * edges don't appear (coalesce at the call site if isolated nodes need
     * their own singleton component).
     *
-    * The returned frame IS the final round's persisted labels (unpersisting
-    * it here would force the caller's first action to recompute the whole
-    * iteration chain from already-released intermediates) — call
-    * `.unpersist()` on it when done, or rely on session-level cache hygiene
-    * (Bench clears per query; Verify at end of run).
+    * The returned frame IS the final round's checkpointed labels — its
+    * blocks are reclaimed by session-level cache hygiene (Bench clears per
+    * query; Verify at end of run).
     */
   def connectedComponents(
       edges: DataFrame,
@@ -61,7 +59,7 @@ object Components {
     // neighborhood (one aggregate, no join), not at itself
     var labels = bidir.groupBy(col("a"))
       .agg(least(col("a"), min(col("b"))).as("label"))
-      .withColumnRenamed("a", "node").persist()
+      .withColumnRenamed("a", "node").localCheckpoint(true)
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -82,15 +80,18 @@ object Components {
       // pointer chase: follow the label to ITS label (the label is always a
       // node id of the same component, so the hop stays inside it) — this
       // doubles the distance covered per round, log(diameter) rounds total
+      // eager localCheckpoint (not persist): truncates lineage so each
+      // round analyzes a constant-size plan — see PageRank's scaladoc for
+      // the r12 profile; the convergence probe then runs on checkpointed
+      // blocks
       val next = m.join(
           m.select(col("node").as("_ln"), col("label").as("_ll")),
           col("label") === col("_ln"), "left")
         .select(col("node"), coalesce(col("_ll"), col("label")).as("label"), col("old"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.filter(col("label") =!= col("old")).limit(1).count()
-      // next is materialized by the probe — its inputs can release now
+      // next is materialized — the round-local cache can release now
       m.unpersist(blocking = false)
-      labels.unpersist(blocking = false)
       labels = next
       converged = changed == 0L
       it += 1

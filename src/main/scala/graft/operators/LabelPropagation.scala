@@ -26,8 +26,9 @@ import org.apache.spark.sql.functions._
   * Scale shape: one round = one equi-join (edges ⋈ labels, shuffle keyed
   * by node) + two hash aggregates (label counts, then arg-max) — all
   * bounded by the edge list, which is orders of magnitude smaller than
-  * the corpus at 100 TB. Per-round persist + materialize + release keeps
-  * lineage flat (the [[Components]] discipline). The arg-max is
+  * the corpus at 100 TB. Per-round eager `localCheckpoint` keeps BOTH
+  * execution and the logical plan flat (see [[PageRank]]'s scaladoc for
+  * the r12 profile behind the checkpoint discipline). The arg-max is
   * `max(struct(count, −label))` — a mergeable aggregate, no window, no
   * per-node row explosion.
   */
@@ -36,7 +37,8 @@ object LabelPropagation {
   /** (node, community) after `rounds` synchronous updates; community is a
     * node id (labels start as self). Isolated nodes don't appear (the
     * [[Components.connectedComponents]] convention). The returned frame is
-    * the final round's persisted labels — `.unpersist()` when done.
+    * the final round's checkpointed labels; the session-hygiene sweep
+    * reclaims the blocks.
     */
   def communities(
       edges: DataFrame,
@@ -45,26 +47,24 @@ object LabelPropagation {
       rounds: Int = 3
   ): DataFrame = {
     val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    // eager localCheckpoint, not persist+count: truncates lineage so every
+    // round re-analyzes a constant-size plan (PageRank's scaladoc has the
+    // r12 profile that motivated the switch)
     val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .distinct().persist()
+      .distinct().localCheckpoint(true)
     var labels = bidir.select(col("a").as("node")).distinct()
-      .withColumn("label", col("node")).persist()
-    labels.count()
+      .withColumn("label", col("node")).localCheckpoint(true)
     for (_ <- 1 to rounds) {
       val msgs = bidir
         .join(labels.select(col("node").as("b"), col("label")), Seq("b"))
         .select(col("a").as("node"), col("label"))
-      val next = msgs
+      labels = msgs
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
         .groupBy(col("node"))
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("best"))
         .select(col("node"), (-col("best").getField("nl")).as("label"))
-        .persist()
-      next.count()
-      labels.unpersist()
-      labels = next
+        .localCheckpoint(true)
     }
-    bidir.unpersist()
     labels.select(col("node"), col("label").as("community"))
   }
 }

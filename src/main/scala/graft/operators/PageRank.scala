@@ -19,13 +19,16 @@ import org.apache.spark.sql.functions._
   * unrolled DuckDB spelling).
   *
   * Undirected: every node has degree ≥ 1, so there are no dangling-mass
-  * corrections to model. Iteration hygiene matches [[LabelPropagation]]:
-  * the edge list, degree table and 1-row node count are persisted for the
-  * loop and released at the end; each round's ranks are persisted +
-  * materialized + released so lineage stays flat (the unpersisted 5-deep
-  * chain re-planned poorly under AQE — BENCH_r11's 21 s regression). The
-  * RETURNED frame is the final round's persisted ranks — `.unpersist()`
-  * when done (or rely on the session's cache clear).
+  * corrections to model. Iteration hygiene: eager `localCheckpoint` per
+  * round — per-round persist+count keeps EXECUTION flat but the LOGICAL
+  * plan still grows linearly, and Catalyst re-analyzes the whole chain
+  * every round (r12 profile at sf0.1: round 5 cost 2.5× round 1 under the
+  * persist discipline; flat ~0.2 s/round checkpointed — the
+  * GraphX/GraphFrames iterative practice). The loop-invariant
+  * degree-annotated edge list, node list and 1-row count are checkpointed
+  * once up front. Checkpoint blocks are executor-local (non-reliable);
+  * the session-hygiene sweep (`getPersistentRDDs` + unpersist, as
+  * Bench/Verify do between queries) reclaims them.
   */
 object PageRank {
 
@@ -40,33 +43,31 @@ object PageRank {
     require(iterations >= 1, "iterations must be >= 1")
     val bi = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .persist()
-    val deg = bi.groupBy(col("a")).agg(count(lit(1)).as("d")).persist()
-    // 1-row count, computed ONCE and persisted — each round broadcasts it
-    // without re-running the distinct
-    val n = bi.select(col("a")).distinct().agg(count(lit(1)).as("_n")).persist()
-    var r = bi.select(col("a").as("node")).distinct()
+    // degree is joined ONCE, outside the loop: the per-round join keys on
+    // the (a, b, d) frame directly instead of re-joining deg every round
+    // (the r12 TimeQ profile showed the in-loop deg join costing ~1 s/round
+    // at sf0.1). d stays a column so each round still computes r/d — the
+    // exact float op the unrolled oracle spells.
+    val deg = bi.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val biDeg = bi.join(deg, Seq("a")).localCheckpoint(true)
+    // node list + 1-row count, computed ONCE — each round broadcasts the
+    // count without re-running the distinct
+    val nodes = biDeg.select(col("a").as("node")).distinct().localCheckpoint(true)
+    val n = nodes.agg(count(lit(1)).as("_n")).localCheckpoint(true)
+    var r = nodes
       .crossJoin(broadcast(n))
       .select(col("node"), round(lit(1.0) / col("_n"), 9).as("r"))
-      .persist()
-    r.count()
+      .localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val next = bi
+      r = biDeg
         .join(r.withColumnRenamed("node", "a"), Seq("a"))
-        .join(deg, Seq("a"))
         .select(col("b").as("node"), (col("r") / col("d")).as("_c"))
         .groupBy(col("node")).agg(sum(col("_c")).as("_s"))
         .crossJoin(broadcast(n))
         .select(col("node"),
           round(lit(teleport) / col("_n") + lit(damping) * col("_s"), 9).as("r"))
-        .persist()
-      next.count()
-      r.unpersist()
-      r = next
+        .localCheckpoint(true)
     }
-    bi.unpersist()
-    deg.unpersist()
-    n.unpersist()
     r.select(col("node"), col("r").as("rank"))
   }
 }

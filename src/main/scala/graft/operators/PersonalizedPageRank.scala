@@ -25,15 +25,14 @@ import org.apache.spark.sql.functions._
   * IEEE. Mass is not exactly conserved (truncation leaks ≤ deg(u) units
   * per node-round) — deterministic, and irrelevant for ranking.
   *
-  * Scale shape: per iteration one equi-join on the persisted edge list +
-  * one node-keyed aggregate + one join to the persisted teleport table —
-  * the [[Components]]/[[PageRank]] bounded-iteration shape; seeds attach
-  * via a semi join (never broadcast-assumed), no collect anywhere.
-  * Lifecycle matches [[LabelPropagation]]: bi/deg/base are persisted for
-  * the loop and released before returning; each round's ranks are
-  * persisted + materialized + released. The RETURNED frame is the final
-  * round's persisted ranks — `.unpersist()` when done (or rely on the
-  * session's cache clear).
+  * Scale shape: per iteration one equi-join on the checkpointed
+  * degree-annotated edge list + one node-keyed aggregate + one join to
+  * the checkpointed teleport table — the [[Components]]/[[PageRank]]
+  * bounded-iteration shape; seeds attach via a semi join (never
+  * broadcast-assumed), no collect anywhere. Lineage hygiene matches
+  * [[PageRank]]: eager `localCheckpoint` per round (constant-size plans;
+  * see PageRank's scaladoc for the r12 profile), loop invariants
+  * checkpointed once; the session-hygiene sweep reclaims the blocks.
   */
 object PersonalizedPageRank {
 
@@ -54,9 +53,13 @@ object PersonalizedPageRank {
     require(iterations >= 1, "iterations must be >= 1")
     val bi = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
-      .persist()
-    val deg = bi.groupBy(col("a")).agg(count(lit(1)).as("d")).persist()
-    val nodes = bi.select(col("a").as("node")).distinct()
+    // loop invariants checkpointed ONCE (degree folded into the edge list
+    // so rounds key one join, not two); per-round eager localCheckpoint
+    // truncates lineage — see PageRank's scaladoc for the r12 profile
+    // that motivated checkpoints over per-round persist+count
+    val deg = bi.groupBy(col("a")).agg(count(lit(1)).as("d"))
+    val biDeg = bi.join(deg, Seq("a")).localCheckpoint(true)
+    val nodes = biDeg.select(col("a").as("node")).distinct()
     val seedNodes = nodes
       .join(seeds.select(col(seedCol).as("node")), Seq("node"), "left_semi")
     val nSeeds = seedNodes.agg(count(lit(1)).as("_ns"))
@@ -67,13 +70,11 @@ object PersonalizedPageRank {
       .select(col("node"),
         when(col("_seed") === 1L, expr(s"$T DIV _ns")).otherwise(lit(0L)).as("tele"),
         when(col("_seed") === 1L, expr(s"$S DIV _ns")).otherwise(lit(0L)).as("r0"))
-      .persist()
-    var r = base.select(col("node"), col("r0").as("r")).persist()
-    r.count()
+      .localCheckpoint(true)
+    var r = base.select(col("node"), col("r0").as("r")).localCheckpoint(true)
     for (_ <- 1 to iterations) {
-      val next = bi
+      r = biDeg
         .join(r.withColumnRenamed("node", "a"), Seq("a"))
-        .join(deg, Seq("a"))
         .select(col("b").as("node"), expr("r DIV d").as("_c"))
         .groupBy(col("node")).agg(sum(col("_c")).as("_s"))
         .join(base.select(col("node"), col("tele")), Seq("node"))
@@ -81,14 +82,8 @@ object PersonalizedPageRank {
           (col("tele") +
             floor(lit(0.85d) * col("_s").cast("double") + lit(0.5d)).cast("long"))
             .as("r"))
-        .persist()
-      next.count()
-      r.unpersist()
-      r = next
+        .localCheckpoint(true)
     }
-    bi.unpersist()
-    deg.unpersist()
-    base.unpersist()
     r.select(col("node"), col("r").as("ppr_e12"))
   }
 }

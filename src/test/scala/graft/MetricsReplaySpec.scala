@@ -68,4 +68,23 @@ final class MetricsReplaySpec extends AnyFunSuite {
     // ranked desc by probability
     assert(preds.head.getAs[String]("session_id") === "1_2024-03-01")
   }
+
+  test("ensureStore builds once per JVM and only exposes complete stores") {
+    import java.nio.file.Paths
+    val key = "graft-ensure-test-" + System.nanoTime
+    val p1 = MetricsReplay.ensureStore(events, key)
+    val mtime1 = Files.getLastModifiedTime(Paths.get(p1))
+    // the final file is complete: the prediction read never sees the
+    // mid-replay documents (they live on the temp path until the move)
+    assert(MetricsStore.predictionTable(spark, p1, 20).collect().nonEmpty)
+    val base = Paths.get(p1).getFileName.toString
+    val leftovers = java.nio.file.Files.list(Paths.get(p1).getParent)
+      .filter(f => f.getFileName.toString.startsWith(base + ".build."))
+      .count()
+    assert(leftovers === 0L)
+    // second call is the memo, not a rewrite
+    val p2 = MetricsReplay.ensureStore(events, key)
+    assert(p2 === p1)
+    assert(Files.getLastModifiedTime(Paths.get(p1)) === mtime1)
+  }
 }
