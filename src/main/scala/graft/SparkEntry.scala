@@ -1348,6 +1348,26 @@ object SparkEntry {
       Tables(s, d).lineitem.select(col("l_orderkey"), col("l_linenumber"),
         graft.operators.ZOrder.zkey2(col("l_partkey"), col("l_suppkey")).as("zkey"))
     },
+    // zone-map pruning estimator (operators.ZoneMaps): simulate 1000-row
+    // files under insertion order vs Z-order, build per-file min/max, and
+    // score a range-predicate battery — the measured fraction of files a
+    // lake format would skip under each layout
+    "q_zonemap_pruning" -> { (s, d) =>
+      import graft.operators.ZoneMaps
+      val li = Tables(s, d).lineitem.withColumn("zkey",
+        graft.operators.ZOrder.zkey2(col("l_partkey"), col("l_suppkey")))
+      ZoneMaps.report(
+        li,
+        layouts = Seq(
+          "natural" -> Seq("l_orderkey", "l_linenumber"),
+          "zorder" -> Seq("zkey", "l_orderkey", "l_linenumber")),
+        fileRows = 1000,
+        statCols = Seq("l_partkey", "l_suppkey"),
+        preds = Seq(
+          ZoneMaps.RangePred("partkey_100_150", "l_partkey", 100L, 150L),
+          ZoneMaps.RangePred("suppkey_1_5", "l_suppkey", 1L, 5L),
+          ZoneMaps.RangePred("partkey_point_77", "l_partkey", 77L, 77L)))
+    },
     // 3-dimensional Morton key (ZOrder.zkeyN): bit i of dim j at position
     // i*3 + j — the projection behind >2-dim clustered writes; still pure
     // integer shift/mask, zero shuffle, engine-identical
@@ -1425,6 +1445,13 @@ object SparkEntry {
           lit(" card 4"), lpad(col("doc_id").cast("string"), 15, "0"),
           lit(" alt 5"), lpad((col("doc_id") * 3 + 1).cast("string"), 15, "0")).as("text"))
       PiiScrub.profile2(spiked)
+    },
+    // join-key skew profiler (operators.SkewProfile): hottest-key mass,
+    // skew ratio vs the mean, and the salt modulus that would cap a task
+    // at 1000 rows — user_id is near-uniform, event_type is 5-key-hot
+    "q_skew_profile" -> { (s, d) =>
+      graft.operators.SkewProfile.profile(
+        Tables(s, d).events, Seq("user_id", "event_type"), targetRowsPerTask = 1000L)
     },
     // Deequ-style declarative data-quality report (operators.DataQuality):
     // completeness / range / domain / uniqueness constraints in ONE
@@ -4472,6 +4499,48 @@ object SparkEntry {
         |         ((x3 | (x3 << 1)) & 1431655765) AS x4,
         |         ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3)
         |SELECT l_orderkey, l_linenumber, (x4 | (y4 << 1)) AS zkey FROM s4""".stripMargin,
+    // zkey via the generated bit-term spelling (≡ the unrolled spread
+    // chain), then row_number files per layout, zone maps, and the same
+    // pruned-interval test per predicate
+    "q_zonemap_pruning" -> {
+      val zterms = (for {
+        (c, j) <- Seq("l_partkey", "l_suppkey").zipWithIndex
+        i <- 0 until 16
+      } yield s"((((CAST($c AS BIGINT) % 65536) >> $i) & 1) << ${i * 2 + j})").mkString(" | ")
+      s"""WITH z AS (
+         |  SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |         ($zterms) AS zkey
+         |  FROM lineitem),
+         |rn AS (
+         |  SELECT l_partkey, l_suppkey,
+         |         (row_number() OVER (ORDER BY l_orderkey, l_linenumber) - 1) // 1000
+         |           AS f_nat,
+         |         (row_number() OVER (ORDER BY zkey, l_orderkey, l_linenumber) - 1) // 1000
+         |           AS f_z
+         |  FROM z),
+         |fn AS (SELECT f_nat AS file_id, min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+         |              min(l_suppkey) AS mns, max(l_suppkey) AS mxs
+         |       FROM rn GROUP BY f_nat),
+         |fz AS (SELECT f_z AS file_id, min(l_partkey) AS mnp, max(l_partkey) AS mxp,
+         |              min(l_suppkey) AS mns, max(l_suppkey) AS mxs
+         |       FROM rn GROUP BY f_z),
+         |bothf AS (SELECT 'natural' AS layout, * FROM fn
+         |          UNION ALL SELECT 'zorder', * FROM fz),
+         |pr AS (
+         |  SELECT layout, p.pred,
+         |         CASE p.pred
+         |           WHEN 'partkey_100_150' THEN (mxp < 100 OR mnp > 150)
+         |           WHEN 'suppkey_1_5' THEN (mxs < 1 OR mns > 5)
+         |           WHEN 'partkey_point_77' THEN (mxp < 77 OR mnp > 77)
+         |         END AS pruned
+         |  FROM bothf CROSS JOIN (VALUES ('partkey_100_150'), ('suppkey_1_5'),
+         |                                ('partkey_point_77')) p(pred))
+         |SELECT layout, pred, count(*) AS n_files,
+         |       CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+         |       CAST(sum(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+         |         // count(*) AS pruned_micros
+         |FROM pr GROUP BY layout, pred""".stripMargin
+    },
     // same bit-by-bit interleave as ZOrder.zkeyN, generated term-for-term
     // (TPC-H keys are non-negative, so DuckDB % equals Spark pmod)
     "q_zorder3_key" -> {
@@ -4579,6 +4648,21 @@ object SparkEntry {
         |       length(regexp_replace(regexp_replace(t,
         |                '\b\d{13,19}\b', '<CARD>', 'g'),
         |                '\(\d{3}\) \d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_len
+        |FROM s""".stripMargin,
+    // per-key histograms collapse to 1-row summaries; identical floor
+    // divisions for the micros fractions and the salt ceiling
+    "q_skew_profile" ->
+      """WITH s AS (
+        |  SELECT 'user_id' AS key_col, CAST(sum(c) AS BIGINT) AS n_rows,
+        |         count(*) AS n_keys, max(c) AS max_key_rows
+        |  FROM (SELECT count(*) AS c FROM events GROUP BY user_id)
+        |  UNION ALL
+        |  SELECT 'event_type', CAST(sum(c) AS BIGINT), count(*), max(c)
+        |  FROM (SELECT count(*) AS c FROM events GROUP BY event_type))
+        |SELECT key_col, n_rows, n_keys, max_key_rows,
+        |       n_rows * 1000000 // n_keys AS avg_rows_micros,
+        |       max_key_rows * 1000000 // greatest(n_rows // n_keys, 1) AS skew_micros,
+        |       (max_key_rows + 999) // 1000 AS salt_factor
         |FROM s""".stripMargin,
     // same injected violations, one UNION ALL branch per constraint; the
     // fraction is exact integer floor-division on both engines

@@ -4,7 +4,6 @@ import scala.collection.mutable.ArrayBuffer
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 
 import graft.expressions.BpeMerge
 
@@ -26,7 +25,7 @@ import graft.expressions.BpeMerge
   *      a 1-row collect (the Components-style bounded driver probe);
   *   3. apply the merge to every word — a zero-shuffle projection through
   *      the native `PairMerge` kernel (greedy leftmost-first).
-  * N merges = N×(aggregate + projection); the vocab stays persisted and is
+  * N merges = N×(aggregate + projection); the vocab stays checkpointed and is
   * swapped generation-to-generation like `Components` rounds.
   *
   * The reference pipeline has no subword trainer (its TF-IDF tokenizer is
@@ -68,29 +67,29 @@ object Bpe {
   ): Seq[Merge] = {
     require(nMerges >= 0 && nMerges <= 100000, "nMerges in 0..100000")
     val merges = new ArrayBuffer[Merge]()
-    var vocab = symbolize(wordCounts).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      var i = 0
-      var done = false
-      while (i < nMerges && !done) {
-        val top = pairCounts(vocab)
-          .orderBy(desc("cnt"), asc("l"), asc("r"))
-          .limit(1)
-          .collect() // exactly one row — bounded driver probe
-        if (top.isEmpty || top.head.getLong(2) < minPairCount) done = true
-        else {
-          val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
-          merges += Merge(i, l, r, c)
-          val next = vocab
-            .withColumn("syms", BpeMerge.mergePair(col("syms"), l, r))
-            .persist(StorageLevel.MEMORY_AND_DISK)
-          next.count() // materialize before dropping the parent generation
-          vocab.unpersist(blocking = false)
-          vocab = next
-          i += 1
-        }
+    // eager localCheckpoint per generation (not persist+count): the vocab's
+    // logical plan would otherwise grow by one mergePair projection per
+    // merge, and Catalyst re-analyzes the whole chain at every generation —
+    // the same linear-plan-growth profile the graph iterations showed (see
+    // PageRank's scaladoc); checkpointing keeps generation cost constant
+    var vocab = symbolize(wordCounts).localCheckpoint(true)
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val top = pairCounts(vocab)
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1)
+        .collect() // exactly one row — bounded driver probe
+      if (top.isEmpty || top.head.getLong(2) < minPairCount) done = true
+      else {
+        val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
+        merges += Merge(i, l, r, c)
+        vocab = vocab
+          .withColumn("syms", BpeMerge.mergePair(col("syms"), l, r))
+          .localCheckpoint(true)
+        i += 1
       }
-    } finally vocab.unpersist(blocking = false)
+    }
     merges.toSeq
   }
 
