@@ -1987,6 +1987,12 @@ object SparkEntry {
     "q_kcenter_coreset" -> { (s, d) =>
       graft.operators.KCenter.greedyCoreset(s, Tables(s, d).embeddings)
     },
+    // maximal marginal relevance vs probe vec_id 0 (operators.Mmr):
+    // λ=7/10 as integer coefficients over exact BIGINT micro dot products
+    // — relevance-vs-redundancy greedy, trajectory replayed per-round
+    "q_mmr_selection" -> { (s, d) =>
+      graft.operators.Mmr.select(s, Tables(s, d).embeddings, queryId = 0L, k = 8)
+    },
     // Replayable GMM soft clustering (operators.GmmReplay): fixed-round
     // spherical EM whose exp() is the 16-squaring pseudo-exp kernel — pure
     // IEEE ·/+ both engines replay bit-for-bit; responsibilities integer
@@ -5295,6 +5301,7 @@ object SparkEntry {
     // generated full replay of the 3-round integer-micros Lloyd iteration
     "q_kmeans_clusters" -> KMeansOracleSql,
     "q_kcenter_coreset" -> KCenterOracleSql,
+    "q_mmr_selection" -> MmrOracleSql,
     // ARI + purity of the replayed k-means vs labels: contingency from
     // the shared KMeansCtes assignment a3; pair counts x(x−1)//2 exact
     // (even product, non-negative so // ≡ DIV); one fixed-spelling
@@ -5976,6 +5983,50 @@ object SparkEntry {
     * center assignment by (d2, c_id) row_number. Distances are the same
     * BIGINT Σ(Δ²) as the k-means oracle, via range(1,65) list lambdas.
     */
+  /** MMR greedy replay, the KCenter unrolled-round pattern: r0 carries the
+    * exact BIGINT relevance dot; g_i carries the running max-similarity to
+    * the i selected; s_i is the i-th argmax of 7·rel − 3·smax (score DESC,
+    * vec_id) — round 1 is argmax rel (smax ≔ 0, the MMR convention).
+    */
+  private lazy val MmrOracleSql: String = {
+    val K = 8
+    def dot(a: String, b: String) =
+      s"CAST(list_sum(list_transform(range(1, 65), i -> $a.m[i] * $b.m[i])) AS BIGINT)"
+    val rounds = (2 to K).flatMap { i =>
+      Seq(
+        s"""s$i AS MATERIALIZED (
+           |  SELECT vec_id, m, rel, 7 * rel - 3 * smax AS score FROM g${i - 1}
+           |  WHERE vec_id NOT IN (${(1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")})
+           |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin) ++
+        (if (i < K) Seq(
+          s"""g$i AS MATERIALIZED (
+             |  SELECT g.vec_id, g.m, g.rel, GREATEST(g.smax, ${dot("g", s"s$i")}) AS smax
+             |  FROM g${i - 1} g CROSS JOIN s$i)""".stripMargin)
+        else Nil)
+    }.mkString(",\n")
+    val sel = (1 to K)
+      .map(i => s"SELECT $i AS sel_rank, vec_id, rel AS rel_dot, score AS mmr_score FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH em AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 64),
+       |                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS m
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+       |q AS MATERIALIZED (SELECT m FROM em WHERE vec_id = 0),
+       |r0 AS MATERIALIZED (
+       |  SELECT em.vec_id, em.m, ${dot("em", "q")} AS rel
+       |  FROM em CROSS JOIN q WHERE em.vec_id <> 0),
+       |s1 AS MATERIALIZED (
+       |  SELECT vec_id, m, rel, 7 * rel AS score FROM r0
+       |  ORDER BY rel DESC, vec_id LIMIT 1),
+       |g1 AS MATERIALIZED (
+       |  SELECT r.vec_id, r.m, r.rel, ${dot("r", "s1")} AS smax
+       |  FROM r0 r CROSS JOIN s1),
+       |$rounds
+       |SELECT * FROM ($sel)""".stripMargin
+  }
+
   private lazy val KCenterOracleSql: String = {
     val K = 8
     def dist(a: String, b: String) =
