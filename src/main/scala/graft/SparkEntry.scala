@@ -1446,6 +1446,26 @@ object SparkEntry {
           lit(" alt 5"), lpad((col("doc_id") * 3 + 1).cast("string"), 15, "0")).as("text"))
       PiiScrub.profile2(spiked)
     },
+    // Unicode NFC normalization (expressions.UnicodeNorm): canonical
+    // composition as a native codegen'd kernel — the pre-hash transform
+    // that stops decomposed/precomposed spellings leaking past dedup.
+    // Spiked per doc_id%3 with decomposed, precomposed, and plain tails
+    "q_normalize_text" -> { (s, d) =>
+      import graft.expressions.UnicodeNorm
+      val spiked = Tables(s, d).documents.select(
+        col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit(" cafe\u0301 A\u030Angstro\u0308m"))
+            .when(pmod(col("doc_id"), lit(3)) === 1, lit(" caf\u00E9"))
+            .otherwise(lit(" plain"))).as("text"))
+      spiked.select(
+        col("doc_id"),
+        UnicodeNorm.nfc(col("text")).as("norm_text"),
+        (UnicodeNorm.nfc(col("text")) =!= col("text")).as("changed"),
+        length(col("text")).as("len_raw"),
+        length(UnicodeNorm.nfc(col("text"))).as("len_norm"))
+    },
     // join-key skew profiler (operators.SkewProfile): hottest-key mass,
     // skew ratio vs the mean, and the salt modulus that would cap a task
     // at 1000 rows — user_id is near-uniform, event_type is 5-key-hot
@@ -4654,6 +4674,22 @@ object SparkEntry {
         |       length(regexp_replace(regexp_replace(t,
         |                '\b\d{13,19}\b', '<CARD>', 'g'),
         |                '\(\d{3}\) \d{3}-\d{4}', '<PHONE>', 'g')) AS redacted_len
+        |FROM s""".stripMargin,
+    // same spike via chr() codepoints (DuckDB literals don't process \u
+    // escapes); nfc_normalize implements the same UAX #15 tables
+    "q_normalize_text" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         text || CASE doc_id % 3
+        |           WHEN 0 THEN ' cafe' || chr(769) || ' A' || chr(778)
+        |                       || 'ngstro' || chr(776) || 'm'
+        |           WHEN 1 THEN ' caf' || chr(233)
+        |           ELSE ' plain' END AS t
+        |  FROM documents)
+        |SELECT doc_id, nfc_normalize(t) AS norm_text,
+        |       nfc_normalize(t) <> t AS changed,
+        |       length(t) AS len_raw,
+        |       length(nfc_normalize(t)) AS len_norm
         |FROM s""".stripMargin,
     // per-key histograms collapse to 1-row summaries; identical floor
     // divisions for the micros fractions and the salt ceiling
