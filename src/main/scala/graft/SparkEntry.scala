@@ -292,6 +292,45 @@ object SparkEntry {
           (abs(col("approx_distinct") - col("exact_users")) <=
             col("exact_users") * lit(0.05)).as("rollup_within_5pct"))
     },
+    // approx-quantile CONTRACT check (the q_hll_rollup_checked pattern):
+    // approx_percentile guarantees rank error <= n/accuracy; we recompute
+    // the returned value's exact rank bracket [rank_lt+1, rank_le] and
+    // assert it intersects the target rank +/- the bound (2x slack for
+    // partition-merge degradation) — a drifting sketch flips the hash
+    "q_approx_quantiles_checked" -> { (s, d) =>
+      val acc = 1000
+      val ev = Tables(s, d).events.select(col("event_type"), col("value"))
+      val apx = ev.groupBy(col("event_type")).agg(
+        expr(s"approx_percentile(value, array(0.5, 0.9), $acc)").as("ap"),
+        count(lit(1)).as("n"))
+      val targets = apx.select(col("event_type"), col("n"),
+        posexplode(col("ap")).as(Seq("i", "r")))
+        .withColumn("q_micros",
+          when(col("i") === 0, lit(500000L)).otherwise(lit(900000L)))
+      val eps = col("n").cast("double") * 2d / acc + 1d
+      val t = col("q_micros").cast("double") / 1e6 * col("n").cast("double")
+      ev.join(broadcast(targets), Seq("event_type"))
+        .groupBy(col("event_type"), col("q_micros"), col("n"))
+        .agg(
+          sum(when(col("value") <= col("r"), 1L).otherwise(0L)).as("rank_le"),
+          sum(when(col("value") < col("r"), 1L).otherwise(0L)).as("rank_lt"))
+        .select(col("event_type"), col("q_micros"), col("n"),
+          (col("rank_lt").cast("double") <= t + eps &&
+            col("rank_le").cast("double") >= t - eps).as("rank_ok"))
+    },
+    // BPE lossless round-trip CONTRACT: encoding a word under the learned
+    // merges and concatenating its subwords must reproduce word + </w> for
+    // EVERY vocabulary entry — merges only ever concatenate adjacent
+    // symbols, and this query makes that invariant a hashed row
+    "q_bpe_roundtrip" -> { (s, d) =>
+      val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+      val merges = graft.operators.Bpe.trainMerges(wc, 10)
+      graft.operators.Bpe.encodeWords(wc, merges)
+        .select((array_join(col("syms"), "") ===
+          concat(col("word"), lit(graft.operators.Bpe.EndMark))).as("ok"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(when(col("ok"), 1L).otherwise(0L)).as("n_roundtrip"))
+    },
     // ---- relational core over the TPC-H-ish tables (joins/agg/sort/limit) ----
     "q1_pricing_summary" -> { (s, d) =>
       Tables(s, d).lineitem
@@ -5255,6 +5294,18 @@ object SparkEntry {
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
         |       TRUE AS rollup_within_5pct
         |FROM events GROUP BY event_type""".stripMargin,
+    // the sketch's rank-error guarantee stated as a fact the exact engine
+    // agrees with — a drifting quantile estimate flips rank_ok
+    "q_approx_quantiles_checked" ->
+      """SELECT event_type, CAST(q.q_micros AS BIGINT) AS q_micros,
+        |       count(*) AS n, TRUE AS rank_ok
+        |FROM events CROSS JOIN (VALUES (500000), (900000)) q(q_micros)
+        |GROUP BY event_type, q.q_micros""".stripMargin,
+    "q_bpe_roundtrip" ->
+      s"""WITH toks AS (SELECT unnest($TokensSql) AS w FROM documents)
+         |SELECT count(DISTINCT w) AS n_words,
+         |       count(DISTINCT w) AS n_roundtrip
+         |FROM toks""".stripMargin,
     // PQ deterministic-codebook twins. The codebook is the 8 lowest-id
     // vectors' subspace slices (m=4 × 16 dims); per-subspace squared L2 is
     // a list_sum left fold — bit-identical to Spark's aggregate fold — so
