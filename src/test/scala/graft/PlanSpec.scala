@@ -210,4 +210,40 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(p.contains("ReadSchema: struct<doc_id:bigint,media_type:string>"))
   }
+
+  test("r15 text batteries: zero-shuffle projections on a pruned (doc_id, text) scan") {
+    Seq("q_pii_scrub2", "q_normalize_text").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Exchange"), s"$q must be a pure projection:\n${p.take(1500)}")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q must prune to (doc_id, text):\n${p.take(1500)}")
+    }
+    assert(plan("q_normalize_text").contains("graft_nfc"),
+      "NFC must run as the native codegen kernel")
+  }
+
+  test("skew profiler: map-side-combined aggregates, no window, no cartesian") {
+    val p = plan("q_skew_profile")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p.take(2000))
+    assert(!p.contains("Window"), s"no window machinery:\n${p.take(1500)}")
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+  }
+
+  test("matryoshka recall: probe side broadcast, corpus never sort-merge joined") {
+    val p = plan("q_matryoshka_recall")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"probes must broadcast:\n${p.take(2000)}")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus must stream against broadcast probes:\n${p.take(2000)}")
+    assert(p.contains("ReadSchema: struct<embedding:array<float>,vec_id:bigint>") ||
+      p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"),
+      s"scan must prune to (vec_id, embedding):\n${p.take(2000)}")
+  }
+
+  test("zone maps: distributed range ranks, no cartesian, stats-table aggregation") {
+    val p = plan("q_zonemap_pruning")
+    assert(p.contains("Exchange rangepartitioning"),
+      s"PrefixSum rank must range-partition:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
 }
