@@ -178,6 +178,28 @@ object SparkEntry {
         Heuristic.intentBucket(score).as("intent_bucket")
       )
     },
+    // ---- deterministic evaluation battery over the heuristic ladder ----
+    // integer-micro scores only: no double literal ever crosses an engine
+    // boundary (operators.ClassifierEval)
+    "q_classifier_prf" -> { (s, d) =>
+      val f = sessionFeatures(s, d).select(
+        Heuristic.scoreMicros(col("cart_count"), col("view_count")).as("score_micros"),
+        col("label"))
+      graft.operators.ClassifierEval.prfSweep(f, "score_micros", "label",
+        Seq(50000L, 200000L, 350000L, 600000L, 850000L))
+    },
+    "q_calibration" -> { (s, d) =>
+      val f = sessionFeatures(s, d).select(
+        Heuristic.scoreMicros(col("cart_count"), col("view_count")).as("score_micros"),
+        col("label"))
+      graft.operators.ClassifierEval.calibration(f, "score_micros", "label")
+    },
+    "q_gains_by_decile" -> { (s, d) =>
+      val f = sessionFeatures(s, d).select(col("user_session"),
+        Heuristic.scoreMicros(col("cart_count"), col("view_count")).as("score_micros"),
+        col("label"))
+      graft.operators.ClassifierEval.gainsByDecile(f, "score_micros", "label", "user_session")
+    },
     // ---- windows: tumbling (oracle) + sliding (reference T2 shape) ----
     "q_tumbling_activity" -> { (s, d) =>
       SessionWindows.tumblingActivity(Tables(s, d).events, valueAgg = Money.moneySum)
@@ -2978,6 +3000,70 @@ object SparkEntry {
          |       CASE WHEN intent_score > 0.7 THEN 'high'
          |            WHEN intent_score > 0.4 THEN 'medium' ELSE 'low' END AS intent_bucket
          |FROM scored""".stripMargin,
+    // the ladder as integer micros, shared features CTE; F1 as one exact
+    // floor division 2tp/(2tp+fp+fn)
+    "q_classifier_prf" ->
+      s"""$FeaturesSql, sc AS (
+         |  SELECT label, CASE WHEN cart_count >= 3 THEN 850000
+         |       WHEN cart_count >= 1 THEN 600000 WHEN view_count >= 10 THEN 350000
+         |       WHEN view_count >= 5 THEN 200000 ELSE 50000 END AS score_micros
+         |  FROM features),
+         |t AS (SELECT unnest([50000, 200000, 350000, 600000, 850000]) AS thr),
+         |m AS (
+         |  SELECT thr,
+         |    CAST(sum(CASE WHEN score_micros >= thr AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |    CAST(sum(CASE WHEN score_micros >= thr AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |    CAST(sum(CASE WHEN score_micros < thr AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |    CAST(sum(CASE WHEN score_micros < thr AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM sc CROSS JOIN t GROUP BY thr)
+         |SELECT CAST(thr AS BIGINT) AS thr_micros, tp, fp, fn, tn,
+         |  CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS precision_micros,
+         |  CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_micros,
+         |  CASE WHEN tp * 2 + fp + fn = 0 THEN 0
+         |       ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_micros
+         |FROM m""".stripMargin,
+    "q_calibration" ->
+      s"""$FeaturesSql, sc AS (
+         |  SELECT label, CASE WHEN cart_count >= 3 THEN 850000
+         |       WHEN cart_count >= 1 THEN 600000 WHEN view_count >= 10 THEN 350000
+         |       WHEN view_count >= 5 THEN 200000 ELSE 50000 END AS score_micros
+         |  FROM features),
+         |b AS (
+         |  SELECT CAST(score_micros AS BIGINT) AS conf_micros, count(*) AS n,
+         |         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM sc GROUP BY 1),
+         |w AS (
+         |  SELECT *, n_pos * 1000000 // n AS acc_micros FROM b)
+         |SELECT conf_micros, n, n_pos, acc_micros,
+         |       abs(acc_micros - conf_micros) AS gap_micros,
+         |       n * abs(acc_micros - conf_micros) // (SELECT count(*) FROM sc)
+         |         AS ece_contrib_micros
+         |FROM w""".stripMargin,
+    "q_gains_by_decile" ->
+      s"""$FeaturesSql, sc AS (
+         |  SELECT user_session, label, CASE WHEN cart_count >= 3 THEN 850000
+         |       WHEN cart_count >= 1 THEN 600000 WHEN view_count >= 10 THEN 350000
+         |       WHEN view_count >= 5 THEN 200000 ELSE 50000 END AS score_micros
+         |  FROM features),
+         |tot AS (SELECT count(*) AS n_total,
+         |               CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |                 AS pos_total FROM sc),
+         |r AS (
+         |  SELECT label,
+         |         row_number() OVER (ORDER BY score_micros DESC, user_session) AS rk
+         |  FROM sc),
+         |d AS (
+         |  SELECT (rk - 1) * 10 // n_total AS decile, count(*) AS n,
+         |         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |  FROM r CROSS JOIN tot GROUP BY 1)
+         |SELECT decile, n, n_pos,
+         |       CAST(sum(n_pos) OVER (ORDER BY decile
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS cum_pos,
+         |       CAST(sum(n_pos) OVER (ORDER BY decile
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         * 1000000 // greatest((SELECT pos_total FROM tot), 1) AS gain_micros
+         |FROM d""".stripMargin,
     "q_tumbling_activity" ->
       s"""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start_s,
         |       count(*) AS n_events,

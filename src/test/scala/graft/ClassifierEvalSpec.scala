@@ -1,0 +1,49 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.ClassifierEval
+
+/** Closed-form evaluation battery: hand-computed PRF cell, exact
+  * calibration decomposition, and gains invariants (monotone cumulative,
+  * terminal gain = 100%).
+  */
+final class ClassifierEvalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // (id, score_micros, label)
+  private lazy val scored = Seq(
+    ("a", 850000L, 1), ("b", 850000L, 1),
+    ("c", 600000L, 1), ("d", 600000L, 0),
+    ("e", 50000L, 0), ("f", 50000L, 0), ("g", 50000L, 0), ("h", 50000L, 1)
+  ).toDF("id", "score_micros", "label")
+
+  test("PRF at one threshold, hand-computed") {
+    val got = ClassifierEval.prfSweep(scored, "score_micros", "label", Seq(600000L))
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)].head()
+    // pred-pos = 4 (tp 3, fp 1); fn 1; tn 3; p = r = f1 = 0.75
+    assert(got === ((600000L, 3L, 1L, 1L, 3L, 750000L, 750000L, 750000L)))
+  }
+
+  test("calibration decomposition, exact per bucket") {
+    val got = ClassifierEval.calibration(scored, "score_micros", "label")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(850000L) === ((850000L, 2L, 2L, 1000000L, 150000L, 37500L)))
+    assert(got(600000L) === ((600000L, 2L, 1L, 500000L, 100000L, 25000L)))
+    assert(got(50000L) === ((50000L, 4L, 1L, 250000L, 200000L, 100000L)))
+  }
+
+  test("gains: cumulative is monotone and terminal gain is 100%") {
+    val rows = ClassifierEval.gainsByDecile(scored, "score_micros", "label", "id")
+      .orderBy("decile")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._2).sum === 8L)
+    assert(rows.map(_._4).toSeq === rows.map(_._4).toSeq.sorted)
+    assert(rows.last._4 === 4L) // all positives found by the last decile
+    assert(rows.last._5 === 1000000L)
+    // top decile holds a top-score positive
+    assert(rows.head._3 >= 1L)
+  }
+}
