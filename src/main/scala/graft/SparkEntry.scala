@@ -200,6 +200,12 @@ object SparkEntry {
         col("label"))
       graft.operators.ClassifierEval.gainsByDecile(f, "score_micros", "label", "user_session")
     },
+    "q_auc_exact" -> { (s, d) =>
+      val f = sessionFeatures(s, d).select(
+        Heuristic.scoreMicros(col("cart_count"), col("view_count")).as("score_micros"),
+        col("label"))
+      graft.operators.ClassifierEval.aucExact(f, "score_micros", "label")
+    },
     // ---- windows: tumbling (oracle) + sliding (reference T2 shape) ----
     "q_tumbling_activity" -> { (s, d) =>
       SessionWindows.tumblingActivity(Tables(s, d).events, valueAgg = Money.moneySum)
@@ -3064,6 +3070,33 @@ object SparkEntry {
          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |         * 1000000 // greatest((SELECT pos_total FROM tot), 1) AS gain_micros
          |FROM d""".stripMargin,
+    // doubled-rank Mann-Whitney: exact average ranks for ties, one floor
+    // division at micros
+    "q_auc_exact" ->
+      s"""$FeaturesSql, sc AS (
+         |  SELECT label, CASE WHEN cart_count >= 3 THEN 850000
+         |       WHEN cart_count >= 1 THEN 600000 WHEN view_count >= 10 THEN 350000
+         |       WHEN view_count >= 5 THEN 200000 ELSE 50000 END AS score_micros
+         |  FROM features),
+         |b AS (
+         |  SELECT score_micros AS s, count(*) AS n,
+         |         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS np
+         |  FROM sc GROUP BY 1),
+         |w AS (
+         |  SELECT *, CAST(coalesce(sum(n) OVER (ORDER BY s
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+         |    AS cum_before
+         |  FROM b),
+         |a AS (
+         |  SELECT CAST(sum(np * (2 * cum_before + n + 1)) AS BIGINT) AS s2,
+         |         CAST(sum(np) AS BIGINT) AS npos,
+         |         CAST(sum(n - np) AS BIGINT) AS nneg
+         |  FROM w)
+         |SELECT npos, nneg,
+         |       CASE WHEN npos = 0 OR nneg = 0 THEN 0
+         |            ELSE (s2 - npos * (npos + 1)) * 1000000 // (2 * npos * nneg)
+         |       END AS auc_micros
+         |FROM a""".stripMargin,
     "q_tumbling_activity" ->
       s"""SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_start_s,
         |       count(*) AS n_events,

@@ -68,6 +68,32 @@ object ClassifierEval {
         col("gap_micros"), col("ece_contrib_micros"))
   }
 
+  /** Exact tie-aware AUC (Mann–Whitney): ranks live in DOUBLED units so
+    * tied groups get exact average ranks with no fraction —
+    * 2S = Σ_buckets np_b·(2·cum_before_b + n_b + 1), then
+    * AUC = (2S − npos(npos+1)) / (2·npos·nneg), one floor division at
+    * micros. Output: (npos, nneg, auc_micros); degenerate single-class
+    * input → 0 by convention. The rank window runs over score BUCKETS
+    * (distinct score values), not rows — bounded for laddered/quantized
+    * scores.
+    */
+  def aucExact(scored: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+    val b = scored.groupBy(col(scoreCol).as("s"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("np"))
+    val w = Window.orderBy(col("s")).rowsBetween(Window.unboundedPreceding, -1)
+    b.withColumn("cum_before", coalesce(sum(col("n")).over(w), lit(0L)))
+      .agg(
+        sum(expr("np * (2 * cum_before + n + 1)")).as("s2"),
+        sum(col("np")).as("npos"),
+        sum(col("n") - col("np")).as("nneg"))
+      .select(col("npos"), col("nneg"),
+        when(col("npos") === 0 || col("nneg") === 0, 0L)
+          .otherwise(
+            expr("(s2 - npos * (npos + 1)) * 1000000 DIV (2 * npos * nneg)"))
+          .as("auc_micros"))
+  }
+
   /** Cumulative gains by score decile: rank (score DESC, id ASC) with the
     * distributed rank, decile = (rank−1)·10 DIV n. Output (decile, n,
     * n_pos, cum_pos, gain_micros) — gain = cum_pos/total_pos.

@@ -35,6 +35,19 @@ final class ClassifierEvalSpec extends AnyFunSuite {
     assert(got(50000L) === ((50000L, 4L, 1L, 250000L, 200000L, 100000L)))
   }
 
+  test("AUC: hand-computed tie-aware Mann-Whitney") {
+    val got = ClassifierEval.aucExact(scored, "score_micros", "label")
+      .as[(Long, Long, Long)].head()
+    // pos>neg pairs: a,b beat all 4 (8); c ties d (.5) + beats 3 (3);
+    // h loses d, ties e,f,g (1.5) → 13/16 = 0.8125
+    assert(got === ((4L, 4L, 812500L)))
+    // degenerate single-class → 0 by convention
+    val onePos = ClassifierEval.aucExact(
+      scored.filter($"label" === 1), "score_micros", "label")
+      .as[(Long, Long, Long)].head()
+    assert(onePos === ((4L, 0L, 0L)))
+  }
+
   test("gains: cumulative is monotone and terminal gain is 100%") {
     val rows = ClassifierEval.gainsByDecile(scored, "score_micros", "label", "id")
       .orderBy("decile")
