@@ -1415,6 +1415,25 @@ object SparkEntry {
       Tables(s, d).lineitem.select(col("l_orderkey"), col("l_linenumber"),
         graft.operators.ZOrder.zkey2(col("l_partkey"), col("l_suppkey")).as("zkey"))
     },
+    // Heaps-law vocabulary-growth curve: distinct 3-shingles first seen in
+    // each corpus decile (by doc order) + the cumulative curve — the
+    // saturation diagnostic that says whether more data still adds new
+    // content or just duplicates; one explode + shingle-keyed min, the
+    // only unpartitioned window runs over the 10 decile rows
+    "q_vocab_growth" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val tot = docs.agg(count(lit(1)).as("n_docs"))
+      val perDecile = docs.crossJoin(broadcast(tot))
+        .select(expr("doc_id * 10 DIV n_docs").as("decile"),
+          explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
+        .groupBy(col("sh")).agg(min(col("decile")).as("first_decile"))
+        .groupBy(col("first_decile")).agg(count(lit(1)).as("n_new"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("first_decile"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      perDecile.withColumn("cum_distinct", sum(col("n_new")).over(w))
+        .select(col("first_decile"), col("n_new"), col("cum_distinct"))
+    },
     // zone-map pruning estimator (operators.ZoneMaps): simulate 1000-row
     // files under insertion order vs Z-order, build per-file min/max, and
     // score a range-predicate battery — the measured fraction of files a
@@ -4683,6 +4702,28 @@ object SparkEntry {
         |         ((x3 | (x3 << 1)) & 1431655765) AS x4,
         |         ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3)
         |SELECT l_orderkey, l_linenumber, (x4 | (y4 << 1)) AS zkey FROM s4""".stripMargin,
+    // same 3-shingle spelling as EdgesCte; windowed BIGINT sum cast per
+    // the HUGEINT gotcha
+    "q_vocab_growth" ->
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |d AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                             i -> array_to_string(toks[i:i+2], ' '))
+         |    END) AS sh
+         |  FROM t),
+         |tot AS (SELECT count(*) AS n_docs FROM documents),
+         |ex AS (SELECT doc_id * 10 // (SELECT n_docs FROM tot) AS decile,
+         |              unnest(sh) AS s
+         |       FROM d),
+         |f AS (SELECT s, min(decile) AS first_decile FROM ex GROUP BY s),
+         |g AS (SELECT first_decile, count(*) AS n_new FROM f GROUP BY 1)
+         |SELECT first_decile, n_new,
+         |       CAST(sum(n_new) OVER (ORDER BY first_decile
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS cum_distinct
+         |FROM g""".stripMargin,
     // zkey via the generated bit-term spelling (≡ the unrolled spread
     // chain), then row_number files per layout, zone maps, and the same
     // pruned-interval test per predicate
