@@ -1415,6 +1415,42 @@ object SparkEntry {
       Tables(s, d).lineitem.select(col("l_orderkey"), col("l_linenumber"),
         graft.operators.ZOrder.zkey2(col("l_partkey"), col("l_suppkey")).as("zkey"))
     },
+    // C4-style blocklist content filter: word-boundary hits counted over
+    // the SAME token spelling every text operator shares; keep = any-hit
+    // drop (the C4 policy) — zero-shuffle projection
+    "q_blocklist_filter" -> { (s, d) =>
+      val toks = TF.tokens(col("text"))
+      val hits = size(filter(toks, t => t.isin("slow", "big")))
+      Tables(s, d).documents.select(
+        col("doc_id"), size(toks).as("n_tokens"),
+        hits.as("n_hits"), (hits === 0).as("keep"))
+    },
+    // leak-aware temporal split: train < cutoff (80% of the time span),
+    // a 1-hour embargo gap absorbing boundary leakage (labels computed
+    // from post-cutoff windows), test after — exact integer second
+    // arithmetic on the shared epoch spelling
+    "q_temporal_split" -> { (s, d) =>
+      val ev = Tables(s, d).events.select(col("ts").cast("long").as("ts_s"))
+      val bounds = ev.agg(min(col("ts_s")).as("t0"), max(col("ts_s")).as("t1"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("cut", expr("t0 + (t1 - t0) * 8 DIV 10"))
+        .withColumn("split",
+          when(col("ts_s") < col("cut"), "train")
+            .when(col("ts_s") < col("cut") + 3600L, "embargo")
+            .otherwise("test"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n"), min(col("ts_s")).as("min_ts_s"),
+          max(col("ts_s")).as("max_ts_s"))
+    },
+    // group k-fold: fold = md5-bucket(user) mod 5 — leak-free CV folds
+    // (every session of a user in one fold), portable-hash spelling
+    "q_kfold_assign" -> { (s, d) =>
+      Tables(s, d).events
+        .select(HashSplit.fold(col("user_id"), 5).as("fold"), col("user_id"))
+        .groupBy(col("fold"))
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"))
+    },
     // Heaps-law vocabulary-growth curve: distinct 3-shingles first seen in
     // each corpus decile (by doc order) + the cumulative curve — the
     // saturation diagnostic that says whether more data still adds new
@@ -4702,6 +4738,37 @@ object SparkEntry {
         |         ((x3 | (x3 << 1)) & 1431655765) AS x4,
         |         ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3)
         |SELECT l_orderkey, l_linenumber, (x4 | (y4 << 1)) AS zkey FROM s4""".stripMargin,
+    "q_blocklist_filter" ->
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents)
+         |SELECT doc_id, len(toks) AS n_tokens,
+         |       len(list_filter(toks, x -> x IN ('slow', 'big'))) AS n_hits,
+         |       len(list_filter(toks, x -> x IN ('slow', 'big'))) = 0 AS keep
+         |FROM t""".stripMargin,
+    "q_temporal_split" ->
+      """WITH ev AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s FROM events),
+        |b AS (SELECT min(ts_s) AS t0, max(ts_s) AS t1 FROM ev),
+        |s AS (
+        |  SELECT ts_s,
+        |         CASE WHEN ts_s < t0 + (t1 - t0) * 8 // 10 THEN 'train'
+        |              WHEN ts_s < t0 + (t1 - t0) * 8 // 10 + 3600 THEN 'embargo'
+        |              ELSE 'test' END AS split
+        |  FROM ev CROSS JOIN b)
+        |SELECT split, count(*) AS n, min(ts_s) AS min_ts_s, max(ts_s) AS max_ts_s
+        |FROM s GROUP BY split""".stripMargin,
+    // same md5 first-2-hex ascii arithmetic as q_hash_split, mod k
+    "q_kfold_assign" ->
+      """WITH b AS (
+        |  SELECT user_id,
+        |         ((CASE WHEN ascii(substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) >= 97
+        |                THEN ascii(substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 87
+        |                ELSE ascii(substring(md5(CAST(user_id AS VARCHAR)), 1, 1)) - 48 END) * 16
+        |        + (CASE WHEN ascii(substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) >= 97
+        |                THEN ascii(substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 87
+        |                ELSE ascii(substring(md5(CAST(user_id AS VARCHAR)), 2, 1)) - 48 END)) % 5
+        |           AS fold
+        |  FROM events)
+        |SELECT fold, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+        |FROM b GROUP BY fold""".stripMargin,
     // same 3-shingle spelling as EdgesCte; windowed BIGINT sum cast per
     // the HUGEINT gotcha
     "q_vocab_growth" ->

@@ -45,6 +45,17 @@ object HashSplit {
     when(b < trainUpTo, lit("train")).when(b < valUpTo, lit("val")).otherwise(lit("test"))
   }
 
+  /** Group k-fold assignment: fold = md5-bucket(key) mod k — every row
+    * sharing the group key lands in ONE fold, the leak-free
+    * cross-validation split for grouped data (all of a user's sessions
+    * move together). Same zero-shuffle portable-hash spelling as
+    * [[bucket]].
+    */
+  def fold(key: Column, k: Int): Column = {
+    require(k >= 1, "k must be >= 1")
+    pmod(bucket(key), lit(k))
+  }
+
   /** Attach `bucket` and `split` columns keyed on `keyCol` (use the content
     * column, not a surrogate id, when duplicate texts must co-locate).
     */

@@ -44,4 +44,22 @@ class HashSplitSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
   }
+
+  test("group k-fold: every fold in range, same key always same fold, groups intact") {
+    import org.apache.spark.sql.functions._
+    val df = (1L to 500L).flatMap(u => Seq((u, "a"), (u, "b"))).toDF("u", "tag")
+      .select($"u", $"tag", HashSplit.fold($"u", 5).as("fold"))
+    val folds = df.select("fold").distinct().as[Int].collect().sorted
+    assert(folds.forall(f => f >= 0 && f < 5))
+    assert(folds.length === 5) // 500 users hit every fold
+    // leak-free: both rows of each user carry one fold
+    val perUser = df.groupBy("u").agg(countDistinct("fold").as("nf"))
+      .filter($"nf" > 1).count()
+    assert(perUser === 0L)
+    // md5-derived, not value-derived: fold of key 1 equals bucket(1) % 5
+    val b = df.sparkSession.range(1, 2)
+      .select(HashSplit.bucket(col("id")).as("b"), HashSplit.fold(col("id"), 5).as("f"))
+      .as[(Int, Int)].head()
+    assert(b._2 === b._1 % 5)
+  }
 }
