@@ -1928,11 +1928,16 @@ object SparkEntry {
     },
     // portable md5-48 MinHash twin (TF.minhash48Lanes): lane-salted md5
     // minima over distinct 3-shingles — the sketch trilogy's third member
+    // native one-pass kernel (expressions.Md5MinHash): all 16 lane minima
+    // in a single shingle traversal on raw digest bytes — bit-identical to
+    // the HOF spelling (MinhashPortableSpec pins kernel ≡ HOF ≡ java-MD5)
     "q_minhash_md5_sigs" -> { (s, d) =>
+      val arr = graft.expressions.Md5MinHash.lanes(
+        TF.shingles3(TF.tokens(col("text"))), 16)
       Tables(s, d).documents
-        .select(col("doc_id"), TF.tokens(col("text")).as("_toks"))
-        .select(col("doc_id"), TF.shingles3(col("_toks")).as("_sh"))
-        .select(col("doc_id") +: TF.minhash48Lanes(col("_sh"), 16): _*)
+        .select(col("doc_id"), arr.as("_mh"))
+        .select(col("doc_id") +:
+          (0 until 16).map(i => element_at(col("_mh"), i + 1).as(s"mh$i")): _*)
     },
     "q_simhash_pairs" -> { (s, d) =>
       Dedup.simhashPairs(Tables(s, d).documents, maxHamming = 16)

@@ -62,4 +62,23 @@ final class MinhashPortableSpec extends AnyFunSuite {
     assert(matches(got(1L), got(2L)) > matches(got(1L), got(3L)))
     assert(matches(got(1L), got(3L)) === 0) // disjoint shingle sets
   }
+
+  test("native one-pass kernel is bit-identical to the HOF spelling") {
+    import spark.implicits._
+    val docs = Seq(1L -> base, 2L -> "short doc", 3L -> (base + " " + base),
+      4L -> "x")
+    val kernel = docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.expressions.Md5MinHash.lanes(
+          TF.shingles3(TF.tokens(col("text"))), Lanes).as("_mh"))
+      .select(col("doc_id") +:
+        (0 until Lanes).map(i =>
+          org.apache.spark.sql.functions.element_at(col("_mh"), i + 1)): _*)
+      .collect()
+      .map(r => r.getLong(0) -> (1 to Lanes).map(r.getLong(_)).toSeq)
+      .toMap
+    val hof = run(docs)
+    assert(kernel === hof)
+    docs.foreach { case (id, text) => assert(kernel(id) === naive(text)) }
+  }
 }
