@@ -1415,6 +1415,54 @@ object SparkEntry {
       Tables(s, d).lineitem.select(col("l_orderkey"), col("l_linenumber"),
         graft.operators.ZOrder.zkey2(col("l_partkey"), col("l_suppkey")).as("zkey"))
     },
+    // dataset-versioning diff: content-hash compare of two snapshots via
+    // one full-outer join on the id — added/removed/changed/unchanged
+    // counts, the audit row a corpus release publishes. Snapshot B is a
+    // deterministic derivation (drop %11, mutate %7, add %13 re-keyed)
+    "q_snapshot_diff" -> { (s, d) =>
+      val a = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val b0 = a.filter(pmod(col("doc_id"), lit(11)) =!= 0)
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(7)) === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      val bNew = a.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" new")).as("text"))
+      val b = b0.unionByName(bNew)
+      a.select(col("doc_id"), md5(col("text")).as("ha"))
+        .join(b.select(col("doc_id"), md5(col("text")).as("hb")),
+          Seq("doc_id"), "full_outer")
+        .select(when(col("ha").isNull, "added")
+          .when(col("hb").isNull, "removed")
+          .when(col("ha") === col("hb"), "unchanged")
+          .otherwise("changed").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n"))
+    },
+    // Zipf rank-frequency slope over the top-100 vocabulary: OLS of
+    // ln(freq) on ln(rank) with every ln term quantized to integer micros
+    // BEFORE the sums (the NMI ln-replay discipline) — num/den are exact
+    // BIGINTs, slope is ONE replayed float division floor-6. Natural text
+    // sits near -1; synthetic/boilerplate corpora flatten — a cheap
+    // distribution-shift fingerprint
+    "q_zipf_slope" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e6 = (c: Column) => floor(c * lit(1000000.0d) + lit(0.5d)).cast("long")
+      val top = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+        .orderBy(col("n").desc, col("word")).limit(100)
+      val t = top
+        .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("word"))))
+        .select(e6(log(col("rk").cast("double"))).as("x"),
+          e6(log(col("n").cast("double"))).as("y"))
+      t.agg(count(lit(1)).as("nw"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("nw"),
+          (col("nw") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("nw") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .select(col("nw"), col("num"), col("den"),
+          when(col("den") === 0L, lit(0.0d))
+            .otherwise(floor(col("num").cast("double") / col("den").cast("double") *
+              lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("slope"))
+    },
     // C4-style blocklist content filter: word-boundary hits counted over
     // the SAME token spelling every text operator shares; keep = any-hit
     // drop (the C4 policy) — zero-shuffle projection
@@ -4743,6 +4791,43 @@ object SparkEntry {
         |         ((x3 | (x3 << 1)) & 1431655765) AS x4,
         |         ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3)
         |SELECT l_orderkey, l_linenumber, (x4 | (y4 << 1)) AS zkey FROM s4""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH a AS (SELECT doc_id, text FROM documents),
+        |b AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM a WHERE doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text || ' new' AS text
+        |  FROM a WHERE doc_id % 13 = 0),
+        |j AS (
+        |  SELECT CASE WHEN ah.h IS NULL THEN 'added'
+        |              WHEN bh.h IS NULL THEN 'removed'
+        |              WHEN ah.h = bh.h THEN 'unchanged'
+        |              ELSE 'changed' END AS status
+        |  FROM (SELECT doc_id, md5(text) AS h FROM a) ah
+        |  FULL OUTER JOIN (SELECT doc_id, md5(text) AS h FROM b) bh
+        |    ON ah.doc_id = bh.doc_id)
+        |SELECT status, count(*) AS n FROM j GROUP BY status""".stripMargin,
+    // same micro-quantized ln terms, exact integer sums, one replayed
+    // floor-6 division
+    "q_zipf_slope" ->
+      s"""WITH toks AS (SELECT unnest($TokensSql) AS w FROM documents),
+         |wc AS (SELECT w, count(*) AS n FROM toks GROUP BY w),
+         |top AS (SELECT w, n FROM wc ORDER BY n DESC, w LIMIT 100),
+         |r AS (SELECT n, row_number() OVER (ORDER BY n DESC, w) AS rk FROM top),
+         |q AS (SELECT CAST(floor(ln(rk) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         |             CAST(floor(ln(n) * 1000000.0 + 0.5) AS BIGINT) AS y FROM r),
+         |a AS (SELECT count(*) AS nw, CAST(sum(x) AS BIGINT) AS sx,
+         |             CAST(sum(y) AS BIGINT) AS sy,
+         |             CAST(sum(x * y) AS BIGINT) AS sxy,
+         |             CAST(sum(x * x) AS BIGINT) AS sxx FROM q)
+         |SELECT nw, nw * sxy - sx * sy AS num, nw * sxx - sx * sx AS den,
+         |       CASE WHEN nw * sxx - sx * sx = 0 THEN 0.0
+         |            ELSE floor(CAST(nw * sxy - sx * sy AS DOUBLE)
+         |                 / CAST(nw * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5)
+         |                 / 1000000.0 END AS slope
+         |FROM a""".stripMargin,
     "q_blocklist_filter" ->
       s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents)
          |SELECT doc_id, len(toks) AS n_tokens,
