@@ -77,8 +77,6 @@ object ClusterEval {
     val denom =
       (col("a_pairs") + col("b_pairs")).cast("double") / lit(2.0d) - e
     val ari = (col("pair_index").cast("double") - e) / denom
-    def floor6(c: org.apache.spark.sql.Column) =
-      floor(c * lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)
     one.select(
       col("n"), col("pair_index"), col("a_pairs"), col("b_pairs"),
       col("purity_hits"),

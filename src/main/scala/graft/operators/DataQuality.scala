@@ -32,9 +32,18 @@ object DataQuality {
       uniqueCols: Seq[String] = Nil
   ): DataFrame = {
     require(checks.nonEmpty || uniqueCols.nonEmpty, "declare at least one constraint")
+    // check names become intermediate column names; restrict to identifier
+    // characters so a dotted name fails HERE with a clear message instead
+    // of as a struct-field resolution error downstream
+    (checks.map(_._1) ++ uniqueCols).foreach { n =>
+      require(n.matches("[A-Za-z0-9_]+"),
+        s"constraint name '$n' must match [A-Za-z0-9_]+")
+    }
     val aggs: Seq[Column] =
       checks.map { case (n, pred) =>
-        sum(when(pred, 1L).otherwise(0L)).as(s"v_$n")
+        // coalesce: sum over an EMPTY frame is null, and an empty
+        // partition must report 0 violations, not crash the consumer
+        coalesce(sum(when(pred, 1L).otherwise(0L)), lit(0L)).as(s"v_$n")
       } ++
         uniqueCols.map { c =>
           (count(col(c)) - countDistinct(col(c))).as(s"u_$c")
@@ -73,10 +82,15 @@ object DataQuality {
       .select(lit(name).as("check_name"), col("n_bad"), col("n_total"))
   }
 
-  /** Attach the integer-exact violation fraction and the pass verdict. */
+  /** Attach the integer-exact violation fraction and the pass verdict.
+    * An empty checked frame (n_total = 0) reports 0 bad_micros instead of
+    * tripping ANSI division-by-zero — verifying a possibly-empty
+    * partition must report, not crash.
+    */
   def finish(rows: DataFrame): DataFrame =
     rows.select(
       col("check_name"), col("n_bad"), col("n_total"),
-      expr("n_bad * 1000000 DIV n_total").as("bad_micros"),
+      when(col("n_total") === 0L, 0L)
+        .otherwise(expr("n_bad * 1000000 DIV n_total")).as("bad_micros"),
       (col("n_bad") === 0L).as("passed"))
 }

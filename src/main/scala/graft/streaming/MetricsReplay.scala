@@ -116,6 +116,15 @@ object MetricsReplay {
         "has_purchased" -> r.getAs[Boolean]("has_purchased"))
     }.toSeq
     val store = new MetricsStore(path, historyLimit = batches.length.max(1))
+    // zero batches still writes a valid (empty) store document — callers
+    // (ensureStore's atomic move, dashboard reads) need the file to exist
+    if (batches.isEmpty) {
+      val target = java.nio.file.Paths.get(path)
+      Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(target,
+        MetricsStore.toJson(Map("current" -> Map.empty[String, Any],
+          "history" -> Seq.empty[Any])).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     batches.zipWithIndex.foreach { case (b, i) =>
       val base = Map(
         "batch_id" -> b.getAs[Long]("batch_id"),

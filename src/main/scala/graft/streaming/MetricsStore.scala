@@ -111,9 +111,22 @@ object MetricsStore {
     */
   def historyFrame(spark: org.apache.spark.sql.SparkSession, path: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.option("multiLine", "true").json(path)
-      .select(explode(col("history")).as("h"))
-      .select("h.*")
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val raw = spark.read.option("multiLine", "true").json(path)
+    // an EMPTY store ({"history": []}) infers history as array<string> (or
+    // drops it) — star-expanding that throws; hand back the empty frame
+    // with the document schema instead
+    val structured = raw.schema.find(_.name == "history").map(_.dataType).exists {
+      case ArrayType(_: StructType, _) => true
+      case _ => false
+    }
+    if (!structured)
+      spark.range(0).select(
+        lit(0L).as("batch_id"), lit("").as("timestamp"), lit(0L).as("ts_s"),
+        lit(0L).as("total_views"), lit(0L).as("total_carts"),
+        lit(0L).as("total_purchases"), lit(0.0d).as("conversion_rate"))
+    else
+      raw.select(explode(col("history")).as("h")).select("h.*")
   }
 
   /** Conversion-rate time series, most recent `n` batches. */
@@ -131,7 +144,21 @@ object MetricsStore {
     */
   def predictionTable(spark: org.apache.spark.sql.SparkSession, path: String, n: Int = 20): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.option("multiLine", "true").json(path)
+    import org.apache.spark.sql.types.{ArrayType, StructType}
+    val raw = spark.read.option("multiLine", "true").json(path)
+    val structured = raw.schema.find(_.name == "current").map(_.dataType).exists {
+      case s: StructType => s.find(_.name == "predictions").map(_.dataType).exists {
+        case ArrayType(_: StructType, _) => true
+        case _ => false
+      }
+      case _ => false
+    }
+    if (!structured)
+      return spark.range(0).select(
+        lit("").as("session_id"), lit(0L).as("view_count"), lit(0L).as("cart_count"),
+        lit(0L).as("session_duration"), lit(0.0d).as("avg_price"),
+        lit(0.0d).as("purchase_probability"), lit("").as("status"))
+    raw
       .select(explode(col("current.predictions")).as("p"))
       .select(
         col("p.session_id").as("session_id"),

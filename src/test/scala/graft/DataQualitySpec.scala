@@ -53,6 +53,25 @@ final class DataQualitySpec extends AnyFunSuite {
     assert(got.forall(_._2 == 0L))
   }
 
+  test("empty frame reports zeros instead of tripping ANSI divide-by-zero") {
+    val got = DataQuality.finish(DataQuality.report(
+      frame.filter($"id" === 99L), Seq("v_nonneg" -> ($"v" < 0.0)), Seq("id")))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(got.length === 2)
+    assert(got.forall(r => r._2 == 0L && r._3 == 0L && r._4 == 0L && r._5))
+    val fk = DataQuality.finish(DataQuality.fkViolations(
+      frame.filter($"id" === 99L), "ref", Seq(1L).toDF("pk"), "pk", "fk"))
+      .as[(String, Long, Long, Long, Boolean)].head()
+    assert(fk === (("fk", 0L, 0L, 0L, true)))
+  }
+
+  test("dotted constraint names fail fast with a clear message") {
+    val e = intercept[IllegalArgumentException] {
+      DataQuality.report(frame, Seq("value.range" -> ($"v" < 0.0)))
+    }
+    assert(e.getMessage.contains("value.range"))
+  }
+
   test("the predicate battery is a single aggregation pass") {
     val plan = DataQuality.report(
       frame,

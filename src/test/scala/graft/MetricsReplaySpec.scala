@@ -69,6 +69,15 @@ final class MetricsReplaySpec extends AnyFunSuite {
     assert(preds.head.getAs[String]("session_id") === "1_2024-03-01")
   }
 
+  test("zero-batch events still produce a valid empty store") {
+    import org.apache.spark.sql.functions.col
+    val empty = events.filter(col("user_id") === -1L)
+    val p = MetricsReplay.ensureStore(empty, "graft-empty-test-" + System.nanoTime)
+    assert(Files.exists(java.nio.file.Paths.get(p)))
+    assert(MetricsReplay.eventDistribution(spark, p, 10)
+      .collect().head.getAs[Long]("n_batches") === 0L)
+  }
+
   test("ensureStore builds once per JVM and only exposes complete stores") {
     import java.nio.file.Paths
     val key = "graft-ensure-test-" + System.nanoTime
