@@ -1415,6 +1415,28 @@ object SparkEntry {
       Tables(s, d).lineitem.select(col("l_orderkey"), col("l_linenumber"),
         graft.operators.ZOrder.zkey2(col("l_partkey"), col("l_suppkey")).as("zkey"))
     },
+    // rendezvous (HRW) sharding: shard = argmax over shards of
+    // md5-48(shard || '_' || key) — consistent assignment where growing
+    // 10 -> 11 shards moves only ~1/11 of keys (measured per shard as
+    // n_moved); the cache/shard-topology-change story, zero shuffle
+    // before the final rollup. Ties (md5-collision-impossible, spelled
+    // anyway) break to the smaller shard on both engines
+    "q_rendezvous_shards" -> { (s, d) =>
+      def assign(n: Int): Column = {
+        val scores = (0 until n).map { i =>
+          struct(
+            HashSplit.md548(concat(lit(i.toString), lit("_"),
+              col("doc_id").cast("string"))).as("h"),
+            lit(-i).as("ns"))
+        }
+        -array_max(array(scores: _*)).getField("ns")
+      }
+      Tables(s, d).documents
+        .select(col("doc_id"), assign(10).as("s10"), assign(11).as("s11"))
+        .groupBy(col("s10").as("shard"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("s10") =!= col("s11"), 1L).otherwise(0L)).as("n_moved"))
+    },
     // dataset-versioning diff: content-hash compare of two snapshots via
     // one full-outer join on the id — added/removed/changed/unchanged
     // counts, the audit row a corpus release publishes. Snapshot B is a
@@ -4791,6 +4813,29 @@ object SparkEntry {
         |         ((x3 | (x3 << 1)) & 1431655765) AS x4,
         |         ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3)
         |SELECT l_orderkey, l_linenumber, (x4 | (y4 << 1)) AS zkey FROM s4""".stripMargin,
+    // the shared md5-48 spelling, argmax via row_number(h DESC, shard)
+    "q_rendezvous_shards" ->
+      """WITH sh10 AS (SELECT unnest(generate_series(0, 9)) AS shard),
+        |sh11 AS (SELECT unnest(generate_series(0, 10)) AS shard),
+        |a10 AS (
+        |  SELECT doc_id, shard AS s10 FROM (
+        |    SELECT d.doc_id, s.shard,
+        |           ('0x' || substring(md5(CAST(s.shard AS VARCHAR) || '_'
+        |                || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |    FROM documents d CROSS JOIN sh10 s)
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, shard) = 1),
+        |a11 AS (
+        |  SELECT doc_id, shard AS s11 FROM (
+        |    SELECT d.doc_id, s.shard,
+        |           ('0x' || substring(md5(CAST(s.shard AS VARCHAR) || '_'
+        |                || CAST(d.doc_id AS VARCHAR)), 1, 12))::BIGINT AS h
+        |    FROM documents d CROSS JOIN sh11 s)
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY h DESC, shard) = 1)
+        |SELECT CAST(a10.s10 AS INT) AS shard, count(*) AS n,
+        |       CAST(sum(CASE WHEN a10.s10 <> a11.s11 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_moved
+        |FROM a10 JOIN a11 USING (doc_id)
+        |GROUP BY a10.s10""".stripMargin,
     "q_snapshot_diff" ->
       """WITH a AS (SELECT doc_id, text FROM documents),
         |b AS (

@@ -62,4 +62,14 @@ class HashSplitSpec extends AnyFunSuite {
       .as[(Int, Int)].head()
     assert(b._2 === b._1 % 5)
   }
+
+  test("rendezvous sharding: growing 10 to 11 shards moves ~1/11 of keys") {
+    val rows = SparkEntry.queries("q_rendezvous_shards")(spark, TestSpark.Sf0001)
+      .as[(Int, Long, Long)].collect()
+    assert(rows.map(_._1).toSet === (0 until 10).toSet)
+    val (n, moved) = (rows.map(_._2).sum, rows.map(_._3).sum)
+    val frac = moved.toDouble / n
+    // HRW invariant: exactly the keys whose argmax becomes shard 10 move
+    assert(frac > 0.03 && frac < 0.17, s"moved fraction $frac")
+  }
 }
