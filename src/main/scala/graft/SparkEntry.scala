@@ -1485,6 +1485,31 @@ object SparkEntry {
             .otherwise(floor(col("num").cast("double") / col("den").cast("double") *
               lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("slope"))
     },
+    // per-source Zipf slopes — the per-domain variant of q_zipf_slope: a
+    // source whose curve flattens is template/boilerplate-heavy relative
+    // to its peers. The rank window partitions by source over AGGREGATED
+    // counts (vocab-sized, not corpus-sized)
+    "q_zipf_by_source" -> { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val e6 = (c: Column) => floor(c * lit(1000000.0d) + lit(0.5d)).cast("long")
+      val wc = Tables(s, d).documents
+        .select(col("source"), explode(TF.tokens(col("text"))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+      val win = Window.partitionBy(col("source")).orderBy(col("n").desc, col("w"))
+      wc.withColumn("rk", row_number().over(win)).filter(col("rk") <= 100)
+        .select(col("source"), e6(log(col("rk").cast("double"))).as("x"),
+          e6(log(col("n").cast("double"))).as("y"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("nw"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("source"), col("nw"),
+          (col("nw") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("nw") * col("sxx") - col("sx") * col("sx")).as("den"))
+        .select(col("source"), col("nw"), col("num"), col("den"),
+          when(col("den") === 0L, lit(0.0d))
+            .otherwise(floor(col("num").cast("double") / col("den").cast("double") *
+              lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("slope"))
+    },
     // C4-style blocklist content filter: word-boundary hits counted over
     // the SAME token spelling every text operator shares; keep = any-hit
     // drop (the C4 policy) — zero-shuffle projection
@@ -4854,6 +4879,25 @@ object SparkEntry {
         |  FULL OUTER JOIN (SELECT doc_id, md5(text) AS h FROM b) bh
         |    ON ah.doc_id = bh.doc_id)
         |SELECT status, count(*) AS n FROM j GROUP BY status""".stripMargin,
+    "q_zipf_by_source" ->
+      s"""WITH toks AS (SELECT source, unnest($TokensSql) AS w FROM documents),
+         |wc AS (SELECT source, w, count(*) AS n FROM toks GROUP BY source, w),
+         |r AS (SELECT source, n,
+         |             row_number() OVER (PARTITION BY source ORDER BY n DESC, w) AS rk
+         |      FROM wc QUALIFY rk <= 100),
+         |q AS (SELECT source,
+         |             CAST(floor(ln(rk) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         |             CAST(floor(ln(n) * 1000000.0 + 0.5) AS BIGINT) AS y FROM r),
+         |a AS (SELECT source, count(*) AS nw, CAST(sum(x) AS BIGINT) AS sx,
+         |             CAST(sum(y) AS BIGINT) AS sy,
+         |             CAST(sum(x * y) AS BIGINT) AS sxy,
+         |             CAST(sum(x * x) AS BIGINT) AS sxx FROM q GROUP BY source)
+         |SELECT source, nw, nw * sxy - sx * sy AS num, nw * sxx - sx * sx AS den,
+         |       CASE WHEN nw * sxx - sx * sx = 0 THEN 0.0
+         |            ELSE floor(CAST(nw * sxy - sx * sy AS DOUBLE)
+         |                 / CAST(nw * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5)
+         |                 / 1000000.0 END AS slope
+         |FROM a""".stripMargin,
     // same micro-quantized ln terms, exact integer sums, one replayed
     // floor-6 division
     "q_zipf_slope" ->
