@@ -1467,48 +1467,13 @@ object SparkEntry {
     // sits near -1; synthetic/boilerplate corpora flatten — a cheap
     // distribution-shift fingerprint
     "q_zipf_slope" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val e6 = (c: Column) => floor(c * lit(1000000.0d) + lit(0.5d)).cast("long")
-      val top = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
-        .orderBy(col("n").desc, col("word")).limit(100)
-      val t = top
-        .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("word"))))
-        .select(e6(log(col("rk").cast("double"))).as("x"),
-          e6(log(col("n").cast("double"))).as("y"))
-      t.agg(count(lit(1)).as("nw"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-        .select(col("nw"),
-          (col("nw") * col("sxy") - col("sx") * col("sy")).as("num"),
-          (col("nw") * col("sxx") - col("sx") * col("sx")).as("den"))
-        .select(col("nw"), col("num"), col("den"),
-          when(col("den") === 0L, lit(0.0d))
-            .otherwise(floor(col("num").cast("double") / col("den").cast("double") *
-              lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("slope"))
+      graft.operators.Zipf.slopes(Tables(s, d).documents)
     },
-    // per-source Zipf slopes — the per-domain variant of q_zipf_slope: a
-    // source whose curve flattens is template/boilerplate-heavy relative
-    // to its peers. The rank window partitions by source over AGGREGATED
-    // counts (vocab-sized, not corpus-sized)
+    // per-source Zipf slopes — the per-domain variant of q_zipf_slope
+    // (one shared operators.Zipf pipeline so the ln-replay discipline
+    // cannot drift between the two spellings)
     "q_zipf_by_source" -> { (s, d) =>
-      import org.apache.spark.sql.expressions.Window
-      val e6 = (c: Column) => floor(c * lit(1000000.0d) + lit(0.5d)).cast("long")
-      val wc = Tables(s, d).documents
-        .select(col("source"), explode(TF.tokens(col("text"))).as("w"))
-        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
-      val win = Window.partitionBy(col("source")).orderBy(col("n").desc, col("w"))
-      wc.withColumn("rk", row_number().over(win)).filter(col("rk") <= 100)
-        .select(col("source"), e6(log(col("rk").cast("double"))).as("x"),
-          e6(log(col("n").cast("double"))).as("y"))
-        .groupBy(col("source"))
-        .agg(count(lit(1)).as("nw"), sum(col("x")).as("sx"), sum(col("y")).as("sy"),
-          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
-        .select(col("source"), col("nw"),
-          (col("nw") * col("sxy") - col("sx") * col("sy")).as("num"),
-          (col("nw") * col("sxx") - col("sx") * col("sx")).as("den"))
-        .select(col("source"), col("nw"), col("num"), col("den"),
-          when(col("den") === 0L, lit(0.0d))
-            .otherwise(floor(col("num").cast("double") / col("den").cast("double") *
-              lit(1000000.0d) + lit(0.5d)) / lit(1000000.0d)).as("slope"))
+      graft.operators.Zipf.slopes(Tables(s, d).documents, groupCols = Seq("source"))
     },
     // C4-style blocklist content filter: word-boundary hits counted over
     // the SAME token spelling every text operator shares; keep = any-hit

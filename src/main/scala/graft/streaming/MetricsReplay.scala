@@ -104,6 +104,13 @@ object MetricsReplay {
     */
   def writeStore(events: DataFrame, path: String, topN: Int = 20): Int = {
     val batches = batchMetrics(events).orderBy(col("batch_id")).collect()
+    if (batches.isEmpty) {
+      // zero batches: predictions are provably empty too (same events) —
+      // skip those Spark jobs and write a valid empty document, atomically
+      // (writeStore is public; a live path may have concurrent readers)
+      MetricsStore.writeEmpty(path)
+      return 0
+    }
     val preds = lastBatchPredictions(events, topN).collect().map { r =>
       Map(
         "session_id" -> r.getAs[String]("session_id"),
@@ -116,15 +123,6 @@ object MetricsReplay {
         "has_purchased" -> r.getAs[Boolean]("has_purchased"))
     }.toSeq
     val store = new MetricsStore(path, historyLimit = batches.length.max(1))
-    // zero batches still writes a valid (empty) store document — callers
-    // (ensureStore's atomic move, dashboard reads) need the file to exist
-    if (batches.isEmpty) {
-      val target = java.nio.file.Paths.get(path)
-      Option(target.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(target,
-        MetricsStore.toJson(Map("current" -> Map.empty[String, Any],
-          "history" -> Seq.empty[Any])).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    }
     batches.zipWithIndex.foreach { case (b, i) =>
       val base = Map(
         "batch_id" -> b.getAs[Long]("batch_id"),
@@ -187,8 +185,10 @@ object MetricsReplay {
     h.orderBy(col("batch_id").desc).limit(lastN)
       .agg(
         count(lit(1)).as("n_batches"),
-        sum(col("total_views")).as("total_views"),
-        sum(col("total_carts")).as("total_carts"),
-        sum(col("total_purchases")).as("total_purchases"))
+        // coalesce: sum over an empty store is null, and empty must
+        // report 0 (the DataQuality empty-partition principle)
+        coalesce(sum(col("total_views")), lit(0L)).as("total_views"),
+        coalesce(sum(col("total_carts")), lit(0L)).as("total_carts"),
+        coalesce(sum(col("total_purchases")), lit(0L)).as("total_purchases"))
   }
 }

@@ -104,6 +104,20 @@ final class KvMetricsStore(backend: KvBackend, historyLimit: Int = 1000) extends
 
 object MetricsStore {
 
+  /** Write a valid EMPTY store document ({current: {}, history: []}) with
+    * the same temp-file-then-atomic-move discipline as `update` — the one
+    * place that owns the document shape for the zero-batch case.
+    */
+  def writeEmpty(path: String): Unit = {
+    val target = Paths.get(path)
+    Option(target.getParent).foreach(Files.createDirectories(_))
+    val tmp = Paths.get(path + ".tmp." + java.util.UUID.randomUUID().toString.take(8))
+    Files.write(tmp, toJson(Map("current" -> Map.empty[String, Any],
+      "history" -> Seq.empty[Any])).getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** §2.11 serving-plane reads: load the metrics document as DataFrames so
     * the dashboard queries (conversion-rate time series, event-distribution
     * totals, prediction table — reference dashboard/app.py:227-354) are
@@ -113,6 +127,10 @@ object MetricsStore {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{ArrayType, StructType}
     val raw = spark.read.option("multiLine", "true").json(path)
+    // a torn/corrupt file is an ERROR, not an empty store — the atomic-
+    // move discipline means this should never happen; don't mask it
+    require(!raw.schema.fieldNames.contains("_corrupt_record"),
+      s"metrics store at $path is not valid JSON (corrupt record)")
     // an EMPTY store ({"history": []}) infers history as array<string> (or
     // drops it) — star-expanding that throws; hand back the empty frame
     // with the document schema instead
@@ -146,6 +164,8 @@ object MetricsStore {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{ArrayType, StructType}
     val raw = spark.read.option("multiLine", "true").json(path)
+    require(!raw.schema.fieldNames.contains("_corrupt_record"),
+      s"metrics store at $path is not valid JSON (corrupt record)")
     val structured = raw.schema.find(_.name == "current").map(_.dataType).exists {
       case s: StructType => s.find(_.name == "predictions").map(_.dataType).exists {
         case ArrayType(_: StructType, _) => true

@@ -74,8 +74,14 @@ final class MetricsReplaySpec extends AnyFunSuite {
     val empty = events.filter(col("user_id") === -1L)
     val p = MetricsReplay.ensureStore(empty, "graft-empty-test-" + System.nanoTime)
     assert(Files.exists(java.nio.file.Paths.get(p)))
-    assert(MetricsReplay.eventDistribution(spark, p, 10)
-      .collect().head.getAs[Long]("n_batches") === 0L)
+    val dist = MetricsReplay.eventDistribution(spark, p, 10).collect().head
+    assert(dist.getAs[Long]("n_batches") === 0L)
+    // empty reports ZEROS, not nulls (the DataQuality empty principle)
+    Seq("total_views", "total_carts", "total_purchases").foreach { c =>
+      assert(!dist.isNullAt(dist.fieldIndex(c)), c)
+      assert(dist.getAs[Long](c) === 0L)
+    }
+    assert(MetricsStore.predictionTable(spark, p, 20).collect().isEmpty)
   }
 
   test("ensureStore builds once per JVM and only exposes complete stores") {
