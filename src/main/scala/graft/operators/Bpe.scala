@@ -71,7 +71,12 @@ object Bpe {
     // logical plan would otherwise grow by one mergePair projection per
     // merge, and Catalyst re-analyzes the whole chain at every generation —
     // the same linear-plan-growth profile the graph iterations showed (see
-    // PageRank's scaladoc); checkpointing keeps generation cost constant
+    // PageRank's scaladoc); checkpointing keeps generation cost constant.
+    // Superseded generations release their MEMORY_AND_DISK blocks as soon
+    // as the next one materializes (with nMerges up to 100000 waiting for
+    // the ContextCleaner would accumulate real memory/disk pressure) —
+    // Dataset.unpersist only consults the CacheManager, so release goes
+    // through the checkpointed LogicalRDD directly.
     var vocab = symbolize(wordCounts).localCheckpoint(true)
     var i = 0
     var done = false
@@ -84,14 +89,30 @@ object Bpe {
       else {
         val (l, r, c) = (top.head.getString(0), top.head.getString(1), top.head.getLong(2))
         merges += Merge(i, l, r, c)
-        vocab = vocab
+        val next = vocab
           .withColumn("syms", BpeMerge.mergePair(col("syms"), l, r))
-          .localCheckpoint(true)
+          .localCheckpoint(true) // eager: materialized before the release below
+        releaseCheckpoint(vocab)
+        vocab = next
         i += 1
       }
     }
     merges.toSeq
   }
+
+  /** Release an eagerly localCheckpoint'd frame's persisted blocks once it
+    * is superseded. `Dataset.unpersist` cannot do this — it only uncaches
+    * through the CacheManager, which never saw the checkpoint RDD's
+    * MEMORY_AND_DISK persist — so the release goes through the
+    * [[org.apache.spark.sql.execution.LogicalRDD]] the checkpointed frame
+    * wraps.
+    */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case r: org.apache.spark.sql.execution.LogicalRDD =>
+        r.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** The learned merge table as a DataFrame (merge_idx, left, right, cnt). */
   def mergeTable(spark: SparkSession, wordCounts: DataFrame, nMerges: Int): DataFrame = {

@@ -39,6 +39,11 @@ object DataQuality {
       require(n.matches("[A-Za-z0-9_]+"),
         s"constraint name '$n' must match [A-Za-z0-9_]+")
     }
+    // duplicate names would alias two v_<name> aggregate columns and only
+    // fail later as an ambiguous-column AnalysisException — fail fast here
+    val allNames = checks.map(_._1) ++ uniqueCols
+    require(allNames.distinct.size == allNames.size,
+      s"constraint names must be unique, got: ${allNames.mkString(", ")}")
     val aggs: Seq[Column] =
       checks.map { case (n, pred) =>
         // coalesce: sum over an EMPTY frame is null, and an empty

@@ -23,9 +23,13 @@ import org.apache.spark.sql.functions._
   * round-per-CTE replay.
   *
   * Scale shape: relevance is one broadcast-literal projection over the
-  * corpus; each of the k rounds is one broadcast of ≤ k selected vectors
-  * + a codegen'd dot projection + a 1-row TakeOrdered — k·N·d total, no
-  * N² anywhere; the quantized+relevance frame is cached once.
+  * corpus; the pool carries a RUNNING `smax` column (max similarity to the
+  * selected-so-far), so each round computes exactly ONE new dot per
+  * candidate — `greatest(smax, dot(xq, s_r))` — plus a 1-row TakeOrdered:
+  * k·N·d total work, no N² anywhere. Each round's pool (id, xq, rel, smax)
+  * is cached and the previous round's cache released once the new one
+  * materializes (the Components round discipline), so per-round plans stay
+  * constant-size and nothing re-derives earlier rounds' dots.
   */
 object Mmr {
 
@@ -55,20 +59,20 @@ object Mmr {
     val qrow = quant.filter(col("vec_id") === queryId).limit(1).collect()
     require(qrow.nonEmpty, s"Mmr.select: query vector $queryId not found")
     val qv = qrow(0).getSeq[Long](qrow(0).fieldIndex("xq"))
-    val pool = quant.filter(col("vec_id") =!= queryId)
+    // smax starts at 0: round 1's score is then λnum·rel — the standard
+    // first-pick-is-argmax-rel convention — with no special-casing
+    var pool = quant.filter(col("vec_id") =!= queryId)
       .withColumn("rel", dotLit(col("xq"), qv))
+      .withColumn("smax", lit(0L))
       .cache()
     try {
       // (id, xq, rel, score-at-selection)
       var selected = Seq.empty[(Long, Seq[Long], Long, Long)]
       while (selected.size < k) {
-        val smax: Column =
-          if (selected.isEmpty) lit(0L)
-          else selected.map(s => dotLit(col("xq"), s._2)).reduce(greatest(_, _))
         val scored = pool
           .withColumn("score",
             lit(lambdaNum.toLong) * col("rel") -
-              lit((lambdaDen - lambdaNum).toLong) * smax)
+              lit((lambdaDen - lambdaNum).toLong) * col("smax"))
         val top = (if (selected.isEmpty) scored
                    else {
                      val selDf = broadcast(selected.map(_._1).toDF("sid"))
@@ -78,17 +82,33 @@ object Mmr {
           .limit(1).collect()
         require(top.nonEmpty, s"Mmr.select: fewer than $k candidates")
         val r = top(0)
+        val sxq = r.getSeq[Long](r.fieldIndex("xq"))
         selected = selected :+ ((
           r.getLong(r.fieldIndex("vec_id")),
-          r.getSeq[Long](r.fieldIndex("xq")),
+          sxq,
           r.getLong(r.fieldIndex("rel")),
           r.getLong(r.fieldIndex("score"))))
+        if (selected.size < k) {
+          // fold the new pick into the running smax: ONE dot per candidate
+          // per round; cache-swap so later rounds never recompute this one.
+          // The FIRST pick overwrites the 0 seed rather than folding into
+          // it — micro-dot products can be negative, and max(0, dots) would
+          // silently clamp them (the oracle's g1 carries the raw dot)
+          val next = pool
+            .withColumn("smax",
+              if (selected.size == 1) dotLit(col("xq"), sxq)
+              else greatest(col("smax"), dotLit(col("xq"), sxq)))
+            .cache()
+          next.count() // materialize before releasing the superseded cache
+          pool.unpersist(blocking = false)
+          pool = next
+        }
       }
       selected.zipWithIndex
         .map { case ((id, _, rel, score), i) => (i + 1, id, rel, score) }
         .toDF("sel_rank", "vec_id", "rel_dot", "mmr_score")
-      // pool cache lifecycle: released by session hygiene (Bench/Verify
-      // clearCache per query) — the returned frame is a local relation.
-    } catch { case t: Throwable => pool.unpersist(blocking = false); throw t }
+      // the returned frame is a driver-local relation — the pool cache is
+      // no longer needed on ANY path, so release unconditionally
+    } finally pool.unpersist(blocking = false)
   }
 }

@@ -16,8 +16,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * true frequency by at most n/k, and EVERY item with true frequency
   * > n/k is present in the summary. After each micro-batch the group
   * re-emits its current summary (update semantics — rows for a group
-  * supersede earlier ones), so a downstream exact-recount pass (the batch
-  * operator's pass 2) or a dashboard can consume candidates at any time.
+  * supersede earlier ones). IMPORTANT for consumers: eviction is never
+  * retracted — an item dropped from the summary in a later batch simply
+  * stops being re-emitted, so an append-style sink accumulates stale
+  * (group, item) rows from earlier batches. Only the LATEST batch per
+  * group is the current candidate set: read through an update-semantics
+  * sink (memory/update, a keyed KV store) or filter to the max batch id
+  * per group before treating rows as live candidates (then run the batch
+  * operator's exact-recount pass 2 over those).
   *
   * Scale shape: O(k) state per group — independent of item cardinality,
   * the whole point of MG — and O(batch) work per micro-batch.

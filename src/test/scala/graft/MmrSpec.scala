@@ -33,6 +33,28 @@ final class MmrSpec extends AnyFunSuite {
       (3, 2L, 990000000000L, 3960000000000L)))
   }
 
+  test("negative similarities are not clamped: smax carries the raw max dot") {
+    // q=[1,0,0,0]; a(1) rel 1e12 picked first; b(2) and d(3) BOTH have
+    // negative rel and negative dots to every selected vector, so every
+    // later round's smax is negative — a max(0, dots) clamp would shift
+    // every recorded mmr_score (caught by the DuckDB oracle in r13's
+    // running-smax refactor; pinned here so the spec catches it too)
+    val negEmb = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)),
+      (1L, Seq(1f, 0f, 0f, 0f)),
+      (2L, Seq(-0.2f, 0.9f, 0f, 0f)),
+      (3L, Seq(-0.1f, -0.9f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val got = Mmr.select(spark, negEmb, queryId = 0L, k = 3, d = 4)
+      .as[(Int, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got === Seq(
+      (1, 1L, 1000000000000L, 7000000000000L),
+      // d beats b in round 2: 7·(−1e11) − 3·(−1e11) = −4e11 > −8e11
+      (2, 3L, -100000000000L, -400000000000L),
+      // b last: smax = max(−2e11, dot(b,d) = −7.9e11) = −2e11 → −8e11
+      (3, 2L, -200000000000L, -800000000000L)))
+  }
+
   test("lambda = 1 is pure relevance ranking") {
     val got = Mmr.select(spark, emb, queryId = 0L, k = 3,
       lambdaNum = 10, lambdaDen = 10, d = 4)
