@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Dsir, Featurize, GmmReplay, GopherFilter, GroupCap, HashSplit, IntervalOverlap, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, RepetitionCoverage, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
+import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Dsir, Featurize, GmmReplay, GopherFilter, GroupCap, HashSplit, IntervalOverlap, IvfReplay, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, RepetitionCoverage, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -2059,6 +2059,16 @@ object SparkEntry {
       // grows with sqrt(corpus) and nProbe tunes the recall/cost curve.
       Similarity.ivfKnn(emb.filter(col("vec_id") < 5), emb, k = 10, nLists = 8, nProbe = 4)
         .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+    },
+    // deterministic IVF twin (operators.IvfReplay): KMeansReplay coarse
+    // quantizer → posting lists → probe selection → exact integer L2
+    // top-k — the whole ANN index pipeline hash-oracled end to end
+    // (IvfDetOracleSql replays the quantizer via the shared KMeansCtes);
+    // q_knn_ivf above stays the MLlib-trained perf twin
+    "q_knn_ivf_det" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      IvfReplay.knn(s, emb.filter(col("vec_id") < 5), emb,
+        k = 10, nLists = 8, nProbe = 4, rounds = 3)
     },
     // product-quantization compression pass: every vector → m=4 one-byte
     // codes under the deterministic codebook (the corpus-scale persist step;
@@ -5758,6 +5768,7 @@ object SparkEntry {
          |FROM t LEFT JOIN ck USING (doc_id)""".stripMargin,
     // generated full replay of the 3-round integer-micros Lloyd iteration
     "q_kmeans_clusters" -> KMeansOracleSql,
+    "q_knn_ivf_det" -> IvfDetOracleSql,
     "q_kcenter_coreset" -> KCenterOracleSql,
     "q_mmr_selection" -> MmrOracleSql,
     // ARI + purity of the replayed k-means vs labels: contingency from
@@ -6576,6 +6587,40 @@ object SparkEntry {
        |SELECT cid AS cluster_id, count(*) AS n_points,
        |       CAST(sum(dist) AS BIGINT) AS inertia
        |FROM a3 GROUP BY cid""".stripMargin
+
+  /** Generated replay of IvfReplay.knn (nLists=8, rounds=3, nProbe=4,
+    * k=10): the shared KMeansCtes quantizer trajectory gives the round-3
+    * centers (c3) and posting lists (a3); probes are the 4 centroid ranks
+    * per query under (exact BIGINT distance, cid); candidates are the
+    * probed lists minus self; scoring is the same exact Σ(Δ²) between
+    * query and neighbor micros; top-10 by (d2, neighbor_id). Every number
+    * is BIGINT arithmetic — the hash match is structural.
+    */
+  private lazy val IvfDetOracleSql: String = {
+    val dims = 0 until 64
+    val pcDist = dims.map(i => s"(p.x$i - c.x$i) * (p.x$i - c.x$i)").mkString(" + ")
+    val qnDist = dims.map(i => s"(q.x$i - n.x$i) * (q.x$i - n.x$i)").mkString(" + ")
+    s"""$KMeansCtes,
+       |pr AS (
+       |  SELECT p.vec_id AS query_id, c.cid,
+       |         row_number() OVER (PARTITION BY p.vec_id ORDER BY $pcDist, c.cid) AS prk
+       |  FROM pts p CROSS JOIN c3 c
+       |  WHERE p.vec_id < 5),
+       |cand AS (
+       |  SELECT pr.query_id, a.vec_id AS neighbor_id
+       |  FROM pr JOIN a3 a ON pr.cid = a.cid
+       |  WHERE pr.prk <= 4 AND a.vec_id <> pr.query_id),
+       |sc AS (
+       |  SELECT cd.query_id, cd.neighbor_id, $qnDist AS d2
+       |  FROM cand cd
+       |  JOIN pts q ON q.vec_id = cd.query_id
+       |  JOIN pts n ON n.vec_id = cd.neighbor_id),
+       |r AS (
+       |  SELECT query_id, neighbor_id, d2,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, d2, rank FROM r WHERE rank <= 10""".stripMargin
+  }
 
   /** Generated DuckDB replay of GmmReplay.softAssignments (d=64, k=8,
     * 2 EM rounds, σ²=0.25): the pseudo-exp kernel pexp(x)=(1+x/2¹⁶)^(2¹⁶)

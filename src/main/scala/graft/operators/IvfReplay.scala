@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic IVF (inverted-file) ANN — the billion-vector index shape
+  * of [[Similarity.ivfKnn]] with every stage replayable bit-for-bit, so the
+  * WHOLE pipeline (coarse-quantizer training → posting lists → probe
+  * selection → candidate scoring → top-k) hash-oracles cross-engine.
+  * Reference behavior: the ANN retrieval step of the reference's embedding
+  * pipeline (reference: src/embeddings/search.py) — same
+  * train/assign/probe/score semantics; the MLlib-trained twin stays as the
+  * perf path (`Similarity.ivfKnn`, recall-spec'd).
+  *
+  * Determinism contract — the [[KMeansReplay]] discipline end to end:
+  *   - coordinates quantize to integer micros (`floor(x·10⁶ + 0.5)`), so
+  *     every distance anywhere in the pipeline is an exact BIGINT Σ(Δ²);
+  *   - the coarse quantizer is [[KMeansReplay.trainedCenters]] (md5-ranked
+  *     seeds, fixed Lloyd rounds, `floor(S/n + 0.5)` centers);
+  *   - posting lists are the nearest-center assignment with ties to the
+  *     smaller list id;
+  *   - probe selection is the `nProbe` nearest centroids per query under
+  *     the SAME exact metric, ties to the smaller list id;
+  *   - candidate scoring is the exact integer L2 between query and
+  *     neighbor micros, top-k totally ordered by `(d2 ASC, neighbor_id)`.
+  *
+  * Scale shape: the center table is nLists×d — a bounded driver object —
+  * and probes broadcast (|queries|·nProbe rows), so the corpus is touched
+  * by exactly (a) the per-round training scans (constant rounds) and
+  * (b) ONE posting-list equi-join on `cid` that scores only the probed
+  * lists' candidates (≈ nProbe/nLists of the corpus per query), never a
+  * full cross join. At 10⁹ vectors nLists grows with √corpus and the
+  * posting join stays the only corpus-sized shuffle.
+  */
+object IvfReplay {
+
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** `(query_id, neighbor_id, d2, rank)` — top-`k` probed-list neighbors
+    * per query under the exact integer L2, rank 1 = nearest. A query row
+    * present in the corpus never matches itself.
+    */
+  def knn(
+      spark: SparkSession,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      nLists: Int = 8,
+      nProbe: Int = 4,
+      rounds: Int = 3,
+      vecCol: String = "embedding",
+      d: Int = 64): DataFrame = {
+    import spark.implicits._
+    require(nProbe >= 1 && nProbe <= nLists, "need 1 <= nProbe <= nLists")
+    val pts = KMeansReplay.quantize(corpus, vecCol, d).cache()
+    try {
+      val centers = KMeansReplay.trainedCenters(spark, pts, nLists, rounds)
+      // posting lists: (neighbor_id, cid) + the micro vector for scoring
+      val posted = KMeansReplay.assign(spark, pts, centers)
+        .select(col("vec_id").as("neighbor_id"), col("cid"))
+        .join(pts.select(col("vec_id").as("neighbor_id"), col("xq").as("nx")),
+          Seq("neighbor_id"))
+      // probe selection: nProbe nearest centroids per query, exact metric
+      val cdf = centers.toDF("cid", "cx")
+      val cw = Window.partitionBy(col("query_id")).orderBy(col("cdist"), col("cid"))
+      val probes = KMeansReplay.quantize(queries, vecCol, d)
+        .select(col("vec_id").as("query_id"), col("xq").as("qx"))
+        .crossJoin(broadcast(cdf))
+        .withColumn("cdist", sqDist(col("qx"), col("cx")))
+        .withColumn("prk", row_number().over(cw))
+        .filter(col("prk") <= nProbe)
+        .select(col("query_id"), col("qx"), col("cid"))
+      // score ONLY the probed lists' candidates; top-k per query
+      val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+      posted
+        .join(broadcast(probes), Seq("cid"))
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .select(col("query_id"), col("neighbor_id"), sqDist(col("qx"), col("nx")).as("d2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
+    } finally pts.unpersist(blocking = false)
+  }
+}

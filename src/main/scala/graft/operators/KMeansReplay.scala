@@ -47,7 +47,7 @@ object KMeansReplay {
   /** Nearest-center assignment under the exact-integer distance:
     * `(vec_id, cid, dist)`, ties to the smaller cid.
     */
-  private def assign(
+  private[operators] def assign(
       spark: SparkSession,
       pts: DataFrame,
       centers: Seq[(Long, Seq[Long])]): DataFrame = {
@@ -77,6 +77,43 @@ object KMeansReplay {
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Long](r.fieldIndex("xq"))) }
 
+  /** The round-`rounds` center table over a pre-quantized `(vec_id, xq)`
+    * frame — the bounded driver object the final assignment (and the IVF
+    * coarse quantizer, [[IvfReplay]]) score against. Callers should cache
+    * `pts`; each round scans it twice (assign + sufficient statistics).
+    */
+  private[operators] def trainedCenters(
+      spark: SparkSession,
+      pts: DataFrame,
+      k: Int,
+      rounds: Int): Seq[(Long, Seq[Long])] = {
+    var centers = seedCenters(pts, k)
+    var r = 0
+    while (r < rounds) {
+      // k·d (cid, pos) partial sums — a bounded driver object, exact longs.
+      val stats = assign(spark, pts, centers)
+        .join(pts, "vec_id")
+        .select(col("cid"), posexplode(col("xq")))
+        .groupBy("cid", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .collect()
+      centers = stats
+        .groupBy(_.getLong(0))
+        .toSeq
+        .map { case (cid, rows) =>
+          val dims = rows.sortBy(_.getInt(1)).map { row =>
+            val s = row.getLong(2)
+            val n = row.getLong(3)
+            math.floor(s.toDouble / n.toDouble + 0.5).toLong
+          }
+          (cid, dims.toSeq)
+        }
+        .sortBy(_._1)
+      r += 1
+    }
+    centers
+  }
+
   /** Final per-point assignment after `rounds` center updates:
     * `(vec_id, cid, dist)` against the round-`rounds` centers.
     */
@@ -89,30 +126,7 @@ object KMeansReplay {
       rounds: Int): DataFrame = {
     val pts = quantize(df, vecCol, d).cache()
     try {
-      var centers = seedCenters(pts, k)
-      var r = 0
-      while (r < rounds) {
-        // k·d (cid, pos) partial sums — a bounded driver object, exact longs.
-        val stats = assign(spark, pts, centers)
-          .join(pts, "vec_id")
-          .select(col("cid"), posexplode(col("xq")))
-          .groupBy("cid", "pos")
-          .agg(sum("col").as("s"), count(lit(1)).as("n"))
-          .collect()
-        centers = stats
-          .groupBy(_.getLong(0))
-          .toSeq
-          .map { case (cid, rows) =>
-            val dims = rows.sortBy(_.getInt(1)).map { row =>
-              val s = row.getLong(2)
-              val n = row.getLong(3)
-              math.floor(s.toDouble / n.toDouble + 0.5).toLong
-            }
-            (cid, dims.toSeq)
-          }
-          .sortBy(_._1)
-        r += 1
-      }
+      val centers = trainedCenters(spark, pts, k, rounds)
       // The returned plan may recompute pts after unpersist — assignment is
       // deterministic, so laziness stays safe.
       assign(spark, pts, centers)
