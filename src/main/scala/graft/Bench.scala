@@ -41,7 +41,7 @@ object Bench {
     // shrinkage (r9's 58 instant "timings") must be machine-visible, not
     // just a stderr line the driver's parser never reads.
     val failed = scala.collection.mutable.LinkedHashSet.empty[String]
-    def runOnce(): Seq[(String, Double)] = ordered.map { case (name, fn) =>
+    def timeQuery(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch {
@@ -69,8 +69,10 @@ object Bench {
       // moment to drain before the next timed region.
       System.gc()
       if (dt > 2.0) { Thread.sleep(250); System.gc() }
-      name -> dt
+      dt
     }
+    def runOnce(): Seq[(String, Double)] =
+      ordered.map { case (name, fn) => name -> timeQuery(name, fn) }
 
     val runs = (1 to reps).map(_ => runOnce())
     val results: Seq[(String, Double)] =
@@ -83,9 +85,35 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+
+    // Self-reconciling medians: the gate host runs under unpredictable
+    // load, which has manufactured 3-10x phantom regressions in single-shot
+    // wall times two rounds running (r11: q_pagerank; r12: q_rf_metrics
+    // 41 s vs 3.9 s idle). Re-run the slowest queries a few times
+    // back-to-back and report each one's MEDIAN alongside the single-shot
+    // figure, so the artifact itself distinguishes "code got slower" from
+    // "host was busy during that one run". Knobs (defaults = on):
+    //   SPARK_GRAFT_BENCH_MEDIANS_TOP   how many slowest queries (0 = off)
+    //   SPARK_GRAFT_BENCH_MEDIANS_REPS  re-runs per query (median of these)
+    val medTop = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEDIANS_TOP", "10").toInt
+    val medReps = sys.env.getOrElse("SPARK_GRAFT_BENCH_MEDIANS_REPS", "3").toInt
+    val medians: Seq[(String, Double)] =
+      if (medTop <= 0 || medReps <= 0) Nil
+      else {
+        val byName = ordered.toMap
+        results.filterNot { case (n, _) => failed.contains(n) }
+          .sortBy(-_._2).take(medTop)
+          .map { case (name, _) =>
+            val samples = (1 to medReps).map(_ => timeQuery(name, byName(name))).sorted
+            name -> samples(samples.length / 2)
+          }
+      }
+    val mediansJson = medians
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     val failedList = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.size},"failed_queries":$failedList,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.size},"failed_queries":$failedList,"medians":$mediansJson,"median_reps":$medReps,"sf":"$sfDir"}"""
     println(line)
     // sbt interleaves the stdout line with log noise, which has cost the
     // round driver its parse before — persist the same line to a file too.
