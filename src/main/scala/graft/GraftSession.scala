@@ -131,6 +131,11 @@ object GraftSession {
         litOf(exprs(2), "k").asInstanceOf[Number].intValue),
       "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_min_k_by_str",
+      exprs => graft.expressions.MinKByStrAgg(exprs.head, exprs(1),
+        litOf(exprs(2), "k").asInstanceOf[Number].intValue),
+      "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_bpe_merge_pair",
       exprs => graft.expressions.PairMerge(exprs.head,
         litOf(exprs(1), "left").toString, litOf(exprs(2), "right").toString),

@@ -35,16 +35,25 @@ object Zipf {
     val wc = docs
       .select(gc :+ explode(graft.functions.TextFunctions.tokens(col(textCol))).as("w"): _*)
       .groupBy(gc :+ col("w"): _*).agg(count(lit(1)).as("n"))
-    val win =
-      (if (groupCols.isEmpty) Window.partitionBy()
-       else Window.partitionBy(gc: _*)).orderBy(col("n").desc, col("w"))
     val ranked =
       if (groupCols.isEmpty)
         // corpus-level: bound the unpartitioned window to topN rows first
         wc.orderBy(col("n").desc, col("w")).limit(topN)
           .withColumn("rk", row_number().over(Window.orderBy(col("n").desc, col("w"))))
       else
-        wc.withColumn("rk", row_number().over(win)).filter(col("rk") <= topN)
+        // per-group top-N via the bounded string heap — O(topN) pairs per
+        // group per partition through the shuffle, where the row_number
+        // window would co-locate and SORT each group's entire vocabulary
+        // to keep topN rows (real cost at a 10⁸-word per-source vocab).
+        // Key = −n: (−n ASC, w ASC) ≡ the window's (n DESC, w ASC), so
+        // membership and ranks are identical; counts ≪ 2⁵³ stay exact in
+        // the double key.
+        wc.groupBy(gc: _*)
+          .agg(graft.expressions.MinKByStrAgg
+            .min_k_by_str((-col("n")).cast("double"), col("w"), topN).as("_top"))
+          .select(gc :+ posexplode(col("_top")).as(Seq("_pos", "_kv")): _*)
+          .select(gc :+ (col("_pos") + 1).as("rk") :+
+            (-col("_kv.key")).cast("long").as("n") :+ col("_kv.id").as("w"): _*)
     ranked
       .select(gc :+ e6(log(col("rk").cast("double"))).as("x") :+
         e6(log(col("n").cast("double"))).as("y"): _*)

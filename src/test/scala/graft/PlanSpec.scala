@@ -116,6 +116,14 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "the heap path must not fall back to row_number")
   }
 
+  test("per-source zipf top-N ships the bounded string heap: partial min_k_by_str, no vocab window sort") {
+    val p = plan("q_zipf_by_source")
+    assert(p.contains("partial_graft_min_k_by_str"),
+      s"map-side partial string-heap aggregation expected:\n${p.take(2000)}")
+    assert(!p.contains("Window"),
+      "the per-group heap path must not fall back to a row_number window over the full vocabulary")
+  }
+
   test("z-order key is a pure zero-shuffle projection") {
     val p = plan("q_zorder_key")
     assert(!p.contains("Exchange"), s"pure projection must not shuffle:\n${p.take(1500)}")
