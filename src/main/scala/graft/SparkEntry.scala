@@ -1530,6 +1530,30 @@ object SparkEntry {
       perDecile.withColumn("cum_distinct", sum(col("n_new")).over(w))
         .select(col("first_decile"), col("n_new"), col("cum_distinct"))
     },
+    // per-source Heaps curves: the q_vocab_growth decile spelling
+    // partitioned by source — the per-domain dedup-saturation diagnostic
+    // (sibling of q_zipf_by_source). Deciles come from the per-source doc
+    // rank; the rank/count windows hash-partition on source (never a
+    // single-partition sort), and the cumulative window runs over ≤ 10
+    // decile rows per source.
+    "q_vocab_growth_by_source" -> { (s, d) =>
+      val W = org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, d).documents
+      val ranked = docs
+        .select(col("source"), col("doc_id"), col("text"))
+        .withColumn("rk",
+          row_number().over(W.partitionBy(col("source")).orderBy(col("doc_id"))))
+        .withColumn("nsrc", count(lit(1)).over(W.partitionBy(col("source"))))
+      val perDecile = ranked
+        .select(col("source"), expr("(rk - 1) * 10 DIV nsrc").as("decile"),
+          explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
+        .groupBy(col("source"), col("sh")).agg(min(col("decile")).as("first_decile"))
+        .groupBy(col("source"), col("first_decile")).agg(count(lit(1)).as("n_new"))
+      val cw = W.partitionBy(col("source")).orderBy(col("first_decile"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      perDecile.withColumn("cum_distinct", sum(col("n_new")).over(cw))
+        .select(col("source"), col("first_decile"), col("n_new"), col("cum_distinct"))
+    },
     // zone-map pruning estimator (operators.ZoneMaps): simulate 1000-row
     // files under insertion order vs Z-order, build per-file min/max, and
     // score a range-predicate battery — the measured fraction of files a
@@ -2209,6 +2233,14 @@ object SparkEntry {
     // — relevance-vs-redundancy greedy, trajectory replayed per-round
     "q_mmr_selection" -> { (s, d) =>
       graft.operators.Mmr.select(s, Tables(s, d).embeddings, queryId = 0L, k = 8)
+    },
+    // RAG context packing (operators.ContextPack): the MMR trajectory
+    // joined to exact token counts, packed greedily until the 120-token
+    // budget — the longest prefix of the selection order that fits.
+    // Oracle replays the shared MmrCtes trajectory + BIGINT prefix sum.
+    "q_context_pack" -> { (s, d) =>
+      graft.operators.ContextPack.pack(s, Tables(s, d).embeddings,
+        Tables(s, d).documents, queryId = 0L, k = 8, budget = 120L)
     },
     // Replayable GMM soft clustering (operators.GmmReplay): fixed-round
     // spherical EM whose exp() is the 16-squaring pseudo-exp kernel — pure
@@ -4945,6 +4977,32 @@ object SparkEntry {
          |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
          |         AS cum_distinct
          |FROM g""".stripMargin,
+    // the same shingle spelling partitioned by source; deciles from the
+    // per-source doc rank ((rk−1)·10 // nsrc — non-negative, so // ≡ DIV)
+    "q_vocab_growth_by_source" ->
+      s"""WITH t AS (SELECT source, doc_id, $TokensSql AS toks FROM documents),
+         |d AS (
+         |  SELECT source, doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                             i -> array_to_string(toks[i:i+2], ' '))
+         |    END) AS sh
+         |  FROM t),
+         |r AS (SELECT source, sh,
+         |             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rk,
+         |             count(*) OVER (PARTITION BY source) AS nsrc
+         |      FROM d),
+         |ex AS (SELECT source, (rk - 1) * 10 // nsrc AS decile, unnest(sh) AS s
+         |       FROM r),
+         |f AS (SELECT source, s, min(decile) AS first_decile
+         |      FROM ex GROUP BY source, s),
+         |g AS (SELECT source, first_decile, count(*) AS n_new
+         |      FROM f GROUP BY source, first_decile)
+         |SELECT source, first_decile, n_new,
+         |       CAST(sum(n_new) OVER (PARTITION BY source ORDER BY first_decile
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |         AS cum_distinct
+         |FROM g""".stripMargin,
     // zkey via the generated bit-term spelling (≡ the unrolled spread
     // chain), then row_number files per layout, zone maps, and the same
     // pruned-interval test per predicate
@@ -5771,6 +5829,7 @@ object SparkEntry {
     "q_knn_ivf_det" -> IvfDetOracleSql,
     "q_kcenter_coreset" -> KCenterOracleSql,
     "q_mmr_selection" -> MmrOracleSql,
+    "q_context_pack" -> ContextPackOracleSql,
     // ARI + purity of the replayed k-means vs labels: contingency from
     // the shared KMeansCtes assignment a3; pair counts x(x−1)//2 exact
     // (even product, non-negative so // ≡ DIV); one fixed-spelling
@@ -6457,7 +6516,12 @@ object SparkEntry {
     * the i selected; s_i is the i-th argmax of 7·rel − 3·smax (score DESC,
     * vec_id) — round 1 is argmax rel (smax ≔ 0, the MMR convention).
     */
-  private lazy val MmrOracleSql: String = {
+  /** The MMR greedy replay as a reusable CTE chain ending in
+    * `mmr_sel(sel_rank, vec_id, rel_dot, mmr_score)` — consumed by both
+    * the trajectory oracle (q_mmr_selection) and the context-packing
+    * oracle (q_context_pack) so the replayed selection cannot drift.
+    */
+  private lazy val MmrCtes: String = {
     val K = 8
     def dot(a: String, b: String) =
       s"CAST(list_sum(list_transform(range(1, 65), i -> $a.m[i] * $b.m[i])) AS BIGINT)"
@@ -6492,9 +6556,30 @@ object SparkEntry {
        |g1 AS MATERIALIZED (
        |  SELECT r.vec_id, r.m, r.rel, ${dot("r", "s1")} AS smax
        |  FROM r0 r CROSS JOIN s1),
-       |$rounds
-       |SELECT * FROM ($sel)""".stripMargin
+       |$rounds,
+       |mmr_sel AS ($sel)""".stripMargin
   }
+
+  private lazy val MmrOracleSql: String =
+    s"""$MmrCtes
+       |SELECT sel_rank, vec_id, rel_dot, mmr_score FROM mmr_sel""".stripMargin
+
+  /** ContextPack replay: the shared MMR trajectory joined to exact token
+    * counts, BIGINT prefix sum in sel_rank order, prefix kept while
+    * cum ≤ budget (monotone cum ⇒ the filter IS stop-at-first-overflow).
+    */
+  private lazy val ContextPackOracleSql: String =
+    s"""$MmrCtes,
+       |tk AS (SELECT doc_id, len($TokensSql) AS n_tokens FROM documents),
+       |pk AS (
+       |  SELECT m.sel_rank, m.vec_id AS doc_id,
+       |         CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       |         CAST(sum(t.n_tokens) OVER (ORDER BY m.sel_rank
+       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS cum_tokens
+       |  FROM mmr_sel m JOIN tk t ON t.doc_id = m.vec_id)
+       |SELECT sel_rank, doc_id, n_tokens, cum_tokens FROM pk
+       |WHERE cum_tokens <= 120""".stripMargin
 
   private lazy val KCenterOracleSql: String = {
     val K = 8
