@@ -936,6 +936,16 @@ object SparkEntry {
         .orderBy(col("n_tokens").desc, col("subword"))
         .limit(30)
     },
+    // SentencePiece-style unigram LM tokenizer (operators.UnigramLm): the
+    // OTHER public tokenizer family next to BPE — replayable Viterbi EM
+    // (char + top-500-substring seed, integer-micros ln scores, exact
+    // BIGINT path sums and counts, char-coverage floors, minCount prune).
+    // The generated oracle (UnigramLmOracleSql) replays the seed, both EM
+    // rounds' DP + path extraction, and the final prune, all in BIGINT.
+    "q_unigram_lm" -> { (s, d) =>
+      graft.operators.UnigramLm.train(s,
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
     // exact heavy hitters at sketch cost: Misra-Gries candidates (O(k)
     // shuffle per partition, any item cardinality) + exact second pass over
     // candidate rows only — the output is deterministic even though the
@@ -5827,6 +5837,7 @@ object SparkEntry {
     // generated full replay of the 3-round integer-micros Lloyd iteration
     "q_kmeans_clusters" -> KMeansOracleSql,
     "q_knn_ivf_det" -> IvfDetOracleSql,
+    "q_unigram_lm" -> UnigramLmOracleSql,
     "q_kcenter_coreset" -> KCenterOracleSql,
     "q_mmr_selection" -> MmrOracleSql,
     "q_context_pack" -> ContextPackOracleSql,
@@ -6705,6 +6716,109 @@ object SparkEntry {
        |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
        |  FROM sc)
        |SELECT query_id, neighbor_id, d2, rank FROM r WHERE rank <= 10""".stripMargin
+  }
+
+  /** Generated DuckDB replay of UnigramLm.train (maxLen=12, maxPiece=4,
+    * topV=500, rounds=2, minCount=2): ASCII word counts; char +
+    * top-substring seed under (c DESC, piece); per-round forward DP
+    * unrolled per end position (b tables contain REACHED positions only —
+    * the reach check is the join), canonical path re-extraction by
+    * repeated argmax (b DESC-sum ties to the smallest start, matching the
+    * kernel's strict-max rule), exact BIGINT counts with char floors, and
+    * the final prune + rescore. Every ln quantizes to micros before any
+    * combination, so the hash match is structural.
+    */
+  private lazy val UnigramLmOracleSql: String = {
+    val ML = 12; val MP = 4; val R = 2; val TOPV = 500; val MINC = 2
+    def vocabCte(name: String, raw: String): String =
+      s"""$name AS MATERIALIZED (
+         |  SELECT piece, c,
+         |         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |         - (SELECT CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+         |            FROM $raw) AS sc
+         |  FROM $raw)""".stripMargin
+    def roundCtes(r: Int): String = {
+      val cand =
+        s"""cand$r AS MATERIALIZED (
+           |  SELECT w.word, w.m, ii.i, ll.L, v.piece, v.sc
+           |  FROM words w, range(1, ${ML + 1}) ii(i), range(1, ${MP + 1}) ll(L), vocab$r v
+           |  WHERE ii.i <= w.m AND ll.L <= ii.i
+           |    AND v.piece = substr(w.word, ii.i - ll.L + 1, ll.L))""".stripMargin
+      val b0 = s"bu${r}_0 AS (SELECT word, 0 AS i, CAST(0 AS BIGINT) AS b FROM words)"
+      val bs = (1 to ML).map { i =>
+        s"""b${r}_$i AS MATERIALIZED (
+           |  SELECT c.word, max(p.b + c.sc) AS b
+           |  FROM cand$r c JOIN bu${r}_${i - 1} p ON p.word = c.word AND p.i = c.i - c.L
+           |  WHERE c.i = $i GROUP BY c.word),
+           |bu${r}_$i AS (SELECT * FROM bu${r}_${i - 1}
+           |              UNION ALL SELECT word, $i AS i, b FROM b${r}_$i)""".stripMargin
+      }.mkString(",\n")
+      val e1 =
+        s"""e${r}_1 AS MATERIALIZED (
+           |  SELECT word, j, piece FROM (
+           |    SELECT c.word, c.i - c.L AS j, c.piece,
+           |           row_number() OVER (PARTITION BY c.word
+           |                              ORDER BY p.b + c.sc DESC, c.i - c.L ASC) AS rn
+           |    FROM cand$r c
+           |    JOIN bu${r}_$ML p ON p.word = c.word AND p.i = c.i - c.L
+           |    WHERE c.i = c.m)
+           |  WHERE rn = 1)""".stripMargin
+      val es = (2 to ML).map { k =>
+        s"""e${r}_$k AS MATERIALIZED (
+           |  SELECT word, j, piece FROM (
+           |    SELECT c.word, c.i - c.L AS j, c.piece,
+           |           row_number() OVER (PARTITION BY c.word
+           |                              ORDER BY p.b + c.sc DESC, c.i - c.L ASC) AS rn
+           |    FROM e${r}_${k - 1} e
+           |    JOIN cand$r c ON c.word = e.word AND c.i = e.j
+           |    JOIN bu${r}_$ML p ON p.word = c.word AND p.i = c.i - c.L
+           |    WHERE e.j > 0)
+           |  WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val seg = s"seg$r AS MATERIALIZED (\n  " +
+        (1 to ML).map(k => s"SELECT word, piece FROM e${r}_$k")
+          .mkString("\n  UNION ALL\n  ") + ")"
+      val cnt =
+        s"""cnt$r AS MATERIALIZED (
+           |  SELECT s.piece, CAST(sum(w.n) AS BIGINT) AS c
+           |  FROM seg$r s JOIN words w USING (word) GROUP BY s.piece)""".stripMargin
+      val vraw =
+        s"""v${r + 1}raw AS MATERIALIZED (
+           |  SELECT piece, c FROM cnt$r WHERE len(piece) > 1
+           |  UNION ALL
+           |  SELECT ch.piece,
+           |         GREATEST(COALESCE(c.c, CAST(0 AS BIGINT)), CAST(1 AS BIGINT)) AS c
+           |  FROM ch LEFT JOIN cnt$r c ON c.piece = ch.piece)""".stripMargin
+      (Seq(cand, b0, bs, e1, es, seg, cnt, vraw) ++
+        (if (r + 1 < R) Seq(vocabCte(s"vocab${r + 1}", s"v${r + 1}raw")) else Nil))
+        .mkString(",\n")
+    }
+    s"""WITH tok AS (SELECT unnest($TokensSql) AS word FROM documents),
+       |wc0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word),
+       |words AS MATERIALIZED (
+       |  SELECT word, n, len(word) AS m FROM wc0
+       |  WHERE regexp_matches(word, '^[\\x21-\\x7e]{1,$ML}$$')),
+       |subs AS MATERIALIZED (
+       |  SELECT substr(w.word, ii.i - ll.L + 1, ll.L) AS piece,
+       |         CAST(sum(w.n) AS BIGINT) AS c
+       |  FROM words w, range(1, ${ML + 1}) ii(i), range(1, ${MP + 1}) ll(L)
+       |  WHERE ii.i <= w.m AND ll.L <= ii.i
+       |  GROUP BY 1),
+       |v0raw AS MATERIALIZED (
+       |  SELECT piece, c FROM subs WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, c FROM (SELECT piece, c FROM subs WHERE len(piece) > 1
+       |                        ORDER BY c DESC, piece LIMIT $TOPV)),
+       |ch AS MATERIALIZED (SELECT piece FROM v0raw WHERE len(piece) = 1),
+       |${vocabCte("vocab0", "v0raw")},
+       |${(0 until R).map(roundCtes).mkString(",\n")},
+       |finraw AS MATERIALIZED (
+       |  SELECT piece, c FROM v${R}raw WHERE len(piece) = 1 OR c >= $MINC)
+       |SELECT piece, c AS cnt,
+       |       CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |       - (SELECT CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |          FROM finraw) AS logp_micro
+       |FROM finraw""".stripMargin
   }
 
   /** Generated DuckDB replay of GmmReplay.softAssignments (d=64, k=8,
