@@ -946,6 +946,19 @@ object SparkEntry {
       graft.operators.UnigramLm.train(s,
         graft.operators.Vocab.wordCounts(Tables(s, d).documents))
     },
+    // ENCODE path: the corpus subword vocabulary the trained unigram table
+    // induces (the q_bpe_subwords twin) — one zero-shuffle segmentation
+    // projection + one aggregation after training
+    "q_unigram_subwords" -> { (s, d) =>
+      graft.operators.UnigramLm.subwordVocab(s,
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
+    // tokenizer fertility under the trained table: weighted pieces/word and
+    // chars/piece — the standard tokenizer-quality diagnostic, all BIGINT
+    "q_unigram_fertility" -> { (s, d) =>
+      graft.operators.UnigramLm.fertility(s,
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
     // exact heavy hitters at sketch cost: Misra-Gries candidates (O(k)
     // shuffle per partition, any item cardinality) + exact second pass over
     // candidate rows only — the output is deterministic even though the
@@ -5838,6 +5851,8 @@ object SparkEntry {
     "q_kmeans_clusters" -> KMeansOracleSql,
     "q_knn_ivf_det" -> IvfDetOracleSql,
     "q_unigram_lm" -> UnigramLmOracleSql,
+    "q_unigram_subwords" -> UnigramSubwordsOracleSql,
+    "q_unigram_fertility" -> UnigramFertilityOracleSql,
     "q_kcenter_coreset" -> KCenterOracleSql,
     "q_mmr_selection" -> MmrOracleSql,
     "q_context_pack" -> ContextPackOracleSql,
@@ -6728,8 +6743,9 @@ object SparkEntry {
     * the final prune + rescore. Every ln quantizes to micros before any
     * combination, so the hash match is structural.
     */
-  private lazy val UnigramLmOracleSql: String = {
+  private object UnigramOracle {
     val ML = 12; val MP = 4; val R = 2; val TOPV = 500; val MINC = 2
+
     def vocabCte(name: String, raw: String): String =
       s"""$name AS MATERIALIZED (
          |  SELECT piece, c,
@@ -6737,47 +6753,55 @@ object SparkEntry {
          |         - (SELECT CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
          |            FROM $raw) AS sc
          |  FROM $raw)""".stripMargin
-    def roundCtes(r: Int): String = {
+
+    /** Forward DP + canonical path extraction under `vocabName`, CTE names
+      * suffixed `tag`; ends with `seg$tag(word, piece)`.
+      */
+    def segChain(tag: String, vocabName: String): String = {
       val cand =
-        s"""cand$r AS MATERIALIZED (
+        s"""cand$tag AS MATERIALIZED (
            |  SELECT w.word, w.m, ii.i, ll.L, v.piece, v.sc
-           |  FROM words w, range(1, ${ML + 1}) ii(i), range(1, ${MP + 1}) ll(L), vocab$r v
+           |  FROM words w, range(1, ${ML + 1}) ii(i), range(1, ${MP + 1}) ll(L), $vocabName v
            |  WHERE ii.i <= w.m AND ll.L <= ii.i
            |    AND v.piece = substr(w.word, ii.i - ll.L + 1, ll.L))""".stripMargin
-      val b0 = s"bu${r}_0 AS (SELECT word, 0 AS i, CAST(0 AS BIGINT) AS b FROM words)"
+      val b0 = s"bu${tag}_0 AS (SELECT word, 0 AS i, CAST(0 AS BIGINT) AS b FROM words)"
       val bs = (1 to ML).map { i =>
-        s"""b${r}_$i AS MATERIALIZED (
+        s"""b${tag}_$i AS MATERIALIZED (
            |  SELECT c.word, max(p.b + c.sc) AS b
-           |  FROM cand$r c JOIN bu${r}_${i - 1} p ON p.word = c.word AND p.i = c.i - c.L
+           |  FROM cand$tag c JOIN bu${tag}_${i - 1} p ON p.word = c.word AND p.i = c.i - c.L
            |  WHERE c.i = $i GROUP BY c.word),
-           |bu${r}_$i AS (SELECT * FROM bu${r}_${i - 1}
-           |              UNION ALL SELECT word, $i AS i, b FROM b${r}_$i)""".stripMargin
+           |bu${tag}_$i AS (SELECT * FROM bu${tag}_${i - 1}
+           |              UNION ALL SELECT word, $i AS i, b FROM b${tag}_$i)""".stripMargin
       }.mkString(",\n")
       val e1 =
-        s"""e${r}_1 AS MATERIALIZED (
+        s"""e${tag}_1 AS MATERIALIZED (
            |  SELECT word, j, piece FROM (
            |    SELECT c.word, c.i - c.L AS j, c.piece,
            |           row_number() OVER (PARTITION BY c.word
            |                              ORDER BY p.b + c.sc DESC, c.i - c.L ASC) AS rn
-           |    FROM cand$r c
-           |    JOIN bu${r}_$ML p ON p.word = c.word AND p.i = c.i - c.L
+           |    FROM cand$tag c
+           |    JOIN bu${tag}_$ML p ON p.word = c.word AND p.i = c.i - c.L
            |    WHERE c.i = c.m)
            |  WHERE rn = 1)""".stripMargin
       val es = (2 to ML).map { k =>
-        s"""e${r}_$k AS MATERIALIZED (
+        s"""e${tag}_$k AS MATERIALIZED (
            |  SELECT word, j, piece FROM (
            |    SELECT c.word, c.i - c.L AS j, c.piece,
            |           row_number() OVER (PARTITION BY c.word
            |                              ORDER BY p.b + c.sc DESC, c.i - c.L ASC) AS rn
-           |    FROM e${r}_${k - 1} e
-           |    JOIN cand$r c ON c.word = e.word AND c.i = e.j
-           |    JOIN bu${r}_$ML p ON p.word = c.word AND p.i = c.i - c.L
+           |    FROM e${tag}_${k - 1} e
+           |    JOIN cand$tag c ON c.word = e.word AND c.i = e.j
+           |    JOIN bu${tag}_$ML p ON p.word = c.word AND p.i = c.i - c.L
            |    WHERE e.j > 0)
            |  WHERE rn = 1)""".stripMargin
       }.mkString(",\n")
-      val seg = s"seg$r AS MATERIALIZED (\n  " +
-        (1 to ML).map(k => s"SELECT word, piece FROM e${r}_$k")
+      val seg = s"seg$tag AS MATERIALIZED (\n  " +
+        (1 to ML).map(k => s"SELECT word, piece FROM e${tag}_$k")
           .mkString("\n  UNION ALL\n  ") + ")"
+      Seq(cand, b0, bs, e1, es, seg).mkString(",\n")
+    }
+
+    private def roundCtes(r: Int): String = {
       val cnt =
         s"""cnt$r AS MATERIALIZED (
            |  SELECT s.piece, CAST(sum(w.n) AS BIGINT) AS c
@@ -6789,37 +6813,77 @@ object SparkEntry {
            |  SELECT ch.piece,
            |         GREATEST(COALESCE(c.c, CAST(0 AS BIGINT)), CAST(1 AS BIGINT)) AS c
            |  FROM ch LEFT JOIN cnt$r c ON c.piece = ch.piece)""".stripMargin
-      (Seq(cand, b0, bs, e1, es, seg, cnt, vraw) ++
+      (Seq(segChain(r.toString, s"vocab$r"), cnt, vraw) ++
         (if (r + 1 < R) Seq(vocabCte(s"vocab${r + 1}", s"v${r + 1}raw")) else Nil))
         .mkString(",\n")
     }
-    s"""WITH tok AS (SELECT unnest($TokensSql) AS word FROM documents),
-       |wc0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word),
-       |words AS MATERIALIZED (
-       |  SELECT word, n, len(word) AS m FROM wc0
-       |  WHERE regexp_matches(word, '^[\\x21-\\x7e]{1,$ML}$$')),
-       |subs AS MATERIALIZED (
-       |  SELECT substr(w.word, ii.i - ll.L + 1, ll.L) AS piece,
-       |         CAST(sum(w.n) AS BIGINT) AS c
-       |  FROM words w, range(1, ${ML + 1}) ii(i), range(1, ${MP + 1}) ll(L)
-       |  WHERE ii.i <= w.m AND ll.L <= ii.i
-       |  GROUP BY 1),
-       |v0raw AS MATERIALIZED (
-       |  SELECT piece, c FROM subs WHERE len(piece) = 1
-       |  UNION ALL
-       |  SELECT piece, c FROM (SELECT piece, c FROM subs WHERE len(piece) > 1
-       |                        ORDER BY c DESC, piece LIMIT $TOPV)),
-       |ch AS MATERIALIZED (SELECT piece FROM v0raw WHERE len(piece) = 1),
-       |${vocabCte("vocab0", "v0raw")},
-       |${(0 until R).map(roundCtes).mkString(",\n")},
-       |finraw AS MATERIALIZED (
-       |  SELECT piece, c FROM v${R}raw WHERE len(piece) = 1 OR c >= $MINC)
+
+    /** Everything through the pruned final count table `finraw(piece, c)`:
+      * ASCII word counts, char + top-substring seed, R EM rounds.
+      */
+    lazy val trainCtes: String =
+      s"""WITH tok AS (SELECT unnest($TokensSql) AS word FROM documents),
+         |wc0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word),
+         |words AS MATERIALIZED (
+         |  SELECT word, n, len(word) AS m FROM wc0
+         |  WHERE regexp_matches(word, '^[\\x21-\\x7e]{1,$ML}$$')),
+         |subs AS MATERIALIZED (
+         |  SELECT substr(w.word, ii.i - ll.L + 1, ll.L) AS piece,
+         |         CAST(sum(w.n) AS BIGINT) AS c
+         |  FROM words w, range(1, ${ML + 1}) ii(i), range(1, ${MP + 1}) ll(L)
+         |  WHERE ii.i <= w.m AND ll.L <= ii.i
+         |  GROUP BY 1),
+         |v0raw AS MATERIALIZED (
+         |  SELECT piece, c FROM subs WHERE len(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, c FROM (SELECT piece, c FROM subs WHERE len(piece) > 1
+         |                        ORDER BY c DESC, piece LIMIT $TOPV)),
+         |ch AS MATERIALIZED (SELECT piece FROM v0raw WHERE len(piece) = 1),
+         |${vocabCte("vocab0", "v0raw")},
+         |${(0 until R).map(roundCtes).mkString(",\n")},
+         |finraw AS MATERIALIZED (
+         |  SELECT piece, c FROM v${R}raw WHERE len(piece) = 1 OR c >= $MINC)""".stripMargin
+
+    /** trainCtes + the final rescored vocab + one more segmentation of the
+      * corpus words under it — the ENCODE path; ends with `segf`.
+      */
+    lazy val encodeCtes: String =
+      s"""$trainCtes,
+         |${vocabCte("vocabf", "finraw")},
+         |${segChain("f", "vocabf")}""".stripMargin
+  }
+
+  private lazy val UnigramLmOracleSql: String =
+    s"""${UnigramOracle.trainCtes}
        |SELECT piece, c AS cnt,
        |       CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
        |       - (SELECT CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
        |          FROM finraw) AS logp_micro
        |FROM finraw""".stripMargin
-  }
+
+  /** Corpus subword vocabulary under the trained unigram table — the
+    * ENCODE-path twin of q_bpe_subwords, replayed end to end.
+    */
+  private lazy val UnigramSubwordsOracleSql: String =
+    s"""${UnigramOracle.encodeCtes}
+       |SELECT s.piece AS subword, CAST(sum(w.n) AS BIGINT) AS n_tokens
+       |FROM segf s JOIN words w USING (word) GROUP BY s.piece""".stripMargin
+
+  /** Tokenizer fertility under the trained unigram table: weighted pieces
+    * per word occurrence and chars per piece — exact BIGINT sums, floor
+    * divisions (all operands non-negative, so DuckDB // ≡ Spark DIV).
+    */
+  private lazy val UnigramFertilityOracleSql: String =
+    s"""${UnigramOracle.encodeCtes},
+       |pw AS (SELECT word, CAST(count(*) AS BIGINT) AS np FROM segf GROUP BY word),
+       |ag AS (SELECT CAST(sum(w.n) AS BIGINT) AS n_words,
+       |              CAST(sum(w.n * p.np) AS BIGINT) AS n_pieces,
+       |              CAST(sum(w.n * w.m) AS BIGINT) AS n_chars
+       |       FROM words w JOIN pw p USING (word))
+       |SELECT n_words, n_pieces, n_chars,
+       |       n_pieces * 1000000 // n_words AS fertility_micros,
+       |       n_chars * 1000000 // n_pieces AS chars_per_piece_micros
+       |FROM ag""".stripMargin
 
   /** Generated DuckDB replay of GmmReplay.softAssignments (d=64, k=8,
     * 2 EM rounds, σ²=0.25): the pseudo-exp kernel pexp(x)=(1+x/2¹⁶)^(2¹⁶)

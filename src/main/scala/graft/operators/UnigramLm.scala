@@ -61,6 +61,14 @@ object UnigramLm {
   /** Trained piece table `(piece, cnt, logp_micro)` from a `(word, n)`
     * frequency frame.
     */
+  /** The ASCII ≤ MaxWordLen training restriction — one spelling shared by
+    * train / encode / fertility so the word population cannot drift.
+    */
+  private def trainingWords(wordCounts: DataFrame): DataFrame =
+    wordCounts
+      .filter(col("word").rlike("^[\\x21-\\x7e]{1," + MaxWordLen + "}$"))
+      .select(col("word"), col("n"))
+
   def train(
       spark: SparkSession,
       wordCounts: DataFrame,
@@ -69,10 +77,7 @@ object UnigramLm {
       minCount: Long = 2L): DataFrame = {
     import spark.implicits._
     require(rounds >= 1 && rounds <= 16, "rounds in 1..16")
-    val words = wordCounts
-      .filter(col("word").rlike("^[\\x21-\\x7e]{1," + MaxWordLen + "}$"))
-      .select(col("word"), col("n"))
-      .cache()
+    val words = trainingWords(wordCounts).cache()
     try {
       // seed: every char (weighted occurrence count) + top-V multi-char
       // substrings — the multi top-V is a sort over the AGGREGATED
@@ -125,4 +130,58 @@ object UnigramLm {
   def encodeWords(wordCounts: DataFrame, table: Map[String, Long]): DataFrame =
     wordCounts.withColumn("pieces",
       graft.expressions.UnigramSegment.segment(col("word"), table, MaxPiece))
+
+  /** Trained table as an in-memory score map (piece → logp_micro). */
+  private def trainedTable(
+      spark: SparkSession,
+      wordCounts: DataFrame,
+      topV: Int,
+      rounds: Int,
+      minCount: Long): Map[String, Long] =
+    train(spark, wordCounts, topV, rounds, minCount).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+
+  /** Corpus subword vocabulary induced by the trained table (the
+    * [[Bpe.subwordVocab]] twin): `(subword, n_tokens)` — train, then ONE
+    * zero-shuffle segmentation projection + one hash aggregation.
+    */
+  def subwordVocab(
+      spark: SparkSession,
+      wordCounts: DataFrame,
+      topV: Int = 500,
+      rounds: Int = 2,
+      minCount: Long = 2L): DataFrame = {
+    val table = trainedTable(spark, wordCounts, topV, rounds, minCount)
+    trainingWords(wordCounts)
+      .select(
+        explode(graft.expressions.UnigramSegment.segment(col("word"), table, MaxPiece))
+          .as("subword"),
+        col("n"))
+      .groupBy(col("subword")).agg(sum(col("n")).as("n_tokens"))
+  }
+
+  /** Tokenizer fertility report (1 row): weighted pieces per word
+    * occurrence and chars per piece under the trained table — the
+    * standard tokenizer-quality diagnostic (lower fertility = fewer
+    * pieces per word = cheaper sequences). Exact BIGINT sums, floor
+    * divisions.
+    */
+  def fertility(
+      spark: SparkSession,
+      wordCounts: DataFrame,
+      topV: Int = 500,
+      rounds: Int = 2,
+      minCount: Long = 2L): DataFrame = {
+    val table = trainedTable(spark, wordCounts, topV, rounds, minCount)
+    trainingWords(wordCounts)
+      .select(col("n"), length(col("word")).cast("long").as("m"),
+        size(graft.expressions.UnigramSegment.segment(col("word"), table, MaxPiece))
+          .cast("long").as("np"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("np")).as("n_pieces"),
+        sum(col("n") * col("m")).as("n_chars"))
+      .select(col("n_words"), col("n_pieces"), col("n_chars"),
+        expr("n_pieces * 1000000 DIV n_words").as("fertility_micros"),
+        expr("n_chars * 1000000 DIV n_pieces").as("chars_per_piece_micros"))
+  }
 }

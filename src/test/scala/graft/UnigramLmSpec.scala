@@ -71,6 +71,27 @@ final class UnigramLmSpec extends AnyFunSuite {
     assert(rows.forall(_._3 < 0L))
   }
 
+  test("subword vocab and fertility agree with the trained table") {
+    val table = UnigramLm.train(spark, wc).as[(String, Long, Long)].collect()
+      .map { case (p, _, sc) => p -> sc }.toMap
+    val sub = UnigramLm.subwordVocab(spark, wc).as[(String, Long)].collect()
+    // every emitted subword is a trained piece
+    assert(sub.map(_._1).toSet.subsetOf(table.keySet))
+    val fert = UnigramLm.fertility(spark, wc).collect().head
+    val (nWords, nPieces, nChars) =
+      (fert.getLong(0), fert.getLong(1), fert.getLong(2))
+    // total emitted tokens == the fertility numerator
+    assert(sub.map(_._2).sum === nPieces)
+    // corpus totals: Σn and Σn·len over the fixture
+    assert(nWords === 195L)
+    assert(nChars === Seq(("spark", 50L), ("park", 30L), ("bark", 20L),
+      ("sparkly", 10L), ("stream", 25L), ("streams", 15L), ("batch", 40L),
+      ("hatch", 5L)).map { case (w, n) => n * w.length }.sum)
+    // at least one piece per word, at most one per char
+    assert(fert.getLong(3) >= 1000000L)
+    assert(fert.getLong(4) >= 1000000L)
+  }
+
   test("deterministic across runs") {
     def run() = UnigramLm.train(spark, wc).as[(String, Long, Long)].collect().toSeq
     assert(run() === run())
