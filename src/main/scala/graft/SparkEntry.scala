@@ -5853,6 +5853,11 @@ object SparkEntry {
     "q_unigram_lm" -> UnigramLmOracleSql,
     "q_unigram_subwords" -> UnigramSubwordsOracleSql,
     "q_unigram_fertility" -> UnigramFertilityOracleSql,
+    // generated replay of the 10-merge BPE trainer + its induced subword
+    // vocabulary (rows-only since r6; the double-space replace encoding
+    // finally gives the greedy merge kernel an exact SQL spelling)
+    "q_bpe_merges" -> BpeOracle.mergesSql,
+    "q_bpe_subwords" -> BpeOracle.subwordsSql,
     "q_kcenter_coreset" -> KCenterOracleSql,
     "q_mmr_selection" -> MmrOracleSql,
     "q_context_pack" -> ContextPackOracleSql,
@@ -6743,6 +6748,65 @@ object SparkEntry {
     * the final prune + rescore. Every ln quantizes to micros before any
     * combination, so the hash match is structural.
     */
+  /** Generated DuckDB replay of Bpe.trainMerges / subwordVocab (10 merges):
+    * chars + `</w>` symbolization, per-round adjacent-pair counts (lateral
+    * unnest over 1..len−1), argmax under (cnt DESC, l, r), and the merge
+    * applied via plain `replace` over a DOUBLE-SPACE-separated encoding —
+    * ` a  b ` → ` ab ` with single-space sentinels at both ends. Non-regex
+    * `replace` is leftmost-first non-overlapping, exactly the native
+    * PairMerge kernel's greedy contract, and symbols can never contain
+    * spaces (words are whitespace-split tokens), so the encoding is
+    * unambiguous. An exhausted pair table empties every later round's CTEs
+    * structurally — the same early stop as the Scala loop. Every count is
+    * an exact BIGINT: the hash match is structural.
+    */
+  private object BpeOracle {
+    val R = 10
+
+    private def round(r: Int): String =
+      s"""px$r AS MATERIALIZED (
+         |  SELECT n, syms, unnest(range(1, len(syms))) AS i
+         |  FROM v$r WHERE len(syms) >= 2),
+         |pc$r AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(n) AS BIGINT) AS cnt
+         |  FROM px$r GROUP BY 1, 2),
+         |top$r AS MATERIALIZED (
+         |  SELECT l, r, cnt FROM pc$r ORDER BY cnt DESC, l, r LIMIT 1),
+         |v${r + 1} AS MATERIALIZED (
+         |  SELECT v.word, v.n,
+         |         string_split(trim(replace(' ' || array_to_string(v.syms, '  ') || ' ',
+         |                                   ' ' || t.l || '  ' || t.r || ' ',
+         |                                   ' ' || t.l || t.r || ' ')),
+         |                      '  ') AS syms
+         |  FROM v$r v CROSS JOIN top$r t)""".stripMargin
+
+    lazy val ctes: String =
+      s"""WITH tok AS (SELECT unnest($TokensSql) AS word FROM documents),
+         |wc0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word),
+         |v0 AS MATERIALIZED (
+         |  SELECT word, n,
+         |         list_append(list_transform(range(1, len(word) + 1),
+         |                                    i -> substr(word, i, 1)), '</w>') AS syms
+         |  FROM wc0),
+         |${(0 until R).map(round).mkString(",\n")}""".stripMargin
+
+    lazy val mergesSql: String = {
+      val union = (0 until R)
+        .map(r => s"""SELECT CAST($r AS INT) AS merge_idx, l AS "left", r AS "right", cnt FROM top$r""")
+        .mkString("\nUNION ALL\n")
+      s"""$ctes
+         |$union""".stripMargin
+    }
+
+    lazy val subwordsSql: String =
+      s"""$ctes,
+         |sw AS (SELECT s AS subword, CAST(sum(n) AS BIGINT) AS n_tokens
+         |       FROM (SELECT n, unnest(syms) AS s FROM v$R)
+         |       GROUP BY 1)
+         |SELECT subword, n_tokens FROM sw
+         |ORDER BY n_tokens DESC, subword LIMIT 30""".stripMargin
+  }
+
   private object UnigramOracle {
     val ML = 12; val MP = 4; val R = 2; val TOPV = 500; val MINC = 2
 
