@@ -936,6 +936,13 @@ object SparkEntry {
         .orderBy(col("n_tokens").desc, col("subword"))
         .limit(30)
     },
+    // BPE tokenizer fertility under the learned merges — the
+    // q_unigram_fertility twin, so the two tokenizer families report the
+    // same comparable diagnostic
+    "q_bpe_fertility" -> { (s, d) =>
+      val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+      graft.operators.Bpe.fertility(wc, graft.operators.Bpe.trainMerges(wc, 10))
+    },
     // SentencePiece-style unigram LM tokenizer (operators.UnigramLm): the
     // OTHER public tokenizer family next to BPE — replayable Viterbi EM
     // (char + top-500-substring seed, integer-micros ln scores, exact
@@ -5858,6 +5865,7 @@ object SparkEntry {
     // finally gives the greedy merge kernel an exact SQL spelling)
     "q_bpe_merges" -> BpeOracle.mergesSql,
     "q_bpe_subwords" -> BpeOracle.subwordsSql,
+    "q_bpe_fertility" -> BpeOracle.fertilitySql,
     "q_kcenter_coreset" -> KCenterOracleSql,
     "q_mmr_selection" -> MmrOracleSql,
     "q_context_pack" -> ContextPackOracleSql,
@@ -6805,6 +6813,20 @@ object SparkEntry {
          |       GROUP BY 1)
          |SELECT subword, n_tokens FROM sw
          |ORDER BY n_tokens DESC, subword LIMIT 30""".stripMargin
+
+    /** Fertility under the learned merges — same formula as the unigram
+      * twin, over the round-R vocab (syms length includes `</w>`).
+      */
+    lazy val fertilitySql: String =
+      s"""$ctes,
+         |ag AS (SELECT CAST(sum(n) AS BIGINT) AS n_words,
+         |              CAST(sum(n * len(syms)) AS BIGINT) AS n_pieces,
+         |              CAST(sum(n * len(word)) AS BIGINT) AS n_chars
+         |       FROM v$R)
+         |SELECT n_words, n_pieces, n_chars,
+         |       n_pieces * 1000000 // n_words AS fertility_micros,
+         |       n_chars * 1000000 // n_pieces AS chars_per_piece_micros
+         |FROM ag""".stripMargin
   }
 
   private object UnigramOracle {

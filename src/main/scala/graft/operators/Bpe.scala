@@ -140,4 +140,20 @@ object Bpe {
       .select(explode(col("syms")).as("subword"), col("n"))
       .groupBy(col("subword"))
       .agg(sum(col("n")).as("n_tokens"))
+
+  /** Tokenizer fertility report (1 row) under the learned merges —
+    * [[graft.operators.UnigramLm.fertility]]'s BPE twin, same columns and
+    * integer discipline. `n_pieces` counts the `</w>` marker (it is a real
+    * emitted symbol); `n_chars` is raw word length.
+    */
+  def fertility(wordCounts: DataFrame, merges: Seq[Merge]): DataFrame =
+    encodeWords(wordCounts, merges)
+      .select(col("n"), length(col("word")).cast("long").as("m"),
+        size(col("syms")).cast("long").as("np"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("n") * col("np")).as("n_pieces"),
+        sum(col("n") * col("m")).as("n_chars"))
+      .select(col("n_words"), col("n_pieces"), col("n_chars"),
+        expr("n_pieces * 1000000 DIV n_words").as("fertility_micros"),
+        expr("n_chars * 1000000 DIV n_pieces").as("chars_per_piece_micros"))
 }

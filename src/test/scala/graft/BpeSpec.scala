@@ -127,6 +127,21 @@ class BpeSpec extends AnyFunSuite {
       ("a", Bpe.EndMark) -> 3L, ("b", Bpe.EndMark) -> 2L))
   }
 
+  test("fertility row ties out against the subword vocab and corpus sums") {
+    val wc = SennrichCorpus.toSeq.toDF("word", "n")
+    val merges = Bpe.trainMerges(wc, 5)
+    val f = Bpe.fertility(wc, merges).collect().head
+    val (nWords, nPieces, nChars) = (f.getLong(0), f.getLong(1), f.getLong(2))
+    assert(nWords === SennrichCorpus.values.sum)
+    assert(nChars === SennrichCorpus.map { case (w, n) => n * w.length }.sum)
+    // Σ n_tokens over the full induced vocab == the fertility numerator
+    val vocabTotal = Bpe.subwordVocab(wc, merges)
+      .agg(sum($"n_tokens")).as[Long].head()
+    assert(vocabTotal === nPieces)
+    // at least one piece (the marker) per word occurrence
+    assert(f.getLong(3) >= 1000000L)
+  }
+
   test("plan: one merge step is exactly one pair-count shuffle, merge itself shuffle-free") {
     val vocab = Bpe.symbolize(Seq(("ab", 1L)).toDF("word", "n"))
     val countPlan = Bpe.pairCounts(vocab).queryExecution.executedPlan.toString
