@@ -966,6 +966,13 @@ object SparkEntry {
       graft.operators.UnigramLm.fertility(s,
         graft.operators.Vocab.wordCounts(Tables(s, d).documents))
     },
+    // lossless segmentation CONTRACT (the q_bpe_roundtrip pattern): every
+    // training word must re-concatenate from its Viterbi pieces — the
+    // oracle replays the pieces WITH their start offsets and re-assembles
+    "q_unigram_roundtrip" -> { (s, d) =>
+      graft.operators.UnigramLm.roundtripReport(s,
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
     // exact heavy hitters at sketch cost: Misra-Gries candidates (O(k)
     // shuffle per partition, any item cardinality) + exact second pass over
     // candidate rows only — the output is deterministic even though the
@@ -5860,6 +5867,7 @@ object SparkEntry {
     "q_unigram_lm" -> UnigramLmOracleSql,
     "q_unigram_subwords" -> UnigramSubwordsOracleSql,
     "q_unigram_fertility" -> UnigramFertilityOracleSql,
+    "q_unigram_roundtrip" -> UnigramRoundtripOracleSql,
     // generated replay of the 10-merge BPE trainer + its induced subword
     // vocabulary (rows-only since r6; the double-space replace encoding
     // finally gives the greedy merge kernel an exact SQL spelling)
@@ -6954,6 +6962,25 @@ object SparkEntry {
     s"""${UnigramOracle.encodeCtes}
        |SELECT s.piece AS subword, CAST(sum(w.n) AS BIGINT) AS n_tokens
        |FROM segf s JOIN words w USING (word) GROUP BY s.piece""".stripMargin
+
+  /** Round-trip contract replay: the extraction CTEs carry each piece's
+    * start offset j, so the oracle re-assembles every word with
+    * `string_agg(piece, '' ORDER BY j)` and counts exact matches.
+    */
+  private lazy val UnigramRoundtripOracleSql: String = {
+    val allp = (1 to UnigramOracle.ML)
+      .map(k => s"SELECT word, j, piece FROM ef_$k")
+      .mkString("\n  UNION ALL\n  ")
+    s"""${UnigramOracle.encodeCtes},
+       |allp AS (
+       |  $allp),
+       |rt AS (SELECT word, string_agg(piece, '' ORDER BY j) AS cat
+       |       FROM allp GROUP BY word)
+       |SELECT CAST(count(*) AS BIGINT) AS n_words,
+       |       CAST(sum(CASE WHEN r.cat = w.word THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_roundtrip
+       |FROM words w LEFT JOIN rt r USING (word)""".stripMargin
+  }
 
   /** Tokenizer fertility under the trained unigram table: weighted pieces
     * per word occurrence and chars per piece — exact BIGINT sums, floor

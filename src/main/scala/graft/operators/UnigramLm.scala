@@ -160,6 +160,27 @@ object UnigramLm {
       .groupBy(col("subword")).agg(sum(col("n")).as("n_tokens"))
   }
 
+  /** Lossless round-trip CONTRACT (1 row): segmenting every training word
+    * under the trained table and concatenating the pieces must reproduce
+    * the word — Viterbi paths partition the word by construction, and
+    * this query makes that invariant a hashed row (the q_bpe_roundtrip
+    * pattern).
+    */
+  def roundtripReport(
+      spark: SparkSession,
+      wordCounts: DataFrame,
+      topV: Int = 500,
+      rounds: Int = 2,
+      minCount: Long = 2L): DataFrame = {
+    val table = trainedTable(spark, wordCounts, topV, rounds, minCount)
+    trainingWords(wordCounts)
+      .select((concat_ws("",
+        graft.expressions.UnigramSegment.segment(col("word"), table, MaxPiece))
+        === col("word")).as("ok"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("ok"), 1L).otherwise(0L)).as("n_roundtrip"))
+  }
+
   /** Tokenizer fertility report (1 row): weighted pieces per word
     * occurrence and chars per piece under the trained table — the
     * standard tokenizer-quality diagnostic (lower fertility = fewer

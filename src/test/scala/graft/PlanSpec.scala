@@ -116,6 +116,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "the heap path must not fall back to row_number")
   }
 
+  test("deterministic IVF: no unbounded cartesian, centers are the only nested-loop sides") {
+    val p = plan("q_knn_ivf_det")
+    assert(!p.contains("CartesianProduct"), s"no unbounded cartesian:\n${p.take(2000)}")
+    // the only nested-loop joins are the two bounded nLists-row center
+    // cross joins (probe selection + final assignment); candidate scoring
+    // must go through the cid equi-join, never a loop over the corpus
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), s"posting-list equi-join expected:\n${p.take(2000)}")
+  }
+
   test("per-source zipf top-N ships the bounded string heap: partial min_k_by_str, no vocab window sort") {
     val p = plan("q_zipf_by_source")
     assert(p.contains("partial_graft_min_k_by_str"),
