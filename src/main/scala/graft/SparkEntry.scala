@@ -1067,6 +1067,16 @@ object SparkEntry {
           expr("-CAST(round(avg_logp * 1000000.0) AS BIGINT)").as("loss_e6"))
       graft.operators.Doremi.weights(docs, loss)
     },
+    // multi-epoch DoReMi: the Hedge iteration against a MOVING α-weighted
+    // baseline run to 3 epochs — integer baselines, integer excess, the
+    // pseudo-exp boost per epoch; whole trajectory replayed epoch-per-CTE
+    "q_doremi_epochs" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val loss = LmScore.score(docs, docs)
+        .select(col("doc_id"),
+          expr("-CAST(round(avg_logp * 1000000.0) AS BIGINT)").as("loss_e6"))
+      graft.operators.Doremi.epochWeights(docs, loss, epochs = 3)
+    },
     // stateless twin: pruned LM collected into map literals, scoring is a
     // single zero-shuffle projection (the live-feed spelling — runs
     // unchanged on a stream in append mode with no state; see
@@ -2906,6 +2916,57 @@ object SparkEntry {
        |FROM w CROSS JOIN tw""".stripMargin
   }
 
+  /** Generated replay of Doremi.epochWeights (3 epochs): per-source mean
+    * loss quantized once, then each epoch is a pure-integer baseline
+    * `(Σ α_e6·m_e6 + 5·10⁵) // 10⁶`, an integer excess max, a 16-squaring
+    * pseudo-exp chain, and the e6-requantized α — the same unrolled
+    * trajectory the driver loop walks.
+    */
+  private lazy val DoremiEpochsOracleSql: String = {
+    val R = 3
+    def epoch(t: Int): String = {
+      val squarings = (1 to 16)
+        .map(i => s"q${t}_$i AS (SELECT *, e${i - 1} * e${i - 1} AS e$i FROM q${t}_${i - 1})")
+        .mkString(",\n")
+      s"""bl$t AS (SELECT CAST((sum(a_e6 * m_e6) + 500000) // 1000000 AS BIGINT) AS b
+         |         FROM aw${t - 1}),
+         |ex$t AS (SELECT aw.source, aw.n_docs, aw.m_e6, aw.tn, aw.k,
+         |           GREATEST(aw.m_e6 - bl.b, 0) AS excess
+         |         FROM aw${t - 1} aw CROSS JOIN bl$t bl),
+         |q${t}_0 AS (SELECT *,
+         |           1.0 + (CAST(excess AS DOUBLE) / 1000000.0) / 65536.0 AS e0
+         |         FROM ex$t),
+         |$squarings,
+         |w$t AS (SELECT source, n_docs, m_e6, tn, k,
+         |          CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(tn AS DOUBLE))
+         |               * e16 * 1000000.0 + 0.5) AS BIGINT) AS w_e6
+         |        FROM q${t}_16),
+         |tw$t AS (SELECT CAST(sum(w_e6) AS BIGINT) AS tw FROM w$t),
+         |aw$t AS (SELECT source, n_docs, m_e6, tn, k,
+         |           CAST(floor((0.99 * CAST(w_e6 AS DOUBLE) / CAST(tw.tw AS DOUBLE)
+         |                + 0.01 / CAST(k AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS a_e6
+         |         FROM w$t CROSS JOIN tw$t tw)""".stripMargin
+    }
+    val out = (1 to R)
+      .map(t => s"SELECT source, n_docs, m_e6 AS m_loss_e6, CAST($t AS INT) AS epoch, a_e6 FROM aw$t")
+      .mkString("\nUNION ALL\n")
+    s"""WITH lmq AS (SELECT * FROM ($LmScoreOracleSql) z),
+       |dl AS (SELECT doc_id,
+       |         -CAST(round(avg_logp * 1000000.0) AS BIGINT) AS loss_e6
+       |       FROM lmq),
+       |ds AS (SELECT d.source, count(*) AS n_docs,
+       |         CAST(sum(l.loss_e6) AS BIGINT) AS sum_loss_e6
+       |       FROM documents d JOIN dl l USING (doc_id) GROUP BY d.source),
+       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn, count(*) AS k FROM ds),
+       |aw0 AS (SELECT ds.source, ds.n_docs,
+       |          CAST(floor(CAST(ds.sum_loss_e6 AS DOUBLE)
+       |               / CAST(ds.n_docs AS DOUBLE) + 0.5) AS BIGINT) AS m_e6,
+       |          tot.tn, tot.k, CAST(1000000 // tot.k AS BIGINT) AS a_e6
+       |        FROM ds CROSS JOIN tot),
+       |${(1 to R).map(epoch).mkString(",\n")}
+       |$out""".stripMargin
+  }
+
   private lazy val CurationLedgerOracleSql: String =
       s"""WITH gq AS (SELECT doc_id, keep FROM ($GopherGatesOracleSql) gqx),
          |gr AS (SELECT doc_id, keep FROM ($GopherRepetitionOracleSql) grx),
@@ -4706,6 +4767,7 @@ object SparkEntry {
          |FROM o""".stripMargin,
     "q_lm_score" -> LmScoreOracleSql,
     "q_doremi_weights" -> DoremiOracleSql,
+    "q_doremi_epochs" -> DoremiEpochsOracleSql,
     // pruned twin of q_lm_score: uni/bi HAVING >= 2, LEFT joins so pruned
     // positions fall back to 0-count smoothing (V stays unpruned) — the
     // same math LmScore.scoreStateless ships as map literals

@@ -74,4 +74,41 @@ final class DoremiSpec extends AnyFunSuite {
     val wb = got("b").getAs[Long]("w_e6").toDouble
     assert(math.abs(wa / wb - math.sqrt(3.0)) < 1e-5)
   }
+
+  test("epoch trajectory: moving baseline, mass conserved, hard domain stays up-weighted") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "b"), (6L, "b")
+    ).toDF("doc_id", "source")
+    val loss = Seq(
+      1L -> 2000000L, 2L -> 1500000L, 3L -> 2500000L, 4L -> 2000000L,
+      5L -> 5000000L, 6L -> 5000000L
+    ).toDF("doc_id", "loss_e6")
+    val got = Doremi.epochWeights(docs, loss, epochs = 3)
+      .as[(String, Long, Long, Int, Long)].collect()
+    assert(got.length === 6) // 2 sources × 3 epochs
+    // per-epoch mass ≈ 1 (e6), within per-source rounding
+    (1 to 3).foreach { t =>
+      val mass = got.filter(_._4 == t).map(_._5).sum
+      assert(math.abs(mass - 1000000L) <= 2L, s"epoch $t mass $mass")
+    }
+    // the hard domain (b, mean 5.0 vs corpus 3.0) beats uniform every epoch
+    got.filter(r => r._1 == "b").foreach(r => assert(r._5 > 500000L, r))
+    // moving baseline bites: epoch-2 α differs from epoch-1 (the baseline
+    // rose once b was up-weighted, shrinking b's excess)
+    val b1 = got.find(r => r._1 == "b" && r._4 == 1).get._5
+    val b2 = got.find(r => r._1 == "b" && r._4 == 2).get._5
+    assert(b1 !== b2)
+    assert(b2 < b1, "higher baseline must shrink the boost")
+  }
+
+  test("equal losses: every epoch is exactly uniform") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")).toDF("doc_id", "source")
+    val loss = Seq(1L -> 3000000L, 2L -> 3000000L, 3L -> 3000000L, 4L -> 3000000L)
+      .toDF("doc_id", "loss_e6")
+    val got = Doremi.epochWeights(docs, loss, epochs = 3)
+      .as[(String, Long, Long, Int, Long)].collect()
+    assert(got.forall(_._5 === 250000L), got.mkString(", "))
+  }
 }
