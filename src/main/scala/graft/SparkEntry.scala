@@ -2229,6 +2229,16 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .orderBy(col("cos").desc, col("id1"), col("id2")).limit(100)
     },
+    // deterministic twin of q_cosine_neardup: md5-Rademacher Charikar
+    // signs over integer micros, exact-integer cos >= 1/2 verification —
+    // the same planted dups, now with a full hash oracle (the seeded
+    // Gaussian path above stays the engine-RNG perf twin)
+    "q_simhash_embed_neardup" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
+      val planted = emb.filter(col("vec_id").between(1, 3))
+        .select((-col("vec_id")).as("vec_id"), col("embedding"))
+      Similarity.simhashNearDupPairs(emb.unionByName(planted))
+    },
     // ---- multimodal binary-column plumbing (decode step stubbed) ----
     "q_media_meta" -> { (s, d) =>
       Multimodal.mediaMeta(Multimodal.toMediaTable(Tables(s, d).documents))
@@ -2915,6 +2925,62 @@ object SparkEntry {
        |    AS weight
        |FROM w CROSS JOIN tw""".stripMargin
   }
+
+  /** Generated replay of Similarity.simhashNearDupPairs over the planted
+    * corpus: md5-parity Rademacher signs (DuckDB digit value =
+    * strpos('0123456789abcdef', hex) − 1 ⟺ Spark conv(hex,16,10)), exact
+    * BIGINT projections/signatures, bucket-equi pairs with the hot-bucket
+    * cap, and the cos ≥ ½ verify in identical IEEE doubles.
+    */
+  private lazy val SimhashEmbedOracleSql: String =
+    s"""WITH pl AS (
+       |  SELECT -vec_id AS vec_id, embedding FROM embeddings
+       |  WHERE vec_id BETWEEN 1 AND 3),
+       |allv AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL SELECT vec_id, embedding FROM pl),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 64),
+       |                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS xq
+       |  FROM allv
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+       |sg AS MATERIALIZED (
+       |  SELECT b.b, j.j,
+       |         CASE WHEN strpos('0123456789abcdef',
+       |                          substr(md5(b.b || ':' || j.j), 1, 1)) % 2 = 1
+       |              THEN 1 ELSE -1 END AS s
+       |  FROM range(0, 8) b(b), range(1, 65) j(j)),
+       |pj AS MATERIALIZED (
+       |  SELECT q.vec_id, sg.b, CAST(sum(sg.s * q.xq[sg.j]) AS BIGINT) AS proj
+       |  FROM q, sg GROUP BY q.vec_id, sg.b),
+       |bk AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         CAST(sum(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << b)
+       |                       ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pj GROUP BY vec_id),
+       |bc AS (SELECT bucket, count(*) AS c FROM bk GROUP BY bucket),
+       |bb AS MATERIALIZED (
+       |  SELECT bk.vec_id, bk.bucket, q.xq
+       |  FROM bk JOIN q USING (vec_id) JOIN bc USING (bucket)
+       |  WHERE bc.c <= 10000),
+       |pr AS (
+       |  SELECT l.vec_id AS id1, r.vec_id AS id2,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |              i -> l.xq[i] * r.xq[i])) AS BIGINT) AS d,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |              i -> l.xq[i] * l.xq[i])) AS BIGINT) AS na,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |              i -> r.xq[i] * r.xq[i])) AS BIGINT) AS nb
+       |  FROM bb l JOIN bb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
+       |fl AS (
+       |  SELECT id1, id2, d, na, nb FROM pr
+       |  WHERE d > 0 AND 4.0 * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
+       |        >= CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+       |SELECT id1, id2,
+       |       max(floor(CAST(d AS DOUBLE) / sqrt(CAST(na AS DOUBLE))
+       |           / sqrt(CAST(nb AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS cos6
+       |FROM fl GROUP BY id1, id2""".stripMargin
 
   /** Generated replay of Doremi.epochWeights (3 epochs): per-source mean
     * loss quantized once, then each epoch is a pure-integer baseline
@@ -4768,6 +4834,7 @@ object SparkEntry {
     "q_lm_score" -> LmScoreOracleSql,
     "q_doremi_weights" -> DoremiOracleSql,
     "q_doremi_epochs" -> DoremiEpochsOracleSql,
+    "q_simhash_embed_neardup" -> SimhashEmbedOracleSql,
     // pruned twin of q_lm_score: uni/bi HAVING >= 2, LEFT joins so pruned
     // positions fall back to 0-count smoothing (V stays unpruned) — the
     // same math LmScore.scoreStateless ships as map literals

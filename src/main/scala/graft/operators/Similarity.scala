@@ -204,6 +204,77 @@ object Similarity {
       .groupBy(col(labelCol), col("idx"))
       .agg(avg(col("component").cast("double")).as("centroid_val"))
 
+  /** Deterministic embedding-space near-dup pairs — the REPLAYABLE twin of
+    * [[cosineNearDupPairs]] (whose seeded Gaussian hyperplanes are
+    * engine-RNG): Charikar signs from md5-derived Rademacher planes over
+    * integer-micro coordinates, so the bucket signature is a pure function
+    * both engines replay bit-for-bit.
+    *
+    *   - sign s(b,j) = ±1 from the parity of md5("b:j")'s first hex digit;
+    *   - plane bit b = [ Σ_j s(b,j)·xq_j ≥ 0 ] — an exact BIGINT sum;
+    *   - bucket = Σ_b bit_b·2^b (nPlanes bits);
+    *   - candidate pairs share the bucket (hot buckets capped like the RNG
+    *     twin), verified by the exact-integer dot: cos ≥ ½ spelled as
+    *     `dot > 0 ∧ 4·dot² ≥ ‖a‖²·‖b‖²` in identical IEEE doubles, and the
+    *     reported cosine is one replayed floor-6 division chain.
+    *
+    * Scale shape: the sign table is nPlanes·d rows (broadcast), the
+    * signature is one exploded aggregation per vector, and the pair join
+    * is bucket-equi with the same hot-bucket cap — never all-pairs.
+    */
+  def simhashNearDupPairs(
+      df: DataFrame,
+      nPlanes: Int = 8,
+      d: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 30, "nPlanes in 1..30")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val signs = broadcast(
+      (0 until nPlanes).flatMap(b => (1 to d).map(j => (b, j))).toDF("b", "j")
+        .withColumn("s",
+          when(conv(substring(md5(concat(col("b"), lit(":"), col("j"))), 1, 1), 16, 10)
+            .cast("int") % 2 === 0, lit(1L)).otherwise(lit(-1L))))
+    val quant = KMeansReplay.quantize(df.select(col(idCol).as("vec_id"), col(vecCol)),
+      vecCol, d)
+    val sig = quant
+      .select(col("vec_id"), posexplode(col("xq")).as(Seq("pos", "x")))
+      .withColumn("j", col("pos") + 1)
+      .join(signs, Seq("j"))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(sum(col("s") * col("x")).as("proj"))
+      .groupBy(col("vec_id"))
+      .agg(sum(when(col("proj") >= 0L,
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+        .otherwise(lit(0L))).as("bucket"))
+    val b = sig.join(quant, Seq("vec_id"))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy(col("bucket"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val l = b.select(col("bucket"), col("vec_id").as("id1"), col("xq").as("x1"))
+    val r = b.select(col("bucket"), col("vec_id").as("id2"), col("xq").as("x2"))
+    val dot = aggregate(zip_with(col("x1"), col("x2"), (a, b2) => a * b2),
+      lit(0L), (acc, v) => acc + v)
+    val nrm = (c: Column) => aggregate(zip_with(c, c, (a, b2) => a * b2),
+      lit(0L), (acc, v) => acc + v)
+    l.join(r, Seq("bucket"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), dot.as("d"),
+        nrm(col("x1")).as("na"), nrm(col("x2")).as("nb"))
+      .filter(col("d") > 0L &&
+        lit(4.0d) * (col("d").cast("double") * col("d").cast("double")) >=
+          col("na").cast("double") * col("nb").cast("double"))
+      .select(col("id1"), col("id2"),
+        (floor(col("d").cast("double") / sqrt(col("na").cast("double"))
+          / sqrt(col("nb").cast("double")) * lit(1000000.0d) + lit(0.5d))
+          / lit(1000000.0d)).as("cos6"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(max(col("cos6")).as("cos6"))
+  }
+
   /** All corpus pairs with cosine ≥ threshold, via shared-bucket LSH join —
     * embedding-space near-duplicate detection.
     *

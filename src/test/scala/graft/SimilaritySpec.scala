@@ -106,4 +106,30 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.cosineNearDupPairs(small, threshold = 0.5, dim = 64,
       maxBucketSize = 100).count() == 20L * 19 / 2)
   }
+
+  test("simhashNearDupPairs: identical vectors always collide; cos6 = 1.0") {
+    // exact copies share every Rademacher sign, so recall on exact dups
+    // is 1 by construction (no seeded-RNG luck involved)
+    val emb = Tables(spark, TestSpark.Sf0001).embeddings
+      .select($"vec_id", $"embedding")
+    val planted = emb.filter($"vec_id".between(1, 3))
+      .select((-$"vec_id").as("vec_id"), $"embedding")
+    val got = Similarity.simhashNearDupPairs(emb.unionByName(planted))
+      .as[(Long, Long, Double)].collect()
+    Seq(1L, 2L, 3L).foreach { i =>
+      val p = got.find(t => t._1 == -i && t._2 == i)
+      assert(p.nonEmpty, s"planted pair (-$i, $i) missing")
+      assert(p.get._3 === 1.0d)
+    }
+    // every reported pair passed the exact cos >= 1/2 verify
+    assert(got.forall(_._3 >= 0.499999d))
+  }
+
+  test("simhashNearDupPairs deterministic across runs") {
+    val emb = Tables(spark, TestSpark.Sf0001).embeddings
+      .select($"vec_id", $"embedding")
+    def run() = Similarity.simhashNearDupPairs(emb)
+      .as[(Long, Long, Double)].collect().sortBy(t => (t._1, t._2)).toSeq
+    assert(run() === run())
+  }
 }
