@@ -2229,6 +2229,13 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .orderBy(col("cos").desc, col("id1"), col("id2")).limit(100)
     },
+    // Poisson bootstrap CI for the mean document length: the distributed
+    // bootstrap (per-row Poisson(1) weights, no global resampling), fully
+    // md5-replayable — see operators.Bootstrap
+    "q_bootstrap_ci" -> { (s, d) =>
+      graft.operators.Bootstrap.poissonMeanCi(
+        Tables(s, d).documents, "n_chars", "doc_id", b = 200)
+    },
     // deterministic twin of q_cosine_neardup: md5-Rademacher Charikar
     // signs over integer micros, exact-integer cos >= 1/2 verification —
     // the same planted dups, now with a full hash oracle (the seeded
@@ -2924,6 +2931,41 @@ object SparkEntry {
        |         + 0.01 / CAST(k AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
        |    AS weight
        |FROM w CROSS JOIN tw""".stripMargin
+  }
+
+  /** Generated replay of Bootstrap.poissonMeanCi over documents.n_chars
+    * (B = 200): the Poisson(1) CDF thresholds splice verbatim from the
+    * Scala values (Double.toString round-trips — the GmmOracle constant
+    * precedent), u is the exact md5-48 dyadic rational, replicate means
+    * are single divisions of exact sums, and the CI bounds are the fixed
+    * rank-5/rank-195 order statistics.
+    */
+  private lazy val BootstrapOracleSql: String = {
+    val B = 200
+    val loRank = math.max(1, math.floor(B * 0.025d).toInt)
+    val hiRank = math.min(B, math.ceil(B * 0.975d).toInt)
+    val wExpr = graft.operators.Bootstrap.PoissonCdf
+      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH base AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x FROM documents),
+       |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       |         CAST(floor(CAST(sum(x) * 1000000 AS DOUBLE)
+       |              / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_e6
+       |       FROM base),
+       |rep AS (SELECT id, x, unnest(range(0, $B)) AS b FROM base),
+       |uw AS (SELECT b, x,
+       |         CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || ':' || b), 1, 12))::BIGINT
+       |              AS DOUBLE) / ${graft.operators.Bootstrap.TwoPow48} AS u
+       |       FROM rep),
+       |ww AS (SELECT b, x, CAST($wExpr AS BIGINT) AS w FROM uw),
+       |rm AS (SELECT b,
+       |         CAST(floor(CAST(sum(w * x) * 1000000 AS DOUBLE)
+       |              / CAST(sum(w) AS DOUBLE) + 0.5) AS BIGINT) AS m
+       |       FROM ww GROUP BY b HAVING sum(w) > 0),
+       |rk AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS rn FROM rm),
+       |lo AS (SELECT m AS lo_e6 FROM rk WHERE rn = $loRank),
+       |hi AS (SELECT m AS hi_e6 FROM rk WHERE rn = $hiRank)
+       |SELECT pt.n_rows, CAST($B AS INT) AS b_reps, pt.mean_e6, lo.lo_e6, hi.hi_e6
+       |FROM pt CROSS JOIN lo CROSS JOIN hi""".stripMargin
   }
 
   /** Generated replay of Similarity.simhashNearDupPairs over the planted
@@ -4835,6 +4877,7 @@ object SparkEntry {
     "q_doremi_weights" -> DoremiOracleSql,
     "q_doremi_epochs" -> DoremiEpochsOracleSql,
     "q_simhash_embed_neardup" -> SimhashEmbedOracleSql,
+    "q_bootstrap_ci" -> BootstrapOracleSql,
     // pruned twin of q_lm_score: uni/bi HAVING >= 2, LEFT joins so pruned
     // positions fall back to 0-count smoothing (V stays unpruned) — the
     // same math LmScore.scoreStateless ships as map literals

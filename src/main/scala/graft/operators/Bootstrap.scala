@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Poisson bootstrap confidence interval (Chamandy et al. 2012,
+  * "Estimating uncertainty for massive data streams") — THE bootstrap
+  * that works at 100 TB: classic n-out-of-n resampling needs coordinated
+  * global draws, but for large n the per-row multiplicity in a resample
+  * is ≈ Poisson(1), so each (row, replicate) can draw its own weight
+  * independently and a replicate statistic is just a weighted aggregate.
+  *
+  * Deterministic replay, no RNG:
+  *   - u(row, b) = md5-48(id ‖ ':' ‖ b) / 2⁴⁸ — an exact dyadic rational
+  *     both engines compute identically ([[HashSplit.md548]]);
+  *   - w = Poisson(1) inverse CDF of u via FIXED double thresholds
+  *     P(X ≤ k), k ≤ 7, spliced verbatim into the SQL replay
+  *     (`Double.toString` round-trips, the GmmOracle constant precedent);
+  *     the tail truncates at w = 8 — P(X > 7) < 1.1·10⁻⁵, far below the
+  *     CI's resolution;
+  *   - a replicate mean is ONE division of exact BIGINT sums
+  *     (`⌊Σwx·10⁶ / Σw + ½⌋` — values must satisfy |Σwx|·10⁶ < 2⁵³);
+  *   - CI bounds are exact order statistics over the B replicate means
+  *     (`row_number` by (mean, b) — total order, engine-identical).
+  *
+  * Scale shape: the replicate explode is CPU-only blow-up — the groupBy
+  * on the replicate id map-side-combines to ≤ B partial rows per
+  * partition, so the shuffle is B·|partitions| rows regardless of corpus
+  * size; the order-statistic window runs over the B-row replicate table.
+  */
+object Bootstrap {
+
+  /** P(X ≤ k) for Poisson(1), k = 0..7 — computed once, shared verbatim
+    * with the SQL replay via Double.toString splicing.
+    */
+  lazy val PoissonCdf: Seq[Double] = {
+    val e1 = math.exp(-1.0d)
+    var term = e1
+    var acc = e1
+    val out = Seq.newBuilder[Double]
+    out += acc
+    (1 to 7).foreach { k =>
+      term = term / k
+      acc = acc + term
+      out += acc
+    }
+    out.result()
+  }
+
+  val TwoPow48: Double = 281474976710656.0d
+
+  /** One-row report `(n_rows, b_reps, mean_e6, lo_e6, hi_e6)`: the exact
+    * corpus mean of integer `valueCol` (micros) and the percentile-method
+    * bootstrap CI from `b` Poisson replicates. Ranks are fixed literals
+    * (⌊b·loPct⌋ / ⌈b·hiPct⌉ clamped to 1..b); an all-zero-weight
+    * replicate (probability ~e⁻ⁿ) is excluded on both engines alike.
+    */
+  def poissonMeanCi(
+      df: DataFrame,
+      valueCol: String,
+      idCol: String,
+      b: Int = 200,
+      loPct: Double = 0.025d,
+      hiPct: Double = 0.975d): DataFrame = {
+    require(b >= 10 && b <= 10000, "b in 10..10000")
+    val loRank = math.max(1, math.floor(b * loPct).toInt)
+    val hiRank = math.min(b, math.ceil(b * hiPct).toInt)
+    val base = df.select(col(idCol).as("_id"), col(valueCol).cast("long").as("_x"))
+    val point = base.agg(
+      count(lit(1)).as("n_rows"),
+      floor((sum(col("_x")) * lit(1000000L)).cast("double")
+        / count(lit(1)).cast("double") + lit(0.5d)).cast("long").as("mean_e6"))
+    val reps = base
+      .select(col("_id"), col("_x"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .withColumn("u",
+        HashSplit.md548(concat(col("_id").cast("string"), lit(":"), col("b").cast("string")))
+          .cast("double") / lit(TwoPow48))
+      .withColumn("w",
+        PoissonCdf.map(c => when(col("u") >= lit(c), 1L).otherwise(0L)).reduce(_ + _))
+      .groupBy(col("b"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("_x")).as("swx"))
+      .filter(col("sw") > 0L)
+      .select(col("b"),
+        floor((col("swx") * lit(1000000L)).cast("double")
+          / col("sw").cast("double") + lit(0.5d)).cast("long").as("m"))
+    // bounded: the window orders the B-row replicate table, never the corpus
+    val ranked = reps.withColumn("rn",
+      row_number().over(Window.orderBy(col("m"), col("b"))))
+    val lo = ranked.filter(col("rn") === loRank).select(col("m").as("lo_e6"))
+    val hi = ranked.filter(col("rn") === hiRank).select(col("m").as("hi_e6"))
+    point
+      .crossJoin(broadcast(lo))
+      .crossJoin(broadcast(hi))
+      .select(col("n_rows"), lit(b).as("b_reps"), col("mean_e6"),
+        col("lo_e6"), col("hi_e6"))
+  }
+}
