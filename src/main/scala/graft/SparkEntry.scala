@@ -188,6 +188,25 @@ object SparkEntry {
       graft.operators.ClassifierEval.prfSweep(f, "score_micros", "label",
         Seq(50000L, 200000L, 350000L, 600000L, 850000L))
     },
+    // chance-corrected agreement of the heuristic's cart tier vs the
+    // label: Cohen's kappa + MCC from exact contingency integers, one
+    // replayed division each (operators.ClassifierEval.agreement)
+    "q_agreement_kappa" -> { (s, d) =>
+      val f = sessionFeatures(s, d).select(
+        Heuristic.scoreMicros(col("cart_count"), col("view_count")).as("score_micros"),
+        col("label"))
+      graft.operators.ClassifierEval.agreement(f, "score_micros", "label", 600000L)
+    },
+    // A/A uplift interval: conversion-rate difference between md5-split
+    // arms with a Poisson-bootstrap CI — the experiment primitive; the
+    // hash split carries no signal, so the interval must bracket 0
+    // (spec-pinned) and the whole distribution replays
+    "q_bootstrap_uplift" -> { (s, d) =>
+      val f = sessionFeatures(s, d).select(col("user_session"),
+        (graft.operators.HashSplit.md548(col("user_session")) % 2).as("arm"),
+        col("label").cast("long").as("v"))
+      graft.operators.Bootstrap.poissonDiffCi(f, "v", "arm", "user_session", b = 200)
+    },
     "q_calibration" -> { (s, d) =>
       val f = sessionFeatures(s, d).select(
         Heuristic.scoreMicros(col("cart_count"), col("view_count")).as("score_micros"),
@@ -2968,6 +2987,85 @@ object SparkEntry {
        |FROM pt CROSS JOIN lo CROSS JOIN hi""".stripMargin
   }
 
+  /** κ/MCC agreement replay: the same contingency CASEs as the PRF oracle
+    * at the 600000 tier, then the exact-integer κ ratio and the
+    * fixed-spelling double MCC (4-factor product exceeds 2⁵³, so both
+    * engines multiply the SAME doubles).
+    */
+  private lazy val AgreementOracleSql: String =
+    s"""$FeaturesSql, sc AS (
+       |  SELECT label, CASE WHEN cart_count >= 3 THEN 850000
+       |       WHEN cart_count >= 1 THEN 600000 WHEN view_count >= 10 THEN 350000
+       |       WHEN view_count >= 5 THEN 200000 ELSE 50000 END AS score_micros
+       |  FROM features),
+       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |  CAST(sum(CASE WHEN score_micros >= 600000 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |  CAST(sum(CASE WHEN score_micros >= 600000 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |  CAST(sum(CASE WHEN score_micros < 600000 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+       |  CAST(sum(CASE WHEN score_micros < 600000 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+       |  FROM sc)
+       |SELECT n, tp, fp, fn, tn,
+       |  CASE WHEN n * n = (tp+fp)*(tp+fn) + (fn+tn)*(fp+tn) THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(floor(
+       |         CAST(n * (tp+tn) - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn)) AS DOUBLE)
+       |         / CAST(n * n - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn)) AS DOUBLE)
+       |         * 1000000.0 + 0.5) AS BIGINT) END AS kappa_micros,
+       |  CASE WHEN (tp+fp) = 0 OR (tp+fn) = 0 OR (tn+fp) = 0 OR (tn+fn) = 0
+       |       THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(floor(
+       |         CAST(tp*tn - fp*fn AS DOUBLE)
+       |         / sqrt(CAST(tp+fp AS DOUBLE) * CAST(tp+fn AS DOUBLE)
+       |                * CAST(tn+fp AS DOUBLE) * CAST(tn+fn AS DOUBLE))
+       |         * 1000000.0 + 0.5) AS BIGINT) END AS mcc_micros
+       |FROM m""".stripMargin
+
+  /** Two-arm uplift replay: md5-split arms over the session features, the
+    * same Poisson weight chain as BootstrapOracleSql, per-replicate diff
+    * of floor-rounded micro means, fixed-rank CI.
+    */
+  private lazy val BootstrapUpliftOracleSql: String = {
+    val B = 200
+    val loRank = math.max(1, math.floor(B * 0.025d).toInt)
+    val hiRank = math.min(B, math.ceil(B * 0.975d).toInt)
+    val wExpr = graft.operators.Bootstrap.PoissonCdf
+      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$FeaturesSql,
+       |bb AS (SELECT user_session AS id,
+       |         ('0x' || substring(md5(user_session), 1, 12))::BIGINT % 2 AS a,
+       |         CAST(label AS BIGINT) AS x
+       |       FROM features),
+       |pt AS (SELECT
+       |         CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |         CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |         CAST(sum(CASE WHEN a = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
+       |         CAST(sum(CASE WHEN a = 1 THEN x ELSE 0 END) AS BIGINT) AS s1
+       |       FROM bb),
+       |ptd AS (SELECT n0, n1,
+       |          CAST(floor(CAST(s1 * 1000000 AS DOUBLE) / CAST(n1 AS DOUBLE) + 0.5) AS BIGINT)
+       |          - CAST(floor(CAST(s0 * 1000000 AS DOUBLE) / CAST(n0 AS DOUBLE) + 0.5) AS BIGINT)
+       |            AS diff_e6
+       |        FROM pt),
+       |rep AS (SELECT id, a, x, unnest(range(0, $B)) AS b FROM bb),
+       |uw AS (SELECT b, a, x,
+       |         CAST(('0x' || substring(md5(id || ':' || b), 1, 12))::BIGINT AS DOUBLE)
+       |           / ${graft.operators.Bootstrap.TwoPow48} AS u
+       |       FROM rep),
+       |ww AS (SELECT b, a, x, CAST($wExpr AS BIGINT) AS w FROM uw),
+       |rm AS (SELECT b,
+       |         CAST(floor(CAST(sum(CASE WHEN a = 1 THEN w * x ELSE 0 END) * 1000000 AS DOUBLE)
+       |              / CAST(sum(CASE WHEN a = 1 THEN w ELSE 0 END) AS DOUBLE) + 0.5) AS BIGINT)
+       |         - CAST(floor(CAST(sum(CASE WHEN a = 0 THEN w * x ELSE 0 END) * 1000000 AS DOUBLE)
+       |              / CAST(sum(CASE WHEN a = 0 THEN w ELSE 0 END) AS DOUBLE) + 0.5) AS BIGINT) AS m
+       |       FROM ww GROUP BY b
+       |       HAVING sum(CASE WHEN a = 0 THEN w ELSE 0 END) > 0
+       |          AND sum(CASE WHEN a = 1 THEN w ELSE 0 END) > 0),
+       |rk AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS rn FROM rm),
+       |lo AS (SELECT m AS lo_e6 FROM rk WHERE rn = $loRank),
+       |hi AS (SELECT m AS hi_e6 FROM rk WHERE rn = $hiRank)
+       |SELECT ptd.n0, ptd.n1, ptd.diff_e6, lo.lo_e6, hi.hi_e6
+       |FROM ptd CROSS JOIN lo CROSS JOIN hi""".stripMargin
+  }
+
   /** Generated replay of Similarity.simhashNearDupPairs over the planted
     * corpus: md5-parity Rademacher signs (DuckDB digit value =
     * strpos('0123456789abcdef', hex) − 1 ⟺ Spark conv(hex,16,10)), exact
@@ -4878,6 +4976,8 @@ object SparkEntry {
     "q_doremi_epochs" -> DoremiEpochsOracleSql,
     "q_simhash_embed_neardup" -> SimhashEmbedOracleSql,
     "q_bootstrap_ci" -> BootstrapOracleSql,
+    "q_bootstrap_uplift" -> BootstrapUpliftOracleSql,
+    "q_agreement_kappa" -> AgreementOracleSql,
     // pruned twin of q_lm_score: uni/bi HAVING >= 2, LEFT joins so pruned
     // positions fall back to 0-count smoothing (V stays unpruned) — the
     // same math LmScore.scoreStateless ships as map literals

@@ -96,4 +96,63 @@ object Bootstrap {
       .select(col("n_rows"), lit(b).as("b_reps"), col("mean_e6"),
         col("lo_e6"), col("hi_e6"))
   }
+
+  /** Two-arm uplift CI (1 row): the bootstrap distribution of
+    * `mean(arm 1) − mean(arm 0)` under per-arm Poisson replicates — the
+    * experimentation primitive (an md5-split A/A test's interval must
+    * bracket 0). `armCol` must be 0/1. Same exactness contract as
+    * [[poissonMeanCi]]; a replicate missing either arm entirely is
+    * excluded on both engines alike. Output
+    * `(n0, n1, diff_e6, lo_e6, hi_e6)` — each replicate diff is the
+    * difference of two floor-rounded micro means.
+    */
+  def poissonDiffCi(
+      df: DataFrame,
+      valueCol: String,
+      armCol: String,
+      idCol: String,
+      b: Int = 200,
+      loPct: Double = 0.025d,
+      hiPct: Double = 0.975d): DataFrame = {
+    require(b >= 10 && b <= 10000, "b in 10..10000")
+    val loRank = math.max(1, math.floor(b * loPct).toInt)
+    val hiRank = math.min(b, math.ceil(b * hiPct).toInt)
+    val base = df.select(col(idCol).as("_id"), col(valueCol).cast("long").as("_x"),
+      col(armCol).cast("long").as("_a"))
+    def meanE6(swx: org.apache.spark.sql.Column, sw: org.apache.spark.sql.Column) =
+      floor((swx * lit(1000000L)).cast("double") / sw.cast("double") + lit(0.5d))
+        .cast("long")
+    val point = base.agg(
+      sum(when(col("_a") === 0L, 1L).otherwise(0L)).as("n0"),
+      sum(when(col("_a") === 1L, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("_a") === 0L, col("_x")).otherwise(0L)).as("s0"),
+      sum(when(col("_a") === 1L, col("_x")).otherwise(0L)).as("s1"))
+      .select(col("n0"), col("n1"),
+        (meanE6(col("s1"), col("n1")) - meanE6(col("s0"), col("n0"))).as("diff_e6"))
+    val reps = base
+      .select(col("_id"), col("_x"), col("_a"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .withColumn("u",
+        HashSplit.md548(concat(col("_id").cast("string"), lit(":"), col("b").cast("string")))
+          .cast("double") / lit(TwoPow48))
+      .withColumn("w",
+        PoissonCdf.map(c => when(col("u") >= lit(c), 1L).otherwise(0L)).reduce(_ + _))
+      .groupBy(col("b"))
+      .agg(
+        sum(when(col("_a") === 0L, col("w")).otherwise(0L)).as("sw0"),
+        sum(when(col("_a") === 1L, col("w")).otherwise(0L)).as("sw1"),
+        sum(when(col("_a") === 0L, col("w") * col("_x")).otherwise(0L)).as("swx0"),
+        sum(when(col("_a") === 1L, col("w") * col("_x")).otherwise(0L)).as("swx1"))
+      .filter(col("sw0") > 0L && col("sw1") > 0L)
+      .select(col("b"),
+        (meanE6(col("swx1"), col("sw1")) - meanE6(col("swx0"), col("sw0"))).as("m"))
+    val ranked = reps.withColumn("rn",
+      row_number().over(Window.orderBy(col("m"), col("b"))))
+    val lo = ranked.filter(col("rn") === loRank).select(col("m").as("lo_e6"))
+    val hi = ranked.filter(col("rn") === hiRank).select(col("m").as("hi_e6"))
+    point
+      .crossJoin(broadcast(lo))
+      .crossJoin(broadcast(hi))
+      .select(col("n0"), col("n1"), col("diff_e6"), col("lo_e6"), col("hi_e6"))
+  }
 }

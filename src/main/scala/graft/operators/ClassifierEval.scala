@@ -123,4 +123,43 @@ object ClassifierEval {
       .select(col("decile"), col("n"), col("n_pos"), col("cum_pos"),
         col("gain_micros"))
   }
+
+  /** Chance-corrected agreement between the thresholded score and the
+    * label (1 row): Cohen's κ and Matthews correlation. Both reduce to
+    * EXACT integer contingency arithmetic before a single replayed
+    * division:
+    *   κ = (n·(tp+tn) − P) / (n² − P),
+    *       P = (tp+fp)(tp+fn) + (fn+tn)(fp+tn)  — exact BIGINTs;
+    *   MCC = (tp·tn − fp·fn) / √((tp+fp)(tp+fn)(tn+fp)(tn+fn)) — the
+    *       4-factor product exceeds 2⁵³ so it multiplies in DOUBLE with a
+    *       fixed spelling (identical IEEE ops cross-engine).
+    * Degenerate margins (one-class predictions or labels) report 0, the
+    * scikit-learn convention. One aggregation pass, zero shuffle beyond it.
+    */
+  def agreement(
+      scored: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      thrMicros: Long
+  ): DataFrame = {
+    val m = scored.agg(
+      count(lit(1)).as("n"),
+      sum(when(col(scoreCol) >= thrMicros && col(labelCol) === 1, 1L).otherwise(0L)).as("tp"),
+      sum(when(col(scoreCol) >= thrMicros && col(labelCol) === 0, 1L).otherwise(0L)).as("fp"),
+      sum(when(col(scoreCol) < thrMicros && col(labelCol) === 1, 1L).otherwise(0L)).as("fn"),
+      sum(when(col(scoreCol) < thrMicros && col(labelCol) === 0, 1L).otherwise(0L)).as("tn"))
+    m.select(col("n"), col("tp"), col("fp"), col("fn"), col("tn"),
+      expr("""CASE WHEN n * n = (tp+fp)*(tp+fn) + (fn+tn)*(fp+tn) THEN CAST(0 AS BIGINT)
+             |ELSE CAST(floor(
+             |  CAST(n * (tp+tn) - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn)) AS DOUBLE)
+             |  / CAST(n * n - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn)) AS DOUBLE)
+             |  * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin).as("kappa_micros"),
+      expr("""CASE WHEN (tp+fp) = 0 OR (tp+fn) = 0 OR (tn+fp) = 0 OR (tn+fn) = 0
+             |THEN CAST(0 AS BIGINT)
+             |ELSE CAST(floor(
+             |  CAST(tp*tn - fp*fn AS DOUBLE)
+             |  / sqrt(CAST(tp+fp AS DOUBLE) * CAST(tp+fn AS DOUBLE)
+             |         * CAST(tn+fp AS DOUBLE) * CAST(tn+fn AS DOUBLE))
+             |  * 1000000.0 + 0.5) AS BIGINT) END""".stripMargin).as("mcc_micros"))
+  }
 }

@@ -41,4 +41,16 @@ final class BootstrapSpec extends AnyFunSuite {
     def run() = Bootstrap.poissonMeanCi(df, "v", "id", b = 50).collect().head.toSeq
     assert(run() === run())
   }
+
+  test("A/A uplift: a signal-free split's interval brackets zero") {
+    // arms assigned by id parity, identical value distribution in both
+    val df = (1L to 2000L).map(i => (i, i % 2, (i / 2) % 50)).toDF("id", "arm", "v")
+    val r = Bootstrap.poissonDiffCi(df, "v", "arm", "id", b = 100).collect().head
+    val (n0, n1, diff, lo, hi) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(n0 === 1000L && n1 === 1000L)
+    assert(lo <= 0L && 0L <= hi, s"A/A interval [$lo, $hi] must bracket 0")
+    assert(lo <= diff && diff <= hi)
+    assert(hi > lo)
+  }
 }

@@ -59,4 +59,29 @@ final class ClassifierEvalSpec extends AnyFunSuite {
     // top decile holds a top-score positive
     assert(rows.head._3 >= 1L)
   }
+
+  test("agreement: hand-computed kappa and MCC on a 40/10/20/30 table") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(40)((700000L, 1)) ++ Seq.fill(10)((700000L, 0)) ++
+        Seq.fill(20)((0L, 1)) ++ Seq.fill(30)((0L, 0))
+    val df = rows.toDF("score_micros", "label")
+    val r = ClassifierEval.agreement(df, "score_micros", "label", 600000L)
+      .collect().head
+    assert(r.getLong(0) === 100L)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      === ((40L, 10L, 20L, 30L)))
+    // po = 0.7, pe = 0.5 → kappa = 0.4; MCC = 1000/sqrt(6e6) = 0.408248
+    assert(r.getLong(5) === 400000L)
+    assert(r.getLong(6) === 408248L)
+  }
+
+  test("agreement: degenerate one-class margins report 0") {
+    import spark.implicits._
+    val df = Seq.fill(10)((0L, 1)).toDF("score_micros", "label")
+    val r = ClassifierEval.agreement(df, "score_micros", "label", 600000L)
+      .collect().head
+    assert(r.getLong(5) === 0L)
+    assert(r.getLong(6) === 0L)
+  }
 }
