@@ -2160,6 +2160,14 @@ object SparkEntry {
       IvfReplay.knn(s, emb.filter(col("vec_id") < 5), emb,
         k = 10, nLists = 8, nProbe = 4, rounds = 3)
     },
+    // the IVF retrieval QUALITY oracled (the q_matryoshka_recall pattern):
+    // recall@10 of the probed lists vs the exact ranking over the same
+    // quantized points — both rankings replayed, exact-integer recall
+    "q_ivf_recall" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      IvfReplay.recallVsExact(s, emb.filter(col("vec_id") < 5), emb,
+        k = 10, nLists = 8, nProbe = 4, rounds = 3)
+    },
     // product-quantization compression pass: every vector → m=4 one-byte
     // codes under the deterministic codebook (the corpus-scale persist step;
     // operators.ProductQuantization.encode). Codes ship as a space-joined
@@ -6136,6 +6144,7 @@ object SparkEntry {
     // generated full replay of the 3-round integer-micros Lloyd iteration
     "q_kmeans_clusters" -> KMeansOracleSql,
     "q_knn_ivf_det" -> IvfDetOracleSql,
+    "q_ivf_recall" -> IvfRecallOracleSql,
     "q_unigram_lm" -> UnigramLmOracleSql,
     "q_unigram_subwords" -> UnigramSubwordsOracleSql,
     "q_unigram_fertility" -> UnigramFertilityOracleSql,
@@ -7000,7 +7009,11 @@ object SparkEntry {
     * query and neighbor micros; top-10 by (d2, neighbor_id). Every number
     * is BIGINT arithmetic — the hash match is structural.
     */
-  private lazy val IvfDetOracleSql: String = {
+  /** The IVF-det replay as a reusable chain ending in
+    * `r(query_id, neighbor_id, d2, rank)` — shared by the top-k oracle and
+    * the recall oracle so the replayed retrieval cannot drift.
+    */
+  private lazy val IvfDetCtes: String = {
     val dims = 0 until 64
     val pcDist = dims.map(i => s"(p.x$i - c.x$i) * (p.x$i - c.x$i)").mkString(" + ")
     val qnDist = dims.map(i => s"(q.x$i - n.x$i) * (q.x$i - n.x$i)").mkString(" + ")
@@ -7022,8 +7035,40 @@ object SparkEntry {
        |r AS (
        |  SELECT query_id, neighbor_id, d2,
        |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
-       |  FROM sc)
+       |  FROM sc)""".stripMargin
+  }
+
+  private lazy val IvfDetOracleSql: String =
+    s"""$IvfDetCtes
        |SELECT query_id, neighbor_id, d2, rank FROM r WHERE rank <= 10""".stripMargin
+
+  /** IVF recall@10 vs the exact integer-L2 ranking over the same
+    * quantized points — the retrieval QUALITY itself oracled (the
+    * q_matryoshka_recall pattern): exact top-10 from a full scan, probed
+    * top-10 from the shared IvfDetCtes, recall = hit count / 10 in exact
+    * integer micros.
+    */
+  private lazy val IvfRecallOracleSql: String = {
+    val dims = 0 until 64
+    val qnDist = dims.map(i => s"(q.x$i - n.x$i) * (q.x$i - n.x$i)").mkString(" + ")
+    s"""$IvfDetCtes,
+       |exd AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $qnDist AS d2
+       |  FROM pts q JOIN pts n ON n.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5),
+       |exr AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+       |    FROM exd)
+       |  WHERE rank <= 10)
+       |SELECT i.query_id,
+       |       CAST(count(e.neighbor_id) AS BIGINT) AS n_hits,
+       |       CAST(count(e.neighbor_id) * 1000000 // 10 AS BIGINT) AS recall_micros
+       |FROM (SELECT query_id, neighbor_id FROM r WHERE rank <= 10) i
+       |LEFT JOIN exr e
+       |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+       |GROUP BY i.query_id""".stripMargin
   }
 
   /** Generated DuckDB replay of UnigramLm.train (maxLen=12, maxPiece=4,

@@ -83,4 +83,43 @@ object IvfReplay {
         .filter(col("rank") <= k)
     } finally pts.unpersist(blocking = false)
   }
+
+  /** `(query_id, n_hits, recall_micros)` — recall@k of the probed
+    * retrieval against the EXACT integer-L2 top-k over the same quantized
+    * points, so the ANN quality number is itself deterministic (and
+    * hash-oracled): both rankings replay, the intersection is exact, and
+    * recall is an integer-micros division. The exact side is one
+    * broadcast-query full scan — the evaluation cost, not the serving
+    * path.
+    */
+  def recallVsExact(
+      spark: SparkSession,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      nLists: Int = 8,
+      nProbe: Int = 4,
+      rounds: Int = 3,
+      vecCol: String = "embedding",
+      d: Int = 64): DataFrame = {
+    val approx = knn(spark, queries, corpus, k, nLists, nProbe, rounds, vecCol, d)
+      .select(col("query_id"), col("neighbor_id"))
+    val qpts = KMeansReplay.quantize(queries, vecCol, d)
+      .select(col("vec_id").as("query_id"), col("xq").as("qx"))
+    val cpts = KMeansReplay.quantize(corpus, vecCol, d)
+      .select(col("vec_id").as("neighbor_id"), col("xq").as("nx"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    val exact = cpts
+      .join(broadcast(qpts), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), sqDist(col("qx"), col("nx")).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    approx
+      .join(exact, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(col("hit")).as("n_hits"))
+      .select(col("query_id"), col("n_hits"),
+        expr(s"n_hits * 1000000 DIV $k").as("recall_micros"))
+  }
 }
