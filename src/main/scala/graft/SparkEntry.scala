@@ -992,6 +992,16 @@ object SparkEntry {
       graft.operators.UnigramLm.roundtripReport(s,
         graft.operators.Vocab.wordCounts(Tables(s, d).documents))
     },
+    // per-document token metering under the trained table — the BATCH twin
+    // of streaming.StreamTokenize.pieceCounts (stateless projection; runs
+    // unchanged on a readStream source, StreamTokenizeSpec wires it live)
+    "q_token_meter" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val t = graft.operators.UnigramLm
+        .train(s, graft.operators.Vocab.wordCounts(docs))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      graft.streaming.StreamTokenize.pieceCounts(docs, t)
+    },
     // exact heavy hitters at sketch cost: Misra-Gries candidates (O(k)
     // shuffle per partition, any item cardinality) + exact second pass over
     // candidate rows only — the output is deterministic even though the
@@ -6149,6 +6159,7 @@ object SparkEntry {
     "q_unigram_subwords" -> UnigramSubwordsOracleSql,
     "q_unigram_fertility" -> UnigramFertilityOracleSql,
     "q_unigram_roundtrip" -> UnigramRoundtripOracleSql,
+    "q_token_meter" -> TokenMeterOracleSql,
     // generated replay of the 10-merge BPE trainer + its induced subword
     // vocabulary (rows-only since r6; the double-space replace encoding
     // finally gives the greedy merge kernel an exact SQL spelling)
@@ -7298,6 +7309,28 @@ object SparkEntry {
        |         AS n_roundtrip
        |FROM words w LEFT JOIN rt r USING (word)""".stripMargin
   }
+
+  /** Token-meter replay: per-unique-word piece counts from the encode
+    * chain's segf, joined back to each document's token positions;
+    * documents LEFT-joined so an empty-token document still reports a
+    * zero row (matching the stateless projection).
+    */
+  private lazy val TokenMeterOracleSql: String =
+    s"""${UnigramOracle.encodeCtes},
+       |pw AS (SELECT word, CAST(count(*) AS BIGINT) AS np FROM segf GROUP BY word),
+       |dt AS (SELECT doc_id, unnest($TokensSql) AS word FROM documents),
+       |ag AS (
+       |  SELECT dt.doc_id,
+       |         CAST(count(*) AS BIGINT) AS n_words,
+       |         CAST(sum(coalesce(pw.np, 0)) AS BIGINT) AS n_pieces,
+       |         CAST(sum(CASE WHEN pw.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |           AS n_uncovered
+       |  FROM dt LEFT JOIN pw USING (word) GROUP BY dt.doc_id)
+       |SELECT d.doc_id,
+       |       coalesce(ag.n_words, 0) AS n_words,
+       |       coalesce(ag.n_pieces, 0) AS n_pieces,
+       |       coalesce(ag.n_uncovered, 0) AS n_uncovered
+       |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
 
   /** Tokenizer fertility under the trained unigram table: weighted pieces
     * per word occurrence and chars per piece — exact BIGINT sums, floor
