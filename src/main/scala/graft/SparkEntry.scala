@@ -2266,6 +2266,24 @@ object SparkEntry {
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
         .orderBy(col("cos").desc, col("id1"), col("id2")).limit(100)
     },
+    // per-source population stability index over doc-length buckets —
+    // the classic distribution-shift monitor (operators.Psi): Laplace-
+    // smoothed, every term exact-integer with one e6-quantized ln
+    "q_psi_by_source" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+        .withColumn("b", expr("least(n_chars DIV 64, 9)").cast("int"))
+      graft.operators.Psi.byGroup(docs, "b", "source", 10)
+        .withColumnRenamed("group_key", "source")
+    },
+    // Wilson score interval for the per-arm conversion rate — the
+    // closed-form companion to q_bootstrap_uplift (operators.Binomial)
+    "q_conversion_wilson" -> { (s, d) =>
+      val f = sessionFeatures(s, d).select(
+        (graft.operators.HashSplit.md548(col("user_session")) % 2).as("arm"),
+        col("label"))
+      graft.operators.Binomial.wilson(f, "label", "arm")
+        .withColumnRenamed("group_key", "arm")
+    },
     // Poisson bootstrap CI for the mean document length: the distributed
     // bootstrap (per-row Poisson(1) weights, no global resampling), fully
     // md5-replayable — see operators.Bootstrap
@@ -3003,6 +3021,70 @@ object SparkEntry {
        |hi AS (SELECT m AS hi_e6 FROM rk WHERE rn = $hiRank)
        |SELECT pt.n_rows, CAST($B AS INT) AS b_reps, pt.mean_e6, lo.lo_e6, hi.hi_e6
        |FROM pt CROSS JOIN lo CROSS JOIN hi""".stripMargin
+  }
+
+  /** PSI replay: the same Laplace-smoothed grid (sources × range(10) with
+    * zero-filled buckets), one e6 ln per cell, non-negative integer terms
+    * (diff_num and the ln always share a sign), exact BIGINT per-source
+    * sums.
+    */
+  private lazy val PsiOracleSql: String =
+    s"""WITH dd AS (SELECT source, least(n_chars // 64, 9) AS b FROM documents),
+       |gb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS cg FROM dd GROUP BY 1, 2),
+       |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cc FROM dd GROUP BY 1),
+       |ngt AS (SELECT source, CAST(count(*) AS BIGINT) AS ng FROM dd GROUP BY 1),
+       |nnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM dd),
+       |grid AS (
+       |  SELECT g.source, t.b, ngt.ng, nnt.nn,
+       |         coalesce(gb.cg, 0) AS cg, coalesce(cb.cc, 0) AS cc
+       |  FROM (SELECT DISTINCT source FROM dd) g
+       |  CROSS JOIN range(0, 10) t(b)
+       |  LEFT JOIN gb ON gb.source = g.source AND gb.b = t.b
+       |  LEFT JOIN cb ON cb.b = t.b
+       |  JOIN ngt ON ngt.source = g.source
+       |  CROSS JOIN nnt),
+       |tm AS (
+       |  SELECT source, ng,
+       |         ((cg + 1) * (nn + 10) - (ng + 10) * (cc + 1))
+       |           * CAST(floor(ln(CAST((cg + 1) * (nn + 10) AS DOUBLE)
+       |                 / CAST((ng + 10) * (cc + 1) AS DOUBLE)) * 1000000.0 + 0.5)
+       |             AS BIGINT)
+       |           // ((ng + 10) * (nn + 10)) AS term
+       |  FROM grid)
+       |SELECT source, ng AS n_rows, CAST(sum(term) AS BIGINT) AS psi_e6
+       |FROM tm GROUP BY source, ng""".stripMargin
+
+  /** Wilson replay: the SAME double-arithmetic text as
+    * Binomial.wilson's selectExpr (z spliced from the one Z95 literal),
+    * over the md5-arm conversion counts.
+    */
+  private lazy val WilsonOracleSql: String = {
+    val zs = graft.operators.Binomial.Z95.toString
+    s"""$FeaturesSql,
+       |ar AS (SELECT ('0x' || substring(md5(user_session), 1, 12))::BIGINT % 2 AS arm,
+       |              label
+       |       FROM features),
+       |m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
+       |             CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |      FROM ar GROUP BY arm)
+       |SELECT arm, n, pos,
+       |  CAST(floor(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+       |    AS p_e6,
+       |  CAST(floor(greatest(
+       |    ((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) + $zs * $zs / (2.0 * CAST(n AS DOUBLE))
+       |     - $zs * sqrt((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+       |         * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+       |         + $zs * $zs / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+       |    / (1.0 + $zs * $zs / CAST(n AS DOUBLE)), 0.0) * 1000000.0 + 0.5) AS BIGINT)
+       |    AS lo_e6,
+       |  CAST(floor(least(
+       |    ((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) + $zs * $zs / (2.0 * CAST(n AS DOUBLE))
+       |     + $zs * sqrt((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
+       |         * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
+       |         + $zs * $zs / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+       |    / (1.0 + $zs * $zs / CAST(n AS DOUBLE)), 1.0) * 1000000.0 + 0.5) AS BIGINT)
+       |    AS hi_e6
+       |FROM m""".stripMargin
   }
 
   /** κ/MCC agreement replay: the same contingency CASEs as the PRF oracle
@@ -4996,6 +5078,8 @@ object SparkEntry {
     "q_bootstrap_ci" -> BootstrapOracleSql,
     "q_bootstrap_uplift" -> BootstrapUpliftOracleSql,
     "q_agreement_kappa" -> AgreementOracleSql,
+    "q_psi_by_source" -> PsiOracleSql,
+    "q_conversion_wilson" -> WilsonOracleSql,
     // pruned twin of q_lm_score: uni/bi HAVING >= 2, LEFT joins so pruned
     // positions fall back to 0-count smoothing (V stays unpruned) — the
     // same math LmScore.scoreStateless ships as map literals
