@@ -2275,6 +2275,21 @@ object SparkEntry {
       graft.operators.Psi.byGroup(docs, "b", "source", 10)
         .withColumnRenamed("group_key", "source")
     },
+    // exact two-sample KS over md5 arms on the event value distribution
+    // (operators.KsTest): D as a pure integer max via PrefixSum cumulative
+    // counts — the continuous drift test next to PSI's bucketed one
+    "q_ks_arms" -> { (s, d) =>
+      val e = Tables(s, d).events
+        .where(col("value").isNotNull)
+        .select(expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("x"),
+          (graft.operators.HashSplit.md548(col("user_id")) % 2).as("arm"))
+      graft.operators.KsTest.twoSample(e, "x", "arm")
+    },
+    // Pearson chi-square + Cramér's V over the source × lang contingency
+    // (operators.ChiSquare): is the language mix independent of source?
+    "q_chi2_lang_source" -> { (s, d) =>
+      graft.operators.ChiSquare.contingency(Tables(s, d).documents, "source", "lang")
+    },
     // Wilson score interval for the per-arm conversion rate — the
     // closed-form companion to q_bootstrap_uplift (operators.Binomial)
     "q_conversion_wilson" -> { (s, d) =>
@@ -3022,6 +3037,70 @@ object SparkEntry {
        |SELECT pt.n_rows, CAST($B AS INT) AS b_reps, pt.mean_e6, lo.lo_e6, hi.hi_e6
        |FROM pt CROSS JOIN lo CROSS JOIN hi""".stripMargin
   }
+
+  /** KS replay: distinct-value per-arm counts, windowed cumulative counts
+    * (CAST AS BIGINT per the HUGEINT gotcha), the exact integer max of
+    * |c0·n1 − c1·n0|, one floor division.
+    */
+  private lazy val KsOracleSql: String =
+    s"""WITH e AS (
+       |  SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS x,
+       |         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 AS a
+       |  FROM events WHERE value IS NOT NULL),
+       |g AS (SELECT x,
+       |        CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
+       |        CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1
+       |      FROM e GROUP BY x),
+       |c AS (SELECT x,
+       |        CAST(sum(a0) OVER (ORDER BY x
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c0,
+       |        CAST(sum(a1) OVER (ORDER BY x
+       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1
+       |      FROM g),
+       |t AS (SELECT CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+       |             CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+       |      FROM e),
+       |m AS (SELECT t.n0, t.n1, CAST(max(abs(c.c0 * t.n1 - c.c1 * t.n0)) AS BIGINT) AS d_num
+       |      FROM c CROSS JOIN t GROUP BY t.n0, t.n1)
+       |SELECT n0, n1, d_num, d_num * 1000000 // (n0 * n1) AS d_e6 FROM m""".stripMargin
+
+  /** χ²/Cramér's V replay: full r×c grid with zero-filled cells, the
+    * (o·N − rs·cs)²/(N·rs·cs) spelling — exact BIGINT root, identical
+    * double squaring/division, e6 per-cell quantization before the exact
+    * sum, one replayed sqrt.
+    */
+  private lazy val Chi2OracleSql: String =
+    s"""WITH rs AS (SELECT source AS r, CAST(count(*) AS BIGINT) AS rsum
+       |            FROM documents GROUP BY source),
+       |cs AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS csum
+       |       FROM documents GROUP BY lang),
+       |ce AS (SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS o
+       |       FROM documents GROUP BY source, lang),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
+       |grid AS (
+       |  SELECT rs.r, cs.c, rs.rsum, cs.csum, tt.nn, coalesce(ce.o, 0) AS o
+       |  FROM rs CROSS JOIN cs
+       |  LEFT JOIN ce ON ce.r = rs.r AND ce.c = cs.c
+       |  CROSS JOIN tt),
+       |tm AS (
+       |  SELECT nn, r, c,
+       |         CAST(floor(
+       |           CAST(o * nn - rsum * csum AS DOUBLE)
+       |           * CAST(o * nn - rsum * csum AS DOUBLE)
+       |           / CAST(nn * rsum * csum AS DOUBLE)
+       |           * 1000000.0 + 0.5) AS BIGINT) AS term_e6
+       |  FROM grid),
+       |ag AS (
+       |  SELECT nn, CAST(count(DISTINCT r) AS BIGINT) AS n_rows_dim,
+       |         CAST(count(DISTINCT c) AS BIGINT) AS n_cols_dim,
+       |         CAST(sum(term_e6) AS BIGINT) AS chi2_e6
+       |  FROM tm GROUP BY nn)
+       |SELECT nn AS n, n_rows_dim, n_cols_dim, chi2_e6,
+       |  CASE WHEN least(n_rows_dim - 1, n_cols_dim - 1) = 0 THEN CAST(0 AS BIGINT)
+       |       ELSE CAST(floor(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0)
+       |              / CAST(nn * least(n_rows_dim - 1, n_cols_dim - 1) AS DOUBLE))
+       |              * 1000000.0 + 0.5) AS BIGINT) END AS cramers_v_e6
+       |FROM ag""".stripMargin
 
   /** PSI replay: the same Laplace-smoothed grid (sources × range(10) with
     * zero-filled buckets), one e6 ln per cell, non-negative integer terms
@@ -5080,6 +5159,8 @@ object SparkEntry {
     "q_agreement_kappa" -> AgreementOracleSql,
     "q_psi_by_source" -> PsiOracleSql,
     "q_conversion_wilson" -> WilsonOracleSql,
+    "q_ks_arms" -> KsOracleSql,
+    "q_chi2_lang_source" -> Chi2OracleSql,
     // pruned twin of q_lm_score: uni/bi HAVING >= 2, LEFT joins so pruned
     // positions fall back to 0-count smoothing (V stays unpruned) — the
     // same math LmScore.scoreStateless ships as map literals
