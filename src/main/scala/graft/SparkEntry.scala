@@ -201,11 +201,14 @@ object SparkEntry {
     // arms with a Poisson-bootstrap CI — the experiment primitive; the
     // hash split carries no signal, so the interval must bracket 0
     // (spec-pinned) and the whole distribution replays
+    // B = 100 (not the mean-CI's 200): the uplift query pays B× the md5
+    // work ON TOP of sessionization — 100 replicates keeps a proper
+    // 2.5/97.5 percentile interval at half the scan cost
     "q_bootstrap_uplift" -> { (s, d) =>
       val f = sessionFeatures(s, d).select(col("user_session"),
         (graft.operators.HashSplit.md548(col("user_session")) % 2).as("arm"),
         col("label").cast("long").as("v"))
-      graft.operators.Bootstrap.poissonDiffCi(f, "v", "arm", "user_session", b = 200)
+      graft.operators.Bootstrap.poissonDiffCi(f, "v", "arm", "user_session", b = 100)
     },
     "q_calibration" -> { (s, d) =>
       val f = sessionFeatures(s, d).select(
@@ -3203,7 +3206,7 @@ object SparkEntry {
     * of floor-rounded micro means, fixed-rank CI.
     */
   private lazy val BootstrapUpliftOracleSql: String = {
-    val B = 200
+    val B = 100
     val loRank = math.max(1, math.floor(B * 0.025d).toInt)
     val hiRank = math.min(B, math.ceil(B * 0.975d).toInt)
     val wExpr = graft.operators.Bootstrap.PoissonCdf
