@@ -2278,6 +2278,15 @@ object SparkEntry {
       graft.operators.Psi.byGroup(docs, "b", "source", 10)
         .withColumnRenamed("group_key", "source")
     },
+    // Mann-Kendall + Theil-Sen over the daily event-count series — the
+    // nonparametric twin of q_trend_slopes' OLS (operators.RobustTrend);
+    // days from the micros-truncated event time (the DuckDB NANOS gotcha)
+    "q_robust_trend" -> { (s, d) =>
+      val daily = Tables(s, d).events
+        .select(expr("(ts_ns DIV 1000) DIV 86400000000").as("day"))
+        .groupBy(col("day")).agg(count(lit(1)).as("y"))
+      graft.operators.RobustTrend.mannKendallTheilSen(daily, "day", "y")
+    },
     // exact two-sample KS over md5 arms on the event value distribution
     // (operators.KsTest): D as a pure integer max via PrefixSum cumulative
     // counts — the continuous drift test next to PSI's bucketed one
@@ -3040,6 +3049,32 @@ object SparkEntry {
        |SELECT pt.n_rows, CAST($B AS INT) AS b_reps, pt.mean_e6, lo.lo_e6, hi.hi_e6
        |FROM pt CROSS JOIN lo CROSS JOIN hi""".stripMargin
   }
+
+  /** Mann–Kendall/Theil–Sen replay: the same O(n²) pair join over the
+    * daily rollup, exact S, one τ division, the lower-median pair's
+    * single slope ratio selected by rank (never averaged).
+    */
+  private lazy val RobustTrendOracleSql: String =
+    s"""WITH e AS (SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events),
+       |s AS (SELECT day, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY day),
+       |p AS (SELECT a.day AS x1, a.y AS y1, b.day AS x2, b.y AS y2
+       |      FROM s a JOIN s b ON b.day > a.day),
+       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+       |         CAST(sum(CASE WHEN y2 > y1 THEN 1 WHEN y2 < y1 THEN -1 ELSE 0 END)
+       |              AS BIGINT) AS s_stat
+       |       FROM p),
+       |np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM s),
+       |sl AS (SELECT CAST(y2 - y1 AS DOUBLE) / CAST(x2 - x1 AS DOUBLE) AS sl, x1, x2
+       |       FROM p),
+       |rk AS (SELECT sl, row_number() OVER (ORDER BY sl, x1, x2) AS rn FROM sl),
+       |md AS (SELECT CAST(floor(rk.sl * 1000000.0 + 0.5) AS BIGINT)
+       |              AS theil_sen_slope_e6
+       |       FROM rk CROSS JOIN ag WHERE rk.rn = (ag.n_pairs + 1) // 2)
+       |SELECT np.n_points, ag.n_pairs, ag.s_stat,
+       |       CAST(floor(CAST(ag.s_stat AS DOUBLE) / CAST(ag.n_pairs AS DOUBLE)
+       |            * 1000000.0 + 0.5) AS BIGINT) AS tau_e6,
+       |       md.theil_sen_slope_e6
+       |FROM np CROSS JOIN ag CROSS JOIN md""".stripMargin
 
   /** KS replay: distinct-value per-arm counts, windowed cumulative counts
     * (CAST AS BIGINT per the HUGEINT gotcha), the exact integer max of
@@ -5164,6 +5199,7 @@ object SparkEntry {
     "q_conversion_wilson" -> WilsonOracleSql,
     "q_ks_arms" -> KsOracleSql,
     "q_chi2_lang_source" -> Chi2OracleSql,
+    "q_robust_trend" -> RobustTrendOracleSql,
     // pruned twin of q_lm_score: uni/bi HAVING >= 2, LEFT joins so pruned
     // positions fall back to 0-count smoothing (V stays unpruned) — the
     // same math LmScore.scoreStateless ships as map literals

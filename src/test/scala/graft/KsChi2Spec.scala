@@ -41,6 +41,25 @@ final class KsChi2Spec extends AnyFunSuite {
     assert(rd.getLong(4) === 1000000L)
   }
 
+  test("Mann-Kendall/Theil-Sen: hand-computed monotone and noisy series") {
+    import graft.operators.RobustTrend
+    // strictly increasing: S = P = 6, tau = 1, all pairwise slopes = 2
+    val up = Seq((1L, 10L), (2L, 12L), (3L, 14L), (4L, 16L)).toDF("x", "y")
+    val ru = RobustTrend.mannKendallTheilSen(up, "x", "y").collect().head
+    assert((ru.getLong(0), ru.getLong(1), ru.getLong(2)) === ((4L, 6L, 6L)))
+    assert(ru.getLong(3) === 1000000L)
+    assert(ru.getLong(4) === 2000000L)
+    // one wild outlier: OLS would swing, Theil-Sen stays at the grid slope
+    val noisy = Seq((1L, 10L), (2L, 12L), (3L, 1000L), (4L, 16L), (5L, 18L))
+      .toDF("x", "y")
+    val rn = RobustTrend.mannKendallTheilSen(noisy, "x", "y").collect().head
+    // slopes: majority are 2.0 (grid pairs); the lower median is 2.0
+    assert(rn.getLong(4) === 2000000L, rn.toString)
+    // S: 9 up pairs, 1 down pair (3->4... (3,1000)->(4,16) and ->(5,18)) —
+    // pairs from x=3: (3,4) down, (3,5) down → S = 8 − 2 = 6 of 10
+    assert(rn.getLong(2) === 6L)
+  }
+
   test("chi2: a single-category dimension reports V = 0, not a crash") {
     val df = (Seq.fill(5)(("a", "x")) ++ Seq.fill(5)(("b", "x"))).toDF("r", "c")
     val r = ChiSquare.contingency(df, "r", "c").collect().head
