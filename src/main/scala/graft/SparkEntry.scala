@@ -1811,6 +1811,25 @@ object SparkEntry {
       SemanticDedup.pairsWithin(emb, threshold = 0.2)
         .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
     },
+    // FULL SemDeDup pipeline deterministic (the q_knn_ivf_det pattern):
+    // KMeansReplay GEOMETRY clustering → within-cluster cosine pairs →
+    // keep-first survivors per label, over a 2000-vector subset with
+    // planted duplicates so drops provably flow end to end; the MLlib
+    // q_semantic_dedup above stays the perf twin
+    "q_semantic_dedup_det" -> { (s, d) =>
+      val base = Tables(s, d).embeddings
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val corpus = base.filter(col("vec_id") < 2000)
+        .unionByName(base.filter(col("vec_id").between(1, 3))
+          .select((-col("vec_id")).as("vec_id"), col("embedding"), col("label")))
+      val assigned = KMeansReplay.assignments(s, corpus, "embedding", 64, 8, 3)
+        .select(col("vec_id"), col("cid").as("cluster_id"))
+        .join(corpus, Seq("vec_id"))
+      val drop = SemanticDedup.pairsWithin(assigned, threshold = 0.9)
+        .select(col("id2").as("vec_id")).distinct()
+      corpus.join(drop, Seq("vec_id"), "left_anti")
+        .groupBy(col("label")).agg(count(lit(1)).as("n_survivors"))
+    },
     // Gopher/C4-family repetition filters — one codegen'd projection,
     // zero shuffle (operators.Repetition)
     "q_repetition_scores" -> { (s, d) =>
@@ -3048,6 +3067,33 @@ object SparkEntry {
        |hi AS (SELECT m AS hi_e6 FROM rk WHERE rn = $hiRank)
        |SELECT pt.n_rows, CAST($B AS INT) AS b_reps, pt.mean_e6, lo.lo_e6, hi.hi_e6
        |FROM pt CROSS JOIN lo CROSS JOIN hi""".stripMargin
+  }
+
+  /** SemDeDup-det replay: the k-means trajectory re-generated over the
+    * planted-union subset (kmeansCtesFrom), within-cluster cosine pairs
+    * at the same threshold spelling as q_semdedup_subset, keep-first
+    * survivors grouped by label. The cluster-size cap is identity here
+    * (≤ 2003 rows total, cap 10000) and is therefore not replayed.
+    */
+  private lazy val SemDedupDetOracleSql: String = {
+    val src =
+      """(SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 2000
+        | UNION ALL
+        | SELECT -vec_id AS vec_id, embedding, label FROM embeddings
+        | WHERE vec_id BETWEEN 1 AND 3) srcx""".stripMargin
+    s"""${kmeansCtesFrom(src, 8)},
+       |ev AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+       |  FROM $src),
+       |pcx AS (SELECT ev.vec_id, ev.v, a.cid FROM ev JOIN a3 a USING (vec_id)),
+       |dp AS (
+       |  SELECT DISTINCT b.vec_id AS dropped
+       |  FROM pcx a JOIN pcx b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9)
+       |SELECT e.label, CAST(count(*) AS BIGINT) AS n_survivors
+       |FROM ev e LEFT JOIN dp ON dp.dropped = e.vec_id
+       |WHERE dp.dropped IS NULL
+       |GROUP BY e.label""".stripMargin
   }
 
   /** Mann–Kendall/Theil–Sen replay: the same O(n²) pair join over the
@@ -5200,6 +5246,7 @@ object SparkEntry {
     "q_ks_arms" -> KsOracleSql,
     "q_chi2_lang_source" -> Chi2OracleSql,
     "q_robust_trend" -> RobustTrendOracleSql,
+    "q_semantic_dedup_det" -> SemDedupDetOracleSql,
     // pruned twin of q_lm_score: uni/bi HAVING >= 2, LEFT joins so pruned
     // positions fall back to 0-count smoothing (V stays unpruned) — the
     // same math LmScore.scoreStateless ships as map literals
@@ -7176,8 +7223,15 @@ object SparkEntry {
     * assignment CTE a3) — consumed by both the cluster-stats oracle and
     * the ARI/purity oracle so the replayed trajectory cannot drift.
     */
-  private lazy val KMeansCtes: String = {
-    val D = 64; val K = 8; val R = 3
+  private lazy val KMeansCtes: String = kmeansCtesFrom("embeddings", 8)
+
+  /** The k-means replay chain parameterized by the source relation and k
+    * (rounds fixed at 3) — `KMeansCtes` is the `("embeddings", 8)`
+    * instance (byte-identical to its pre-refactor text), and the SemDeDup
+    * replay trains over a planted-union subset.
+    */
+  private def kmeansCtesFrom(src: String, K: Int): String = {
+    val D = 64; val R = 3
     val dims = 0 until D
     val ptCols = dims.map(i =>
       s"CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x$i")
@@ -7198,7 +7252,7 @@ object SparkEntry {
     }
     s"""WITH pts AS (
        |  SELECT vec_id, ${ptCols.mkString(",\n         ")}
-       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= $D
+       |  FROM $src WHERE embedding IS NOT NULL AND len(embedding) >= $D
        |), sd AS (
        |  SELECT vec_id,
        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid

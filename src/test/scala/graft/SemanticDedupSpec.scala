@@ -50,4 +50,24 @@ class SemanticDedupSpec extends AnyFunSuite {
     assert(pairs.nonEmpty)
     assert(pairs.forall { case (a, b, c) => a < b && c >= 0.999 })
   }
+
+  test("deterministic pipeline: KMeansReplay clusters drop the planted positive twins") {
+    import org.apache.spark.sql.functions._
+    // the q_semantic_dedup_det construction on the sf0.001 corpus: planted
+    // copies under negative ids; keep-first must drop the POSITIVE ids
+    // (−i < i) while every −i survives
+    val base = graft.sources.Tables(spark, TestSpark.Sf0001).embeddings
+      .select($"vec_id", $"embedding", $"label")
+    val corpus2 = base.filter($"vec_id" < 2000)
+      .unionByName(base.filter($"vec_id".between(1, 3))
+        .select((-$"vec_id").as("vec_id"), $"embedding", $"label"))
+    val assigned = graft.operators.KMeansReplay
+      .assignments(spark, corpus2, "embedding", 64, 8, 3)
+      .select($"vec_id", $"cid".as("cluster_id"))
+      .join(corpus2, Seq("vec_id"))
+    val dropped = SemanticDedup.pairsWithin(assigned, threshold = 0.9)
+      .select($"id2").as[Long].collect().toSet
+    assert(Set(1L, 2L, 3L).subsetOf(dropped), s"planted twins not dropped: $dropped")
+    assert(!dropped.exists(_ < 0L), "keep-first must retain the smaller (negative) ids")
+  }
 }
