@@ -2337,6 +2337,13 @@ object SparkEntry {
       graft.operators.Bootstrap.poissonMeanCi(
         Tables(s, d).documents, "n_chars", "doc_id", b = 200)
     },
+    // the per-source variant: one CI row per domain (B = 100 — the
+    // replicate explode multiplies the corpus scan, the uplift economics)
+    "q_bootstrap_by_source" -> { (s, d) =>
+      graft.operators.Bootstrap.poissonMeanCiByGroup(
+        Tables(s, d).documents, "n_chars", "source", "doc_id", b = 100)
+        .withColumnRenamed("group_key", "source")
+    },
     // deterministic twin of q_cosine_neardup: md5-Rademacher Charikar
     // signs over integer micros, exact-integer cos >= 1/2 verification —
     // the same planted dups, now with a full hash oracle (the seeded
@@ -3281,6 +3288,40 @@ object SparkEntry {
        |                * CAST(tn+fp AS DOUBLE) * CAST(tn+fn AS DOUBLE))
        |         * 1000000.0 + 0.5) AS BIGINT) END AS mcc_micros
        |FROM m""".stripMargin
+
+  /** Per-source bootstrap replay: BootstrapOracleSql's chain with the
+    * source carried through and PARTITION BY source rank windows.
+    */
+  private lazy val BootstrapBySourceOracleSql: String = {
+    val B = 100
+    val loRank = math.max(1, math.floor(B * 0.025d).toInt)
+    val hiRank = math.min(B, math.ceil(B * 0.975d).toInt)
+    val wExpr = graft.operators.Bootstrap.PoissonCdf
+      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH base AS (SELECT source AS g, doc_id AS id, CAST(n_chars AS BIGINT) AS x
+       |              FROM documents),
+       |pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
+       |         CAST(floor(CAST(sum(x) * 1000000 AS DOUBLE)
+       |              / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_e6
+       |       FROM base GROUP BY g),
+       |rep AS (SELECT g, id, x, unnest(range(0, $B)) AS b FROM base),
+       |uw AS (SELECT g, b, x,
+       |         CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || ':' || b), 1, 12))::BIGINT
+       |              AS DOUBLE) / ${graft.operators.Bootstrap.TwoPow48} AS u
+       |       FROM rep),
+       |ww AS (SELECT g, b, x, CAST($wExpr AS BIGINT) AS w FROM uw),
+       |rm AS (SELECT g, b,
+       |         CAST(floor(CAST(sum(w * x) * 1000000 AS DOUBLE)
+       |              / CAST(sum(w) AS DOUBLE) + 0.5) AS BIGINT) AS m
+       |       FROM ww GROUP BY g, b HAVING sum(w) > 0),
+       |rk AS (SELECT g, m, b,
+       |              row_number() OVER (PARTITION BY g ORDER BY m, b) AS rn
+       |       FROM rm),
+       |lo AS (SELECT g, m AS lo_e6 FROM rk WHERE rn = $loRank),
+       |hi AS (SELECT g, m AS hi_e6 FROM rk WHERE rn = $hiRank)
+       |SELECT pt.g AS source, pt.n_rows, pt.mean_e6, lo.lo_e6, hi.hi_e6
+       |FROM pt JOIN lo ON lo.g = pt.g JOIN hi ON hi.g = pt.g""".stripMargin
+  }
 
   /** Two-arm uplift replay: md5-split arms over the session features, the
     * same Poisson weight chain as BootstrapOracleSql, per-replicate diff
@@ -5239,6 +5280,7 @@ object SparkEntry {
     "q_doremi_epochs" -> DoremiEpochsOracleSql,
     "q_simhash_embed_neardup" -> SimhashEmbedOracleSql,
     "q_bootstrap_ci" -> BootstrapOracleSql,
+    "q_bootstrap_by_source" -> BootstrapBySourceOracleSql,
     "q_bootstrap_uplift" -> BootstrapUpliftOracleSql,
     "q_agreement_kappa" -> AgreementOracleSql,
     "q_psi_by_source" -> PsiOracleSql,

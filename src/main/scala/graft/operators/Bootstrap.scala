@@ -97,6 +97,52 @@ object Bootstrap {
         col("lo_e6"), col("hi_e6"))
   }
 
+  /** Per-group mean CI: [[poissonMeanCi]] with a group column — one row
+    * `(group_key, n_rows, mean_e6, lo_e6, hi_e6)` per group. The
+    * replicate aggregation map-side-combines to |groups|·b partials and
+    * the rank window partitions BY GROUP over b rows each — nothing
+    * unpartitioned anywhere, so group count scales freely.
+    */
+  def poissonMeanCiByGroup(
+      df: DataFrame,
+      valueCol: String,
+      groupCol: String,
+      idCol: String,
+      b: Int = 200,
+      loPct: Double = 0.025d,
+      hiPct: Double = 0.975d): DataFrame = {
+    require(b >= 10 && b <= 10000, "b in 10..10000")
+    val loRank = math.max(1, math.floor(b * loPct).toInt)
+    val hiRank = math.min(b, math.ceil(b * hiPct).toInt)
+    val base = df.select(col(groupCol).as("_g"), col(idCol).as("_id"),
+      col(valueCol).cast("long").as("_x"))
+    val point = base.groupBy(col("_g")).agg(
+      count(lit(1)).as("n_rows"),
+      floor((sum(col("_x")) * lit(1000000L)).cast("double")
+        / count(lit(1)).cast("double") + lit(0.5d)).cast("long").as("mean_e6"))
+    val reps = base
+      .select(col("_g"), col("_id"), col("_x"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .withColumn("u",
+        HashSplit.md548(concat(col("_id").cast("string"), lit(":"), col("b").cast("string")))
+          .cast("double") / lit(TwoPow48))
+      .withColumn("w",
+        PoissonCdf.map(c => when(col("u") >= lit(c), 1L).otherwise(0L)).reduce(_ + _))
+      .groupBy(col("_g"), col("b"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("_x")).as("swx"))
+      .filter(col("sw") > 0L)
+      .select(col("_g"), col("b"),
+        floor((col("swx") * lit(1000000L)).cast("double")
+          / col("sw").cast("double") + lit(0.5d)).cast("long").as("m"))
+    val ranked = reps.withColumn("rn",
+      row_number().over(Window.partitionBy(col("_g")).orderBy(col("m"), col("b"))))
+    val lo = ranked.filter(col("rn") === loRank).select(col("_g"), col("m").as("lo_e6"))
+    val hi = ranked.filter(col("rn") === hiRank).select(col("_g"), col("m").as("hi_e6"))
+    point.join(lo, Seq("_g")).join(hi, Seq("_g"))
+      .select(col("_g").as("group_key"), col("n_rows"), col("mean_e6"),
+        col("lo_e6"), col("hi_e6"))
+  }
+
   /** Two-arm uplift CI (1 row): the bootstrap distribution of
     * `mean(arm 1) − mean(arm 0)` under per-arm Poisson replicates — the
     * experimentation primitive (an md5-split A/A test's interval must
