@@ -116,6 +116,25 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Window"), "the heap path must not fall back to row_number")
   }
 
+  test("KS: cumulative counts go through PrefixSum, never an unpartitioned corpus window") {
+    val p = plan("q_ks_arms")
+    // PrefixSum's shape: range partitioning by the order key is present,
+    // and no unpartitioned Window sorts the distinct-value table globally
+    assert(p.contains("Exchange rangepartitioning"),
+      s"PrefixSum range exchange expected:\n${p.take(2000)}")
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      "no unpartitioned window over the value table")
+  }
+
+  test("bootstrap: the replicate aggregation is map-side combined (partial before exchange)") {
+    val p = plan("q_bootstrap_ci")
+    assert(p.contains("partial_sum"),
+      s"map-side partial aggregation of replicate weights expected:\n${p.take(2000)}")
+    // the only windows order the B-row replicate table (bounded); the
+    // corpus-side plan must not contain a cartesian product
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
   test("deterministic IVF: no unbounded cartesian, centers are the only nested-loop sides") {
     val p = plan("q_knn_ivf_det")
     assert(!p.contains("CartesianProduct"), s"no unbounded cartesian:\n${p.take(2000)}")
