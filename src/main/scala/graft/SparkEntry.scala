@@ -188,6 +188,15 @@ object SparkEntry {
       graft.operators.ClassifierEval.prfSweep(f, "score_micros", "label",
         Seq(50000L, 200000L, 350000L, 600000L, 850000L))
     },
+    // isotonic (PAV) calibration of the heuristic tiers via the minimax
+    // closed form — monotone calibrated rates, the other classic
+    // calibrator next to q_calibration's ECE (operators.Isotonic)
+    "q_isotonic_calibration" -> { (s, d) =>
+      val f = sessionFeatures(s, d).select(
+        Heuristic.scoreMicros(col("cart_count"), col("view_count")).as("score_micros"),
+        col("label"))
+      graft.operators.Isotonic.calibrate(f, "score_micros", "label")
+    },
     // chance-corrected agreement of the heuristic's cart tier vs the
     // label: Cohen's kappa + MCC from exact contingency integers, one
     // replayed division each (operators.ClassifierEval.agreement)
@@ -3257,6 +3266,37 @@ object SparkEntry {
        |FROM m""".stripMargin
   }
 
+  /** Isotonic replay: the same tier table (PRF-oracle contingency CASEs),
+    * exact range sums over the bounded (i, j) enumeration, one double
+    * division per range, minimax via exact MIN/MAX (never a float sum).
+    */
+  private lazy val IsotonicOracleSql: String =
+    s"""$FeaturesSql, sc AS (
+       |  SELECT label, CASE WHEN cart_count >= 3 THEN 850000
+       |       WHEN cart_count >= 1 THEN 600000 WHEN view_count >= 10 THEN 350000
+       |       WHEN view_count >= 5 THEN 200000 ELSE 50000 END AS score_micros
+       |  FROM features),
+       |tiers AS (
+       |  SELECT CAST(score_micros AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos
+       |  FROM sc GROUP BY score_micros),
+       |pre AS (SELECT s, n, pos, row_number() OVER (ORDER BY s) AS k FROM tiers),
+       |rg AS (
+       |  SELECT a.k AS i, b.k AS j,
+       |         CAST(sum(m.pos) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS avgd
+       |  FROM pre a JOIN pre b ON a.k <= b.k
+       |  JOIN pre m ON m.k BETWEEN a.k AND b.k
+       |  GROUP BY a.k, b.k),
+       |inr AS (
+       |  SELECT rg.i, p.k, min(rg.avgd) AS mn
+       |  FROM rg JOIN pre p ON rg.i <= p.k AND rg.j >= p.k
+       |  GROUP BY rg.i, p.k),
+       |iso AS (SELECT k, max(mn) AS rate FROM inr GROUP BY k)
+       |SELECT pre.s AS score_micros, pre.n, pre.pos,
+       |       pre.pos * 1000000 // pre.n AS raw_rate_micros,
+       |       CAST(floor(iso.rate * 1000000.0 + 0.5) AS BIGINT) AS iso_rate_micros
+       |FROM pre JOIN iso USING (k)""".stripMargin
+
   /** κ/MCC agreement replay: the same contingency CASEs as the PRF oracle
     * at the 600000 tier, then the exact-integer κ ratio and the
     * fixed-spelling double MCC (4-factor product exceeds 2⁵³, so both
@@ -5283,6 +5323,7 @@ object SparkEntry {
     "q_bootstrap_by_source" -> BootstrapBySourceOracleSql,
     "q_bootstrap_uplift" -> BootstrapUpliftOracleSql,
     "q_agreement_kappa" -> AgreementOracleSql,
+    "q_isotonic_calibration" -> IsotonicOracleSql,
     "q_psi_by_source" -> PsiOracleSql,
     "q_conversion_wilson" -> WilsonOracleSql,
     "q_ks_arms" -> KsOracleSql,

@@ -76,6 +76,26 @@ final class ClassifierEvalSpec extends AnyFunSuite {
     assert(r.getLong(6) === 408248L)
   }
 
+  test("isotonic: PAV pools the classic violating sequence; averages preserved") {
+    import spark.implicits._
+    import graft.operators.Isotonic
+    // tiers (score → rate): 10→0.2(1/5), 20→0.6(3/5), 30→0.4(2/5), 40→0.8(4/5)
+    // PAV merges tiers 2+3 → pooled 5/10 = 0.5: iso = 0.2, 0.5, 0.5, 0.8
+    val rows =
+      (Seq.fill(1)((10L, 1)) ++ Seq.fill(4)((10L, 0))) ++
+        (Seq.fill(3)((20L, 1)) ++ Seq.fill(2)((20L, 0))) ++
+        (Seq.fill(2)((30L, 1)) ++ Seq.fill(3)((30L, 0))) ++
+        (Seq.fill(4)((40L, 1)) ++ Seq.fill(1)((40L, 0)))
+    val got = Isotonic.calibrate(rows.toDF("score_micros", "label"),
+      "score_micros", "label")
+      .orderBy("score_micros")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.map(_._5).toSeq === Seq(200000L, 500000L, 500000L, 800000L))
+    // monotone, and pooled mass preserved: Σ n·iso == Σ pos (exact here)
+    assert(got.map(_._5).toSeq === got.map(_._5).toSeq.sorted)
+    assert(got.map(t => t._2 * t._5).sum === got.map(_._3).sum * 1000000L)
+  }
+
   test("agreement: degenerate one-class margins report 0") {
     import spark.implicits._
     val df = Seq.fill(10)((0L, 1)).toDF("score_micros", "label")
