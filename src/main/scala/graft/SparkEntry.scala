@@ -2330,6 +2330,14 @@ object SparkEntry {
     "q_chi2_lang_source" -> { (s, d) =>
       graft.operators.ChiSquare.contingency(Tables(s, d).documents, "source", "lang")
     },
+    // Count-Min sketch audit: exact top-20 users with their CMS point
+    // estimates (operators.CountMin, md5-48 hash family, d=4 w=64) — the
+    // upper-biased point-query sibling of the Misra-Gries lower bounds;
+    // ge_ok is the structural est >= exact guarantee, oracled TRUE
+    "q_cms_counts" -> { (s, d) =>
+      graft.operators.CountMin.audit(Tables(s, d).events, "user_id", d = 4, w = 64, k = 20)
+        .withColumnRenamed("item", "user_id")
+    },
     // Wilson score interval for the per-arm conversion rate — the
     // closed-form companion to q_bootstrap_uplift (operators.Binomial)
     "q_conversion_wilson" -> { (s, d) =>
@@ -3201,6 +3209,29 @@ object SparkEntry {
        |              / CAST(nn * least(n_rows_dim - 1, n_cols_dim - 1) AS DOUBLE))
        |              * 1000000.0 + 0.5) AS BIGINT) END AS cramers_v_e6
        |FROM ag""".stripMargin
+
+  /** Count-Min replay: the identical md5-48 "item:j" hash family
+    * (CountMin.bucket), the full d×w counter build, exact top-20 probe set
+    * (count desc, item asc), min-over-rows estimate — every value an exact
+    * BIGINT, so the sketch itself is the oracled artifact.
+    */
+  private lazy val CmsOracleSql: String =
+    s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+       |hx AS (SELECT item, j,
+       |              ('0x' || substring(md5(item || ':' || j), 1, 12))::BIGINT % 64 AS h
+       |       FROM ev CROSS JOIN range(0, 4) t(j)),
+       |ctr AS (SELECT j, h, CAST(count(*) AS BIGINT) AS c FROM hx GROUP BY 1, 2),
+       |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_n FROM ev GROUP BY 1),
+       |top AS (SELECT item, exact_n FROM ex ORDER BY exact_n DESC, item LIMIT 20),
+       |pr AS (SELECT t.item, t.exact_n, r.j,
+       |              ('0x' || substring(md5(t.item || ':' || r.j), 1, 12))::BIGINT % 64 AS h
+       |       FROM top t CROSS JOIN range(0, 4) r(j)),
+       |est AS (SELECT pr.item, pr.exact_n, CAST(min(ctr.c) AS BIGINT) AS est_n
+       |        FROM pr JOIN ctr ON ctr.j = pr.j AND ctr.h = pr.h
+       |        GROUP BY 1, 2)
+       |SELECT item AS user_id, exact_n, est_n, est_n - exact_n AS overcount,
+       |       est_n >= exact_n AS ge_ok
+       |FROM est""".stripMargin
 
   /** PSI replay: the same Laplace-smoothed grid (sources × range(10) with
     * zero-filled buckets), one e6 ln per cell, non-negative integer terms
@@ -5328,6 +5359,7 @@ object SparkEntry {
     "q_conversion_wilson" -> WilsonOracleSql,
     "q_ks_arms" -> KsOracleSql,
     "q_chi2_lang_source" -> Chi2OracleSql,
+    "q_cms_counts" -> CmsOracleSql,
     "q_robust_trend" -> RobustTrendOracleSql,
     "q_semantic_dedup_det" -> SemDedupDetOracleSql,
     // pruned twin of q_lm_score: uni/bi HAVING >= 2, LEFT joins so pruned
