@@ -98,6 +98,15 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     sessionFeatures(spark, "/root/testdata/sf0.001")
 
+  /** Quasi-identifier view shared by the privacy battery: customer
+    * (segment, nation, 1k$-acctbal band).
+    */
+  private def privacyQi(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer.select(
+      col("c_mktsegment").as("seg"),
+      col("c_nationkey").as("nat"),
+      floor(col("c_acctbal") / lit(1000.0d)).cast("long").as("band"))
+
   // ------------------------------------------------------------------------
   // Queries
   // ------------------------------------------------------------------------
@@ -2330,6 +2339,28 @@ object SparkEntry {
     "q_chi2_lang_source" -> { (s, d) =>
       graft.operators.ChiSquare.contingency(Tables(s, d).documents, "source", "lang")
     },
+    // k-anonymity generalization ladder over customer quasi-identifiers
+    // (segment, nation, acctbal k$-band) — ONE rollup shuffle computes every
+    // level's equivalence classes; per-level min-k + suppression profile at
+    // the k >= 5 release bar (operators.Privacy)
+    "q_k_anonymity" -> { (s, d) =>
+      graft.operators.Privacy.kAnonymityLadder(
+        privacyQi(s, d), Seq("seg", "nat", "band"), kThreshold = 5L)
+    },
+    // distinct-l-diversity histogram for the same release: distinct
+    // sensitive balance-bands per (segment, nation) class — the
+    // homogeneity-attack surface next to q_k_anonymity's re-identification one
+    "q_l_diversity" -> { (s, d) =>
+      graft.operators.Privacy.lDiversityHistogram(
+        privacyQi(s, d), Seq("seg", "nat"), col("band"))
+    },
+    // eps=1 differentially-private histogram release of the event-type
+    // counts: Laplace(1/eps) noise inverse-CDF'd from the portable md5-48
+    // uniform of "salt:key" — the whole release replays in the oracle
+    "q_dp_histogram" -> { (s, d) =>
+      graft.operators.Privacy.dpHistogram(
+        Tables(s, d).events, "event_type", eps = 1.0, salt = "dp-r17")
+    },
     // Count-Min sketch audit: exact top-20 users with their CMS point
     // estimates (operators.CountMin, md5-48 hash family, d=4 w=64) — the
     // upper-biased point-query sibling of the Misra-Gries lower bounds;
@@ -3209,6 +3240,57 @@ object SparkEntry {
        |              / CAST(nn * least(n_rows_dim - 1, n_cols_dim - 1) AS DOUBLE))
        |              * 1000000.0 + 0.5) AS BIGINT) END AS cramers_v_e6
        |FROM ag""".stripMargin
+
+  /** Shared QI projection for the privacy oracles — mirrors privacyQi. */
+  private lazy val PrivacyQiSql: String =
+    """qi AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+      |              CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
+      |       FROM customer)""".stripMargin
+
+  /** k-anonymity replay: the same ROLLUP chain (GROUPING_ID bit order
+    * matches Spark, MSB = first col), exact BIGINT class sizes, the one
+    * double division floored at e6.
+    */
+  private lazy val KAnonOracleSql: String =
+    s"""WITH $PrivacyQiSql,
+       |cls AS (SELECT CAST(GROUPING_ID(seg, nat, band) AS BIGINT) AS gid,
+       |               CAST(count(*) AS BIGINT) AS k
+       |        FROM qi GROUP BY ROLLUP(seg, nat, band))
+       |SELECT gid, CAST(count(*) AS BIGINT) AS n_groups,
+       |       CAST(min(k) AS BIGINT) AS min_k,
+       |       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS suppressed_groups,
+       |       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS suppressed_rows,
+       |       CAST(sum(k) AS BIGINT) AS total_rows,
+       |       CAST(floor(CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
+       |            * 1000000.0 / CAST(sum(k) AS DOUBLE)) AS BIGINT) AS suppressed_frac_e6
+       |FROM cls GROUP BY gid""".stripMargin
+
+  /** l-diversity replay: per-(seg, nat) distinct band count, histogram over l. */
+  private lazy val LDiversityOracleSql: String =
+    s"""WITH $PrivacyQiSql,
+       |g AS (SELECT seg, nat, CAST(count(DISTINCT band) AS BIGINT) AS l,
+       |             CAST(count(*) AS BIGINT) AS k
+       |      FROM qi GROUP BY seg, nat)
+       |SELECT l, CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(k) AS BIGINT) AS n_rows
+       |FROM g GROUP BY l""".stripMargin
+
+  /** DP-histogram replay: the identical md5-48 uniform ("dp-r17:key"), the
+    * identically-spelled Laplace inverse CDF (left-assoc products, one e6
+    * ln-class quantization at the end), nonnegative clamp.
+    */
+  private lazy val DpHistogramOracleSql: String =
+    s"""WITH cnt AS (SELECT CAST(event_type AS VARCHAR) AS key,
+       |                    CAST(count(*) AS BIGINT) AS n
+       |             FROM events GROUP BY 1),
+       |nz AS (SELECT key, n,
+       |         2.0 * ((('0x' || substring(md5('dp-r17:' || key), 1, 12))::BIGINT + 0.5)
+       |                / 281474976710656.0) - 1.0 AS c
+       |       FROM cnt)
+       |SELECT key,
+       |  CAST(floor(greatest(0.0,
+       |    CAST(n AS DOUBLE) + (-1.0 / 1.0) * sign(c) * ln(1.0 - abs(c)))
+       |    * 1000000.0 + 0.5) AS BIGINT) AS released_e6
+       |FROM nz""".stripMargin
 
   /** Count-Min replay: the identical md5-48 "item:j" hash family
     * (CountMin.bucket), the full d×w counter build, exact top-20 probe set
@@ -5360,6 +5442,9 @@ object SparkEntry {
     "q_ks_arms" -> KsOracleSql,
     "q_chi2_lang_source" -> Chi2OracleSql,
     "q_cms_counts" -> CmsOracleSql,
+    "q_k_anonymity" -> KAnonOracleSql,
+    "q_l_diversity" -> LDiversityOracleSql,
+    "q_dp_histogram" -> DpHistogramOracleSql,
     "q_robust_trend" -> RobustTrendOracleSql,
     "q_semantic_dedup_det" -> SemDedupDetOracleSql,
     // pruned twin of q_lm_score: uni/bi HAVING >= 2, LEFT joins so pruned

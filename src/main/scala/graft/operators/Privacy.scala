@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Privacy-risk profiling for a dataset about to be released or used as
+  * training data — the k-anonymity / l-diversity audit pair (Sweeney 2002;
+  * Machanavajjhala et al. 2007) plus an ε-differentially-private histogram
+  * release (Dwork et al. 2006) whose Laplace noise is drawn from the
+  * repo's portable md5-48 uniforms, so the ENTIRE release replays
+  * bit-identically in any engine.
+  *
+  * Scale shapes:
+  *   - the k-anonymity generalization ladder is ONE shuffle: the levels
+  *     form a rollup chain, so `ROLLUP(qi...)` computes every level's
+  *     equivalence classes in a single pass with map-side combine, and the
+  *     per-level profile is a second tiny aggregate over class rows —
+  *     never one scan per generalization level;
+  *   - l-diversity is one groupBy with countDistinct (partial aggregation
+  *     applies — the distinct set is bounded by the sensitive domain);
+  *   - the DP histogram's noise is a pure projection over the aggregated
+  *     key table (no RNG state, no driver loop).
+  */
+object Privacy {
+
+  /** Per-level k-anonymity profile over the rollup chain of `qiCols`
+    * (level 0 = all columns, each next level drops the last column; the
+    * final grouping-id row is the trivial whole-table class). One row per
+    * level: `(gid, n_groups, min_k, suppressed_groups, suppressed_rows,
+    * total_rows, suppressed_frac_e6)` — `suppressed_*` counts equivalence
+    * classes with k < `kThreshold` (the rows a k-anonymous release must
+    * drop or generalize further).
+    */
+  def kAnonymityLadder(df: DataFrame, qiCols: Seq[String], kThreshold: Long): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val classes = df.rollup(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("k"), grouping_id().cast("long").as("gid"))
+    classes.groupBy(col("gid"))
+      .agg(count(lit(1)).as("n_groups"),
+        min(col("k")).as("min_k"),
+        sum(when(col("k") < kThreshold, 1L).otherwise(0L)).as("suppressed_groups"),
+        sum(when(col("k") < kThreshold, col("k")).otherwise(0L)).as("suppressed_rows"),
+        sum(col("k")).as("total_rows"))
+      .select(col("gid"), col("n_groups"), col("min_k"), col("suppressed_groups"),
+        col("suppressed_rows"), col("total_rows"),
+        floor(col("suppressed_rows").cast("double") * lit(1000000.0d)
+          / col("total_rows").cast("double")).cast("long").as("suppressed_frac_e6"))
+  }
+
+  /** l-diversity histogram: distinct sensitive values per quasi-identifier
+    * class, collapsed to one row per diversity level l:
+    * `(l, n_groups, n_rows)`. A release is distinct-l-diverse iff the
+    * smallest emitted l is ≥ l — the min is readable off the histogram, and
+    * the histogram also shows HOW MUCH of the data sits in low-diversity
+    * classes (the homogeneity-attack surface).
+    */
+  def lDiversityHistogram(df: DataFrame, qiCols: Seq[String], sensitive: Column): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(countDistinct(sensitive).as("l"), count(lit(1)).as("k"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("k")).as("n_rows"))
+  }
+
+  /** ε-DP histogram release over `key`: true count + Laplace(1/ε) noise,
+    * clamped at 0 (standard nonnegative post-processing), e6-quantized.
+    * The noise draw is deterministic given the release salt — u from the
+    * portable md5-48 uniform of "salt:key", inverse-CDF'd through
+    * noise = −(1/ε)·sign(2u−1)·ln(1 − |2u−1|) — which makes the release
+    * auditable/replayable (a fixed-seed release is NOT private against an
+    * adversary who knows the salt; production would draw the salt fresh
+    * per release and keep it secret — the mechanism and its calibration
+    * are what this operator carries).
+    */
+  def dpHistogram(df: DataFrame, keyCol: String, eps: Double, salt: String): DataFrame = {
+    require(eps > 0, "epsilon must be positive")
+    val counts = df.groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("n"))
+    val h = HashSplit.md548(concat(lit(salt + ":"), col("key")))
+    val u = (h.cast("double") + lit(0.5d)) / lit(281474976710656.0d) // 2^48
+    val c = lit(2.0d) * u - lit(1.0d)
+    val noise = (lit(-1.0d) / lit(eps)) * signum(c) * log(lit(1.0d) - abs(c))
+    counts.select(col("key"),
+      floor(greatest(lit(0.0d), col("n").cast("double") + noise)
+        * lit(1000000.0d) + lit(0.5d)).cast("long").as("released_e6"))
+  }
+}
