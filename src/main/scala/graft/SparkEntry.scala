@@ -2339,6 +2339,15 @@ object SparkEntry {
     "q_chi2_lang_source" -> { (s, d) =>
       graft.operators.ChiSquare.contingency(Tables(s, d).documents, "source", "lang")
     },
+    // split conformal prediction for document length: md5-split
+    // train/cal/test, per-source integer-micros mean model, exact
+    // ceil((n+1)(1-alpha)) calibration quantile, per-source test coverage
+    // (operators.Conformal; alpha = 0.1)
+    "q_conformal_coverage" -> { (s, d) =>
+      graft.operators.Conformal.splitConformal(
+        Tables(s, d).documents, "doc_id", "n_chars", "source")
+        .withColumnRenamed("group_key", "source")
+    },
     // k-anonymity generalization ladder over customer quasi-identifiers
     // (segment, nation, acctbal k$-band) — ONE rollup shuffle computes every
     // level's equivalence classes; per-level min-k + suppression profile at
@@ -3240,6 +3249,49 @@ object SparkEntry {
        |              / CAST(nn * least(n_rows_dim - 1, n_cols_dim - 1) AS DOUBLE))
        |              * 1000000.0 + 0.5) AS BIGINT) END AS cramers_v_e6
        |FROM ag""".stripMargin
+
+  /** Conformal replay: same md5-48 quarter split, integer-DIV mean model,
+    * score-count cumulative ranks (CAST every windowed sum — HUGEINT ban),
+    * exact ceil-rank via integer arithmetic, -1 infinite-interval sentinel.
+    */
+  private lazy val ConformalOracleSql: String =
+    s"""WITH base AS (
+       |  SELECT source AS g, CAST(n_chars AS BIGINT) AS y,
+       |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 4 AS b
+       |  FROM documents),
+       |model AS (
+       |  SELECT g, CAST(sum(y) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
+       |           AS yhat_micros
+       |  FROM base WHERE b <= 1 GROUP BY g),
+       |cal AS (
+       |  SELECT base.g, abs(base.y * 1000000 - model.yhat_micros) AS s
+       |  FROM base JOIN model ON model.g = base.g WHERE base.b = 2),
+       |rk AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n_cal,
+       |         (9 * (CAST(count(*) AS BIGINT) + 1) + 9) // 10 AS r
+       |  FROM cal GROUP BY g),
+       |cum AS (
+       |  SELECT g, s, CAST(sum(c) OVER (PARTITION BY g ORDER BY s
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |  FROM (SELECT g, s, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY g, s)),
+       |qh AS (
+       |  SELECT cum.g, CAST(min(cum.s) AS BIGINT) AS qhat_micros
+       |  FROM cum JOIN rk ON rk.g = cum.g WHERE cum.cum >= rk.r GROUP BY cum.g),
+       |tst AS (
+       |  SELECT base.g, rk.n_cal, qh.qhat_micros,
+       |         CASE WHEN qh.qhat_micros IS NULL
+       |                OR abs(base.y * 1000000 - model.yhat_micros) <= qh.qhat_micros
+       |           THEN 1 ELSE 0 END AS cov
+       |  FROM base JOIN model ON model.g = base.g
+       |  JOIN rk ON rk.g = base.g
+       |  LEFT JOIN qh ON qh.g = base.g
+       |  WHERE base.b = 3)
+       |SELECT g AS source, n_cal, CAST(count(*) AS BIGINT) AS n_test,
+       |       coalesce(min(qhat_micros), -1) AS qhat_micros,
+       |       CAST(sum(cov) AS BIGINT) AS covered,
+       |       CAST(floor(CAST(sum(cov) AS DOUBLE) * 1000000.0
+       |            / CAST(count(*) AS DOUBLE)) AS BIGINT) AS coverage_e6
+       |FROM tst GROUP BY g, n_cal""".stripMargin
 
   /** Shared QI projection for the privacy oracles — mirrors privacyQi. */
   private lazy val PrivacyQiSql: String =
@@ -5442,6 +5494,7 @@ object SparkEntry {
     "q_ks_arms" -> KsOracleSql,
     "q_chi2_lang_source" -> Chi2OracleSql,
     "q_cms_counts" -> CmsOracleSql,
+    "q_conformal_coverage" -> ConformalOracleSql,
     "q_k_anonymity" -> KAnonOracleSql,
     "q_l_diversity" -> LDiversityOracleSql,
     "q_dp_histogram" -> DpHistogramOracleSql,
