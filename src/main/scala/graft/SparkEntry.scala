@@ -2339,6 +2339,15 @@ object SparkEntry {
     "q_chi2_lang_source" -> { (s, d) =>
       graft.operators.ChiSquare.contingency(Tables(s, d).documents, "source", "lang")
     },
+    // Benjamini-Hochberg FDR over per-source Welch z-tests (mean doc
+    // length vs rest): exact BIGINT moments, Zelen-Severo normal tail
+    // spelled identically cross-engine, integer step-up decisions at
+    // alpha = 0.05 (operators.MultipleTesting)
+    "q_fdr_bh" -> { (s, d) =>
+      graft.operators.MultipleTesting.bhBySource(
+        Tables(s, d).documents, "source", "n_chars", alphaE6 = 50000L)
+        .withColumnRenamed("group_key", "source")
+    },
     // split conformal prediction for document length: md5-split
     // train/cal/test, per-source integer-micros mean model, exact
     // ceil((n+1)(1-alpha)) calibration quantile, per-source test coverage
@@ -3249,6 +3258,56 @@ object SparkEntry {
        |              / CAST(nn * least(n_rows_dim - 1, n_cols_dim - 1) AS DOUBLE))
        |              * 1000000.0 + 0.5) AS BIGINT) END AS cramers_v_e6
        |FROM ag""".stripMargin
+
+  /** BH replay: exact BIGINT moments, the identical Welch/Zelen-Severo
+    * double spelling (Horner poly, spelled 1/sqrt(2pi) literal), e6
+    * quantization before any comparison, integer step-up.
+    */
+  private lazy val FdrBhOracleSql: String =
+    s"""WITH base AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS y FROM documents),
+       |per AS (SELECT g, CAST(count(*) AS BIGINT) AS n1, CAST(sum(y) AS BIGINT) AS s1,
+       |               CAST(sum(y * y) AS BIGINT) AS ss1 FROM base GROUP BY g),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS ss,
+       |               CAST(sum(y * y) AS BIGINT) AS sss FROM base),
+       |j AS (SELECT per.g, per.n1, per.s1, per.ss1,
+       |             tot.nn - per.n1 AS n2, tot.ss - per.s1 AS s2,
+       |             tot.sss - per.ss1 AS ss2
+       |      FROM per CROSS JOIN tot
+       |      WHERE per.n1 >= 2 AND tot.nn - per.n1 >= 2),
+       |mm AS (SELECT g, n1, n2, ss1, ss2,
+       |              CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
+       |              CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
+       |       FROM j),
+       |vv AS (SELECT g, n1, n2, m1, m2,
+       |         (CAST(ss1 AS DOUBLE) - CAST(n1 AS DOUBLE) * m1 * m1)
+       |           / CAST(n1 - 1 AS DOUBLE) AS v1,
+       |         (CAST(ss2 AS DOUBLE) - CAST(n2 AS DOUBLE) * m2 * m2)
+       |           / CAST(n2 - 1 AS DOUBLE) AS v2
+       |       FROM mm),
+       |zz AS (SELECT g, n1,
+       |         sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) AS se,
+       |         abs(m1 - m2)
+       |           / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) AS z
+       |       FROM vv),
+       |tq AS (SELECT g, n1, z, 1.0 / (1.0 + 0.2316419 * z) AS t
+       |       FROM zz WHERE se > 0.0),
+       |pp AS (SELECT g, n1 AS n_rows,
+       |         CAST(floor(z * 1000000.0 + 0.5) AS BIGINT) AS z_e6,
+       |         CAST(floor(2.0 * (exp(-0.5 * z * z) * 0.3989422804014327
+       |           * (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+       |                - 0.356563782) * t + 0.319381530) * t))
+       |           * 1000000.0 + 0.5) AS BIGINT) AS p_e6
+       |       FROM tq),
+       |rkd AS (SELECT g, n_rows, z_e6, p_e6,
+       |               CAST(row_number() OVER (ORDER BY p_e6, g) AS BIGINT) AS rk,
+       |               CAST(count(*) OVER () AS BIGINT) AS m_tests
+       |        FROM pp),
+       |ks AS (SELECT CAST(max(CASE WHEN p_e6 * m_tests <= 50000 * rk
+       |                            THEN rk ELSE 0 END) AS BIGINT) AS kstar
+       |       FROM rkd)
+       |SELECT g AS source, n_rows, z_e6, p_e6, rk, m_tests,
+       |       rk <= ks.kstar AS rejected
+       |FROM rkd CROSS JOIN ks""".stripMargin
 
   /** Conformal replay: same md5-48 quarter split, integer-DIV mean model,
     * score-count cumulative ranks (CAST every windowed sum — HUGEINT ban),
@@ -5495,6 +5554,7 @@ object SparkEntry {
     "q_chi2_lang_source" -> Chi2OracleSql,
     "q_cms_counts" -> CmsOracleSql,
     "q_conformal_coverage" -> ConformalOracleSql,
+    "q_fdr_bh" -> FdrBhOracleSql,
     "q_k_anonymity" -> KAnonOracleSql,
     "q_l_diversity" -> LDiversityOracleSql,
     "q_dp_histogram" -> DpHistogramOracleSql,
