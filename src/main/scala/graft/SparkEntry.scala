@@ -2387,6 +2387,18 @@ object SparkEntry {
       graft.operators.CountMin.audit(Tables(s, d).events, "user_id", d = 4, w = 64, k = 20)
         .withColumnRenamed("item", "user_id")
     },
+    // deterministic HyperLogLog twin of q_hll_rollup: md5-48 registers
+    // (p=6, m=64), EXACT dyadic harmonic sum in BIGINT, linear-counting
+    // small-range branch, plus a max-merged ALL row proving sketch
+    // mergeability — the whole estimate replays in the oracle
+    // (operators.HllReplay; distinct user-days per event type)
+    "q_hll_md5" -> { (s, d) =>
+      val ev = Tables(s, d).events.select(col("event_type"),
+        concat(col("user_id").cast("string"), lit("_"),
+          date_format(col("ts"), "yyyy-MM-dd")).as("sess"))
+      graft.operators.HllReplay.sketch(ev, "sess", "event_type")
+        .withColumnRenamed("group_key", "event_type")
+    },
     // Wilson score interval for the per-arm conversion rate — the
     // closed-form companion to q_bootstrap_uplift (operators.Binomial)
     "q_conversion_wilson" -> { (s, d) =>
@@ -3425,6 +3437,51 @@ object SparkEntry {
        |SELECT item AS user_id, exact_n, est_n, est_n - exact_n AS overcount,
        |       est_n >= exact_n AS ge_ok
        |FROM est""".stripMargin
+
+  /** HLL replay: the identical md5-48 hash split into (low-6-bit register,
+    * 42-bit remainder), `length(bin(x))` highest-set-bit, exact-BIGINT
+    * dyadic harmonic sum, the one α·m²·2⁵⁰/s double division e6-quantized,
+    * the linear-counting branch decided on the QUANTIZED raw, and the ALL
+    * row max-merged from the per-group register tables — the sketch, the
+    * merge and the estimator are all the oracled artifact.
+    */
+  private lazy val HllOracleSql: String = {
+    val a = graft.operators.HllReplay.Alpha64.toString
+    s"""WITH it AS (
+       |  SELECT DISTINCT CAST(event_type AS VARCHAR) AS g,
+       |         CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d') AS item
+       |  FROM events),
+       |rr AS (SELECT g,
+       |         ('0x' || substring(md5(item), 1, 12))::BIGINT % 64 AS reg,
+       |         ('0x' || substring(md5(item), 1, 12))::BIGINT // 64 AS rem
+       |       FROM it),
+       |rho AS (SELECT g, reg,
+       |          CASE WHEN rem = 0 THEN 43 ELSE 43 - length(bin(rem)) END AS rho
+       |        FROM rr),
+       |regs AS (SELECT g, reg, CAST(max(rho) AS BIGINT) AS m FROM rho GROUP BY 1, 2),
+       |au AS (SELECT g, reg, m FROM regs
+       |       UNION ALL
+       |       SELECT 'ALL' AS g, reg, CAST(max(m) AS BIGINT) AS m FROM regs GROUP BY reg),
+       |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS nz,
+       |               CAST(sum(CAST(power(2, 50 - m) AS BIGINT)) AS BIGINT) AS s
+       |        FROM au GROUP BY 1),
+       |est AS (SELECT g, nz,
+       |          CAST($a AS DOUBLE) * 4096.0 * 1125899906842624.0
+       |            / CAST(s + (64 - nz) * 1125899906842624 AS DOUBLE) AS raw
+       |        FROM agg),
+       |fin AS (SELECT g, nz,
+       |          CASE WHEN CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) <= 160000000
+       |                    AND nz < 64
+       |               THEN CAST(floor(64.0 * ln(64.0 / CAST(64 - nz AS DOUBLE))
+       |                          * 1000000.0 + 0.5) AS BIGINT)
+       |               ELSE CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) END AS est_e6
+       |        FROM est),
+       |ex AS (SELECT g, CAST(count(*) AS BIGINT) AS exact_n FROM it GROUP BY g
+       |       UNION ALL
+       |       SELECT 'ALL' AS g, CAST(count(DISTINCT item) AS BIGINT) AS exact_n FROM it)
+       |SELECT fin.g AS event_type, ex.exact_n, fin.nz, fin.est_e6
+       |FROM fin JOIN ex ON fin.g = ex.g""".stripMargin
+  }
 
   /** PSI replay: the same Laplace-smoothed grid (sources × range(10) with
     * zero-filled buckets), one e6 ln per cell, non-negative integer terms
@@ -5553,6 +5610,7 @@ object SparkEntry {
     "q_ks_arms" -> KsOracleSql,
     "q_chi2_lang_source" -> Chi2OracleSql,
     "q_cms_counts" -> CmsOracleSql,
+    "q_hll_md5" -> HllOracleSql,
     "q_conformal_coverage" -> ConformalOracleSql,
     "q_fdr_bh" -> FdrBhOracleSql,
     "q_k_anonymity" -> KAnonOracleSql,
