@@ -2387,6 +2387,17 @@ object SparkEntry {
       graft.operators.CountMin.audit(Tables(s, d).events, "user_id", d = 4, w = 64, k = 20)
         .withColumnRenamed("item", "user_id")
     },
+    // Kaplan–Meier product-limit survival + Nelson–Aalen cumulative hazard
+    // for time-to-first-purchase (hour buckets; users without a purchase
+    // censored at their last event) — ln-space survival with per-term e6
+    // quantization, exact-BIGINT risk sets, terminal S=0 row NULL by the
+    // same CASE on both engines (operators.Survival)
+    "q_survival_km" -> { (s, d) =>
+      graft.operators.Survival.kaplanMeier(
+        graft.operators.Survival.timeToEvent(
+          Tables(s, d).events, "user_id", "event_type", "purchase"),
+        "duration_h", "observed")
+    },
     // deterministic HyperLogLog twin of q_hll_rollup: md5-48 registers
     // (p=6, m=64), EXACT dyadic harmonic sum in BIGINT, linear-counting
     // small-range branch, plus a max-merged ALL row proving sketch
@@ -3437,6 +3448,45 @@ object SparkEntry {
        |SELECT item AS user_id, exact_n, est_n, est_n - exact_n AS overcount,
        |       est_n >= exact_n AS ge_ok
        |FROM est""".stripMargin
+
+  /** Kaplan–Meier replay: exact-micros durations (ts_ns // 1000, hour DIV),
+    * exact-BIGINT risk sets via the bounded before-window, one e6 ln per
+    * event time BEFORE the cumulative sum, pure-integer Nelson–Aalen terms
+    * (d·10⁶ // n, non-negative), terminal n=d row NULL by the same CASE.
+    */
+  private lazy val SurvivalOracleSql: String =
+    s"""WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_ns(ts) // 1000 AS t_us
+       |            FROM events),
+       |pu AS (SELECT u, min(t_us) AS t0,
+       |              min(CASE WHEN et = 'purchase' THEN t_us END) AS tev,
+       |              max(t_us) AS tl
+       |       FROM ev GROUP BY u),
+       |dur AS (SELECT (coalesce(tev, tl) - t0) // 3600000000 AS t,
+       |               tev IS NOT NULL AS obs FROM pu),
+       |g AS (SELECT t, CAST(count(*) AS BIGINT) AS all_n,
+       |             CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d
+       |      FROM dur GROUP BY t),
+       |nn AS (SELECT CAST(sum(all_n) AS BIGINT) AS nn FROM g),
+       |r AS (SELECT t, all_n, d,
+       |        nn.nn - CAST(coalesce(sum(all_n) OVER (
+       |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS n_risk
+       |      FROM g CROSS JOIN nn),
+       |e AS (SELECT t, n_risk, d,
+       |        CASE WHEN d < n_risk
+       |             THEN CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
+       |                    / CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+       |             ELSE CAST(0 AS BIGINT) END AS lnterm,
+       |        d * 1000000 // n_risk AS naterm
+       |      FROM r WHERE d > 0)
+       |SELECT t, n_risk, d,
+       |  CASE WHEN d < n_risk THEN CAST(sum(lnterm) OVER (
+       |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) END
+       |    AS km_ln_e6,
+       |  CAST(sum(naterm) OVER (
+       |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |    AS na_e6
+       |FROM e""".stripMargin
 
   /** HLL replay: the identical md5-48 hash split into (low-6-bit register,
     * 42-bit remainder), `length(bin(x))` highest-set-bit, exact-BIGINT
@@ -5611,6 +5661,7 @@ object SparkEntry {
     "q_chi2_lang_source" -> Chi2OracleSql,
     "q_cms_counts" -> CmsOracleSql,
     "q_hll_md5" -> HllOracleSql,
+    "q_survival_km" -> SurvivalOracleSql,
     "q_conformal_coverage" -> ConformalOracleSql,
     "q_fdr_bh" -> FdrBhOracleSql,
     "q_k_anonymity" -> KAnonOracleSql,

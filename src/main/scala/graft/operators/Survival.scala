@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Right-censored survival analysis: the Kaplan–Meier product-limit
+  * estimator (1958) and the Nelson–Aalen cumulative hazard, over a
+  * durations table `(duration, observed)` — duration an integer time
+  * bucket, `observed` true when the event happened (false = censored at
+  * that duration). The classic churn/retention view: "what fraction of
+  * users have NOT yet converted by hour t, accounting for users we simply
+  * stopped observing".
+  *
+  * Replay discipline: risk sets and event counts are exact BIGINTs (n_i =
+  * N − Σ_{t<t_i} all_n, one bounded window over the per-duration
+  * aggregate). The KM survival is emitted in log space —
+  * ln S(t) = Σ ln((n_i−d_i)/n_i) — with each term's single double division
+  * e6-quantized BEFORE the cumulative sum (the Zipf/NMI ln rule), so the
+  * sum is an exact BIGINT; no exp() crosses an engine boundary. The
+  * Nelson–Aalen terms are pure integer division d·10⁶ DIV n (non-negative,
+  * so Spark DIV ≡ DuckDB //). If everyone at risk dies at the last event
+  * time (n_i = d_i, S = 0, ln undefined) the row's km_ln_e6 is NULL by the
+  * same CASE on both engines.
+  *
+  * Scale shape: one map-side-combined groupBy collapses N rows onto the
+  * per-duration table — bounded by the duration-bucket range (hours in a
+  * finite observation window), NOT by row count — and every window below
+  * runs over that bounded aggregate. The canonical KM-at-scale shape: never
+  * a per-subject sort, never a range join.
+  */
+object Survival {
+
+  private def e6(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * lit(1000000.0d) + lit(0.5d)).cast("long")
+
+  /** Per-user time-to-first-`eventType` durations from an events table
+    * carrying `ts_ns`: duration = hours from the user's first event to
+    * their first `eventType` event (observed) or to their last event
+    * (censored). Exact micros arithmetic (`ts_ns DIV 1000`), hour buckets
+    * via non-negative integer division.
+    */
+  def timeToEvent(events: DataFrame, userCol: String, eventTypeCol: String,
+      eventType: String): DataFrame = {
+    val us = expr("ts_ns DIV 1000")
+    events
+      .select(col(userCol).as("u"), col(eventTypeCol).as("et"), us.as("t_us"))
+      .groupBy(col("u"))
+      .agg(
+        min(col("t_us")).as("t0"),
+        min(when(col("et") === eventType, col("t_us"))).as("tev"),
+        max(col("t_us")).as("tl"))
+      .select(col("u"),
+        // integer DIV, not `/` (double division could round a just-below-
+        // integer quotient up; operands are non-negative so DIV ≡ //)
+        expr("(coalesce(tev, tl) - t0) DIV 3600000000").as("duration_h"),
+        col("tev").isNotNull.as("observed"))
+  }
+
+  /** `(t, n_risk, d, km_ln_e6, na_e6)` — one row per duration bucket with
+    * at least one observed event, ordered facts: n_risk subjects at risk at
+    * t, d events at t, cumulative ln-survival (e6, NULL once S hits 0) and
+    * cumulative hazard (e6).
+    */
+  def kaplanMeier(durations: DataFrame, durCol: String, obsCol: String): DataFrame = {
+    val g = durations.groupBy(col(durCol).as("t"))
+      .agg(count(lit(1)).as("all_n"),
+        sum(when(col(obsCol), lit(1L)).otherwise(lit(0L))).as("d"))
+      // bounded by construction: one row per duration bucket
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = g.agg(sum(col("all_n")).as("nn"))
+    val before = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val risky = g.crossJoin(broadcast(total))
+      .withColumn("n_risk", col("nn") - coalesce(sum(col("all_n")).over(before), lit(0L)))
+      .filter(col("d") > 0L)
+    val lnTerm = when(col("d") < col("n_risk"),
+      e6(log((col("n_risk") - col("d")).cast("double") / col("n_risk").cast("double"))))
+    val naTerm = expr("d * 1000000 DIV n_risk")
+    val upTo = Window.orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    risky
+      .withColumn("km_ln_e6",
+        when(col("d") < col("n_risk"),
+          sum(coalesce(lnTerm, lit(0L))).over(upTo).cast("long")))
+      .withColumn("na_e6", sum(naTerm).over(upTo).cast("long"))
+      .select(col("t"), col("n_risk"), col("d"), col("km_ln_e6"), col("na_e6"))
+  }
+}

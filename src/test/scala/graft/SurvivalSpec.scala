@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Survival
+
+/** Kaplan–Meier on a hand-computed fixture: 6 subjects, durations
+  * (1 obs)(1 obs)(2 cens)(3 obs)(3 cens)(4 obs).
+  *   t=1: n=6 d=2 → lnS = ln(4/6) = −405465 e6; NA = 2e6 DIV 6 = 333333
+  *   t=3: n=3 d=1 → lnS += ln(2/3) → −810930; NA += 333333 → 666666
+  *   t=4: n=1 d=1 → terminal S=0 → km NULL; NA += 1000000 → 1666666
+  * (t=2 has no events → no row). Plus the structural properties: n_risk is
+  * strictly decreasing, km_ln_e6 non-increasing, NA non-decreasing.
+  */
+final class SurvivalSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val fix = Seq(
+    (1L, true), (1L, true), (2L, false), (3L, true), (3L, false), (4L, true)
+  ).toDF("duration_h", "observed")
+
+  test("hand-computed product-limit and hazard") {
+    val rows = Survival.kaplanMeier(fix, "duration_h", "observed")
+      .orderBy("t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)), r.getLong(4)))
+    assert(rows.toSeq === Seq(
+      (1L, 6L, 2L, Some(-405465L), 333333L),
+      (3L, 3L, 1L, Some(-810930L), 666666L),
+      (4L, 1L, 1L, None, 1666666L)))
+  }
+
+  test("monotonicity on the events-derived durations") {
+    val dur = Survival.timeToEvent(
+      graft.sources.Tables(spark, "/root/testdata/sf0.001").events,
+      "user_id", "event_type", "purchase")
+    val rows = Survival.kaplanMeier(dur, "duration_h", "observed")
+      .orderBy("t").collect()
+    assert(rows.nonEmpty)
+    val risks = rows.map(_.getLong(1))
+    assert(risks.zip(risks.tail).forall { case (a, b) => a > b })
+    val kms = rows.filter(!_.isNullAt(3)).map(_.getLong(3))
+    assert(kms.zip(kms.tail).forall { case (a, b) => a >= b })
+    val nas = rows.map(_.getLong(4))
+    assert(nas.zip(nas.tail).forall { case (a, b) => a <= b })
+    // every subject shows up in exactly one risk-set decrement path:
+    // n_risk at the first event time == the number of subjects with
+    // duration >= that time
+    val n0 = rows.head.getLong(1)
+    val t0 = rows.head.getLong(0)
+    val expected = dur.filter(org.apache.spark.sql.functions.col("duration_h") >= t0).count()
+    assert(n0 === expected)
+  }
+}
