@@ -2387,6 +2387,18 @@ object SparkEntry {
       graft.operators.CountMin.audit(Tables(s, d).events, "user_id", d = 4, w = 64, k = 20)
         .withColumnRenamed("item", "user_id")
     },
+    // stratified causal-effect battery over a CONFOUNDED exposure (added-
+    // to-cart → purchase, confounded by view activity): naive risk diff vs
+    // direct-standardization ATE (≡ saturated-propensity IPW) vs ATT, with
+    // positivity-violating strata contributing zero by stated contract
+    // (operators.Causal; strata = view_count capped at 8)
+    "q_stratified_ate" -> { (s, d) =>
+      val f = sessionFeatures(s, d).select(
+        when(col("cart_count") >= 1, lit(1L)).otherwise(lit(0L)).as("t"),
+        col("label").cast("long").as("y"),
+        least(col("view_count"), lit(8)).as("stratum"))
+      graft.operators.Causal.stratifiedEffects(f, "t", "y", "stratum")
+    },
     // Kaplan–Meier product-limit survival + Nelson–Aalen cumulative hazard
     // for time-to-first-purchase (hour buckets; users without a purchase
     // censored at their last event) — ln-space survival with per-term e6
@@ -3448,6 +3460,45 @@ object SparkEntry {
        |SELECT item AS user_id, exact_n, est_n, est_n - exact_n AS overcount,
        |       est_n >= exact_n AS ge_ok
        |FROM est""".stripMargin
+
+  /** Causal replay: exact contingency BIGINTs per stratum, ONE fixed-
+    * spelling double contrast per stratum e6-quantized before the integer
+    * sums, final divisions as identically-spelled floor(x+0.5) round-half-
+    * up doubles (totals may be negative — never a bare DIV there).
+    */
+  private lazy val CausalOracleSql: String =
+    s"""$FeaturesSql,
+       |base AS (SELECT CASE WHEN cart_count >= 1 THEN 1 ELSE 0 END AS t,
+       |                label AS y, least(view_count, 8) AS s
+       |         FROM features),
+       |st AS (SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS n1,
+       |              CAST(sum(t * y) AS BIGINT) AS pos1,
+       |              CAST(sum((1 - t) * y) AS BIGINT) AS pos0
+       |       FROM base GROUP BY s),
+       |st2 AS (SELECT *, n - n1 AS n0 FROM st),
+       |tm AS (SELECT n, n1, pos1, pos0,
+       |         CASE WHEN n1 > 0 AND n0 > 0 THEN CAST(floor(
+       |           (CAST(pos1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       |            - CAST(pos0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+       |           * CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+       |           ELSE CAST(0 AS BIGINT) END AS ate_t,
+       |         CASE WHEN n1 > 0 AND n0 > 0 THEN CAST(floor(
+       |           (CAST(pos1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       |            - CAST(pos0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+       |           * CAST(n1 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+       |           ELSE CAST(0 AS BIGINT) END AS att_t
+       |       FROM st2),
+       |ag AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(n1) AS BIGINT) AS n_treated,
+       |              CAST(sum(pos1) AS BIGINT) AS pos1t, CAST(sum(pos0) AS BIGINT) AS pos0t,
+       |              CAST(sum(ate_t) AS BIGINT) AS ate_num,
+       |              CAST(sum(att_t) AS BIGINT) AS att_num
+       |       FROM tm)
+       |SELECT n, n_treated,
+       |  pos1t * 1000000 // n_treated - pos0t * 1000000 // (n - n_treated) AS naive_e6,
+       |  CAST(floor(CAST(ate_num AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS ate_e6,
+       |  CAST(floor(CAST(att_num AS DOUBLE) / CAST(n_treated AS DOUBLE) + 0.5) AS BIGINT)
+       |    AS att_e6
+       |FROM ag""".stripMargin
 
   /** Kaplan–Meier replay: exact-micros durations (ts_ns // 1000, hour DIV),
     * exact-BIGINT risk sets via the bounded before-window, one e6 ln per
@@ -5662,6 +5713,7 @@ object SparkEntry {
     "q_cms_counts" -> CmsOracleSql,
     "q_hll_md5" -> HllOracleSql,
     "q_survival_km" -> SurvivalOracleSql,
+    "q_stratified_ate" -> CausalOracleSql,
     "q_conformal_coverage" -> ConformalOracleSql,
     "q_fdr_bh" -> FdrBhOracleSql,
     "q_k_anonymity" -> KAnonOracleSql,
