@@ -2410,6 +2410,17 @@ object SparkEntry {
           Tables(s, d).events, "user_id", "event_type", "purchase"),
         "duration_h", "observed")
     },
+    // log-rank (Mantel-Haenszel) test between md5 arms over the SAME
+    // censored time-to-purchase durations as q_survival_km — the
+    // time-to-event A/B test: per-event-time 2x2 tables, e6-quantized
+    // E/V terms over exact-BIGINT risk sets, z through the shared
+    // Zelen-Severo tail (operators.Survival.logRank)
+    "q_logrank_arms" -> { (s, d) =>
+      val dur = graft.operators.Survival.timeToEvent(
+        Tables(s, d).events, "user_id", "event_type", "purchase")
+        .withColumn("arm", graft.operators.HashSplit.md548(col("u")) % 2)
+      graft.operators.Survival.logRank(dur, "duration_h", "observed", "arm")
+    },
     // deterministic HyperLogLog twin of q_hll_rollup: md5-48 registers
     // (p=6, m=64), EXACT dyadic harmonic sum in BIGINT, linear-counting
     // small-range branch, plus a max-merged ALL row proving sketch
@@ -3538,6 +3549,69 @@ object SparkEntry {
        |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
        |    AS na_e6
        |FROM e""".stripMargin
+
+  /** Log-rank replay: the q_survival_km duration derivation + the KS-arms
+    * md5 split, per-duration 2×2 grid, exact-BIGINT per-arm risk sets via
+    * the bounded before-window, E/V terms as fixed-spelling doubles over
+    * exact integers (every factor cast individually) e6-quantized per
+    * event time, z and the Zelen–Severo two-sided tail replayed verbatim.
+    */
+  private lazy val LogRankOracleSql: String =
+    s"""WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_ns(ts) // 1000 AS t_us
+       |            FROM events),
+       |pu AS (SELECT u, min(t_us) AS t0,
+       |              min(CASE WHEN et = 'purchase' THEN t_us END) AS tev,
+       |              max(t_us) AS tl
+       |       FROM ev GROUP BY u),
+       |dur AS (SELECT (coalesce(tev, tl) - t0) // 3600000000 AS t,
+       |               tev IS NOT NULL AS obs,
+       |               ('0x' || substring(md5(CAST(u AS VARCHAR)), 1, 12))::BIGINT % 2 AS arm
+       |        FROM pu),
+       |g AS (SELECT t,
+       |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS an0,
+       |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS an1,
+       |        CAST(sum(CASE WHEN arm = 0 AND obs THEN 1 ELSE 0 END) AS BIGINT) AS dd0,
+       |        CAST(sum(CASE WHEN arm = 1 AND obs THEN 1 ELSE 0 END) AS BIGINT) AS dd1
+       |      FROM dur GROUP BY t),
+       |nn AS (SELECT CAST(sum(an0) AS BIGINT) AS nn0,
+       |              CAST(sum(an1) AS BIGINT) AS nn1 FROM g),
+       |r AS (SELECT t, dd0, dd1, nn.nn0, nn.nn1,
+       |        nn.nn0 - CAST(coalesce(sum(an0) OVER (
+       |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS n0r,
+       |        nn.nn1 - CAST(coalesce(sum(an1) OVER (
+       |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS n1r
+       |      FROM g CROSS JOIN nn),
+       |e AS (SELECT nn0, nn1, dd0, dd1, n0r, n1r,
+       |             dd0 + dd1 AS d, n0r + n1r AS nr
+       |      FROM r WHERE dd0 + dd1 > 0),
+       |tm AS (SELECT nn0, nn1, dd0, dd1,
+       |         CAST(floor(CAST(d AS DOUBLE) * CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE)
+       |              * 1000000.0 + 0.5) AS BIGINT) AS eterm,
+       |         CASE WHEN nr > 1 THEN CAST(floor(
+       |             CAST(d AS DOUBLE) * CAST(nr - d AS DOUBLE)
+       |             * CAST(n0r AS DOUBLE) * CAST(n1r AS DOUBLE)
+       |             / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE) * CAST(nr - 1 AS DOUBLE))
+       |             * 1000000.0 + 0.5) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS vterm
+       |       FROM e),
+       |ag AS (SELECT CAST(max(nn0) AS BIGINT) AS n0, CAST(max(nn1) AS BIGINT) AS n1,
+       |              CAST(sum(dd0) AS BIGINT) AS o0, CAST(sum(dd1) AS BIGINT) AS o1,
+       |              CAST(sum(eterm) AS BIGINT) AS e1_e6,
+       |              CAST(sum(vterm) AS BIGINT) AS v_e6
+       |       FROM tm),
+       |zz AS (SELECT n0, n1, o0, o1, e1_e6, v_e6,
+       |         CASE WHEN v_e6 > 0 THEN CAST(o1 * 1000000 - e1_e6 AS DOUBLE)
+       |              / (1000.0 * sqrt(CAST(v_e6 AS DOUBLE))) END AS z
+       |       FROM ag),
+       |tq AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zz)
+       |SELECT n0, n1, o0, o1, e1_e6, v_e6,
+       |       CAST(floor(z * 1000000.0 + 0.5) AS BIGINT) AS z_e6,
+       |       CAST(floor(2.0 * (exp(-0.5 * abs(z) * abs(z)) * 0.3989422804014327
+       |         * (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+       |              - 0.356563782) * t + 0.319381530) * t))
+       |         * 1000000.0 + 0.5) AS BIGINT) AS p_e6
+       |FROM tq""".stripMargin
 
   /** HLL replay: the identical md5-48 hash split into (low-6-bit register,
     * 42-bit remainder), `length(bin(x))` highest-set-bit, exact-BIGINT
@@ -5713,6 +5787,7 @@ object SparkEntry {
     "q_cms_counts" -> CmsOracleSql,
     "q_hll_md5" -> HllOracleSql,
     "q_survival_km" -> SurvivalOracleSql,
+    "q_logrank_arms" -> LogRankOracleSql,
     "q_stratified_ate" -> CausalOracleSql,
     "q_conformal_coverage" -> ConformalOracleSql,
     "q_fdr_bh" -> FdrBhOracleSql,

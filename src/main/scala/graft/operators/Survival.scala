@@ -57,6 +57,67 @@ object Survival {
         col("tev").isNotNull.as("observed"))
   }
 
+  /** Two-sample log-rank (Mantel–Haenszel 1966) test between arms 0 and 1
+    * of a censored durations table — the time-to-event A/B test that
+    * belongs next to [[kaplanMeier]]: "do the two arms share a survival
+    * curve?", aggregating the per-event-time 2×2 tables into
+    * O₁ − E₁ over its hypergeometric variance.
+    *
+    * One summary row `(n0, n1, o0, o1, e1_e6, v_e6, z_e6, p_e6)`: arm
+    * sizes, observed events per arm, Σ E₁ᵢ = Σ dᵢ·n₁ᵢ/nᵢ and
+    * Σ Vᵢ = Σ dᵢ·(nᵢ−dᵢ)·n₀ᵢ·n₁ᵢ/(nᵢ²·(nᵢ−1)) (both e6-quantized PER
+    * EVENT TIME before the exact integer sums — the PSI per-term rule),
+    * z = (O₁−E₁)/√V and the two-sided p-value through the shared
+    * Zelen–Severo tail ([[MultipleTesting.normSf]]). Degenerate inputs
+    * (no events, or V = 0 because one arm never co-exists with events)
+    * yield NULL z/p by the same CASE on both engines.
+    *
+    * Replay discipline: risk sets per arm are exact BIGINTs from the same
+    * bounded before-window as [[kaplanMeier]]; each E/V term is ONE
+    * fixed-spelling double expression over exact integers (every factor
+    * cast individually — no BIGINT product that could hit the ANSI 2⁶³
+    * ceiling at corpus scale). Scale shape: one map-side-combined groupBy
+    * collapses the corpus onto the per-duration grid; every window and
+    * the final 1-row aggregate run over that bounded table.
+    */
+  def logRank(durations: DataFrame, durCol: String, obsCol: String,
+      armCol: String): DataFrame = {
+    val g = durations.groupBy(col(durCol).as("t"))
+      .agg(
+        sum(when(col(armCol) === 0L, 1L).otherwise(0L)).as("an0"),
+        sum(when(col(armCol) === 1L, 1L).otherwise(0L)).as("an1"),
+        sum(when(col(armCol) === 0L && col(obsCol), 1L).otherwise(0L)).as("dd0"),
+        sum(when(col(armCol) === 1L && col(obsCol), 1L).otherwise(0L)).as("dd1"))
+    val tot = g.agg(sum(col("an0")).as("nn0"), sum(col("an1")).as("nn1"))
+    val before = Window.orderBy(col("t")).rowsBetween(Window.unboundedPreceding, -1)
+    val risky = g.crossJoin(broadcast(tot))
+      .withColumn("n0r", col("nn0") - coalesce(sum(col("an0")).over(before), lit(0L)))
+      .withColumn("n1r", col("nn1") - coalesce(sum(col("an1")).over(before), lit(0L)))
+      .withColumn("d", col("dd0") + col("dd1"))
+      .withColumn("nr", col("n0r") + col("n1r"))
+      .filter(col("d") > 0L)
+    val eterm = floor(col("d").cast("double") * col("n1r").cast("double")
+      / col("nr").cast("double") * lit(1000000.0d) + lit(0.5d)).cast("long")
+    val vterm = when(col("nr") > 1L,
+      floor(col("d").cast("double") * (col("nr") - col("d")).cast("double")
+        * col("n0r").cast("double") * col("n1r").cast("double")
+        / (col("nr").cast("double") * col("nr").cast("double")
+          * (col("nr") - lit(1L)).cast("double"))
+        * lit(1000000.0d) + lit(0.5d)).cast("long")).otherwise(lit(0L))
+    val ag = risky.agg(
+      max(col("nn0")).as("n0"), max(col("nn1")).as("n1"),
+      sum(col("dd0")).as("o0"), sum(col("dd1")).as("o1"),
+      sum(eterm).as("e1_e6"), sum(vterm).as("v_e6"))
+    val z = (col("o1") * lit(1000000L) - col("e1_e6")).cast("double") /
+      (lit(1000.0d) * sqrt(col("v_e6").cast("double")))
+    ag.select(col("n0"), col("n1"), col("o0"), col("o1"), col("e1_e6"), col("v_e6"),
+      when(col("v_e6") > 0L,
+        floor(z * lit(1000000.0d) + lit(0.5d)).cast("long")).as("z_e6"),
+      when(col("v_e6") > 0L,
+        floor(lit(2.0d) * MultipleTesting.normSf(abs(z)) * lit(1000000.0d)
+          + lit(0.5d)).cast("long")).as("p_e6"))
+  }
+
   /** `(t, n_risk, d, km_ln_e6, na_e6)` — one row per duration bucket with
     * at least one observed event, ordered facts: n_risk subjects at risk at
     * t, d events at t, cumulative ln-survival (e6, NULL once S hits 0) and

@@ -52,4 +52,33 @@ final class SurvivalSpec extends AnyFunSuite {
     val expected = dur.filter(org.apache.spark.sql.functions.col("duration_h") >= t0).count()
     assert(n0 === expected)
   }
+
+  test("log-rank: planted separation rejects, A/A accepts") {
+    // arm 0 dies at t=1..10, arm 1 at t=11..20 — total separation
+    val sep = ((1L to 10L).map(t => (t, true, 0L)) ++
+      (11L to 20L).map(t => (t, true, 1L)))
+      .toDF("duration_h", "observed", "arm")
+    val r = Survival.logRank(sep, "duration_h", "observed", "arm").collect().head
+    assert(r.getLong(0) === 10L && r.getLong(1) === 10L) // n0, n1
+    assert(r.getLong(2) === 10L && r.getLong(3) === 10L) // o0, o1
+    // arm 1 outlives arm 0: O1 < E1 -> z negative, strongly significant
+    assert(r.getLong(6) < 0L, s"z_e6 = ${r.getLong(6)}")
+    assert(r.getLong(7) < 50000L, s"p_e6 = ${r.getLong(7)}")
+
+    // A/A: identical duration multisets per arm (even event counts so the
+    // per-time E1 = d/2 is exact) -> z exactly 0, p exactly 1
+    val aa = (1L to 8L).flatMap(t => Seq((t, true, 0L), (t, true, 1L)))
+      .toDF("duration_h", "observed", "arm")
+    val r2 = Survival.logRank(aa, "duration_h", "observed", "arm").collect().head
+    assert(r2.getLong(6) === 0L)
+    assert(r2.getLong(7) === 1000000L)
+  }
+
+  test("log-rank: degenerate single-arm input yields NULL z/p") {
+    val solo = Seq((1L, true, 0L), (2L, true, 0L))
+      .toDF("duration_h", "observed", "arm")
+    val r = Survival.logRank(solo, "duration_h", "observed", "arm").collect().head
+    // every event time has n1r = 0 -> all V terms 0 -> no test statistic
+    assert(r.isNullAt(6) && r.isNullAt(7))
+  }
 }
