@@ -3168,7 +3168,7 @@ object SparkEntry {
       .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
     s"""WITH base AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x FROM documents),
        |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       |         CAST(floor(CAST(sum(x) * 1000000 AS DOUBLE)
+       |         CAST(floor(CAST(sum(x) AS DOUBLE) * 1000000.0
        |              / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_e6
        |       FROM base),
        |rep AS (SELECT id, x, unnest(range(0, $B)) AS b FROM base),
@@ -3178,7 +3178,7 @@ object SparkEntry {
        |       FROM rep),
        |ww AS (SELECT b, x, CAST($wExpr AS BIGINT) AS w FROM uw),
        |rm AS (SELECT b,
-       |         CAST(floor(CAST(sum(w * x) * 1000000 AS DOUBLE)
+       |         CAST(floor(CAST(sum(w * x) AS DOUBLE) * 1000000.0
        |              / CAST(sum(w) AS DOUBLE) + 0.5) AS BIGINT) AS m
        |       FROM ww GROUP BY b HAVING sum(w) > 0),
        |rk AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS rn FROM rm),
@@ -3290,7 +3290,7 @@ object SparkEntry {
        |         CAST(floor(
        |           CAST(o * nn - rsum * csum AS DOUBLE)
        |           * CAST(o * nn - rsum * csum AS DOUBLE)
-       |           / CAST(nn * rsum * csum AS DOUBLE)
+       |           / (CAST(nn AS DOUBLE) * CAST(rsum AS DOUBLE) * CAST(csum AS DOUBLE))
        |           * 1000000.0 + 0.5) AS BIGINT) AS term_e6
        |  FROM grid),
        |ag AS (
@@ -3797,7 +3797,7 @@ object SparkEntry {
     s"""WITH base AS (SELECT source AS g, doc_id AS id, CAST(n_chars AS BIGINT) AS x
        |              FROM documents),
        |pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
-       |         CAST(floor(CAST(sum(x) * 1000000 AS DOUBLE)
+       |         CAST(floor(CAST(sum(x) AS DOUBLE) * 1000000.0
        |              / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_e6
        |       FROM base GROUP BY g),
        |rep AS (SELECT g, id, x, unnest(range(0, $B)) AS b FROM base),
@@ -3807,7 +3807,7 @@ object SparkEntry {
        |       FROM rep),
        |ww AS (SELECT g, b, x, CAST($wExpr AS BIGINT) AS w FROM uw),
        |rm AS (SELECT g, b,
-       |         CAST(floor(CAST(sum(w * x) * 1000000 AS DOUBLE)
+       |         CAST(floor(CAST(sum(w * x) AS DOUBLE) * 1000000.0
        |              / CAST(sum(w) AS DOUBLE) + 0.5) AS BIGINT) AS m
        |       FROM ww GROUP BY g, b HAVING sum(w) > 0),
        |rk AS (SELECT g, m, b,
@@ -3841,8 +3841,8 @@ object SparkEntry {
        |         CAST(sum(CASE WHEN a = 1 THEN x ELSE 0 END) AS BIGINT) AS s1
        |       FROM bb),
        |ptd AS (SELECT n0, n1,
-       |          CAST(floor(CAST(s1 * 1000000 AS DOUBLE) / CAST(n1 AS DOUBLE) + 0.5) AS BIGINT)
-       |          - CAST(floor(CAST(s0 * 1000000 AS DOUBLE) / CAST(n0 AS DOUBLE) + 0.5) AS BIGINT)
+       |          CAST(floor(CAST(s1 AS DOUBLE) * 1000000.0 / CAST(n1 AS DOUBLE) + 0.5) AS BIGINT)
+       |          - CAST(floor(CAST(s0 AS DOUBLE) * 1000000.0 / CAST(n0 AS DOUBLE) + 0.5) AS BIGINT)
        |            AS diff_e6
        |        FROM pt),
        |rep AS (SELECT id, a, x, unnest(range(0, $B)) AS b FROM bb),
@@ -3852,9 +3852,9 @@ object SparkEntry {
        |       FROM rep),
        |ww AS (SELECT b, a, x, CAST($wExpr AS BIGINT) AS w FROM uw),
        |rm AS (SELECT b,
-       |         CAST(floor(CAST(sum(CASE WHEN a = 1 THEN w * x ELSE 0 END) * 1000000 AS DOUBLE)
+       |         CAST(floor(CAST(sum(CASE WHEN a = 1 THEN w * x ELSE 0 END) AS DOUBLE) * 1000000.0
        |              / CAST(sum(CASE WHEN a = 1 THEN w ELSE 0 END) AS DOUBLE) + 0.5) AS BIGINT)
-       |         - CAST(floor(CAST(sum(CASE WHEN a = 0 THEN w * x ELSE 0 END) * 1000000 AS DOUBLE)
+       |         - CAST(floor(CAST(sum(CASE WHEN a = 0 THEN w * x ELSE 0 END) AS DOUBLE) * 1000000.0
        |              / CAST(sum(CASE WHEN a = 0 THEN w ELSE 0 END) AS DOUBLE) + 0.5) AS BIGINT) AS m
        |       FROM ww GROUP BY b
        |       HAVING sum(CASE WHEN a = 0 THEN w ELSE 0 END) > 0

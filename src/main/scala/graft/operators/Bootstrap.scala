@@ -19,8 +19,11 @@ import org.apache.spark.sql.functions._
   *     (`Double.toString` round-trips, the GmmOracle constant precedent);
   *     the tail truncates at w = 8 — P(X > 7) < 1.1·10⁻⁵, far below the
   *     CI's resolution;
-  *   - a replicate mean is ONE division of exact BIGINT sums
-  *     (`⌊Σwx·10⁶ / Σw + ½⌋` — values must satisfy |Σwx|·10⁶ < 2⁵³);
+  *   - a replicate mean is ONE fixed-spelling double expression over the
+  *     exact BIGINT sums (`⌊double(Σwx)·10⁶ / Σw + ½⌋` — each sum cast to
+  *     double BEFORE the 10⁶ multiply, so there is no ANSI 2⁶³ ceiling;
+  *     identical IEEE result for |Σwx|·10⁶ < 2⁵³, same spelling in the
+  *     SQL replay);
   *   - CI bounds are exact order statistics over the B replicate means
   *     (`row_number` by (mean, b) — total order, engine-identical).
   *
@@ -69,7 +72,7 @@ object Bootstrap {
     val base = df.select(col(idCol).as("_id"), col(valueCol).cast("long").as("_x"))
     val point = base.agg(
       count(lit(1)).as("n_rows"),
-      floor((sum(col("_x")) * lit(1000000L)).cast("double")
+      floor(sum(col("_x")).cast("double") * lit(1000000.0d)
         / count(lit(1)).cast("double") + lit(0.5d)).cast("long").as("mean_e6"))
     val reps = base
       .select(col("_id"), col("_x"),
@@ -83,7 +86,7 @@ object Bootstrap {
       .agg(sum(col("w")).as("sw"), sum(col("w") * col("_x")).as("swx"))
       .filter(col("sw") > 0L)
       .select(col("b"),
-        floor((col("swx") * lit(1000000L)).cast("double")
+        floor(col("swx").cast("double") * lit(1000000.0d)
           / col("sw").cast("double") + lit(0.5d)).cast("long").as("m"))
     // bounded: the window orders the B-row replicate table, never the corpus
     val ranked = reps.withColumn("rn",
@@ -118,7 +121,7 @@ object Bootstrap {
       col(valueCol).cast("long").as("_x"))
     val point = base.groupBy(col("_g")).agg(
       count(lit(1)).as("n_rows"),
-      floor((sum(col("_x")) * lit(1000000L)).cast("double")
+      floor(sum(col("_x")).cast("double") * lit(1000000.0d)
         / count(lit(1)).cast("double") + lit(0.5d)).cast("long").as("mean_e6"))
     val reps = base
       .select(col("_g"), col("_id"), col("_x"),
@@ -132,7 +135,7 @@ object Bootstrap {
       .agg(sum(col("w")).as("sw"), sum(col("w") * col("_x")).as("swx"))
       .filter(col("sw") > 0L)
       .select(col("_g"), col("b"),
-        floor((col("swx") * lit(1000000L)).cast("double")
+        floor(col("swx").cast("double") * lit(1000000.0d)
           / col("sw").cast("double") + lit(0.5d)).cast("long").as("m"))
     val ranked = reps.withColumn("rn",
       row_number().over(Window.partitionBy(col("_g")).orderBy(col("m"), col("b"))))
@@ -166,7 +169,7 @@ object Bootstrap {
     val base = df.select(col(idCol).as("_id"), col(valueCol).cast("long").as("_x"),
       col(armCol).cast("long").as("_a"))
     def meanE6(swx: org.apache.spark.sql.Column, sw: org.apache.spark.sql.Column) =
-      floor((swx * lit(1000000L)).cast("double") / sw.cast("double") + lit(0.5d))
+      floor(swx.cast("double") * lit(1000000.0d) / sw.cast("double") + lit(0.5d))
         .cast("long")
     val point = base.agg(
       sum(when(col("_a") === 0L, 1L).otherwise(0L)).as("n0"),

@@ -36,8 +36,13 @@ object ChiSquare {
     val term = grid.withColumn("dv",
       (col("o") * col("nn") - col("rs") * col("cs")).cast("double"))
       .withColumn("term_e6",
+        // each factor cast to double INDIVIDUALLY: the BIGINT product
+        // nn·rs·cs approaches n³ and would hit the ANSI 2⁶³ ceiling at a
+        // few million rows; the double product never overflows and is
+        // bit-identical for in-range inputs (same spelling in the oracle)
         floor(col("dv") * col("dv")
-          / (col("nn") * col("rs") * col("cs")).cast("double")
+          / (col("nn").cast("double") * col("rs").cast("double")
+            * col("cs").cast("double"))
           * lit(1000000.0d) + lit(0.5d)).cast("long"))
     term
       .groupBy(col("nn"))

@@ -29,13 +29,28 @@ object Isotonic {
 
   /** `(score_micros, n, pos, raw_rate_micros, iso_rate_micros)` per
     * distinct score, iso rates monotone in score.
+    *
+    * `maxTiers` makes the tiered-score contract LOUD (the RangeJoin
+    * bucket-cap precedent): feeding raw continuous scores would silently
+    * cube the tier count into the minimax enumeration, so tier
+    * `maxTiers + 1`, if it exists, raises instead of exploding.
     */
-  def calibrate(df: DataFrame, scoreCol: String, labelCol: String): DataFrame = {
+  def calibrate(df: DataFrame, scoreCol: String, labelCol: String,
+      maxTiers: Int = 200): DataFrame = {
+    require(maxTiers >= 1, "maxTiers must be positive")
     val tiers = df.groupBy(col(scoreCol).cast("long").as("s"))
       .agg(count(lit(1)).as("n"),
         sum(when(col(labelCol) === 1, 1L).otherwise(0L)).as("pos"))
-    // bounded by contract: the window ranks the tier table
-    val ranked = tiers.withColumn("k", row_number().over(Window.orderBy(col("s"))))
+    // bounded by contract: the window ranks the tier table; the guard
+    // rides on k itself so column pruning can never elide it
+    val ranked = tiers
+      .withColumn("k", row_number().over(Window.orderBy(col("s"))))
+      .withColumn("k",
+        when(col("k") > maxTiers, raise_error(concat(
+          lit(s"Isotonic.calibrate: more than $maxTiers distinct scores — " +
+            "bucket or ladder the score first (tier "),
+          col("k").cast("string"), lit(")"))))
+          .otherwise(col("k")))
     val pre = ranked.select(col("k"), col("s"), col("n"), col("pos"))
     val a = pre.select(col("k").as("i"), col("n").as("ni"), col("pos").as("pi"))
     val b = pre.select(col("k").as("j"))

@@ -61,12 +61,20 @@ object UnigramLm {
   /** Trained piece table `(piece, cnt, logp_micro)` from a `(word, n)`
     * frequency frame.
     */
-  /** The ASCII ≤ MaxWordLen training restriction — one spelling shared by
-    * train / encode / fertility so the word population cannot drift.
+  /** The ASCII ≤ MaxWordLen training restriction as a column predicate —
+    * one spelling shared by train / encode / fertility AND the live token
+    * meter ([[graft.streaming.StreamTokenize]]) so the word population
+    * cannot drift: a word outside it is never trained on and must count
+    * as uncovered (0 pieces) wherever the table is applied, even when the
+    * Viterbi kernel could technically segment it (a 13+-char ASCII token
+    * would otherwise diverge engine vs oracle).
     */
+  def isTrainingWord(w: Column): Column =
+    w.rlike("^[\\x21-\\x7e]{1," + MaxWordLen + "}$")
+
   private def trainingWords(wordCounts: DataFrame): DataFrame =
     wordCounts
-      .filter(col("word").rlike("^[\\x21-\\x7e]{1," + MaxWordLen + "}$"))
+      .filter(isTrainingWord(col("word")))
       .select(col("word"), col("n"))
 
   def train(

@@ -19,7 +19,13 @@ import org.apache.spark.sql.functions._
   */
 object StreamTokenize {
 
-  /** `(doc_id, n_words, n_pieces, n_uncovered)` per document. */
+  /** `(doc_id, n_words, n_pieces, n_uncovered)` per document. Words
+    * outside the training population ([[graft.operators.UnigramLm
+    * .isTrainingWord]] — non-ASCII or longer than MaxWordLen) count as
+    * uncovered with 0 pieces even when the kernel could segment them:
+    * the table was never trained on them, and the oracle builds piece
+    * counts from the training-word set only.
+    */
   def pieceCounts(
       docs: DataFrame,
       table: Map[String, Long],
@@ -27,7 +33,9 @@ object StreamTokenize {
   ): DataFrame = {
     val toks = graft.functions.TextFunctions.tokens(col("text"))
     val perWord = transform(toks, w =>
-      size(graft.expressions.UnigramSegment.segment(w, table, maxPiece)).cast("long"))
+      when(graft.operators.UnigramLm.isTrainingWord(w),
+        size(graft.expressions.UnigramSegment.segment(w, table, maxPiece)).cast("long"))
+        .otherwise(lit(0L)))
     docs.select(
       col("doc_id"),
       size(toks).cast("long").as("n_words"),

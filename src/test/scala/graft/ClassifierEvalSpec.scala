@@ -96,6 +96,21 @@ final class ClassifierEvalSpec extends AnyFunSuite {
     assert(got.map(t => t._2 * t._5).sum === got.map(_._3).sum * 1000000L)
   }
 
+  test("isotonic: over-cap tier count fails loudly, at-cap passes") {
+    import graft.operators.Isotonic
+    import spark.implicits._
+    val five = (1L to 5L).map(s => (s * 10L, (s % 2).toInt))
+      .toDF("score_micros", "label")
+    val e = intercept[Exception] {
+      Isotonic.calibrate(five, "score_micros", "label", maxTiers = 4).collect()
+    }
+    assert(e.getMessage.contains("distinct scores") ||
+      Option(e.getCause).exists(_.getMessage.contains("distinct scores")))
+    // exactly at the cap: no raise, all tiers emitted
+    assert(Isotonic.calibrate(five, "score_micros", "label", maxTiers = 5)
+      .count() === 5L)
+  }
+
   test("agreement: degenerate one-class margins report 0") {
     import spark.implicits._
     val df = Seq.fill(10)((0L, 1)).toDF("score_micros", "label")

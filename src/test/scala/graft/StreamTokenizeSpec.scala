@@ -44,6 +44,17 @@ final class StreamTokenizeSpec extends AnyFunSuite {
     assert(got === Seq((1L, 3L, 4L, 0L), (2L, 2L, 1L, 1L)))
   }
 
+  test("out-of-population words count uncovered even when segmentable") {
+    // "aaaaaaaaaaaab" is 13 chars — past MaxWordLen, so it was never a
+    // training word. The kernel COULD segment it from chars; the meter
+    // must still report it uncovered (0 pieces) to stay aligned with the
+    // oracle's training-word piece population.
+    val docs = Seq((1L, "ab aaaaaaaaaaaab")).toDF("doc_id", "text")
+    val got = StreamTokenize.pieceCounts(docs, table)
+      .as[(Long, Long, Long, Long)].collect().head
+    assert(got === ((1L, 2L, 1L, 1L)))
+  }
+
   test("trained-table integration: zero uncovered on the training corpus") {
     val wc = Seq(("spark", 5L), ("park", 3L)).toDF("word", "n")
     val t = graft.operators.UnigramLm.train(spark, wc)
