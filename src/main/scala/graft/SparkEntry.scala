@@ -1840,13 +1840,8 @@ object SparkEntry {
       val corpus = base.filter(col("vec_id") < 2000)
         .unionByName(base.filter(col("vec_id").between(1, 3))
           .select((-col("vec_id")).as("vec_id"), col("embedding"), col("label")))
-      val assigned = KMeansReplay.assignments(s, corpus, "embedding", 64, 8, 3)
-        .select(col("vec_id"), col("cid").as("cluster_id"))
-        .join(corpus, Seq("vec_id"))
-      val drop = SemanticDedup.pairsWithin(assigned, threshold = 0.9)
-        .select(col("id2").as("vec_id")).distinct()
-      corpus.join(drop, Seq("vec_id"), "left_anti")
-        .groupBy(col("label")).agg(count(lit(1)).as("n_survivors"))
+      SemanticDedup.dedupDeterministicSurvivors(
+        s, corpus, "label", d = 64, k = 8, rounds = 3, threshold = 0.9)
     },
     // Gopher/C4-family repetition filters — one codegen'd projection,
     // zero shuffle (operators.Repetition)

@@ -84,6 +84,47 @@ object SemanticDedup {
       .filter(col("cos") >= threshold)
   }
 
+  /** The fully-deterministic SemDeDup pipeline (the hash-oracled twin of
+    * [[dedup]]): [[KMeansReplay]] geometry clustering → within-cluster
+    * cosine pairs → keep-first survivor counts per `labelCol`.
+    *
+    * Materialization discipline (this query was the bench's slowest at
+    * 2× the field): the corpus union and the quantized point table are
+    * persisted ONCE and shared by the seed scan, every Lloyd round and
+    * the final assignment, and the assignment is localCheckpoint'ed
+    * eagerly before [[pairsWithin]] — whose cap-window plus self-join
+    * otherwise re-executes the whole k-means assignment DAG once per
+    * join side. Everything here is bounded (the corpus is a contract-
+    * sized subset; centers are a k×d driver object), so the checkpoint
+    * is a few thousand rows.
+    */
+  def dedupDeterministicSurvivors(
+      spark: org.apache.spark.sql.SparkSession,
+      corpus: DataFrame,
+      labelCol: String,
+      d: Int,
+      k: Int,
+      rounds: Int,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): DataFrame = {
+    val c = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pts = KMeansReplay.quantize(c, vecCol, d)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centers = KMeansReplay.trainedCenters(spark, pts, k, rounds)
+      val assigned = KMeansReplay.assign(spark, pts, centers)
+        .select(col(idCol), col("cid").as("cluster_id"))
+        .join(c, Seq(idCol))
+        .localCheckpoint(true)
+      val drop = pairsWithin(assigned, threshold, idCol, vecCol)
+        .select(col("id2").as(idCol)).distinct()
+      c.join(drop, Seq(idCol), "left_anti")
+        .groupBy(col(labelCol)).agg(count(lit(1)).as("n_survivors"))
+    } finally pts.unpersist()
+  }
+
   /** The deduplicated corpus: every row of `df` that does NOT have a
     * detected twin with a smaller id (greedy keep-first — an id is dropped
     * if ANY smaller id is near-identical, whether or not that smaller id
