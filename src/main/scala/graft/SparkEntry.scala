@@ -1572,6 +1572,27 @@ object SparkEntry {
     "q_zipf_by_source" -> { (s, d) =>
       graft.operators.Zipf.slopes(Tables(s, d).documents, groupCols = Seq("source"))
     },
+    // Zipf-slope drift across consecutive corpus slices (the monitoring
+    // view the PSI family gives numeric columns, applied to the rank-
+    // frequency fingerprint): 8 equal doc-order windows (q_vocab_growth's
+    // decile spelling), per-window slope through the SHARED Zipf pipeline,
+    // drift = slope delta vs the previous window as exact e6 integers —
+    // a flattening delta flags template/boilerplate contamination in new
+    // data. The only unpartitioned window runs over the 8 slice rows.
+    "q_zipf_drift" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val tot = docs.agg(count(lit(1)).as("n_docs"))
+      val sliced = docs.crossJoin(broadcast(tot))
+        .withColumn("win", expr("doc_id * 8 DIV n_docs"))
+      val slopeE6 = when(col("den") === 0L, lit(0L))
+        .otherwise(floor(col("num").cast("double") / col("den").cast("double")
+          * lit(1000000.0d) + lit(0.5d)).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("win"))
+      graft.operators.Zipf.slopes(sliced, groupCols = Seq("win"))
+        .withColumn("slope_e6", slopeE6)
+        .withColumn("drift_e6", col("slope_e6") - lag(col("slope_e6"), 1).over(w))
+        .select(col("win"), col("nw"), col("slope_e6"), col("drift_e6"))
+    },
     // C4-style blocklist content filter: word-boundary hits counted over
     // the SAME token spelling every text operator shares; keep = any-hit
     // drop (the C4 policy) — zero-shuffle projection
@@ -2382,6 +2403,29 @@ object SparkEntry {
       graft.operators.CountMin.audit(Tables(s, d).events, "user_id", d = 4, w = 64, k = 20)
         .withColumnRenamed("item", "user_id")
     },
+    // sketch-bracket CONTRACT (the q_hll_rollup_checked pattern, closing
+    // the MG/CMS pair into a self-checking system): per exact-top-20 user,
+    // Misra-Gries lower bound <= exact <= CMS estimate, plus the MG slack
+    // guarantee exact - mg_lb <= n/(k+1). The MG bound itself is
+    // order-dependent (lower-bound semantics), so the hashed columns are
+    // the BOOLEANS — structurally TRUE in the oracle; a broken sketch
+    // flips the hash
+    "q_sketch_bracket" -> { (s, d) =>
+      val ev = Tables(s, d).events
+      val kMg = 64
+      val mgLb = coalesce(try_element_at(col("mgm"), col("item")), lit(0L))
+      val mg = ev.agg(
+        graft.expressions.FreqSketch
+          .freq_sketch(col("user_id").cast("string"), kMg).as("mgm"),
+        count(when(col("user_id").isNotNull, 1)).as("n_total"))
+      graft.operators.CountMin.audit(ev, "user_id", d = 4, w = 64, k = 20)
+        .crossJoin(broadcast(mg))
+        .select(col("item").as("user_id"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("overcount"),
+          (mgLb <= col("exact_n")).as("lower_ok"),
+          ((col("exact_n") - mgLb) * (kMg + 1) <= col("n_total")).as("slack_ok"),
+          (mgLb <= col("exact_n") && col("exact_n") <= col("est_n")).as("bracket_ok"))
+    },
     // stratified causal-effect battery over a CONFOUNDED exposure (added-
     // to-cart → purchase, confounded by view activity): naive risk diff vs
     // direct-standardization ATE (≡ saturated-propensity IPW) vs ATT, with
@@ -2393,6 +2437,19 @@ object SparkEntry {
         col("label").cast("long").as("y"),
         least(col("view_count"), lit(8)).as("stratum"))
       graft.operators.Causal.stratifiedEffects(f, "t", "y", "stratum")
+    },
+    // the uncertainty row q_stratified_ate ships without: percentile
+    // bootstrap CI for the SAME stratified ATE, Poisson replicate weights
+    // from md5-48(user_session:b) — the Bootstrap machinery composed
+    // through Causal's exact per-stratum algebra, fully replayable
+    "q_ate_bootstrap" -> { (s, d) =>
+      val f = sessionFeatures(s, d).select(
+        col("user_session"),
+        when(col("cart_count") >= 1, lit(1L)).otherwise(lit(0L)).as("t"),
+        col("label").cast("long").as("y"),
+        least(col("view_count"), lit(8)).as("stratum"))
+      graft.operators.Causal.stratifiedAteBootstrap(
+        f, "t", "y", "stratum", "user_session", b = 100)
     },
     // Kaplan–Meier product-limit survival + Nelson–Aalen cumulative hazard
     // for time-to-first-purchase (hour buckets; users without a purchase
@@ -2415,6 +2472,31 @@ object SparkEntry {
         Tables(s, d).events, "user_id", "event_type", "purchase")
         .withColumn("arm", graft.operators.HashSplit.md548(col("u")) % 2)
       graft.operators.Survival.logRank(dur, "duration_h", "observed", "arm")
+    },
+    // stratified (Mantel-Haenszel-pooled) log-rank: same arms, risk sets
+    // and E/V terms computed WITHIN per-user activity tiers (event-count
+    // DIV 20 capped at 3) and summed before the single z — the test to
+    // reach for when arms are imbalanced across a hazard-shifting
+    // covariate (operators.Survival.logRankStratified)
+    "q_logrank_strat" -> { (s, d) =>
+      val ev = Tables(s, d).events
+      val dur = graft.operators.Survival.timeToEvent(
+        ev, "user_id", "event_type", "purchase")
+        .withColumn("arm", graft.operators.HashSplit.md548(col("u")) % 2)
+      val tiers = ev.groupBy(col("user_id").as("u"))
+        .agg(count(lit(1)).as("n_ev"))
+        .select(col("u"), expr("least(n_ev DIV 20, 3)").as("tier"))
+      graft.operators.Survival.logRankStratified(
+        dur.join(tiers, Seq("u")), "duration_h", "observed", "arm", "tier")
+    },
+    // eps-DP mean release with explicit accounting: n_chars clamped to
+    // [0, 2000], Laplace(R/eps_s) on the shifted sum + Laplace(1/eps_c)
+    // on the count (md5-replayable draws), quotient clamped back as pure
+    // post-processing, eps_total = eps_s + eps_c by sequential
+    // composition (operators.Privacy.dpMean)
+    "q_dp_mean" -> { (s, d) =>
+      graft.operators.Privacy.dpMean(Tables(s, d).documents, "n_chars",
+        lo = 0L, hi = 2000L, epsSum = 0.5, epsCount = 0.5, salt = "dp-r15")
     },
     // deterministic HyperLogLog twin of q_hll_rollup: md5-48 registers
     // (p=6, m=64), EXACT dyadic harmonic sum in BIGINT, linear-counting
@@ -3506,6 +3588,69 @@ object SparkEntry {
        |    AS att_e6
        |FROM ag""".stripMargin
 
+  /** Stratified-ATE bootstrap replay: the CausalOracleSql point chain, the
+    * BootstrapOracleSql Poisson weight chain keyed by user_session:b, the
+    * per-(replicate, stratum) weighted contingency BIGINTs through the
+    * identical e6-per-stratum / floor(x+0.5) ATE spelling, CI bounds as
+    * fixed-rank order statistics over the B replicate ATEs.
+    */
+  private lazy val AteBootstrapOracleSql: String = {
+    val B = 100
+    val loRank = math.max(1, math.floor(B * 0.025d).toInt)
+    val hiRank = math.min(B, math.ceil(B * 0.975d).toInt)
+    val wExpr = graft.operators.Bootstrap.PoissonCdf
+      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""$FeaturesSql,
+       |base AS (SELECT user_session AS id,
+       |                CASE WHEN cart_count >= 1 THEN 1 ELSE 0 END AS t,
+       |                label AS y, least(view_count, 8) AS s
+       |         FROM features),
+       |st AS (SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS n1,
+       |              CAST(sum(t * y) AS BIGINT) AS pos1,
+       |              CAST(sum((1 - t) * y) AS BIGINT) AS pos0
+       |       FROM base GROUP BY s),
+       |st2 AS (SELECT *, n - n1 AS n0 FROM st),
+       |tm AS (SELECT n, n1,
+       |         CASE WHEN n1 > 0 AND n0 > 0 THEN CAST(floor(
+       |           (CAST(pos1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+       |            - CAST(pos0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+       |           * CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+       |           ELSE CAST(0 AS BIGINT) END AS ate_t
+       |       FROM st2),
+       |pt AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(n1) AS BIGINT) AS n_treated,
+       |              CAST(floor(CAST(sum(ate_t) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+       |                   + 0.5) AS BIGINT) AS ate_e6
+       |       FROM tm),
+       |rep AS (SELECT id, t, y, s, unnest(range(0, $B)) AS b FROM base),
+       |uw AS (SELECT b, t, y, s,
+       |         CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || ':' || b), 1, 12))::BIGINT
+       |              AS DOUBLE) / ${graft.operators.Bootstrap.TwoPow48} AS u
+       |       FROM rep),
+       |ww AS (SELECT b, t, y, s, CAST($wExpr AS BIGINT) AS w FROM uw),
+       |rs AS (SELECT b, s, CAST(sum(w) AS BIGINT) AS nw,
+       |              CAST(sum(w * t) AS BIGINT) AS n1w,
+       |              CAST(sum(w * t * y) AS BIGINT) AS pos1w,
+       |              CAST(sum(w * (1 - t) * y) AS BIGINT) AS pos0w
+       |       FROM ww GROUP BY b, s),
+       |rs2 AS (SELECT *, nw - n1w AS n0w FROM rs),
+       |rtm AS (SELECT b, nw,
+       |          CASE WHEN n1w > 0 AND n0w > 0 THEN CAST(floor(
+       |            (CAST(pos1w AS DOUBLE) / CAST(n1w AS DOUBLE)
+       |             - CAST(pos0w AS DOUBLE) / CAST(n0w AS DOUBLE))
+       |            * CAST(nw AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+       |            ELSE CAST(0 AS BIGINT) END AS ate_t
+       |        FROM rs2),
+       |rm AS (SELECT b, CAST(floor(CAST(sum(ate_t) AS DOUBLE)
+       |              / CAST(sum(nw) AS DOUBLE) + 0.5) AS BIGINT) AS m
+       |       FROM rtm GROUP BY b HAVING sum(nw) > 0),
+       |rk AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS rn FROM rm),
+       |lo AS (SELECT m AS lo_e6 FROM rk WHERE rn = $loRank),
+       |hi AS (SELECT m AS hi_e6 FROM rk WHERE rn = $hiRank)
+       |SELECT pt.n, pt.n_treated, pt.ate_e6, CAST($B AS INT) AS b_reps,
+       |       lo.lo_e6, hi.hi_e6
+       |FROM pt CROSS JOIN lo CROSS JOIN hi""".stripMargin
+  }
+
   /** Kaplan–Meier replay: exact-micros durations (ts_ns // 1000, hour DIV),
     * exact-BIGINT risk sets via the bounded before-window, one e6 ln per
     * event time BEFORE the cumulative sum, pure-integer Nelson–Aalen terms
@@ -3607,6 +3752,126 @@ object SparkEntry {
        |              - 0.356563782) * t + 0.319381530) * t))
        |         * 1000000.0 + 0.5) AS BIGINT) AS p_e6
        |FROM tq""".stripMargin
+
+  /** Stratified log-rank replay: the LogRankOracleSql chain with the grid,
+    * totals, and before-windows keyed/partitioned by the per-user activity
+    * tier, E/V terms e6-quantized per (stratum, time), strata-summed
+    * BEFORE the single z — identical term spellings throughout.
+    */
+  private lazy val LogRankStratOracleSql: String =
+    s"""WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_ns(ts) // 1000 AS t_us
+       |            FROM events),
+       |pu AS (SELECT u, min(t_us) AS t0,
+       |              min(CASE WHEN et = 'purchase' THEN t_us END) AS tev,
+       |              max(t_us) AS tl, CAST(count(*) AS BIGINT) AS n_ev
+       |       FROM ev GROUP BY u),
+       |dur AS (SELECT least(n_ev // 20, 3) AS st,
+       |               (coalesce(tev, tl) - t0) // 3600000000 AS t,
+       |               tev IS NOT NULL AS obs,
+       |               ('0x' || substring(md5(CAST(u AS VARCHAR)), 1, 12))::BIGINT % 2 AS arm
+       |        FROM pu),
+       |g AS (SELECT st, t,
+       |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS an0,
+       |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS an1,
+       |        CAST(sum(CASE WHEN arm = 0 AND obs THEN 1 ELSE 0 END) AS BIGINT) AS dd0,
+       |        CAST(sum(CASE WHEN arm = 1 AND obs THEN 1 ELSE 0 END) AS BIGINT) AS dd1
+       |      FROM dur GROUP BY st, t),
+       |tot AS (SELECT st, CAST(sum(an0) AS BIGINT) AS nn0,
+       |               CAST(sum(an1) AS BIGINT) AS nn1 FROM g GROUP BY st),
+       |r AS (SELECT g.st, g.t, g.dd0, g.dd1,
+       |        tot.nn0 - CAST(coalesce(sum(g.an0) OVER (PARTITION BY g.st
+       |          ORDER BY g.t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS n0r,
+       |        tot.nn1 - CAST(coalesce(sum(g.an1) OVER (PARTITION BY g.st
+       |          ORDER BY g.t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+       |          AS BIGINT) AS n1r
+       |      FROM g JOIN tot ON tot.st = g.st),
+       |e AS (SELECT dd0, dd1, n0r, n1r, dd0 + dd1 AS d, n0r + n1r AS nr
+       |      FROM r WHERE dd0 + dd1 > 0),
+       |tm AS (SELECT dd0, dd1,
+       |         CAST(floor(CAST(d AS DOUBLE) * CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE)
+       |              * 1000000.0 + 0.5) AS BIGINT) AS eterm,
+       |         CASE WHEN nr > 1 THEN CAST(floor(
+       |             CAST(d AS DOUBLE) * CAST(nr - d AS DOUBLE)
+       |             * CAST(n0r AS DOUBLE) * CAST(n1r AS DOUBLE)
+       |             / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE) * CAST(nr - 1 AS DOUBLE))
+       |             * 1000000.0 + 0.5) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS vterm
+       |       FROM e),
+       |sz AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
+       |              CAST(sum(nn0) AS BIGINT) AS n0,
+       |              CAST(sum(nn1) AS BIGINT) AS n1 FROM tot),
+       |ag AS (SELECT CAST(sum(dd0) AS BIGINT) AS o0, CAST(sum(dd1) AS BIGINT) AS o1,
+       |              CAST(sum(eterm) AS BIGINT) AS e1_e6,
+       |              CAST(sum(vterm) AS BIGINT) AS v_e6
+       |       FROM tm),
+       |zz AS (SELECT sz.n_strata, sz.n0, sz.n1, ag.o0, ag.o1, ag.e1_e6, ag.v_e6,
+       |         CASE WHEN ag.v_e6 > 0 THEN CAST(ag.o1 * 1000000 - ag.e1_e6 AS DOUBLE)
+       |              / (1000.0 * sqrt(CAST(ag.v_e6 AS DOUBLE))) END AS z
+       |       FROM sz CROSS JOIN ag),
+       |tq AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zz)
+       |SELECT n_strata, n0, n1, o0, o1, e1_e6, v_e6,
+       |       CAST(floor(z * 1000000.0 + 0.5) AS BIGINT) AS z_e6,
+       |       CAST(floor(2.0 * (exp(-0.5 * abs(z) * abs(z)) * 0.3989422804014327
+       |         * (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
+       |              - 0.356563782) * t + 0.319381530) * t))
+       |         * 1000000.0 + 0.5) AS BIGINT) AS p_e6
+       |FROM tq""".stripMargin
+
+  /** DP-mean replay: the exact clamp-shift sum/count BIGINTs, both Laplace
+    * draws from the identical md5-48 "salt:sum"/"salt:count" uniforms with
+    * the scale constants spliced via Double.toString, the same
+    * clamped-quotient post-processing, eps accounting as constants.
+    */
+  private lazy val DpMeanOracleSql: String = {
+    val bSum = (2000.0d - 0.0d) / 0.5d
+    val bCnt = 1.0d / 0.5d
+    s"""WITH ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(least(greatest(CAST(n_chars AS BIGINT), 0), 2000) - 0)
+       |                   AS BIGINT) AS s
+       |            FROM documents),
+       |nz AS (SELECT n, s,
+       |         2.0 * ((('0x' || substring(md5('dp-r15:sum'), 1, 12))::BIGINT + 0.5)
+       |                / 281474976710656.0) - 1.0 AS cs,
+       |         2.0 * ((('0x' || substring(md5('dp-r15:count'), 1, 12))::BIGINT + 0.5)
+       |                / 281474976710656.0) - 1.0 AS cc
+       |       FROM ag),
+       |rel AS (SELECT n,
+       |          CAST(s AS DOUBLE) + (-$bSum) * sign(cs) * ln(1.0 - abs(cs)) AS ns,
+       |          greatest(CAST(n AS DOUBLE) + (-$bCnt) * sign(cc) * ln(1.0 - abs(cc)),
+       |                   CAST(1.0 AS DOUBLE)) AS nn
+       |        FROM nz)
+       |SELECT n, CAST(500000 AS BIGINT) AS eps_sum_e6,
+       |       CAST(500000 AS BIGINT) AS eps_count_e6,
+       |       CAST(1000000 AS BIGINT) AS eps_total_e6,
+       |       CAST(floor((greatest(CAST(0.0 AS DOUBLE),
+       |              least(CAST(2000.0 AS DOUBLE), ns / nn)) + 0.0)
+       |            * 1000000.0 + 0.5) AS BIGINT) AS released_mean_e6
+       |FROM rel""".stripMargin
+  }
+
+  /** Sketch-bracket replay: the CmsOracleSql counter/probe chain for the
+    * exact and CMS columns; the MG booleans are the STRUCTURAL guarantees
+    * (lower bound / n-over-k-plus-1 slack) emitted as literal TRUE — the
+    * q_hll_rollup_checked pattern: only a broken sketch can flip them.
+    */
+  private lazy val SketchBracketOracleSql: String =
+    s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
+       |hx AS (SELECT item, j,
+       |              ('0x' || substring(md5(item || ':' || j), 1, 12))::BIGINT % 64 AS h
+       |       FROM ev CROSS JOIN range(0, 4) t(j)),
+       |ctr AS (SELECT j, h, CAST(count(*) AS BIGINT) AS c FROM hx GROUP BY 1, 2),
+       |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_n FROM ev GROUP BY 1),
+       |top AS (SELECT item, exact_n FROM ex ORDER BY exact_n DESC, item LIMIT 20),
+       |pr AS (SELECT t.item, t.exact_n, r.j,
+       |              ('0x' || substring(md5(t.item || ':' || r.j), 1, 12))::BIGINT % 64 AS h
+       |       FROM top t CROSS JOIN range(0, 4) r(j)),
+       |est AS (SELECT pr.item, pr.exact_n, CAST(min(ctr.c) AS BIGINT) AS est_n
+       |        FROM pr JOIN ctr ON ctr.j = pr.j AND ctr.h = pr.h
+       |        GROUP BY 1, 2)
+       |SELECT item AS user_id, exact_n, est_n, est_n - exact_n AS overcount,
+       |       TRUE AS lower_ok, TRUE AS slack_ok,
+       |       est_n >= exact_n AS bracket_ok
+       |FROM est""".stripMargin
 
   /** HLL replay: the identical md5-48 hash split into (low-6-bit register,
     * 42-bit remainder), `length(bin(x))` highest-set-bit, exact-BIGINT
@@ -5783,7 +6048,11 @@ object SparkEntry {
     "q_hll_md5" -> HllOracleSql,
     "q_survival_km" -> SurvivalOracleSql,
     "q_logrank_arms" -> LogRankOracleSql,
+    "q_logrank_strat" -> LogRankStratOracleSql,
+    "q_dp_mean" -> DpMeanOracleSql,
+    "q_sketch_bracket" -> SketchBracketOracleSql,
     "q_stratified_ate" -> CausalOracleSql,
+    "q_ate_bootstrap" -> AteBootstrapOracleSql,
     "q_conformal_coverage" -> ConformalOracleSql,
     "q_fdr_bh" -> FdrBhOracleSql,
     "q_k_anonymity" -> KAnonOracleSql,
@@ -6027,6 +6296,32 @@ object SparkEntry {
          |                 / CAST(nw * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5)
          |                 / 1000000.0 END AS slope
          |FROM a""".stripMargin,
+    // the q_zipf_by_source chain keyed by the 8 doc-order slices, slope
+    // as e6 BIGINT, drift via lag over the 8 slice rows
+    "q_zipf_drift" ->
+      s"""WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |toks AS (SELECT doc_id * 8 // n_docs AS win, unnest($TokensSql) AS w
+         |         FROM documents CROSS JOIN nd),
+         |wc AS (SELECT win, w, count(*) AS n FROM toks GROUP BY win, w),
+         |r AS (SELECT win, n,
+         |             row_number() OVER (PARTITION BY win ORDER BY n DESC, w) AS rk
+         |      FROM wc QUALIFY rk <= 100),
+         |q AS (SELECT win, CAST(floor(ln(rk) * 1000000.0 + 0.5) AS BIGINT) AS x,
+         |             CAST(floor(ln(n) * 1000000.0 + 0.5) AS BIGINT) AS y FROM r),
+         |a AS (SELECT win, count(*) AS nw, CAST(sum(x) AS BIGINT) AS sx,
+         |             CAST(sum(y) AS BIGINT) AS sy,
+         |             CAST(sum(x * y) AS BIGINT) AS sxy,
+         |             CAST(sum(x * x) AS BIGINT) AS sxx FROM q GROUP BY win),
+         |sl AS (SELECT win, nw,
+         |         CASE WHEN nw * sxx - sx * sx = 0 THEN CAST(0 AS BIGINT)
+         |              ELSE CAST(floor(CAST(nw * sxy - sx * sy AS DOUBLE)
+         |                   / CAST(nw * sxx - sx * sx AS DOUBLE) * 1000000.0 + 0.5)
+         |                   AS BIGINT)
+         |         END AS slope_e6
+         |       FROM a)
+         |SELECT win, nw, slope_e6,
+         |       slope_e6 - lag(slope_e6, 1) OVER (ORDER BY win) AS drift_e6
+         |FROM sl""".stripMargin,
     // same micro-quantized ln terms, exact integer sums, one replayed
     // floor-6 division
     "q_zipf_slope" ->

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Stratified (standardization) causal-effect estimators for a binary
@@ -69,5 +70,90 @@ object Causal {
         .cast("long").as("ate_e6"),
       floor(col("att_num").cast("double") / col("n_treated").cast("double") + lit(0.5d))
         .cast("long").as("att_e6"))
+  }
+
+  /** Percentile bootstrap CI for the stratified ATE — the uncertainty the
+    * point estimate in [[stratifiedEffects]] ships without. Composes the
+    * Poisson-replicate machinery of [[Bootstrap]] (per-(row, replicate)
+    * Poisson(1) weights from the portable md5-48 uniform of `id:b` — no
+    * coordinated resampling, the only bootstrap that works at 100 TB)
+    * through the SAME per-stratum algebra: within each replicate every
+    * count becomes its w-weighted sum (n→Σw, n₁→Σw·t, pos₁→Σw·t·y,
+    * pos₀→Σw·(1−t)·y), strata violating positivity IN THAT REPLICATE
+    * contribute zero by the identical HT-with-zero convention, each
+    * stratum contrast is e6-quantized before the exact integer sum, and
+    * the replicate ATE is one floor(x+0.5) division. CI bounds are exact
+    * order statistics over the B replicate ATEs (`row_number` by
+    * (ate, b) — total order, engine-identical).
+    *
+    * One row `(n, n_treated, ate_e6, b_reps, lo_e6, hi_e6)`: the exact
+    * point estimate from [[stratifiedEffects]] plus the percentile CI.
+    * A replicate with zero total weight (probability ~e⁻ⁿ) is excluded on
+    * both engines alike.
+    *
+    * Scale shape: the replicate explode is CPU-only blow-up — the
+    * (b, stratum) groupBy map-side-combines to ≤ B·|strata| partials per
+    * partition, the per-replicate rollup and the rank window run over
+    * B-row tables. Nothing driver-side, nothing corpus-sized past the
+    * first aggregate.
+    */
+  def stratifiedAteBootstrap(
+      df: DataFrame,
+      treatCol: String,
+      outcomeCol: String,
+      stratumCol: String,
+      idCol: String,
+      b: Int = 100,
+      loPct: Double = 0.025d,
+      hiPct: Double = 0.975d): DataFrame = {
+    require(b >= 10 && b <= 10000, "b in 10..10000")
+    val loRank = math.max(1, math.floor(b * loPct).toInt)
+    val hiRank = math.min(b, math.ceil(b * hiPct).toInt)
+    val t = col(treatCol).cast("long")
+    val y = col(outcomeCol).cast("long")
+    val base = df.select(col(idCol).as("_id"), t.as("_t"), y.as("_y"),
+      col(stratumCol).as("_s"))
+    val point = stratifiedEffects(
+      base.withColumnRenamed("_t", "t").withColumnRenamed("_y", "y")
+        .withColumnRenamed("_s", "s"), "t", "y", "s")
+      .select(col("n"), col("n_treated"), col("ate_e6"))
+    val reps = base
+      .select(col("_id"), col("_t"), col("_y"), col("_s"),
+        explode(sequence(lit(0), lit(b - 1))).as("b"))
+      .withColumn("u",
+        HashSplit.md548(concat(col("_id").cast("string"), lit(":"), col("b").cast("string")))
+          .cast("double") / lit(Bootstrap.TwoPow48))
+      .withColumn("w",
+        Bootstrap.PoissonCdf.map(c => when(col("u") >= lit(c), 1L).otherwise(0L))
+          .reduce(_ + _))
+      .groupBy(col("b"), col("_s"))
+      .agg(
+        sum(col("w")).as("nw"),
+        sum(col("w") * col("_t")).as("n1w"),
+        sum(col("w") * col("_t") * col("_y")).as("pos1w"),
+        sum(col("w") * (lit(1L) - col("_t")) * col("_y")).as("pos0w"))
+      .withColumn("n0w", col("nw") - col("n1w"))
+    val contrast = col("pos1w").cast("double") / col("n1w").cast("double") -
+      col("pos0w").cast("double") / col("n0w").cast("double")
+    val ok = col("n1w") > 0L && col("n0w") > 0L
+    val perRep = reps.groupBy(col("b"))
+      .agg(
+        sum(col("nw")).as("tn"),
+        sum(when(ok, e6(contrast * col("nw").cast("double"))).otherwise(lit(0L)))
+          .as("ate_num"))
+      .filter(col("tn") > 0L)
+      .select(col("b"),
+        floor(col("ate_num").cast("double") / col("tn").cast("double") + lit(0.5d))
+          .cast("long").as("m"))
+    // bounded: the window orders the B-row replicate table, never the corpus
+    val ranked = perRep.withColumn("rn",
+      row_number().over(Window.orderBy(col("m"), col("b"))))
+    val lo = ranked.filter(col("rn") === loRank).select(col("m").as("lo_e6"))
+    val hi = ranked.filter(col("rn") === hiRank).select(col("m").as("hi_e6"))
+    point
+      .crossJoin(broadcast(lo))
+      .crossJoin(broadcast(hi))
+      .select(col("n"), col("n_treated"), col("ate_e6"), lit(b).as("b_reps"),
+        col("lo_e6"), col("hi_e6"))
   }
 }

@@ -47,7 +47,7 @@ object KMeansReplay {
   /** Nearest-center assignment under the exact-integer distance:
     * `(vec_id, cid, dist)`, ties to the smaller cid.
     */
-  private[operators] def assign(
+  private[graft] def assign(
       spark: SparkSession,
       pts: DataFrame,
       centers: Seq[(Long, Seq[Long])]): DataFrame = {
@@ -80,7 +80,10 @@ object KMeansReplay {
   /** The round-`rounds` center table over a pre-quantized `(vec_id, xq)`
     * frame — the bounded driver object the final assignment (and the IVF
     * coarse quantizer, [[IvfReplay]]) score against. Callers should cache
-    * `pts`; each round scans it twice (assign + sufficient statistics).
+    * `pts`; each round is ONE job over a single `pts` scan — the argmin
+    * aggregate carries `xq` through (`first` over rows that all share the
+    * point's xq, so the value is deterministic), which removes the
+    * assign-then-rejoin second scan a round used to pay.
     */
   private[operators] def trainedCenters(
       spark: SparkSession,
@@ -90,25 +93,66 @@ object KMeansReplay {
     var centers = seedCenters(pts, k)
     var r = 0
     while (r < rounds) {
-      // k·d (cid, pos) partial sums — a bounded driver object, exact longs.
-      val stats = assign(spark, pts, centers)
-        .join(pts, "vec_id")
-        .select(col("cid"), posexplode(col("xq")))
-        .groupBy("cid", "pos")
-        .agg(sum("col").as("s"), count(lit(1)).as("n"))
-        .collect()
-      centers = stats
-        .groupBy(_.getLong(0))
-        .toSeq
-        .map { case (cid, rows) =>
-          val dims = rows.sortBy(_.getInt(1)).map { row =>
-            val s = row.getLong(2)
-            val n = row.getLong(3)
-            math.floor(s.toDouble / n.toDouble + 0.5).toLong
-          }
-          (cid, dims.toSeq)
+      centers = lloydRound(spark, pts, centers)
+      r += 1
+    }
+    centers
+  }
+
+  /** One Lloyd update: assign + k·d (cid, pos) partial sums in a single
+    * `pts` scan (the argmin aggregate carries xq through), new centers as
+    * rounded integer divisions — a bounded driver object, exact longs.
+    */
+  private def lloydRound(
+      spark: SparkSession,
+      pts: DataFrame,
+      centers: Seq[(Long, Seq[Long])]): Seq[(Long, Seq[Long])] = {
+    import spark.implicits._
+    val cdf = centers.toDF("cid", "cx")
+    val stats = pts
+      .crossJoin(broadcast(cdf))
+      .withColumn(
+        "dist",
+        aggregate(
+          zip_with(col("xq"), col("cx"), (a, b) => (a - b) * (a - b)),
+          lit(0L),
+          (acc, v) => acc + v))
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("cid"))).as("m"), first(col("xq")).as("xq"))
+      .select(col("m.cid").as("cid"), posexplode(col("xq")))
+      .groupBy("cid", "pos")
+      .agg(sum("col").as("s"), count(lit(1)).as("n"))
+      .collect()
+    stats
+      .groupBy(_.getLong(0))
+      .toSeq
+      .map { case (cid, rows) =>
+        val dims = rows.sortBy(_.getInt(1)).map { row =>
+          val s = row.getLong(2)
+          val n = row.getLong(3)
+          math.floor(s.toDouble / n.toDouble + 0.5).toLong
         }
-        .sortBy(_._1)
+        (cid, dims.toSeq)
+      }
+      .sortBy(_._1)
+  }
+
+  /** Dev-only: [[trainedCenters]] with per-round wall-time prints (used by
+    * `graft.tools.ProfileSemDedup`; no production caller).
+    */
+  private[graft] def trainedCentersProfiled(
+      spark: SparkSession,
+      pts: DataFrame,
+      k: Int,
+      rounds: Int): Seq[(Long, Seq[Long])] = {
+    val t0 = System.nanoTime()
+    var centers = seedCenters(pts, k)
+    println(f"[profile]   seed               ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    var r = 0
+    while (r < rounds) {
+      val t1 = System.nanoTime()
+      centers = lloydRound(spark, pts, centers)
+      println(f"[profile]   round $r            ${(System.nanoTime() - t1) / 1e9}%.2f s")
       r += 1
     }
     centers

@@ -72,6 +72,46 @@ object Privacy {
     * per release and keep it secret — the mechanism and its calibration
     * are what this operator carries).
     */
+  /** ε-DP mean release (the v2 the histogram query leaves open): the
+    * standard clamp-shift-split mechanism with explicit ε-accounting.
+    * Values clamp to [lo, hi] (shifted to [0, R], R = hi−lo, so the
+    * add/remove-one sensitivity of the shifted sum is exactly R and of
+    * the count exactly 1); Laplace(R/εₛ) noise on the shifted sum and
+    * Laplace(1/ε_c) on the count (each inverse-CDF'd from the portable
+    * md5-48 uniform of "salt:sum" / "salt:count" — deterministic replay,
+    * same caveat as [[dpHistogram]]); the released mean is the noisy
+    * quotient clamped back to [0, R] (pure post-processing) plus lo.
+    * Total budget ε = εₛ + ε_c by sequential composition — emitted as
+    * e6 columns so the release carries its own accounting.
+    *
+    * One row: `(n, eps_sum_e6, eps_count_e6, eps_total_e6,
+    * released_mean_e6)`. Scale shape: one map-side-combined 1-row
+    * aggregate; the noise splice is driver-free constant arithmetic.
+    */
+  def dpMean(df: DataFrame, valueCol: String, lo: Long, hi: Long,
+      epsSum: Double, epsCount: Double, salt: String): DataFrame = {
+    require(hi > lo, "hi must exceed lo")
+    require(epsSum > 0 && epsCount > 0, "epsilons must be positive")
+    val r = (hi - lo).toDouble
+    def lap(key: String, b: Double): Column = {
+      val h = HashSplit.md548(lit(salt + ":" + key))
+      val u = (h.cast("double") + lit(0.5d)) / lit(281474976710656.0d) // 2^48
+      val c = lit(2.0d) * u - lit(1.0d)
+      lit(-b) * signum(c) * log(lit(1.0d) - abs(c))
+    }
+    val shifted = least(greatest(col(valueCol).cast("long"), lit(lo)), lit(hi)) - lit(lo)
+    val agg = df.agg(count(lit(1)).as("n"), sum(shifted).as("s"))
+    val noisySum = col("s").cast("double") + lap("sum", r / epsSum)
+    val noisyN = greatest(col("n").cast("double") + lap("count", 1.0d / epsCount),
+      lit(1.0d))
+    val mean = greatest(lit(0.0d), least(lit(r), noisySum / noisyN)) + lit(lo.toDouble)
+    agg.select(col("n"),
+      lit(math.floor(epsSum * 1e6 + 0.5).toLong).as("eps_sum_e6"),
+      lit(math.floor(epsCount * 1e6 + 0.5).toLong).as("eps_count_e6"),
+      lit(math.floor((epsSum + epsCount) * 1e6 + 0.5).toLong).as("eps_total_e6"),
+      floor(mean * lit(1000000.0d) + lit(0.5d)).cast("long").as("released_mean_e6"))
+  }
+
   def dpHistogram(df: DataFrame, keyCol: String, eps: Double, salt: String): DataFrame = {
     require(eps > 0, "epsilon must be positive")
     val counts = df.groupBy(col(keyCol).cast("string").as("key"))

@@ -109,20 +109,28 @@ object SemanticDedup {
       idCol: String = "vec_id",
       vecCol: String = "embedding"
   ): DataFrame = {
+    // KMeansReplay's point table is keyed `vec_id`; rename at the boundary
+    // so any idCol works (guarding the one collision that rename can't fix)
+    require(idCol == "vec_id" || !corpus.columns.contains("vec_id"),
+      "corpus already has a vec_id column; pass idCol = \"vec_id\"")
     val c = corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val pts = KMeansReplay.quantize(c, vecCol, d)
+    val pts = KMeansReplay.quantize(
+        if (idCol == "vec_id") c else c.withColumnRenamed(idCol, "vec_id"), vecCol, d)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val centers = KMeansReplay.trainedCenters(spark, pts, k, rounds)
       val assigned = KMeansReplay.assign(spark, pts, centers)
-        .select(col(idCol), col("cid").as("cluster_id"))
+        .select(col("vec_id").as(idCol), col("cid").as("cluster_id"))
         .join(c, Seq(idCol))
         .localCheckpoint(true)
       val drop = pairsWithin(assigned, threshold, idCol, vecCol)
         .select(col("id2").as(idCol)).distinct()
+      // eager: the |labels|-row result is checkpointed so BOTH persists can
+      // be released here instead of leaking one cached corpus per call
       c.join(drop, Seq(idCol), "left_anti")
         .groupBy(col(labelCol)).agg(count(lit(1)).as("n_survivors"))
-    } finally pts.unpersist()
+        .localCheckpoint(true)
+    } finally { pts.unpersist(); c.unpersist() }
   }
 
   /** The deduplicated corpus: every row of `df` that does NOT have a

@@ -118,6 +118,67 @@ object Survival {
           + lit(0.5d)).cast("long")).as("p_e6"))
   }
 
+  /** Stratified log-rank test — the [[logRank]] a reviewer asks for when
+    * arms are imbalanced across strata: per-stratum per-event-time 2×2
+    * tables, O₁−E₁ and V summed across strata BEFORE the single z
+    * (Mantel–Haenszel pooling), so a covariate that shifts both arm
+    * assignment and baseline hazard cannot masquerade as a treatment
+    * effect (the classic confounded-strata failure of the pooled test).
+    *
+    * One row `(n_strata, n0, n1, o0, o1, e1_e6, v_e6, z_e6, p_e6)` —
+    * identical term spellings to [[logRank]], with risk sets computed per
+    * stratum (the before-window partitions by stratum) and the E/V terms
+    * e6-quantized per (stratum, event time) before the exact integer
+    * sums. Degenerate inputs (V = 0) yield NULL z/p by the same CASE.
+    *
+    * Scale shape: one map-side-combined groupBy onto the per-(stratum,
+    * duration) grid (bounded by |strata|·|duration buckets|), a broadcast
+    * join of the |strata|-row totals, windows partitioned BY STRATUM over
+    * the bounded grid, and two 1-row aggregates spliced by broadcast.
+    */
+  def logRankStratified(durations: DataFrame, durCol: String, obsCol: String,
+      armCol: String, strataCol: String): DataFrame = {
+    val g = durations.groupBy(col(strataCol).as("st"), col(durCol).as("t"))
+      .agg(
+        sum(when(col(armCol) === 0L, 1L).otherwise(0L)).as("an0"),
+        sum(when(col(armCol) === 1L, 1L).otherwise(0L)).as("an1"),
+        sum(when(col(armCol) === 0L && col(obsCol), 1L).otherwise(0L)).as("dd0"),
+        sum(when(col(armCol) === 1L && col(obsCol), 1L).otherwise(0L)).as("dd1"))
+    val tot = g.groupBy(col("st"))
+      .agg(sum(col("an0")).as("nn0"), sum(col("an1")).as("nn1"))
+    val before = Window.partitionBy(col("st")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val risky = g.join(broadcast(tot), Seq("st"))
+      .withColumn("n0r", col("nn0") - coalesce(sum(col("an0")).over(before), lit(0L)))
+      .withColumn("n1r", col("nn1") - coalesce(sum(col("an1")).over(before), lit(0L)))
+      .withColumn("d", col("dd0") + col("dd1"))
+      .withColumn("nr", col("n0r") + col("n1r"))
+      .filter(col("d") > 0L)
+    val eterm = floor(col("d").cast("double") * col("n1r").cast("double")
+      / col("nr").cast("double") * lit(1000000.0d) + lit(0.5d)).cast("long")
+    val vterm = when(col("nr") > 1L,
+      floor(col("d").cast("double") * (col("nr") - col("d")).cast("double")
+        * col("n0r").cast("double") * col("n1r").cast("double")
+        / (col("nr").cast("double") * col("nr").cast("double")
+          * (col("nr") - lit(1L)).cast("double"))
+        * lit(1000000.0d) + lit(0.5d)).cast("long")).otherwise(lit(0L))
+    val sizes = tot.agg(count(lit(1)).as("n_strata"),
+      sum(col("nn0")).as("n0"), sum(col("nn1")).as("n1"))
+    val terms = risky.agg(
+      sum(col("dd0")).as("o0"), sum(col("dd1")).as("o1"),
+      sum(eterm).as("e1_e6"), sum(vterm).as("v_e6"))
+    val z = (col("o1") * lit(1000000L) - col("e1_e6")).cast("double") /
+      (lit(1000.0d) * sqrt(col("v_e6").cast("double")))
+    sizes.crossJoin(broadcast(terms))
+      .select(col("n_strata"), col("n0"), col("n1"), col("o0"), col("o1"),
+        col("e1_e6"), col("v_e6"),
+        when(col("v_e6") > 0L,
+          floor(z * lit(1000000.0d) + lit(0.5d)).cast("long")).as("z_e6"),
+        when(col("v_e6") > 0L,
+          floor(lit(2.0d) * MultipleTesting.normSf(abs(z)) * lit(1000000.0d)
+            + lit(0.5d)).cast("long")).as("p_e6"))
+  }
+
   /** `(t, n_risk, d, km_ln_e6, na_e6)` — one row per duration bucket with
     * at least one observed event, ordered facts: n_risk subjects at risk at
     * t, d events at t, cumulative ln-survival (e6, NULL once S hits 0) and

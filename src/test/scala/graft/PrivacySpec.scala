@@ -68,4 +68,36 @@ final class PrivacySpec extends AnyFunSuite {
     assert(err(10.0) <= err(1.0))
     assert(err(1.0) <= err(0.1))
   }
+
+  test("dp mean: accounting, clamped release, determinism, calibration") {
+    val vals = (1L to 200L).map(v => Tuple1(v % 100)).toDF("v")
+    def run(salt: String = "t", es: Double = 0.5, ec: Double = 0.5) =
+      Privacy.dpMean(vals, "v", lo = 0L, hi = 100L, epsSum = es, epsCount = ec, salt = salt)
+        .collect().head
+    val r = run()
+    assert(r.getAs[Long]("n") === 200L)
+    assert(r.getAs[Long]("eps_sum_e6") === 500000L)
+    assert(r.getAs[Long]("eps_count_e6") === 500000L)
+    assert(r.getAs[Long]("eps_total_e6") === 1000000L)
+    val rel = r.getAs[Long]("released_mean_e6")
+    // post-processing clamp: release always lands in [lo, hi]
+    assert(rel >= 0L && rel <= 100000000L)
+    assert(run().toSeq === r.toSeq) // same salt -> same release
+    // near-infinite budget -> release collapses onto the true mean (49.5)
+    val exact = run(es = 1e9, ec = 1e9).getAs[Long]("released_mean_e6")
+    assert(math.abs(exact - 49500000L) <= 10L, s"got $exact")
+  }
+
+  test("dp mean: one added row moves the release by at most the clamp bound") {
+    // identical salt -> identical noise draws, so the release difference is
+    // pure data sensitivity: the shifted sum moves by <= R and the count by
+    // 1, which bounds the mean shift well inside R for n >> 1
+    val base = (1L to 100L).map(v => Tuple1(50L)).toDF("v")
+    val plus = ((1L to 100L).map(v => Tuple1(50L)) :+ Tuple1(100000L)).toDF("v")
+    def rel(df: org.apache.spark.sql.DataFrame) =
+      Privacy.dpMean(df, "v", 0L, 100L, 0.5, 0.5, "t").collect().head
+        .getAs[Long]("released_mean_e6")
+    // the outlier clamps to hi=100: its influence is bounded by design
+    assert(math.abs(rel(plus) - rel(base)) <= 2L * 1000000L)
+  }
 }

@@ -81,4 +81,27 @@ final class SurvivalSpec extends AnyFunSuite {
     // every event time has n1r = 0 -> all V terms 0 -> no test statistic
     assert(r.isNullAt(6) && r.isNullAt(7))
   }
+
+  test("stratified log-rank: confounded strata fool the pooled test, not the stratified one") {
+    // stratum A: short durations (1..4), arm 1 holds 3/4 of subjects;
+    // stratum B: long durations (11..14), arm 0 holds 3/4. WITHIN each
+    // stratum the two arms die at identical times in identical proportions
+    // (per time: 1 arm-0 + 3 arm-1 deaths in A, 3 + 1 in B), so the true
+    // arm effect is nil — but pooled, arm 1 looks short-lived.
+    val rows =
+      (1L to 4L).flatMap(t => Seq((t, true, 0L, "A")) ++ Seq.fill(3)((t, true, 1L, "A"))) ++
+        (11L to 14L).flatMap(t => Seq.fill(3)((t, true, 0L, "B")) ++ Seq((t, true, 1L, "B")))
+    val df = rows.toDF("duration_h", "observed", "arm", "tier")
+    val pooled = Survival.logRank(df, "duration_h", "observed", "arm").collect().head
+    // pooled: arm 1 concentrated in the early-death stratum -> strong signal
+    assert(math.abs(pooled.getLong(6)) > 1000000L, s"pooled z_e6 = ${pooled.getLong(6)}")
+    val strat = Survival.logRankStratified(
+      df, "duration_h", "observed", "arm", "tier").collect().head
+    assert(strat.getAs[Long]("n_strata") === 2L)
+    assert(strat.getAs[Long]("n0") === 16L && strat.getAs[Long]("n1") === 16L)
+    // within-stratum arm proportions are constant over time, so O1 = E1
+    // exactly at every event time -> z exactly 0, p exactly 1
+    assert(strat.getAs[Long]("z_e6") === 0L, s"strat z_e6 = ${strat.getAs[Long]("z_e6")}")
+    assert(strat.getAs[Long]("p_e6") === 1000000L)
+  }
 }
