@@ -23,6 +23,23 @@ object Bench {
     // measure the plan, not first-touch class loading.
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
+    // The entry query doesn't touch MLlib (tree/ALS fits), heavy shuffle
+    // joins, or the codegen'd whole-row aggregates — so the first queries
+    // to exercise those paid their first-touch class loading inside their
+    // timed region (r15: q_rf_metrics 35.7 s cold vs 4.7 s median,
+    // q_similarity_join 33.3 vs 2.6). Warm those code paths untimed at the
+    // smallest SF: class loading and codegen depend on classes, not rows.
+    val warmDir = {
+      val small = "/root/testdata/sf0.001"
+      if (new java.io.File(small).isDirectory) small else sfDir
+    }
+    for (name <- Seq("q_rf_metrics", "q_similarity_join", "q_sgd_intent_scores", "q_als_recs"))
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
 
     // Forensics knobs (default = the driver's exact behavior):
     //   SPARK_GRAFT_BENCH_ONLY  comma-separated query-name filter
