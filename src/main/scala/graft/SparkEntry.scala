@@ -2011,6 +2011,20 @@ object SparkEntry {
         round(model.scoringColumn(cols.map(col)), 6).as("intent_score")
       )
     },
+    // the hash-oracled twin of q_sgd_intent_scores: SgdReplay's integer-
+    // micro full-batch trainer (min-max micro features, rational sigmoid,
+    // e6-quantized gradients — every sum an exact BIGINT), so the trained
+    // weights AND per-row scores replay bit-for-bit in DuckDB
+    "q_sgd_det" -> { (s, d) =>
+      val cols = IntentModel.FeatureCols.toSeq
+      val q = graft.ml.SgdReplay
+        .quantize(sessionFeatures(s, d), cols, Seq("user_session", "label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val model = graft.ml.SgdReplay.fit(q, cols.size, epochs = 4)
+      q.select(
+        col("user_session"), col("label"),
+        graft.ml.SgdReplay.scoreMicros(model, cols.size).as("score_micros"))
+    },
     "q_hourly_profile" -> { (s, d) =>
       Tables(s, d).events
         .groupBy(col("event_type"), hour(col("ts")).as("hour_of_day"))
@@ -7243,6 +7257,7 @@ object SparkEntry {
          |FROM t LEFT JOIN ck USING (doc_id)""".stripMargin,
     // generated full replay of the 3-round integer-micros Lloyd iteration
     "q_kmeans_clusters" -> KMeansOracleSql,
+    "q_sgd_det" -> SgdDetOracleSql,
     "q_knn_ivf_det" -> IvfDetOracleSql,
     "q_ivf_recall" -> IvfRecallOracleSql,
     "q_unigram_lm" -> UnigramLmOracleSql,
@@ -8101,6 +8116,69 @@ object SparkEntry {
        |  FROM sd JOIN pts p USING (vec_id) WHERE sd.cid < $K
        |),
        |${roundCtes.mkString(",\n")}""".stripMargin
+  }
+
+  /** Generated DuckDB replay of SgdReplay.fit over the session features
+    * (4 epochs, 6 min-max-micro features, lr=1): the FeaturesSql CTE feeds
+    * a min-max quantizer (min/max of doubles are order-free; quantization
+    * is floor((x-mn)/(mx-mn)*1e6+0.5), a fixed tree of single IEEE ops);
+    * each epoch is one CTE pair computing per-row margins t = wb*1e6 +
+    * Σ w_i*x_i (exact BIGINT), z = t/1e12 (one double division), the
+    * rational sigmoid 0.5 + 0.5*z/(1+abs(z)) (no transcendental — libm exp
+    * last-ulp drift is why DistributedSgd stays rows-only), the e6-
+    * quantized per-row gradient, and exact BIGINT gradient sums; weight
+    * updates replay the driver's floor(G/(n*1e6)+0.5) double spelling.
+    * Every number is either an exact BIGINT or one IEEE op both engines
+    * evaluate identically — the hash match is structural.
+    */
+  private lazy val SgdDetOracleSql: String = {
+    val feats = Seq("view_count", "cart_count", "session_duration",
+      "avg_price", "max_price", "unique_items")
+    val n = feats.size
+    val epochs = 4
+    val mmSel = feats.zipWithIndex.map { case (c, i) =>
+      s"min(CAST($c AS DOUBLE)) AS mn$i, max(CAST($c AS DOUBLE)) AS mx$i"
+    }.mkString(", ")
+    val fxSel = feats.zipWithIndex.map { case (c, i) =>
+      s"CASE WHEN mx$i > mn$i THEN CAST(floor((CAST($c AS DOUBLE) - mn$i) / (mx$i - mn$i) * 1000000.0 + 0.5) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS x$i"
+    }.mkString(",\n         ")
+    def zExpr(w: String) =
+      s"CAST($w.wb * 1000000 + " +
+        (0 until n).map(i => s"$w.w$i * f.x$i").mkString(" + ") +
+        " AS DOUBLE) / 1000000000000.0"
+    val e0 = (0 until n).map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ") +
+      ", CAST(0 AS BIGINT) AS wb"
+    val rounds = (1 to epochs).map { r =>
+      val sums = (0 until n).map(i => s"CAST(sum(gq * x$i) AS BIGINT) AS g$i").mkString(", ")
+      val upd = (0 until n).map(i =>
+        s"e.w$i - CAST(floor(CAST(g.g$i AS DOUBLE) / (CAST(g.n AS DOUBLE) * 1000000.0) + 0.5) AS BIGINT) AS w$i"
+      ).mkString(",\n         ")
+      s"""z$r AS (
+         |  SELECT f.*, ${zExpr("e")} AS z
+         |  FROM fx f CROSS JOIN e${r - 1} e),
+         |g$r AS (
+         |  SELECT $sums, CAST(sum(gq) AS BIGINT) AS gb, count(*) AS n
+         |  FROM (SELECT t.*, CAST(floor((0.5 + 0.5 * z / (1.0 + abs(z)) - CAST(label AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS gq
+         |        FROM z$r t) u),
+         |e$r AS (
+         |  SELECT $upd,
+         |         e.wb - CAST(floor(CAST(g.gb AS DOUBLE) / CAST(g.n AS DOUBLE) + 0.5) AS BIGINT) AS wb
+         |  FROM e${r - 1} e CROSS JOIN g$r g)""".stripMargin
+    }.mkString(",\n")
+    s"""$FeaturesSql,
+       |mm AS (SELECT $mmSel FROM features),
+       |fx AS (
+       |  SELECT user_session, label,
+       |         $fxSel
+       |  FROM features CROSS JOIN mm),
+       |e0 AS (SELECT $e0),
+       |$rounds,
+       |zf AS (
+       |  SELECT f.user_session, f.label, ${zExpr("e")} AS z
+       |  FROM fx f CROSS JOIN e$epochs e)
+       |SELECT user_session, label,
+       |       CAST(floor((0.5 + 0.5 * z / (1.0 + abs(z))) * 1000000.0 + 0.5) AS BIGINT) AS score_micros
+       |FROM zf""".stripMargin
   }
 
   private lazy val KMeansOracleSql: String =
