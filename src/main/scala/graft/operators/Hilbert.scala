@@ -27,10 +27,27 @@ object Hilbert {
 
   /** Append `outCol` = Hilbert index of (xCol, yCol) on the 2^bits-square
     * grid. Inputs clamp to `bits` bits via pmod (the [[ZOrder.zkey2]]
-    * contract); the index ranges over [0, 4^bits). Internal `_h_*` columns
-    * are dropped before return.
+    * contract); the index ranges over [0, 4^bits). Routes to the native
+    * [[graft.expressions.HilbertOps]] kernel (one codegen'd expression
+    * node); the unrolled Column spelling survives as [[withKeyUnrolled]]
+    * — the parity-spec reference and the shape the DuckDB oracle replays.
+    * Bit parity is pinned by HilbertSpec; if you change the kernel, rerun
+    * the q_hilbert_key oracle at 3 SFs.
     */
   def withKey(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      outCol: String,
+      bits: Int = 16
+  ): DataFrame =
+    df.withColumn(outCol,
+      graft.expressions.HilbertOps.hilbert_key(col(xCol), col(yCol), bits))
+
+  /** The pre-r16 unrolled per-bit-level projection chain — kept as the
+    * kernel's parity reference (the `VectorFunctions.cosineHof` pattern).
+    */
+  private[graft] def withKeyUnrolled(
       df: DataFrame,
       xCol: String,
       yCol: String,

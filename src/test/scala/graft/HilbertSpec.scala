@@ -59,4 +59,25 @@ class HilbertSpec extends AnyFunSuite {
       .select("hkey").as[Long].head()
     assert(got == xy2d(16, 70000L % 65536, ((-3L % 65536) + 65536) % 65536))
   }
+
+  test("native kernel ≡ unrolled Column spelling (incl. clamped inputs and nulls)") {
+    val r = new scala.util.Random(77)
+    val pts = (1 to 300).map(i =>
+      (i.toLong, r.nextLong() % 200000L, r.nextLong() % 200000L))
+    val df = pts.toDF("id", "x", "y")
+    for (bits <- Seq(4, 16)) {
+      val native = Hilbert.withKey(df, "x", "y", "hkey", bits)
+        .select("id", "hkey").as[(Long, Long)].collect().toMap
+      val unrolled = Hilbert.withKeyUnrolled(df, "x", "y", "hkey", bits)
+        .select("id", "hkey").as[(Long, Long)].collect().toMap
+      assert(native == unrolled, s"bits=$bits")
+    }
+    // null inputs propagate as null in both spellings
+    val withNull = Seq((1L, Some(5L), Option.empty[Long])).toDF("id", "x", "y")
+    val nNative = Hilbert.withKey(withNull, "x", "y", "hkey", 8)
+      .select("hkey").collect().head
+    val nUnrolled = Hilbert.withKeyUnrolled(withNull, "x", "y", "hkey", 8)
+      .select("hkey").collect().head
+    assert(nNative.isNullAt(0) == nUnrolled.isNullAt(0))
+  }
 }
