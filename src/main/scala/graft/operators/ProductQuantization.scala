@@ -83,6 +83,81 @@ object ProductQuantization {
     } finally { trainSet.unpersist(); () }
   }
 
+  /** Deterministic sample-based codebook trainer — the published FAISS
+    * practice (Jégou 2011 §V trains codebooks on a bounded sample
+    * regardless of corpus size): ONE TakeOrdered job collects the
+    * `sampleN` md5-ranked points (deterministic, no RNG), then all m
+    * subspace codebooks run Lloyd driver-side over that bounded sample
+    * under [[KMeansReplay]]'s integer-micro discipline (md5 seeds = the
+    * sample's first k rows, exact long distances, ties to the lowest
+    * code, floor(S/n + 0.5) center updates).
+    *
+    * Exists because [[train]]'s per-subspace MLlib fits cost m × maxIter
+    * full-scan jobs plus m fits' setup overhead — at sf0.1 that was most
+    * of q_knn_ivfpq's 5.4 s median for codebook polish that rerank makes
+    * irrelevant (recall is governed by nProbe + rerank).
+    *
+    * Scale shape: the collect is sampleN·dim longs (a few MB, constant in
+    * corpus size — the IntervalOverlap bounded-driver-object class); the
+    * driver Lloyd is sampleN·k·dim ops per round — microseconds. At
+    * 100 TB the one sampling scan parallelizes and nothing else touches
+    * the corpus. Empty clusters drop per subspace.
+    */
+  def trainCodebooksDet(
+      corpus: DataFrame,
+      m: Int = 8,
+      k: Int = 16,
+      dim: Int = 64,
+      rounds: Int = 5,
+      sampleN: Int = 4096,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"
+  ): Codebooks = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val dsub = dim / m
+    val xq = transform(asDouble(col(vecCol)),
+      e => floor(e * lit(1000000.0d) + lit(0.5d)).cast("long"))
+    val sample: Array[Array[Long]] = corpus
+      .select(col(idCol).as("vec_id"), xq.as("xq"))
+      .withColumn("h", md5(col("vec_id").cast("string")))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(sampleN)
+      .select(col("xq"))
+      .collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(sample.length >= k, s"corpus has only ${sample.length} rows, need $k")
+    (0 until m).toArray.map { s =>
+      val slices = sample.map(_.slice(s * dsub, s * dsub + dsub))
+      var centers = slices.take(k).map(_.clone())
+      var r = 0
+      while (r < rounds) {
+        val sums = Array.fill(centers.length, dsub)(0L)
+        val counts = Array.fill(centers.length)(0L)
+        slices.foreach { x =>
+          var best = 0
+          var bestD = Long.MaxValue
+          var j = 0
+          while (j < centers.length) {
+            var d = 0L
+            var i = 0
+            while (i < dsub) { val t = x(i) - centers(j)(i); d += t * t; i += 1 }
+            if (d < bestD) { bestD = d; best = j } // strict < : ties keep the lowest code
+            j += 1
+          }
+          var i = 0
+          while (i < dsub) { sums(best)(i) += x(i); i += 1 }
+          counts(best) += 1L
+        }
+        centers = centers.indices.collect {
+          case j if counts(j) > 0L =>
+            Array.tabulate(dsub)(i => math.floor(sums(j)(i).toDouble / counts(j).toDouble + 0.5).toLong)
+        }.toArray
+        r += 1
+      }
+      centers.map(_.map(_.toDouble / 1000000.0d))
+    }
+  }
+
   /** Deterministic codebooks: the subspace slices of the `k` lowest-id
     * corpus rows. Exists so the encode + ADC math has a hash-matched SQL
     * oracle (the [[Similarity.windowedKnn]] pattern — deterministic
@@ -230,9 +305,19 @@ object ProductQuantization {
       // per element, so downstream slices must reference a bound attribute
       .select(col("neighbor_id"), col("list_id"),
         zip_with(asDouble(col("nv")), col("cv"), (x, c) => x - c).as("resid"))
+      // persisted: the m subspace fits, the encode pass, and the caller's
+      // final action all consume this frame — without the persist each one
+      // re-derives coarse.transform + the centroid join from the scan
+      // (left persisted through the returned lazy plan, the
+      // q_sgd_intent_scores pattern; per-query bench hygiene unpersists)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // PQ on residuals; the index a deployment persists is (list, id, codes)
-    val cb = train(posted, m, codes, dim, seed + 1000, maxIter = maxIter, vecCol = "resid")
+    // PQ on residuals; the index a deployment persists is (list, id, codes).
+    // Residual codebooks come from the combined-subspace deterministic
+    // trainer: one job per round instead of m MLlib fits × maxIter passes
+    // — rerank carries recall either way (the coarse-quantizer economics)
+    val cb = trainCodebooksDet(posted, m, codes, dim, rounds = 3,
+      idCol = "neighbor_id", vecCol = "resid")
     val encoded = encode(posted, cb, idCol = "neighbor_id", vecCol = "resid")
       .select(col("list_id"), col("neighbor_id"), col("codes"))
 
