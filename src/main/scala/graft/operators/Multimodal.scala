@@ -9,12 +9,18 @@ import org.apache.spark.sql.functions._
   * — the layout large-scale pipelines use so parquet scans can prune
   * metadata-only queries without touching the (huge) content bytes.
   *
-  * The actual codec step is ⚠ STUBBED ⚠ (this container ships no image/audio
-  * libraries): `decodeStub` derives a deterministic pseudo-feature vector
-  * from the raw bytes. Everything around the stub — schema, binary column
-  * handling, per-partition batched iteration, frame-sampling explode, the
-  * feature-vector output shape — is the real distributed plumbing and is
-  * tested. Swapping in a real decoder changes only the function body.
+  * The IMAGE codec is REAL (r16): `decodeImage` decodes PNG/JPEG/BMP/GIF
+  * bytes with the JDK's built-in `javax.imageio` (no new dependency) into
+  * a deterministic pixel-stat feature vector. The audio/video codec step
+  * remains ⚠ STUBBED ⚠ (this container ships no audio/video libraries):
+  * `decodeStub` derives a deterministic pseudo-feature vector from the
+  * raw bytes, and image rows whose bytes aren't a decodable image (e.g.
+  * the UTF-8 stand-in content of [[toMediaTable]]) fall back to it too,
+  * so the binary-column plumbing stays exercised end-to-end on the
+  * driver-provided tables. Everything around the codecs — schema, binary
+  * column handling, per-partition batched iteration, frame-sampling
+  * explode, the feature-vector output shape — is the real distributed
+  * plumbing and is tested.
   */
 object Multimodal {
 
@@ -62,6 +68,70 @@ object Multimodal {
     acc
   }
 
+  /** REAL image decode via the JDK's `javax.imageio` (PNG/JPEG/BMP/GIF —
+    * zero new dependencies): pixels → a deterministic `dim`-length stat
+    * vector. Layout (dim ≥ 7):
+    *   [0..2]  mean R, G, B (÷255)
+    *   [3..5]  population std-dev R, G, B (÷255)
+    *   [6]     width / (width + height)   — aspect encoding
+    *   [7..]   integer-luminance histogram fractions ((299r+587g+114b)/1000
+    *           over `dim-7` equal buckets of [0, 256))
+    * All accumulation is exact integer arithmetic; the final divisions and
+    * `math.sqrt` are single IEEE ops per cell — deterministic replay.
+    * Returns None when `ImageIO` has no reader for the bytes (callers fall
+    * back to [[decodeStub]]) — magic-byte sniffing, cheap on non-images.
+    */
+  private[operators] def decodeImage(content: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (dim < 7) return None
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(content))
+      catch { case _: Throwable => null }
+    if (img == null) return None
+    val w = img.getWidth
+    val h = img.getHeight
+    if (w <= 0 || h <= 0) return None
+    val nHist = dim - 7
+    val sums = new Array[Long](3)
+    val sqs = new Array[Long](3)
+    val hist = new Array[Long](math.max(nHist, 1))
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val r = (rgb >> 16) & 0xFF
+        val g = (rgb >> 8) & 0xFF
+        val b = rgb & 0xFF
+        sums(0) += r; sums(1) += g; sums(2) += b
+        sqs(0) += r.toLong * r; sqs(1) += g.toLong * g; sqs(2) += b.toLong * b
+        if (nHist > 0) hist((r * 299 + g * 587 + b * 114) / 1000 * nHist / 256) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    val out = new Array[Float](dim)
+    var c = 0
+    while (c < 3) {
+      val mean = sums(c).toDouble / n
+      out(c) = (mean / 255.0).toFloat
+      out(c + 3) = (math.sqrt(math.max(0.0, sqs(c).toDouble / n - mean * mean)) / 255.0).toFloat
+      c += 1
+    }
+    out(6) = (w.toDouble / (w.toDouble + h.toDouble)).toFloat
+    var j = 0
+    while (j < nHist) { out(7 + j) = (hist(j).toDouble / n).toFloat; j += 1 }
+    Some(out)
+  }
+
+  /** Per-row codec dispatch: image rows get the real [[decodeImage]] (stub
+    * fallback for undecodable bytes); audio/video stay on the stub.
+    */
+  private[operators] def decode(mediaType: String, content: Array[Byte], dim: Int): Array[Float] =
+    if (mediaType != null && mediaType.startsWith("image/"))
+      decodeImage(content, dim).getOrElse(decodeStub(content, dim))
+    else decodeStub(content, dim)
+
   /** Per-partition batched feature extraction: rows stream through
     * `mapPartitions` in fixed-size batches (the shape a vectorized decoder —
     * GPU or SIMD — wants), never materializing a partition in memory.
@@ -75,9 +145,10 @@ object Multimodal {
     typed
       .mapPartitions { rows =>
         rows.grouped(batchSize).flatMap { batch =>
-          // a real decoder would process `batch` as one vectorized call
+          // an audio/video decoder would process `batch` as one vectorized
+          // call; images decode per row via the JDK reader
           batch.iterator.map { r =>
-            MediaFeatures(r.doc_id, r.media_type, r.content.length, decodeStub(r.content, dim))
+            MediaFeatures(r.doc_id, r.media_type, r.content.length, decode(r.media_type, r.content, dim))
           }
         }
       }

@@ -32,6 +32,43 @@ class MultimodalSpec extends AnyFunSuite {
     assert(r2.getSeq[Float](r2.fieldIndex("features")) == vec)
   }
 
+  test("real PNG bytes decode to exact pixel statistics (javax.imageio path)") {
+    // 2x2 image: red, green, blue, white — every stat hand-computable
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xFF0000); img.setRGB(1, 0, 0x00FF00)
+    img.setRGB(0, 1, 0x0000FF); img.setRGB(1, 1, 0xFFFFFF)
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val png = baos.toByteArray
+
+    val f = Multimodal.extractFeatures(
+      Seq((1L, "image/png", png)).toDF("doc_id", "media_type", "content"), dim = 11)
+    val r = f.collect()(0)
+    val vec = r.getSeq[Float](r.fieldIndex("features"))
+    // each channel: two pixels at 255, two at 0 → mean 127.5, std 127.5
+    val mean = (510.0 / 4 / 255.0).toFloat
+    val std = (math.sqrt(130050.0 / 4 - 127.5 * 127.5) / 255.0).toFloat
+    assert(vec(0) == mean && vec(1) == mean && vec(2) == mean, vec.toString)
+    assert(vec(3) == std && vec(4) == std && vec(5) == std, vec.toString)
+    assert(vec(6) == 0.5f) // 2 / (2 + 2)
+    // luminance buckets (4 buckets of 64): lums = 76 (red), 149 (green),
+    // 29 (blue), 255 (white) → buckets 1, 2, 0, 3 — one pixel each
+    assert(vec.drop(7) == Seq(0.25f, 0.25f, 0.25f, 0.25f), vec.toString)
+    assert(r.getAs[Int]("n_bytes") == png.length)
+  }
+
+  test("undecodable image bytes fall back to the stub (plumbing contract)") {
+    val garbage = "definitely not a png".getBytes("UTF-8")
+    val f = Multimodal.extractFeatures(
+      Seq((1L, "image/png", garbage), (2L, "audio/wav", garbage))
+        .toDF("doc_id", "media_type", "content"), dim = 8)
+    val rows = f.collect().sortBy(_.getAs[Long]("doc_id"))
+    val img = rows(0).getSeq[Float](rows(0).fieldIndex("features"))
+    val aud = rows(1).getSeq[Float](rows(1).fieldIndex("features"))
+    assert(img == aud) // same bytes, same stub vector
+    assert(math.abs(img.sum - 1.0f) < 1e-4)
+  }
+
   test("frame sampling keeps every Nth fixed-size chunk") {
     val doc = Seq((1L, "image/png", Array.fill[Byte](100)(7))).toDF("doc_id", "media_type", "content")
     val frames = Multimodal.sampleFrames(doc, frameBytes = 32, everyN = 2).collect()
