@@ -135,6 +135,24 @@ class MlSpec extends AnyFunSuite {
     assert(scores.sameElements(Array(0.05, 0.20, 0.35, 0.60, 0.85)))
   }
 
+  test("ALS quality floor: Recall@10 beats the reference's published 0.0999 on planted genres") {
+    // two disjoint item genres; every user interacts only inside one genre,
+    // with 2 in-genre items held out — collaborative filtering must surface
+    // in-genre items, so held-out recall has to clear the reference's own
+    // published Spark number (Progress_report.pdf §3.2: Recall@10 = 0.0999)
+    val rows = for {
+      (userBase, itemBase) <- Seq((0, 0), (100, 100))
+      u <- 0 until 30
+      j <- 0 until 8
+    } yield (userBase + u, itemBase + (u * 3 + j) % 20, j < 6) // j 6,7 → held out
+    val all = rows.toDF("user", "item", "is_train")
+    val train = all.filter($"is_train").select($"user", $"item", lit(5.0f).as("rating"))
+    val heldOut = all.filter(!$"is_train").select($"user", $"item")
+    val model = Recommender.train(train, rank = 8, maxIter = 10)
+    val recall = Recommender.recallAtK(model, heldOut, k = 10)
+    assert(recall >= 0.0999, s"Recall@10 $recall below the reference floor")
+  }
+
   test("ALS trains and produces k recs per user") {
     val clicks = sources.Tables(spark, TestSpark.Sf0001).clickstream
       .withColumn("user_session", $"user_session") // user_session is numeric string here
