@@ -21,9 +21,12 @@ import org.apache.spark.sql.types._
   * the SAME left-to-right IEEE order the HOF spelling used (acc starts at
   * 0.0; products/squares of the per-element double casts), the norm
   * product is `sqrt(na)*sqrt(nb)`, and the zero-norm branch returns 0.0 —
-  * bit-identical to `when(n === 0, 0).otherwise(d / n)`. Length mismatch
-  * or a null element returns NULL, matching zip_with's null padding
-  * propagating through the fold.
+  * bit-identical to `when(n === 0, 0).otherwise(d / n)`. A null element
+  * returns NULL (zip_with's null padding propagates through the fold);
+  * a length mismatch returns 0.0 when either per-array norm is zero and
+  * NULL otherwise — exactly the HOF branch order (norms are per-array
+  * regardless of length, and the zero-norm `when` wins before the
+  * null-padded dot product; r15 ADVICE edge, pinned in CosineParitySpec).
   */
 object VectorOps {
 
@@ -49,10 +52,36 @@ object VectorOps {
     case TLong => a.getLong(i).toDouble
   }
 
+  /** Norm of one array under the HOF fold order; null element → null. */
+  private def normSq(a: ArrayData, t: Byte): java.lang.Double = {
+    var s = 0.0d
+    var i = 0
+    val n = a.numElements()
+    while (i < n) {
+      if (a.isNullAt(i)) return null
+      val x = read(a, i, t)
+      s += x * x
+      i += 1
+    }
+    s
+  }
+
   /** Boxed so codegen can branch on null; called from both eval paths. */
   def cosineKernel(a: ArrayData, b: ArrayData, ta: Byte, tb: Byte): java.lang.Double = {
     val n = a.numElements()
-    if (b.numElements() != n) return null
+    if (b.numElements() != n) {
+      // strict HOF parity on the length-mismatch edge (r15 ADVICE): the
+      // HOF spelling computes norms PER ARRAY regardless of length, and
+      // its `when(n === 0, 0)` branch wins before the (null-padded) dot
+      // product — so mismatched lengths return 0.0 when either norm is
+      // zero, null otherwise (and null when any element is null, since a
+      // null norm fails the `=== 0` test and the otherwise-branch is null)
+      val na = normSq(a, ta)
+      if (na == null) return null
+      val nb = normSq(b, tb)
+      if (nb == null) return null
+      return if (math.sqrt(na) * math.sqrt(nb) == 0.0d) 0.0d else null
+    }
     var d = 0.0d
     var na = 0.0d
     var nb = 0.0d

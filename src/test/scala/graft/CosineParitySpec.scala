@@ -19,7 +19,12 @@ final class CosineParitySpec extends AnyFunSuite {
       (Seq(0.0f, 0.0f), Seq(1.0f, 2.0f)), // zero norm -> 0.0
       (Seq(-1.5f, 2.5f), Seq(-1.5f, 2.5f)), // identical -> ~1.0
       (Seq(1e-30f, 1e30f), Seq(1e30f, 1e-30f)),
-      (Seq(0.1f, 0.2f, 0.3f), Seq(0.3f, 0.2f)) // length mismatch -> null
+      (Seq(0.1f, 0.2f, 0.3f), Seq(0.3f, 0.2f)), // length mismatch -> null
+      // r15 ADVICE edge: length mismatch WITH a zero-norm side — the HOF's
+      // per-array norms make `when(n === 0, 0)` win over the null-padded
+      // dot product, so both spellings must return 0.0, not null
+      (Seq(0.0f, 0.0f), Seq(1.0f)),
+      (Seq(1.0f), Seq(0.0f, 0.0f))
     ).toDF("a", "b")
     val both = rows.select(
       VectorFunctions.cosine(col("a"), col("b")).as("native"),
