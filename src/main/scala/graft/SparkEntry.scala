@@ -101,6 +101,20 @@ object SparkEntry {
   /** Quasi-identifier view shared by the privacy battery: customer
     * (segment, nation, 1k$-acctbal band).
     */
+  /** Multi-line document fixture for the LineDedup queries: deterministic
+    * boilerplate planted over the (newline-free) documents table. The SQL
+    * twin is [[PlantedLinesCte]] — keep the two spellings in lockstep.
+    */
+  private def plantedLineDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      concat_ws("\n",
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter")),
+        when(col("doc_id") % 5 === 0, lit("all rights reserved")),
+        when(col("doc_id") % 7 === 0, col("text"))
+      ).as("text"))
+
   private def privacyQi(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer.select(
       col("c_mktsegment").as("seg"),
@@ -2065,6 +2079,21 @@ object SparkEntry {
         .unionByName(docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 === 1)
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       graft.operators.IncrementalDedup.admit(batch, corpus)
+    },
+    // cross-document line dedup (operators.LineDedup, the RefinedWeb
+    // line-wise correction): the fixture has no newlines, so boilerplate
+    // lines are PLANTED deterministically — a "subscribe" footer on every
+    // doc_id%3==0, a copyright line on %5==0, and a WITHIN-doc duplicate
+    // of the doc's own text on %7==0 (must NOT strip: distinct-doc counts,
+    // not occurrence counts, define boilerplate)
+    "q_line_stats" -> { (s, d) =>
+      graft.operators.LineDedup.frequentLines(
+        graft.operators.LineDedup.lines(plantedLineDocs(s, d)), minDocs = 10L)
+    },
+    "q_line_dedup" -> { (s, d) =>
+      graft.operators.LineDedup.stripBoilerplate(plantedLineDocs(s, d), minDocs = 10L)
+        .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_md5"))
     },
     "q_jaccard_adjacent" -> { (s, d) =>
       val docs = Tables(s, d).documents
@@ -7258,6 +7287,16 @@ object SparkEntry {
     // generated full replay of the 3-round integer-micros Lloyd iteration
     "q_kmeans_clusters" -> KMeansOracleSql,
     "q_sgd_det" -> SgdDetOracleSql,
+    "q_line_stats" -> s"$PlantedLinesCte SELECT h, n_docs FROM freq",
+    "q_line_dedup" ->
+      s"""$PlantedLinesCte
+         |SELECT n.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_lines,
+         |       CAST(count(f.h) AS BIGINT) AS n_dropped,
+         |       md5(coalesce(string_agg(CASE WHEN f.h IS NULL THEN n.line END,
+         |                               chr(10) ORDER BY n.idx), '')) AS clean_md5
+         |FROM norm n LEFT JOIN freq f ON n.h = f.h
+         |GROUP BY n.doc_id""".stripMargin,
     "q_knn_ivf_det" -> IvfDetOracleSql,
     "q_ivf_recall" -> IvfRecallOracleSql,
     "q_unigram_lm" -> UnigramLmOracleSql,
@@ -8180,6 +8219,30 @@ object SparkEntry {
        |       CAST(floor((0.5 + 0.5 * z / (1.0 + abs(z))) * 1000000.0 + 0.5) AS BIGINT) AS score_micros
        |FROM zf""".stripMargin
   }
+
+  /** DuckDB twin of [[plantedLineDocs]] + LineDedup's line/frequency CTEs
+    * (zipped parallel unnest = posexplode; trim-md5 line keys; DISTINCT
+    * doc counts) — shared by the q_line_stats and q_line_dedup oracles.
+    */
+  private val PlantedLinesCte: String =
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |         concat_ws(chr(10), text,
+      |                   CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' END,
+      |                   CASE WHEN doc_id % 5 = 0 THEN 'all rights reserved' END,
+      |                   CASE WHEN doc_id % 7 = 0 THEN text END) AS text
+      |  FROM documents
+      |), lns AS (
+      |  SELECT doc_id,
+      |         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx,
+      |         unnest(string_split(text, chr(10))) AS line
+      |  FROM planted
+      |), norm AS (
+      |  SELECT doc_id, idx, line, md5(trim(line)) AS h, trim(line) AS t FROM lns
+      |), freq AS (
+      |  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+      |  FROM norm WHERE t <> '' GROUP BY h HAVING count(DISTINCT doc_id) >= 10
+      |)""".stripMargin
 
   private lazy val KMeansOracleSql: String =
     s"""$KMeansCtes

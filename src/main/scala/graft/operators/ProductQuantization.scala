@@ -262,9 +262,11 @@ object ProductQuantization {
     * candidate costs m table lookups, and the persisted index row is
     * (list_id, id, m codes) — a few bytes per vector.
     *
-    * Both k-means stages are RNG (seeded): recall-spec'd like
-    * [[Similarity.ivfKnn]]; the deterministic ADC arithmetic is oracled
-    * through [[adcTopK]]'s fixed-codebook twin.
+    * Both k-means stages run the deterministic sample-based trainer
+    * (r16 — md5-ranked samples, driver Lloyd; `seed`/`maxIter` are
+    * retained for signature compatibility but unused): the whole index is
+    * RNG-free, recall-spec'd like [[Similarity.ivfKnn]]; the ADC
+    * arithmetic is oracled through [[adcTopK]]'s fixed-codebook twin.
     */
   def ivfAdcKnn(
       queries: DataFrame,
@@ -283,28 +285,29 @@ object ProductQuantization {
   ): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val dsub = dim / m
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    // coarse quantizer — same economics as Similarity.ivfKnn: random init,
-    // capped passes; recall is governed by nProbe, not centroid polish
-    val corpusVec = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
-      array_to_vector(asDouble(col(vecCol))).as("features"))
-    val coarse = new KMeans().setK(nLists).setSeed(seed)
-      .setInitMode("random").setMaxIter(maxIter)
-      .setFeaturesCol("features").setPredictionCol("list_id")
-      .fit(corpusVec)
-    val centroids = coarse.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i, c.toArray) }
+    // coarse quantizer — the deterministic sample trainer with m=1 over
+    // the full dim (r16; replaced the seeded MLlib fit: recall is governed
+    // by nProbe + rerank, not centroid polish, and the sample Lloyd makes
+    // the whole index RNG-free). Assignment is an argmin over LITERAL
+    // centroids — a zero-shuffle projection, ties to the lowest list.
+    val coarseCenters: Array[Array[Double]] =
+      trainCodebooksDet(corpus, m = 1, k = nLists, dim = dim,
+        idCol = idCol, vecCol = vecCol)(0)
+    val corpusVec = corpus.select(col(idCol).as("neighbor_id"), asDouble(col(vecCol)).as("nv"))
+    val coarseDists = array(coarseCenters.map(c => sqDist(col("nv"), centroidLit(c))).toSeq: _*)
+    val centroids = coarseCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i, c.toSeq) }
       .toDF("list_id", "cv")
-    val posted = coarse.transform(corpusVec)
+    val posted = corpusVec
+      .withColumn("list_id", (array_position(coarseDists, array_min(coarseDists)) - 1).cast("int"))
       .join(broadcast(centroids), Seq("list_id"))
       // bind the residual as a column: HOF lambdas re-evaluate their body
       // per element, so downstream slices must reference a bound attribute
       .select(col("neighbor_id"), col("list_id"),
-        zip_with(asDouble(col("nv")), col("cv"), (x, c) => x - c).as("resid"))
+        zip_with(col("nv"), col("cv"), (x, c) => x - c).as("resid"))
       // persisted: the m subspace fits, the encode pass, and the caller's
       // final action all consume this frame — without the persist each one
       // re-derives coarse.transform + the centroid join from the scan
@@ -313,9 +316,9 @@ object ProductQuantization {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // PQ on residuals; the index a deployment persists is (list, id, codes).
-    // Residual codebooks come from the combined-subspace deterministic
-    // trainer: one job per round instead of m MLlib fits × maxIter passes
-    // — rerank carries recall either way (the coarse-quantizer economics)
+    // Residual codebooks come from the deterministic sample trainer: one
+    // TakeOrdered collect + driver Lloyd instead of m MLlib fits × maxIter
+    // scans — rerank carries recall either way (the quantizer economics)
     val cb = trainCodebooksDet(posted, m, codes, dim, rounds = 3,
       idCol = "neighbor_id", vecCol = "resid")
     val encoded = encode(posted, cb, idCol = "neighbor_id", vecCol = "resid")
