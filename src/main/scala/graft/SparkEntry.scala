@@ -115,6 +115,24 @@ object SparkEntry {
         when(col("doc_id") % 7 === 0, col("text"))
       ).as("text"))
 
+  /** Synthetic URL fixture for the UrlFunctions queries (the tables have
+    * no URL column): mixed-case scheme/host, optional trailing slash,
+    * tracking params, unsorted real params, and a fragment — every
+    * canonicalization rule exercised. SQL twin: [[SyntheticUrlsCte]].
+    */
+  private def syntheticUrls(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer.select(
+      col("c_custkey"),
+      concat(
+        lit("HTTPS://WWW.Shop"), (col("c_custkey") % 7).cast("string"),
+        lit(".Example.COM/Seg/"), col("c_mktsegment"),
+        when(col("c_custkey") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=mail&utm_campaign=x&id="), (col("c_custkey") % 50).cast("string"),
+        when(col("c_custkey") % 2 === 0, lit("&fbclid=abc")).otherwise(lit("")),
+        when(col("c_custkey") % 4 === 0, lit("&b=2&a=1")).otherwise(lit("")),
+        lit("#section"), (col("c_custkey") % 5).cast("string")
+      ).as("url"))
+
   private def privacyQi(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer.select(
       col("c_mktsegment").as("seg"),
@@ -2094,6 +2112,23 @@ object SparkEntry {
       graft.operators.LineDedup.stripBoilerplate(plantedLineDocs(s, d), minDocs = 10L)
         .select(col("doc_id"), col("n_lines"), col("n_dropped"),
           md5(col("clean_text")).as("clean_md5"))
+    },
+    // URL canonicalization (functions.UrlFunctions): tracking-param strip
+    // + param sort + case folding collapse byte-distinct URLs naming the
+    // same resource — the URL-level first dedup pass of a web corpus.
+    // URLs are synthesized deterministically from customer (the fixture
+    // has no URL column); the oracle replays the identical literal-split
+    // arithmetic in DuckDB.
+    "q_url_canon" -> { (s, d) =>
+      syntheticUrls(s, d).select(col("c_custkey"), col("url"),
+        graft.functions.UrlFunctions.canonicalize(col("url")).as("canon"))
+    },
+    "q_url_hosts" -> { (s, d) =>
+      val canon = syntheticUrls(s, d)
+        .select(graft.functions.UrlFunctions.canonicalize(col("url")).as("canon"))
+      canon
+        .groupBy(graft.functions.UrlFunctions.host(col("canon")).as("host"))
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("canon")).as("n_canonical"))
     },
     "q_jaccard_adjacent" -> { (s, d) =>
       val docs = Tables(s, d).documents
@@ -7288,6 +7323,13 @@ object SparkEntry {
     "q_kmeans_clusters" -> KMeansOracleSql,
     "q_sgd_det" -> SgdDetOracleSql,
     "q_line_stats" -> s"$PlantedLinesCte SELECT h, n_docs FROM freq",
+    "q_url_canon" -> s"$SyntheticUrlsCte SELECT c_custkey, url, canon FROM t",
+    "q_url_hosts" ->
+      s"""$SyntheticUrlsCte
+         |SELECT lower(split_part(split_part(split_part(canon, '#', 1), '://', 2), '/', 1)) AS host,
+         |       CAST(count(*) AS BIGINT) AS n_urls,
+         |       CAST(count(DISTINCT canon) AS BIGINT) AS n_canonical
+         |FROM t GROUP BY 1""".stripMargin,
     "q_line_dedup" ->
       s"""$PlantedLinesCte
          |SELECT n.doc_id,
@@ -8242,6 +8284,48 @@ object SparkEntry {
       |), freq AS (
       |  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
       |  FROM norm WHERE t <> '' GROUP BY h HAVING count(DISTINCT doc_id) >= 10
+      |)""".stripMargin
+
+  /** DuckDB twin of [[syntheticUrls]] + UrlFunctions.canonicalize — the
+    * identical literal-split pipeline (split_part ≡ substring_index for
+    * single-occurrence separators, list_filter/list_sort ≡ the HOF
+    * filter/array_sort), ending in `t(c_custkey, url, canon)`.
+    */
+  private val SyntheticUrlsCte: String =
+    """WITH u AS (
+      |  SELECT c_custkey,
+      |         'HTTPS://WWW.Shop' || CAST(c_custkey % 7 AS VARCHAR) ||
+      |         '.Example.COM/Seg/' || c_mktsegment ||
+      |         CASE WHEN c_custkey % 3 = 0 THEN '/' ELSE '' END ||
+      |         '?utm_source=mail&utm_campaign=x&id=' || CAST(c_custkey % 50 AS VARCHAR) ||
+      |         CASE WHEN c_custkey % 2 = 0 THEN '&fbclid=abc' ELSE '' END ||
+      |         CASE WHEN c_custkey % 4 = 0 THEN '&b=2&a=1' ELSE '' END ||
+      |         '#section' || CAST(c_custkey % 5 AS VARCHAR) AS url
+      |  FROM customer
+      |), q AS (
+      |  SELECT c_custkey, url,
+      |         split_part(split_part(url, '#', 1), '?', 1) AS base,
+      |         CASE WHEN position('?' IN split_part(url, '#', 1)) > 0
+      |              THEN split_part(split_part(url, '#', 1), '?', 2) ELSE '' END AS qs
+      |  FROM u
+      |), s AS (
+      |  SELECT c_custkey, url, qs,
+      |         split_part(base, '://', 1) AS scheme,
+      |         split_part(split_part(base, '://', 2), '/', 1) AS host,
+      |         substr(split_part(base, '://', 2),
+      |                len(split_part(split_part(base, '://', 2), '/', 1)) + 1,
+      |                1048576) AS path
+      |  FROM q
+      |), t AS (
+      |  SELECT c_custkey, url,
+      |         lower(scheme) || '://' || lower(host) || rtrim(path, '/') ||
+      |         CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canon
+      |  FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(qs, '&'),
+      |          x -> x <> '' AND NOT starts_with(x, 'utm_')
+      |               AND NOT starts_with(x, 'fbclid=')
+      |               AND NOT starts_with(x, 'gclid=')
+      |               AND NOT starts_with(x, 'ref='))), '&') AS kept
+      |        FROM s)
       |)""".stripMargin
 
   private lazy val KMeansOracleSql: String =
