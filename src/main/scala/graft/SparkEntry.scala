@@ -2380,8 +2380,10 @@ object SparkEntry {
     },
     // IVFADC — the FAISS-default composition: coarse lists + PQ on
     // residuals + ADC inside the nProbe probed lists + exact rerank.
-    // RNG (two seeded k-means stages) → rows-only; recall-spec'd in PqSpec,
-    // ADC math oracled via q_pq_subset
+    // Fully hash-oracled since r16: both k-means stages run the
+    // deterministic sample trainer, so the WHOLE index (sample ranking,
+    // coarse + residual Lloyd, posting, encode, probes, ADC, rerank)
+    // replays in DuckDB — see IvfPqOracleSql
     "q_knn_ivfpq" -> { (s, d) =>
       val emb = Tables(s, d).embeddings
       graft.operators.ProductQuantization.ivfAdcKnn(emb.filter(col("vec_id") < 5), emb,
@@ -7324,6 +7326,7 @@ object SparkEntry {
     "q_sgd_det" -> SgdDetOracleSql,
     "q_line_stats" -> s"$PlantedLinesCte SELECT h, n_docs FROM freq",
     "q_url_canon" -> s"$SyntheticUrlsCte SELECT c_custkey, url, canon FROM t",
+    "q_knn_ivfpq" -> IvfPqOracleSql,
     "q_url_hosts" ->
       s"""$SyntheticUrlsCte
          |SELECT lower(split_part(split_part(split_part(canon, '#', 1), '://', 2), '/', 1)) AS host,
@@ -8327,6 +8330,125 @@ object SparkEntry {
       |               AND NOT starts_with(x, 'ref='))), '&') AS kept
       |        FROM s)
       |)""".stripMargin
+
+  /** Generated DuckDB replay of the ENTIRE r16 deterministic IVFADC index
+    * (ivfAdcKnn: nLists=8, nProbe=4, m=4, codes=16, rerank=50, k=10):
+    * md5-ranked 4096-sample, coarse Lloyd (5 rounds) and per-subspace
+    * residual Lloyd (3 rounds) replayed as unrolled CTE pairs (assignment
+    * = row_number over (exact-BIGINT dist, cid); centers = floor(S/n+0.5)
+    * with empty-cluster renumbering by row_number OVER (ORDER BY cid));
+    * full-corpus posting via double sqDist folds against the /1e6 centers
+    * (list_sum(list_transform(list_zip(...))) IS the Spark left fold —
+    * the q_pq_subset precedent); probes by sqrt-fold crank; ADC as the
+    * (list, s, code) join with list_sum(list(sq ORDER BY s)); exact
+    * rerank of the 50-shortlist. Every tie-break is (value, id); every
+    * float op is one IEEE op both engines share — the hash is structural.
+    */
+  private lazy val IvfPqOracleSql: String = {
+    def zsq(a: String, b: String) =
+      s"list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2])))"
+    def zsqI(a: String, b: String) = s"CAST(${zsq(a, b)} AS BIGINT)"
+    def sl(c: String, s: Int) = s"$c[(${s * 16} + 1):${(s + 1) * 16}]"
+    // one Lloyd round over sample `samp`(rn, m): assignment vs c{r-1},
+    // per-dim exact sums, floor(S/n + 0.5), empty-cluster renumber
+    def round(pfx: String, samp: String, r: Int, dims: Int): String =
+      s"""${pfx}a$r AS MATERIALIZED (
+         |  SELECT rn, m, cid FROM (
+         |    SELECT p.rn, p.m, c.cid,
+         |           row_number() OVER (PARTITION BY p.rn
+         |                              ORDER BY ${zsqI("p.m", "c.m")}, c.cid) AS a
+         |    FROM $samp p CROSS JOIN ${pfx}c${r - 1} c) WHERE a = 1),
+         |${pfx}c$r AS MATERIALIZED (
+         |  SELECT row_number() OVER (ORDER BY cid) - 1 AS cid, m FROM (
+         |    SELECT cid, list(cv ORDER BY pos) AS m FROM (
+         |      SELECT cid, pos,
+         |             CAST(floor(CAST(sum(val) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS cv
+         |      FROM (SELECT cid, unnest(range(1, ${dims + 1})) AS pos, unnest(m) AS val FROM ${pfx}a$r)
+         |      GROUP BY cid, pos) GROUP BY cid))""".stripMargin
+    val coarseRounds = (1 to 5).map(r => round("k", "cs0", r, 64)).mkString(",\n")
+    val residTrain = (0 until 4).map { s =>
+      val seeds = s"b${s}c0 AS MATERIALIZED (SELECT rn - 1 AS cid, ${sl("rm", s)} AS m FROM rs0 WHERE rn <= 16)"
+      val rounds = (1 to 3).map(r => round(s"b$s", s"(SELECT rn, ${sl("rm", s)} AS m FROM rs0)", r, 16)).mkString(",\n")
+      val dbl = s"b${s}d AS MATERIALIZED (SELECT cid, list_transform(m, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv FROM b${s}c3)"
+      s"$seeds,\n$rounds,\n$dbl"
+    }.mkString(",\n")
+    val encUnion = (0 until 4).map { s =>
+      s"""SELECT neighbor_id, list_id, $s AS s, cid AS code FROM (
+         |  SELECT p.neighbor_id, p.list_id, c.cid,
+         |         row_number() OVER (PARTITION BY p.neighbor_id
+         |                            ORDER BY ${zsq(sl("p.resid", s), "c.cv")}, c.cid) AS a
+         |  FROM prm p CROSS JOIN b${s}d c) WHERE a = 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val qtUnion = (0 until 4).map { s =>
+      s"""SELECT p.query_id, p.list_id, $s AS s, c.cid AS code,
+         |       ${zsq(sl("p.qr", s), "c.cv")} AS sq
+         |FROM pb p CROSS JOIN b${s}d c""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |         list_transform(CAST(embedding AS DOUBLE[]),
+       |                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS m,
+       |         md5(CAST(vec_id AS VARCHAR)) AS h
+       |  FROM embeddings),
+       |cs0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY h, vec_id) AS rn, m
+       |  FROM e ORDER BY h, vec_id LIMIT 4096),
+       |kc0 AS MATERIALIZED (SELECT rn - 1 AS cid, m FROM cs0 WHERE rn <= 8),
+       |$coarseRounds,
+       |ccd AS MATERIALIZED (
+       |  SELECT cid, list_transform(m, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv FROM kc5),
+       |pa AS MATERIALIZED (
+       |  SELECT vec_id AS neighbor_id, v, list_id, cv FROM (
+       |    SELECT e.vec_id, e.v, c.cid AS list_id, c.cv,
+       |           row_number() OVER (PARTITION BY e.vec_id
+       |                              ORDER BY ${zsq("e.v", "c.cv")}, c.cid) AS a
+       |    FROM e CROSS JOIN ccd c) WHERE a = 1),
+       |prm AS MATERIALIZED (
+       |  SELECT neighbor_id, list_id, resid,
+       |         list_transform(resid, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS rm,
+       |         md5(CAST(neighbor_id AS VARCHAR)) AS h
+       |  FROM (SELECT neighbor_id, list_id,
+       |               list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS resid
+       |        FROM pa)),
+       |rs0 AS MATERIALIZED (
+       |  SELECT row_number() OVER (ORDER BY h, neighbor_id) AS rn, rm
+       |  FROM prm ORDER BY h, neighbor_id LIMIT 4096),
+       |$residTrain,
+       |enc AS MATERIALIZED (
+       |$encUnion),
+       |pb AS MATERIALIZED (
+       |  SELECT query_id, list_id, qr FROM (
+       |    SELECT q.vec_id AS query_id, c.cid AS list_id,
+       |           list_transform(list_zip(q.v, c.cv), z -> z[1] - z[2]) AS qr,
+       |           row_number() OVER (PARTITION BY q.vec_id
+       |                              ORDER BY sqrt(${zsq("q.v", "c.cv")}), c.cid) AS crank
+       |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 5) q CROSS JOIN ccd c)
+       |  WHERE crank <= 4),
+       |qt AS MATERIALIZED (
+       |$qtUnion),
+       |score AS (
+       |  SELECT qt.query_id, enc.neighbor_id,
+       |         list_sum(list(qt.sq ORDER BY qt.s)) AS adist
+       |  FROM enc JOIN qt
+       |    ON qt.list_id = enc.list_id AND qt.s = enc.s AND qt.code = enc.code
+       |  WHERE enc.neighbor_id <> qt.query_id
+       |  GROUP BY 1, 2),
+       |shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
+       |    FROM score) WHERE rank <= 50),
+       |rr AS (
+       |  SELECT sl.query_id, sl.neighbor_id, ${zsq("q.v", "n.v")} AS sq_l2
+       |  FROM shortlist sl
+       |  JOIN e q ON q.vec_id = sl.query_id
+       |  JOIN e n ON n.vec_id = sl.neighbor_id)
+       |SELECT query_id, neighbor_id, round(sq_l2, 6) AS sq_l2,
+       |       CAST(rank AS INT) AS rank FROM (
+       |  SELECT query_id, neighbor_id, sq_l2,
+       |         row_number() OVER (PARTITION BY query_id ORDER BY sq_l2, neighbor_id) AS rank
+       |  FROM rr) WHERE rank <= 10""".stripMargin
+  }
 
   private lazy val KMeansOracleSql: String =
     s"""$KMeansCtes
