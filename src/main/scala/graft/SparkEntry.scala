@@ -2636,6 +2636,27 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.toMediaTable(Tables(s, d).documents))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
     },
+    // dHash perceptual-hash bands per media row (8×9 block grid → 64
+    // difference bits → 4×16-bit bands). Image rows dispatch to the real
+    // javax.imageio pixel dHash (MultimodalSpec); the driver tables'
+    // stand-in bytes fall back to the byte-fold grid, which the oracle
+    // replays exactly from the hex dump — all-integer arithmetic
+    "q_media_phash" -> { (s, d) =>
+      Multimodal.phash(Multimodal.toMediaTable(Tables(s, d).documents))
+        .select(col("doc_id"), col("media_type"),
+          posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+    },
+    // perceptual near-dup pairs by pigeonhole banding (the simhashPairs
+    // shape on media): planted 1-byte-perturbed twins under negated ids
+    // (multiples of 3 only, so pmod/% agree on the media_type dispatch)
+    // land within Hamming 2 of their originals — the pairs output proves
+    // band-bucket candidates + exact verification end to end
+    "q_media_phash_neardup" -> { (s, d) =>
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id").isin(3, 6, 9))
+        .select((-col("doc_id")).as("doc_id"), concat(col("text"), lit("!")).as("text"))
+      Multimodal.phashNearDupPairs(Multimodal.toMediaTable(docs.unionByName(planted)))
+    },
     // ---- series analytics, concentration, segmentation, clustering ----
     // Replayable k-means (operators.KMeansReplay): clustering moved OUT of
     // the RNG/rows-only MLlib class into a full hash oracle — integer-micros
@@ -4761,6 +4782,39 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    // dHash byte-fold replay from the hex dump (the q_media_features trick
+    // extended to full byte values): per-byte value from the two hex
+    // nibbles, positional fold into the 72-cell grid, strict-> difference
+    // bits, 16-bit band packing — every step exact integer arithmetic
+    "q_media_phash" ->
+      s"""${phashCtes("SELECT doc_id, CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type, text FROM documents")}
+         |SELECT doc_id, media_type, band_idx, band_val FROM bands""".stripMargin,
+    "q_media_phash_neardup" ->
+      s"""${phashCtes(
+             """SELECT doc_id,
+               |       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+               |       text FROM (
+               |  SELECT doc_id, text FROM documents
+               |  UNION ALL
+               |  SELECT -doc_id AS doc_id, text || '!' AS text FROM documents WHERE doc_id IN (3, 6, 9))""".stripMargin)},
+         |bq AS (
+         |  SELECT doc_id, band_idx, band_val,
+         |         count(*) OVER (PARTITION BY band_idx, band_val) AS bn
+         |  FROM bands),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM bq a JOIN bq b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id
+         |  WHERE a.bn <= 10000 AND b.bn <= 10000),
+         |ham AS (
+         |  SELECT c.id1, c.id2,
+         |         CAST(sum(CASE WHEN x.bit <> y.bit THEN 1 ELSE 0 END) AS INT) AS hamming
+         |  FROM cand c
+         |  JOIN bits x ON x.doc_id = c.id1
+         |  JOIN bits y ON y.doc_id = c.id2 AND y.j = x.j
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, hamming FROM ham WHERE hamming <= 3""".stripMargin,
     // f0 is bucket 0 of the stub's 16-bin byte histogram: floorMod(byte,16)=0
     // is exactly "low hex nibble is 0", countable from the hex dump; doing
     // the ratio in FLOAT matches the kernel's float32 division bit-for-bit
@@ -8330,6 +8384,41 @@ object SparkEntry {
       |               AND NOT starts_with(x, 'ref='))), '&') AS kept
       |        FROM s)
       |)""".stripMargin
+
+  /** Shared dHash byte-fold replay chain (ends in `bands(doc_id, media_type,
+    * band_idx, band_val)` with `bits(doc_id, j, bit)` available upstream):
+    * per-byte values reconstructed from the hex dump's nibble pairs
+    * (strpos arithmetic — DuckDB hex() is uppercase), positional fold into
+    * the 72-cell grid (cell = byte index mod 72, exact integer sums,
+    * COALESCE-densified so short docs still emit all cells), strict->
+    * horizontal difference bits over the 8×9 grid, 16-bit band packing.
+    * Mirrors [[graft.operators.Multimodal.dHashStubBands]] step for step.
+    */
+  private def phashCtes(src: String): String =
+    s"""WITH pxsrc AS MATERIALIZED (
+       |  SELECT doc_id, media_type, regexp_extract_all(hex(encode(text)), '..') AS px
+       |  FROM ($src)),
+       |pv AS (
+       |  SELECT doc_id, unnest(range(0, len(px))) AS i, unnest(px) AS hx FROM pxsrc),
+       |gs AS (
+       |  SELECT doc_id, CAST(i % 72 AS INT) AS cell,
+       |         sum((strpos('0123456789ABCDEF', hx[1:1]) - 1) * 16
+       |             + (strpos('0123456789ABCDEF', hx[2:2]) - 1)) AS s
+       |  FROM pv GROUP BY 1, 2),
+       |grid AS (
+       |  SELECT d.doc_id, d.media_type, c.cell, COALESCE(gs.s, 0) AS s
+       |  FROM pxsrc d
+       |  CROSS JOIN (SELECT CAST(unnest(range(0, 72)) AS INT) AS cell) c
+       |  LEFT JOIN gs ON gs.doc_id = d.doc_id AND gs.cell = c.cell),
+       |bits AS (
+       |  SELECT l.doc_id, l.media_type, (l.cell // 9) * 8 + (l.cell % 9) AS j,
+       |         CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS bit
+       |  FROM grid l JOIN grid r ON r.doc_id = l.doc_id AND r.cell = l.cell + 1
+       |  WHERE l.cell % 9 < 8),
+       |bands AS (
+       |  SELECT doc_id, media_type, CAST(j // 16 AS INT) AS band_idx,
+       |         CAST(sum(bit * (1 << CAST(j % 16 AS INT))) AS INT) AS band_val
+       |  FROM bits GROUP BY 1, 2, 3)""".stripMargin
 
   /** Generated DuckDB replay of the ENTIRE r16 deterministic IVFADC index
     * (ivfAdcKnn: nLists=8, nProbe=4, m=4, codes=16, rerank=50, k=10):

@@ -87,4 +87,75 @@ class MultimodalSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("ReadSchema") && !plan.contains("content"))
   }
+
+  // ---- perceptual hashing ----
+
+  private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    baos.toByteArray
+  }
+
+  test("real-image dHash: hand-pinned monotone gradient sets every bit") {
+    // 9x8 image, 1 pixel per grid block, gray value strictly DECREASING
+    // left->right: every left block mean > right block mean -> all 64
+    // difference bits set -> all four bands 0xFFFF
+    val img = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val g = (8 - x) * 20
+      img.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    val bands = Multimodal.dHashImageBands(pngBytes(img)).get
+    assert(bands.toSeq == Seq(0xFFFF, 0xFFFF, 0xFFFF, 0xFFFF))
+    // increasing gradient: no strict > anywhere -> hash 0
+    val inc = new java.awt.image.BufferedImage(9, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 9) {
+      val g = x * 20
+      inc.setRGB(x, y, (g << 16) | (g << 8) | g)
+    }
+    assert(Multimodal.dHashImageBands(pngBytes(inc)).get.toSeq == Seq(0, 0, 0, 0))
+  }
+
+  test("real-image dHash: a one-pixel edit moves the hash by at most 2 bits") {
+    // deterministic 90x80 texture; one pixel edit changes ONE block mean,
+    // which participates in at most 2 horizontal comparisons
+    def texture(edit: Boolean): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(90, 80, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 80; x <- 0 until 90) {
+        val g = (x * 7 + y * 13) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      if (edit) img.setRGB(45, 40, 0xFFFFFF)
+      pngBytes(img)
+    }
+    val a = Multimodal.dHashImageBands(texture(edit = false)).get
+    val b = Multimodal.dHashImageBands(texture(edit = true)).get
+    val hamming = a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    assert(hamming <= 2, s"hamming $hamming")
+  }
+
+  test("stub dHash: byte append moves the hash by at most 2 bits; dispatch parity") {
+    val bytes = ("some document text " * 20).getBytes("UTF-8")
+    val a = Multimodal.dHashStubBands(bytes)
+    val b = Multimodal.dHashStubBands(bytes :+ '!'.toByte)
+    val hamming = a.zip(b).map { case (x, y) => Integer.bitCount(x ^ y) }.sum
+    assert(hamming <= 2, s"hamming $hamming")
+    assert(a.forall(v => v >= 0 && v <= 0xFFFF))
+    // non-image types and undecodable image bytes both take the stub path
+    assert(Multimodal.dHashBands("audio/wav", bytes).toSeq == a.toSeq)
+    assert(Multimodal.dHashBands("image/png", bytes).toSeq == a.toSeq)
+  }
+
+  test("phash near-dup: planted 1-byte-perturbed twins are recovered") {
+    val docs = Tables(spark, TestSpark.Sf0001).documents.select($"doc_id", $"text")
+    val planted = docs.filter($"doc_id".isin(3, 6, 9))
+      .select((-$"doc_id").as("doc_id"), concat($"text", lit("!")).as("text"))
+    val pairs = Multimodal.phashNearDupPairs(Multimodal.toMediaTable(docs.unionByName(planted)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    for (k <- Seq(3L, 6L, 9L)) {
+      val hit = pairs.find(p => p._1 == -k && p._2 == k)
+      assert(hit.nonEmpty, s"planted pair (-$k, $k) not recovered: $pairs")
+      assert(hit.get._3 <= 2, s"planted pair hamming ${hit.get._3}")
+    }
+  }
 }
