@@ -11,16 +11,18 @@ import org.apache.spark.sql.functions._
   *
   * The IMAGE codec is REAL (r16): `decodeImage` decodes PNG/JPEG/BMP/GIF
   * bytes with the JDK's built-in `javax.imageio` (no new dependency) into
-  * a deterministic pixel-stat feature vector. The audio/video codec step
-  * remains ⚠ STUBBED ⚠ (this container ships no audio/video libraries):
-  * `decodeStub` derives a deterministic pseudo-feature vector from the
-  * raw bytes, and image rows whose bytes aren't a decodable image (e.g.
-  * the UTF-8 stand-in content of [[toMediaTable]]) fall back to it too,
-  * so the binary-column plumbing stays exercised end-to-end on the
-  * driver-provided tables. Everything around the codecs — schema, binary
-  * column handling, per-partition batched iteration, frame-sampling
-  * explode, the feature-vector output shape — is the real distributed
-  * plumbing and is tested.
+  * a deterministic pixel-stat feature vector. The AUDIO codec is REAL too
+  * (r16): `decodeAudio` parses PCM WAV bytes with the JDK's built-in
+  * `javax.sound.sampled` into exact-integer signal stats. Only the VIDEO
+  * codec step remains ⚠ STUBBED ⚠ (the JDK ships no video codec and this
+  * container has no media libraries): `decodeStub` derives a deterministic
+  * pseudo-feature vector from the raw bytes, and image/audio rows whose
+  * bytes aren't decodable (e.g. the UTF-8 stand-in content of
+  * [[toMediaTable]]) fall back to it too, so the binary-column plumbing
+  * stays exercised end-to-end on the driver-provided tables. Everything
+  * around the codecs — schema, binary column handling, per-partition
+  * batched iteration, frame-sampling explode, the feature-vector output
+  * shape — is the real distributed plumbing and is tested.
   */
 object Multimodal {
 
@@ -124,12 +126,89 @@ object Multimodal {
     Some(out)
   }
 
-  /** Per-row codec dispatch: image rows get the real [[decodeImage]] (stub
-    * fallback for undecodable bytes); audio/video stay on the stub.
+  /** REAL audio decode via the JDK's `javax.sound.sampled` (WAV / PCM 8- and
+    * 16-bit — zero new dependencies): first-channel samples → a deterministic
+    * `dim`-length stat vector. Layout (dim ≥ 5):
+    *   [0] mean |sample| (÷32768)
+    *   [1] RMS (÷32768)
+    *   [2] peak |sample| (÷32768)
+    *   [3] zero-crossing rate (sign flips / (frames − 1))
+    *   [4] duration encoding frames / (frames + sampleRate) — ≈ d/(d+1 s)
+    *   [5..] |sample| histogram fractions over `dim-5` equal buckets of
+    *         [0, 32768]
+    * All accumulation is exact integer arithmetic (8-bit audio widened to
+    * the 16-bit scale); the final divisions and one `math.sqrt` are single
+    * IEEE ops per cell. Returns None when the bytes aren't a parseable
+    * PCM WAV (callers fall back to [[decodeStub]]) — header sniffing,
+    * cheap on non-audio.
+    */
+  private[graft] def decodeAudio(content: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (dim < 5) return None
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val ais =
+      try AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(content))
+      catch { case _: Throwable => return None }
+    try {
+      val fmt = ais.getFormat
+      val enc = fmt.getEncoding
+      val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+      if (!signed && enc != AudioFormat.Encoding.PCM_UNSIGNED) return None
+      val bits = fmt.getSampleSizeInBits
+      if (bits != 8 && bits != 16) return None
+      val frameSize = fmt.getFrameSize
+      if (frameSize <= 0) return None
+      val bytes = ais.readAllBytes()
+      val nFrames = bytes.length / frameSize
+      if (nFrames == 0) return None
+      val nHist = dim - 5
+      val hist = new Array[Long](math.max(nHist, 1))
+      var sumAbs = 0L
+      var sumSq = 0L
+      var peak = 0L
+      var crossings = 0L
+      var prevSign = 0
+      var i = 0
+      while (i < nFrames) {
+        val off = i * frameSize
+        // first channel only; widen 8-bit (unsigned by WAV convention) to
+        // the 16-bit scale so every stat shares the /32768 normalization
+        val s: Int =
+          if (bits == 16) {
+            if (fmt.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xFF)
+            else (bytes(off + 1) << 8) | (bytes(off) & 0xFF)
+          } else if (signed) bytes(off) << 8
+          else ((bytes(off) & 0xFF) - 128) << 8
+        val a = math.abs(s.toLong)
+        sumAbs += a
+        sumSq += s.toLong * s
+        if (a > peak) peak = a
+        val sign = if (s > 0) 1 else if (s < 0) -1 else 0
+        if (sign != 0 && prevSign != 0 && sign != prevSign) crossings += 1
+        if (sign != 0) prevSign = sign
+        if (nHist > 0) hist(math.min(nHist - 1, (a * nHist / 32768L).toInt)) += 1
+        i += 1
+      }
+      val out = new Array[Float](dim)
+      out(0) = (sumAbs.toDouble / nFrames / 32768.0).toFloat
+      out(1) = (math.sqrt(sumSq.toDouble / nFrames) / 32768.0).toFloat
+      out(2) = (peak.toDouble / 32768.0).toFloat
+      out(3) = (crossings.toDouble / math.max(1L, nFrames - 1L)).toFloat
+      out(4) = (nFrames.toDouble / (nFrames.toDouble + fmt.getSampleRate)).toFloat
+      var j = 0
+      while (j < nHist) { out(5 + j) = (hist(j).toDouble / nFrames).toFloat; j += 1 }
+      Some(out)
+    } finally ais.close()
+  }
+
+  /** Per-row codec dispatch: image rows get the real [[decodeImage]], audio
+    * rows the real [[decodeAudio]] (stub fallback for undecodable bytes);
+    * video stays on the stub — the JDK ships no video codec.
     */
   private[operators] def decode(mediaType: String, content: Array[Byte], dim: Int): Array[Float] =
     if (mediaType != null && mediaType.startsWith("image/"))
       decodeImage(content, dim).getOrElse(decodeStub(content, dim))
+    else if (mediaType != null && mediaType.startsWith("audio/"))
+      decodeAudio(content, dim).getOrElse(decodeStub(content, dim))
     else decodeStub(content, dim)
 
   /** Per-partition batched feature extraction: rows stream through

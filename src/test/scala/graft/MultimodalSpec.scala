@@ -88,6 +88,39 @@ class MultimodalSpec extends AnyFunSuite {
     assert(plan.contains("ReadSchema") && !plan.contains("content"))
   }
 
+  test("real WAV bytes decode to exact signal statistics (javax.sound.sampled path)") {
+    // 16-bit mono PCM square wave: 200 frames alternating +1000 / -1000 —
+    // every stat hand-computable (mean|s| = rms = peak = 1000, zcr = 1)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](400)
+    for (i <- 0 until 200) {
+      val s = if (i % 2 == 0) 1000 else -1000
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 200L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, baos)
+    val wav = baos.toByteArray
+
+    val vec = Multimodal.decodeAudio(wav, dim = 8).get
+    val amp = (1000.0 / 32768.0).toFloat
+    assert(vec(0) == amp && vec(1) == amp && vec(2) == amp, vec.toSeq.toString)
+    assert(vec(3) == 1.0f) // every adjacent pair flips sign
+    assert(vec(4) == (200.0 / (200.0 + 8000.0)).toFloat)
+    // |1000| falls in bucket 1000*3/32768 = 0 of the 3-bucket histogram
+    assert(vec.drop(5).toSeq == Seq(1.0f, 0f, 0f), vec.toSeq.toString)
+    // dispatch: audio/* routes to the real decoder, garbage falls back
+    val viaDispatch = Multimodal.extractFeatures(
+      Seq((1L, "audio/wav", wav)).toDF("doc_id", "media_type", "content"), dim = 8)
+      .collect()(0)
+    assert(viaDispatch.getSeq[Float](viaDispatch.fieldIndex("features")) == vec.toSeq)
+    val garbage = "not a wav".getBytes("UTF-8")
+    assert(Multimodal.decodeAudio(garbage, 8).isEmpty)
+  }
+
   // ---- perceptual hashing ----
 
   private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
