@@ -2657,6 +2657,33 @@ object SparkEntry {
         .select((-col("doc_id")).as("doc_id"), concat(col("text"), lit("!")).as("text"))
       Multimodal.phashNearDupPairs(Multimodal.toMediaTable(docs.unionByName(planted)))
     },
+    // ---- winnowing fingerprints (MOSS) — position-aware local dedup ----
+    // per-doc fingerprint profile over the whole corpus: count, distinct
+    // hashes, checksum — the compact audit of the persisted fingerprint
+    // table (full fingerprints oracled on the subset below)
+    "q_winnow_stats" -> { (s, d) =>
+      graft.operators.Winnow.fingerprints(Tables(s, d).documents)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_fps"),
+          countDistinct(col("fp_hash")).as("n_hashes"),
+          sum(col("fp_hash")).as("fp_sum"))
+    },
+    // full (hash, position) fingerprints for the doc_id<50 subset — every
+    // selected window minimum hash-matched against the SQL replay
+    "q_winnow_fp_subset" -> { (s, d) =>
+      graft.operators.Winnow.fingerprints(Tables(s, d).documents.filter(col("doc_id") < 50))
+    },
+    // candidate pairs by shared fingerprint hashes: planted 200-char prefix
+    // copies under negated ids share a long normalized run, so the
+    // winnowing guarantee (>=1 shared fingerprint per >= w+k-1 = 12 shared
+    // chars) makes their recovery structural, not probabilistic
+    "q_winnow_pairs" -> { (s, d) =>
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val planted = docs.filter(col("doc_id").isin(2, 5, 8))
+        .select((-col("doc_id")).as("doc_id"), substring(col("text"), 1, 200).as("text"))
+      graft.operators.Winnow.candidatePairs(
+        graft.operators.Winnow.fingerprints(docs.unionByName(planted)))
+    },
     // ---- series analytics, concentration, segmentation, clustering ----
     // Replayable k-means (operators.KMeansReplay): clustering moved OUT of
     // the RNG/rows-only MLlib class into a full hash oracle — integer-micros
@@ -4782,6 +4809,32 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    // winnowing replay: same md5-32 gram hashes, the packed h·2^24 +
+    // (2^24-1-pos) key, and a sliding-window MIN — "min hash, rightmost
+    // position on ties" falls out of one integer MIN on both engines
+    "q_winnow_stats" ->
+      s"""${winnowCtes("SELECT doc_id, text FROM documents")}
+         |SELECT doc_id, count(*) AS n_fps, count(DISTINCT fp_hash) AS n_hashes,
+         |       CAST(sum(fp_hash) AS BIGINT) AS fp_sum
+         |FROM fp GROUP BY doc_id""".stripMargin,
+    "q_winnow_fp_subset" ->
+      s"""${winnowCtes("SELECT doc_id, text FROM documents WHERE doc_id < 50")}
+         |SELECT doc_id, fp_hash, fp_pos FROM fp""".stripMargin,
+    "q_winnow_pairs" ->
+      s"""${winnowCtes(
+             """SELECT doc_id, text FROM documents
+               |UNION ALL
+               |SELECT -doc_id AS doc_id, substring(text, 1, 200) AS text
+               |FROM documents WHERE doc_id IN (2, 5, 8)""".stripMargin)},
+         |bh AS (SELECT DISTINCT doc_id, fp_hash FROM fp),
+         |bc AS (SELECT doc_id, fp_hash,
+         |              count(*) OVER (PARTITION BY fp_hash) AS bn FROM bh),
+         |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2
+         |       FROM bc a JOIN bc b
+         |         ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
+         |       WHERE a.bn <= 10000 AND b.bn <= 10000)
+         |SELECT id1, id2, count(*) AS n_shared
+         |FROM pr GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     // dHash byte-fold replay from the hex dump (the q_media_features trick
     // extended to full byte values): per-byte value from the two hex
     // nibbles, positional fold into the 72-cell grid, strict-> difference
@@ -8384,6 +8437,32 @@ object SparkEntry {
       |               AND NOT starts_with(x, 'ref='))), '&') AS kept
       |        FROM s)
       |)""".stripMargin
+
+  /** Shared winnowing replay chain (ends in `fp(doc_id, fp_hash, fp_pos)`):
+    * MOSS normalization, md5-32 k-gram hashes (k=5), hash and position
+    * packed into one BIGINT (h·2²⁴ + (2²⁴−1−pos)) so the w=8 sliding-window
+    * "min hash, rightmost on ties" selection is a single windowed MIN —
+    * mirrors [[graft.operators.Winnow.fingerprints]] step for step.
+    */
+  private def winnowCtes(src: String): String =
+    s"""WITH w0 AS MATERIALIZED (
+       |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+       |  FROM ($src)),
+       |wh AS (
+       |  SELECT doc_id, pos,
+       |         ('0x' || substring(md5(substring(s, CAST(pos AS INT), 5)), 1, 8))::BIGINT AS h
+       |  FROM (SELECT doc_id, s, unnest(range(1, length(s) - 3)) AS pos
+       |        FROM w0 WHERE length(s) >= 5)),
+       |wk AS (
+       |  SELECT doc_id, pos,
+       |         min(h * 16777216 + (16777215 - pos)) OVER (
+       |           PARTITION BY doc_id ORDER BY pos
+       |           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fpkey
+       |  FROM wh),
+       |fp AS (
+       |  SELECT DISTINCT doc_id, fpkey // 16777216 AS fp_hash,
+       |                  16777215 - (fpkey % 16777216) AS fp_pos
+       |  FROM wk WHERE pos >= 8)""".stripMargin
 
   /** Shared dHash byte-fold replay chain (ends in `bands(doc_id, media_type,
     * band_idx, band_val)` with `bits(doc_id, j, bit)` available upstream):
