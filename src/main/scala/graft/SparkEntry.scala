@@ -2657,6 +2657,17 @@ object SparkEntry {
         .select((-col("doc_id")).as("doc_id"), concat(col("text"), lit("!")).as("text"))
       Multimodal.phashNearDupPairs(Multimodal.toMediaTable(docs.unionByName(planted)))
     },
+    // UniMax budget allocation (operators.Unimax): the epoch-capped
+    // uniform mixture — one epoch's worth of total chars distributed as
+    // uniformly as the 2-epoch caps allow. The waterfill's closed
+    // relational form (capped set is a prefix of the cap-ascending order)
+    // makes the whole allocation exact BIGINT window arithmetic. The
+    // budget probe is a 1-row bounded collect.
+    "q_unimax_alloc" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val total = docs.agg(sum(col("n_chars").cast("long"))).collect()(0).getLong(0)
+      graft.operators.Unimax.allocate(docs, budget = total, maxEpochs = 2)
+    },
     // ---- winnowing fingerprints (MOSS) — position-aware local dedup ----
     // per-doc fingerprint profile over the whole corpus: count, distinct
     // hashes, checksum — the compact audit of the persisted fingerprint
@@ -4809,6 +4820,37 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    // UniMax waterfill replay: cap-ascending prefix predicate, whole-frame
+    // kstar/capped_sum windows, floor-division share + lexicographic
+    // remainder — all exact BIGINT
+    "q_unimax_alloc" ->
+      """WITH sz AS (
+        |  SELECT source, CAST(sum(n_chars) AS BIGINT) AS size
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT CAST(sum(size) AS BIGINT) AS b FROM sz),
+        |rk AS (
+        |  SELECT source, size, size * 2 AS cap,
+        |         row_number() OVER (ORDER BY size * 2, source) AS k,
+        |         CAST(sum(size * 2) OVER (ORDER BY size * 2, source
+        |                                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |         count(*) OVER () AS n
+        |  FROM sz),
+        |fl AS (
+        |  SELECT rk.*, tot.b,
+        |         cap * (n - k + 1) <= tot.b - (cum - cap) AS is_capped
+        |  FROM rk CROSS JOIN tot),
+        |ag AS (
+        |  SELECT fl.*,
+        |         CAST(sum(CASE WHEN is_capped THEN 1 ELSE 0 END) OVER () AS BIGINT) AS kstar,
+        |         CAST(sum(CASE WHEN is_capped THEN cap ELSE 0 END) OVER () AS BIGINT) AS capped_sum,
+        |         row_number() OVER (PARTITION BY is_capped ORDER BY source) AS ur
+        |  FROM fl)
+        |SELECT source, size, cap,
+        |       CASE WHEN is_capped THEN cap
+        |            ELSE (b - capped_sum) // (n - kstar)
+        |                 + CASE WHEN ur <= (b - capped_sum) % (n - kstar) THEN 1 ELSE 0 END
+        |       END AS alloc
+        |FROM ag""".stripMargin,
     // winnowing replay: same md5-32 gram hashes, the packed h·2^24 +
     // (2^24-1-pos) key, and a sliding-window MIN — "min hash, rightmost
     // position on ties" falls out of one integer MIN on both engines
