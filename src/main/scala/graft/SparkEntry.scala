@@ -1272,6 +1272,13 @@ object SparkEntry {
       graft.operators.PageRank.ranks(edges, "src", "dst", iterations = 5)
         .select(col("node").as("doc_id"), round(col("rank"), 6).as("pagerank"))
     },
+    // HyperBall neighbourhood function (operators.HyperBall): per-node HLL
+    // ball counters grown by register-MAX merges over the shingle graph —
+    // the md5-48 sketch makes the whole 3-round trajectory hash-replayable
+    "q_hyperball" -> { (s, d) =>
+      graft.operators.HyperBall.neighborhoodFunction(
+        shingleEdges(Tables(s, d).documents), rounds = 3)
+    },
     // contamination expansion via seeded PPR (operators.
     // PersonalizedPageRank): random walks restarting at the benchmark
     // docs (doc_id % 20 = 0, the Decontaminate convention) score
@@ -4057,6 +4064,51 @@ object SparkEntry {
        |FROM fin JOIN ex ON fin.g = ex.g""".stripMargin
   }
 
+  /** Generated HyperBall replay over the shared [[EdgesCte]] graph: md5-48
+    * singleton counters, 3 unrolled register-MAX merge rounds (edge join +
+    * (g, reg) max — [[KCoreOracleSql]]'s MATERIALIZED discipline), and
+    * [[HllOracleSql]]'s estimate chain cloned per round.
+    */
+  private lazy val HyperBallOracleSql: String = {
+    val a = graft.operators.HllReplay.Alpha64.toString
+    def md(x: String) = s"('0x' || substring(md5($x), 1, 12))::BIGINT"
+    val rounds = (1 to 3).map { r =>
+      s"""hp$r AS (SELECT bi.a AS g, c.reg, c.m FROM bi JOIN hr${r - 1} c ON c.g = bi.b),
+         |hr$r AS MATERIALIZED (
+         |  SELECT g, reg, CAST(max(m) AS BIGINT) AS m
+         |  FROM (SELECT g, reg, m FROM hr${r - 1} UNION ALL SELECT g, reg, m FROM hp$r)
+         |  GROUP BY g, reg)""".stripMargin
+    }.mkString(",\n")
+    val ests = (0 to 3).map { r =>
+      s"""ha$r AS (SELECT g, CAST(count(*) AS BIGINT) AS nz,
+         |                CAST(sum(CAST(power(2, 50 - m) AS BIGINT)) AS BIGINT) AS s
+         |         FROM hr$r GROUP BY g),
+         |he$r AS (SELECT $r AS t, g AS node, nz,
+         |           CAST($a AS DOUBLE) * 4096.0 * 1125899906842624.0
+         |             / CAST(s + (64 - nz) * 1125899906842624 AS DOUBLE) AS raw
+         |         FROM ha$r)""".stripMargin
+    }.mkString(",\n")
+    val sel = (0 to 3).map { r =>
+      s"""SELECT t, node, nz,
+         |       CASE WHEN CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) <= 160000000
+         |                 AND nz < 64
+         |            THEN CAST(floor(64.0 * ln(64.0 / CAST(64 - nz AS DOUBLE))
+         |                       * 1000000.0 + 0.5) AS BIGINT)
+         |            ELSE CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) END AS est_e6
+         |FROM he$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""$EdgesCte,
+       |hn AS (SELECT DISTINCT a AS node FROM bi),
+       |hr0 AS MATERIALIZED (
+       |  SELECT node AS g, ${md("CAST(node AS VARCHAR)")} % 64 AS reg,
+       |         CAST(CASE WHEN ${md("CAST(node AS VARCHAR)")} // 64 = 0 THEN 43
+       |              ELSE 43 - length(bin(${md("CAST(node AS VARCHAR)")} // 64)) END AS BIGINT) AS m
+       |  FROM hn),
+       |$rounds,
+       |$ests
+       |$sel""".stripMargin
+  }
+
   /** PSI replay: the same Laplace-smoothed grid (sources × range(10) with
     * zero-filled buckets), one e6 ln per cell, non-negative integer terms
     * (diff_num and the ln always share a sign), exact BIGINT per-source
@@ -6275,6 +6327,7 @@ object SparkEntry {
     "q_chi2_lang_source" -> Chi2OracleSql,
     "q_cms_counts" -> CmsOracleSql,
     "q_hll_md5" -> HllOracleSql,
+    "q_hyperball" -> HyperBallOracleSql,
     "q_survival_km" -> SurvivalOracleSql,
     "q_logrank_arms" -> LogRankOracleSql,
     "q_logrank_strat" -> LogRankStratOracleSql,

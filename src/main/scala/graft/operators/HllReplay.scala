@@ -60,7 +60,8 @@ object HllReplay {
       .agg(max(col("rho")).as("m"))
   }
 
-  private def estimate(regs: DataFrame): DataFrame = {
+  /** (g, nz, est_e6) from a register table — shared with [[HyperBall]]. */
+  private[operators] def estimate(regs: DataFrame): DataFrame = {
     val agg = regs.groupBy(col("g")).agg(
       count(lit(1)).as("nz"),
       sum(pow(lit(2.0d), lit(50L) - col("m")).cast("long")).as("s"))

@@ -283,4 +283,26 @@ class PlanSpec extends AnyFunSuite {
       s"PrefixSum rank must range-partition:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct"), p.take(2000))
   }
+
+  test("winnowing fingerprints: doc-partitioned window, no cartesian, pruned scan") {
+    val p = plan("q_winnow_fp_subset")
+    assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty,
+      s"sliding-window min must partition by doc only:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+    assert(!p.contains("Exchange SinglePartition") || p.contains("count"),
+      s"no unpartitioned corpus window:\n${p.take(2000)}")
+  }
+
+  test("winnowing pairs: candidates via hash equi-join, never all-pairs") {
+    val p = plan("q_winnow_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair detection must stay an equi-join:\n${p.take(2000)}")
+  }
+
+  test("perceptual hash: band pairs via equi-join, never all-pairs") {
+    val p = plan("q_media_phash_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"band-bucket join must stay an equi-join:\n${p.take(2000)}")
+  }
 }
