@@ -75,13 +75,10 @@ object Bootstrap {
       floor(sum(col("_x")).cast("double") * lit(1000000.0d)
         / count(lit(1)).cast("double") + lit(0.5d)).cast("long").as("mean_e6"))
     val reps = base
-      .select(col("_id"), col("_x"),
-        explode(sequence(lit(0), lit(b - 1))).as("b"))
-      .withColumn("u",
-        HashSplit.md548(concat(col("_id").cast("string"), lit(":"), col("b").cast("string")))
-          .cast("double") / lit(TwoPow48))
-      .withColumn("w",
-        PoissonCdf.map(c => when(col("u") >= lit(c), 1L).otherwise(0L)).reduce(_ + _))
+      // all B draws per row in one native kernel pass (bit-identical to the
+      // explode + md5 + CDF-ladder column spelling it replaced)
+      .select(col("_x"),
+        posexplode(graft.expressions.PoissonBoot.weights(col("_id"), b)).as(Seq("b", "w")))
       .groupBy(col("b"))
       .agg(sum(col("w")).as("sw"), sum(col("w") * col("_x")).as("swx"))
       .filter(col("sw") > 0L)
@@ -124,13 +121,8 @@ object Bootstrap {
       floor(sum(col("_x")).cast("double") * lit(1000000.0d)
         / count(lit(1)).cast("double") + lit(0.5d)).cast("long").as("mean_e6"))
     val reps = base
-      .select(col("_g"), col("_id"), col("_x"),
-        explode(sequence(lit(0), lit(b - 1))).as("b"))
-      .withColumn("u",
-        HashSplit.md548(concat(col("_id").cast("string"), lit(":"), col("b").cast("string")))
-          .cast("double") / lit(TwoPow48))
-      .withColumn("w",
-        PoissonCdf.map(c => when(col("u") >= lit(c), 1L).otherwise(0L)).reduce(_ + _))
+      .select(col("_g"), col("_x"),
+        posexplode(graft.expressions.PoissonBoot.weights(col("_id"), b)).as(Seq("b", "w")))
       .groupBy(col("_g"), col("b"))
       .agg(sum(col("w")).as("sw"), sum(col("w") * col("_x")).as("swx"))
       .filter(col("sw") > 0L)
@@ -179,13 +171,8 @@ object Bootstrap {
       .select(col("n0"), col("n1"),
         (meanE6(col("s1"), col("n1")) - meanE6(col("s0"), col("n0"))).as("diff_e6"))
     val reps = base
-      .select(col("_id"), col("_x"), col("_a"),
-        explode(sequence(lit(0), lit(b - 1))).as("b"))
-      .withColumn("u",
-        HashSplit.md548(concat(col("_id").cast("string"), lit(":"), col("b").cast("string")))
-          .cast("double") / lit(TwoPow48))
-      .withColumn("w",
-        PoissonCdf.map(c => when(col("u") >= lit(c), 1L).otherwise(0L)).reduce(_ + _))
+      .select(col("_x"), col("_a"),
+        posexplode(graft.expressions.PoissonBoot.weights(col("_id"), b)).as(Seq("b", "w")))
       .groupBy(col("b"))
       .agg(
         sum(when(col("_a") === 0L, col("w")).otherwise(0L)).as("sw0"),

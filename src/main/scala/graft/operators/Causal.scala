@@ -118,14 +118,8 @@ object Causal {
         .withColumnRenamed("_s", "s"), "t", "y", "s")
       .select(col("n"), col("n_treated"), col("ate_e6"))
     val reps = base
-      .select(col("_id"), col("_t"), col("_y"), col("_s"),
-        explode(sequence(lit(0), lit(b - 1))).as("b"))
-      .withColumn("u",
-        HashSplit.md548(concat(col("_id").cast("string"), lit(":"), col("b").cast("string")))
-          .cast("double") / lit(Bootstrap.TwoPow48))
-      .withColumn("w",
-        Bootstrap.PoissonCdf.map(c => when(col("u") >= lit(c), 1L).otherwise(0L))
-          .reduce(_ + _))
+      .select(col("_t"), col("_y"), col("_s"),
+        posexplode(graft.expressions.PoissonBoot.weights(col("_id"), b)).as(Seq("b", "w")))
       .groupBy(col("b"), col("_s"))
       .agg(
         sum(col("w")).as("nw"),
