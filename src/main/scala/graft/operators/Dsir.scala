@@ -58,25 +58,32 @@ object Dsir {
     val toked = docs.select(
       col(idCol), targetCol.as("_is_target"),
       TextFunctions.tokens(col(textCol)).as("_toks"))
-    // one explode serves both count tables and the scoring join input
+    // one explode serves both count tables and the scoring join input.
+    // persisted (MEMORY_AND_DISK): the bucket aggregate and the scoring
+    // join both consume it — unpersisted, the tokenize + explode + md5
+    // chain (the operator's CPU cost) ran once per consumer (r16: 5.0 s →
+    // ~2 s median at sf0.1). Verify/Bench clearCache per query.
     val pos = toked
       .select(col(idCol), col("_is_target"),
         explode(grams(col("_toks"))).as("g"))
       .select(col(idCol), col("_is_target"), bucket(col("g"), b).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // B-row bounded bucket tables: raw = the whole pool, target ⊂ raw.
     // Every bucket any doc hits appears in the raw table, so λ needs no
     // dense bucket frame — the raw rows ARE the domain.
     val counts = pos.groupBy(col("bk")).agg(
       count(lit(1)).as("rc"),
       count(when(col("_is_target"), 1)).as("tc"))
+      // the totals derive from this B-row table too — never rescan the pool
+      .persist()
     // quantize λ_b once per bucket — after this everything is BIGINT
     val lam = counts.select(col("bk"),
       floor((log(col("tc") + lit(1L)) - log(col("rc") + lit(1L))) * lit(1000000.0d)
         + lit(0.5d)).cast("long").as("lam_q"))
     // global norm term, quantized once: gq = floor((ln(T+B) − ln(R+B))·1e6+0.5)
-    val tots = pos.agg(
-      count(lit(1)).as("r_tot"),
-      count(when(col("_is_target"), 1)).as("t_tot"))
+    val tots = counts.agg(
+      sum(col("rc")).as("r_tot"),
+      sum(col("tc")).as("t_tot"))
     val gq = tots.select(
       floor((log(col("t_tot") + lit(b.toLong)) - log(col("r_tot") + lit(b.toLong)))
         * lit(1000000.0d) + lit(0.5d)).cast("long").as("gq"))
