@@ -1434,6 +1434,19 @@ object SparkEntry {
           (col("t_step2") - col("t_step1")).as("us_view_to_click"),
           (col("t_step3") - col("t_step2")).as("us_click_to_purchase"))
     },
+    // the native stream-stream interval join (streaming.StreamStreamJoin)
+    // run on the static frames — identical join expression both regimes
+    // (withWatermark is a batch no-op); the streaming execution is
+    // spec-pinned (StreamingSymmetricHashJoin parity)
+    "q_stream_join" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      graft.streaming.StreamStreamJoin.attributed(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("buy_id"), col("ts").as("buy_ts")))
+    },
     // the streaming funnel operator (streaming.StreamingFunnel) run
     // statically — one batch per user group, so the emitted final states
     // must equal the batch chained-min funnel (the stream/batch parity the
@@ -6328,6 +6341,13 @@ object SparkEntry {
     "q_cms_counts" -> CmsOracleSql,
     "q_hll_md5" -> HllOracleSql,
     "q_hyperball" -> HyperBallOracleSql,
+    "q_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, us AS v_us FROM e WHERE event_type = 'view'),
+        |b AS (SELECT user_id, event_id AS buy_id, us AS b_us FROM e WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.view_id, b.buy_id, b.b_us - v.v_us AS lag_us
+        |FROM v JOIN b ON v.user_id = b.user_id
+        | AND b.b_us >= v.v_us AND b.b_us <= v.v_us + 1800000000""".stripMargin,
     "q_survival_km" -> SurvivalOracleSql,
     "q_logrank_arms" -> LogRankOracleSql,
     "q_logrank_strat" -> LogRankStratOracleSql,
