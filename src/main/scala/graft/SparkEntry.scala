@@ -133,6 +133,21 @@ object SparkEntry {
         lit("#section"), (col("c_custkey") % 5).cast("string")
       ).as("url"))
 
+  /** Deterministic HTML shell around the documents (the tables have no
+    * HTML column): title + style + script subtrees, an entity in visible
+    * text, and two anchors with doc-varying mixed-case hosts and tracking
+    * params — every HtmlFunctions + UrlFunctions rule exercised. SQL twin
+    * spelled inline in the q_html_* oracles.
+    */
+  private def syntheticHtml(text: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc</title><style>p{color:red}</style></head>" +
+      "<body><h1>Heading &amp; more</h1><p>"),
+    text,
+    lit("</p><a href=\"https://Example.com/p/"), (id % 5).cast("string"),
+    lit("?utm_source=x&b=2&a=1#f\">L1</a> <a href=\"http://Host"), (id % 3).cast("string"),
+    lit(".org/x/\">L2</a><script>var s=1;</script></body></html>"))
+
   private def privacyQi(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer.select(
       col("c_mktsegment").as("seg"),
@@ -1279,6 +1294,18 @@ object SparkEntry {
       graft.operators.HyperBall.neighborhoodFunction(
         shingleEdges(Tables(s, d).documents), rounds = 3)
     },
+    // neighbourhood-function curve + effective diameter: N(t) = Σ_v est
+    // ball sizes; reached90 flags t with N(t) ≥ 0.9·N(final) — the
+    // four-degrees-of-separation readout, exact ×10/×9 integer compare
+    "q_hyperball_diameter" -> { (s, d) =>
+      val nf = graft.operators.HyperBall.neighborhoodFunction(
+          shingleEdges(Tables(s, d).documents), rounds = 3)
+        .groupBy(col("t")).agg(sum(col("est_e6")).as("nf_e6"))
+      val fin = nf.filter(col("t") === 3).select(col("nf_e6").as("nf_fin"))
+      nf.crossJoin(broadcast(fin))
+        .select(col("t"), col("nf_e6"),
+          (col("nf_e6") * 10 >= col("nf_fin") * 9).as("reached90"))
+    },
     // contamination expansion via seeded PPR (operators.
     // PersonalizedPageRank): random walks restarting at the benchmark
     // docs (doc_id % 20 = 0, the Decontaminate convention) score
@@ -2149,6 +2176,27 @@ object SparkEntry {
       canon
         .groupBy(graft.functions.UrlFunctions.host(col("canon")).as("host"))
         .agg(count(lit(1)).as("n_urls"), countDistinct(col("canon")).as("n_canonical"))
+    },
+    // HTML text extraction (functions.HtmlFunctions): script/style subtree
+    // drop, tag strip, entity decode, whitespace collapse — the C4-style
+    // pre-filter pass. Docs are wrapped in a deterministic HTML shell
+    // (the fixture has no HTML column); RE2-safe regexes replay in DuckDB
+    "q_html_strip" -> { (s, d) =>
+      Tables(s, d).documents.select(col("doc_id"),
+        graft.functions.HtmlFunctions.stripTags(
+          syntheticHtml(col("text"), col("doc_id"))).as("clean"))
+    },
+    // anchor-href harvest composed with the URL canonicalizer — the link
+    // extraction feeding a crawl frontier / URL-dedup pass
+    "q_html_links" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          posexplode(graft.functions.HtmlFunctions.anchorHrefs(
+              syntheticHtml(col("text"), col("doc_id"))))
+            .as(Seq("link_idx", "href")))
+        .select(col("doc_id"), (col("link_idx") + 1).as("link_idx"), col("href"),
+          graft.functions.UrlFunctions.canonicalize(col("href")).as("canon"),
+          graft.functions.UrlFunctions.host(col("href")).as("host"))
     },
     "q_jaccard_adjacent" -> { (s, d) =>
       val docs = Tables(s, d).documents
@@ -6341,6 +6389,54 @@ object SparkEntry {
     "q_cms_counts" -> CmsOracleSql,
     "q_hll_md5" -> HllOracleSql,
     "q_hyperball" -> HyperBallOracleSql,
+    // HTML shell + strip/extract replay — RE2-safe regexes ((?s), lazy
+    // .*?, explicit whitespace class — never \s), chained literal entity
+    // replaces, the q_url_canon split chain for the href canon
+    "q_html_strip" ->
+      s"""WITH h AS (SELECT doc_id, $SyntheticHtmlSql AS html FROM documents)
+         |SELECT doc_id, trim(regexp_replace(
+         |  replace(replace(replace(replace(replace(replace(
+         |    regexp_replace(regexp_replace(regexp_replace(html,
+         |      '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+         |      '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+         |      '<[^>]*>', ' ', 'g'),
+         |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |    '&#39;', ''''), '&amp;', '&'),
+         |  '[ \t\n\r]+', ' ', 'g')) AS clean
+         |FROM h""".stripMargin,
+    "q_html_links" ->
+      s"""WITH h AS (SELECT doc_id, $SyntheticHtmlSql AS html FROM documents),
+         |lx AS (SELECT doc_id, unnest(range(1, len(hr) + 1)) AS link_idx, unnest(hr) AS href
+         |       FROM (SELECT doc_id, regexp_extract_all(html, 'href="([^"]*)"', 1) AS hr FROM h)),
+         |q AS (SELECT doc_id, link_idx, href,
+         |             split_part(split_part(href, '#', 1), '?', 1) AS base,
+         |             CASE WHEN position('?' IN split_part(href, '#', 1)) > 0
+         |                  THEN split_part(split_part(href, '#', 1), '?', 2) ELSE '' END AS qs
+         |      FROM lx),
+         |s AS (SELECT doc_id, link_idx, href, qs,
+         |             split_part(base, '://', 1) AS scheme,
+         |             split_part(split_part(base, '://', 2), '/', 1) AS hst,
+         |             substr(split_part(base, '://', 2),
+         |                    len(split_part(split_part(base, '://', 2), '/', 1)) + 1,
+         |                    1048576) AS path
+         |      FROM q)
+         |SELECT doc_id, CAST(link_idx AS INT) AS link_idx, href,
+         |       lower(scheme) || '://' || lower(hst) || rtrim(path, '/') ||
+         |       CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canon,
+         |       lower(hst) AS host
+         |FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(qs, '&'),
+         |        x -> x <> '' AND NOT starts_with(x, 'utm_')
+         |             AND NOT starts_with(x, 'fbclid=')
+         |             AND NOT starts_with(x, 'gclid=')
+         |             AND NOT starts_with(x, 'ref='))), '&') AS kept
+         |      FROM s)""".stripMargin,
+    "q_hyperball_diameter" ->
+      s"""WITH nf AS (
+         |  SELECT t, CAST(sum(est_e6) AS BIGINT) AS nf_e6
+         |  FROM ($HyperBallOracleSql) GROUP BY t),
+         |fin AS (SELECT nf_e6 AS nf_fin FROM nf WHERE t = 3)
+         |SELECT t, nf_e6, nf_e6 * 10 >= nf_fin * 9 AS reached90
+         |FROM nf CROSS JOIN fin""".stripMargin,
     "q_stream_join" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
         |v AS (SELECT user_id, event_id AS view_id, us AS v_us FROM e WHERE event_type = 'view'),
@@ -8552,6 +8648,14 @@ object SparkEntry {
       |               AND NOT starts_with(x, 'ref='))), '&') AS kept
       |        FROM s)
       |)""".stripMargin
+
+  /** SQL twin of [[syntheticHtml]] — the identical concat expression. */
+  private val SyntheticHtmlSql: String =
+    "'<html><head><title>Doc</title><style>p{color:red}</style></head>" +
+      "<body><h1>Heading &amp; more</h1><p>' || text || " +
+      "'</p><a href=\"https://Example.com/p/' || CAST(doc_id % 5 AS VARCHAR) || " +
+      "'?utm_source=x&b=2&a=1#f\">L1</a> <a href=\"http://Host' || CAST(doc_id % 3 AS VARCHAR) || " +
+      "'.org/x/\">L2</a><script>var s=1;</script></body></html>'"
 
   /** Shared winnowing replay chain (ends in `fp(doc_id, fp_hash, fp_pos)`):
     * MOSS normalization, md5-32 k-gram hashes (k=5), hash and position
