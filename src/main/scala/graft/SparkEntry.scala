@@ -2900,6 +2900,13 @@ object SparkEntry {
     "q_batch_padding" -> { (s, d) =>
       graft.operators.Batching.paddingReport(Tables(s, d).documents, m = 32)
     },
+    // optimal length-bucket boundaries (operators.LengthBuckets): the
+    // bucket_by_sequence_length design problem solved exactly — O(B·L²)
+    // DP over the bounded length histogram, every cell an exact BIGINT,
+    // boundaries backtracked with ties to the smallest split
+    "q_length_buckets" -> { (s, d) =>
+      graft.operators.LengthBuckets.optimalBuckets(Tables(s, d).documents, b = 4)
+    },
     // Gopher A1.2 repetition gates (operators.RepetitionCoverage): char
     // coverage of top 2..4-grams and duplicated 5..10-grams, one
     // zero-shuffle HOF projection; gates are cross-multiplied integers,
@@ -6389,6 +6396,7 @@ object SparkEntry {
     "q_cms_counts" -> CmsOracleSql,
     "q_hll_md5" -> HllOracleSql,
     "q_hyperball" -> HyperBallOracleSql,
+    "q_length_buckets" -> LengthBucketsOracleSql,
     // HTML shell + strip/extract replay — RE2-safe regexes ((?s), lazy
     // .*?, explicit whitespace class — never \s), chained literal entity
     // replaces, the q_url_canon split chain for the href canon
@@ -8648,6 +8656,51 @@ object SparkEntry {
       |               AND NOT starts_with(x, 'ref='))), '&') AS kept
       |        FROM s)
       |)""".stripMargin
+
+  /** Generated replay of [[graft.operators.LengthBuckets.optimalBuckets]]
+    * (b = 4): the DP unrolled layer-per-CTE — each layer is an argmin join
+    * over the histogram (row_number by (cost, i) ≡ the driver loop's
+    * strict-< smallest-i tie), then the backtrack walks best-i pointers
+    * from the last layer and the bucket stats come off the prefix sums.
+    */
+  private lazy val LengthBucketsOracleSql: String = {
+    val layers = (2 to 4).map { b =>
+      s"""c$b AS MATERIALIZED (SELECT j, cost, bi FROM (
+         |  SELECT jn.k AS j,
+         |         p.cost + jn.l * (jn.cc - i.cc) - (jn.ss - i.ss) AS cost, i.k AS bi,
+         |         row_number() OVER (PARTITION BY jn.k
+         |           ORDER BY p.cost + jn.l * (jn.cc - i.cc) - (jn.ss - i.ss), i.k) AS rn
+         |  FROM h jn JOIN h i ON i.k < jn.k JOIN c${b - 1} p ON p.j = i.k)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH lens AS (SELECT CAST(len($TokensSql) AS BIGINT) AS l FROM documents),
+       |hist AS (SELECT l, CAST(count(*) AS BIGINT) AS c FROM lens GROUP BY l),
+       |h AS MATERIALIZED (
+       |  SELECT CAST(row_number() OVER (ORDER BY l) AS INT) AS k, l,
+       |         CAST(sum(c) OVER (ORDER BY l) AS BIGINT) AS cc,
+       |         CAST(sum(c * l) OVER (ORDER BY l) AS BIGINT) AS ss
+       |  FROM hist),
+       |h0 AS (SELECT 0 AS k, CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS cc,
+       |              CAST(0 AS BIGINT) AS ss
+       |       UNION ALL SELECT k, l, cc, ss FROM h),
+       |c1 AS MATERIALIZED (SELECT k AS j, l * cc - ss AS cost, 0 AS bi FROM h),
+       |$layers,
+       |nn AS (SELECT max(k) AS n FROM h),
+       |s4 AS (SELECT c4.bi AS j FROM c4 JOIN nn ON c4.j = nn.n),
+       |s3 AS (SELECT c3.bi AS j FROM c3 JOIN s4 ON c3.j = s4.j),
+       |s2 AS (SELECT c2.bi AS j FROM c2 JOIN s3 ON c2.j = s3.j),
+       |bounds AS (
+       |  SELECT 1 AS b, 0 AS lo_k, (SELECT j FROM s2) AS hi_k
+       |  UNION ALL SELECT 2, (SELECT j FROM s2), (SELECT j FROM s3)
+       |  UNION ALL SELECT 3, (SELECT j FROM s3), (SELECT j FROM s4)
+       |  UNION ALL SELECT 4, (SELECT j FROM s4), (SELECT n FROM nn))
+       |SELECT CAST(bounds.b AS INT) AS bucket_id, hi.l AS hi_len,
+       |       hi.cc - lo.cc AS n_docs, hi.ss - lo.ss AS n_tokens,
+       |       hi.l * (hi.cc - lo.cc) - (hi.ss - lo.ss) AS padding
+       |FROM bounds
+       |JOIN h0 lo ON lo.k = bounds.lo_k
+       |JOIN h0 hi ON hi.k = bounds.hi_k""".stripMargin
+  }
 
   /** SQL twin of [[syntheticHtml]] — the identical concat expression. */
   private val SyntheticHtmlSql: String =
