@@ -2380,6 +2380,17 @@ object SparkEntry {
       IvfReplay.recallVsExact(s, emb.filter(col("vec_id") < 5), emb,
         k = 10, nLists = 8, nProbe = 4, rounds = 3)
     },
+    // rank-biased overlap between the probed-IVF and exact rankings
+    // (operators.Rbo, Webber 2010): the top-weighted agreement — where
+    // recall@10 treats all positions equally, RBO geometrically weights
+    // the head, so a tail-only miss barely moves it
+    "q_rbo_ivf" -> { (s, d) =>
+      val emb = Tables(s, d).embeddings
+      val q = emb.filter(col("vec_id") < 5)
+      graft.operators.Rbo.rboAtK(
+        IvfReplay.knn(s, q, emb, k = 10, nLists = 8, nProbe = 4, rounds = 3),
+        IvfReplay.exactKnn(s, q, emb, k = 10))
+    },
     // product-quantization compression pass: every vector → m=4 one-byte
     // codes under the deterministic codebook (the corpus-scale persist step;
     // operators.ProductQuantization.encode). Codes ship as a space-joined
@@ -7670,6 +7681,7 @@ object SparkEntry {
          |GROUP BY n.doc_id""".stripMargin,
     "q_knn_ivf_det" -> IvfDetOracleSql,
     "q_ivf_recall" -> IvfRecallOracleSql,
+    "q_rbo_ivf" -> RboIvfOracleSql,
     "q_unigram_lm" -> UnigramLmOracleSql,
     "q_unigram_subwords" -> UnigramSubwordsOracleSql,
     "q_unigram_fertility" -> UnigramFertilityOracleSql,
@@ -8964,6 +8976,45 @@ object SparkEntry {
        |LEFT JOIN exr e
        |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
        |GROUP BY i.query_id""".stripMargin
+  }
+
+  /** RBO@10 replay between the probed-IVF ranking (shared IvfDetCtes `r`)
+    * and the exact ranking (the IvfRecallOracleSql exact side, WITH rank):
+    * depth weights (1−p)·p^(d−1)/d spliced as Double.toString literals,
+    * overlap counts exact integers, per-term e6 quantization before the
+    * integer sum — mirrors [[graft.operators.Rbo.rboAtK]].
+    */
+  private lazy val RboIvfOracleSql: String = {
+    val dims = 0 until 64
+    val qnDist = dims.map(i => s"(q.x$i - n.x$i) * (q.x$i - n.x$i)").mkString(" + ")
+    val wvals = (1 to 10)
+      .map(d => s"($d, ${((1.0d - 0.9d) * math.pow(0.9d, (d - 1).toDouble) / d).toString})")
+      .mkString(", ")
+    s"""$IvfDetCtes,
+       |exd AS (
+       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $qnDist AS d2
+       |  FROM pts q JOIN pts n ON n.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5),
+       |exr AS (
+       |  SELECT query_id, neighbor_id, rank FROM (
+       |    SELECT query_id, neighbor_id,
+       |           row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
+       |    FROM exd)
+       |  WHERE rank <= 10),
+       |cm AS (
+       |  SELECT a.query_id, greatest(a.rank, b.rank) AS m
+       |  FROM (SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10) a
+       |  JOIN exr b ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id),
+       |wt AS (SELECT * FROM (VALUES $wvals) t(d, wd)),
+       |tm AS (
+       |  SELECT query_id,
+       |         CAST(sum(CAST(floor(x * wd * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rbo_e6
+       |  FROM (SELECT cm.query_id, wt.d, wt.wd, CAST(count(*) AS BIGINT) AS x
+       |        FROM cm JOIN wt ON wt.d >= cm.m GROUP BY 1, 2, 3)
+       |  GROUP BY query_id),
+       |qq AS (SELECT DISTINCT query_id FROM r)
+       |SELECT qq.query_id, coalesce(tm.rbo_e6, 0) AS rbo_e6
+       |FROM qq LEFT JOIN tm USING (query_id)""".stripMargin
   }
 
   /** Generated DuckDB replay of UnigramLm.train (maxLen=12, maxPiece=4,

@@ -92,6 +92,30 @@ object IvfReplay {
     * broadcast-query full scan — the evaluation cost, not the serving
     * path.
     */
+  /** Exact integer-L2 top-k `(query_id, neighbor_id, rank)` over the same
+    * quantized points — the evaluation reference side (one broadcast-query
+    * full scan), shared by [[recallVsExact]] and the RBO eval query.
+    */
+  def exactKnn(
+      spark: SparkSession,
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      vecCol: String = "embedding",
+      d: Int = 64): DataFrame = {
+    val qpts = KMeansReplay.quantize(queries, vecCol, d)
+      .select(col("vec_id").as("query_id"), col("xq").as("qx"))
+    val cpts = KMeansReplay.quantize(corpus, vecCol, d)
+      .select(col("vec_id").as("neighbor_id"), col("xq").as("nx"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
+    cpts
+      .join(broadcast(qpts), col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), sqDist(col("qx"), col("nx")).as("d2"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+  }
+
   def recallVsExact(
       spark: SparkSession,
       queries: DataFrame,
@@ -104,16 +128,7 @@ object IvfReplay {
       d: Int = 64): DataFrame = {
     val approx = knn(spark, queries, corpus, k, nLists, nProbe, rounds, vecCol, d)
       .select(col("query_id"), col("neighbor_id"))
-    val qpts = KMeansReplay.quantize(queries, vecCol, d)
-      .select(col("vec_id").as("query_id"), col("xq").as("qx"))
-    val cpts = KMeansReplay.quantize(corpus, vecCol, d)
-      .select(col("vec_id").as("neighbor_id"), col("xq").as("nx"))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("d2"), col("neighbor_id"))
-    val exact = cpts
-      .join(broadcast(qpts), col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("neighbor_id"), sqDist(col("qx"), col("nx")).as("d2"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    val exact = exactKnn(spark, queries, corpus, k, vecCol, d)
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     approx
       .join(exact, Seq("query_id", "neighbor_id"), "left")
