@@ -5005,7 +5005,7 @@ object SparkEntry {
          |pr AS (SELECT a.doc_id AS id1, b.doc_id AS id2
          |       FROM bc a JOIN bc b
          |         ON a.fp_hash = b.fp_hash AND a.doc_id < b.doc_id
-         |       WHERE a.bn <= 10000 AND b.bn <= 10000)
+         |       WHERE a.bn <= 100 AND b.bn <= 100)
          |SELECT id1, id2, count(*) AS n_shared
          |FROM pr GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
     // dHash byte-fold replay from the hex dump (the q_media_features trick

@@ -51,16 +51,16 @@ object Winnow {
       k: Int = DefaultK,
       w: Int = DefaultW
   ): DataFrame = {
+    require(k == DefaultK, "the native gram kernel and the SQL replay are pinned to k = 5")
+    // gram hashes via the native one-pass kernel (expressions.GramHash) —
+    // bit-identical to the HOF transform spelling, and immune to the
+    // CollapseProject hazard where the lambda's inlined normalize regex
+    // re-ran per gram (O(len²) per doc — 19 s at sf0.1 before r16's fix)
     val grams = df
       .select(col(idCol).as("doc_id"), normalize(col(textCol)).as("s"))
       .filter(length(col("s")) >= k)
-      .select(
-        col("doc_id"),
-        transform(
-          sequence(lit(1), length(col("s")) - lit(k - 1)),
-          p => conv(substring(md5(col("s").substr(p, lit(k))), 1, 8), 16, 10).cast("long")
-        ).as("hs"))
-      .select(col("doc_id"), posexplode(col("hs")).as(Seq("pos0", "h")))
+      .select(col("doc_id"),
+        posexplode(graft.expressions.GramHash.grams(col("s"), k)).as(Seq("pos0", "h")))
       .select(col("doc_id"), (col("pos0") + 1).as("pos"), col("h"))
     val combined = col("h") * lit(1L << PosBits) + (lit(PosMask) - col("pos"))
     val frame = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -77,14 +77,22 @@ object Winnow {
   }
 
   /** Candidate near-dup pairs: documents sharing ≥ `minShared` distinct
-    * fingerprint hashes. Hot hashes (boilerplate grams piling thousands of
-    * docs onto one fingerprint) are dropped before the equi-join — bounded
-    * recall loss, never a runaway join (the [[Dedup.minhashPairs]] cap).
+    * fingerprint hashes. Hashes shared by more than `maxBucketSize` docs
+    * are dropped before the equi-join — and unlike the MinHash/SimHash
+    * band caps (where hot buckets are anomalies), ubiquity is STRUCTURAL
+    * here: common-language k-grams with small hash values get selected as
+    * fingerprints in thousands of documents, and each such hash costs
+    * C(bucket, 2) pairs (55 s at sf0.1 under a 10 000 cap — quadratic at
+    * corpus scale). MOSS's published practice is exactly this cut: ignore
+    * fingerprints appearing in many documents (template/boilerplate
+    * matches aren't plagiarism signal). The winnowing guarantee this
+    * operator trades on — a shared RARE run yields a shared fingerprint —
+    * survives, which the planted-copy oracle proves.
     */
   def candidatePairs(
       fps: DataFrame,
       minShared: Int = 3,
-      maxBucketSize: Int = 10000
+      maxBucketSize: Int = 100
   ): DataFrame = {
     val byHash = fps
       .select(col("doc_id"), col("fp_hash"))
