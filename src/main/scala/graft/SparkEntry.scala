@@ -364,6 +364,14 @@ object SparkEntry {
         .select(col("event_id"),
           from_json(col("props"), lit("k INT")).getField("k").as("k"))
     },
+    // the Spark 4 VARIANT path for the same extraction: parse_json →
+    // variant_get — the open semi-structured type (shredded binary, no
+    // up-front schema) next to the schema-on-read from_json twin above
+    "q_variant_extract" -> { (s, d) =>
+      Tables(s, d).events
+        .select(col("event_id"),
+          variant_get(parse_json(col("props")), "$.k", "int").as("k"))
+    },
     // A1g HLL twin: approx_count_distinct vs exact, per event type
     "q_approx_distinct" -> { (s, d) =>
       Tables(s, d).events.groupBy(col("event_type")).agg(
@@ -927,6 +935,19 @@ object SparkEntry {
       t.customer.createOrReplaceTempView("customer")
       s.sql(SqlParitySql)
     },
+    // Spark 4 SQL pipe syntax (|>): the same relational algebra written as
+    // a left-to-right operator chain — q_sql_parity's modern spelling
+    "q_pipe_syntax" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.orders.createOrReplaceTempView("orders")
+      s.sql(
+        """FROM orders
+          ||> WHERE o_orderstatus = 'F'
+          ||> AGGREGATE count(*) AS n_orders, min(o_orderkey) AS first_key,
+          |             max(o_orderkey) AS last_key
+          |   GROUP BY o_orderpriority
+          ||> ORDER BY o_orderpriority""".stripMargin)
+    },
     // cube with grouping_id: all four (status × priority) rollup combinations
     // in one pass (Expand + single aggregate, not four scans)
     "q_cube_status" -> { (s, d) =>
@@ -1473,6 +1494,17 @@ object SparkEntry {
           .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts")),
         ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id").as("buy_id"), col("ts").as("buy_ts")))
+    },
+    // transformWithState (streaming.TwsActivity, the Spark 4 arbitrary-
+    // state API) run statically: every key's rows arrive as one group, so
+    // the emitted totals must equal a plain groupBy count — the new API's
+    // batch parity hash-oracled; the spec drives the RocksDB streaming path
+    "q_tws_counts" -> { (s, d) =>
+      import s.implicits._
+      graft.streaming.TwsActivity.activity(
+        Tables(s, d).events.select(col("user_id"), col("event_type"))
+          .as[graft.streaming.TwsActivity.Click])
+        .toDF()
     },
     // the streaming funnel operator (streaming.StreamingFunnel) run
     // statically — one batch per user group, so the emitted final states
@@ -4940,6 +4972,18 @@ object SparkEntry {
     "q_json_extract" ->
       """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
         |FROM events""".stripMargin,
+    // same values as q_json_extract — the VARIANT path must agree with the
+    // schema-on-read path on the same rows
+    "q_variant_extract" ->
+      """SELECT event_id, CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k
+        |FROM events""".stripMargin,
+    "q_tws_counts" ->
+      "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+    "q_pipe_syntax" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |       min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_media_meta" ->
       """SELECT doc_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image/png' WHEN 1 THEN 'audio/wav'

@@ -1,0 +1,56 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, Encoders}
+import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+
+/** transformWithState (Spark 4's arbitrary-state API, the successor to
+  * map/flatMapGroupsWithState): typed composable state variables behind a
+  * `StatefulProcessor`, with timers and per-state TTL — the API a new
+  * stateful operator should target. This operator is the battery's
+  * canonical example: a per-user running activity counter in ONE
+  * `ValueState[Long]`, emitting the updated total each time a key sees
+  * rows.
+  *
+  * The processor also runs in BATCH queries (Spark 4 executes
+  * transformWithState statically — every key's rows arrive as one group),
+  * where the emitted totals must equal a plain groupBy count — that static
+  * parity is hash-oracled (`q_tws_counts`), the [[StreamingFunnel]]
+  * discipline applied to the new API. The spec drives the genuinely
+  * streaming path (RocksDB state store, update mode, two micro-batches).
+  */
+object TwsActivity {
+
+  final case class Click(user_id: Long, event_type: String)
+  final case class UserCount(user_id: Long, n_events: Long)
+
+  class CounterProcessor extends StatefulProcessor[Long, Click, UserCount] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Click],
+        timerValues: TimerValues): Iterator[UserCount] = {
+      val prev = if (count.exists()) count.get() else 0L
+      val n = prev + rows.size
+      count.update(n)
+      Iterator.single(UserCount(key, n))
+    }
+  }
+
+  /** Running per-user event totals; in update mode each touched key emits
+    * its new total per micro-batch.
+    */
+  def activity(clicks: Dataset[Click]): Dataset[UserCount] = {
+    import clicks.sparkSession.implicits._
+    // batch transformWithState needs the coordinator a streaming query
+    // would have created lazily (see StateBridge) — idempotent, harmless
+    // when the input is a stream
+    org.apache.spark.sql.graftbridge.StateBridge.ensureStateStoreCoordinator(clicks.sparkSession)
+    clicks
+      .groupByKey(_.user_id)
+      .transformWithState(new CounterProcessor, TimeMode.None(), OutputMode.Update())
+  }
+}
