@@ -2885,6 +2885,10 @@ object SparkEntry {
     // deterministic A/B lift + pooled two-proportion z (operators.AbTest):
     // md5-48 arm assignment, one replayed double expression for lift/z
     "q_ab_lift" -> ((s, d) => AbTest.conversionLift(Tables(s, d).events)),
+    // always-valid sequential A/B (operators.Msprt): the daily-peek mixture
+    // SPRT next to the fixed-horizon z above — log-space only (exp never
+    // computed), per-look e6 quantization before the integer running max
+    "q_msprt_lift" -> ((s, d) => graft.operators.Msprt.sequentialLift(Tables(s, d).events)),
     // HHI deciles of per-user event-type mix (operators.Diversity): one
     // division of two exact integers per user, integer-only report
     "q_hhi_buckets" -> ((s, d) => Diversity.hhiBuckets(Tables(s, d).events)),
@@ -2934,6 +2938,28 @@ object SparkEntry {
     // corpus duplication profile (SubstringDedup.dupNgramStats — Lee
     // 2021's headline metric): per-source fraction of 8-gram positions
     // duplicated anywhere in the corpus; aggregated-hash-table join only
+    // corpus diversity: distinct-n ratios per source (the text-generation
+    // diversity metric — unique n-grams / total n-grams, n = 1..3); a
+    // collapsing ratio flags template/boilerplate-heavy sources before
+    // they flood training batches. Exact integers + one DIV per cell
+    "q_distinct_ngrams" -> { (s, d) =>
+      val toks = Tables(s, d).documents
+        .select(col("source"), TF.tokens(col("text")).as("t"))
+      val t = col("t")
+      val b2 = graft.operators.Repetition.bigrams(t)
+      val g3 = zip_with(
+        slice(b2, lit(1), greatest(size(t) - 2, lit(0))),
+        slice(t, lit(3), greatest(size(t) - 2, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      val uni = toks.select(col("source"), lit(1).as("n"), explode(t).as("g"))
+      val bi = toks.select(col("source"), lit(2).as("n"), explode(b2).as("g"))
+      val tri = toks.select(col("source"), lit(3).as("n"), explode(g3).as("g"))
+      uni.unionByName(bi).unionByName(tri)
+        .groupBy(col("source"), col("n"))
+        .agg(count(lit(1)).as("n_total"), countDistinct(col("g")).as("n_unique"))
+        .select(col("source"), col("n"), col("n_total"), col("n_unique"),
+          expr("n_unique * 1000000 DIV n_total").as("distinct_ratio_e6"))
+    },
     "q_dup_ngram_stats" -> { (s, d) =>
       graft.operators.SubstringDedup.dupNgramStats(Tables(s, d).documents, w = 8)
     },
@@ -4979,6 +5005,24 @@ object SparkEntry {
         |FROM events""".stripMargin,
     "q_tws_counts" ->
       "SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id",
+    "q_distinct_ngrams" ->
+      s"""WITH t AS (SELECT source, $TokensSql AS toks FROM documents),
+         |g AS (
+         |  SELECT source, 1 AS n, unnest(toks) AS g FROM t
+         |  UNION ALL
+         |  SELECT source, 2 AS n,
+         |         unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                               i -> array_to_string(toks[i:i+1], ' '))) AS g
+         |  FROM t
+         |  UNION ALL
+         |  SELECT source, 3 AS n,
+         |         unnest(list_transform(generate_series(1, len(toks) - 2),
+         |                               i -> array_to_string(toks[i:i+2], ' '))) AS g
+         |  FROM t)
+         |SELECT source, n, CAST(count(*) AS BIGINT) AS n_total,
+         |       CAST(count(DISTINCT g) AS BIGINT) AS n_unique,
+         |       CAST(count(DISTINCT g) * 1000000 // count(*) AS BIGINT) AS distinct_ratio_e6
+         |FROM g GROUP BY 1, 2""".stripMargin,
     "q_pipe_syntax" ->
       """SELECT o_orderpriority, count(*) AS n_orders,
         |       min(o_orderkey) AS first_key, max(o_orderkey) AS last_key
@@ -7941,6 +7985,7 @@ object SparkEntry {
         |              END)
         |             * 1000000.0 + 0.5) / 1000000.0 AS z
         |FROM ag""".stripMargin,
+    "q_msprt_lift" -> MsprtOracleSql,
     // HHI = Σc²/T² is ONE division of exact integers — the decile floor
     // lands identically even exactly on a bucket boundary
     "q_hhi_buckets" ->
@@ -8756,6 +8801,58 @@ object SparkEntry {
        |FROM bounds
        |JOIN h0 lo ON lo.k = bounds.lo_k
        |JOIN h0 hi ON hi.k = bounds.hi_k""".stripMargin
+  }
+
+  /** mSPRT replay ([[graft.operators.Msprt.sequentialLift]]): md5 arms,
+    * (user, day) trials, windowed cumulative BIGINTs over the days table,
+    * then ONE fixed-spelling log-Λ double chain per look (textual
+    * expansion below keeps the IEEE association identical to the Column
+    * tree), e6-quantized before the integer running max.
+    */
+  private lazy val MsprtOracleSql: String = {
+    val T = 0.0025d.toString
+    val pa = "(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+    val pb = "(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+    val pool = "(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
+    val v = s"($pool * (1.0 - $pool) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
+    s"""WITH ud AS (
+       |  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
+       |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
+       |  FROM events GROUP BY 1, 2),
+       |ar AS (
+       |  SELECT day,
+       |         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 AS arm,
+       |         conv
+       |  FROM ud),
+       |dd AS (
+       |  SELECT day,
+       |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dn_a,
+       |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dn_b,
+       |         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS dx_a,
+       |         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS dx_b
+       |  FROM ar GROUP BY day),
+       |c AS (
+       |  SELECT day,
+       |         CAST(sum(dn_a) OVER w AS BIGINT) AS n_a,
+       |         CAST(sum(dn_b) OVER w AS BIGINT) AS n_b,
+       |         CAST(sum(dx_a) OVER w AS BIGINT) AS x_a,
+       |         CAST(sum(dx_b) OVER w AS BIGINT) AS x_b
+       |  FROM dd WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
+       |ll AS (
+       |  SELECT day, n_a, n_b, x_a, x_b,
+       |         CAST(floor((CASE WHEN n_a = 0 OR n_b = 0 OR x_a + x_b = 0
+       |                            OR x_a + x_b = n_a + n_b THEN 0.0
+       |                     ELSE 0.5 * ln($v / ($v + $T))
+       |                          + ($pb - $pa) * ($pb - $pa) * $T
+       |                            / (2.0 * $v * ($v + $T))
+       |                     END) * 1000000.0 + 0.5) AS BIGINT) AS log_lambda_e6
+       |  FROM c)
+       |SELECT day, n_a, n_b, x_a, x_b, log_lambda_e6,
+       |       -greatest(max(log_lambda_e6) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING),
+       |                 0) AS ln_p_e6,
+       |       -greatest(max(log_lambda_e6) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING),
+       |                 0) <= ${graft.operators.Msprt.LnAlphaE6} AS significant
+       |FROM ll""".stripMargin
   }
 
   /** SQL twin of [[syntheticHtml]] — the identical concat expression. */
