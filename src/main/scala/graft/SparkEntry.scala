@@ -2747,6 +2747,14 @@ object SparkEntry {
       Multimodal.sampleFrames(Multimodal.toMediaTable(Tables(s, d).documents))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
     },
+    // the image RESIZE plumbing oracled through a lossless round-trip:
+    // 4×4 gray image from the first 16 content bytes → real PNG encode →
+    // real ImageIO decode → nearest-neighbor 2×2 resize → the four samples
+    // must equal bytes 0/2/8/10 exactly (PNG is lossless), so the DuckDB
+    // hex replay checks the actual codec + resample per row
+    "q_media_resize" -> { (s, d) =>
+      Multimodal.resizeSample(Multimodal.toMediaTable(Tables(s, d).documents))
+    },
     // dHash perceptual-hash bands per media row (8×9 block grid → 64
     // difference bits → 4×16-bit bands). Image rows dispatch to the real
     // javax.imageio pixel dHash (MultimodalSpec); the driver tables'
@@ -5096,6 +5104,19 @@ object SparkEntry {
          |       WHERE a.bn <= 100 AND b.bn <= 100)
          |SELECT id1, id2, count(*) AS n_shared
          |FROM pr GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
+    // the resize round-trip replay: PNG is lossless, so the 2×2 nearest-
+    // neighbor samples of the 4×4 gray image equal bytes 0/2/8/10
+    "q_media_resize" -> {
+      def bv(i: Int) =
+        s"CAST(coalesce((strpos('0123456789ABCDEF', px[$i][1:1]) - 1) * 16 + " +
+          s"(strpos('0123456789ABCDEF', px[$i][2:2]) - 1), 0) AS INT)"
+      s"""WITH b AS (
+         |  SELECT doc_id, regexp_extract_all(hex(encode(text)), '..') AS px
+         |  FROM documents)
+         |SELECT doc_id, ${bv(1)} AS g00, ${bv(3)} AS g10,
+         |       ${bv(9)} AS g01, ${bv(11)} AS g11
+         |FROM b""".stripMargin
+    },
     // dHash byte-fold replay from the hex dump (the q_media_features trick
     // extended to full byte values): per-byte value from the two hex
     // nibbles, positional fold into the 72-cell grid, strict-> difference

@@ -268,6 +268,70 @@ object Multimodal {
       sha2(col("content"), 256).as("sha256")
     )
 
+  /** Nearest-neighbor image resize — the deterministic resample (out pixel
+    * (x, y) = in pixel (x·w_in/w_out, y·h_in/h_out), integer division):
+    * every output pixel is an EXACT copy of one input pixel, so resize
+    * composes with the lossless PNG round-trip into arithmetic a SQL
+    * oracle can replay. (Interpolating kernels — bilinear/Lanczos — trade
+    * that exactness for quality; the plumbing is identical.)
+    */
+  private[graft] def resizeImage(
+      img: java.awt.image.BufferedImage,
+      w: Int,
+      h: Int): java.awt.image.BufferedImage = {
+    require(w >= 1 && h >= 1)
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        out.setRGB(x, y, img.getRGB(x * img.getWidth / w, y * img.getHeight / h))
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** The full image codec path exercised as replayable arithmetic: build a
+    * 4×4 gray image from the first 16 content bytes (pad 0), PNG-ENCODE it
+    * (`ImageIO.write`), DECODE the bytes back (`ImageIO.read`), resize to
+    * 2×2 nearest-neighbor, and emit the four gray values. PNG is lossless,
+    * so the output must equal bytes 0, 2, 8, 10 of the content — the
+    * oracle checks the real encoder/decoder/resize round-trip per row.
+    */
+  private[graft] def pngRoundTripSample(content: Array[Byte]): Array[Int] = {
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0
+    while (i < 16) {
+      val g = if (i < content.length) java.lang.Byte.toUnsignedInt(content(i)) else 0
+      img.setRGB(i % 4, i / 4, (g << 16) | (g << 8) | g)
+      i += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(baos.toByteArray))
+    val small = resizeImage(decoded, 2, 2)
+    Array.tabulate(4)(j => small.getRGB(j % 2, j / 2) & 0xFF)
+  }
+
+  /** Per-row codec round-trip + resize over the media table: `(doc_id,
+    * g00, g10, g01, g11)` — the four 2×2 nearest-neighbor samples of the
+    * PNG round-trip above. Typed mapPartitions like [[extractFeatures]].
+    */
+  def resizeSample(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id"), col("media_type"), col("content"))
+      .as[MediaRow]
+      .mapPartitions(_.map { r =>
+        val g = pngRoundTripSample(r.content)
+        (r.doc_id, g(0), g(1), g(2), g(3))
+      })
+      .toDF("doc_id", "g00", "g10", "g01", "g11")
+  }
+
   // ---- perceptual hashing (image near-dup, the media twin of simhash) ----
 
   /** dHash grid shape: 8 rows × 9 columns of block means → 64 difference

@@ -179,6 +179,26 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.dHashBands("image/png", bytes).toSeq == a.toSeq)
   }
 
+  test("nearest-neighbor resize: exact pixel picks down, exact replication up") {
+    val img = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, (y * 4 + x) * 0x010101)
+    val down = Multimodal.resizeImage(img, 2, 2)
+    assert(Seq(down.getRGB(0, 0), down.getRGB(1, 0), down.getRGB(0, 1), down.getRGB(1, 1))
+      .map(_ & 0xFF) == Seq(0, 2, 8, 10))
+    val up = Multimodal.resizeImage(down, 4, 4)
+    // each source pixel becomes a 2x2 block
+    assert((up.getRGB(0, 0) & 0xFF) == 0 && (up.getRGB(1, 1) & 0xFF) == 0)
+    assert((up.getRGB(2, 0) & 0xFF) == 2 && (up.getRGB(3, 1) & 0xFF) == 2)
+  }
+
+  test("png round-trip sample: lossless codec chain returns the source bytes") {
+    val content = (0 until 20).map(i => (i * 7 + 3).toByte).toArray
+    val g = Multimodal.pngRoundTripSample(content)
+    assert(g.toSeq == Seq(3, 17, 59, 73)) // bytes 0, 2, 8, 10 of (7i+3)
+    // short content pads with zeros
+    assert(Multimodal.pngRoundTripSample(Array[Byte](42)).toSeq == Seq(42, 0, 0, 0))
+  }
+
   test("phash near-dup: planted 1-byte-perturbed twins are recovered") {
     val docs = Tables(spark, TestSpark.Sf0001).documents.select($"doc_id", $"text")
     val planted = docs.filter($"doc_id".isin(3, 6, 9))
