@@ -2011,6 +2011,31 @@ object SparkEntry {
       graft.operators.SimilarityJoin.jaccardSelfJoin(
         Tables(s, d).documents, threshold = 0.6)
     },
+    // dedup method-agreement audit (Lee 2021's NearDup-vs-ExactSubstr
+    // comparison): docs flagged by the exact-Jaccard near-dup join vs docs
+    // with duplicated substring spans — overlap and Jaccard of the flag
+    // sets, the curation diagnostic for choosing/combining detectors
+    "q_dedup_method_overlap" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val pairs = graft.operators.SimilarityJoin.jaccardSelfJoin(docs, threshold = 0.6)
+      val pp = pairs.select(col("id1").as("doc_id"))
+        .unionByName(pairs.select(col("id2").as("doc_id"))).distinct()
+        .withColumn("in_pp", lit(true))
+      val ss = graft.operators.SubstringDedup.duplicatedSpans(docs, w = 8)
+        .select(col("doc_id")).distinct()
+        .withColumn("in_ss", lit(true))
+      pp.join(ss, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("in_pp"), lit(false)).as("in_pp"),
+          coalesce(col("in_ss"), lit(false)).as("in_ss"))
+        .agg(
+          coalesce(sum(when(col("in_pp"), 1L).otherwise(0L)), lit(0L)).as("n_neardup"),
+          coalesce(sum(when(col("in_ss"), 1L).otherwise(0L)), lit(0L)).as("n_substr"),
+          coalesce(sum(when(col("in_pp") && col("in_ss"), 1L).otherwise(0L)), lit(0L)).as("n_both"),
+          count(lit(1)).as("n_either"))
+        .select(col("n_neardup"), col("n_substr"), col("n_both"), col("n_either"),
+          when(col("n_either") === 0L, 0L)
+            .otherwise(expr("n_both * 1000000 DIV n_either")).as("agreement_e6"))
+    },
     // distributed PCA top component (operators.Pca): one MomentMatrixAgg
     // scan (O(d²) shuffle bytes, no explode), round-6 sufficient stats,
     // then a deterministic 5-round driver power iteration the generated
@@ -7476,47 +7501,26 @@ object SparkEntry {
     // prefix-filter similarity join: same df-ordered prefix + size-filter
     // + exact-verify spelling as SimilarityJoin (the q_copurchase
     // replicate-the-capped-spelling discipline; ≡ naive is spec-proven)
-    "q_similarity_join" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, $TokensSql AS toks FROM documents
-         |), d AS (
-         |  SELECT doc_id, list_distinct(
-         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |         ELSE list_transform(generate_series(1, len(toks) - 2),
-         |                             i -> array_to_string(toks[i:i+2], ' '))
-         |    END) AS sh
-         |  FROM t
-         |), sz AS (
-         |  SELECT doc_id, len(sh) AS n FROM d
-         |), ex AS (
-         |  SELECT doc_id, unnest(sh) AS s FROM d
-         |), dfq AS (
-         |  SELECT s, count(*) AS df FROM ex GROUP BY s
-         |), rk AS (
-         |  SELECT ex.doc_id, ex.s,
-         |         row_number() OVER (PARTITION BY ex.doc_id
-         |                            ORDER BY dfq.df, ex.s) AS rn
-         |  FROM ex JOIN dfq ON ex.s = dfq.s
-         |), pref AS (
-         |  SELECT rk.doc_id, rk.s, sz.n
-         |  FROM rk JOIN sz ON rk.doc_id = sz.doc_id
-         |  WHERE rk.rn <= sz.n - CAST(ceil(CAST(0.6 AS DOUBLE) * sz.n) AS BIGINT) + 1
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM pref a JOIN pref b
-         |    ON a.s = b.s AND b.doc_id > a.doc_id
-         |   AND b.n >= CAST(0.6 AS DOUBLE) * a.n - CAST(1e-9 AS DOUBLE)
-         |   AND b.n <= a.n / CAST(0.6 AS DOUBLE) + CAST(1e-9 AS DOUBLE)
-         |), v AS (
-         |  SELECT c.id1, c.id2,
-         |         CAST(len(list_intersect(d1.sh, d2.sh)) AS DOUBLE)
-         |         / (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh)))
-         |           AS jaccard
-         |  FROM cand c
-         |  JOIN d d1 ON c.id1 = d1.doc_id
-         |  JOIN d d2 ON c.id2 = d2.doc_id)
-         |SELECT id1, id2, jaccard FROM v
-         |WHERE jaccard >= CAST(0.6 AS DOUBLE)""".stripMargin,
+    "q_similarity_join" -> SimilarityJoinOracleSql,
+    "q_dedup_method_overlap" ->
+      s"""WITH pp AS (
+         |  SELECT DISTINCT doc_id FROM (
+         |    SELECT id1 AS doc_id FROM ($SimilarityJoinOracleSql)
+         |    UNION ALL
+         |    SELECT id2 AS doc_id FROM ($SimilarityJoinOracleSql))),
+         |ssx AS (SELECT DISTINCT doc_id FROM ($SubstrSpansSql
+         |  SELECT doc_id, span_start, span_end, n_windows FROM spans)),
+         |m AS (
+         |  SELECT pp.doc_id IS NOT NULL AS in_pp, ssx.doc_id IS NOT NULL AS in_ss
+         |  FROM pp FULL OUTER JOIN ssx ON pp.doc_id = ssx.doc_id)
+         |SELECT coalesce(CAST(sum(CASE WHEN in_pp THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_neardup,
+         |       coalesce(CAST(sum(CASE WHEN in_ss THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_substr,
+         |       coalesce(CAST(sum(CASE WHEN in_pp AND in_ss THEN 1 ELSE 0 END) AS BIGINT), 0) AS n_both,
+         |       CAST(count(*) AS BIGINT) AS n_either,
+         |       CASE WHEN count(*) = 0 THEN 0
+         |            ELSE CAST(coalesce(sum(CASE WHEN in_pp AND in_ss THEN 1 ELSE 0 END), 0)
+         |                      * 1000000 // count(*) AS BIGINT) END AS agreement_e6
+         |FROM m""".stripMargin,
     // transitivity stated directly as a recursive CTE (reachability →
     // min per node); oracle-validated against a union-find ground truth.
     // Same shingle/posting/cap/≥5-shared construction as the Spark side.
@@ -8823,6 +8827,50 @@ object SparkEntry {
        |JOIN h0 lo ON lo.k = bounds.lo_k
        |JOIN h0 hi ON hi.k = bounds.hi_k""".stripMargin
   }
+
+  /** PPJoin exact-Jaccard self-join replay (also embedded by the
+    * q_dedup_method_overlap audit). */
+  private lazy val SimilarityJoinOracleSql: String =
+    s"""WITH t AS (
+         |  SELECT doc_id, $TokensSql AS toks FROM documents
+         |), d AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+         |         ELSE list_transform(generate_series(1, len(toks) - 2),
+         |                             i -> array_to_string(toks[i:i+2], ' '))
+         |    END) AS sh
+         |  FROM t
+         |), sz AS (
+         |  SELECT doc_id, len(sh) AS n FROM d
+         |), ex AS (
+         |  SELECT doc_id, unnest(sh) AS s FROM d
+         |), dfq AS (
+         |  SELECT s, count(*) AS df FROM ex GROUP BY s
+         |), rk AS (
+         |  SELECT ex.doc_id, ex.s,
+         |         row_number() OVER (PARTITION BY ex.doc_id
+         |                            ORDER BY dfq.df, ex.s) AS rn
+         |  FROM ex JOIN dfq ON ex.s = dfq.s
+         |), pref AS (
+         |  SELECT rk.doc_id, rk.s, sz.n
+         |  FROM rk JOIN sz ON rk.doc_id = sz.doc_id
+         |  WHERE rk.rn <= sz.n - CAST(ceil(CAST(0.6 AS DOUBLE) * sz.n) AS BIGINT) + 1
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         |  FROM pref a JOIN pref b
+         |    ON a.s = b.s AND b.doc_id > a.doc_id
+         |   AND b.n >= CAST(0.6 AS DOUBLE) * a.n - CAST(1e-9 AS DOUBLE)
+         |   AND b.n <= a.n / CAST(0.6 AS DOUBLE) + CAST(1e-9 AS DOUBLE)
+         |), v AS (
+         |  SELECT c.id1, c.id2,
+         |         CAST(len(list_intersect(d1.sh, d2.sh)) AS DOUBLE)
+         |         / (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh)))
+         |           AS jaccard
+         |  FROM cand c
+         |  JOIN d d1 ON c.id1 = d1.doc_id
+         |  JOIN d d2 ON c.id2 = d2.doc_id)
+         |SELECT id1, id2, jaccard FROM v
+         |WHERE jaccard >= CAST(0.6 AS DOUBLE)""".stripMargin
 
   /** mSPRT replay ([[graft.operators.Msprt.sequentialLift]]): md5 arms,
     * (user, day) trials, windowed cumulative BIGINTs over the days table,
