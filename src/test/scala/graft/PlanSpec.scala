@@ -305,4 +305,28 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"band-bucket join must stay an equi-join:\n${p.take(2000)}")
   }
+
+  test("distinct-n diversity: no cartesian, one aggregate over the gram union") {
+    val p = plan("q_distinct_ngrams")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(2000))
+  }
+
+  test("mSPRT: corpus touches only groupBys; windows run on the days table") {
+    val p = plan("q_msprt_lift")
+    // exactly one single-partition exchange feeds the bounded days window
+    assert("Exchange SinglePartition".r.findAllIn(p).size <= 2,
+      s"only the bounded days table may single-partition:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("winnowing fingerprints run the native gram kernel, not a HOF lambda") {
+    val p = plan("q_winnow_fp_subset")
+    assert(p.contains("graft_gram_hashes"),
+      s"gram hashing must be the GramHash kernel:\n${p.take(2000)}")
+    // the CollapseProject hazard was the regex INSIDE a lambda (evaluated
+    // per gram); per-row duplicates across filter/project are harmless
+    assert(!p.contains("lambdafunction"),
+      s"no HOF lambda may remain in the gram path:\n${p.take(2500)}")
+  }
 }

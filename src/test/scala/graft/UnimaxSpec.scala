@@ -36,6 +36,12 @@ class UnimaxSpec extends AnyFunSuite {
     assert(a == Map("A" -> 10L, "B" -> 20L))
   }
 
+  test("zero budget allocates zero everywhere") {
+    val df = (Seq.fill(5)("A") ++ Seq.fill(5)("B")).map((_, 1L)).toDF("source", "n_chars")
+    val a = allocMap(Unimax.allocate(df, budget = 0L, maxEpochs = 2).collect())
+    assert(a == Map("A" -> 0L, "B" -> 0L))
+  }
+
   test("invariants on the real corpus: sum = min(B, sum cap), alloc <= cap, fairness") {
     val docs = Tables(spark, TestSpark.Sf0001).documents
     val total = docs.agg(sum($"n_chars".cast("long"))).collect()(0).getLong(0)

@@ -41,6 +41,18 @@ class WinnowSpec extends AnyFunSuite {
     got.foreach { case (id, fps) => assert(fps == expected(id), s"doc $id") }
   }
 
+  test("guarantee holds across 50 contexts: any 12-char shared run is detected") {
+    // w + k - 1 = 12 normalized chars guarantees a FULL window of shared
+    // grams, so the window minimum is a shared gram in both docs — sweep
+    // contexts to show it's structural, not a lucky fixture
+    (0 until 50).foreach { salt =>
+      val shared = s"run${salt}pad$salt".take(12).padTo(12, 'z').mkString
+      val a = s"aa${salt}xq $shared tailone$salt"
+      val b = s"bb${salt}mn $shared othertwo$salt"
+      assert((naiveFps(a).map(_._1) & naiveFps(b).map(_._1)).nonEmpty, s"salt $salt")
+    }
+  }
+
   test("guarantee: a shared >= w+k-1 char run yields a shared fingerprint hash") {
     // the 12-char run "commonmiddle" embedded in unrelated contexts
     val a = "xq1zv common middle 9rkt unrelated tail alpha"
