@@ -20,6 +20,29 @@ object Sinks {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** JSONL (newline-delimited JSON) — the de-facto training-data
+    * interchange format: one document object per line, splittable when
+    * uncompressed, schema-on-read. Written gzip by default (the shipping
+    * shape); read back with an EXPLICIT schema — `inferSchema` is banned
+    * in production paths (a sampling pass whose result can drift with the
+    * data).
+    */
+  def writeJsonl(df: DataFrame, path: String, compression: String = "gzip"): Unit =
+    df.write.mode(SaveMode.Overwrite).option("compression", compression).json(path)
+
+  def readJsonl(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      schema: String): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** ORC reader next to [[writeOrc]] — round-trip + predicate pushdown are
+    * spec-pinned so format choice stays a config decision, not a
+    * correctness one.
+    */
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
   def writePartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*).parquet(path)
 

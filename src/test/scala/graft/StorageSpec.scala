@@ -24,6 +24,37 @@ class StorageSpec extends AnyFunSuite {
       Tables(spark, TestSpark.Sf0001).orders.filter(year($"o_orderdate") === 1996).count())
   }
 
+  test("jsonl round-trip: gzip-compressed lines, explicit-schema read, values exact") {
+    val dir = Files.createTempDirectory("graft-jsonl").toString + "/docs"
+    val docs = Tables(spark, TestSpark.Sf0001).documents
+      .select($"doc_id", $"source", $"text", $"n_chars")
+    Sinks.writeJsonl(docs, dir)
+    // the shipped files really are gzip members
+    val files = new java.io.File(dir).listFiles.filter(_.getName.endsWith(".json.gz"))
+    assert(files.nonEmpty, "expected .json.gz part files")
+    val back = Sinks.readJsonl(spark, dir,
+      "doc_id LONG, source STRING, text STRING, n_chars LONG")
+    assert(back.count() == docs.count())
+    val a = docs.orderBy($"doc_id").collect().map(_.toSeq)
+    val b = back.select($"doc_id", $"source", $"text", $"n_chars")
+      .orderBy($"doc_id").collect().map(_.toSeq)
+    assert(a.sameElements(b))
+  }
+
+  test("orc round-trip: values exact, filters pushed to the orc scan") {
+    val dir = Files.createTempDirectory("graft-orc").toString + "/docs"
+    val docs = Tables(spark, TestSpark.Sf0001).documents
+      .select($"doc_id", $"source", $"n_chars")
+    Sinks.writeOrc(docs, dir)
+    val back = Sinks.readOrc(spark, dir)
+    assert(back.count() == docs.count())
+    val filtered = back.filter($"n_chars" > 200)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(n_chars), GreaterThan(n_chars,200)]"),
+      plan.take(1500))
+    assert(filtered.count() == docs.filter($"n_chars" > 200).count())
+  }
+
   test("parquet mergeSchema: reads the union schema across evolved files") {
     val dir = Files.createTempDirectory("graft-evolve").toString + "/t"
     Seq((1L, "a")).toDF("id", "v1").write.parquet(dir + "/gen=1")
