@@ -13,16 +13,18 @@ import org.apache.spark.sql.functions._
   * bytes with the JDK's built-in `javax.imageio` (no new dependency) into
   * a deterministic pixel-stat feature vector. The AUDIO codec is REAL too
   * (r16): `decodeAudio` parses PCM WAV bytes with the JDK's built-in
-  * `javax.sound.sampled` into exact-integer signal stats. Only the VIDEO
-  * codec step remains ⚠ STUBBED ⚠ (the JDK ships no video codec and this
-  * container has no media libraries): `decodeStub` derives a deterministic
-  * pseudo-feature vector from the raw bytes, and image/audio rows whose
-  * bytes aren't decodable (e.g. the UTF-8 stand-in content of
-  * [[toMediaTable]]) fall back to it too, so the binary-column plumbing
-  * stays exercised end-to-end on the driver-provided tables. Everything
-  * around the codecs — schema, binary column handling, per-partition
-  * batched iteration, frame-sampling explode, the feature-vector output
-  * shape — is the real distributed plumbing and is tested.
+  * `javax.sound.sampled` into exact-integer signal stats. VIDEO is REAL
+  * for the one multi-frame container the JDK ships a reader for —
+  * animated GIF (`gifFrameStats`: on-demand frame reads, sampled frame
+  * luminance stats); ⚠ mp4/webm remain STUBBED ⚠ (they need codecs
+  * neither the JDK nor this container provides): `decodeStub` derives a
+  * deterministic pseudo-feature vector from raw bytes, and any
+  * undecodable row (e.g. the UTF-8 stand-in content of [[toMediaTable]])
+  * falls back to it, so the binary-column plumbing stays exercised
+  * end-to-end on the driver-provided tables. Everything around the
+  * codecs — schema, binary column handling, per-partition batched
+  * iteration, frame-sampling explode, the feature-vector output shape —
+  * is the real distributed plumbing and is tested.
   */
 object Multimodal {
 
@@ -200,15 +202,71 @@ object Multimodal {
     } finally ais.close()
   }
 
+  /** REAL multi-frame video-container decode for the one format the JDK
+    * ships a reader for — animated GIF (`ImageIO`'s gif `ImageReader`
+    * reads frame i on demand): sample every `everyN`-th frame, per-frame
+    * integer luminance sum. Returns the sampled frames' stats
+    * `(frame_idx, width, height, lum_sum)`; None when the bytes aren't a
+    * GIF (mp4/webm need codecs the JDK doesn't ship — those rows fall
+    * back to the stub, the declared remaining gap).
+    */
+  private[graft] def gifFrameStats(
+      content: Array[Byte],
+      everyN: Int = 2): Option[Seq[(Int, Int, Int, Long)]] = {
+    val iis =
+      try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(content))
+      catch { case _: Throwable => return None }
+    val readers = javax.imageio.ImageIO.getImageReaders(iis)
+    if (!readers.hasNext) return None
+    val r = readers.next()
+    if (!r.getFormatName.equalsIgnoreCase("gif")) return None
+    try {
+      r.setInput(iis)
+      val n = r.getNumImages(true)
+      Some((0 until n by everyN).map { i =>
+        val img = r.read(i)
+        var lum = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            lum += ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L
+            x += 1
+          }
+          y += 1
+        }
+        (i, img.getWidth, img.getHeight, lum)
+      })
+    } catch { case _: Throwable => None } finally r.dispose()
+  }
+
   /** Per-row codec dispatch: image rows get the real [[decodeImage]], audio
-    * rows the real [[decodeAudio]] (stub fallback for undecodable bytes);
-    * video stays on the stub — the JDK ships no video codec.
+    * rows the real [[decodeAudio]], video rows the real GIF frame reader
+    * when the bytes are a GIF ([[gifFrameStats]] → frame-count/dims/mean
+    * luminance folded into the vector head, stub histogram tail); all
+    * undecodable bytes fall back to the stub — only non-GIF video codecs
+    * remain env-blocked.
     */
   private[operators] def decode(mediaType: String, content: Array[Byte], dim: Int): Array[Float] =
     if (mediaType != null && mediaType.startsWith("image/"))
       decodeImage(content, dim).getOrElse(decodeStub(content, dim))
     else if (mediaType != null && mediaType.startsWith("audio/"))
       decodeAudio(content, dim).getOrElse(decodeStub(content, dim))
+    else if (mediaType != null && mediaType.startsWith("video/"))
+      gifFrameStats(content).filter(_.nonEmpty).fold(decodeStub(content, dim)) { fs =>
+        val out = decodeStub(content, dim)
+        if (dim >= 4) {
+          val (w, h) = (fs.head._2, fs.head._3)
+          out(0) = fs.length.toFloat
+          out(1) = (w.toDouble / (w.toDouble + h.toDouble)).toFloat
+          // mean per-pixel luminance over the sampled frames (÷255000)
+          val px = fs.map(f => f._2.toLong * f._3).sum
+          out(2) = (fs.map(_._4).sum.toDouble / px / 255000.0).toFloat
+          out(3) = 1.0f // real-decode marker
+        }
+        out
+      }
     else decodeStub(content, dim)
 
   /** Per-partition batched feature extraction: rows stream through

@@ -121,6 +121,36 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.decodeAudio(garbage, 8).isEmpty)
   }
 
+  test("real animated-GIF bytes decode as sampled video frames (ImageIO reader path)") {
+    // 4 solid gray frames (64, 128, 192, 255) of 3x2 px; everyN=2 samples
+    // frames 0 and 2 with exact luminance sums 6*64*1000 and 6*192*1000
+    val baos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    for (g <- Seq(64, 128, 192, 255)) {
+      val f = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 2; x <- 0 until 3) f.setRGB(x, y, (g << 16) | (g << 8) | g)
+      writer.writeToSequence(new javax.imageio.IIOImage(f, null, null), null)
+    }
+    writer.endWriteSequence(); ios.close(); writer.dispose()
+    val gif = baos.toByteArray
+
+    val fs = Multimodal.gifFrameStats(gif, everyN = 2).get
+    assert(fs == Seq((0, 3, 2, 6L * 64 * 1000), (2, 3, 2, 6L * 192 * 1000)), fs.toString)
+
+    // dispatch: a video/* row with GIF bytes takes the real path (marker 1.0)
+    val vec = Multimodal.extractFeatures(
+      Seq((1L, "video/gif", gif)).toDF("doc_id", "media_type", "content"), dim = 8)
+      .collect()(0)
+    val v = vec.getSeq[Float](vec.fieldIndex("features"))
+    assert(v(0) == 2.0f && v(1) == 0.6f && v(3) == 1.0f, v.toString)
+    assert(v(2) == ((6L * 64 * 1000 + 6L * 192 * 1000).toDouble / 12 / 255000.0).toFloat)
+    // non-GIF video bytes stay on the stub (marker absent)
+    assert(Multimodal.gifFrameStats("not a gif".getBytes("UTF-8")).isEmpty)
+  }
+
   // ---- perceptual hashing ----
 
   private def pngBytes(img: java.awt.image.BufferedImage): Array[Byte] = {
