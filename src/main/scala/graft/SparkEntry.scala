@@ -2312,6 +2312,39 @@ object SparkEntry {
         .select(col("doc_id"),
           coalesce(col("component"), col("doc_id")).as("component"))
     },
+    // dup-multiplicity distribution: how many clusters of each size — the
+    // standard dedup report (a fat tail = boilerplate families; the
+    // singleton count = the corpus that survives keep-one untouched)
+    "q_dup_cluster_sizes" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      docs.select(col("doc_id"))
+        .join(Components.connectedComponents(shingleEdges(docs)),
+          col("node") === col("doc_id"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("component"))
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    },
+    // Flesch–Kincaid readability (the classic text-quality feature):
+    // sentences = terminator runs (floor 1), syllables = per-word vowel
+    // groups (floor 1) — exact integer counts, ONE replayed double chain
+    "q_readability" -> { (s, d) =>
+      val toks = TF.tokens(col("text"))
+      val sentences = greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+      val syllables = aggregate(
+        transform(toks, w =>
+          greatest(lit(1L), size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long"))),
+        lit(0L), (a, x) => a + x)
+      val words = size(toks).cast("long")
+      Tables(s, d).documents
+        .select(col("doc_id"), words.as("n_words"), sentences.as("n_sentences"),
+          syllables.as("n_syllables"))
+        .withColumn("fk_e6",
+          when(col("n_words") === 0L, 0L).otherwise(
+            floor((lit(0.39d) * col("n_words").cast("double") / col("n_sentences").cast("double")
+              + lit(11.8d) * col("n_syllables").cast("double") / col("n_words").cast("double")
+              - lit(15.59d)) * lit(1000000.0d) + lit(0.5d)).cast("long")))
+    },
     // the deduplicated corpus itself: one canonical doc per near-dup
     // group (the group's min id), isolated docs kept — what a corpus
     // build consumes after the grouping step
@@ -7528,6 +7561,30 @@ object SparkEntry {
       s"""$DedupCompCte
          |SELECT doc_id, coalesce(comp.component, doc_id) AS component
          |FROM documents LEFT JOIN comp ON comp.node = doc_id""".stripMargin,
+    "q_dup_cluster_sizes" ->
+      s"""$DedupCompCte,
+         |asg AS (SELECT coalesce(comp.component, doc_id) AS component
+         |        FROM documents LEFT JOIN comp ON comp.node = doc_id),
+         |cs AS (SELECT component, CAST(count(*) AS BIGINT) AS cluster_size
+         |       FROM asg GROUP BY component)
+         |SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+         |FROM cs GROUP BY cluster_size""".stripMargin,
+    "q_readability" ->
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len($TokensSql) AS BIGINT) AS n_words,
+         |         greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+         |           AS n_sentences,
+         |         CAST(list_sum(list_transform($TokensSql,
+         |           w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT)
+         |           AS n_syllables
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_syllables,
+         |       CASE WHEN n_words = 0 THEN 0
+         |            ELSE CAST(floor((0.39 * CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)
+         |                 + 11.8 * CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)
+         |                 - 15.59) * 1000000.0 + 0.5) AS BIGINT) END AS fk_e6
+         |FROM t""".stripMargin,
     // q_dedup_components' CTE chain, filtered to the canonical survivors
     "q_dedup_keep" ->
       s"""$DedupCompCte
