@@ -2264,6 +2264,37 @@ object SparkEntry {
       a.join(b, Seq("id1")).select(col("id1"), col("id2"),
         Dedup.jaccard(col("w1"), col("w2")).as("jaccard"))
     },
+    // LSH banding tuner (MMDS §3.4): the S-curve p(s) = 1 − (1 − s^r)^b
+    // for every (bands, rows) split of 16 lanes, evaluated against THIS
+    // corpus's observed similarity sample (the adjacent-id pair sample
+    // above — a defined, oracled sample) — expected detections and
+    // expected misses above τ = 0.5 per configuration. Powers are
+    // UNROLLED multiplication chains (never libm pow), per-pair e6
+    // quantization before exact BIGINT sums
+    "q_lsh_tuning" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), array_distinct(TF.tokens(col("text"))).as("words"))
+      val a = docs.select(col("doc_id").as("id1"), col("words").as("w1"))
+      val b = docs.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"),
+        col("words").as("w2"))
+      val sims = a.join(b, Seq("id1"))
+        .select(Dedup.jaccard(col("w1"), col("w2")).as("j"))
+      def pw(x: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+        (1 until n).foldLeft(x)((acc, _) => acc * x)
+      val grid = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+      val scored = grid.map { case (bands, rows) =>
+        val p = lit(1.0d) - pw(lit(1.0d) - pw(col("j"), rows), bands)
+        val pE6 = floor(p * lit(1000000.0d) + lit(0.5d)).cast("long")
+        sims.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(pE6).as("exp_detected_e6"),
+          sum(when(col("j") >= lit(0.5d), lit(1000000L) - pE6).otherwise(0L))
+            .as("exp_missed_above_tau_e6"))
+          .select(lit(bands).as("bands"), lit(rows).as("rows"),
+            col("n_pairs"), col("exp_detected_e6"), col("exp_missed_above_tau_e6"))
+      }
+      scored.reduce(_ unionByName _)
+    },
     // oracle for the minhashPairs VERIFY stage: the same shingle + exact-
     // Jaccard kernels, but over a deterministic candidate set (doc_id
     // distance ≤ 5) so DuckDB can hash-match what LSH bucketing (engine-
@@ -7515,6 +7546,7 @@ object SparkEntry {
          |                 / len(list_distinct(list_concat(w1, w2)))
          |       END AS jaccard
          |FROM p""".stripMargin,
+    "q_lsh_tuning" -> LshTuningOracleSql,
     "q_neardup_verify" ->
       s"""WITH t AS (
          |  SELECT doc_id, $TokensSql AS toks FROM documents
@@ -8928,6 +8960,33 @@ object SparkEntry {
          |  JOIN d d2 ON c.id2 = d2.doc_id)
          |SELECT id1, id2, jaccard FROM v
          |WHERE jaccard >= CAST(0.6 AS DOUBLE)""".stripMargin
+
+  /** LSH banding tuner replay: the S-curve with UNROLLED multiplication
+    * chains (left-assoc, matching the Column fold — never libm pow), over
+    * the q_jaccard_adjacent similarity sample; per-pair e6 quantization
+    * before exact BIGINT sums.
+    */
+  private lazy val LshTuningOracleSql: String = {
+    def pw(x: String, n: Int): String = Seq.fill(n)(x).mkString("(", " * ", ")")
+    val rows = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)).map { case (b, r) =>
+      val p = s"(1.0 - ${pw(s"(1.0 - ${pw("j", r)})", b)})"
+      s"""SELECT $b AS bands, $r AS rows, CAST(count(*) AS BIGINT) AS n_pairs,
+         |       CAST(sum(CAST(floor($p * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+         |         AS exp_detected_e6,
+         |       CAST(sum(CASE WHEN j >= 0.5
+         |                     THEN 1000000 - CAST(floor($p * 1000000.0 + 0.5) AS BIGINT)
+         |                     ELSE 0 END) AS BIGINT) AS exp_missed_above_tau_e6
+         |FROM sims""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH d AS (SELECT doc_id, list_distinct($TokensSql) AS words FROM documents),
+       |pp AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.words AS w1, b.words AS w2
+       |       FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
+       |sims AS (SELECT CASE WHEN len(list_distinct(list_concat(w1, w2))) = 0 THEN 0.0
+       |                ELSE CAST(len(list_intersect(w1, w2)) AS DOUBLE)
+       |                     / len(list_distinct(list_concat(w1, w2))) END AS j
+       |         FROM pp)
+       |$rows""".stripMargin
+  }
 
   /** mSPRT replay ([[graft.operators.Msprt.sequentialLift]]): md5 arms,
     * (user, day) trials, windowed cumulative BIGINTs over the days table,
