@@ -2018,8 +2018,11 @@ object SparkEntry {
     "q_dedup_method_overlap" -> { (s, d) =>
       val docs = Tables(s, d).documents
       val pairs = graft.operators.SimilarityJoin.jaccardSelfJoin(docs, threshold = 0.6)
-      val pp = pairs.select(col("id1").as("doc_id"))
-        .unionByName(pairs.select(col("id2").as("doc_id"))).distinct()
+      // one subtree, one PPJoin execution: explode both endpoints from a
+      // single read of the expensive similarity join (a two-branch union
+      // would re-run the prefix-filter join once per branch)
+      val pp = pairs
+        .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
         .withColumn("in_pp", lit(true))
       val ss = graft.operators.SubstringDedup.duplicatedSpans(docs, w = 8)
         .select(col("doc_id")).distinct()
@@ -7607,8 +7610,8 @@ object SparkEntry {
          |         CAST(len($TokensSql) AS BIGINT) AS n_words,
          |         greatest(1, CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
          |           AS n_sentences,
-         |         CAST(list_sum(list_transform($TokensSql,
-         |           w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))) AS BIGINT)
+         |         CAST(coalesce(list_sum(list_transform($TokensSql,
+         |           w -> greatest(1, len(regexp_extract_all(w, '[aeiouy]+'))))), 0) AS BIGINT)
          |           AS n_syllables
          |  FROM documents)
          |SELECT doc_id, n_words, n_sentences, n_syllables,

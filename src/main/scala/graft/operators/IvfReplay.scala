@@ -84,14 +84,6 @@ object IvfReplay {
     } finally pts.unpersist(blocking = false)
   }
 
-  /** `(query_id, n_hits, recall_micros)` — recall@k of the probed
-    * retrieval against the EXACT integer-L2 top-k over the same quantized
-    * points, so the ANN quality number is itself deterministic (and
-    * hash-oracled): both rankings replay, the intersection is exact, and
-    * recall is an integer-micros division. The exact side is one
-    * broadcast-query full scan — the evaluation cost, not the serving
-    * path.
-    */
   /** Exact integer-L2 top-k `(query_id, neighbor_id, rank)` over the same
     * quantized points — the evaluation reference side (one broadcast-query
     * full scan), shared by [[recallVsExact]] and the RBO eval query.
@@ -116,6 +108,14 @@ object IvfReplay {
       .select(col("query_id"), col("neighbor_id"), col("rank"))
   }
 
+  /** `(query_id, n_hits, recall_micros)` — recall@k of the probed
+    * retrieval against the EXACT integer-L2 top-k over the same quantized
+    * points, so the ANN quality number is itself deterministic (and
+    * hash-oracled): both rankings replay, the intersection is exact, and
+    * recall is an integer-micros division. The exact side is one
+    * broadcast-query full scan — the evaluation cost, not the serving
+    * path.
+    */
   def recallVsExact(
       spark: SparkSession,
       queries: DataFrame,

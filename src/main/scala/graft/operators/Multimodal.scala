@@ -173,11 +173,15 @@ object Multimodal {
       while (i < nFrames) {
         val off = i * frameSize
         // first channel only; widen 8-bit (unsigned by WAV convention) to
-        // the 16-bit scale so every stat shares the /32768 normalization
+        // the 16-bit scale so every stat shares the /32768 normalization.
+        // Unsigned 16-bit stores sample+32768 — undo the offset (mirrors
+        // the 8-bit −128) instead of sign-interpreting the raw bytes.
         val s: Int =
           if (bits == 16) {
-            if (fmt.isBigEndian) (bytes(off) << 8) | (bytes(off + 1) & 0xFF)
-            else (bytes(off + 1) << 8) | (bytes(off) & 0xFF)
+            val raw =
+              if (fmt.isBigEndian) ((bytes(off) & 0xFF) << 8) | (bytes(off + 1) & 0xFF)
+              else ((bytes(off + 1) & 0xFF) << 8) | (bytes(off) & 0xFF)
+            if (signed) raw.toShort.toInt else raw - 32768
           } else if (signed) bytes(off) << 8
           else ((bytes(off) & 0xFF) - 128) << 8
         val a = math.abs(s.toLong)
@@ -216,29 +220,31 @@ object Multimodal {
     val iis =
       try javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(content))
       catch { case _: Throwable => return None }
-    val readers = javax.imageio.ImageIO.getImageReaders(iis)
-    if (!readers.hasNext) return None
-    val r = readers.next()
-    if (!r.getFormatName.equalsIgnoreCase("gif")) return None
     try {
-      r.setInput(iis)
-      val n = r.getNumImages(true)
-      Some((0 until n by everyN).map { i =>
-        val img = r.read(i)
-        var lum = 0L
-        var y = 0
-        while (y < img.getHeight) {
-          var x = 0
-          while (x < img.getWidth) {
-            val rgb = img.getRGB(x, y)
-            lum += ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L
-            x += 1
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return None
+      val r = readers.next()
+      try {
+        if (!r.getFormatName.equalsIgnoreCase("gif")) return None
+        r.setInput(iis)
+        val n = r.getNumImages(true)
+        Some((0 until n by everyN).map { i =>
+          val img = r.read(i)
+          var lum = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val rgb = img.getRGB(x, y)
+              lum += ((rgb >> 16) & 0xFF) * 299L + ((rgb >> 8) & 0xFF) * 587L + (rgb & 0xFF) * 114L
+              x += 1
+            }
+            y += 1
           }
-          y += 1
-        }
-        (i, img.getWidth, img.getHeight, lum)
-      })
-    } catch { case _: Throwable => None } finally r.dispose()
+          (i, img.getWidth, img.getHeight, lum)
+        })
+      } catch { case _: Throwable => None } finally r.dispose()
+    } finally iis.close()
   }
 
   /** Per-row codec dispatch: image rows get the real [[decodeImage]], audio

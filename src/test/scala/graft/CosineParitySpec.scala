@@ -51,6 +51,32 @@ final class CosineParitySpec extends AnyFunSuite {
     assert(diff === 0L)
   }
 
+  // r16 ADVICE: the claimed zero-norm + length-mismatch divergence. The
+  // matrix below crosses mismatch with zero norms, null elements, NaN, and
+  // empties; the bit-parity assertion adjudicates every cell (a null norm
+  // nulls the HOF's `n === 0` condition, so BOTH spellings yield null —
+  // there is no divergent cell; this spec pins that).
+  test("zero-norm x length-mismatch x null/NaN element matrix") {
+    val rows = Seq(
+      (Seq[java.lang.Double](null, 0.0), Seq[java.lang.Double](0.0)),
+      (Seq[java.lang.Double](0.0, 0.0), Seq[java.lang.Double](null)),
+      (Seq[java.lang.Double](Double.NaN), Seq[java.lang.Double](0.0, 0.0)),
+      (Seq[java.lang.Double](0.0, 0.0), Seq[java.lang.Double](Double.NaN)),
+      (Seq.empty[java.lang.Double], Seq[java.lang.Double](1.0, null)),
+      (Seq.empty[java.lang.Double], Seq[java.lang.Double](1.0, 2.0)),
+      (Seq.empty[java.lang.Double], Seq.empty[java.lang.Double]),
+      (Seq[java.lang.Double](null), Seq[java.lang.Double](0.0, 0.0))
+    ).toDF("a", "b")
+    val both = rows.select(
+      VectorFunctions.cosine(col("a"), col("b")).as("native"),
+      graft.functions.VectorFunctions.cosineHof(col("a"), col("b")).as("hof"))
+    both.collect().foreach { r =>
+      val n = if (r.isNullAt(0)) None else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(0)))
+      val h = if (r.isNullAt(1)) None else Some(java.lang.Double.doubleToRawLongBits(r.getDouble(1)))
+      assert(n === h, s"native $n != hof $h")
+    }
+  }
+
   test("double arrays and the null-element edge") {
     val rows = Seq(
       (Seq[java.lang.Double](1.0, 2.0), Seq[java.lang.Double](2.0, 1.0)),
