@@ -1081,6 +1081,32 @@ object SparkEntry {
       graft.operators.UnigramLm.roundtripReport(s,
         graft.operators.Vocab.wordCounts(Tables(s, d).documents))
     },
+    // WordPiece tokenizer (operators.WordPiece): the third classic subword
+    // family next to BPE and Unigram-LM — deterministic frequency-substring
+    // vocab (all single-char forms + top-V multi-char), greedy
+    // longest-match-first encode via the native WordPieceSegment kernel
+    "q_wordpiece_vocab" -> { (s, d) =>
+      graft.operators.WordPiece.vocab(
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
+    // corpus subword vocabulary under the greedy encode — the
+    // q_bpe_subwords / q_unigram_subwords twin
+    "q_wordpiece_encode" -> { (s, d) =>
+      graft.operators.WordPiece.subwordVocab(
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
+    // same 1-row fertility report as the BPE and Unigram families, so the
+    // three tokenizers compare on one scale
+    "q_wordpiece_fertility" -> { (s, d) =>
+      graft.operators.WordPiece.fertility(
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
+    // lossless greedy-cover CONTRACT (the q_bpe_roundtrip pattern):
+    // stripping ## and concatenating must reproduce every training word
+    "q_wordpiece_roundtrip" -> { (s, d) =>
+      graft.operators.WordPiece.roundtripReport(
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
     // per-document token metering under the trained table — the BATCH twin
     // of streaming.StreamTokenize.pieceCounts (stateless projection; runs
     // unchanged on a readStream source, StreamTokenizeSpec wires it live)
@@ -2595,15 +2621,18 @@ object SparkEntry {
     },
     // Random synthetic embeddings have no cosine>=0.5 pairs, so plant
     // deterministic near-duplicates (vec_id 1..3 copied under negated ids):
-    // the run proves OUTPUT rows end-to-end (pairs (-i, i) at cos 1.0), not
-    // just that the plan executes; SimilaritySpec pins recall separately.
+    // the run proves OUTPUT rows end-to-end (pairs (-i, i) at cos 1.0).
+    // HASH-ORACLED since r17 via the deterministic-replay spelling: the
+    // same seeded Gaussian planes as integer-micro literals
+    // (cosineNearDupPairsDet), so the generated oracle replays the whole
+    // bucket-join + exact cos >= 1/2 verification; the float-path
+    // cosineNearDupPairs stays spec-covered (SimilaritySpec recall +
+    // det-parity pins).
     "q_cosine_neardup" -> { (s, d) =>
       val emb = Tables(s, d).embeddings.select(col("vec_id"), col("embedding"))
       val planted = emb.filter(col("vec_id").between(1, 3))
         .select((-col("vec_id")).as("vec_id"), col("embedding"))
-      Similarity.cosineNearDupPairs(emb.unionByName(planted), threshold = 0.5)
-        .select(col("id1"), col("id2"), round(col("cos"), 6).as("cos"))
-        .orderBy(col("cos").desc, col("id1"), col("id2")).limit(100)
+      Similarity.cosineNearDupPairsDet(emb.unionByName(planted))
     },
     // per-source population stability index over doc-length buckets —
     // the classic distribution-shift monitor (operators.Psi): Laplace-
@@ -2829,6 +2858,30 @@ object SparkEntry {
     // ---- multimodal binary-column plumbing (decode step stubbed) ----
     "q_media_meta" -> { (s, d) =>
       Multimodal.mediaMeta(Multimodal.toMediaTable(Tables(s, d).documents))
+    },
+    // REAL mp4 container metadata via the ISO BMFF box walker: the video
+    // rows' fixtures are minimal-but-real mp4 byte streams synthesized
+    // from (doc_id, n_chars) — ftyp/moov/mvhd/tkhd boxes the parser must
+    // WALK to recover brand/timescale/duration/dimensions; odd doc_ids
+    // are truncated mid-ftyp and must come back ok=false with null
+    // metadata (bounds-check proof). The oracle predicts both outcomes
+    // from the synthesis formulas — a byte-replay twin.
+    "q_media_mp4_meta" -> { (s, d) =>
+      import s.implicits._
+      val vids = Tables(s, d).documents
+        .filter(pmod(col("doc_id"), lit(3)) === 2)
+        .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+        .as[(Long, Long)]
+      val media = vids.map { case (id, nc) =>
+        val full = Multimodal.synthMp4(
+          brand = "mp42",
+          timescale = 600 + (id % 5) * 100,
+          duration = nc * 100,
+          width = (160 + (id % 32) * 8).toInt,
+          height = (90 + (id % 18) * 16).toInt)
+        (id, if (id % 2 == 1) full.take(20) else full)
+      }.toDF("doc_id", "content")
+      Multimodal.mp4Meta(media)
     },
     "q_media_features" -> { (s, d) =>
       val feats = Multimodal.extractFeatures(Multimodal.toMediaTable(Tables(s, d).documents))
@@ -4560,7 +4613,12 @@ object SparkEntry {
     * BIGINT projections/signatures, bucket-equi pairs with the hot-bucket
     * cap, and the cos ≥ ½ verify in identical IEEE doubles.
     */
-  private lazy val SimhashEmbedOracleSql: String =
+  /** Shared replay of the bucket-signature near-dup spellings: quantize
+    * the planted-union corpus to integer micros, project against the
+    * given sign/plane table CTE (`sg(b, j, s)`), pack sign bits, cap hot
+    * buckets, bucket-equi pairs, exact cos ≥ ½, floor-6 cosine.
+    */
+  private def embedNearDupOracle(sgCte: String): String =
     s"""WITH pl AS (
        |  SELECT -vec_id AS vec_id, embedding FROM embeddings
        |  WHERE vec_id BETWEEN 1 AND 3),
@@ -4573,12 +4631,7 @@ object SparkEntry {
        |                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS xq
        |  FROM allv
        |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
-       |sg AS MATERIALIZED (
-       |  SELECT b.b, j.j,
-       |         CASE WHEN strpos('0123456789abcdef',
-       |                          substr(md5(b.b || ':' || j.j), 1, 1)) % 2 = 1
-       |              THEN 1 ELSE -1 END AS s
-       |  FROM range(0, 8) b(b), range(1, 65) j(j)),
+       |$sgCte,
        |pj AS MATERIALIZED (
        |  SELECT q.vec_id, sg.b, CAST(sum(sg.s * q.xq[sg.j]) AS BIGINT) AS proj
        |  FROM q, sg GROUP BY q.vec_id, sg.b),
@@ -4609,6 +4662,32 @@ object SparkEntry {
        |       max(floor(CAST(d AS DOUBLE) / sqrt(CAST(na AS DOUBLE))
        |           / sqrt(CAST(nb AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS cos6
        |FROM fl GROUP BY id1, id2""".stripMargin
+
+  private lazy val SimhashEmbedOracleSql: String = embedNearDupOracle(
+    """sg AS MATERIALIZED (
+      |  SELECT b.b, j.j,
+      |         CASE WHEN strpos('0123456789abcdef',
+      |                          substr(md5(b.b || ':' || j.j), 1, 1)) % 2 = 1
+      |              THEN 1 ELSE -1 END AS s
+      |  FROM range(0, 8) b(b), range(1, 65) j(j))""".stripMargin)
+
+  /** q_cosine_neardup's replay: the SAME seeded Gaussian hyperplanes the
+    * Spark plan uses, embedded as 512 integer-micro literals (they are
+    * driver-side constants, so both engines see identical planes) — the
+    * rest of the chain is the shared bucket/verify replay.
+    */
+  private lazy val CosineNearDupOracleSql: String = {
+    val vals = graft.functions.VectorFunctions.gaussianMicroPlanes(8, 64, 42L)
+      .zipWithIndex
+      .flatMap { case (p, b) =>
+        p.zipWithIndex.map { case (g, j0) => s"($b, ${j0 + 1}, $g)" }
+      }
+      .grouped(8).map(_.mkString(", ")).mkString(",\n  ")
+    embedNearDupOracle(
+      s"""sg AS MATERIALIZED (
+         |  SELECT * FROM (VALUES
+         |  $vals) t(b, j, s))""".stripMargin)
+  }
 
   /** Generated replay of Doremi.epochWeights (3 epochs): per-source mean
     * loss quantized once, then each epoch is a pure-integer baseline
@@ -5139,6 +5218,23 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(ceil(ceil(octet_length(encode(text)) / 32.0) / 4.0) AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
+    // byte-replay twin of the mp4 box walker: the fixtures are synthesized
+    // from (doc_id, n_chars) by fixed formulas, so the oracle predicts the
+    // parsed metadata directly; odd doc_ids are truncated mid-ftyp and
+    // must parse to ok=false with null metadata
+    "q_media_mp4_meta" ->
+      """SELECT doc_id,
+        |       doc_id % 2 = 0 AS ok,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'mp42' END AS major_brand,
+        |       CASE WHEN doc_id % 2 = 0
+        |            THEN CAST(600 + (doc_id % 5) * 100 AS BIGINT) END AS timescale,
+        |       CASE WHEN doc_id % 2 = 0
+        |            THEN CAST(n_chars * 100 AS BIGINT) END AS duration,
+        |       CASE WHEN doc_id % 2 = 0
+        |            THEN CAST(160 + (doc_id % 32) * 8 AS BIGINT) END AS width,
+        |       CASE WHEN doc_id % 2 = 0
+        |            THEN CAST(90 + (doc_id % 18) * 16 AS BIGINT) END AS height
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
     // UniMax waterfill replay: cap-ascending prefix predicate, whole-frame
     // kstar/capped_sum windows, floor-division share + lexicographic
     // remainder — all exact BIGINT
@@ -6596,6 +6692,7 @@ object SparkEntry {
     "q_doremi_weights" -> DoremiOracleSql,
     "q_doremi_epochs" -> DoremiEpochsOracleSql,
     "q_simhash_embed_neardup" -> SimhashEmbedOracleSql,
+    "q_cosine_neardup" -> CosineNearDupOracleSql,
     "q_bootstrap_ci" -> BootstrapOracleSql,
     "q_bootstrap_by_source" -> BootstrapBySourceOracleSql,
     "q_bootstrap_uplift" -> BootstrapUpliftOracleSql,
@@ -7887,6 +7984,10 @@ object SparkEntry {
     "q_knn_ivf_det" -> IvfDetOracleSql,
     "q_ivf_recall" -> IvfRecallOracleSql,
     "q_rbo_ivf" -> RboIvfOracleSql,
+    "q_wordpiece_vocab" -> WordPieceOracle.vocabSql,
+    "q_wordpiece_encode" -> WordPieceOracle.encodeSql,
+    "q_wordpiece_fertility" -> WordPieceOracle.fertilitySql,
+    "q_wordpiece_roundtrip" -> WordPieceOracle.roundtripSql,
     "q_unigram_lm" -> UnigramLmOracleSql,
     "q_unigram_subwords" -> UnigramSubwordsOracleSql,
     "q_unigram_fertility" -> UnigramFertilityOracleSql,
@@ -9427,6 +9528,99 @@ object SparkEntry {
          |       n_pieces * 1000000 // n_words AS fertility_micros,
          |       n_chars * 1000000 // n_pieces AS chars_per_piece_micros
          |FROM ag""".stripMargin
+  }
+
+  /** Generated DuckDB replay of the WordPiece family (operators.WordPiece):
+    * the frequency-substring vocab is one grouped candidate explosion + a
+    * (c DESC, piece ASC) top-V, and the greedy longest-match-first encode
+    * unrolls as ML layered argmax-by-length CTEs — each step advances every
+    * still-unfinished word by its longest matching piece (row_number over
+    * L DESC), exactly the native kernel's loop. The alphabet guarantee
+    * (all single-char forms kept) means every training word finishes
+    * within ML steps, so the unroll is complete, never truncated.
+    */
+  private object WordPieceOracle {
+    val ML = 12; val MP = 4; val TOPV = 500
+
+    /** word counts restricted to the WordPiece population (printable
+      * ASCII ≤ ML chars, no '#'), the vocab, and the greedy segmentation
+      * `wpseg(word, ord, piece)`.
+      */
+    private def stepCte(k: Int): String =
+      s"""wg_$k AS MATERIALIZED (
+         |  SELECT word, m, pos + L AS pos, piece FROM (
+         |    SELECT w.word, w.m, w.pos, ll.L,
+         |           CASE WHEN w.pos = 0 THEN substr(w.word, 1, ll.L)
+         |                ELSE '##' || substr(w.word, w.pos + 1, ll.L) END AS piece,
+         |           row_number() OVER (PARTITION BY w.word ORDER BY ll.L DESC) AS rn
+         |    FROM wg_${k - 1} w
+         |    CROSS JOIN range(1, ${MP + 1}) ll(L)
+         |    JOIN wpv v ON v.piece = CASE WHEN w.pos = 0 THEN substr(w.word, 1, ll.L)
+         |                                 ELSE '##' || substr(w.word, w.pos + 1, ll.L) END
+         |    WHERE w.pos < w.m AND ll.L <= w.m - w.pos)
+         |  WHERE rn = 1)""".stripMargin
+
+    lazy val vocabCtes: String =
+      s"""WITH tok AS (SELECT unnest($TokensSql) AS word FROM documents),
+         |wc0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word),
+         |wpw AS MATERIALIZED (
+         |  SELECT word, n, len(word) AS m FROM wc0
+         |  WHERE regexp_matches(word, '^[\\x21-\\x22\\x24-\\x7e]{1,$ML}$$')),
+         |wpc AS MATERIALIZED (
+         |  SELECT CASE WHEN ii.i = 1 THEN substr(w.word, ii.i, ll.L)
+         |              ELSE '##' || substr(w.word, ii.i, ll.L) END AS piece,
+         |         CAST(sum(w.n) AS BIGINT) AS c
+         |  FROM wpw w, range(1, ${ML + 1}) ii(i), range(1, ${MP + 1}) ll(L)
+         |  WHERE ii.i <= w.m AND ll.L <= w.m - ii.i + 1
+         |  GROUP BY 1),
+         |wpv AS MATERIALIZED (
+         |  SELECT piece, c FROM wpc
+         |  WHERE len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END = 1
+         |  UNION ALL
+         |  SELECT piece, c FROM (
+         |    SELECT piece, c FROM wpc
+         |    WHERE len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END > 1
+         |    ORDER BY c DESC, piece LIMIT $TOPV))""".stripMargin
+
+    lazy val encodeCtes: String =
+      s"""$vocabCtes,
+         |wg_0 AS (SELECT word, m, 0 AS pos FROM wpw),
+         |${(1 to ML).map(stepCte).mkString(",\n")},
+         |wpseg AS (
+         |  ${(1 to ML).map(k => s"SELECT word, $k AS ord, piece FROM wg_$k")
+              .mkString("\n  UNION ALL\n  ")})""".stripMargin
+
+    lazy val vocabSql: String =
+      s"""$vocabCtes
+         |SELECT piece, c FROM wpv""".stripMargin
+
+    lazy val encodeSql: String =
+      s"""$encodeCtes
+         |SELECT s.piece AS subword, CAST(sum(w.n) AS BIGINT) AS n_tokens
+         |FROM wpseg s JOIN wpw w USING (word) GROUP BY s.piece""".stripMargin
+
+    lazy val fertilitySql: String =
+      s"""$encodeCtes,
+         |pw AS (SELECT word, CAST(count(*) AS BIGINT) AS np FROM wpseg GROUP BY word),
+         |ag AS (SELECT CAST(sum(w.n) AS BIGINT) AS n_words,
+         |              CAST(sum(w.n * p.np) AS BIGINT) AS n_pieces,
+         |              CAST(sum(w.n * w.m) AS BIGINT) AS n_chars
+         |       FROM wpw w JOIN pw p USING (word))
+         |SELECT n_words, n_pieces, n_chars,
+         |       n_pieces * 1000000 // n_words AS fertility_micros,
+         |       n_chars * 1000000 // n_pieces AS chars_per_piece_micros
+         |FROM ag""".stripMargin
+
+    lazy val roundtripSql: String =
+      s"""$encodeCtes,
+         |rt AS (SELECT word,
+         |              string_agg(CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
+         |                              ELSE piece END, '' ORDER BY ord) AS cat
+         |       FROM wpseg GROUP BY word)
+         |SELECT CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(CASE WHEN r.cat = w.word THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_roundtrip
+         |FROM wpw w LEFT JOIN rt r USING (word)""".stripMargin
   }
 
   private object UnigramOracle {

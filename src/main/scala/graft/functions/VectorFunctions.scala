@@ -64,4 +64,12 @@ object VectorFunctions {
     val rng = new scala.util.Random(seed)
     Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian()))
   }
+
+  /** [[seededPlanes]] quantized to integer micros — the literal-replayable
+    * form (ships into both the Spark plan and the generated DuckDB oracle
+    * as constants, so the bucket signature is exact BIGINT arithmetic).
+    */
+  def gaussianMicroPlanes(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Long]] =
+    seededPlanes(nPlanes, dim, seed)
+      .map(_.map(g => math.floor(g * 1e6 + 0.5).toLong))
 }

@@ -16,7 +16,9 @@ import org.apache.spark.sql.functions._
   * `javax.sound.sampled` into exact-integer signal stats. VIDEO is REAL
   * for the one multi-frame container the JDK ships a reader for —
   * animated GIF (`gifFrameStats`: on-demand frame reads, sampled frame
-  * luminance stats); ⚠ mp4/webm remain STUBBED ⚠ (they need codecs
+  * luminance stats), and mp4 container METADATA is parsed for real
+  * (`parseMp4Meta`: ftyp/moov/mvhd/tkhd box walk, pure byte arithmetic);
+  * ⚠ only mp4/webm FRAME DECODE remains STUBBED ⚠ (it needs codecs
   * neither the JDK nor this container provides): `decodeStub` derives a
   * deterministic pseudo-feature vector from raw bytes, and any
   * undecodable row (e.g. the UTF-8 stand-in content of [[toMediaTable]])
@@ -549,5 +551,154 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
       .groupBy(col("id1"), col("id2"))
       .agg(min(col("hamming")).as("hamming"))
+  }
+
+  // ---- MP4 container metadata (pure byte arithmetic — no codec) ----
+
+  final case class Mp4Meta(
+      majorBrand: String,
+      timescale: Long,
+      duration: Long,
+      width: Int,
+      height: Int)
+
+  private val Iso = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xFFL) << 24) | ((b(off + 1) & 0xFFL) << 16) |
+      ((b(off + 2) & 0xFFL) << 8) | (b(off + 3) & 0xFFL)
+
+  private def be64(b: Array[Byte], off: Int): Long =
+    (be32(b, off) << 32) | be32(b, off + 4)
+
+  private def putBe32(b: Array[Byte], off: Int, v: Long): Unit = {
+    b(off) = ((v >>> 24) & 0xFF).toByte
+    b(off + 1) = ((v >>> 16) & 0xFF).toByte
+    b(off + 2) = ((v >>> 8) & 0xFF).toByte
+    b(off + 3) = (v & 0xFF).toByte
+  }
+
+  /** Minimal ISO BMFF (MP4) writer for fixtures: `ftyp` (major brand) +
+    * `moov` { `mvhd` v0 (timescale, duration) + `trak` { `tkhd` v0
+    * (width, height as 16.16 fixed point) } } — full-length boxes with
+    * unused fields zeroed, so [[parseMp4Meta]] walks REAL container
+    * structure, not a contrived blob.
+    */
+  private[graft] def synthMp4(
+      brand: String,
+      timescale: Long,
+      duration: Long,
+      width: Int,
+      height: Int): Array[Byte] = {
+    require(brand.length == 4, "4-char brand")
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](8 + payload.length)
+      putBe32(out, 0, 8L + payload.length)
+      System.arraycopy(tpe.getBytes(Iso), 0, out, 4, 4)
+      System.arraycopy(payload, 0, out, 8, payload.length)
+      out
+    }
+    val fp = new Array[Byte](12)
+    System.arraycopy(brand.getBytes(Iso), 0, fp, 0, 4)
+    putBe32(fp, 4, 0x200)
+    System.arraycopy("isom".getBytes(Iso), 0, fp, 8, 4)
+    val mv = new Array[Byte](100) // mvhd v0 payload
+    putBe32(mv, 12, timescale)
+    putBe32(mv, 16, duration)
+    putBe32(mv, 20, 0x00010000L) // rate 1.0
+    putBe32(mv, 96, 2L) // next_track_ID
+    val tk = new Array[Byte](84) // tkhd v0 payload
+    tk(3) = 7 // flags: enabled | in-movie | in-preview
+    putBe32(tk, 12, 1L) // track_ID
+    putBe32(tk, 76, width.toLong << 16)
+    putBe32(tk, 80, height.toLong << 16)
+    box("ftyp", fp) ++ box("moov", box("mvhd", mv) ++ box("trak", box("tkhd", tk)))
+  }
+
+  /** REAL mp4 container-METADATA parse — an ISO BMFF box walker (pure
+    * big-endian byte arithmetic, zero dependencies): `ftyp` major brand,
+    * `moov`/`mvhd` timescale + duration (v0 and v1 layouts), first
+    * `trak`/`tkhd` width/height (16.16 fixed point). Only frame DECODE
+    * still needs a codec the environment lacks; the structural metadata a
+    * 100 TB curation scan filters on (duration, dimensions, brand) comes
+    * from this walk. Total on adversarial input: any malformed size /
+    * truncation / missing box → None (bounds-checked recursion, depth-
+    * capped). `size == 0` (box extends to end of file) is honored;
+    * `size == 1` (64-bit largesize) is rejected — fixture-scale boxes
+    * never need it.
+    */
+  private[graft] def parseMp4Meta(content: Array[Byte]): Option[Mp4Meta] = {
+    if (content.length < 12 || content(4) != 'f' || content(5) != 't' ||
+      content(6) != 'y' || content(7) != 'p') return None
+    var brand: String = null
+    var ts = -1L
+    var dur = -1L
+    var w = -1
+    var h = -1
+    def walk(start: Int, end: Int, depth: Int): Boolean = {
+      var pos = start
+      while (pos < end) {
+        if (pos + 8 > end) return false
+        val rawSize = be32(content, pos)
+        val size = if (rawSize == 0L) (end - pos).toLong else rawSize
+        if (size < 8L || pos + size > end) return false
+        val tpe = new String(content, pos + 4, 4, Iso)
+        val p = pos + 8
+        tpe match {
+          case "ftyp" =>
+            if (size < 16L) return false
+            brand = new String(content, p, 4, Iso)
+          case "moov" | "trak" =>
+            if (depth < 4 && !walk(p, pos + size.toInt, depth + 1)) return false
+          case "mvhd" =>
+            val v = content(p) & 0xFF
+            if (v == 0) {
+              if (size < 8L + 20) return false
+              ts = be32(content, p + 12); dur = be32(content, p + 16)
+            } else {
+              if (size < 8L + 32) return false
+              ts = be32(content, p + 20); dur = be64(content, p + 24)
+            }
+          case "tkhd" =>
+            val v = content(p) & 0xFF
+            val wo = if (v == 0) 76 else 88
+            if (size < 8L + wo + 8) return false
+            if (w < 0) {
+              w = (be32(content, p + wo) >>> 16).toInt
+              h = (be32(content, p + wo + 4) >>> 16).toInt
+            }
+          case _ => ()
+        }
+        pos += size.toInt
+      }
+      true
+    }
+    if (!walk(0, content.length, 0)) return None
+    if (brand == null || ts < 0 || dur < 0 || w < 0 || h < 0) None
+    else Some(Mp4Meta(brand, ts, dur, w, h))
+  }
+
+  /** Structural metadata per mp4 row: `(doc_id, ok, major_brand,
+    * timescale, duration, width, height)` — null metadata columns where
+    * the bytes aren't a well-formed mp4 (ok = false). Typed mapPartitions
+    * like [[extractFeatures]]; zero shuffle.
+    */
+  def mp4Meta(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        parseMp4Meta(bytes) match {
+          case Some(m) =>
+            (id, true, Option(m.majorBrand), Some(m.timescale), Some(m.duration),
+              Some(m.width.toLong), Some(m.height.toLong))
+          case None =>
+            (id, false, Option.empty[String], Option.empty[Long], Option.empty[Long],
+              Option.empty[Long], Option.empty[Long])
+        }
+      })
+      .toDF("doc_id", "ok", "major_brand", "timescale", "duration", "width", "height")
   }
 }

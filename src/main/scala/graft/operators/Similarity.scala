@@ -240,12 +240,63 @@ object Similarity {
             .cast("int") % 2 === 0, lit(1L)).otherwise(lit(-1L))))
     val quant = KMeansReplay.quantize(df.select(col(idCol).as("vec_id"), col(vecCol)),
       vecCol, d)
-    val sig = quant
+    val proj = quant
       .select(col("vec_id"), posexplode(col("xq")).as(Seq("pos", "x")))
       .withColumn("j", col("pos") + 1)
       .join(signs, Seq("j"))
       .groupBy(col("vec_id"), col("b"))
       .agg(sum(col("s") * col("x")).as("proj"))
+    bucketVerifyPairs(quant, proj, maxBucketSize)
+  }
+
+  /** Deterministic-REPLAY spelling of [[cosineNearDupPairs]] (the
+    * q_semantic_dedup_det discipline): the SAME seeded Gaussian hyperplanes
+    * — but quantized to integer micros and shipped as 512 literal rows —
+    * over integer-micro coordinates, so the bucket signature is an exact
+    * BIGINT function and the cos ≥ ½ verification the shared IEEE spelling
+    * both engines replay bit-for-bit. The float path keeps the LSH recall
+    * profile of the Gaussian planes (unlike the Rademacher signs of
+    * [[simhashNearDupPairs]], whose ±1 planes are a different projection
+    * family); SimilaritySpec pins that the two spellings agree on planted
+    * duplicates.
+    */
+  def cosineNearDupPairsDet(
+      df: DataFrame,
+      nPlanes: Int = 8,
+      d: Int = 64,
+      seed: Long = 42L,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 30, "nPlanes in 1..30")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val planes = broadcast(
+      gaussianMicroPlanes(nPlanes, d, seed).zipWithIndex
+        .flatMap { case (p, b) => p.zipWithIndex.map { case (g, j0) => (b, j0 + 1, g) } }
+        .toDF("b", "j", "s"))
+    val quant = KMeansReplay.quantize(df.select(col(idCol).as("vec_id"), col(vecCol)),
+      vecCol, d)
+    val proj = quant
+      .select(col("vec_id"), posexplode(col("xq")).as(Seq("pos", "x")))
+      .withColumn("j", col("pos") + 1)
+      .join(planes, Seq("j"))
+      .groupBy(col("vec_id"), col("b"))
+      .agg(sum(col("s") * col("x")).as("proj"))
+    bucketVerifyPairs(quant, proj, maxBucketSize)
+  }
+
+  /** Shared tail of the replayable near-dup spellings: pack the per-plane
+    * sign bits into the bucket id, cap hot buckets, bucket-equi pair join,
+    * exact-integer cos ≥ ½ verification (`d > 0 ∧ 4d² ≥ ‖a‖²‖b‖²` in
+    * identical IEEE doubles), floor-6 reported cosine.
+    */
+  private def bucketVerifyPairs(
+      quant: DataFrame,
+      proj: DataFrame,
+      maxBucketSize: Int): DataFrame = {
+    val sig = proj
       .groupBy(col("vec_id"))
       .agg(sum(when(col("proj") >= 0L,
         expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))

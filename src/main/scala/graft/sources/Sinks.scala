@@ -67,20 +67,40 @@ object Sinks {
     * write time and pays on every subsequent scan. This is the clustering
     * story where a partition column would be too fine-grained (e.g.
     * timestamps).
+    *
+    * `bloomFilterCols` adds per-column parquet BLOOM FILTERS — the 100 TB
+    * POINT-lookup complement to min/max pruning: a range-clustered key
+    * skips by footer stats, but a high-cardinality column probed by
+    * equality (user_id, url hash) needs the bloom bitset to skip row
+    * groups whose range happens to cover the probe value. `expectedNdv`
+    * sizes the bitset (parquet-mr derives bits from ndv at ~1% fpp).
     */
   def writeRangeClustered(
       df: DataFrame,
       path: String,
       sortCols: Seq[String],
       nFiles: Int = 8,
-      maxRecordsPerFile: Long = 0L
+      maxRecordsPerFile: Long = 0L,
+      bloomFilterCols: Seq[String] = Nil,
+      expectedNdv: Long = 10000L
   ): Unit = {
     val cols = sortCols.map(org.apache.spark.sql.functions.col)
-    df.repartitionByRange(nFiles, cols: _*)
+    val w = df.repartitionByRange(nFiles, cols: _*)
       .sortWithinPartitions(cols: _*)
       .write
       .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
+    bloomFilterCols
+      .foldLeft(w) { (acc, c) =>
+        // parquet-mr omits the bloom filter when every page of the chunk is
+        // dictionary-encoded (the dictionary already answers membership), so
+        // force plain encoding on bloom columns — they are high-cardinality
+        // point-lookup keys by design, where the dictionary would fall back
+        // to plain at production scale anyway
+        acc.option(s"parquet.bloom.filter.enabled#$c", "true")
+          .option(s"parquet.bloom.filter.expected.ndv#$c", expectedNdv.toString)
+          .option(s"parquet.enable.dictionary#$c", "false")
+      }
       .parquet(path)
   }
 

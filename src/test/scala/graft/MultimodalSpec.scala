@@ -241,4 +241,52 @@ class MultimodalSpec extends AnyFunSuite {
       assert(hit.get._3 <= 2, s"planted pair hamming ${hit.get._3}")
     }
   }
+
+  test("mp4 box walker: synth round-trip recovers brand/timescale/duration/dims") {
+    val bytes = Multimodal.synthMp4("mp42", 1000L, 48000L, 640, 360)
+    val m = Multimodal.parseMp4Meta(bytes)
+    assert(m === Some(Multimodal.Mp4Meta("mp42", 1000L, 48000L, 640, 360)))
+  }
+
+  test("mp4 box walker: v1 mvhd/tkhd layouts (64-bit times)") {
+    // hand-built v1 boxes: mvhd v1 payload 112 B (ts at 20, dur 64-bit at
+    // 24); tkhd v1 payload 96 B (width 16.16 at 88)
+    def be32(v: Long) = Array(
+      ((v >>> 24) & 0xFF).toByte, ((v >>> 16) & 0xFF).toByte,
+      ((v >>> 8) & 0xFF).toByte, (v & 0xFF).toByte)
+    def box(t: String, p: Array[Byte]) =
+      be32(8L + p.length) ++ t.getBytes("ISO-8859-1") ++ p
+    val mv = new Array[Byte](112)
+    mv(0) = 1 // version
+    System.arraycopy(be32(700L), 0, mv, 20, 4)
+    System.arraycopy(be32(0L) ++ be32(99999L), 0, mv, 24, 8)
+    val tk = new Array[Byte](96)
+    tk(0) = 1
+    System.arraycopy(be32(1280L << 16), 0, tk, 88, 4)
+    System.arraycopy(be32(720L << 16), 0, tk, 92, 4)
+    val ftyp = box("ftyp", "isom".getBytes("ISO-8859-1") ++ be32(0x200) ++ "isom".getBytes("ISO-8859-1"))
+    val bytes = ftyp ++ box("moov", box("mvhd", mv) ++ box("trak", box("tkhd", tk)))
+    val m = Multimodal.parseMp4Meta(bytes)
+    assert(m === Some(Multimodal.Mp4Meta("isom", 700L, 99999L, 1280, 720)))
+  }
+
+  test("mp4 box walker: size-0 final box extends to end of file") {
+    val full = Multimodal.synthMp4("mp42", 600L, 1200L, 320, 240)
+    // zero out the moov box's size field (starts after the 20-byte ftyp)
+    val patched = full.clone()
+    patched(20) = 0; patched(21) = 0; patched(22) = 0; patched(23) = 0
+    assert(Multimodal.parseMp4Meta(patched) ===
+      Some(Multimodal.Mp4Meta("mp42", 600L, 1200L, 320, 240)))
+  }
+
+  test("mp4 box walker is total on adversarial input") {
+    val full = Multimodal.synthMp4("mp42", 600L, 1200L, 320, 240)
+    assert(Multimodal.parseMp4Meta(full.take(20)) === None) // truncated ftyp
+    assert(Multimodal.parseMp4Meta(full.dropRight(7)) === None) // truncated tkhd
+    assert(Multimodal.parseMp4Meta("not an mp4 at all".getBytes) === None)
+    assert(Multimodal.parseMp4Meta(Array.empty[Byte]) === None)
+    val badSize = full.clone() // moov size < 8 (but nonzero) => malformed
+    badSize(20) = 0; badSize(21) = 0; badSize(22) = 0; badSize(23) = 5
+    assert(Multimodal.parseMp4Meta(badSize) === None)
+  }
 }

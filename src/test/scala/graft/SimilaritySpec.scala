@@ -125,6 +125,27 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.forall(_._3 >= 0.499999d))
   }
 
+  test("cosineNearDupPairsDet: same Gaussian planes, exact replay, float-path parity") {
+    val emb = Tables(spark, TestSpark.Sf0001).embeddings
+      .select($"vec_id", $"embedding")
+    val planted = emb.filter($"vec_id".between(1, 3))
+      .select((-$"vec_id").as("vec_id"), $"embedding")
+    val corpus = emb.unionByName(planted)
+    val det = Similarity.cosineNearDupPairsDet(corpus)
+      .as[(Long, Long, Double)].collect()
+    Seq(1L, 2L, 3L).foreach { i =>
+      val p = det.find(t => t._1 == -i && t._2 == i)
+      assert(p.exists(_._3 == 1.0d), s"planted pair (-$i, $i) missing from det path")
+    }
+    assert(det.forall(_._3 >= 0.499999d))
+    // the float Gaussian path over the same corpus recovers the same
+    // planted pairs (identical vectors share every plane sign in both
+    // spellings — the parity the det twin is allowed to claim)
+    val fl = Similarity.cosineNearDupPairs(corpus, threshold = 0.5, dim = 64)
+      .select($"id1", $"id2").as[(Long, Long)].collect().toSet
+    Seq(1L, 2L, 3L).foreach(i => assert(fl.contains((-i, i))))
+  }
+
   test("simhashNearDupPairs deterministic across runs") {
     val emb = Tables(spark, TestSpark.Sf0001).embeddings
       .select($"vec_id", $"embedding")

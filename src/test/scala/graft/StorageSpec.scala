@@ -112,6 +112,47 @@ class StorageSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == t.orders.count())
   }
 
+  test("range-clustered bloom filters: planted miss fails the row-group bloom probe") {
+    import scala.jdk.CollectionConverters._
+    val dir = Files.createTempDirectory("graft-bloom").toString + "/orders"
+    val t = Tables(spark, TestSpark.Sf0001)
+    // cluster on the date-ish key, bloom on the HIGH-CARDINALITY point-
+    // lookup column — the case footer min/max cannot skip (o_custkey is
+    // unordered within every o_orderkey range)
+    Sinks.writeRangeClustered(t.orders, dir, Seq("o_orderkey"), nFiles = 2,
+      bloomFilterCols = Seq("o_custkey"))
+    val present = t.orders.select($"o_custkey").as[Long].head()
+    val absent = -987654321L // custkeys are positive; never written
+    val conf = spark.sessionState.newHadoopConf()
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    var groups = 0
+    var presentHits = 0
+    files.foreach { f =>
+      val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getAbsolutePath), conf)
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+      try r.getRowGroups.asScala.foreach { rg =>
+        val cc = rg.getColumns.asScala
+          .find(_.getPath.toDotString == "o_custkey")
+          .getOrElse(fail("o_custkey chunk missing"))
+        val bf = r.readBloomFilter(cc)
+        assert(bf != null, s"bloom filter missing in ${f.getName}")
+        // the planted miss MUST fail the probe — this is exactly the
+        // row-group skip decision parquet-mr takes for `o_custkey = absent`
+        assert(!bf.findHash(bf.hash(absent)), "planted miss passed the bloom probe")
+        if (bf.findHash(bf.hash(present))) presentHits += 1
+        groups += 1
+      } finally r.close()
+    }
+    assert(groups > 0)
+    // a value that IS in the data must pass in at least one row group
+    // (blooms have no false negatives)
+    assert(presentHits > 0)
+    // and the bloom option didn't perturb the data: round-trip exact
+    assert(spark.read.parquet(dir).count() == t.orders.count())
+  }
+
   test("zkey2 matches the hand-computed Morton table on the 4x4 grid") {
     import graft.operators.ZOrder
     val got = (for { y <- 0 to 3; x <- 0 to 3 } yield (x, y)).toDF("x", "y")
