@@ -329,4 +329,31 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("lambdafunction"),
       s"no HOF lambda may remain in the gram path:\n${p.take(2500)}")
   }
+
+  test("wordpiece encode: native greedy kernel, no join after the word aggregate") {
+    val p = plan("q_wordpiece_encode")
+    assert(p.contains("graft_wordpiece_segment"),
+      s"encode must run the native WordPieceSegment kernel:\n${p.take(2000)}")
+    // vocab ships as an expression literal, so the encode+subword-count
+    // side adds NO join — the only joins/cartesians allowed are none
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"),
+      s"encode must be a zero-join projection over the word table:\n${p.take(2500)}")
+  }
+
+  test("dedup method-agreement audit plans ONE similarity join, not two") {
+    val q = SparkEntry.queries("q_dedup_method_overlap")(spark, TestSpark.Sf0001)
+    val p = q.queryExecution.executedPlan.toString
+    // the r16 weak finding: the two-branch union consumed the PPJoin frame
+    // twice; the explode spelling must leave exactly one prefix-filter
+    // equi-join subtree read once through a Generate
+    assert(p.contains("Generate explode"),
+      s"pair endpoints must come from one exploded read:\n${p.take(2000)}")
+    assert(!p.contains("CartesianProduct"), p.take(2000))
+  }
+
+  test("mp4 metadata: zero shuffle before the per-row box walk") {
+    val p = plan("q_media_mp4_meta")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"synthesis + parse must stay a per-partition projection:\n${p.take(2500)}")
+  }
 }
