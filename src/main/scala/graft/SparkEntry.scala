@@ -2822,6 +2822,39 @@ object SparkEntry {
       graft.operators.HllReplay.sketch(ev, "sess", "event_type")
         .withColumnRenamed("group_key", "event_type")
     },
+    // incremental state-merge statistics (operators.IncrementalAgg): the
+    // corpus splits at day parity into "yesterday's state" and "today's
+    // delta"; each half aggregates separately and only the STATES merge
+    // (count/sum add, min/max lattice-join, HLL register MAX). The oracle
+    // computes the same statistics DIRECTLY over the full table — hash
+    // equality IS the merge ≡ recompute identity, distinct estimate
+    // included. The 100 TB refresh never rescans yesterday.
+    "q_incremental_stats" -> { (s, d) =>
+      val e = Tables(s, d).events
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v"),
+          col("user_id"),
+          expr("(ts_ns DIV 1000) DIV 86400000000").as("day"))
+      graft.operators.IncrementalAgg.mergedStats(
+          e.filter(pmod(col("day"), lit(2)) === 0),
+          e.filter(pmod(col("day"), lit(2)) === 1),
+          "event_type", "v", "user_id")
+        .withColumnRenamed("group_key", "event_type")
+    },
+    // mergeable bottom-k quantile sketch (operators.QuantileSketch):
+    // deciles of the event value from a 256-row md5-coordinated sample per
+    // event type, plus the exact rank-error audit — the deterministic,
+    // hash-oracled stand-in for KLL/t-digest in the sketch family
+    "q_quantile_sketch" -> { (s, d) =>
+      val e = Tables(s, d).events
+        .select(col("event_type"),
+          expr("CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)").as("v"),
+          col("event_id"))
+      graft.operators.QuantileSketch.sketchWithAudit(
+          e, "event_type", "v", "event_id")
+        .withColumnRenamed("group_key", "event_type")
+    },
     // Wilson score interval for the per-arm conversion rate — the
     // closed-form companion to q_bootstrap_uplift (operators.Binomial)
     "q_conversion_wilson" -> { (s, d) =>
@@ -4352,6 +4385,98 @@ object SparkEntry {
        |       SELECT 'ALL' AS g, CAST(count(DISTINCT item) AS BIGINT) AS exact_n FROM it)
        |SELECT fin.g AS event_type, ex.exact_n, fin.nz, fin.est_e6
        |FROM fin JOIN ex ON fin.g = ex.g""".stripMargin
+  }
+
+  /** q_incremental_stats replay: computes the per-type statistics DIRECTLY
+    * over the full event table (no split, no merge) with [[HllOracleSql]]'s
+    * register/estimate chain — hash equality against the Spark side's
+    * two-half state merge is exactly the "merge ≡ recompute" identity the
+    * operator claims.
+    */
+  private lazy val IncrementalStatsOracleSql: String = {
+    val a = graft.operators.HllReplay.Alpha64.toString
+    s"""WITH e AS (
+       |  SELECT event_type AS g,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v,
+       |         CAST(user_id AS VARCHAR) AS item
+       |  FROM events WHERE value IS NOT NULL),
+       |sc AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
+       |         CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx
+       |  FROM e GROUP BY g),
+       |rr AS (SELECT g,
+       |         ('0x' || substring(md5(item), 1, 12))::BIGINT % 64 AS reg,
+       |         ('0x' || substring(md5(item), 1, 12))::BIGINT // 64 AS rem
+       |       FROM e),
+       |rho AS (SELECT g, reg,
+       |          CASE WHEN rem = 0 THEN 43 ELSE 43 - length(bin(rem)) END AS rho
+       |        FROM rr),
+       |regs AS (SELECT g, reg, CAST(max(rho) AS BIGINT) AS m FROM rho GROUP BY 1, 2),
+       |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS nz,
+       |               CAST(sum(CAST(power(2, 50 - m) AS BIGINT)) AS BIGINT) AS s
+       |        FROM regs GROUP BY 1),
+       |est AS (SELECT g, nz,
+       |          CAST($a AS DOUBLE) * 4096.0 * 1125899906842624.0
+       |            / CAST(s + (64 - nz) * 1125899906842624 AS DOUBLE) AS raw
+       |        FROM agg),
+       |fin AS (SELECT g, nz,
+       |          CASE WHEN CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) <= 160000000
+       |                    AND nz < 64
+       |               THEN CAST(floor(64.0 * ln(64.0 / CAST(64 - nz AS DOUBLE))
+       |                          * 1000000.0 + 0.5) AS BIGINT)
+       |               ELSE CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) END AS est_e6
+       |        FROM est)
+       |SELECT sc.g AS event_type, sc.n, sc.sum_v, sc.mn, sc.mx, fin.nz, fin.est_e6
+       |FROM sc JOIN fin ON sc.g = fin.g""".stripMargin
+  }
+
+  /** q_quantile_sketch replay: same md5-48 bottom-k sample, the
+    * [[FunnelQuantilesSql]] rank-bracket interpolation over the SAMPLE,
+    * and the exact full-data rank audit — all integer/identical-IEEE.
+    */
+  private lazy val QuantileSketchOracleSql: String = {
+    val ps = graft.operators.QuantileSketch.Deciles
+    def lo(p: Int) = s"CAST(floor(((nn - 1) * $p) / CAST(100.0 AS DOUBLE)) AS BIGINT)"
+    val abCols = ps.flatMap(p => Seq(
+      s"max(CASE WHEN rn = ${lo(p)} THEN v END) AS a$p",
+      s"max(CASE WHEN rn = least(${lo(p)} + 1, nn - 1) THEN v END) AS b$p"))
+    val estRows = ps.map(p =>
+      s"SELECT g, $p AS p, CAST(a$p AS DOUBLE) + ((ns - 1) * $p % 100) " +
+        s"/ CAST(100.0 AS DOUBLE) * (b$p - a$p) AS est FROM br")
+      .mkString("\n  UNION ALL\n  ")
+    s"""WITH e AS (
+       |  SELECT event_type AS g,
+       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v,
+       |         ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS hk,
+       |         CAST(event_id AS BIGINT) AS rid
+       |  FROM events WHERE value IS NOT NULL),
+       |smp AS (
+       |  SELECT g, v FROM (
+       |    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY hk, rid) AS sr
+       |    FROM e)
+       |  WHERE sr <= 256),
+       |ranked AS (
+       |  SELECT g, v,
+       |         CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) - 1 AS rn,
+       |         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nn
+       |  FROM smp),
+       |br AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS ns,
+       |         ${abCols.mkString(",\n         ")}
+       |  FROM ranked GROUP BY g),
+       |ests AS (
+       |  $estRows),
+       |nf AS (SELECT g, CAST(count(*) AS BIGINT) AS n_full FROM e GROUP BY g),
+       |rk AS (
+       |  SELECT ests.g, ests.p, ests.est,
+       |         CAST(sum(CASE WHEN CAST(e.v AS DOUBLE) <= ests.est THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS rank
+       |  FROM ests JOIN e ON e.g = ests.g GROUP BY 1, 2, 3)
+       |SELECT rk.g AS event_type, rk.p, rk.est,
+       |       rank * 1000000 // n_full AS rank_e6,
+       |       CAST(abs(rank * 1000000 // n_full - CAST(rk.p AS BIGINT) * 10000)
+       |            AS BIGINT) AS err_e6
+       |FROM rk JOIN nf ON nf.g = rk.g""".stripMargin
   }
 
   /** Generated HyperBall replay over the shared [[EdgesCte]] graph: md5-48
@@ -6704,6 +6829,8 @@ object SparkEntry {
     "q_chi2_lang_source" -> Chi2OracleSql,
     "q_cms_counts" -> CmsOracleSql,
     "q_hll_md5" -> HllOracleSql,
+    "q_incremental_stats" -> IncrementalStatsOracleSql,
+    "q_quantile_sketch" -> QuantileSketchOracleSql,
     "q_hyperball" -> HyperBallOracleSql,
     "q_length_buckets" -> LengthBucketsOracleSql,
     // HTML shell + strip/extract replay — RE2-safe regexes ((?s), lazy
