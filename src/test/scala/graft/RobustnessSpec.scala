@@ -64,6 +64,48 @@ class RobustnessSpec extends AnyFunSuite {
     assert(g.length == nasty.length)
   }
 
+  test("wordpiece: degenerate corpus trains and encodes totally; population filter holds") {
+    val wc = graft.operators.Vocab.wordCounts(docs)
+    val vs = graft.operators.WordPiece.vocabSet(wc)
+    val enc = graft.operators.WordPiece.encodeWords(wc, vs)
+      .select($"word", $"pieces").as[(String, Seq[String])].collect()
+    // the ASCII-no-# <=12-char population excludes unicode words and the
+    // 24k-char doc's tokens are all "lorem"/"ipsum" (covered); every
+    // surviving word segments without [UNK]
+    enc.foreach { case (w, ps) =>
+      assert(ps.nonEmpty && !ps.contains(graft.expressions.WordPieceSegment.Unk), w)
+      val rt = ps.map(p => if (p.startsWith("##")) p.drop(2) else p).mkString
+      assert(rt == w)
+    }
+    // kernel totality on inputs OUTSIDE the population (never reaches it
+    // in the pipeline, but a direct caller may): unicode + empty
+    val direct = Seq("日本語", "", "é́").toDF("w")
+      .select(graft.expressions.WordPieceSegment.segment($"w", vs, 4).as("p"))
+      .as[Seq[String]].collect()
+    assert(direct(0) == Seq(graft.expressions.WordPieceSegment.Unk))
+    assert(direct(1) == Seq.empty[String])
+  }
+
+  test("mp4 walker: text bytes, empty, and random binary all parse to None") {
+    for (t <- nasty.map(_._2)) {
+      assert(graft.operators.Multimodal.parseMp4Meta(
+        t.getBytes(java.nio.charset.StandardCharsets.UTF_8)) === None)
+    }
+    // bytes that START like an ftyp but truncate immediately
+    val fakeFtyp = Array[Byte](0, 0, 0, 24, 'f', 't', 'y', 'p', 'm', 'p')
+    assert(graft.operators.Multimodal.parseMp4Meta(fakeFtyp) === None)
+  }
+
+  test("quantile sketch: groups smaller than k and single-value groups are exact") {
+    val tiny = Seq(("a", 5L, 1L), ("a", 7L, 2L), ("b", 3L, 3L)).toDF("g", "v", "id")
+    val out = graft.operators.QuantileSketch
+      .sketchWithAudit(tiny, "g", "v", "id", k = 256, pcts = Seq(50))
+      .as[(String, Int, Double, Long, Long)].collect().sortBy(_._1)
+    assert(out.length == 2)
+    assert(out(0)._3 == 6.0d) // median of {5,7} interpolates exactly
+    assert(out(1)._3 == 3.0d) // singleton group returns its value
+  }
+
   test("unimax / length-buckets reject impossible shapes loudly, not wrongly") {
     // one distinct length < b buckets: fail fast with a clear message
     val one = Seq((1L, "aa bb"), (2L, "cc dd")).toDF("doc_id", "text")
