@@ -591,6 +591,113 @@ object SparkEntry {
           sum(when(col("supp_nation") === "NATION_3", volU).otherwise(0L)).cast("double") /
             sum(volU), 6).as("mkt_share"))
     },
+    // TPC-H q2 SHAPE (partsupp-free adaptation — the testdata ships no
+    // partsupp, so the part–supplier cost relation is the one OBSERVED in
+    // lineitem: pair cost = min unit price ever shipped): for each small
+    // part sourced from EUROPE, the supplier achieving the minimum cost —
+    // the correlated-min / argmin-per-key plan shape, spelled as a window
+    // with a total (cost, suppkey) tie-break. Unit price stays exact:
+    // micros DIV integer quantity (both engines floor on non-negatives).
+    "q2_min_cost_supplier" -> { (s, d) =>
+      val t = Tables(s, d)
+      val eurSupp = t.supplier
+        .join(broadcast(t.nation), col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+          col("r_regionkey") === col("n_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val pairCost = t.lineitem
+        .join(broadcast(t.part.filter(col("p_size") < 15)),
+          col("p_partkey") === col("l_partkey"))
+        .join(eurSupp, col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+          col("s_name"), col("n_name"))
+        .agg(min(expr(
+          "CAST(round(l_extendedprice * 1e6) AS BIGINT) DIV CAST(round(l_quantity) AS BIGINT)"))
+          .as("cost_micros"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_partkey")).orderBy(col("cost_micros"), col("s_suppkey"))
+      pairCost.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("p_partkey"), col("p_brand"), col("s_name"),
+          col("n_name").as("nation"), col("cost_micros"))
+    },
+    // TPC-H q9 SHAPE (partsupp-free: profit ≈ revenue, no supplycost term):
+    // nation × year profit rollup over name-matched parts — the classic
+    // 5-way join + LIKE + multi-dim aggregate
+    "q9_product_profit" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_name").contains("widget"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(t.supplier, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(t.nation), col("n_nationkey") === col("s_nationkey"))
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(Money.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_profit"))
+    },
+    // TPC-H q11 SHAPE (partsupp-free: per-part value = AFRICA suppliers'
+    // shipped extendedprice — a region, not a single nation, so the
+    // supplier base is non-empty at every SF): parts above 1.2× the MEAN
+    // part value. TPC-H's own fraction scales with SF, so the scale-free
+    // spelling compares against the mean via an integer cross-multiply
+    // (value·n_parts·10 > total·12): no division, no SF-tuned constant.
+    "q11_important_parts" -> { (s, d) =>
+      val t = Tables(s, d)
+      val afr = broadcast(t.nation
+        .join(broadcast(t.region.filter(col("r_name") === "AFRICA")),
+          col("r_regionkey") === col("n_regionkey"))
+        .select(col("n_nationkey")))
+      val base = t.lineitem
+        .join(t.supplier, col("s_suppkey") === col("l_suppkey"))
+        .join(afr, col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 1e6) AS BIGINT)"))
+          .as("value_micros"))
+      val tot = base.agg(sum(col("value_micros")).as("total_micros"),
+        count(lit(1)).as("n_parts"))
+      base.crossJoin(broadcast(tot))
+        .filter(col("value_micros") * col("n_parts") * 10 > col("total_micros") * 12)
+        .select(col("p_partkey"), col("value_micros"))
+    },
+    // TPC-H q16 SHAPE (part–supplier relation from lineitem): supplier
+    // counts per (brand, type, size) excluding the complaint set — the
+    // NOT-IN (anti-join) + COUNT DISTINCT plan shape; the complaint set is
+    // the deterministic s_suppkey % 7 = 0 slice (synthetic s_comment-free
+    // schema)
+    "q16_supplier_counts" -> { (s, d) =>
+      val t = Tables(s, d)
+      val complaints = t.supplier.filter(pmod(col("s_suppkey"), lit(7)) === 0)
+        .select(col("s_suppkey"))
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(complaints), col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    // TPC-H q20 SHAPE (availqty → shipped quantity): suppliers whose 1997
+    // shipped quantity of 'small%' parts exceeds 1.3× the mean per
+    // supplier — the nested semi-join chain with a grouped HAVING vs a
+    // scalar aggregate, integer cross-multiplied (qty·10·n > 13·total)
+    "q20_excess_suppliers" -> { (s, d) =>
+      val t = Tables(s, d)
+      val pq = t.lineitem
+        .filter(col("l_shipdate").between(
+          expr("TIMESTAMP '1997-01-01 00:00:00'"), expr("TIMESTAMP '1997-12-31 00:00:00'")))
+        .join(broadcast(t.part.filter(col("p_name").startsWith("small"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qty"))
+      val tot = pq.agg(sum(col("qty")).as("tq"), count(lit(1)).as("ns"))
+      val excess = pq.crossJoin(broadcast(tot))
+        .filter(col("qty") * 10 * col("ns") > col("tq") * 13)
+        .select(col("l_suppkey"))
+      t.supplier
+        .join(excess, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(broadcast(t.nation), col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_name"), col("n_name").as("nation"))
+    },
     // TPC-H q13 shape: distribution of customers by order count (left join
     // so zero-order customers land in the c_count=0 bucket)
     "q13_customer_distribution" -> { (s, d) =>
@@ -2855,6 +2962,14 @@ object SparkEntry {
           e, "event_type", "v", "event_id")
         .withColumnRenamed("group_key", "event_type")
     },
+    // audience overlap between event types from coordinated bottom-k
+    // samples (operators.SetOverlap): Jaccard / union / intersection
+    // estimates — the set operations HLL cannot answer — plus the exact
+    // audit. Deterministic md5 draws ⇒ the ESTIMATES hash-oracle.
+    "q_user_overlap" -> { (s, d) =>
+      graft.operators.SetOverlap.pairOverlaps(
+        Tables(s, d).events, "event_type", "user_id")
+    },
     // Wilson score interval for the per-arm conversion rate — the
     // closed-form companion to q_bootstrap_uplift (operators.Binomial)
     "q_conversion_wilson" -> { (s, d) =>
@@ -4479,6 +4594,71 @@ object SparkEntry {
        |FROM rk JOIN nf ON nf.g = rk.g""".stripMargin
   }
 
+  /** q_user_overlap replay: the same md5-48 bottom-k coordinated samples,
+    * per-pair union with side flags, k-th-order-statistic union inversion,
+    * and the exact full-set audit — all integer arithmetic.
+    */
+  private lazy val UserOverlapOracleSql: String =
+    """WITH m AS (
+      |  SELECT DISTINCT CAST(event_type AS VARCHAR) AS g,
+      |         CAST(user_id AS VARCHAR) AS member
+      |  FROM events),
+      |h AS (SELECT g, member,
+      |        ('0x' || substring(md5(member), 1, 12))::BIGINT AS hk
+      |      FROM m),
+      |smp AS (SELECT g, member, hk FROM (
+      |          SELECT g, member, hk,
+      |                 row_number() OVER (PARTITION BY g ORDER BY hk, member) AS sr
+      |          FROM h)
+      |        WHERE sr <= 256),
+      |gs AS (SELECT DISTINCT g FROM smp),
+      |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
+      |tagged AS (
+      |  SELECT p.ga, p.gb, s.member, s.hk, 1 AS in_a, 0 AS in_b
+      |  FROM pairs p JOIN smp s ON s.g = p.ga
+      |  UNION ALL
+      |  SELECT p.ga, p.gb, s.member, s.hk, 0, 1
+      |  FROM pairs p JOIN smp s ON s.g = p.gb),
+      |unioned AS (
+      |  SELECT ga, gb, member, hk,
+      |         CAST(max(in_a) AS BIGINT) AS in_a, CAST(max(in_b) AS BIGINT) AS in_b
+      |  FROM tagged GROUP BY 1, 2, 3, 4),
+      |kept AS (SELECT * FROM (
+      |           SELECT u.*, row_number() OVER (PARTITION BY ga, gb
+      |                                          ORDER BY hk, member) AS ur
+      |           FROM unioned u)
+      |         WHERE ur <= 256),
+      |est AS (
+      |  SELECT ga, gb, CAST(count(*) AS BIGINT) AS k_used,
+      |         CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+      |         CAST(max(hk) AS BIGINT) AS hk_top
+      |  FROM kept GROUP BY 1, 2),
+      |est2 AS (
+      |  SELECT ga, gb, k_used,
+      |         n_both * 1000000 // k_used AS jacc_est_e6,
+      |         CASE WHEN k_used < 256 THEN k_used
+      |              ELSE (k_used - 1) * 281474976710656 // greatest(hk_top, 1)
+      |         END AS union_est
+      |  FROM est),
+      |est3 AS (SELECT *, jacc_est_e6 * union_est // 1000000 AS inter_est FROM est2),
+      |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS sz FROM m GROUP BY g),
+      |inter AS (
+      |  SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_inter
+      |  FROM m a JOIN m b ON a.member = b.member AND a.g < b.g
+      |  GROUP BY 1, 2),
+      |ex AS (
+      |  SELECT p.ga, p.gb, coalesce(i.n_inter, 0) AS n_inter,
+      |         sa.sz + sb.sz - coalesce(i.n_inter, 0) AS exact_union
+      |  FROM pairs p
+      |  JOIN sz sa ON sa.g = p.ga
+      |  JOIN sz sb ON sb.g = p.gb
+      |  LEFT JOIN inter i ON i.ga = p.ga AND i.gb = p.gb)
+      |SELECT e.ga AS group_a, e.gb AS group_b, k_used, jacc_est_e6, union_est,
+      |       inter_est,
+      |       CAST(n_inter * 1000000 // exact_union AS BIGINT) AS exact_jacc_e6,
+      |       CAST(exact_union AS BIGINT) AS exact_union
+      |FROM est3 e JOIN ex ON ex.ga = e.ga AND ex.gb = e.gb""".stripMargin
+
   /** Generated HyperBall replay over the shared [[EdgesCte]] graph: md5-48
     * singleton counters, 3 unrolled register-MAX merge rounds (edge join +
     * (g, reg) max — [[KCoreOracleSql]]'s MATERIALIZED discipline), and
@@ -5550,6 +5730,65 @@ object SparkEntry {
         |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |GROUP BY l_linestatus""".stripMargin,
+    "q2_min_cost_supplier" ->
+      """WITH pc AS (
+        |  SELECT p_partkey, p_brand, s_suppkey, s_name, n_name,
+        |         min(CAST(round(l_extendedprice * 1e6) AS BIGINT)
+        |             // CAST(round(l_quantity) AS BIGINT)) AS cost_micros
+        |  FROM lineitem, part, supplier, nation, region
+        |  WHERE p_partkey = l_partkey AND p_size < 15
+        |    AND s_suppkey = l_suppkey AND n_nationkey = s_nationkey
+        |    AND r_regionkey = n_regionkey AND r_name = 'EUROPE'
+        |  GROUP BY 1, 2, 3, 4, 5)
+        |SELECT p_partkey, p_brand, s_name, n_name AS nation, cost_micros
+        |FROM (SELECT pc.*, row_number() OVER (PARTITION BY p_partkey
+        |                     ORDER BY cost_micros, s_suppkey) AS rn FROM pc)
+        |WHERE rn = 1""".stripMargin,
+    "q9_product_profit" ->
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+         |       ${Money.sumSql("l_extendedprice * (1 - l_discount)")} AS sum_profit
+         |FROM lineitem, part, supplier, nation, orders
+         |WHERE p_partkey = l_partkey AND p_name LIKE '%widget%'
+         |  AND s_suppkey = l_suppkey AND n_nationkey = s_nationkey
+         |  AND o_orderkey = l_orderkey
+         |GROUP BY n_name, year(o_orderdate)""".stripMargin,
+    "q11_important_parts" ->
+      """WITH base AS (
+        |  SELECT l_partkey AS p_partkey,
+        |         CAST(sum(CAST(round(l_extendedprice * 1e6) AS BIGINT)) AS BIGINT)
+        |           AS value_micros
+        |  FROM lineitem, supplier, nation, region
+        |  WHERE s_suppkey = l_suppkey AND n_nationkey = s_nationkey
+        |    AND r_regionkey = n_regionkey AND r_name = 'AFRICA'
+        |  GROUP BY l_partkey),
+        |tot AS (SELECT CAST(sum(value_micros) AS BIGINT) AS total_micros,
+        |               CAST(count(*) AS BIGINT) AS n_parts
+        |        FROM base)
+        |SELECT p_partkey, value_micros FROM base, tot
+        |WHERE value_micros * n_parts * 10 > total_micros * 12""".stripMargin,
+    "q16_supplier_counts" ->
+      """SELECT p_brand, p_type, p_size,
+        |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey
+        |  AND p_brand <> 'Brand#1'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    "q20_excess_suppliers" ->
+      """WITH pq AS (
+        |  SELECT l_suppkey, CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem, part
+        |  WHERE p_partkey = l_partkey AND p_name LIKE 'small%'
+        |    AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00'
+        |                       AND TIMESTAMP '1997-12-31 00:00:00'
+        |  GROUP BY l_suppkey),
+        |tot AS (SELECT CAST(sum(qty) AS BIGINT) AS tq, CAST(count(*) AS BIGINT) AS ns
+        |        FROM pq)
+        |SELECT s_name, n_name AS nation
+        |FROM supplier, nation
+        |WHERE n_nationkey = s_nationkey
+        |  AND s_suppkey IN (SELECT l_suppkey FROM pq, tot WHERE qty * 10 * ns > tq * 13)""".stripMargin,
     "q7_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |       CAST(year(l_shipdate) AS INT) AS l_year,
@@ -6831,6 +7070,7 @@ object SparkEntry {
     "q_hll_md5" -> HllOracleSql,
     "q_incremental_stats" -> IncrementalStatsOracleSql,
     "q_quantile_sketch" -> QuantileSketchOracleSql,
+    "q_user_overlap" -> UserOverlapOracleSql,
     "q_hyperball" -> HyperBallOracleSql,
     "q_length_buckets" -> LengthBucketsOracleSql,
     // HTML shell + strip/extract replay — RE2-safe regexes ((?s), lazy
