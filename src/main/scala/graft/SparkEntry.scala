@@ -2970,6 +2970,15 @@ object SparkEntry {
       graft.operators.SetOverlap.pairOverlaps(
         Tables(s, d).events, "event_type", "user_id")
     },
+    // self-join size (second frequency moment) of lineitem on l_partkey
+    // estimated WITHOUT the join, from a coordinated bottom-k key sample
+    // (operators.JoinSizeEst, Vengerov 2015) — the planner question
+    // "will this join explode?" answered from per-side one-pass sketches;
+    // exact audit column = the true Σ a_i·b_i
+    "q_join_size_est" -> { (s, d) =>
+      val li = Tables(s, d).lineitem
+      graft.operators.JoinSizeEst.estimate(li, "l_partkey", li, "l_partkey")
+    },
     // Wilson score interval for the per-arm conversion rate — the
     // closed-form companion to q_bootstrap_uplift (operators.Binomial)
     "q_conversion_wilson" -> { (s, d) =>
@@ -7071,6 +7080,30 @@ object SparkEntry {
     "q_incremental_stats" -> IncrementalStatsOracleSql,
     "q_quantile_sketch" -> QuantileSketchOracleSql,
     "q_user_overlap" -> UserOverlapOracleSql,
+    // coordinated-sample join-size replay: the self-join domain is the
+    // grouped (key, cnt) table, bottom-256 by the md5-48 draw, Σc² scaled
+    // by the inverted k-th order statistic (exact when the domain < k)
+    "q_join_size_est" ->
+      """WITH dom AS (
+        |  SELECT CAST(l_partkey AS VARCHAR) AS key, CAST(count(*) AS BIGINT) AS c,
+        |         ('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 12))::BIGINT AS hk
+        |  FROM lineitem GROUP BY 1),
+        |kept AS (SELECT * FROM dom ORDER BY hk, key LIMIT 256),
+        |est AS (SELECT CAST(count(*) AS BIGINT) AS k_used,
+        |               CAST(sum(c * c) AS BIGINT) AS sampled_pairs,
+        |               CAST(max(hk) AS BIGINT) AS hk_top
+        |        FROM kept),
+        |ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_join_size FROM dom),
+        |fin AS (SELECT k_used, sampled_pairs,
+        |               CASE WHEN k_used < 256 THEN k_used
+        |                    ELSE (k_used - 1) * 281474976710656
+        |                         // greatest(hk_top, 1) END AS domain_est,
+        |               exact_join_size
+        |        FROM est, ex)
+        |SELECT k_used, sampled_pairs, domain_est,
+        |       sampled_pairs * domain_est // k_used AS join_size_est,
+        |       exact_join_size
+        |FROM fin""".stripMargin,
     "q_hyperball" -> HyperBallOracleSql,
     "q_length_buckets" -> LengthBucketsOracleSql,
     // HTML shell + strip/extract replay — RE2-safe regexes ((?s), lazy
