@@ -1158,6 +1158,36 @@ object SparkEntry {
       val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
       graft.operators.Bpe.fertility(wc, graft.operators.Bpe.trainMerges(wc, 10))
     },
+    // the three tokenizer families' fertility side by side — the table a
+    // practitioner actually reads when choosing a tokenizer (note the
+    // populations differ by design: BPE trains on ALL words, Unigram on
+    // printable-ASCII ≤12, WordPiece additionally excludes '#'; and BPE's
+    // n_pieces counts the </w> marker — documented in each operator)
+    "q_tokenizer_compare" -> { (s, d) =>
+      val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+      graft.operators.Bpe.fertility(wc, graft.operators.Bpe.trainMerges(wc, 10))
+        .select(lit("bpe").as("family"), col("*"))
+        .unionByName(graft.operators.UnigramLm.fertility(s, wc)
+          .select(lit("unigram").as("family"), col("*")))
+        .unionByName(graft.operators.WordPiece.fertility(wc)
+          .select(lit("wordpiece").as("family"), col("*")))
+    },
+    // tokenizer population coverage: what fraction of word OCCURRENCES the
+    // subword trainers' population predicates admit — the OOV-exposure
+    // diagnostic that decides whether the ASCII restriction is acceptable
+    "q_tokenizer_population" -> { (s, d) =>
+      graft.operators.Vocab.wordCounts(Tables(s, d).documents).agg(
+        sum(col("n")).as("n_occurrences"),
+        count(lit(1)).as("n_distinct_words"),
+        sum(when(graft.operators.UnigramLm.isTrainingWord(col("word")), col("n"))
+          .otherwise(0L)).as("n_unigram_pop"),
+        sum(when(graft.operators.WordPiece.isWordPieceWord(col("word")), col("n"))
+          .otherwise(0L)).as("n_wordpiece_pop"))
+        .select(col("n_occurrences"), col("n_distinct_words"),
+          col("n_unigram_pop"), col("n_wordpiece_pop"),
+          expr("n_unigram_pop * 1000000 DIV n_occurrences").as("unigram_cov_e6"),
+          expr("n_wordpiece_pop * 1000000 DIV n_occurrences").as("wordpiece_cov_e6"))
+    },
     // SentencePiece-style unigram LM tokenizer (operators.UnigramLm): the
     // OTHER public tokenizer family next to BPE — replayable Viterbi EM
     // (char + top-500-substring seed, integer-micros ln scores, exact
@@ -8399,6 +8429,27 @@ object SparkEntry {
     "q_bpe_merges" -> BpeOracle.mergesSql,
     "q_bpe_subwords" -> BpeOracle.subwordsSql,
     "q_bpe_fertility" -> BpeOracle.fertilitySql,
+    "q_tokenizer_compare" ->
+      s"""SELECT 'bpe' AS family, * FROM (${BpeOracle.fertilitySql})
+         |UNION ALL
+         |SELECT 'unigram' AS family, * FROM ($UnigramFertilityOracleSql)
+         |UNION ALL
+         |SELECT 'wordpiece' AS family, * FROM (${WordPieceOracle.fertilitySql})""".stripMargin,
+    "q_tokenizer_population" ->
+      s"""WITH tok AS (SELECT unnest($TokensSql) AS word FROM documents),
+         |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word),
+         |ag AS (
+         |  SELECT CAST(sum(n) AS BIGINT) AS n_occurrences,
+         |         CAST(count(*) AS BIGINT) AS n_distinct_words,
+         |         CAST(sum(CASE WHEN regexp_matches(word, '^[\\x21-\\x7e]{1,12}$$')
+         |                       THEN n ELSE 0 END) AS BIGINT) AS n_unigram_pop,
+         |         CAST(sum(CASE WHEN regexp_matches(word, '^[\\x21-\\x22\\x24-\\x7e]{1,12}$$')
+         |                       THEN n ELSE 0 END) AS BIGINT) AS n_wordpiece_pop
+         |  FROM wc)
+         |SELECT n_occurrences, n_distinct_words, n_unigram_pop, n_wordpiece_pop,
+         |       n_unigram_pop * 1000000 // n_occurrences AS unigram_cov_e6,
+         |       n_wordpiece_pop * 1000000 // n_occurrences AS wordpiece_cov_e6
+         |FROM ag""".stripMargin,
     "q_kcenter_coreset" -> KCenterOracleSql,
     "q_mmr_selection" -> MmrOracleSql,
     "q_context_pack" -> ContextPackOracleSql,
