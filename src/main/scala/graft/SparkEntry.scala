@@ -1669,6 +1669,22 @@ object SparkEntry {
           .as[graft.streaming.TwsActivity.Click])
         .toDF()
     },
+    // the live bottom-k sample operator (streaming.StreamBottomK) run
+    // statically — the monotone mergeable summary means the batch
+    // emission IS the exact bottom-k per group, so the streaming
+    // operator itself is driver-gated (the q_tws_counts pattern); v is
+    // functionally dependent on member (user_id), so the dedup-on-member
+    // fold is order-free
+    "q_stream_bottomk" -> { (s, d) =>
+      import s.implicits._
+      graft.streaming.StreamBottomK.samples(
+        Tables(s, d).events
+          .select(col("event_type").as("group"),
+            col("user_id").cast("string").as("member"),
+            col("user_id").cast("long").as("v"))
+          .as[graft.streaming.StreamBottomK.Obs],
+        k = 64).toDF()
+    },
     // the streaming funnel operator (streaming.StreamingFunnel) run
     // statically — one batch per user group, so the emitted final states
     // must equal the batch chained-min funnel (the stream/batch parity the
@@ -7110,6 +7126,19 @@ object SparkEntry {
     "q_incremental_stats" -> IncrementalStatsOracleSql,
     "q_quantile_sketch" -> QuantileSketchOracleSql,
     "q_user_overlap" -> UserOverlapOracleSql,
+    // batch replay of the live bottom-k: distinct (type, user) with the
+    // md5-48 draw, k smallest per group ("group" quoted — reserved word)
+    "q_stream_bottomk" ->
+      """WITH m AS (
+        |  SELECT DISTINCT event_type AS "group",
+        |         CAST(user_id AS VARCHAR) AS member,
+        |         CAST(user_id AS BIGINT) AS v
+        |  FROM events),
+        |h AS (SELECT *, ('0x' || substring(md5(member), 1, 12))::BIGINT AS hk FROM m)
+        |SELECT "group", member, hk, v FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY "group" ORDER BY hk, member) AS sr
+        |  FROM h)
+        |WHERE sr <= 64""".stripMargin,
     // coordinated-sample join-size replay: the self-join domain is the
     // grouped (key, cnt) table, bottom-256 by the md5-48 draw, Σc² scaled
     // by the inverted k-th order statistic (exact when the domain < k)
