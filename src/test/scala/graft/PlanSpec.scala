@@ -356,4 +356,12 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning"),
       s"synthesis + parse must stay a per-partition projection:\n${p.take(2500)}")
   }
+
+  test("bottom-k sketch family: every window is group-partitioned, never global") {
+    for (q <- Seq("q_quantile_sketch", "q_user_overlap", "q_stream_bottomk")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange SinglePartition"),
+        s"$q must not funnel the corpus through one partition:\n${p.take(2500)}")
+    }
+  }
 }
