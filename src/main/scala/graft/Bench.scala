@@ -41,6 +41,25 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    // sf0.001 warm-up covers class loading + codegen, but BENCH_r17 showed
+    // six queries still >3x their median on the first timed run at the bench
+    // SF — the remaining first-touch costs scale with DATA (MLlib fit task
+    // JIT at real tree depth, the PPJoin/UnigramLM persist materialization,
+    // shuffle-file allocation), so warm those query CLASSES once at the
+    // bench SF itself (untimed; adds ~1 min of untimed wall clock):
+    // one tree fit (q_rf_metrics), one KMeans fit (q_knn_pq), one UnigramLM
+    // train (q_token_meter), the PPJoin persist chain (q_similarity_join,
+    // q_dedup_method_overlap), plus the r17 cold offenders q_sgd_intent_scores
+    // and q_target_encode_loo.
+    for (name <- Seq("q_rf_metrics", "q_knn_pq", "q_token_meter",
+        "q_similarity_join", "q_dedup_method_overlap", "q_sgd_intent_scores",
+        "q_target_encode_loo"))
+      SparkEntry.queries.get(name).foreach { fn =>
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+      }
     // Touch every table once at the BENCH SF so no timed query pays the
     // first cold parquet read (OS page cache + footer decode — r16's
     // q10_returned_items 7.0 s one-shot vs 0.9 s median was first-touch

@@ -639,8 +639,11 @@ object SparkEntry {
     // shipped extendedprice — a region, not a single nation, so the
     // supplier base is non-empty at every SF): parts above 1.2× the MEAN
     // part value. TPC-H's own fraction scales with SF, so the scale-free
-    // spelling compares against the mean via an integer cross-multiply
-    // (value·n_parts·10 > total·12): no division, no SF-tuned constant.
+    // spelling compares against the TRUNCATED mean (value·10 >
+    // ⌊total/n⌋·12 — Spark DIV ≡ DuckDB // on the non-negative operands):
+    // no SF-tuned constant, and no width blow-up either — the r17 cross-
+    // multiply value·n·10 approached BIGINT overflow at sf1e4+ (ANSI would
+    // throw, not corrupt, but the query dies); ⌊mean⌋·12 stays ~1e13.
     "q11_important_parts" -> { (s, d) =>
       val t = Tables(s, d)
       val afr = broadcast(t.nation
@@ -656,7 +659,7 @@ object SparkEntry {
       val tot = base.agg(sum(col("value_micros")).as("total_micros"),
         count(lit(1)).as("n_parts"))
       base.crossJoin(broadcast(tot))
-        .filter(col("value_micros") * col("n_parts") * 10 > col("total_micros") * 12)
+        .filter(col("value_micros") * 10 > expr("total_micros DIV n_parts") * 12)
         .select(col("p_partkey"), col("value_micros"))
     },
     // TPC-H q16 SHAPE (part–supplier relation from lineitem): supplier
@@ -679,7 +682,8 @@ object SparkEntry {
     // TPC-H q20 SHAPE (availqty → shipped quantity): suppliers whose 1997
     // shipped quantity of 'small%' parts exceeds 1.3× the mean per
     // supplier — the nested semi-join chain with a grouped HAVING vs a
-    // scalar aggregate, integer cross-multiplied (qty·10·n > 13·total)
+    // scalar aggregate, against the truncated mean (qty·10 > ⌊total/n⌋·13
+    // — the q11 width-safe convention; DIV ≡ // on non-negatives)
     "q20_excess_suppliers" -> { (s, d) =>
       val t = Tables(s, d)
       val pq = t.lineitem
@@ -691,7 +695,7 @@ object SparkEntry {
         .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qty"))
       val tot = pq.agg(sum(col("qty")).as("tq"), count(lit(1)).as("ns"))
       val excess = pq.crossJoin(broadcast(tot))
-        .filter(col("qty") * 10 * col("ns") > col("tq") * 13)
+        .filter(col("qty") * 10 > expr("tq DIV ns") * 13)
         .select(col("l_suppkey"))
       t.supplier
         .join(excess, col("l_suppkey") === col("s_suppkey"), "left_semi")
@@ -2651,12 +2655,18 @@ object SparkEntry {
         k = 10, window = 100, vecCol = "q_codes")
         .select(col("query_id"), col("neighbor_id"), round(col("cos"), 6).as("cos"), col("rank"))
     },
+    // HASH-ORACLED since r18 via the deterministic-replay spelling (the
+    // q_cosine_neardup recipe): per-table seeded Gaussian planes as
+    // integer-micro literals in BOTH engines, exact BIGINT bucket
+    // signatures, XOR Hamming-1 probes, floor-6 cosine + rank replay
+    // (KnnLshOracleSql). The float lshKnn stays the engine-RNG perf twin
+    // (SimilaritySpec recall + det-parity pins).
     "q_knn_lsh" -> { (s, d) =>
       val emb = Tables(s, d).embeddings
-      // 4 planes → 16 buckets fits the sf-scale corpus (500–5000 vectors);
-      // at real scale the plane count grows with log2(corpus/bucket_target).
-      Similarity.lshKnn(emb.filter(col("vec_id") < 5), emb, k = 10, nPlanes = 4)
-        .select(col("query_id"), col("neighbor_id"), col("cos"), col("rank"))
+      // 4 planes → 16 buckets/table fits the sf-scale corpus (500–5000
+      // vectors); at real scale planes grow with log2(corpus/bucket_target).
+      Similarity.lshKnnDet(emb.filter(col("vec_id") < 5), emb, k = 10, nPlanes = 4)
+        .select(col("query_id"), col("neighbor_id"), col("cos6"), col("rank"))
     },
     "q_knn_ivf" -> { (s, d) =>
       val emb = Tables(s, d).embeddings
@@ -3352,8 +3362,14 @@ object SparkEntry {
     // inter-purchase gap histogram — exact micros lags, floor-hour buckets
     "q_repurchase_gaps" -> ((s, d) => Tempo.repurchaseGaps(Tables(s, d).events)),
     // ---- ML plane (RNG/ML — rows-only checks, properties in ScalaTest) ----
+    // HASH-ORACLED since r18 over the deterministic md5-order twin: the
+    // balanced distribution is exactly (label, minority_count) per class —
+    // the oracle states that identity directly. The Bernoulli sampleBy
+    // path (Undersample.balance) stays spec-covered (ratio property in
+    // UndersampleSpec): engine-RNG membership can only ever get rows-only.
     "q_balanced_label_dist" -> { (s, d) =>
-      Undersample.balance(sessionFeatures(s, d))
+      Undersample.balanceDeterministic(
+          sessionFeatures(s, d).select(col("user_session"), col("label")))
         .groupBy(col("label")).agg(count(lit(1)).as("n"))
     },
     // deterministic twin of the RNG undersample: exactly the minority count
@@ -5049,6 +5065,76 @@ object SparkEntry {
          |  $vals) t(b, j, s))""".stripMargin)
   }
 
+  /** q_knn_lsh's replay (Similarity.lshKnnDet): the SAME per-table seeded
+    * Gaussian hyperplanes as integer-micro literals (nTables·nPlanes·64
+    * rows — driver-side constants, identical in both engines), exact
+    * BIGINT bucket signatures per table, Hamming-1 probe expansion via
+    * XOR, DISTINCT bucket-mate candidates, and the floor-6 cosine +
+    * row_number rank replay shared with q_knn_bruteforce.
+    */
+  private lazy val KnnLshOracleSql: String = {
+    val nPlanes = 4
+    val nTables = 4
+    val vals = (0 until nTables).flatMap { t =>
+      graft.functions.VectorFunctions.gaussianMicroPlanes(nPlanes, 64, 42L + t)
+        .zipWithIndex.flatMap { case (p, b) =>
+          p.zipWithIndex.map { case (g, j0) => s"($t, $b, ${j0 + 1}, $g)" }
+        }
+    }.grouped(6).map(_.mkString(", ")).mkString(",\n  ")
+    s"""WITH sg AS MATERIALIZED (
+       |  SELECT * FROM (VALUES
+       |  $vals) t(t, b, j, s)),
+       |q AS MATERIALIZED (
+       |  SELECT vec_id,
+       |         list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 64),
+       |                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS xq
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+       |pj AS MATERIALIZED (
+       |  SELECT q.vec_id, sg.t, sg.b,
+       |         CAST(sum(sg.s * q.xq[sg.j]) AS BIGINT) AS proj
+       |  FROM q, sg GROUP BY 1, 2, 3),
+       |bk AS MATERIALIZED (
+       |  SELECT vec_id, t,
+       |         CAST(sum(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << b)
+       |                       ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM pj GROUP BY 1, 2),
+       |fl AS (
+       |  SELECT CAST(CASE WHEN f < 0 THEN 0
+       |                   ELSE (CAST(1 AS BIGINT) << f) END AS BIGINT) AS flip
+       |  FROM range(-1, $nPlanes) r(f)),
+       |qp AS (
+       |  SELECT bk.vec_id AS query_id, bk.t, xor(bk.bucket, fl.flip) AS bucket
+       |  FROM bk CROSS JOIN fl WHERE bk.vec_id < 5),
+       |cand AS (
+       |  SELECT DISTINCT qp.query_id, bk.vec_id AS neighbor_id
+       |  FROM qp JOIN bk ON bk.t = qp.t AND bk.bucket = qp.bucket
+       |  WHERE bk.vec_id <> qp.query_id),
+       |sc AS (
+       |  SELECT c.query_id, c.neighbor_id,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |              i -> a.xq[i] * b.xq[i])) AS BIGINT) AS dp,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |              i -> a.xq[i] * a.xq[i])) AS BIGINT) AS na,
+       |         CAST(list_sum(list_transform(range(1, 65),
+       |              i -> b.xq[i] * b.xq[i])) AS BIGINT) AS nb
+       |  FROM cand c
+       |  JOIN q a ON a.vec_id = c.query_id
+       |  JOIN q b ON b.vec_id = c.neighbor_id),
+       |cs AS (
+       |  SELECT query_id, neighbor_id,
+       |         floor(CAST(dp AS DOUBLE) / sqrt(CAST(na AS DOUBLE))
+       |               / sqrt(CAST(nb AS DOUBLE)) * 1000000.0 + 0.5)
+       |           / 1000000.0 AS cos6
+       |  FROM sc WHERE na > 0 AND nb > 0),
+       |rk AS (
+       |  SELECT query_id, neighbor_id, cos6,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cos6 DESC, neighbor_id) AS rank
+       |  FROM cs)
+       |SELECT query_id, neighbor_id, cos6, rank FROM rk WHERE rank <= 10""".stripMargin
+  }
+
   /** Generated replay of Doremi.epochWeights (3 epochs): per-source mean
     * loss quantized once, then each epoch is a pure-integer baseline
     * `(Σ α_e6·m_e6 + 5·10⁵) // 10⁶`, an integer excess max, a 16-squaring
@@ -5298,6 +5384,10 @@ object SparkEntry {
       "SELECT count(DISTINCT user_id) AS n_purchase_users FROM events WHERE event_type = 'purchase'",
     "q_label_dist" ->
       s"$FeaturesSql SELECT label, count(*) AS n FROM features GROUP BY label",
+    "q_balanced_label_dist" ->
+      s"""$FeaturesSql
+         |SELECT label, CAST(min(n) OVER () AS BIGINT) AS n
+         |FROM (SELECT label, count(*) AS n FROM features GROUP BY label) t""".stripMargin,
     "q_balanced_deterministic" ->
       s"""$FeaturesSql, r AS (
          |  SELECT user_session, label,
@@ -5820,7 +5910,7 @@ object SparkEntry {
         |               CAST(count(*) AS BIGINT) AS n_parts
         |        FROM base)
         |SELECT p_partkey, value_micros FROM base, tot
-        |WHERE value_micros * n_parts * 10 > total_micros * 12""".stripMargin,
+        |WHERE value_micros * 10 > (total_micros // n_parts) * 12""".stripMargin,
     "q16_supplier_counts" ->
       """SELECT p_brand, p_type, p_size,
         |       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
@@ -5843,7 +5933,7 @@ object SparkEntry {
         |SELECT s_name, n_name AS nation
         |FROM supplier, nation
         |WHERE n_nationkey = s_nationkey
-        |  AND s_suppkey IN (SELECT l_suppkey FROM pq, tot WHERE qty * 10 * ns > tq * 13)""".stripMargin,
+        |  AND s_suppkey IN (SELECT l_suppkey FROM pq, tot WHERE qty * 10 > (tq // ns) * 13)""".stripMargin,
     "q7_volume_shipping" ->
       s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          |       CAST(year(l_shipdate) AS INT) AS l_year,
@@ -7112,6 +7202,7 @@ object SparkEntry {
     "q_doremi_epochs" -> DoremiEpochsOracleSql,
     "q_simhash_embed_neardup" -> SimhashEmbedOracleSql,
     "q_cosine_neardup" -> CosineNearDupOracleSql,
+    "q_knn_lsh" -> KnnLshOracleSql,
     "q_bootstrap_ci" -> BootstrapOracleSql,
     "q_bootstrap_by_source" -> BootstrapBySourceOracleSql,
     "q_bootstrap_uplift" -> BootstrapUpliftOracleSql,

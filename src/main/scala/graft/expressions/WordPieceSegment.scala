@@ -32,7 +32,18 @@ object WordPieceSegment {
 
   val Unk = "[UNK]"
 
-  /** Static kernel targeted by generated code (and nullSafeEval). */
+  /** Static kernel targeted by generated code (and nullSafeEval).
+    *
+    * ASCII-only contract: positions index UTF-16 code units
+    * (String.substring), so a supplementary-plane character would split
+    * into lone surrogates — and the DuckDB oracle's substr is
+    * CHARACTER-based, so any non-ASCII vocab entry would diverge between
+    * engines. Safe as shipped because the population predicate
+    * (WordPiece.isWordPieceWord) restricts words to printable ASCII;
+    * callers outside that predicate must enforce the same restriction
+    * (or map words containing surrogates to [UNK]) before using this
+    * kernel in an oracled path.
+    */
   def segmentKernel(
       word: UTF8String,
       vocab: java.util.HashSet[String],

@@ -591,6 +591,14 @@ object Multimodal {
       width: Int,
       height: Int): Array[Byte] = {
     require(brand.length == 4, "4-char brand")
+    // mvhd v0 carries 32-bit timescale/duration; putBe32 would silently
+    // truncate larger values and the fixture would diverge from the
+    // oracle's formula prediction — fail loudly instead (emit v1/be64 if
+    // a fixture ever legitimately needs >2^32).
+    require(timescale >= 0 && timescale <= 0xFFFFFFFFL,
+      s"synthMp4: timescale $timescale exceeds mvhd v0's 32 bits")
+    require(duration >= 0 && duration <= 0xFFFFFFFFL,
+      s"synthMp4: duration $duration exceeds mvhd v0's 32 bits")
     def box(tpe: String, payload: Array[Byte]): Array[Byte] = {
       val out = new Array[Byte](8 + payload.length)
       putBe32(out, 0, 8L + payload.length)

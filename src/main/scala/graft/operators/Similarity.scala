@@ -118,6 +118,85 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Deterministic-REPLAY spelling of [[lshKnn]] (the
+    * [[cosineNearDupPairsDet]] discipline): the SAME per-table seeded
+    * Gaussian hyperplanes — quantized to integer micros and shipped as
+    * literals into both the Spark plan and the generated DuckDB oracle —
+    * over integer-micro coordinates, so every table's bucket signature is
+    * exact BIGINT arithmetic, the Hamming-1 probe expansion is a pure XOR,
+    * and the reported cosine is one replayed floor-6 division chain over
+    * exact integer dot/norms. Candidate structure identical to [[lshKnn]]
+    * (multi-table ∪ Hamming-1 probes); ranking ties break on neighbor_id.
+    * The float path keeps the true Gaussian recall profile and stays
+    * spec-covered (SimilaritySpec).
+    *
+    * Scale shape matches [[lshKnn]]: the sign table is nTables·nPlanes·d
+    * broadcast rows, signatures one exploded aggregation per vector, and
+    * the candidate join bucket-equi with the (small) probe side broadcast
+    * — never all-pairs.
+    */
+  def lshKnnDet(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int = 10,
+      nPlanes: Int = 4,
+      nTables: Int = 4,
+      d: Int = 64,
+      seed: Long = 42L
+  ): DataFrame = {
+    require(nPlanes >= 1 && nPlanes <= 30, "nPlanes in 1..30")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val planes = broadcast(
+      (0 until nTables).flatMap { t =>
+        gaussianMicroPlanes(nPlanes, d, seed + t).zipWithIndex.flatMap {
+          case (p, b) => p.zipWithIndex.map { case (g, j0) => (t, b, j0 + 1, g) }
+        }
+      }.toDF("t", "b", "j", "s"))
+    // per (vector, table): exact-integer projections -> packed sign bits
+    def withBuckets(df: DataFrame): DataFrame = {
+      val quant = KMeansReplay.quantize(df, "embedding", d)
+      val proj = quant
+        .select(col("vec_id"), posexplode(col("xq")).as(Seq("pos", "x")))
+        .withColumn("j", col("pos") + 1)
+        .join(planes, Seq("j"))
+        .groupBy(col("vec_id"), col("t"), col("b"))
+        .agg(sum(col("s") * col("x")).as("proj"))
+      proj
+        .groupBy(col("vec_id"), col("t"))
+        .agg(sum(when(col("proj") >= 0L,
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))"))
+          .otherwise(lit(0L))).as("bucket"))
+        .join(quant, Seq("vec_id"))
+    }
+    val c = withBuckets(corpus)
+      .select(col("vec_id").as("neighbor_id"), col("t"), col("bucket"), col("xq").as("nx"))
+    val flips = lit(0L) +: (0 until nPlanes).map(j => lit(1L << j))
+    val q = withBuckets(queries)
+      .select(col("vec_id").as("query_id"), col("xq").as("qx"), col("t"),
+        explode(array(flips: _*)).as("flip"), col("bucket").as("qbucket"))
+      .select(col("query_id"), col("qx"), col("t"),
+        col("qbucket").bitwiseXOR(col("flip")).as("bucket"))
+    val dot = aggregate(zip_with(col("qx"), col("nx"), (a, b2) => a * b2),
+      lit(0L), (acc, v) => acc + v)
+    val nrm = (c2: Column) => aggregate(zip_with(c2, c2, (a, b2) => a * b2),
+      lit(0L), (acc, v) => acc + v)
+    val scored = c
+      .join(broadcast(q), Seq("t", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        dot.as("dp"), nrm(col("qx")).as("na"), nrm(col("nx")).as("nb"))
+      .filter(col("na") > 0L && col("nb") > 0L)
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(col("dp").cast("double") / sqrt(col("na").cast("double"))
+          / sqrt(col("nb").cast("double")) * lit(1000000.0d) + lit(0.5d))
+          / lit(1000000.0d)).as("cos6"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(max(col("cos6")).as("cos6"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos6").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** IVF (inverted-file) ANN top-k — the other classic scale path next to
     * LSH: a k-means coarse quantizer assigns every corpus vector to one of
     * `nLists` posting lists; each query probes only its `nProbe` nearest

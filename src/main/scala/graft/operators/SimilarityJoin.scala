@@ -53,7 +53,13 @@ object SimilarityJoin {
     // consumer. Reproduced r11: 2.2–2.6 s at sf0.1 with the persists
     // (TimeQ isolation AND a REPS=3 sequential full-Bench median) vs
     // ~11 s without (r9); the 14.4 s in BENCH_r10.json was gate-host
-    // load, not a cache race. MEMORY_AND_DISK default spills rather than
+    // load, not a cache race. Same phantom again in BENCH_r17 (driver
+    // median 2.33 -> 10.05 s on byte-identical code): r18 TimeQ isolation
+    // at sf0.1 re-measured 2.09-3.55 s over 5 reps (median 2.43), and the
+    // whole r17 watch list (q_minhash_md5_sigs, q_knn_pq, q_kcore,
+    // q_community_quality) sat at ~half its driver numbers in the same
+    // session — a uniform ambient-load factor, not a persist-lifecycle
+    // leak. MEMORY_AND_DISK default spills rather than
     // OOMs at scale. Lifecycle: the blocks live until the session drops
     // them — Bench/Verify clearCache() per query; a long-lived session
     // should clearCache (or unpersist these) after materializing the

@@ -57,6 +57,26 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.6, s"recall $recall too low")
   }
 
+  test("lshKnnDet: recall matches the float twin's bound, ranked contract holds") {
+    // integer-micro quantization flips a plane sign only for points within
+    // ~1e-6 of the hyperplane, so the det spelling keeps lshKnn's Gaussian
+    // recall profile — assert the same >= 0.6 bound the float path carries.
+    val emb = Tables(spark, TestSpark.Sf0001).embeddings
+    val queries = emb.filter($"vec_id" < 10)
+    def keySet(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = keySet(Similarity.bruteForceKnn(queries, emb, k = 10))
+    val det = Similarity.lshKnnDet(queries, emb, k = 10, nPlanes = 4, nTables = 4)
+    val rows = det.collect()
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Int]("rank")).sorted.sameElements(1 to rs.length))
+      assert(rs.forall(r => r.getAs[Double]("cos6") >= -1.0 && r.getAs[Double]("cos6") <= 1.0))
+    }
+    val recall = (exact & keySet(det)).size.toDouble / exact.size
+    assert(recall >= 0.6, s"det recall $recall too low")
+  }
+
   test("ivfKnn recall vs brute force ≥ 0.6 (8 lists, 4 probes)") {
     val emb = Tables(spark, TestSpark.Sf0001).embeddings
     val queries = emb.filter($"vec_id" < 10)
