@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
 import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
-import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Dsir, Featurize, GmmReplay, GopherFilter, GroupCap, HashSplit, IntervalOverlap, IvfReplay, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, RepetitionCoverage, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
+import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Avi, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Dsir, Featurize, GmmReplay, GopherFilter, GroupCap, HashSplit, IntervalOverlap, IvfReplay, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, RepetitionCoverage, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
 
@@ -94,6 +94,29 @@ object SparkEntry {
     Featurize
       .leakageFreeSessionFeatures(clickstream(spark, dir), ClickConf)
       .withColumn("avg_price", round(col("avg_price"), 6))
+
+  /** Formula-synthesized uncompressed-DIB AVI fixtures over the video
+    * rows (doc_id % 3 = 2): REAL RIFF bytes built per row from pure
+    * id-derived parameters (odd widths force stride padding on every
+    * file); odd doc_ids truncated mid-header. Shared by q_media_avi_meta
+    * and q_media_avi_frames; the oracles predict from the same formulas.
+    */
+  private def aviFixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d).documents
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val full = graft.operators.Avi.synthAvi(
+          width = 7 + (id % 4).toInt * 4,
+          height = 6 + (id % 3).toInt * 4,
+          nFrames = 2 + (id % 3).toInt,
+          microSecPerFrame = 33333L + (id % 7) * 1000L,
+          pixel = (f, y, x, c) =>
+            ((id + 31L * f + 7L * y + 3L * x + 11L * c) % 251L).toInt)
+        (id, if (id % 2 == 1) full.take(20) else full)
+      }.toDF("doc_id", "content")
+  }
 
   def entry(spark: SparkSession): DataFrame =
     sessionFeatures(spark, "/root/testdata/sf0.001")
@@ -1162,15 +1185,38 @@ object SparkEntry {
       val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
       graft.operators.Bpe.fertility(wc, graft.operators.Bpe.trainMerges(wc, 10))
     },
-    // the three tokenizer families' fertility side by side — the table a
+    // Byte-level BPE (GPT-2; operators.ByteBpe): BPE over UTF-8 BYTES
+    // under the reversible 256-entry byte↔unicode table — zero OOV by
+    // construction (all 256 single-byte symbols are base alphabet). The
+    // table is a driver constant shipped as literals into BOTH engines;
+    // the oracle replays symbolization from the hex dump via a VALUES
+    // lookup, then the merges with q_bpe_merges' double-space replay.
+    "q_bytebpe_merges" -> { (s, d) =>
+      graft.operators.ByteBpe.mergeTable(s,
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents), nMerges = 10)
+    },
+    // the byte-level subword vocabulary those merges induce (encode path:
+    // merges as literals, one zero-shuffle projection + one groupBy)
+    "q_bytebpe_encode" -> { (s, d) =>
+      val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+      val merges = graft.operators.ByteBpe.trainMerges(wc, 10)
+      graft.operators.ByteBpe.subwordVocab(wc, merges)
+        .orderBy(col("n_tokens").desc, col("subword"))
+        .limit(30)
+    },
+    // the four tokenizer families' fertility side by side — the table a
     // practitioner actually reads when choosing a tokenizer (note the
-    // populations differ by design: BPE trains on ALL words, Unigram on
-    // printable-ASCII ≤12, WordPiece additionally excludes '#'; and BPE's
-    // n_pieces counts the </w> marker — documented in each operator)
+    // populations differ by design: BPE/byte-BPE train on ALL words,
+    // Unigram on printable-ASCII ≤12, WordPiece additionally excludes
+    // '#'; BPE's n_pieces counts the </w> marker; byte-BPE's pieces are
+    // byte-denominated — documented in each operator)
     "q_tokenizer_compare" -> { (s, d) =>
       val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
       graft.operators.Bpe.fertility(wc, graft.operators.Bpe.trainMerges(wc, 10))
         .select(lit("bpe").as("family"), col("*"))
+        .unionByName(graft.operators.ByteBpe.fertility(wc,
+            graft.operators.ByteBpe.trainMerges(wc, 10))
+          .select(lit("bytebpe").as("family"), col("*")))
         .unionByName(graft.operators.UnigramLm.fertility(s, wc)
           .select(lit("unigram").as("family"), col("*")))
         .unionByName(graft.operators.WordPiece.fertility(wc)
@@ -3096,6 +3142,19 @@ object SparkEntry {
       }.toDF("doc_id", "content")
       Multimodal.mp4Meta(media)
     },
+    // REAL video FRAME DECODE, codec-free (operators.Avi): RIFF
+    // hdrl/strl/movi walk + uncompressed-DIB bottom-up stride-padded
+    // BGR24 frame grids. Fixtures are formula-synthesized real AVIs
+    // (odd widths ⇒ 3 pad bytes per row on every file); odd doc_ids are
+    // truncated mid-header and must come back ok=false with null
+    // metadata (bounds-check proof). Oracles predict both outcomes from
+    // the synthesis formulas — byte-replay twins.
+    "q_media_avi_meta" -> { (s, d) => Avi.aviMeta(aviFixture(s, d)) },
+    // per decoded frame: exact-integer pixel sum + x/y moments — the
+    // moments flip under a stride or bottom-up mistake (a plain sum is
+    // orientation-invariant), so the oracle pins the DECODE, not just
+    // the walk; corrupt rows contribute no frames
+    "q_media_avi_frames" -> { (s, d) => Avi.frameStats(aviFixture(s, d)) },
     "q_media_features" -> { (s, d) =>
       val feats = Multimodal.extractFeatures(Multimodal.toMediaTable(Tables(s, d).documents))
       feats.select(col("doc_id"), col("media_type"), col("n_bytes"),
@@ -5685,6 +5744,47 @@ object SparkEntry {
         |       CASE WHEN doc_id % 2 = 0
         |            THEN CAST(90 + (doc_id % 18) * 16 AS BIGINT) END AS height
         |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    // byte-replay twin of the AVI walker: metadata predicted from the
+    // synthesis formulas; odd doc_ids truncated mid-header → ok=false
+    "q_media_avi_meta" ->
+      """SELECT doc_id,
+        |       doc_id % 2 = 0 AS ok,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'DIB ' END AS handler,
+        |       CASE WHEN doc_id % 2 = 0
+        |            THEN CAST(33333 + (doc_id % 7) * 1000 AS BIGINT) END AS micro_sec_pf,
+        |       CASE WHEN doc_id % 2 = 0
+        |            THEN CAST(2 + doc_id % 3 AS BIGINT) END AS n_frames,
+        |       CASE WHEN doc_id % 2 = 0
+        |            THEN CAST(7 + (doc_id % 4) * 4 AS BIGINT) END AS width,
+        |       CASE WHEN doc_id % 2 = 0
+        |            THEN CAST(6 + (doc_id % 3) * 4 AS BIGINT) END AS height,
+        |       CASE WHEN doc_id % 2 = 0 THEN CAST(24 AS BIGINT) END AS bit_count,
+        |       CASE WHEN doc_id % 2 = 0 THEN CAST(0 AS BIGINT) END AS compression
+        |FROM documents WHERE doc_id % 3 = 2""".stripMargin,
+    // pixel-formula replay of the decoded frame grids: every sample is
+    // (id + 31f + 7y + 3x + 11c) % 251, so the per-frame sums and x/y
+    // moments are exact-integer predictions — a stride or bottom-up
+    // mistake in the decoder flips the moments
+    "q_media_avi_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         7 + (doc_id % 4) * 4 AS w,
+        |         6 + (doc_id % 3) * 4 AS h,
+        |         2 + doc_id % 3 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 2 = 0),
+        |f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM v),
+        |fy AS (SELECT doc_id, w, fi, unnest(range(0, h)) AS y FROM f),
+        |fx AS (SELECT doc_id, fi, y, unnest(range(0, w)) AS x FROM fy),
+        |px AS (SELECT doc_id, fi, y, x,
+        |         (doc_id + 31 * fi + 7 * y + 3 * x) % 251 AS b,
+        |         (doc_id + 31 * fi + 7 * y + 3 * x + 11) % 251 AS g,
+        |         (doc_id + 31 * fi + 7 * y + 3 * x + 22) % 251 AS r
+        |       FROM fx)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |       CAST(sum(b + g + r) AS BIGINT) AS px_sum,
+        |       CAST(sum((x + 1) * (b + g + r)) AS BIGINT) AS x_moment,
+        |       CAST(sum((y + 1) * (b + g + r)) AS BIGINT) AS y_moment
+        |FROM px GROUP BY 1, 2""".stripMargin,
     // UniMax waterfill replay: cap-ascending prefix predicate, whole-frame
     // kstar/capped_sum windows, floor-division share + lexicographic
     // remainder — all exact BIGINT
@@ -8549,8 +8649,12 @@ object SparkEntry {
     "q_bpe_merges" -> BpeOracle.mergesSql,
     "q_bpe_subwords" -> BpeOracle.subwordsSql,
     "q_bpe_fertility" -> BpeOracle.fertilitySql,
+    "q_bytebpe_merges" -> ByteBpeOracle.mergesSql,
+    "q_bytebpe_encode" -> ByteBpeOracle.encodeSql,
     "q_tokenizer_compare" ->
       s"""SELECT 'bpe' AS family, * FROM (${BpeOracle.fertilitySql})
+         |UNION ALL
+         |SELECT 'bytebpe' AS family, * FROM (${ByteBpeOracle.fertilitySql})
          |UNION ALL
          |SELECT 'unigram' AS family, * FROM ($UnigramFertilityOracleSql)
          |UNION ALL
@@ -10043,7 +10147,12 @@ object SparkEntry {
   private object BpeOracle {
     val R = 10
 
-    private def round(r: Int): String =
+    /** One merge round over CTE names `v$r`/`top$r` — shared with
+      * ByteBpeOracle (its v0 is the byte-mapped symbolization; the
+      * double-space replay is safe there too because every mapped byte
+      * char is non-space — 0x20 maps to U+0120).
+      */
+    def round(r: Int): String =
       s"""px$r AS MATERIALIZED (
          |  SELECT n, syms, unnest(range(1, len(syms))) AS i
          |  FROM v$r WHERE len(syms) >= 2),
@@ -10088,6 +10197,72 @@ object SparkEntry {
 
     /** Fertility under the learned merges — same formula as the unigram
       * twin, over the round-R vocab (syms length includes `</w>`).
+      */
+    lazy val fertilitySql: String =
+      s"""$ctes,
+         |ag AS (SELECT CAST(sum(n) AS BIGINT) AS n_words,
+         |              CAST(sum(n * len(syms)) AS BIGINT) AS n_pieces,
+         |              CAST(sum(n * len(word)) AS BIGINT) AS n_chars
+         |       FROM v$R)
+         |SELECT n_words, n_pieces, n_chars,
+         |       n_pieces * 1000000 // n_words AS fertility_micros,
+         |       n_chars * 1000000 // n_pieces AS chars_per_piece_micros
+         |FROM ag""".stripMargin
+  }
+
+  /** Generated DuckDB replay of the byte-level BPE family
+    * (operators.ByteBpe): symbolization replays from the hex dump of each
+    * word's UTF-8 bytes through the 256-row byte→unicode VALUES table
+    * (a driver-side constant, identical in both engines — the
+    * q_cosine_neardup constant-shipping recipe); the merge rounds reuse
+    * BpeOracle.round's double-space replay, which is safe on byte-mapped
+    * symbols because every mapped char is non-space (0x20 → U+0120).
+    */
+  private object ByteBpeOracle {
+    val R = 10
+
+    private lazy val btVals: String =
+      (0 until 256).map { b =>
+        val c = graft.operators.ByteBpe.byteToChar(b).replace("'", "''")
+        f"('$b%02X', '$c')"
+      }.grouped(8).map(_.mkString(", ")).mkString(",\n  ")
+
+    lazy val ctes: String =
+      s"""WITH tok AS (SELECT unnest($TokensSql) AS word FROM documents),
+         |wc0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word),
+         |bt AS MATERIALIZED (
+         |  SELECT * FROM (VALUES
+         |  $btVals) t(h, sym)),
+         |bx AS (SELECT word, n,
+         |              unnest(range(1, octet_length(encode(word)) + 1)) AS i
+         |       FROM wc0),
+         |bj AS (SELECT b.word, b.n, b.i, bt.sym
+         |       FROM (SELECT word, n, i,
+         |                    substr(hex(encode(word)), CAST(2 * i - 1 AS INT), 2) AS h
+         |             FROM bx) b
+         |       JOIN bt USING (h)),
+         |v0 AS MATERIALIZED (
+         |  SELECT word, n, list(sym ORDER BY i) AS syms FROM bj GROUP BY word, n),
+         |${(0 until R).map(BpeOracle.round).mkString(",\n")}""".stripMargin
+
+    lazy val mergesSql: String = {
+      val union = (0 until R)
+        .map(r => s"""SELECT CAST($r AS INT) AS merge_idx, l AS "left", r AS "right", cnt FROM top$r""")
+        .mkString("\nUNION ALL\n")
+      s"""$ctes
+         |$union""".stripMargin
+    }
+
+    lazy val encodeSql: String =
+      s"""$ctes,
+         |sw AS (SELECT s AS subword, CAST(sum(n) AS BIGINT) AS n_tokens
+         |       FROM (SELECT n, unnest(syms) AS s FROM v$R)
+         |       GROUP BY 1)
+         |SELECT subword, n_tokens FROM sw
+         |ORDER BY n_tokens DESC, subword LIMIT 30""".stripMargin
+
+    /** Fertility under the round-R vocab — pieces byte-denominated (no
+      * `</w>`), n_chars raw characters like the other families.
       */
     lazy val fertilitySql: String =
       s"""$ctes,

@@ -64,6 +64,17 @@ object Bpe {
       wordCounts: DataFrame,
       nMerges: Int,
       minPairCount: Long = 1L
+  ): Seq[Merge] =
+    trainMergesFrom(symbolize(wordCounts), nMerges, minPairCount)
+
+  /** The merge loop over an ALREADY-symbolized vocab (word, n, syms) —
+    * shared by the char-level path above and [[ByteBpe]]'s byte-level
+    * symbols (which carry no `</w>` marker).
+    */
+  def trainMergesFrom(
+      symbolized: DataFrame,
+      nMerges: Int,
+      minPairCount: Long = 1L
   ): Seq[Merge] = {
     require(nMerges >= 0 && nMerges <= 100000, "nMerges in 0..100000")
     val merges = new ArrayBuffer[Merge]()
@@ -77,7 +88,7 @@ object Bpe {
     // the ContextCleaner would accumulate real memory/disk pressure) —
     // Dataset.unpersist only consults the CacheManager, so release goes
     // through the checkpointed LogicalRDD directly.
-    var vocab = symbolize(wordCounts).localCheckpoint(true)
+    var vocab = symbolized.localCheckpoint(true)
     var i = 0
     var done = false
     while (i < nMerges && !done) {

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * for the one multi-frame container the JDK ships a reader for —
   * animated GIF (`gifFrameStats`: on-demand frame reads, sampled frame
   * luminance stats), and mp4 container METADATA is parsed for real
-  * (`parseMp4Meta`: ftyp/moov/mvhd/tkhd box walk, pure byte arithmetic);
-  * ⚠ only mp4/webm FRAME DECODE remains STUBBED ⚠ (it needs codecs
-  * neither the JDK nor this container provides): `decodeStub` derives a
+  * (`parseMp4Meta`: ftyp/moov/mvhd/tkhd box walk, pure byte arithmetic),
+  * and UNCOMPRESSED video frames decode for real since r18
+  * ([[Avi]]: RIFF walk + bottom-up stride-padded BGR24 grids — no codec
+  * needed); ⚠ only COMPRESSED-codec frame decode (mp4/webm) remains
+  * STUBBED ⚠ (it needs codecs neither the JDK nor this container
+  * provides): `decodeStub` derives a
   * deterministic pseudo-feature vector from raw bytes, and any
   * undecodable row (e.g. the UTF-8 stand-in content of [[toMediaTable]])
   * falls back to it, so the binary-column plumbing stays exercised

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders}
-import org.apache.spark.sql.streaming.{OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** transformWithState (Spark 4's arbitrary-state API, the successor to
   * map/flatMapGroupsWithState): typed composable state variables behind a
@@ -38,6 +38,62 @@ object TwsActivity {
       count.update(n)
       Iterator.single(UserCount(key, n))
     }
+  }
+
+  final case class SessionEvent(user_id: Long, kind: String, n_events: Long)
+
+  /** The TTL + processing-time-timer surface of the new API (the one
+    * [[CounterProcessor]] doesn't touch): the counter ValueState carries a
+    * real `TTLConfig(ttl)` — an idle key's count EVICTS by wall clock and
+    * `exists()` turns false, so the next arrival restarts from zero — and
+    * every arrival (re)arms a processing-time timer at now + timerMs;
+    * when a later micro-batch passes the expiry, `handleExpiredTimer`
+    * emits a `("timer", count)` row for the idle key — the classic
+    * inactivity-session close. Timers fire at micro-batch boundaries (a
+    * batch must run for expiry to be observed), which is the API's
+    * contract, not a test shortcut.
+    *
+    * Note the deliberate asymmetry available here: ttl and timer are
+    * independent clocks — a short TTL with a long timer gives
+    * evict-but-never-close; the spec drives both ends.
+    */
+  class SessionProcessor(ttlMs: Long, timerMs: Long)
+      extends StatefulProcessor[Long, Click, SessionEvent] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong,
+        TTLConfig(java.time.Duration.ofMillis(ttlMs)))
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[Click],
+        timerValues: TimerValues): Iterator[SessionEvent] = {
+      val prev = if (count.exists()) count.get() else 0L // TTL-expired reads as absent
+      val n = prev + rows.size
+      count.update(n)
+      getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + timerMs)
+      Iterator.single(SessionEvent(key, "update", n))
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionEvent] =
+      Iterator.single(SessionEvent(key, "timer",
+        if (count.exists()) count.get() else 0L))
+  }
+
+  /** [[SessionProcessor]] wired up: ProcessingTime time mode (required for
+    * both ValueState TTL and processing-time timers), update output.
+    */
+  def sessions(clicks: Dataset[Click], ttlMs: Long, timerMs: Long): Dataset[SessionEvent] = {
+    import clicks.sparkSession.implicits._
+    org.apache.spark.sql.graftbridge.StateBridge.ensureStateStoreCoordinator(clicks.sparkSession)
+    clicks
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionProcessor(ttlMs, timerMs),
+        TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
   /** Running per-user event totals; in update mode each touched key emits

@@ -48,6 +48,71 @@ class TwsActivitySpec extends AnyFunSuite {
     assert(finalCounts == Set((1L, 5L), (2L, 1L), (3L, 1L)))
   }
 
+  // CANNOT use processAllAvailable here: with TimeMode.ProcessingTime the
+  // new API reproduces the old ProcessingTimeTimeout hang —
+  // TransformWithStateExec.shouldRunAnotherBatch is always true (so
+  // registered timers can fire in data-less batches), the engine never
+  // signals noNewData, and processAllAvailable blocks forever (reproduced
+  // r18, jstack at StreamExecution.processAllAvailable). Poll the memory
+  // sink against a deadline instead — the continuous empty batches are
+  // exactly what lets TTL eviction and timers show up without new input.
+  private def awaitRows(name: String, want: Long, timeoutMs: Long = 90000L): Unit = {
+    val deadline = System.currentTimeMillis + timeoutMs
+    while (spark.sql(s"SELECT * FROM tws_$name").count() < want &&
+      System.currentTimeMillis < deadline) Thread.sleep(200L)
+  }
+
+  private def runSessions(
+      ttlMs: Long, timerMs: Long, sleepMs: Long,
+      batch1: String, batch2: String, rowsAfter2: Long,
+      name: String): Set[(Long, String, Long)] = {
+    val dir = Files.createTempDirectory(s"graft-tws-$name-in")
+    val cp = Files.createTempDirectory(s"graft-tws-$name-cp").toString
+    Files.write(dir.resolve("b0.csv"), batch1.getBytes)
+    val raw = spark.readStream.schema("user_id LONG, event_type STRING")
+      .csv(dir.toString).as[TwsActivity.Click]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = TwsActivity.sessions(raw, ttlMs = ttlMs, timerMs = timerMs)
+      .writeStream.outputMode("update").format("memory")
+      .queryName(s"tws_$name").option("checkpointLocation", cp).start()
+    try {
+      awaitRows(name, 1L)
+      Thread.sleep(sleepMs) // let the wall clock pass TTL/timer expiry
+      Files.write(dir.resolve("b1.csv"), batch2.getBytes)
+      awaitRows(name, rowsAfter2)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    spark.sql(s"SELECT * FROM tws_$name")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+  }
+
+  test("ValueState TTL on RocksDB: the idle key's count EVICTS and restarts") {
+    // ttl 800ms << 2.5s idle gap; timer far away so only TTL acts.
+    // batch 1: user 1 counts to 3. After the gap, batch 2 must read the
+    // state as ABSENT (exists() false) and restart at 2 — NOT reach 5.
+    val got = runSessions(ttlMs = 800L, timerMs = 3600000L, sleepMs = 2500L,
+      batch1 = "1,view\n1,click\n1,view", batch2 = "1,view\n1,click",
+      rowsAfter2 = 2L, name = "ttl")
+    assert(got.contains((1L, "update", 3L)), got.toString)
+    assert(got.contains((1L, "update", 2L)), s"TTL did not evict: $got")
+    assert(!got.contains((1L, "update", 5L)), s"state survived its TTL: $got")
+  }
+
+  test("processing-time timer fires in a later micro-batch with the live count") {
+    // timer 500ms << 2.5s gap, TTL huge so the count survives; batch 2
+    // touches only user 2, so user 1's row can ONLY come from
+    // handleExpiredTimer — with its preserved count of 3.
+    val got = runSessions(ttlMs = 3600000L, timerMs = 500L, sleepMs = 2500L,
+      batch1 = "1,view\n1,click\n1,view", batch2 = "2,view",
+      rowsAfter2 = 3L, name = "timer")
+    assert(got.contains((1L, "update", 3L)), got.toString)
+    assert(got.contains((2L, "update", 1L)), got.toString)
+    assert(got.contains((1L, "timer", 3L)), s"timer did not fire: $got")
+  }
+
   test("static run equals a plain groupBy count (the oracled parity)") {
     val ev = graft.sources.Tables(spark, TestSpark.Sf0001).events
       .select($"user_id", $"event_type").as[TwsActivity.Click]
