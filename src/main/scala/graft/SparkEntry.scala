@@ -9,6 +9,12 @@ import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
 import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Avi, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Dsir, Featurize, GmmReplay, GopherFilter, GroupCap, HashSplit, IntervalOverlap, IvfReplay, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, RepetitionCoverage, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
 import graft.sources.Tables
 import graft.streaming.SessionWindows
+import graft.oracles.SharedCtes._
+import graft.oracles.StatsOracles._
+import graft.oracles.SketchOracles._
+import graft.oracles.VectorOracles._
+import graft.oracles.TextOracles._
+import graft.oracles.GraphOracles._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -3452,1928 +3458,6 @@ object SparkEntry {
         .select(col("user"), posexplode(col("recommendations.item")).as(Seq("rank", "item")))
     }
   )
-
-  // ------------------------------------------------------------------------
-  // DuckDB oracle SQL (ANSI; runs over views named after the parquet tables)
-  // ------------------------------------------------------------------------
-
-  /** Flagship features as a reusable CTE body (DuckDB spelling). */
-  private val FeaturesSql: String =
-    """WITH ev AS (
-      |  SELECT CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d') AS user_session,
-      |         event_type, ts, value AS price,
-      |         regexp_extract(props, '"k": (\d+)', 1) AS product_id
-      |  FROM events
-      |), win AS (
-      |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts END)
-      |         OVER (PARTITION BY user_session) AS purchase_ts FROM ev
-      |), cut AS (
-      |  SELECT * FROM win WHERE purchase_ts IS NULL OR ts <= purchase_ts
-      |), features AS (
-      |  SELECT user_session,
-      |         max(CASE WHEN purchase_ts IS NOT NULL THEN 1 ELSE 0 END) AS label,
-      |         count(CASE WHEN event_type = 'view' THEN 1 END) AS view_count,
-      |         count(CASE WHEN event_type = 'click' THEN 1 END) AS cart_count,
-      |         CAST(floor(epoch(max(ts))) AS BIGINT) - CAST(floor(epoch(min(ts))) AS BIGINT)
-      |           AS session_duration,
-      |         round(avg(price), 6) AS avg_price,
-      |         max(price) AS max_price,
-      |         count(DISTINCT product_id) AS unique_items
-      |  FROM cut GROUP BY user_session
-      |)""".stripMargin
-
-  // \s+ split to mirror TextFunctions.tokens exactly — string_split on a
-  // single space would silently diverge on tabs/newlines inside text
-  /** One ANSI text, two engines: executed verbatim by `spark.sql` (the SQL
-    * entry path over temp views) AND by DuckDB as its own oracle. Integer
-    * aggregates only, so no float-summation-order caveats apply.
-    */
-  private[graft] val SqlParitySql: String =
-    """SELECT c_mktsegment, count(*) AS n_orders,
-      |       min(o_orderkey) AS min_orderkey, max(o_orderkey) AS max_orderkey
-      |FROM orders JOIN customer ON o_custkey = c_custkey
-      |GROUP BY c_mktsegment""".stripMargin
-
-  /** DuckDB twin of `gapSessionBounds`: CTE chain ending in `sess(user_id,
-    * session_idx, start_s, end_s)` — the same lag+cumsum spelling as the
-    * q_gap_sessions oracle.
-    */
-  private val SessionBoundsCte: String =
-    """WITH g AS (
-      |  SELECT user_id, event_id, ts, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
-      |         lag(CAST(floor(epoch(ts)) AS BIGINT), 1)
-      |           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_s
-      |  FROM events
-      |), m AS (
-      |  SELECT *, CASE WHEN prev_s IS NULL OR ts_s - prev_s > 1800 THEN 1 ELSE 0 END AS new_s
-      |  FROM g
-      |), sx AS (
-      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-      |                             ROWS UNBOUNDED PRECEDING) AS session_idx
-      |  FROM m
-      |), sess AS (
-      |  SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
-      |         min(ts_s) AS start_s, max(ts_s) AS end_s
-      |  FROM sx GROUP BY user_id, session_idx
-      |)""".stripMargin
-
-  private val TokensSql =
-    "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
-
-  /** Fixed BM25 query workload (q_bm25_top_docs) — shared by the Spark
-    * query and the generated DuckDB VALUES clause so they cannot drift.
-    * "zzzmissing" is deliberately out-of-vocab (no posting → contributes
-    * nothing; the "oov" query still ranks on its in-vocab term).
-    */
-  private val Bm25Queries: Seq[(String, String)] = Seq(
-    ("perf", "spark"), ("perf", "slow"), ("perf", "join"),
-    ("windowing", "window"), ("windowing", "sort"), ("windowing", "merge"),
-    ("storage", "table"), ("storage", "scan"), ("storage", "column"),
-    ("oov", "zzzmissing"), ("oov", "stream"))
-
-  private val Bm25ValuesSql: String =
-    Bm25Queries.map { case (q, t) => s"('$q', '$t')" }.mkString(", ")
-
-  /** Generated DuckDB replay of Pca.topComponent (d = 8, 5 iterations):
-    * round-6 moment sums, covariance from rounded stats, the power
-    * iteration unrolled CTE-per-round with ascending-index left-assoc
-    * sums — term-for-term the arithmetic Pca.powerIteration performs.
-    */
-  /** Shared generated CTE prefix (`st` → `c`): round-6 moment sums over
-    * the first D embedding dims and the covariance matrix derived from
-    * them — the common head of the PCA and correlation oracles.
-    */
-  private def momentCovCte(D: Int): String = {
-    def el(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
-    val dims = 0 until D
-    val sCols = dims.map(i => s"round(sum(${el(i)}), 6) AS s$i")
-    val qCols = for { i <- dims; j <- dims }
-      yield s"round(sum(${el(i)} * ${el(j)}), 6) AS q${i}_$j"
-    val covCols = for { i <- dims; j <- dims }
-      yield s"q${i}_$j / n - (s$i / n) * (s$j / n) AS c${i}_$j"
-    s"""WITH st AS (
-       |  SELECT CAST(count(*) AS DOUBLE) AS n,
-       |         ${(sCols ++ qCols).mkString(",\n         ")}
-       |  FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) >= $D
-       |), c AS (
-       |  SELECT n, ${covCols.mkString(",\n         ")}
-       |  FROM st
-       |)""".stripMargin
-  }
-
-  private lazy val PcaOracleSql: String = {
-    val D = 8; val Iters = 5
-    val dims = 0 until D
-    val v0 = dims.map(i =>
-      s"CAST(1.0 AS DOUBLE) / sqrt(CAST($D.0 AS DOUBLE)) AS v0_$i")
-    def matvec(t: Int, vPrev: Int) = dims.map(i =>
-      dims.map(j => s"c${i}_$j * v${vPrev}_$j").mkString(" + ") + s" AS w${t}_$i")
-    def normed(t: Int) =
-      "sqrt(" + dims.map(i => s"w${t}_$i * w${t}_$i").mkString(" + ") + s") AS nrm$t"
-    val iterCtes = (1 to Iters).flatMap { t =>
-      Seq(
-        s"w$t AS (SELECT *, ${matvec(t, t - 1).mkString(", ")} FROM it${t - 1})",
-        s"n$t AS (SELECT *, ${normed(t)} FROM w$t)",
-        s"it$t AS (SELECT *, ${dims.map(i => s"w${t}_$i / nrm$t AS v${t}_$i").mkString(", ")} FROM n$t)")
-    }
-    val wf = dims.map(i =>
-      dims.map(j => s"c${i}_$j * v${Iters}_$j").mkString(" + ") + s" AS wf_$i")
-    val eig = dims.map(i => s"v${Iters}_$i * wf_$i").mkString(" + ")
-    val rows = dims.map(i =>
-      s"SELECT CAST($i AS BIGINT) AS idx, round(v${Iters}_$i, 6) AS loading, " +
-        s"round(eig, 6) AS eigval FROM fin").mkString("\nUNION ALL ")
-    s"""${momentCovCte(D)},
-       |it0 AS (SELECT *, ${v0.mkString(", ")} FROM c),
-       |${iterCtes.mkString(",\n")},
-       |wfin AS (SELECT *, ${wf.mkString(", ")} FROM it$Iters),
-       |fin AS (SELECT *, $eig AS eig FROM wfin)
-       |$rows""".stripMargin
-  }
-
-  /** Unrolled power-iteration CTE block over matrix columns `$mat{i}_{j}`
-    * (available from CTE `$src`): emits `${v}it0 … ${v}it$iters` carrying
-    * all upstream columns; final unit-vector columns are `${v}${iters}_i`.
-    * Same arithmetic as [[graft.operators.Pca.powerIteration]]: uniform
-    * start, ascending-index left-assoc matvec and norm sums.
-    */
-  private def powerIterCtes(D: Int, iters: Int, mat: String, v: String, src: String): String = {
-    val dims = 0 until D
-    val v0 = dims.map(i =>
-      s"CAST(1.0 AS DOUBLE) / sqrt(CAST($D.0 AS DOUBLE)) AS ${v}0_$i")
-    val iterCtes = (1 to iters).flatMap { t =>
-      val mv = dims.map(i =>
-        dims.map(j => s"$mat${i}_$j * ${v}${t - 1}_$j").mkString(" + ") +
-          s" AS ${v}w${t}_$i")
-      val nrm = "sqrt(" +
-        dims.map(i => s"${v}w${t}_$i * ${v}w${t}_$i").mkString(" + ") +
-        s") AS ${v}nrm$t"
-      Seq(
-        s"${v}cw$t AS (SELECT *, ${mv.mkString(", ")} FROM ${v}it${t - 1})",
-        s"${v}cn$t AS (SELECT *, $nrm FROM ${v}cw$t)",
-        s"${v}it$t AS (SELECT *, ${dims.map(i => s"${v}w${t}_$i / ${v}nrm$t AS ${v}${t}_$i").mkString(", ")} FROM ${v}cn$t)")
-    }
-    (s"${v}it0 AS (SELECT *, ${v0.mkString(", ")} FROM $src)" +: iterCtes)
-      .mkString(",\n")
-  }
-
-  /** Generated DuckDB replay of Pca.topTwoComponents (d = 8, 5 rounds per
-    * component): first power iteration on `c`, Hotelling deflation
-    * dc = c − λ₁v₁v₁ᵀ, second power iteration on `dc`, floor(x·10⁶+0.5)
-    * output rounding on both loadings and eigenvalues.
-    */
-  private lazy val PcaTwoOracleSql: String = {
-    val D = 8; val Iters = 5
-    val dims = 0 until D
-    def f6(x: String) =
-      s"floor(($x) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)"
-    def rayleigh(mat: String, v: String, wf: String) = {
-      val wfCols = dims.map(i =>
-        dims.map(j => s"$mat${i}_$j * ${v}${Iters}_$j").mkString(" + ") + s" AS ${wf}_$i")
-      val eigSum = dims.map(i => s"${v}${Iters}_$i * ${wf}_$i").mkString(" + ")
-      (wfCols, eigSum)
-    }
-    val (wf1, eig1) = rayleigh("c", "v", "vwf")
-    val defl = for { i <- dims; j <- dims }
-      yield s"c${i}_$j - eig1 * v${Iters}_$i * v${Iters}_$j AS dc${i}_$j"
-    val (wf2, eig2) = rayleigh("dc", "u", "uwf")
-    val rows = dims.map(i =>
-      s"SELECT CAST($i AS BIGINT) AS idx, ${f6(s"v${Iters}_$i")} AS loading1, " +
-        s"${f6("eig1")} AS eigval1, ${f6(s"u${Iters}_$i")} AS loading2, " +
-        s"${f6("eig2")} AS eigval2 FROM fin2")
-      .mkString("\nUNION ALL ")
-    s"""${momentCovCte(D)},
-       |${powerIterCtes(D, Iters, "c", "v", "c")},
-       |vwfin AS (SELECT *, ${wf1.mkString(", ")} FROM vit$Iters),
-       |fin1 AS (SELECT *, $eig1 AS eig1 FROM vwfin),
-       |defl AS (SELECT *, ${defl.mkString(",\n       ")} FROM fin1),
-       |${powerIterCtes(D, Iters, "dc", "u", "defl")},
-       |uwfin AS (SELECT *, ${wf2.mkString(", ")} FROM uit$Iters),
-       |fin2 AS (SELECT *, $eig2 AS eig2 FROM uwfin)
-       |$rows""".stripMargin
-  }
-
-  /** Generated DuckDB replay of Correlation.matrix (d = 8): Pearson r for
-    * every upper-triangle pair from the same rounded moment stats.
-    */
-  private lazy val CorrelationOracleSql: String = {
-    val D = 8
-    val rows = for { i <- 0 until D; j <- i until D } yield
-      s"SELECT CAST($i AS BIGINT) AS i, CAST($j AS BIGINT) AS j, " +
-        s"CASE WHEN c${i}_$i <= 0 OR c${j}_$j <= 0 THEN NULL " +
-        s"ELSE round(c${i}_$j / (sqrt(c${i}_$i) * sqrt(c${j}_$j)), 6) END AS corr " +
-        "FROM c"
-    s"""${momentCovCte(D)}
-       |${rows.mkString("\nUNION ALL ")}""".stripMargin
-  }
-
-  /** Shared CTE chain for the near-dup component oracles (q_dedup_components
-    * / q_dedup_keep / q_dedup_keep_best): shingle edges (hot-shingle cap 20,
-    * ≥ 5 shared) → recursive min-label reachability → `comp(node,
-    * component)`. Mirrors `shingleEdges` + `Components.connectedComponents`.
-    */
-  /** Shingle-edge construction through the bidirectional edge list `bi` —
-    * the common prefix of the component oracles and q_pagerank.
-    */
-  private lazy val EdgesCte: String =
-    s"""WITH RECURSIVE t AS (
-       |  SELECT doc_id, $TokensSql AS toks FROM documents
-       |), d AS (
-       |  SELECT doc_id, list_distinct(
-       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-       |         ELSE list_transform(generate_series(1, len(toks) - 2),
-       |                             i -> array_to_string(toks[i:i+2], ' '))
-       |    END) AS sh
-       |  FROM t),
-       |ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
-       |hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > 20),
-       |exf AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-       |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
-       |      FROM exf a JOIN exf b ON a.s = b.s AND b.doc_id > a.doc_id
-       |      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5),
-       |bi AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e)""".stripMargin
-
-  /** Generated replay of KCore.peel(k=2, rounds=8) over the shingle graph:
-    * the peel unrolled round-per-CTE from the shared [[EdgesCte]] — the
-    * oracle always runs the full round budget; the Spark side's fixpoint
-    * early-exit is result-identical because peeling is monotone.
-    */
-  private lazy val KCoreOracleSql: String = {
-    val K = 2; val R = 8
-    // MATERIALIZED: DuckDB inlines plain CTEs, and each round references
-    // the previous one twice — unmaterialized, the plan (and the scan of
-    // documents.parquet) doubles per round until the fd limit blows
-    val peels = (1 to R).flatMap { r =>
-      Seq(
-        s"kd$r AS (SELECT a, count(*) AS n FROM kb${r - 1} GROUP BY a)",
-        s"kk$r AS MATERIALIZED (SELECT a FROM kd$r WHERE n >= $K)",
-        s"kb$r AS MATERIALIZED (SELECT e.a, e.b FROM kb${r - 1} e " +
-          s"JOIN kk$r x ON e.a = x.a JOIN kk$r y ON e.b = y.a)")
-    }
-    s"""$EdgesCte,
-       |kb0 AS MATERIALIZED (SELECT a, b FROM bi),
-       |${peels.mkString(",\n")}
-       |SELECT a AS node, CAST(count(*) AS BIGINT) AS degree
-       |FROM kb$R GROUP BY a""".stripMargin
-  }
-
-  /** Generated replay of LabelPropagation.communities(rounds = 3) over the
-    * shingle graph — one MATERIALIZED CTE per synchronous round; the
-    * arg-max (most frequent neighbor label, smallest label on ties) is a
-    * (c DESC, label ASC) row_number, mirroring max(struct(c, −label)).
-    */
-  private lazy val LpaOracleSql: String = {
-    val R = 3
-    val rounds = (1 to R).map { r =>
-      s"""l$r AS MATERIALIZED (
-         |  SELECT node, label FROM (
-         |    SELECT node, label,
-         |           row_number() OVER (PARTITION BY node
-         |                              ORDER BY c DESC, label ASC) AS rn
-         |    FROM (SELECT e.a AS node, l.label, count(*) AS c
-         |          FROM bi e JOIN l${r - 1} l ON l.node = e.b
-         |          GROUP BY e.a, l.label))
-         |  WHERE rn = 1)"""
-    }.mkString(",\n")
-    s"""$EdgesCte,
-       |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM bi),
-       |$rounds
-       |SELECT node, label AS community FROM l$R""".stripMargin
-  }
-
-  private lazy val DedupCompCte: String =
-    s"""$EdgesCte,
-       |reach(node, r) AS (
-       |  SELECT a, a FROM bi
-       |  UNION
-       |  SELECT reach.node, bi.b FROM reach JOIN bi ON bi.a = reach.r
-       |),
-       |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)""".stripMargin
-
-  /** Shared by q_decontaminate and q_decontaminate_bloom (identical output
-    * by construction — the Bloom prefilter is exact after verification).
-    */
-  private lazy val DecontaminateSql: String =
-    s"""WITH t AS (
-       |  SELECT doc_id, $TokensSql AS toks FROM documents
-       |), d AS (
-       |  SELECT doc_id, list_distinct(
-       |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-       |         ELSE list_transform(generate_series(1, len(toks) - 2),
-       |                             i -> array_to_string(toks[i:i+2], ' '))
-       |    END) AS sh
-       |  FROM t),
-       |tr AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE doc_id % 20 <> 0),
-       |be AS (SELECT doc_id AS bench_id, unnest(sh) AS s FROM d WHERE doc_id % 20 = 0)
-       |SELECT tr.doc_id, be.bench_id, count(*) AS n_shared
-       |FROM tr JOIN be USING (s)
-       |GROUP BY tr.doc_id, be.bench_id
-       |HAVING count(*) >= 2""".stripMargin
-  private val StopSql =
-    "['the','a','of','and','to','in','is','it','that','for']"
-
-  /** The event-type alphabet the Markov stationary query fixes as its
-    * contract — ONE list feeds the Spark workload and the generated
-    * oracle (the Bm25Queries single-source discipline).
-    */
-  private val MarkovStatesList = Seq("click", "error", "purchase", "signup", "view")
-
-  /** Generated DuckDB replay of Markov.stationary over [[MarkovStatesList]]:
-    * exact-integer transition counts pivoted to one row, 12 power-iteration
-    * rounds with L1 renormalization unrolled CTE-per-round (ascending-index
-    * left-assoc sums — the driver fold order), per-state entropies as
-    * explicit zero-gated term chains, floor(x·10⁶+0.5) output rounding.
-    */
-  private lazy val MarkovStationarySql: String = {
-    val sts = MarkovStatesList
-    val k = sts.length; val Iters = 12
-    val dims = 0 until k
-    def f6(x: String) =
-      s"floor(($x) * CAST(1000000.0 AS DOUBLE) + CAST(0.5 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)"
-    val cntCols = for { i <- dims; j <- dims } yield
-      s"count(*) FILTER (WHERE cur = '${sts(i)}' AND next = '${sts(j)}') AS n${i}_$j"
-    val fromCols = dims.map(i =>
-      dims.map(j => s"n${i}_$j").mkString(" + ") + s" AS f$i")
-    val pCols = for { i <- dims; j <- dims } yield
-      s"CASE WHEN f$i = 0 THEN CAST(${if (i == j) "1.0" else "0.0"} AS DOUBLE) " +
-        s"ELSE CAST(n${i}_$j AS DOUBLE) / f$i END AS p${i}_$j"
-    val hCols = dims.map(i => dims.map(j =>
-      s"CASE WHEN n${i}_$j > 0 THEN -(p${i}_$j * ln(p${i}_$j)) " +
-        "ELSE CAST(0.0 AS DOUBLE) END").mkString(" + ") + s" AS h$i")
-    val pi0 = dims.map(j => s"CAST(1.0 AS DOUBLE) / $k AS pi0_$j")
-    val iterCtes = (1 to Iters).flatMap { t =>
-      val mv = dims.map(j =>
-        dims.map(i => s"pi${t - 1}_$i * p${i}_$j").mkString(" + ") + s" AS w${t}_$j")
-      val sm = dims.map(j => s"w${t}_$j").mkString(" + ") + s" AS s$t"
-      Seq(
-        s"mw$t AS (SELECT *, ${mv.mkString(", ")} FROM mi${t - 1})",
-        s"ms$t AS (SELECT *, $sm FROM mw$t)",
-        s"mi$t AS (SELECT *, ${dims.map(j => s"w${t}_$j / s$t AS pi${t}_$j").mkString(", ")} FROM ms$t)")
-    }
-    val rate = dims.map(i => s"pi${Iters}_$i * h$i").mkString(" + ")
-    val rows = dims.map(i =>
-      s"SELECT '${sts(i)}' AS state, ${f6(s"pi${Iters}_$i")} AS pi, " +
-        s"${f6(s"h$i")} AS h_state, ${f6("er")} AS entropy_rate FROM fin")
-      .mkString("\nUNION ALL ")
-    s"""WITH e AS (
-       |  SELECT user_id, event_type AS cur, epoch_ns(ts) // 1000 AS ts_us,
-       |         event_id
-       |  FROM events
-       |), seq AS (
-       |  SELECT cur,
-       |         lead(cur) OVER (PARTITION BY user_id
-       |                         ORDER BY ts_us, event_id) AS next
-       |  FROM e
-       |), cnt AS (
-       |  SELECT ${cntCols.mkString(",\n         ")}
-       |  FROM seq WHERE next IS NOT NULL
-       |), base AS (
-       |  SELECT *, ${fromCols.mkString(",\n         ")} FROM cnt
-       |), pm AS (
-       |  SELECT *, ${pCols.mkString(",\n         ")} FROM base
-       |), hm AS (
-       |  SELECT *, ${hCols.mkString(",\n         ")} FROM pm
-       |), mi0 AS (SELECT *, ${pi0.mkString(", ")} FROM hm),
-       |${iterCtes.mkString(",\n")},
-       |fin AS (SELECT *, $rate AS er FROM mi$Iters)
-       |$rows""".stripMargin
-  }
-
-  /** Generated replay of Quantiles.byGroup over the funnel step gaps: the
-    * rank-bracket interpolation with integer position math — no engine
-    * quantile built-in, no output rounding needed (identical IEEE ops).
-    */
-  private lazy val FunnelQuantilesSql: String = {
-    val ps = Seq(25, 50, 75, 90)
-    def lo(p: Int) = s"CAST(floor(((nn - 1) * $p) / CAST(100.0 AS DOUBLE)) AS BIGINT)"
-    val abCols = ps.flatMap(p => Seq(
-      s"max(CASE WHEN rn = ${lo(p)} THEN v END) AS a$p",
-      s"max(CASE WHEN rn = least(${lo(p)} + 1, nn - 1) THEN v END) AS b$p"))
-    val qCols = ps.map(p =>
-      s"CAST(a$p AS DOUBLE) + ((n - 1) * $p % 100) / CAST(100.0 AS DOUBLE) * (b$p - a$p) AS p$p")
-    s"""WITH e AS (
-       |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us FROM events
-       |), s1 AS (
-       |  SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts_us END) AS t1
-       |  FROM e GROUP BY user_id
-       |), s2 AS (
-       |  SELECT e.user_id, s1.t1,
-       |         min(CASE WHEN e.event_type = 'click' AND e.ts_us >= s1.t1
-       |                  THEN e.ts_us END) AS t2
-       |  FROM e JOIN s1 ON e.user_id = s1.user_id GROUP BY e.user_id, s1.t1
-       |), s3 AS (
-       |  SELECT e.user_id, s2.t1, s2.t2,
-       |         min(CASE WHEN e.event_type = 'purchase' AND e.ts_us >= s2.t2
-       |                  THEN e.ts_us END) AS t3
-       |  FROM e JOIN s2 ON e.user_id = s2.user_id GROUP BY e.user_id, s2.t1, s2.t2
-       |), gaps AS (
-       |  SELECT 'view_to_click' AS gap, t2 - t1 AS v FROM s3
-       |  UNION ALL
-       |  SELECT 'click_to_purchase' AS gap, t3 - t2 AS v FROM s3
-       |), ranked AS (
-       |  SELECT gap, v,
-       |         CAST(row_number() OVER (PARTITION BY gap ORDER BY v) AS BIGINT) - 1 AS rn,
-       |         CAST(count(*) OVER (PARTITION BY gap) AS BIGINT) AS nn
-       |  FROM gaps WHERE v IS NOT NULL
-       |), br AS (
-       |  SELECT gap, CAST(count(*) AS BIGINT) AS n,
-       |         ${abCols.mkString(",\n         ")}
-       |  FROM ranked GROUP BY gap
-       |)
-       |SELECT gap, n, ${qCols.mkString(",\n       ")}
-       |FROM br""".stripMargin
-  }
-
-  // bigram-LM per-doc scores — shared by q_lm_score and nested (derived
-  // table) by the DoReMi oracle so the loss contract cannot drift
-  private lazy val LmScoreOracleSql: String =
-    s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
-       |pos AS (
-       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
-       |                 i -> toks[i] || ' ' || toks[i + 1])) AS b
-       |  FROM t),
-       |uni AS (SELECT w, count(*) AS cu
-       |        FROM (SELECT unnest(toks) AS w FROM t) GROUP BY w),
-       |bi AS (SELECT b, count(*) AS cb FROM pos GROUP BY b),
-       |v AS (SELECT count(DISTINCT w) AS v
-       |      FROM (SELECT unnest(toks) AS w FROM t))
-       |SELECT pos.doc_id, count(*) AS n_bigrams,
-       |       round(avg(ln((bi.cb + 1.0) / (uni.cu + 1.0 * v.v))), 6) AS avg_logp
-       |FROM pos JOIN bi USING (b)
-       |         JOIN uni ON uni.w = split_part(pos.b, ' ', 1)
-       |         CROSS JOIN v
-       |GROUP BY pos.doc_id""".stripMargin
-
-  // DoReMi domain weights: nested LM-loss oracle, exact integer-micro
-  // domain sums, quantized excess → 16-squaring pexp replay, sqrt
-  // temperature baseline, e6-quantized weights summed exactly, one
-  // fixed-spelling smoothed normalization (floor-6)
-  private lazy val DoremiOracleSql: String = {
-    val squarings = (1 to 16)
-      .map(i => s"p$i AS (SELECT *, e${i - 1} * e${i - 1} AS e$i FROM p${i - 1})")
-      .mkString(",\n")
-    s"""WITH lmq AS (SELECT * FROM ($LmScoreOracleSql) z),
-       |dl AS (SELECT doc_id,
-       |         -CAST(round(avg_logp * 1000000.0) AS BIGINT) AS loss_e6
-       |       FROM lmq),
-       |ds AS (SELECT d.source, count(*) AS n_docs,
-       |         CAST(sum(l.loss_e6) AS BIGINT) AS sum_loss_e6
-       |       FROM documents d JOIN dl l USING (doc_id) GROUP BY d.source),
-       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn,
-       |          CAST(sum(sum_loss_e6) AS BIGINT) AS ts, count(*) AS k
-       |        FROM ds),
-       |ex AS (SELECT ds.source, ds.n_docs, ds.sum_loss_e6, tot.tn, tot.k,
-       |        CAST(floor(greatest(0.0,
-       |             CAST(ds.sum_loss_e6 AS DOUBLE) / CAST(ds.n_docs AS DOUBLE)
-       |             - CAST(tot.ts AS DOUBLE) / CAST(tot.tn AS DOUBLE))
-       |             + 0.5) AS BIGINT) AS excess_e6
-       |       FROM ds CROSS JOIN tot),
-       |p0 AS (SELECT *,
-       |         1.0 + (CAST(excess_e6 AS DOUBLE) / 1000000.0) / 65536.0 AS e0
-       |       FROM ex),
-       |$squarings,
-       |w AS (SELECT source, n_docs, sum_loss_e6, excess_e6, k,
-       |        CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(tn AS DOUBLE))
-       |             * e16 * 1000000.0 + 0.5) AS BIGINT) AS w_e6
-       |      FROM p16),
-       |tw AS (SELECT CAST(sum(w_e6) AS BIGINT) AS tot_w FROM w)
-       |SELECT source, n_docs, sum_loss_e6, excess_e6, w_e6,
-       |  floor((0.99 * CAST(w_e6 AS DOUBLE) / CAST(tot_w AS DOUBLE)
-       |         + 0.01 / CAST(k AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
-       |    AS weight
-       |FROM w CROSS JOIN tw""".stripMargin
-  }
-
-  /** Generated replay of Bootstrap.poissonMeanCi over documents.n_chars
-    * (B = 200): the Poisson(1) CDF thresholds splice verbatim from the
-    * Scala values (Double.toString round-trips — the GmmOracle constant
-    * precedent), u is the exact md5-48 dyadic rational, replicate means
-    * are single divisions of exact sums, and the CI bounds are the fixed
-    * rank-5/rank-195 order statistics.
-    */
-  private lazy val BootstrapOracleSql: String = {
-    val B = 200
-    val loRank = math.max(1, math.floor(B * 0.025d).toInt)
-    val hiRank = math.min(B, math.ceil(B * 0.975d).toInt)
-    val wExpr = graft.operators.Bootstrap.PoissonCdf
-      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH base AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS x FROM documents),
-       |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_rows,
-       |         CAST(floor(CAST(sum(x) AS DOUBLE) * 1000000.0
-       |              / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_e6
-       |       FROM base),
-       |rep AS (SELECT id, x, unnest(range(0, $B)) AS b FROM base),
-       |uw AS (SELECT b, x,
-       |         CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || ':' || b), 1, 12))::BIGINT
-       |              AS DOUBLE) / ${graft.operators.Bootstrap.TwoPow48} AS u
-       |       FROM rep),
-       |ww AS (SELECT b, x, CAST($wExpr AS BIGINT) AS w FROM uw),
-       |rm AS (SELECT b,
-       |         CAST(floor(CAST(sum(w * x) AS DOUBLE) * 1000000.0
-       |              / CAST(sum(w) AS DOUBLE) + 0.5) AS BIGINT) AS m
-       |       FROM ww GROUP BY b HAVING sum(w) > 0),
-       |rk AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS rn FROM rm),
-       |lo AS (SELECT m AS lo_e6 FROM rk WHERE rn = $loRank),
-       |hi AS (SELECT m AS hi_e6 FROM rk WHERE rn = $hiRank)
-       |SELECT pt.n_rows, CAST($B AS INT) AS b_reps, pt.mean_e6, lo.lo_e6, hi.hi_e6
-       |FROM pt CROSS JOIN lo CROSS JOIN hi""".stripMargin
-  }
-
-  /** SemDeDup-det replay: the k-means trajectory re-generated over the
-    * planted-union subset (kmeansCtesFrom), within-cluster cosine pairs
-    * at the same threshold spelling as q_semdedup_subset, keep-first
-    * survivors grouped by label. The cluster-size cap is identity here
-    * (≤ 2003 rows total, cap 10000) and is therefore not replayed.
-    */
-  private lazy val SemDedupDetOracleSql: String = {
-    val src =
-      """(SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 2000
-        | UNION ALL
-        | SELECT -vec_id AS vec_id, embedding, label FROM embeddings
-        | WHERE vec_id BETWEEN 1 AND 3) srcx""".stripMargin
-    s"""${kmeansCtesFrom(src, 8)},
-       |ev AS (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
-       |  FROM $src),
-       |pcx AS (SELECT ev.vec_id, ev.v, a.cid FROM ev JOIN a3 a USING (vec_id)),
-       |dp AS (
-       |  SELECT DISTINCT b.vec_id AS dropped
-       |  FROM pcx a JOIN pcx b ON a.cid = b.cid AND a.vec_id < b.vec_id
-       |  WHERE list_cosine_similarity(a.v, b.v) >= 0.9)
-       |SELECT e.label, CAST(count(*) AS BIGINT) AS n_survivors
-       |FROM ev e LEFT JOIN dp ON dp.dropped = e.vec_id
-       |WHERE dp.dropped IS NULL
-       |GROUP BY e.label""".stripMargin
-  }
-
-  /** Mann–Kendall/Theil–Sen replay: the same O(n²) pair join over the
-    * daily rollup, exact S, one τ division, the lower-median pair's
-    * single slope ratio selected by rank (never averaged).
-    */
-  private lazy val RobustTrendOracleSql: String =
-    s"""WITH e AS (SELECT (epoch_ns(ts) // 1000) // 86400000000 AS day FROM events),
-       |s AS (SELECT day, CAST(count(*) AS BIGINT) AS y FROM e GROUP BY day),
-       |p AS (SELECT a.day AS x1, a.y AS y1, b.day AS x2, b.y AS y2
-       |      FROM s a JOIN s b ON b.day > a.day),
-       |ag AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs,
-       |         CAST(sum(CASE WHEN y2 > y1 THEN 1 WHEN y2 < y1 THEN -1 ELSE 0 END)
-       |              AS BIGINT) AS s_stat
-       |       FROM p),
-       |np AS (SELECT CAST(count(*) AS BIGINT) AS n_points FROM s),
-       |sl AS (SELECT CAST(y2 - y1 AS DOUBLE) / CAST(x2 - x1 AS DOUBLE) AS sl, x1, x2
-       |       FROM p),
-       |rk AS (SELECT sl, row_number() OVER (ORDER BY sl, x1, x2) AS rn FROM sl),
-       |md AS (SELECT CAST(floor(rk.sl * 1000000.0 + 0.5) AS BIGINT)
-       |              AS theil_sen_slope_e6
-       |       FROM rk CROSS JOIN ag WHERE rk.rn = (ag.n_pairs + 1) // 2)
-       |SELECT np.n_points, ag.n_pairs, ag.s_stat,
-       |       CAST(floor(CAST(ag.s_stat AS DOUBLE) / CAST(ag.n_pairs AS DOUBLE)
-       |            * 1000000.0 + 0.5) AS BIGINT) AS tau_e6,
-       |       md.theil_sen_slope_e6
-       |FROM np CROSS JOIN ag CROSS JOIN md""".stripMargin
-
-  /** KS replay: distinct-value per-arm counts, windowed cumulative counts
-    * (CAST AS BIGINT per the HUGEINT gotcha), the exact integer max of
-    * |c0·n1 − c1·n0|, one floor division.
-    */
-  private lazy val KsOracleSql: String =
-    s"""WITH e AS (
-       |  SELECT CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS x,
-       |         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 AS a
-       |  FROM events WHERE value IS NOT NULL),
-       |g AS (SELECT x,
-       |        CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS a0,
-       |        CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS a1
-       |      FROM e GROUP BY x),
-       |c AS (SELECT x,
-       |        CAST(sum(a0) OVER (ORDER BY x
-       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c0,
-       |        CAST(sum(a1) OVER (ORDER BY x
-       |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1
-       |      FROM g),
-       |t AS (SELECT CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-       |             CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
-       |      FROM e),
-       |m AS (SELECT t.n0, t.n1, CAST(max(abs(c.c0 * t.n1 - c.c1 * t.n0)) AS BIGINT) AS d_num
-       |      FROM c CROSS JOIN t GROUP BY t.n0, t.n1)
-       |SELECT n0, n1, d_num, d_num * 1000000 // (n0 * n1) AS d_e6 FROM m""".stripMargin
-
-  /** χ²/Cramér's V replay: full r×c grid with zero-filled cells, the
-    * (o·N − rs·cs)²/(N·rs·cs) spelling — exact BIGINT root, identical
-    * double squaring/division, e6 per-cell quantization before the exact
-    * sum, one replayed sqrt.
-    */
-  private lazy val Chi2OracleSql: String =
-    s"""WITH rs AS (SELECT source AS r, CAST(count(*) AS BIGINT) AS rsum
-       |            FROM documents GROUP BY source),
-       |cs AS (SELECT lang AS c, CAST(count(*) AS BIGINT) AS csum
-       |       FROM documents GROUP BY lang),
-       |ce AS (SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS o
-       |       FROM documents GROUP BY source, lang),
-       |tt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM documents),
-       |grid AS (
-       |  SELECT rs.r, cs.c, rs.rsum, cs.csum, tt.nn, coalesce(ce.o, 0) AS o
-       |  FROM rs CROSS JOIN cs
-       |  LEFT JOIN ce ON ce.r = rs.r AND ce.c = cs.c
-       |  CROSS JOIN tt),
-       |tm AS (
-       |  SELECT nn, r, c,
-       |         CAST(floor(
-       |           CAST(o * nn - rsum * csum AS DOUBLE)
-       |           * CAST(o * nn - rsum * csum AS DOUBLE)
-       |           / (CAST(nn AS DOUBLE) * CAST(rsum AS DOUBLE) * CAST(csum AS DOUBLE))
-       |           * 1000000.0 + 0.5) AS BIGINT) AS term_e6
-       |  FROM grid),
-       |ag AS (
-       |  SELECT nn, CAST(count(DISTINCT r) AS BIGINT) AS n_rows_dim,
-       |         CAST(count(DISTINCT c) AS BIGINT) AS n_cols_dim,
-       |         CAST(sum(term_e6) AS BIGINT) AS chi2_e6
-       |  FROM tm GROUP BY nn)
-       |SELECT nn AS n, n_rows_dim, n_cols_dim, chi2_e6,
-       |  CASE WHEN least(n_rows_dim - 1, n_cols_dim - 1) = 0 THEN CAST(0 AS BIGINT)
-       |       ELSE CAST(floor(sqrt((CAST(chi2_e6 AS DOUBLE) / 1000000.0)
-       |              / CAST(nn * least(n_rows_dim - 1, n_cols_dim - 1) AS DOUBLE))
-       |              * 1000000.0 + 0.5) AS BIGINT) END AS cramers_v_e6
-       |FROM ag""".stripMargin
-
-  /** BH replay: exact BIGINT moments, the identical Welch/Zelen-Severo
-    * double spelling (Horner poly, spelled 1/sqrt(2pi) literal), e6
-    * quantization before any comparison, integer step-up.
-    */
-  private lazy val FdrBhOracleSql: String =
-    s"""WITH base AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS y FROM documents),
-       |per AS (SELECT g, CAST(count(*) AS BIGINT) AS n1, CAST(sum(y) AS BIGINT) AS s1,
-       |               CAST(sum(y * y) AS BIGINT) AS ss1 FROM base GROUP BY g),
-       |tot AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(y) AS BIGINT) AS ss,
-       |               CAST(sum(y * y) AS BIGINT) AS sss FROM base),
-       |j AS (SELECT per.g, per.n1, per.s1, per.ss1,
-       |             tot.nn - per.n1 AS n2, tot.ss - per.s1 AS s2,
-       |             tot.sss - per.ss1 AS ss2
-       |      FROM per CROSS JOIN tot
-       |      WHERE per.n1 >= 2 AND tot.nn - per.n1 >= 2),
-       |mm AS (SELECT g, n1, n2, ss1, ss2,
-       |              CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) AS m1,
-       |              CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2
-       |       FROM j),
-       |vv AS (SELECT g, n1, n2, m1, m2,
-       |         (CAST(ss1 AS DOUBLE) - CAST(n1 AS DOUBLE) * m1 * m1)
-       |           / CAST(n1 - 1 AS DOUBLE) AS v1,
-       |         (CAST(ss2 AS DOUBLE) - CAST(n2 AS DOUBLE) * m2 * m2)
-       |           / CAST(n2 - 1 AS DOUBLE) AS v2
-       |       FROM mm),
-       |zz AS (SELECT g, n1,
-       |         sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) AS se,
-       |         abs(m1 - m2)
-       |           / sqrt(v1 / CAST(n1 AS DOUBLE) + v2 / CAST(n2 AS DOUBLE)) AS z
-       |       FROM vv),
-       |tq AS (SELECT g, n1, z, 1.0 / (1.0 + 0.2316419 * z) AS t
-       |       FROM zz WHERE se > 0.0),
-       |pp AS (SELECT g, n1 AS n_rows,
-       |         CAST(floor(z * 1000000.0 + 0.5) AS BIGINT) AS z_e6,
-       |         CAST(floor(2.0 * (exp(-0.5 * z * z) * 0.3989422804014327
-       |           * (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
-       |                - 0.356563782) * t + 0.319381530) * t))
-       |           * 1000000.0 + 0.5) AS BIGINT) AS p_e6
-       |       FROM tq),
-       |rkd AS (SELECT g, n_rows, z_e6, p_e6,
-       |               CAST(row_number() OVER (ORDER BY p_e6, g) AS BIGINT) AS rk,
-       |               CAST(count(*) OVER () AS BIGINT) AS m_tests
-       |        FROM pp),
-       |ks AS (SELECT CAST(max(CASE WHEN p_e6 * m_tests <= 50000 * rk
-       |                            THEN rk ELSE 0 END) AS BIGINT) AS kstar
-       |       FROM rkd)
-       |SELECT g AS source, n_rows, z_e6, p_e6, rk, m_tests,
-       |       rk <= ks.kstar AS rejected
-       |FROM rkd CROSS JOIN ks""".stripMargin
-
-  /** Conformal replay: same md5-48 quarter split, integer-DIV mean model,
-    * score-count cumulative ranks (CAST every windowed sum — HUGEINT ban),
-    * exact ceil-rank via integer arithmetic, -1 infinite-interval sentinel.
-    */
-  private lazy val ConformalOracleSql: String =
-    s"""WITH base AS (
-       |  SELECT source AS g, CAST(n_chars AS BIGINT) AS y,
-       |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT % 4 AS b
-       |  FROM documents),
-       |model AS (
-       |  SELECT g, CAST(sum(y) AS BIGINT) * 1000000 // CAST(count(*) AS BIGINT)
-       |           AS yhat_micros
-       |  FROM base WHERE b <= 1 GROUP BY g),
-       |cal AS (
-       |  SELECT base.g, abs(base.y * 1000000 - model.yhat_micros) AS s
-       |  FROM base JOIN model ON model.g = base.g WHERE base.b = 2),
-       |rk AS (
-       |  SELECT g, CAST(count(*) AS BIGINT) AS n_cal,
-       |         (9 * (CAST(count(*) AS BIGINT) + 1) + 9) // 10 AS r
-       |  FROM cal GROUP BY g),
-       |cum AS (
-       |  SELECT g, s, CAST(sum(c) OVER (PARTITION BY g ORDER BY s
-       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-       |  FROM (SELECT g, s, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY g, s)),
-       |qh AS (
-       |  SELECT cum.g, CAST(min(cum.s) AS BIGINT) AS qhat_micros
-       |  FROM cum JOIN rk ON rk.g = cum.g WHERE cum.cum >= rk.r GROUP BY cum.g),
-       |tst AS (
-       |  SELECT base.g, rk.n_cal, qh.qhat_micros,
-       |         CASE WHEN qh.qhat_micros IS NULL
-       |                OR abs(base.y * 1000000 - model.yhat_micros) <= qh.qhat_micros
-       |           THEN 1 ELSE 0 END AS cov
-       |  FROM base JOIN model ON model.g = base.g
-       |  JOIN rk ON rk.g = base.g
-       |  LEFT JOIN qh ON qh.g = base.g
-       |  WHERE base.b = 3)
-       |SELECT g AS source, n_cal, CAST(count(*) AS BIGINT) AS n_test,
-       |       coalesce(min(qhat_micros), -1) AS qhat_micros,
-       |       CAST(sum(cov) AS BIGINT) AS covered,
-       |       CAST(floor(CAST(sum(cov) AS DOUBLE) * 1000000.0
-       |            / CAST(count(*) AS DOUBLE)) AS BIGINT) AS coverage_e6
-       |FROM tst GROUP BY g, n_cal""".stripMargin
-
-  /** Shared QI projection for the privacy oracles — mirrors privacyQi. */
-  private lazy val PrivacyQiSql: String =
-    """qi AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
-      |              CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS band
-      |       FROM customer)""".stripMargin
-
-  /** k-anonymity replay: the same ROLLUP chain (GROUPING_ID bit order
-    * matches Spark, MSB = first col), exact BIGINT class sizes, the one
-    * double division floored at e6.
-    */
-  private lazy val KAnonOracleSql: String =
-    s"""WITH $PrivacyQiSql,
-       |cls AS (SELECT CAST(GROUPING_ID(seg, nat, band) AS BIGINT) AS gid,
-       |               CAST(count(*) AS BIGINT) AS k
-       |        FROM qi GROUP BY ROLLUP(seg, nat, band))
-       |SELECT gid, CAST(count(*) AS BIGINT) AS n_groups,
-       |       CAST(min(k) AS BIGINT) AS min_k,
-       |       CAST(sum(CASE WHEN k < 5 THEN 1 ELSE 0 END) AS BIGINT) AS suppressed_groups,
-       |       CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS BIGINT) AS suppressed_rows,
-       |       CAST(sum(k) AS BIGINT) AS total_rows,
-       |       CAST(floor(CAST(sum(CASE WHEN k < 5 THEN k ELSE 0 END) AS DOUBLE)
-       |            * 1000000.0 / CAST(sum(k) AS DOUBLE)) AS BIGINT) AS suppressed_frac_e6
-       |FROM cls GROUP BY gid""".stripMargin
-
-  /** l-diversity replay: per-(seg, nat) distinct band count, histogram over l. */
-  private lazy val LDiversityOracleSql: String =
-    s"""WITH $PrivacyQiSql,
-       |g AS (SELECT seg, nat, CAST(count(DISTINCT band) AS BIGINT) AS l,
-       |             CAST(count(*) AS BIGINT) AS k
-       |      FROM qi GROUP BY seg, nat)
-       |SELECT l, CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(k) AS BIGINT) AS n_rows
-       |FROM g GROUP BY l""".stripMargin
-
-  /** DP-histogram replay: the identical md5-48 uniform ("dp-r17:key"), the
-    * identically-spelled Laplace inverse CDF (left-assoc products, one e6
-    * ln-class quantization at the end), nonnegative clamp.
-    */
-  private lazy val DpHistogramOracleSql: String =
-    s"""WITH cnt AS (SELECT CAST(event_type AS VARCHAR) AS key,
-       |                    CAST(count(*) AS BIGINT) AS n
-       |             FROM events GROUP BY 1),
-       |nz AS (SELECT key, n,
-       |         2.0 * ((('0x' || substring(md5('dp-r17:' || key), 1, 12))::BIGINT + 0.5)
-       |                / 281474976710656.0) - 1.0 AS c
-       |       FROM cnt)
-       |SELECT key,
-       |  CAST(floor(greatest(0.0,
-       |    CAST(n AS DOUBLE) + (-1.0 / 1.0) * sign(c) * ln(1.0 - abs(c)))
-       |    * 1000000.0 + 0.5) AS BIGINT) AS released_e6
-       |FROM nz""".stripMargin
-
-  /** Count-Min replay: the identical md5-48 "item:j" hash family
-    * (CountMin.bucket), the full d×w counter build, exact top-20 probe set
-    * (count desc, item asc), min-over-rows estimate — every value an exact
-    * BIGINT, so the sketch itself is the oracled artifact.
-    */
-  private lazy val CmsOracleSql: String =
-    s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
-       |hx AS (SELECT item, j,
-       |              ('0x' || substring(md5(item || ':' || j), 1, 12))::BIGINT % 64 AS h
-       |       FROM ev CROSS JOIN range(0, 4) t(j)),
-       |ctr AS (SELECT j, h, CAST(count(*) AS BIGINT) AS c FROM hx GROUP BY 1, 2),
-       |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_n FROM ev GROUP BY 1),
-       |top AS (SELECT item, exact_n FROM ex ORDER BY exact_n DESC, item LIMIT 20),
-       |pr AS (SELECT t.item, t.exact_n, r.j,
-       |              ('0x' || substring(md5(t.item || ':' || r.j), 1, 12))::BIGINT % 64 AS h
-       |       FROM top t CROSS JOIN range(0, 4) r(j)),
-       |est AS (SELECT pr.item, pr.exact_n, CAST(min(ctr.c) AS BIGINT) AS est_n
-       |        FROM pr JOIN ctr ON ctr.j = pr.j AND ctr.h = pr.h
-       |        GROUP BY 1, 2)
-       |SELECT item AS user_id, exact_n, est_n, est_n - exact_n AS overcount,
-       |       est_n >= exact_n AS ge_ok
-       |FROM est""".stripMargin
-
-  /** Causal replay: exact contingency BIGINTs per stratum, ONE fixed-
-    * spelling double contrast per stratum e6-quantized before the integer
-    * sums, final divisions as identically-spelled floor(x+0.5) round-half-
-    * up doubles (totals may be negative — never a bare DIV there).
-    */
-  private lazy val CausalOracleSql: String =
-    s"""$FeaturesSql,
-       |base AS (SELECT CASE WHEN cart_count >= 1 THEN 1 ELSE 0 END AS t,
-       |                label AS y, least(view_count, 8) AS s
-       |         FROM features),
-       |st AS (SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS n1,
-       |              CAST(sum(t * y) AS BIGINT) AS pos1,
-       |              CAST(sum((1 - t) * y) AS BIGINT) AS pos0
-       |       FROM base GROUP BY s),
-       |st2 AS (SELECT *, n - n1 AS n0 FROM st),
-       |tm AS (SELECT n, n1, pos1, pos0,
-       |         CASE WHEN n1 > 0 AND n0 > 0 THEN CAST(floor(
-       |           (CAST(pos1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-       |            - CAST(pos0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-       |           * CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
-       |           ELSE CAST(0 AS BIGINT) END AS ate_t,
-       |         CASE WHEN n1 > 0 AND n0 > 0 THEN CAST(floor(
-       |           (CAST(pos1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-       |            - CAST(pos0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-       |           * CAST(n1 AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
-       |           ELSE CAST(0 AS BIGINT) END AS att_t
-       |       FROM st2),
-       |ag AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(n1) AS BIGINT) AS n_treated,
-       |              CAST(sum(pos1) AS BIGINT) AS pos1t, CAST(sum(pos0) AS BIGINT) AS pos0t,
-       |              CAST(sum(ate_t) AS BIGINT) AS ate_num,
-       |              CAST(sum(att_t) AS BIGINT) AS att_num
-       |       FROM tm)
-       |SELECT n, n_treated,
-       |  pos1t * 1000000 // n_treated - pos0t * 1000000 // (n - n_treated) AS naive_e6,
-       |  CAST(floor(CAST(ate_num AS DOUBLE) / CAST(n AS DOUBLE) + 0.5) AS BIGINT) AS ate_e6,
-       |  CAST(floor(CAST(att_num AS DOUBLE) / CAST(n_treated AS DOUBLE) + 0.5) AS BIGINT)
-       |    AS att_e6
-       |FROM ag""".stripMargin
-
-  /** Stratified-ATE bootstrap replay: the CausalOracleSql point chain, the
-    * BootstrapOracleSql Poisson weight chain keyed by user_session:b, the
-    * per-(replicate, stratum) weighted contingency BIGINTs through the
-    * identical e6-per-stratum / floor(x+0.5) ATE spelling, CI bounds as
-    * fixed-rank order statistics over the B replicate ATEs.
-    */
-  private lazy val AteBootstrapOracleSql: String = {
-    val B = 100
-    val loRank = math.max(1, math.floor(B * 0.025d).toInt)
-    val hiRank = math.min(B, math.ceil(B * 0.975d).toInt)
-    val wExpr = graft.operators.Bootstrap.PoissonCdf
-      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""$FeaturesSql,
-       |base AS (SELECT user_session AS id,
-       |                CASE WHEN cart_count >= 1 THEN 1 ELSE 0 END AS t,
-       |                label AS y, least(view_count, 8) AS s
-       |         FROM features),
-       |st AS (SELECT s, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS n1,
-       |              CAST(sum(t * y) AS BIGINT) AS pos1,
-       |              CAST(sum((1 - t) * y) AS BIGINT) AS pos0
-       |       FROM base GROUP BY s),
-       |st2 AS (SELECT *, n - n1 AS n0 FROM st),
-       |tm AS (SELECT n, n1,
-       |         CASE WHEN n1 > 0 AND n0 > 0 THEN CAST(floor(
-       |           (CAST(pos1 AS DOUBLE) / CAST(n1 AS DOUBLE)
-       |            - CAST(pos0 AS DOUBLE) / CAST(n0 AS DOUBLE))
-       |           * CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
-       |           ELSE CAST(0 AS BIGINT) END AS ate_t
-       |       FROM st2),
-       |pt AS (SELECT CAST(sum(n) AS BIGINT) AS n, CAST(sum(n1) AS BIGINT) AS n_treated,
-       |              CAST(floor(CAST(sum(ate_t) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
-       |                   + 0.5) AS BIGINT) AS ate_e6
-       |       FROM tm),
-       |rep AS (SELECT id, t, y, s, unnest(range(0, $B)) AS b FROM base),
-       |uw AS (SELECT b, t, y, s,
-       |         CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || ':' || b), 1, 12))::BIGINT
-       |              AS DOUBLE) / ${graft.operators.Bootstrap.TwoPow48} AS u
-       |       FROM rep),
-       |ww AS (SELECT b, t, y, s, CAST($wExpr AS BIGINT) AS w FROM uw),
-       |rs AS (SELECT b, s, CAST(sum(w) AS BIGINT) AS nw,
-       |              CAST(sum(w * t) AS BIGINT) AS n1w,
-       |              CAST(sum(w * t * y) AS BIGINT) AS pos1w,
-       |              CAST(sum(w * (1 - t) * y) AS BIGINT) AS pos0w
-       |       FROM ww GROUP BY b, s),
-       |rs2 AS (SELECT *, nw - n1w AS n0w FROM rs),
-       |rtm AS (SELECT b, nw,
-       |          CASE WHEN n1w > 0 AND n0w > 0 THEN CAST(floor(
-       |            (CAST(pos1w AS DOUBLE) / CAST(n1w AS DOUBLE)
-       |             - CAST(pos0w AS DOUBLE) / CAST(n0w AS DOUBLE))
-       |            * CAST(nw AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
-       |            ELSE CAST(0 AS BIGINT) END AS ate_t
-       |        FROM rs2),
-       |rm AS (SELECT b, CAST(floor(CAST(sum(ate_t) AS DOUBLE)
-       |              / CAST(sum(nw) AS DOUBLE) + 0.5) AS BIGINT) AS m
-       |       FROM rtm GROUP BY b HAVING sum(nw) > 0),
-       |rk AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS rn FROM rm),
-       |lo AS (SELECT m AS lo_e6 FROM rk WHERE rn = $loRank),
-       |hi AS (SELECT m AS hi_e6 FROM rk WHERE rn = $hiRank)
-       |SELECT pt.n, pt.n_treated, pt.ate_e6, CAST($B AS INT) AS b_reps,
-       |       lo.lo_e6, hi.hi_e6
-       |FROM pt CROSS JOIN lo CROSS JOIN hi""".stripMargin
-  }
-
-  /** Kaplan–Meier replay: exact-micros durations (ts_ns // 1000, hour DIV),
-    * exact-BIGINT risk sets via the bounded before-window, one e6 ln per
-    * event time BEFORE the cumulative sum, pure-integer Nelson–Aalen terms
-    * (d·10⁶ // n, non-negative), terminal n=d row NULL by the same CASE.
-    */
-  private lazy val SurvivalOracleSql: String =
-    s"""WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_ns(ts) // 1000 AS t_us
-       |            FROM events),
-       |pu AS (SELECT u, min(t_us) AS t0,
-       |              min(CASE WHEN et = 'purchase' THEN t_us END) AS tev,
-       |              max(t_us) AS tl
-       |       FROM ev GROUP BY u),
-       |dur AS (SELECT (coalesce(tev, tl) - t0) // 3600000000 AS t,
-       |               tev IS NOT NULL AS obs FROM pu),
-       |g AS (SELECT t, CAST(count(*) AS BIGINT) AS all_n,
-       |             CAST(sum(CASE WHEN obs THEN 1 ELSE 0 END) AS BIGINT) AS d
-       |      FROM dur GROUP BY t),
-       |nn AS (SELECT CAST(sum(all_n) AS BIGINT) AS nn FROM g),
-       |r AS (SELECT t, all_n, d,
-       |        nn.nn - CAST(coalesce(sum(all_n) OVER (
-       |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |          AS BIGINT) AS n_risk
-       |      FROM g CROSS JOIN nn),
-       |e AS (SELECT t, n_risk, d,
-       |        CASE WHEN d < n_risk
-       |             THEN CAST(floor(ln(CAST(n_risk - d AS DOUBLE)
-       |                    / CAST(n_risk AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-       |             ELSE CAST(0 AS BIGINT) END AS lnterm,
-       |        d * 1000000 // n_risk AS naterm
-       |      FROM r WHERE d > 0)
-       |SELECT t, n_risk, d,
-       |  CASE WHEN d < n_risk THEN CAST(sum(lnterm) OVER (
-       |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) END
-       |    AS km_ln_e6,
-       |  CAST(sum(naterm) OVER (
-       |    ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-       |    AS na_e6
-       |FROM e""".stripMargin
-
-  /** Log-rank replay: the q_survival_km duration derivation + the KS-arms
-    * md5 split, per-duration 2×2 grid, exact-BIGINT per-arm risk sets via
-    * the bounded before-window, E/V terms as fixed-spelling doubles over
-    * exact integers (every factor cast individually) e6-quantized per
-    * event time, z and the Zelen–Severo two-sided tail replayed verbatim.
-    */
-  private lazy val LogRankOracleSql: String =
-    s"""WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_ns(ts) // 1000 AS t_us
-       |            FROM events),
-       |pu AS (SELECT u, min(t_us) AS t0,
-       |              min(CASE WHEN et = 'purchase' THEN t_us END) AS tev,
-       |              max(t_us) AS tl
-       |       FROM ev GROUP BY u),
-       |dur AS (SELECT (coalesce(tev, tl) - t0) // 3600000000 AS t,
-       |               tev IS NOT NULL AS obs,
-       |               ('0x' || substring(md5(CAST(u AS VARCHAR)), 1, 12))::BIGINT % 2 AS arm
-       |        FROM pu),
-       |g AS (SELECT t,
-       |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS an0,
-       |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS an1,
-       |        CAST(sum(CASE WHEN arm = 0 AND obs THEN 1 ELSE 0 END) AS BIGINT) AS dd0,
-       |        CAST(sum(CASE WHEN arm = 1 AND obs THEN 1 ELSE 0 END) AS BIGINT) AS dd1
-       |      FROM dur GROUP BY t),
-       |nn AS (SELECT CAST(sum(an0) AS BIGINT) AS nn0,
-       |              CAST(sum(an1) AS BIGINT) AS nn1 FROM g),
-       |r AS (SELECT t, dd0, dd1, nn.nn0, nn.nn1,
-       |        nn.nn0 - CAST(coalesce(sum(an0) OVER (
-       |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |          AS BIGINT) AS n0r,
-       |        nn.nn1 - CAST(coalesce(sum(an1) OVER (
-       |          ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |          AS BIGINT) AS n1r
-       |      FROM g CROSS JOIN nn),
-       |e AS (SELECT nn0, nn1, dd0, dd1, n0r, n1r,
-       |             dd0 + dd1 AS d, n0r + n1r AS nr
-       |      FROM r WHERE dd0 + dd1 > 0),
-       |tm AS (SELECT nn0, nn1, dd0, dd1,
-       |         CAST(floor(CAST(d AS DOUBLE) * CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE)
-       |              * 1000000.0 + 0.5) AS BIGINT) AS eterm,
-       |         CASE WHEN nr > 1 THEN CAST(floor(
-       |             CAST(d AS DOUBLE) * CAST(nr - d AS DOUBLE)
-       |             * CAST(n0r AS DOUBLE) * CAST(n1r AS DOUBLE)
-       |             / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE) * CAST(nr - 1 AS DOUBLE))
-       |             * 1000000.0 + 0.5) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS vterm
-       |       FROM e),
-       |ag AS (SELECT CAST(max(nn0) AS BIGINT) AS n0, CAST(max(nn1) AS BIGINT) AS n1,
-       |              CAST(sum(dd0) AS BIGINT) AS o0, CAST(sum(dd1) AS BIGINT) AS o1,
-       |              CAST(sum(eterm) AS BIGINT) AS e1_e6,
-       |              CAST(sum(vterm) AS BIGINT) AS v_e6
-       |       FROM tm),
-       |zz AS (SELECT n0, n1, o0, o1, e1_e6, v_e6,
-       |         CASE WHEN v_e6 > 0 THEN CAST(o1 * 1000000 - e1_e6 AS DOUBLE)
-       |              / (1000.0 * sqrt(CAST(v_e6 AS DOUBLE))) END AS z
-       |       FROM ag),
-       |tq AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zz)
-       |SELECT n0, n1, o0, o1, e1_e6, v_e6,
-       |       CAST(floor(z * 1000000.0 + 0.5) AS BIGINT) AS z_e6,
-       |       CAST(floor(2.0 * (exp(-0.5 * abs(z) * abs(z)) * 0.3989422804014327
-       |         * (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
-       |              - 0.356563782) * t + 0.319381530) * t))
-       |         * 1000000.0 + 0.5) AS BIGINT) AS p_e6
-       |FROM tq""".stripMargin
-
-  /** Stratified log-rank replay: the LogRankOracleSql chain with the grid,
-    * totals, and before-windows keyed/partitioned by the per-user activity
-    * tier, E/V terms e6-quantized per (stratum, time), strata-summed
-    * BEFORE the single z — identical term spellings throughout.
-    */
-  private lazy val LogRankStratOracleSql: String =
-    s"""WITH ev AS (SELECT user_id AS u, event_type AS et, epoch_ns(ts) // 1000 AS t_us
-       |            FROM events),
-       |pu AS (SELECT u, min(t_us) AS t0,
-       |              min(CASE WHEN et = 'purchase' THEN t_us END) AS tev,
-       |              max(t_us) AS tl, CAST(count(*) AS BIGINT) AS n_ev
-       |       FROM ev GROUP BY u),
-       |dur AS (SELECT least(n_ev // 20, 3) AS st,
-       |               (coalesce(tev, tl) - t0) // 3600000000 AS t,
-       |               tev IS NOT NULL AS obs,
-       |               ('0x' || substring(md5(CAST(u AS VARCHAR)), 1, 12))::BIGINT % 2 AS arm
-       |        FROM pu),
-       |g AS (SELECT st, t,
-       |        CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS an0,
-       |        CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS an1,
-       |        CAST(sum(CASE WHEN arm = 0 AND obs THEN 1 ELSE 0 END) AS BIGINT) AS dd0,
-       |        CAST(sum(CASE WHEN arm = 1 AND obs THEN 1 ELSE 0 END) AS BIGINT) AS dd1
-       |      FROM dur GROUP BY st, t),
-       |tot AS (SELECT st, CAST(sum(an0) AS BIGINT) AS nn0,
-       |               CAST(sum(an1) AS BIGINT) AS nn1 FROM g GROUP BY st),
-       |r AS (SELECT g.st, g.t, g.dd0, g.dd1,
-       |        tot.nn0 - CAST(coalesce(sum(g.an0) OVER (PARTITION BY g.st
-       |          ORDER BY g.t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |          AS BIGINT) AS n0r,
-       |        tot.nn1 - CAST(coalesce(sum(g.an1) OVER (PARTITION BY g.st
-       |          ORDER BY g.t ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-       |          AS BIGINT) AS n1r
-       |      FROM g JOIN tot ON tot.st = g.st),
-       |e AS (SELECT dd0, dd1, n0r, n1r, dd0 + dd1 AS d, n0r + n1r AS nr
-       |      FROM r WHERE dd0 + dd1 > 0),
-       |tm AS (SELECT dd0, dd1,
-       |         CAST(floor(CAST(d AS DOUBLE) * CAST(n1r AS DOUBLE) / CAST(nr AS DOUBLE)
-       |              * 1000000.0 + 0.5) AS BIGINT) AS eterm,
-       |         CASE WHEN nr > 1 THEN CAST(floor(
-       |             CAST(d AS DOUBLE) * CAST(nr - d AS DOUBLE)
-       |             * CAST(n0r AS DOUBLE) * CAST(n1r AS DOUBLE)
-       |             / (CAST(nr AS DOUBLE) * CAST(nr AS DOUBLE) * CAST(nr - 1 AS DOUBLE))
-       |             * 1000000.0 + 0.5) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS vterm
-       |       FROM e),
-       |sz AS (SELECT CAST(count(*) AS BIGINT) AS n_strata,
-       |              CAST(sum(nn0) AS BIGINT) AS n0,
-       |              CAST(sum(nn1) AS BIGINT) AS n1 FROM tot),
-       |ag AS (SELECT CAST(sum(dd0) AS BIGINT) AS o0, CAST(sum(dd1) AS BIGINT) AS o1,
-       |              CAST(sum(eterm) AS BIGINT) AS e1_e6,
-       |              CAST(sum(vterm) AS BIGINT) AS v_e6
-       |       FROM tm),
-       |zz AS (SELECT sz.n_strata, sz.n0, sz.n1, ag.o0, ag.o1, ag.e1_e6, ag.v_e6,
-       |         CASE WHEN ag.v_e6 > 0 THEN CAST(ag.o1 * 1000000 - ag.e1_e6 AS DOUBLE)
-       |              / (1000.0 * sqrt(CAST(ag.v_e6 AS DOUBLE))) END AS z
-       |       FROM sz CROSS JOIN ag),
-       |tq AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS t FROM zz)
-       |SELECT n_strata, n0, n1, o0, o1, e1_e6, v_e6,
-       |       CAST(floor(z * 1000000.0 + 0.5) AS BIGINT) AS z_e6,
-       |       CAST(floor(2.0 * (exp(-0.5 * abs(z) * abs(z)) * 0.3989422804014327
-       |         * (((((1.330274429 * t - 1.821255978) * t + 1.781477937) * t
-       |              - 0.356563782) * t + 0.319381530) * t))
-       |         * 1000000.0 + 0.5) AS BIGINT) AS p_e6
-       |FROM tq""".stripMargin
-
-  /** DP-mean replay: the exact clamp-shift sum/count BIGINTs, both Laplace
-    * draws from the identical md5-48 "salt:sum"/"salt:count" uniforms with
-    * the scale constants spliced via Double.toString, the same
-    * clamped-quotient post-processing, eps accounting as constants.
-    */
-  private lazy val DpMeanOracleSql: String = {
-    val bSum = (2000.0d - 0.0d) / 0.5d
-    val bCnt = 1.0d / 0.5d
-    s"""WITH ag AS (SELECT CAST(count(*) AS BIGINT) AS n,
-       |              CAST(sum(least(greatest(CAST(n_chars AS BIGINT), 0), 2000) - 0)
-       |                   AS BIGINT) AS s
-       |            FROM documents),
-       |nz AS (SELECT n, s,
-       |         2.0 * ((('0x' || substring(md5('dp-r15:sum'), 1, 12))::BIGINT + 0.5)
-       |                / 281474976710656.0) - 1.0 AS cs,
-       |         2.0 * ((('0x' || substring(md5('dp-r15:count'), 1, 12))::BIGINT + 0.5)
-       |                / 281474976710656.0) - 1.0 AS cc
-       |       FROM ag),
-       |rel AS (SELECT n,
-       |          CAST(s AS DOUBLE) + (-$bSum) * sign(cs) * ln(1.0 - abs(cs)) AS ns,
-       |          greatest(CAST(n AS DOUBLE) + (-$bCnt) * sign(cc) * ln(1.0 - abs(cc)),
-       |                   CAST(1.0 AS DOUBLE)) AS nn
-       |        FROM nz)
-       |SELECT n, CAST(500000 AS BIGINT) AS eps_sum_e6,
-       |       CAST(500000 AS BIGINT) AS eps_count_e6,
-       |       CAST(1000000 AS BIGINT) AS eps_total_e6,
-       |       CAST(floor((greatest(CAST(0.0 AS DOUBLE),
-       |              least(CAST(2000.0 AS DOUBLE), ns / nn)) + 0.0)
-       |            * 1000000.0 + 0.5) AS BIGINT) AS released_mean_e6
-       |FROM rel""".stripMargin
-  }
-
-  /** Sketch-bracket replay: the CmsOracleSql counter/probe chain for the
-    * exact and CMS columns; the MG booleans are the STRUCTURAL guarantees
-    * (lower bound / n-over-k-plus-1 slack) emitted as literal TRUE — the
-    * q_hll_rollup_checked pattern: only a broken sketch can flip them.
-    */
-  private lazy val SketchBracketOracleSql: String =
-    s"""WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS item FROM events),
-       |hx AS (SELECT item, j,
-       |              ('0x' || substring(md5(item || ':' || j), 1, 12))::BIGINT % 64 AS h
-       |       FROM ev CROSS JOIN range(0, 4) t(j)),
-       |ctr AS (SELECT j, h, CAST(count(*) AS BIGINT) AS c FROM hx GROUP BY 1, 2),
-       |ex AS (SELECT item, CAST(count(*) AS BIGINT) AS exact_n FROM ev GROUP BY 1),
-       |top AS (SELECT item, exact_n FROM ex ORDER BY exact_n DESC, item LIMIT 20),
-       |pr AS (SELECT t.item, t.exact_n, r.j,
-       |              ('0x' || substring(md5(t.item || ':' || r.j), 1, 12))::BIGINT % 64 AS h
-       |       FROM top t CROSS JOIN range(0, 4) r(j)),
-       |est AS (SELECT pr.item, pr.exact_n, CAST(min(ctr.c) AS BIGINT) AS est_n
-       |        FROM pr JOIN ctr ON ctr.j = pr.j AND ctr.h = pr.h
-       |        GROUP BY 1, 2)
-       |SELECT item AS user_id, exact_n, est_n, est_n - exact_n AS overcount,
-       |       TRUE AS lower_ok, TRUE AS slack_ok,
-       |       est_n >= exact_n AS bracket_ok
-       |FROM est""".stripMargin
-
-  /** HLL replay: the identical md5-48 hash split into (low-6-bit register,
-    * 42-bit remainder), `length(bin(x))` highest-set-bit, exact-BIGINT
-    * dyadic harmonic sum, the one α·m²·2⁵⁰/s double division e6-quantized,
-    * the linear-counting branch decided on the QUANTIZED raw, and the ALL
-    * row max-merged from the per-group register tables — the sketch, the
-    * merge and the estimator are all the oracled artifact.
-    */
-  private lazy val HllOracleSql: String = {
-    val a = graft.operators.HllReplay.Alpha64.toString
-    s"""WITH it AS (
-       |  SELECT DISTINCT CAST(event_type AS VARCHAR) AS g,
-       |         CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d') AS item
-       |  FROM events),
-       |rr AS (SELECT g,
-       |         ('0x' || substring(md5(item), 1, 12))::BIGINT % 64 AS reg,
-       |         ('0x' || substring(md5(item), 1, 12))::BIGINT // 64 AS rem
-       |       FROM it),
-       |rho AS (SELECT g, reg,
-       |          CASE WHEN rem = 0 THEN 43 ELSE 43 - length(bin(rem)) END AS rho
-       |        FROM rr),
-       |regs AS (SELECT g, reg, CAST(max(rho) AS BIGINT) AS m FROM rho GROUP BY 1, 2),
-       |au AS (SELECT g, reg, m FROM regs
-       |       UNION ALL
-       |       SELECT 'ALL' AS g, reg, CAST(max(m) AS BIGINT) AS m FROM regs GROUP BY reg),
-       |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS nz,
-       |               CAST(sum(CAST(power(2, 50 - m) AS BIGINT)) AS BIGINT) AS s
-       |        FROM au GROUP BY 1),
-       |est AS (SELECT g, nz,
-       |          CAST($a AS DOUBLE) * 4096.0 * 1125899906842624.0
-       |            / CAST(s + (64 - nz) * 1125899906842624 AS DOUBLE) AS raw
-       |        FROM agg),
-       |fin AS (SELECT g, nz,
-       |          CASE WHEN CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) <= 160000000
-       |                    AND nz < 64
-       |               THEN CAST(floor(64.0 * ln(64.0 / CAST(64 - nz AS DOUBLE))
-       |                          * 1000000.0 + 0.5) AS BIGINT)
-       |               ELSE CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) END AS est_e6
-       |        FROM est),
-       |ex AS (SELECT g, CAST(count(*) AS BIGINT) AS exact_n FROM it GROUP BY g
-       |       UNION ALL
-       |       SELECT 'ALL' AS g, CAST(count(DISTINCT item) AS BIGINT) AS exact_n FROM it)
-       |SELECT fin.g AS event_type, ex.exact_n, fin.nz, fin.est_e6
-       |FROM fin JOIN ex ON fin.g = ex.g""".stripMargin
-  }
-
-  /** q_incremental_stats replay: computes the per-type statistics DIRECTLY
-    * over the full event table (no split, no merge) with [[HllOracleSql]]'s
-    * register/estimate chain — hash equality against the Spark side's
-    * two-half state merge is exactly the "merge ≡ recompute" identity the
-    * operator claims.
-    */
-  private lazy val IncrementalStatsOracleSql: String = {
-    val a = graft.operators.HllReplay.Alpha64.toString
-    s"""WITH e AS (
-       |  SELECT event_type AS g,
-       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v,
-       |         CAST(user_id AS VARCHAR) AS item
-       |  FROM events WHERE value IS NOT NULL),
-       |sc AS (
-       |  SELECT g, CAST(count(*) AS BIGINT) AS n, CAST(sum(v) AS BIGINT) AS sum_v,
-       |         CAST(min(v) AS BIGINT) AS mn, CAST(max(v) AS BIGINT) AS mx
-       |  FROM e GROUP BY g),
-       |rr AS (SELECT g,
-       |         ('0x' || substring(md5(item), 1, 12))::BIGINT % 64 AS reg,
-       |         ('0x' || substring(md5(item), 1, 12))::BIGINT // 64 AS rem
-       |       FROM e),
-       |rho AS (SELECT g, reg,
-       |          CASE WHEN rem = 0 THEN 43 ELSE 43 - length(bin(rem)) END AS rho
-       |        FROM rr),
-       |regs AS (SELECT g, reg, CAST(max(rho) AS BIGINT) AS m FROM rho GROUP BY 1, 2),
-       |agg AS (SELECT g, CAST(count(*) AS BIGINT) AS nz,
-       |               CAST(sum(CAST(power(2, 50 - m) AS BIGINT)) AS BIGINT) AS s
-       |        FROM regs GROUP BY 1),
-       |est AS (SELECT g, nz,
-       |          CAST($a AS DOUBLE) * 4096.0 * 1125899906842624.0
-       |            / CAST(s + (64 - nz) * 1125899906842624 AS DOUBLE) AS raw
-       |        FROM agg),
-       |fin AS (SELECT g, nz,
-       |          CASE WHEN CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) <= 160000000
-       |                    AND nz < 64
-       |               THEN CAST(floor(64.0 * ln(64.0 / CAST(64 - nz AS DOUBLE))
-       |                          * 1000000.0 + 0.5) AS BIGINT)
-       |               ELSE CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) END AS est_e6
-       |        FROM est)
-       |SELECT sc.g AS event_type, sc.n, sc.sum_v, sc.mn, sc.mx, fin.nz, fin.est_e6
-       |FROM sc JOIN fin ON sc.g = fin.g""".stripMargin
-  }
-
-  /** q_quantile_sketch replay: same md5-48 bottom-k sample, the
-    * [[FunnelQuantilesSql]] rank-bracket interpolation over the SAMPLE,
-    * and the exact full-data rank audit — all integer/identical-IEEE.
-    */
-  private lazy val QuantileSketchOracleSql: String = {
-    val ps = graft.operators.QuantileSketch.Deciles
-    def lo(p: Int) = s"CAST(floor(((nn - 1) * $p) / CAST(100.0 AS DOUBLE)) AS BIGINT)"
-    val abCols = ps.flatMap(p => Seq(
-      s"max(CASE WHEN rn = ${lo(p)} THEN v END) AS a$p",
-      s"max(CASE WHEN rn = least(${lo(p)} + 1, nn - 1) THEN v END) AS b$p"))
-    val estRows = ps.map(p =>
-      s"SELECT g, $p AS p, CAST(a$p AS DOUBLE) + ((ns - 1) * $p % 100) " +
-        s"/ CAST(100.0 AS DOUBLE) * (b$p - a$p) AS est FROM br")
-      .mkString("\n  UNION ALL\n  ")
-    s"""WITH e AS (
-       |  SELECT event_type AS g,
-       |         CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v,
-       |         ('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 12))::BIGINT AS hk,
-       |         CAST(event_id AS BIGINT) AS rid
-       |  FROM events WHERE value IS NOT NULL),
-       |smp AS (
-       |  SELECT g, v FROM (
-       |    SELECT g, v, row_number() OVER (PARTITION BY g ORDER BY hk, rid) AS sr
-       |    FROM e)
-       |  WHERE sr <= 256),
-       |ranked AS (
-       |  SELECT g, v,
-       |         CAST(row_number() OVER (PARTITION BY g ORDER BY v) AS BIGINT) - 1 AS rn,
-       |         CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS nn
-       |  FROM smp),
-       |br AS (
-       |  SELECT g, CAST(count(*) AS BIGINT) AS ns,
-       |         ${abCols.mkString(",\n         ")}
-       |  FROM ranked GROUP BY g),
-       |ests AS (
-       |  $estRows),
-       |nf AS (SELECT g, CAST(count(*) AS BIGINT) AS n_full FROM e GROUP BY g),
-       |rk AS (
-       |  SELECT ests.g, ests.p, ests.est,
-       |         CAST(sum(CASE WHEN CAST(e.v AS DOUBLE) <= ests.est THEN 1 ELSE 0 END)
-       |              AS BIGINT) AS rank
-       |  FROM ests JOIN e ON e.g = ests.g GROUP BY 1, 2, 3)
-       |SELECT rk.g AS event_type, rk.p, rk.est,
-       |       rank * 1000000 // n_full AS rank_e6,
-       |       CAST(abs(rank * 1000000 // n_full - CAST(rk.p AS BIGINT) * 10000)
-       |            AS BIGINT) AS err_e6
-       |FROM rk JOIN nf ON nf.g = rk.g""".stripMargin
-  }
-
-  /** q_user_overlap replay: the same md5-48 bottom-k coordinated samples,
-    * per-pair union with side flags, k-th-order-statistic union inversion,
-    * and the exact full-set audit — all integer arithmetic.
-    */
-  private lazy val UserOverlapOracleSql: String =
-    """WITH m AS (
-      |  SELECT DISTINCT CAST(event_type AS VARCHAR) AS g,
-      |         CAST(user_id AS VARCHAR) AS member
-      |  FROM events),
-      |h AS (SELECT g, member,
-      |        ('0x' || substring(md5(member), 1, 12))::BIGINT AS hk
-      |      FROM m),
-      |smp AS (SELECT g, member, hk FROM (
-      |          SELECT g, member, hk,
-      |                 row_number() OVER (PARTITION BY g ORDER BY hk, member) AS sr
-      |          FROM h)
-      |        WHERE sr <= 256),
-      |gs AS (SELECT DISTINCT g FROM smp),
-      |pairs AS (SELECT a.g AS ga, b.g AS gb FROM gs a, gs b WHERE a.g < b.g),
-      |tagged AS (
-      |  SELECT p.ga, p.gb, s.member, s.hk, 1 AS in_a, 0 AS in_b
-      |  FROM pairs p JOIN smp s ON s.g = p.ga
-      |  UNION ALL
-      |  SELECT p.ga, p.gb, s.member, s.hk, 0, 1
-      |  FROM pairs p JOIN smp s ON s.g = p.gb),
-      |unioned AS (
-      |  SELECT ga, gb, member, hk,
-      |         CAST(max(in_a) AS BIGINT) AS in_a, CAST(max(in_b) AS BIGINT) AS in_b
-      |  FROM tagged GROUP BY 1, 2, 3, 4),
-      |kept AS (SELECT * FROM (
-      |           SELECT u.*, row_number() OVER (PARTITION BY ga, gb
-      |                                          ORDER BY hk, member) AS ur
-      |           FROM unioned u)
-      |         WHERE ur <= 256),
-      |est AS (
-      |  SELECT ga, gb, CAST(count(*) AS BIGINT) AS k_used,
-      |         CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
-      |         CAST(max(hk) AS BIGINT) AS hk_top
-      |  FROM kept GROUP BY 1, 2),
-      |est2 AS (
-      |  SELECT ga, gb, k_used,
-      |         n_both * 1000000 // k_used AS jacc_est_e6,
-      |         CASE WHEN k_used < 256 THEN k_used
-      |              ELSE (k_used - 1) * 281474976710656 // greatest(hk_top, 1)
-      |         END AS union_est
-      |  FROM est),
-      |est3 AS (SELECT *, jacc_est_e6 * union_est // 1000000 AS inter_est FROM est2),
-      |sz AS (SELECT g, CAST(count(*) AS BIGINT) AS sz FROM m GROUP BY g),
-      |inter AS (
-      |  SELECT a.g AS ga, b.g AS gb, CAST(count(*) AS BIGINT) AS n_inter
-      |  FROM m a JOIN m b ON a.member = b.member AND a.g < b.g
-      |  GROUP BY 1, 2),
-      |ex AS (
-      |  SELECT p.ga, p.gb, coalesce(i.n_inter, 0) AS n_inter,
-      |         sa.sz + sb.sz - coalesce(i.n_inter, 0) AS exact_union
-      |  FROM pairs p
-      |  JOIN sz sa ON sa.g = p.ga
-      |  JOIN sz sb ON sb.g = p.gb
-      |  LEFT JOIN inter i ON i.ga = p.ga AND i.gb = p.gb)
-      |SELECT e.ga AS group_a, e.gb AS group_b, k_used, jacc_est_e6, union_est,
-      |       inter_est,
-      |       CAST(n_inter * 1000000 // exact_union AS BIGINT) AS exact_jacc_e6,
-      |       CAST(exact_union AS BIGINT) AS exact_union
-      |FROM est3 e JOIN ex ON ex.ga = e.ga AND ex.gb = e.gb""".stripMargin
-
-  /** Generated HyperBall replay over the shared [[EdgesCte]] graph: md5-48
-    * singleton counters, 3 unrolled register-MAX merge rounds (edge join +
-    * (g, reg) max — [[KCoreOracleSql]]'s MATERIALIZED discipline), and
-    * [[HllOracleSql]]'s estimate chain cloned per round.
-    */
-  private lazy val HyperBallOracleSql: String = {
-    val a = graft.operators.HllReplay.Alpha64.toString
-    def md(x: String) = s"('0x' || substring(md5($x), 1, 12))::BIGINT"
-    val rounds = (1 to 3).map { r =>
-      s"""hp$r AS (SELECT bi.a AS g, c.reg, c.m FROM bi JOIN hr${r - 1} c ON c.g = bi.b),
-         |hr$r AS MATERIALIZED (
-         |  SELECT g, reg, CAST(max(m) AS BIGINT) AS m
-         |  FROM (SELECT g, reg, m FROM hr${r - 1} UNION ALL SELECT g, reg, m FROM hp$r)
-         |  GROUP BY g, reg)""".stripMargin
-    }.mkString(",\n")
-    val ests = (0 to 3).map { r =>
-      s"""ha$r AS (SELECT g, CAST(count(*) AS BIGINT) AS nz,
-         |                CAST(sum(CAST(power(2, 50 - m) AS BIGINT)) AS BIGINT) AS s
-         |         FROM hr$r GROUP BY g),
-         |he$r AS (SELECT $r AS t, g AS node, nz,
-         |           CAST($a AS DOUBLE) * 4096.0 * 1125899906842624.0
-         |             / CAST(s + (64 - nz) * 1125899906842624 AS DOUBLE) AS raw
-         |         FROM ha$r)""".stripMargin
-    }.mkString(",\n")
-    val sel = (0 to 3).map { r =>
-      s"""SELECT t, node, nz,
-         |       CASE WHEN CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) <= 160000000
-         |                 AND nz < 64
-         |            THEN CAST(floor(64.0 * ln(64.0 / CAST(64 - nz AS DOUBLE))
-         |                       * 1000000.0 + 0.5) AS BIGINT)
-         |            ELSE CAST(floor(raw * 1000000.0 + 0.5) AS BIGINT) END AS est_e6
-         |FROM he$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""$EdgesCte,
-       |hn AS (SELECT DISTINCT a AS node FROM bi),
-       |hr0 AS MATERIALIZED (
-       |  SELECT node AS g, ${md("CAST(node AS VARCHAR)")} % 64 AS reg,
-       |         CAST(CASE WHEN ${md("CAST(node AS VARCHAR)")} // 64 = 0 THEN 43
-       |              ELSE 43 - length(bin(${md("CAST(node AS VARCHAR)")} // 64)) END AS BIGINT) AS m
-       |  FROM hn),
-       |$rounds,
-       |$ests
-       |$sel""".stripMargin
-  }
-
-  /** PSI replay: the same Laplace-smoothed grid (sources × range(10) with
-    * zero-filled buckets), one e6 ln per cell, non-negative integer terms
-    * (diff_num and the ln always share a sign), exact BIGINT per-source
-    * sums.
-    */
-  private lazy val PsiOracleSql: String =
-    s"""WITH dd AS (SELECT source, least(n_chars // 64, 9) AS b FROM documents),
-       |gb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS cg FROM dd GROUP BY 1, 2),
-       |cb AS (SELECT b, CAST(count(*) AS BIGINT) AS cc FROM dd GROUP BY 1),
-       |ngt AS (SELECT source, CAST(count(*) AS BIGINT) AS ng FROM dd GROUP BY 1),
-       |nnt AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM dd),
-       |grid AS (
-       |  SELECT g.source, t.b, ngt.ng, nnt.nn,
-       |         coalesce(gb.cg, 0) AS cg, coalesce(cb.cc, 0) AS cc
-       |  FROM (SELECT DISTINCT source FROM dd) g
-       |  CROSS JOIN range(0, 10) t(b)
-       |  LEFT JOIN gb ON gb.source = g.source AND gb.b = t.b
-       |  LEFT JOIN cb ON cb.b = t.b
-       |  JOIN ngt ON ngt.source = g.source
-       |  CROSS JOIN nnt),
-       |tm AS (
-       |  SELECT source, ng,
-       |         ((cg + 1) * (nn + 10) - (ng + 10) * (cc + 1))
-       |           * CAST(floor(ln(CAST((cg + 1) * (nn + 10) AS DOUBLE)
-       |                 / CAST((ng + 10) * (cc + 1) AS DOUBLE)) * 1000000.0 + 0.5)
-       |             AS BIGINT)
-       |           // ((ng + 10) * (nn + 10)) AS term
-       |  FROM grid)
-       |SELECT source, ng AS n_rows, CAST(sum(term) AS BIGINT) AS psi_e6
-       |FROM tm GROUP BY source, ng""".stripMargin
-
-  /** Wilson replay: the SAME double-arithmetic text as
-    * Binomial.wilson's selectExpr (z spliced from the one Z95 literal),
-    * over the md5-arm conversion counts.
-    */
-  private lazy val WilsonOracleSql: String = {
-    val zs = graft.operators.Binomial.Z95.toString
-    s"""$FeaturesSql,
-       |ar AS (SELECT ('0x' || substring(md5(user_session), 1, 12))::BIGINT % 2 AS arm,
-       |              label
-       |       FROM features),
-       |m AS (SELECT arm, CAST(count(*) AS BIGINT) AS n,
-       |             CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos
-       |      FROM ar GROUP BY arm)
-       |SELECT arm, n, pos,
-       |  CAST(floor(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
-       |    AS p_e6,
-       |  CAST(floor(greatest(
-       |    ((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) + $zs * $zs / (2.0 * CAST(n AS DOUBLE))
-       |     - $zs * sqrt((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
-       |         * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
-       |         + $zs * $zs / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
-       |    / (1.0 + $zs * $zs / CAST(n AS DOUBLE)), 0.0) * 1000000.0 + 0.5) AS BIGINT)
-       |    AS lo_e6,
-       |  CAST(floor(least(
-       |    ((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) + $zs * $zs / (2.0 * CAST(n AS DOUBLE))
-       |     + $zs * sqrt((CAST(pos AS DOUBLE) / CAST(n AS DOUBLE))
-       |         * (1.0 - CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)
-       |         + $zs * $zs / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
-       |    / (1.0 + $zs * $zs / CAST(n AS DOUBLE)), 1.0) * 1000000.0 + 0.5) AS BIGINT)
-       |    AS hi_e6
-       |FROM m""".stripMargin
-  }
-
-  /** Isotonic replay: the same tier table (PRF-oracle contingency CASEs),
-    * exact range sums over the bounded (i, j) enumeration, one double
-    * division per range, minimax via exact MIN/MAX (never a float sum).
-    */
-  private lazy val IsotonicOracleSql: String =
-    s"""$FeaturesSql, sc AS (
-       |  SELECT label, CASE WHEN cart_count >= 3 THEN 850000
-       |       WHEN cart_count >= 1 THEN 600000 WHEN view_count >= 10 THEN 350000
-       |       WHEN view_count >= 5 THEN 200000 ELSE 50000 END AS score_micros
-       |  FROM features),
-       |tiers AS (
-       |  SELECT CAST(score_micros AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS n,
-       |         CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS pos
-       |  FROM sc GROUP BY score_micros),
-       |pre AS (SELECT s, n, pos, row_number() OVER (ORDER BY s) AS k FROM tiers),
-       |rg AS (
-       |  SELECT a.k AS i, b.k AS j,
-       |         CAST(sum(m.pos) AS DOUBLE) / CAST(sum(m.n) AS DOUBLE) AS avgd
-       |  FROM pre a JOIN pre b ON a.k <= b.k
-       |  JOIN pre m ON m.k BETWEEN a.k AND b.k
-       |  GROUP BY a.k, b.k),
-       |inr AS (
-       |  SELECT rg.i, p.k, min(rg.avgd) AS mn
-       |  FROM rg JOIN pre p ON rg.i <= p.k AND rg.j >= p.k
-       |  GROUP BY rg.i, p.k),
-       |iso AS (SELECT k, max(mn) AS rate FROM inr GROUP BY k)
-       |SELECT pre.s AS score_micros, pre.n, pre.pos,
-       |       pre.pos * 1000000 // pre.n AS raw_rate_micros,
-       |       CAST(floor(iso.rate * 1000000.0 + 0.5) AS BIGINT) AS iso_rate_micros
-       |FROM pre JOIN iso USING (k)""".stripMargin
-
-  /** κ/MCC agreement replay: the same contingency CASEs as the PRF oracle
-    * at the 600000 tier, then the exact-integer κ ratio and the
-    * fixed-spelling double MCC (4-factor product exceeds 2⁵³, so both
-    * engines multiply the SAME doubles).
-    */
-  private lazy val AgreementOracleSql: String =
-    s"""$FeaturesSql, sc AS (
-       |  SELECT label, CASE WHEN cart_count >= 3 THEN 850000
-       |       WHEN cart_count >= 1 THEN 600000 WHEN view_count >= 10 THEN 350000
-       |       WHEN view_count >= 5 THEN 200000 ELSE 50000 END AS score_micros
-       |  FROM features),
-       |m AS (SELECT CAST(count(*) AS BIGINT) AS n,
-       |  CAST(sum(CASE WHEN score_micros >= 600000 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
-       |  CAST(sum(CASE WHEN score_micros >= 600000 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
-       |  CAST(sum(CASE WHEN score_micros < 600000 AND label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
-       |  CAST(sum(CASE WHEN score_micros < 600000 AND label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
-       |  FROM sc)
-       |SELECT n, tp, fp, fn, tn,
-       |  CASE WHEN n * n = (tp+fp)*(tp+fn) + (fn+tn)*(fp+tn) THEN CAST(0 AS BIGINT)
-       |       ELSE CAST(floor(
-       |         CAST(n * (tp+tn) - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn)) AS DOUBLE)
-       |         / CAST(n * n - ((tp+fp)*(tp+fn) + (fn+tn)*(fp+tn)) AS DOUBLE)
-       |         * 1000000.0 + 0.5) AS BIGINT) END AS kappa_micros,
-       |  CASE WHEN (tp+fp) = 0 OR (tp+fn) = 0 OR (tn+fp) = 0 OR (tn+fn) = 0
-       |       THEN CAST(0 AS BIGINT)
-       |       ELSE CAST(floor(
-       |         CAST(tp*tn - fp*fn AS DOUBLE)
-       |         / sqrt(CAST(tp+fp AS DOUBLE) * CAST(tp+fn AS DOUBLE)
-       |                * CAST(tn+fp AS DOUBLE) * CAST(tn+fn AS DOUBLE))
-       |         * 1000000.0 + 0.5) AS BIGINT) END AS mcc_micros
-       |FROM m""".stripMargin
-
-  /** Per-source bootstrap replay: BootstrapOracleSql's chain with the
-    * source carried through and PARTITION BY source rank windows.
-    */
-  private lazy val BootstrapBySourceOracleSql: String = {
-    val B = 100
-    val loRank = math.max(1, math.floor(B * 0.025d).toInt)
-    val hiRank = math.min(B, math.ceil(B * 0.975d).toInt)
-    val wExpr = graft.operators.Bootstrap.PoissonCdf
-      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""WITH base AS (SELECT source AS g, doc_id AS id, CAST(n_chars AS BIGINT) AS x
-       |              FROM documents),
-       |pt AS (SELECT g, CAST(count(*) AS BIGINT) AS n_rows,
-       |         CAST(floor(CAST(sum(x) AS DOUBLE) * 1000000.0
-       |              / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mean_e6
-       |       FROM base GROUP BY g),
-       |rep AS (SELECT g, id, x, unnest(range(0, $B)) AS b FROM base),
-       |uw AS (SELECT g, b, x,
-       |         CAST(('0x' || substring(md5(CAST(id AS VARCHAR) || ':' || b), 1, 12))::BIGINT
-       |              AS DOUBLE) / ${graft.operators.Bootstrap.TwoPow48} AS u
-       |       FROM rep),
-       |ww AS (SELECT g, b, x, CAST($wExpr AS BIGINT) AS w FROM uw),
-       |rm AS (SELECT g, b,
-       |         CAST(floor(CAST(sum(w * x) AS DOUBLE) * 1000000.0
-       |              / CAST(sum(w) AS DOUBLE) + 0.5) AS BIGINT) AS m
-       |       FROM ww GROUP BY g, b HAVING sum(w) > 0),
-       |rk AS (SELECT g, m, b,
-       |              row_number() OVER (PARTITION BY g ORDER BY m, b) AS rn
-       |       FROM rm),
-       |lo AS (SELECT g, m AS lo_e6 FROM rk WHERE rn = $loRank),
-       |hi AS (SELECT g, m AS hi_e6 FROM rk WHERE rn = $hiRank)
-       |SELECT pt.g AS source, pt.n_rows, pt.mean_e6, lo.lo_e6, hi.hi_e6
-       |FROM pt JOIN lo ON lo.g = pt.g JOIN hi ON hi.g = pt.g""".stripMargin
-  }
-
-  /** Two-arm uplift replay: md5-split arms over the session features, the
-    * same Poisson weight chain as BootstrapOracleSql, per-replicate diff
-    * of floor-rounded micro means, fixed-rank CI.
-    */
-  private lazy val BootstrapUpliftOracleSql: String = {
-    val B = 100
-    val loRank = math.max(1, math.floor(B * 0.025d).toInt)
-    val hiRank = math.min(B, math.ceil(B * 0.975d).toInt)
-    val wExpr = graft.operators.Bootstrap.PoissonCdf
-      .map(c => s"(CASE WHEN u >= $c THEN 1 ELSE 0 END)").mkString(" + ")
-    s"""$FeaturesSql,
-       |bb AS (SELECT user_session AS id,
-       |         ('0x' || substring(md5(user_session), 1, 12))::BIGINT % 2 AS a,
-       |         CAST(label AS BIGINT) AS x
-       |       FROM features),
-       |pt AS (SELECT
-       |         CAST(sum(CASE WHEN a = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
-       |         CAST(sum(CASE WHEN a = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-       |         CAST(sum(CASE WHEN a = 0 THEN x ELSE 0 END) AS BIGINT) AS s0,
-       |         CAST(sum(CASE WHEN a = 1 THEN x ELSE 0 END) AS BIGINT) AS s1
-       |       FROM bb),
-       |ptd AS (SELECT n0, n1,
-       |          CAST(floor(CAST(s1 AS DOUBLE) * 1000000.0 / CAST(n1 AS DOUBLE) + 0.5) AS BIGINT)
-       |          - CAST(floor(CAST(s0 AS DOUBLE) * 1000000.0 / CAST(n0 AS DOUBLE) + 0.5) AS BIGINT)
-       |            AS diff_e6
-       |        FROM pt),
-       |rep AS (SELECT id, a, x, unnest(range(0, $B)) AS b FROM bb),
-       |uw AS (SELECT b, a, x,
-       |         CAST(('0x' || substring(md5(id || ':' || b), 1, 12))::BIGINT AS DOUBLE)
-       |           / ${graft.operators.Bootstrap.TwoPow48} AS u
-       |       FROM rep),
-       |ww AS (SELECT b, a, x, CAST($wExpr AS BIGINT) AS w FROM uw),
-       |rm AS (SELECT b,
-       |         CAST(floor(CAST(sum(CASE WHEN a = 1 THEN w * x ELSE 0 END) AS DOUBLE) * 1000000.0
-       |              / CAST(sum(CASE WHEN a = 1 THEN w ELSE 0 END) AS DOUBLE) + 0.5) AS BIGINT)
-       |         - CAST(floor(CAST(sum(CASE WHEN a = 0 THEN w * x ELSE 0 END) AS DOUBLE) * 1000000.0
-       |              / CAST(sum(CASE WHEN a = 0 THEN w ELSE 0 END) AS DOUBLE) + 0.5) AS BIGINT) AS m
-       |       FROM ww GROUP BY b
-       |       HAVING sum(CASE WHEN a = 0 THEN w ELSE 0 END) > 0
-       |          AND sum(CASE WHEN a = 1 THEN w ELSE 0 END) > 0),
-       |rk AS (SELECT m, b, row_number() OVER (ORDER BY m, b) AS rn FROM rm),
-       |lo AS (SELECT m AS lo_e6 FROM rk WHERE rn = $loRank),
-       |hi AS (SELECT m AS hi_e6 FROM rk WHERE rn = $hiRank)
-       |SELECT ptd.n0, ptd.n1, ptd.diff_e6, lo.lo_e6, hi.hi_e6
-       |FROM ptd CROSS JOIN lo CROSS JOIN hi""".stripMargin
-  }
-
-  /** Generated replay of Similarity.simhashNearDupPairs over the planted
-    * corpus: md5-parity Rademacher signs (DuckDB digit value =
-    * strpos('0123456789abcdef', hex) − 1 ⟺ Spark conv(hex,16,10)), exact
-    * BIGINT projections/signatures, bucket-equi pairs with the hot-bucket
-    * cap, and the cos ≥ ½ verify in identical IEEE doubles.
-    */
-  /** Shared replay of the bucket-signature near-dup spellings: quantize
-    * the planted-union corpus to integer micros, project against the
-    * given sign/plane table CTE (`sg(b, j, s)`), pack sign bits, cap hot
-    * buckets, bucket-equi pairs, exact cos ≥ ½, floor-6 cosine.
-    */
-  private def embedNearDupOracle(sgCte: String): String =
-    s"""WITH pl AS (
-       |  SELECT -vec_id AS vec_id, embedding FROM embeddings
-       |  WHERE vec_id BETWEEN 1 AND 3),
-       |allv AS (
-       |  SELECT vec_id, embedding FROM embeddings
-       |  UNION ALL SELECT vec_id, embedding FROM pl),
-       |q AS MATERIALIZED (
-       |  SELECT vec_id,
-       |         list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 64),
-       |                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS xq
-       |  FROM allv
-       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
-       |$sgCte,
-       |pj AS MATERIALIZED (
-       |  SELECT q.vec_id, sg.b, CAST(sum(sg.s * q.xq[sg.j]) AS BIGINT) AS proj
-       |  FROM q, sg GROUP BY q.vec_id, sg.b),
-       |bk AS MATERIALIZED (
-       |  SELECT vec_id,
-       |         CAST(sum(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << b)
-       |                       ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM pj GROUP BY vec_id),
-       |bc AS (SELECT bucket, count(*) AS c FROM bk GROUP BY bucket),
-       |bb AS MATERIALIZED (
-       |  SELECT bk.vec_id, bk.bucket, q.xq
-       |  FROM bk JOIN q USING (vec_id) JOIN bc USING (bucket)
-       |  WHERE bc.c <= 10000),
-       |pr AS (
-       |  SELECT l.vec_id AS id1, r.vec_id AS id2,
-       |         CAST(list_sum(list_transform(range(1, 65),
-       |              i -> l.xq[i] * r.xq[i])) AS BIGINT) AS d,
-       |         CAST(list_sum(list_transform(range(1, 65),
-       |              i -> l.xq[i] * l.xq[i])) AS BIGINT) AS na,
-       |         CAST(list_sum(list_transform(range(1, 65),
-       |              i -> r.xq[i] * r.xq[i])) AS BIGINT) AS nb
-       |  FROM bb l JOIN bb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
-       |fl AS (
-       |  SELECT id1, id2, d, na, nb FROM pr
-       |  WHERE d > 0 AND 4.0 * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
-       |        >= CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-       |SELECT id1, id2,
-       |       max(floor(CAST(d AS DOUBLE) / sqrt(CAST(na AS DOUBLE))
-       |           / sqrt(CAST(nb AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS cos6
-       |FROM fl GROUP BY id1, id2""".stripMargin
-
-  private lazy val SimhashEmbedOracleSql: String = embedNearDupOracle(
-    """sg AS MATERIALIZED (
-      |  SELECT b.b, j.j,
-      |         CASE WHEN strpos('0123456789abcdef',
-      |                          substr(md5(b.b || ':' || j.j), 1, 1)) % 2 = 1
-      |              THEN 1 ELSE -1 END AS s
-      |  FROM range(0, 8) b(b), range(1, 65) j(j))""".stripMargin)
-
-  /** q_cosine_neardup's replay: the SAME seeded Gaussian hyperplanes the
-    * Spark plan uses, embedded as 512 integer-micro literals (they are
-    * driver-side constants, so both engines see identical planes) — the
-    * rest of the chain is the shared bucket/verify replay.
-    */
-  private lazy val CosineNearDupOracleSql: String = {
-    val vals = graft.functions.VectorFunctions.gaussianMicroPlanes(8, 64, 42L)
-      .zipWithIndex
-      .flatMap { case (p, b) =>
-        p.zipWithIndex.map { case (g, j0) => s"($b, ${j0 + 1}, $g)" }
-      }
-      .grouped(8).map(_.mkString(", ")).mkString(",\n  ")
-    embedNearDupOracle(
-      s"""sg AS MATERIALIZED (
-         |  SELECT * FROM (VALUES
-         |  $vals) t(b, j, s))""".stripMargin)
-  }
-
-  /** q_knn_lsh's replay (Similarity.lshKnnDet): the SAME per-table seeded
-    * Gaussian hyperplanes as integer-micro literals (nTables·nPlanes·64
-    * rows — driver-side constants, identical in both engines), exact
-    * BIGINT bucket signatures per table, Hamming-1 probe expansion via
-    * XOR, DISTINCT bucket-mate candidates, and the floor-6 cosine +
-    * row_number rank replay shared with q_knn_bruteforce.
-    */
-  private lazy val KnnLshOracleSql: String = {
-    val nPlanes = 4
-    val nTables = 4
-    val vals = (0 until nTables).flatMap { t =>
-      graft.functions.VectorFunctions.gaussianMicroPlanes(nPlanes, 64, 42L + t)
-        .zipWithIndex.flatMap { case (p, b) =>
-          p.zipWithIndex.map { case (g, j0) => s"($t, $b, ${j0 + 1}, $g)" }
-        }
-    }.grouped(6).map(_.mkString(", ")).mkString(",\n  ")
-    s"""WITH sg AS MATERIALIZED (
-       |  SELECT * FROM (VALUES
-       |  $vals) t(t, b, j, s)),
-       |q AS MATERIALIZED (
-       |  SELECT vec_id,
-       |         list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 64),
-       |                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS xq
-       |  FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
-       |pj AS MATERIALIZED (
-       |  SELECT q.vec_id, sg.t, sg.b,
-       |         CAST(sum(sg.s * q.xq[sg.j]) AS BIGINT) AS proj
-       |  FROM q, sg GROUP BY 1, 2, 3),
-       |bk AS MATERIALIZED (
-       |  SELECT vec_id, t,
-       |         CAST(sum(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << b)
-       |                       ELSE 0 END) AS BIGINT) AS bucket
-       |  FROM pj GROUP BY 1, 2),
-       |fl AS (
-       |  SELECT CAST(CASE WHEN f < 0 THEN 0
-       |                   ELSE (CAST(1 AS BIGINT) << f) END AS BIGINT) AS flip
-       |  FROM range(-1, $nPlanes) r(f)),
-       |qp AS (
-       |  SELECT bk.vec_id AS query_id, bk.t, xor(bk.bucket, fl.flip) AS bucket
-       |  FROM bk CROSS JOIN fl WHERE bk.vec_id < 5),
-       |cand AS (
-       |  SELECT DISTINCT qp.query_id, bk.vec_id AS neighbor_id
-       |  FROM qp JOIN bk ON bk.t = qp.t AND bk.bucket = qp.bucket
-       |  WHERE bk.vec_id <> qp.query_id),
-       |sc AS (
-       |  SELECT c.query_id, c.neighbor_id,
-       |         CAST(list_sum(list_transform(range(1, 65),
-       |              i -> a.xq[i] * b.xq[i])) AS BIGINT) AS dp,
-       |         CAST(list_sum(list_transform(range(1, 65),
-       |              i -> a.xq[i] * a.xq[i])) AS BIGINT) AS na,
-       |         CAST(list_sum(list_transform(range(1, 65),
-       |              i -> b.xq[i] * b.xq[i])) AS BIGINT) AS nb
-       |  FROM cand c
-       |  JOIN q a ON a.vec_id = c.query_id
-       |  JOIN q b ON b.vec_id = c.neighbor_id),
-       |cs AS (
-       |  SELECT query_id, neighbor_id,
-       |         floor(CAST(dp AS DOUBLE) / sqrt(CAST(na AS DOUBLE))
-       |               / sqrt(CAST(nb AS DOUBLE)) * 1000000.0 + 0.5)
-       |           / 1000000.0 AS cos6
-       |  FROM sc WHERE na > 0 AND nb > 0),
-       |rk AS (
-       |  SELECT query_id, neighbor_id, cos6,
-       |         row_number() OVER (PARTITION BY query_id
-       |                            ORDER BY cos6 DESC, neighbor_id) AS rank
-       |  FROM cs)
-       |SELECT query_id, neighbor_id, cos6, rank FROM rk WHERE rank <= 10""".stripMargin
-  }
-
-  /** Generated replay of Doremi.epochWeights (3 epochs): per-source mean
-    * loss quantized once, then each epoch is a pure-integer baseline
-    * `(Σ α_e6·m_e6 + 5·10⁵) // 10⁶`, an integer excess max, a 16-squaring
-    * pseudo-exp chain, and the e6-requantized α — the same unrolled
-    * trajectory the driver loop walks.
-    */
-  private lazy val DoremiEpochsOracleSql: String = {
-    val R = 3
-    def epoch(t: Int): String = {
-      val squarings = (1 to 16)
-        .map(i => s"q${t}_$i AS (SELECT *, e${i - 1} * e${i - 1} AS e$i FROM q${t}_${i - 1})")
-        .mkString(",\n")
-      s"""bl$t AS (SELECT CAST((sum(a_e6 * m_e6) + 500000) // 1000000 AS BIGINT) AS b
-         |         FROM aw${t - 1}),
-         |ex$t AS (SELECT aw.source, aw.n_docs, aw.m_e6, aw.tn, aw.k,
-         |           GREATEST(aw.m_e6 - bl.b, 0) AS excess
-         |         FROM aw${t - 1} aw CROSS JOIN bl$t bl),
-         |q${t}_0 AS (SELECT *,
-         |           1.0 + (CAST(excess AS DOUBLE) / 1000000.0) / 65536.0 AS e0
-         |         FROM ex$t),
-         |$squarings,
-         |w$t AS (SELECT source, n_docs, m_e6, tn, k,
-         |          CAST(floor(sqrt(CAST(n_docs AS DOUBLE) / CAST(tn AS DOUBLE))
-         |               * e16 * 1000000.0 + 0.5) AS BIGINT) AS w_e6
-         |        FROM q${t}_16),
-         |tw$t AS (SELECT CAST(sum(w_e6) AS BIGINT) AS tw FROM w$t),
-         |aw$t AS (SELECT source, n_docs, m_e6, tn, k,
-         |           CAST(floor((0.99 * CAST(w_e6 AS DOUBLE) / CAST(tw.tw AS DOUBLE)
-         |                + 0.01 / CAST(k AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS a_e6
-         |         FROM w$t CROSS JOIN tw$t tw)""".stripMargin
-    }
-    val out = (1 to R)
-      .map(t => s"SELECT source, n_docs, m_e6 AS m_loss_e6, CAST($t AS INT) AS epoch, a_e6 FROM aw$t")
-      .mkString("\nUNION ALL\n")
-    s"""WITH lmq AS (SELECT * FROM ($LmScoreOracleSql) z),
-       |dl AS (SELECT doc_id,
-       |         -CAST(round(avg_logp * 1000000.0) AS BIGINT) AS loss_e6
-       |       FROM lmq),
-       |ds AS (SELECT d.source, count(*) AS n_docs,
-       |         CAST(sum(l.loss_e6) AS BIGINT) AS sum_loss_e6
-       |       FROM documents d JOIN dl l USING (doc_id) GROUP BY d.source),
-       |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tn, count(*) AS k FROM ds),
-       |aw0 AS (SELECT ds.source, ds.n_docs,
-       |          CAST(floor(CAST(ds.sum_loss_e6 AS DOUBLE)
-       |               / CAST(ds.n_docs AS DOUBLE) + 0.5) AS BIGINT) AS m_e6,
-       |          tot.tn, tot.k, CAST(1000000 // tot.k AS BIGINT) AS a_e6
-       |        FROM ds CROSS JOIN tot),
-       |${(1 to R).map(epoch).mkString(",\n")}
-       |$out""".stripMargin
-  }
-
-  private lazy val CurationLedgerOracleSql: String =
-      s"""WITH gq AS (SELECT doc_id, keep FROM ($GopherGatesOracleSql) gqx),
-         |gr AS (SELECT doc_id, keep FROM ($GopherRepetitionOracleSql) grx),
-         |cont AS (SELECT DISTINCT doc_id FROM ($DecontaminateSql) cx),
-         |dupx AS (SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 20 <> 0),
-         |dmin AS (SELECT h, min(doc_id) AS keeper FROM dupx GROUP BY h)
-         |SELECT d.doc_id,
-         |       (d.doc_id % 20 = 0) AS is_bench,
-         |       gq.keep AS g_quality,
-         |       gr.keep AS g_repetition,
-         |       coalesce(dx.doc_id <> dm.keeper, FALSE) AS is_exact_dup,
-         |       (cont.doc_id IS NOT NULL) AS is_contaminated,
-         |       ((d.doc_id % 20 <> 0) AND gq.keep AND gr.keep
-         |        AND coalesce(dx.doc_id = dm.keeper, TRUE)
-         |        AND cont.doc_id IS NULL) AS keep
-         |FROM documents d
-         |JOIN gq USING (doc_id)
-         |JOIN gr USING (doc_id)
-         |LEFT JOIN dupx dx ON dx.doc_id = d.doc_id
-         |LEFT JOIN dmin dm ON dm.h = dx.h
-         |LEFT JOIN cont ON cont.doc_id = d.doc_id""".stripMargin
-
-  private lazy val GopherGatesOracleSql: String =
-      s"""WITH t AS (SELECT doc_id, text, $TokensSql AS toks FROM documents),
-         |m AS (
-         |  SELECT doc_id,
-         |         CAST(len(toks) AS BIGINT) AS n_words,
-         |         CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0) AS BIGINT) AS sum_len,
-         |         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]'))) AS BIGINT) AS n_alpha,
-         |         CAST((length(text) - length(translate(text, '#', '')))
-         |            + (length(text) - length(translate(text, '…', ''))) AS BIGINT) AS n_sym,
-         |         CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
-         |                              s -> list_contains(toks, s))) AS BIGINT) AS n_stop
-         |  FROM t),
-         |g AS (
-         |  SELECT doc_id, n_words,
-         |         (n_words BETWEEN 50 AND 100000) AS g_word_count,
-         |         (3 * n_words <= sum_len AND sum_len <= 10 * n_words) AS g_word_len,
-         |         (10 * n_sym <= n_words) AS g_symbol,
-         |         (5 * n_alpha >= 4 * n_words) AS g_alpha,
-         |         (n_stop >= 2) AS g_stop
-         |  FROM m),
-         |k AS (
-         |  SELECT *,
-         |         CAST((CASE WHEN g_word_count THEN 0 ELSE 1 END)
-         |            + (CASE WHEN g_word_len THEN 0 ELSE 2 END)
-         |            + (CASE WHEN g_symbol THEN 0 ELSE 4 END)
-         |            + (CASE WHEN g_alpha THEN 0 ELSE 8 END)
-         |            + (CASE WHEN g_stop THEN 0 ELSE 16 END) AS BIGINT) AS reject_mask
-         |  FROM g)
-         |SELECT doc_id, n_words, g_word_count, g_word_len, g_symbol, g_alpha,
-         |       g_stop, reject_mask, (reject_mask = 0) AS keep
-         |FROM k""".stripMargin
-
-  private lazy val GopherRepetitionOracleSql: String = {
-      val topDefs = RepetitionCoverage.TopThresholds
-      val dupDefs = RepetitionCoverage.DupThresholds
-      val nsValues = (topDefs ++ dupDefs).map { case (n, _) => s"($n)" }.mkString(",")
-      val joins =
-        topDefs.map { case (n, _) =>
-          s"LEFT JOIN topg t$n ON t$n.doc_id = b.doc_id AND t$n.n = $n"
-        } ++ dupDefs.map { case (n, _) =>
-          s"LEFT JOIN covsum c$n ON c$n.doc_id = b.doc_id AND c$n.n = $n"
-        }
-      val covCols =
-        topDefs.map { case (n, _) => s"coalesce(t$n.covered, 0) AS cov_t$n" } ++
-          dupDefs.map { case (n, _) => s"coalesce(c$n.covered, 0) AS cov_d$n" }
-      def fracSql(cov: String, out: String) =
-        s"""CAST(CASE WHEN sum_len = 0 THEN 0
-           |     ELSE floor(CAST($cov AS DOUBLE) / CAST(sum_len AS DOUBLE)
-           |                * 1000000.0 + 0.5) / 1000000.0 END AS DOUBLE) AS $out"""
-          .stripMargin
-      val fracs =
-        topDefs.map { case (n, _) => fracSql(s"cov_t$n", s"top${n}_char_frac") } ++
-          dupDefs.map { case (n, _) => fracSql(s"cov_d$n", s"dup${n}_char_frac") }
-      val maskTerms = (topDefs.map { case (n, t) => (s"cov_t$n", t) } ++
-        dupDefs.map { case (n, t) => (s"cov_d$n", t) }).zipWithIndex.map {
-        case ((cov, t), i) =>
-          s"(CASE WHEN $cov * 100 <= $t * sum_len THEN 0 ELSE ${1L << i} END)"
-      }.mkString("\n       + ")
-      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
-         |base AS (
-         |  SELECT doc_id, toks, len(toks) AS n_tok,
-         |         CAST(coalesce(list_sum(list_transform(toks, x -> len(x))), 0)
-         |              AS BIGINT) AS sum_len
-         |  FROM t),
-         |ns(n) AS (VALUES $nsValues),
-         |starts AS (
-         |  SELECT doc_id, n, toks,
-         |         unnest(range(1, n_tok - n + 2)) AS j
-         |  FROM base CROSS JOIN ns
-         |  WHERE n_tok >= n),
-         |grams AS (
-         |  SELECT doc_id, n, CAST(j AS BIGINT) AS j,
-         |         array_to_string(list_slice(toks, j, j + n - 1), ' ') AS gram
-         |  FROM starts),
-         |gc AS (
-         |  SELECT doc_id, n, gram, count(*) AS c
-         |  FROM grams GROUP BY doc_id, n, gram),
-         |topg AS (
-         |  SELECT doc_id, n, CAST(c * (len(gram) - (n - 1)) AS BIGINT) AS covered
-         |  FROM (SELECT doc_id, n, gram, c,
-         |               row_number() OVER (PARTITION BY doc_id, n
-         |                                  ORDER BY c DESC, gram ASC) AS rn
-         |        FROM gc)
-         |  WHERE rn = 1 AND n <= 4),
-         |dstart AS (
-         |  SELECT g.doc_id, g.n, g.j
-         |  FROM grams g JOIN gc USING (doc_id, n, gram)
-         |  WHERE gc.c >= 2 AND g.n >= 5),
-         |covpos AS (
-         |  SELECT DISTINCT doc_id, n, j + o AS p
-         |  FROM (SELECT doc_id, n, j, unnest(range(0, n)) AS o FROM dstart)),
-         |covsum AS (
-         |  SELECT cp.doc_id, cp.n,
-         |         CAST(sum(len(list_extract(b.toks, cp.p))) AS BIGINT) AS covered
-         |  FROM covpos cp JOIN base b USING (doc_id)
-         |  GROUP BY cp.doc_id, cp.n),
-         |wide AS (
-         |  SELECT b.doc_id, CAST(b.n_tok AS BIGINT) AS n_words, b.sum_len,
-         |         ${covCols.mkString(",\n         ")}
-         |  FROM base b
-         |  ${joins.mkString("\n  ")})
-         |SELECT doc_id, n_words, sum_len,
-         |       ${fracs.mkString(",\n       ")},
-         |       CAST($maskTerms AS BIGINT) AS reject_mask,
-         |       (($maskTerms) = 0) AS keep
-         |FROM wide""".stripMargin
-  }
 
   def oracleSql: Map[String, String] = Map(
     "q_funnel_quantiles" -> FunnelQuantilesSql,
@@ -9251,1536 +7335,4 @@ object SparkEntry {
          |FROM ag""".stripMargin
   )
 
-  /** Generated DuckDB replay of TF.simhash48FromHashes: one md5-48 per
-    * token, 48 independent ±1 position sums (sign of each = one output
-    * bit). All integers; empty docs sign to 0 everywhere → signature 0.
-    */
-  private lazy val SimhashMd5OracleSql: String = {
-    val bitSums = (0 until 48).map(j =>
-      s"coalesce(list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)), 0) AS c$j")
-      .mkString(",\n         ")
-    val sig = (0 until 48).map(j =>
-      s"(CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END)").mkString("\n       + ")
-    s"""WITH t AS (
-       |  SELECT doc_id, list_transform($TokensSql, tok ->
-       |    ('0x' || substring(md5(tok), 1, 12))::BIGINT) AS hs
-       |  FROM documents
-       |), c AS (
-       |  SELECT doc_id,
-       |         $bitSums
-       |  FROM t
-       |)
-       |SELECT doc_id,
-       |       CAST($sig AS BIGINT) AS simhash48
-       |FROM c""".stripMargin
-  }
-
-  /** Generated DuckDB replay of TF.minhash48Lanes over TF.shingles3: lane
-    * i = min over distinct 3-shingles of md5-48("i <shingle>"); docs
-    * shorter than 3 tokens shingle to their whole text.
-    */
-  private lazy val MinhashMd5OracleSql: String = {
-    val lanes = (0 until 16).map(i =>
-      s"list_min(list_transform(sh, s -> ('0x' || substring(md5('$i ' || s), 1, 12))::BIGINT)) AS mh$i")
-      .mkString(",\n       ")
-    s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
-       |sg AS (
-       |  SELECT doc_id,
-       |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-       |              ELSE list_distinct(list_transform(
-       |                     generate_series(1, len(toks) - 2),
-       |                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
-       |         END AS sh
-       |  FROM t)
-       |SELECT doc_id,
-       |       $lanes
-       |FROM sg""".stripMargin
-  }
-
-  /** Shared CTE prefix for the exact-substring oracles: rolling 8-token
-    * window hashes, hashes in ≥2 distinct docs, and the merged maximal
-    * spans (overlapping-or-adjacent windows coalesce).
-    */
-  private val SubstrSpansSql: String =
-    s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
-       |wh AS (
-       |  SELECT doc_id, pos, md5(array_to_string(toks[(pos+1):(pos+8)], ' ')) AS h
-       |  FROM (SELECT doc_id, toks, unnest(generate_series(0, len(toks)-8)) AS pos
-       |        FROM t WHERE len(toks) >= 8)),
-       |dup AS (SELECT h FROM wh GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
-       |dw AS (SELECT wh.doc_id, wh.pos FROM wh JOIN dup USING (h)),
-       |fl AS (
-       |  SELECT doc_id, pos,
-       |         CASE WHEN pos > coalesce(max(pos + 7) OVER (PARTITION BY doc_id ORDER BY pos
-       |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
-       |              THEN 1 ELSE 0 END AS ns
-       |  FROM dw),
-       |isl AS (
-       |  SELECT doc_id, pos,
-       |         sum(ns) OVER (PARTITION BY doc_id ORDER BY pos
-       |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-       |  FROM fl),
-       |spans AS (
-       |  SELECT doc_id, min(pos) AS span_start, max(pos) + 7 AS span_end,
-       |         CAST(count(*) AS BIGINT) AS n_windows
-       |  FROM isl GROUP BY doc_id, g)""".stripMargin
-
-  /** Shared CTE prefix for the PQ oracles: deterministic codebook (8 lowest
-    * vec_ids, m=4 subspaces × 16 dims), per-(vector, subspace, centroid)
-    * squared distances, and the argmin code assignment.
-    */
-  private val PqEncodeSql: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |cbrow AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code, v
-      |          FROM e ORDER BY vec_id LIMIT 8),
-      |sub AS (SELECT s FROM generate_series(0, 3) t(s)),
-      |cb AS (SELECT s, code, v[(s*16+1):((s+1)*16)] AS cv FROM cbrow, sub),
-      |d AS (SELECT vec_id, s, v[(s*16+1):((s+1)*16)] AS dv FROM e, sub),
-      |dist AS (
-      |  SELECT d.vec_id, d.s, cb.code,
-      |         list_sum(list_transform(list_zip(d.dv, cb.cv),
-      |                                 p -> (p[1]-p[2])*(p[1]-p[2]))) AS sq
-      |  FROM d JOIN cb USING (s)),
-      |enc AS (
-      |  SELECT vec_id, s, code, sq FROM
-      |    (SELECT *, row_number() OVER (PARTITION BY vec_id, s
-      |                                  ORDER BY sq, code) AS rn FROM dist)
-      |  WHERE rn = 1)""".stripMargin
-
-  /** Generated DuckDB replay of KMeansReplay.clusterStats (d=64, k=8,
-    * 3 rounds): integer-micros points via the floor(x·10⁶+0.5) spelling,
-    * md5-rank seeds, per-round cross-join argmin (QUALIFY over (dist, cid))
-    * and floor(S/n + 0.5) centers — every distance an exact BIGINT, every
-    * center one replayed double division, so the hash match is structural.
-    */
-  /** Generated replay of KCenter.greedyCoreset(d=64, k=8): md5-min start,
-    * per-round farthest point under (dmin DESC, vec_id) with already-
-    * selected ids excluded, LEAST-folded running dmin, final nearest-
-    * center assignment by (d2, c_id) row_number. Distances are the same
-    * BIGINT Σ(Δ²) as the k-means oracle, via range(1,65) list lambdas.
-    */
-  /** MMR greedy replay, the KCenter unrolled-round pattern: r0 carries the
-    * exact BIGINT relevance dot; g_i carries the running max-similarity to
-    * the i selected; s_i is the i-th argmax of 7·rel − 3·smax (score DESC,
-    * vec_id) — round 1 is argmax rel (smax ≔ 0, the MMR convention).
-    */
-  /** The MMR greedy replay as a reusable CTE chain ending in
-    * `mmr_sel(sel_rank, vec_id, rel_dot, mmr_score)` — consumed by both
-    * the trajectory oracle (q_mmr_selection) and the context-packing
-    * oracle (q_context_pack) so the replayed selection cannot drift.
-    */
-  private lazy val MmrCtes: String = {
-    val K = 8
-    def dot(a: String, b: String) =
-      s"CAST(list_sum(list_transform(range(1, 65), i -> $a.m[i] * $b.m[i])) AS BIGINT)"
-    val rounds = (2 to K).flatMap { i =>
-      Seq(
-        s"""s$i AS MATERIALIZED (
-           |  SELECT vec_id, m, rel, 7 * rel - 3 * smax AS score FROM g${i - 1}
-           |  WHERE vec_id NOT IN (${(1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")})
-           |  ORDER BY score DESC, vec_id LIMIT 1)""".stripMargin) ++
-        (if (i < K) Seq(
-          s"""g$i AS MATERIALIZED (
-             |  SELECT g.vec_id, g.m, g.rel, GREATEST(g.smax, ${dot("g", s"s$i")}) AS smax
-             |  FROM g${i - 1} g CROSS JOIN s$i)""".stripMargin)
-        else Nil)
-    }.mkString(",\n")
-    val sel = (1 to K)
-      .map(i => s"SELECT $i AS sel_rank, vec_id, rel AS rel_dot, score AS mmr_score FROM s$i")
-      .mkString(" UNION ALL ")
-    s"""WITH em AS MATERIALIZED (
-       |  SELECT vec_id,
-       |         list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 64),
-       |                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS m
-       |  FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
-       |q AS MATERIALIZED (SELECT m FROM em WHERE vec_id = 0),
-       |r0 AS MATERIALIZED (
-       |  SELECT em.vec_id, em.m, ${dot("em", "q")} AS rel
-       |  FROM em CROSS JOIN q WHERE em.vec_id <> 0),
-       |s1 AS MATERIALIZED (
-       |  SELECT vec_id, m, rel, 7 * rel AS score FROM r0
-       |  ORDER BY rel DESC, vec_id LIMIT 1),
-       |g1 AS MATERIALIZED (
-       |  SELECT r.vec_id, r.m, r.rel, ${dot("r", "s1")} AS smax
-       |  FROM r0 r CROSS JOIN s1),
-       |$rounds,
-       |mmr_sel AS ($sel)""".stripMargin
-  }
-
-  private lazy val MmrOracleSql: String =
-    s"""$MmrCtes
-       |SELECT sel_rank, vec_id, rel_dot, mmr_score FROM mmr_sel""".stripMargin
-
-  /** ContextPack replay: the shared MMR trajectory joined to exact token
-    * counts, BIGINT prefix sum in sel_rank order, prefix kept while
-    * cum ≤ budget (monotone cum ⇒ the filter IS stop-at-first-overflow).
-    */
-  private lazy val ContextPackOracleSql: String =
-    s"""$MmrCtes,
-       |tk AS (SELECT doc_id, len($TokensSql) AS n_tokens FROM documents),
-       |pk AS (
-       |  SELECT m.sel_rank, m.vec_id AS doc_id,
-       |         CAST(t.n_tokens AS BIGINT) AS n_tokens,
-       |         CAST(sum(t.n_tokens) OVER (ORDER BY m.sel_rank
-       |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
-       |           AS cum_tokens
-       |  FROM mmr_sel m JOIN tk t ON t.doc_id = m.vec_id)
-       |SELECT sel_rank, doc_id, n_tokens, cum_tokens FROM pk
-       |WHERE cum_tokens <= 120""".stripMargin
-
-  private lazy val KCenterOracleSql: String = {
-    val K = 8
-    def dist(a: String, b: String) =
-      s"CAST(list_sum(list_transform(range(1, 65), i -> ($a.m[i] - $b.m[i]) * ($a.m[i] - $b.m[i]))) AS BIGINT)"
-    val rounds = (2 to K).flatMap { i =>
-      Seq(
-        s"""s$i AS MATERIALIZED (
-           |  SELECT vec_id, m FROM d${i - 1}
-           |  WHERE vec_id NOT IN (${(1 until i).map(j => s"SELECT vec_id FROM s$j").mkString(" UNION ALL ")})
-           |  ORDER BY dmin DESC, vec_id LIMIT 1)""".stripMargin) ++
-        (if (i < K) Seq(
-          s"""d$i AS MATERIALIZED (
-             |  SELECT d.vec_id, d.m, LEAST(d.dmin, ${dist("d", s"s$i")}) AS dmin
-             |  FROM d${i - 1} d CROSS JOIN s$i)""".stripMargin)
-        else Nil)
-    }.mkString(",\n")
-    val selUnion = (1 to K)
-      .map(i => s"SELECT vec_id AS c_id, m AS cm, $i AS sel_rank FROM s$i")
-      .mkString(" UNION ALL ")
-    s"""WITH em AS MATERIALIZED (
-       |  SELECT vec_id,
-       |         list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 64),
-       |                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS m
-       |  FROM embeddings
-       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
-       |s1 AS MATERIALIZED (
-       |  SELECT vec_id, m FROM em
-       |  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 1),
-       |d1 AS MATERIALIZED (
-       |  SELECT em.vec_id, em.m, ${dist("em", "s1")} AS dmin
-       |  FROM em CROSS JOIN s1),
-       |$rounds,
-       |selc AS MATERIALIZED ($selUnion),
-       |a AS (
-       |  SELECT em.vec_id, selc.c_id, selc.sel_rank,
-       |         CAST(list_sum(list_transform(range(1, 65),
-       |              i -> (em.m[i] - selc.cm[i]) * (em.m[i] - selc.cm[i]))) AS BIGINT) AS d2
-       |  FROM em CROSS JOIN selc),
-       |n AS (
-       |  SELECT vec_id, c_id, d2,
-       |         row_number() OVER (PARTITION BY vec_id ORDER BY d2, c_id) AS rn
-       |  FROM a)
-       |SELECT n.vec_id, n.c_id AS nearest_center, n.d2,
-       |       CAST(coalesce(s.sel_rank, 0) AS INT) AS sel_rank
-       |FROM n LEFT JOIN (SELECT c_id, sel_rank FROM selc) s ON s.c_id = n.vec_id
-       |WHERE n.rn = 1""".stripMargin
-  }
-
-  /** Shared k-means replay CTE chain (pts/seeds/rounds up to the final
-    * assignment CTE a3) — consumed by both the cluster-stats oracle and
-    * the ARI/purity oracle so the replayed trajectory cannot drift.
-    */
-  private lazy val KMeansCtes: String = kmeansCtesFrom("embeddings", 8)
-
-  /** The k-means replay chain parameterized by the source relation and k
-    * (rounds fixed at 3) — `KMeansCtes` is the `("embeddings", 8)`
-    * instance (byte-identical to its pre-refactor text), and the SemDeDup
-    * replay trains over a planted-union subset.
-    */
-  private def kmeansCtesFrom(src: String, K: Int): String = {
-    val D = 64; val R = 3
-    val dims = 0 until D
-    val ptCols = dims.map(i =>
-      s"CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x$i")
-    val distExpr =
-      dims.map(i => s"(p.x$i - c.x$i) * (p.x$i - c.x$i)").mkString(" + ")
-    val centerCols = dims.map(i =>
-      s"CAST(floor(CAST(sum(p.x$i) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS x$i")
-    val roundCtes = (0 to R).map { r =>
-      val assignCte =
-        s"d$r AS (SELECT p.vec_id, c.cid, $distExpr AS dist\n" +
-          s"  FROM pts p CROSS JOIN c$r c),\n" +
-          s"a$r AS (SELECT vec_id, cid, dist FROM d$r\n" +
-          s"  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) = 1)"
-      if (r == R) assignCte
-      else assignCte + ",\n" +
-        s"c${r + 1} AS (SELECT a.cid AS cid, ${centerCols.mkString(", ")}\n" +
-        s"  FROM a$r a JOIN pts p USING (vec_id) GROUP BY a.cid)"
-    }
-    s"""WITH pts AS (
-       |  SELECT vec_id, ${ptCols.mkString(",\n         ")}
-       |  FROM $src WHERE embedding IS NOT NULL AND len(embedding) >= $D
-       |), sd AS (
-       |  SELECT vec_id,
-       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
-       |  FROM pts
-       |), c0 AS (
-       |  SELECT sd.cid AS cid, ${dims.map(i => s"p.x$i").mkString(", ")}
-       |  FROM sd JOIN pts p USING (vec_id) WHERE sd.cid < $K
-       |),
-       |${roundCtes.mkString(",\n")}""".stripMargin
-  }
-
-  /** Generated DuckDB replay of SgdReplay.fit over the session features
-    * (4 epochs, 6 min-max-micro features, lr=1): the FeaturesSql CTE feeds
-    * a min-max quantizer (min/max of doubles are order-free; quantization
-    * is floor((x-mn)/(mx-mn)*1e6+0.5), a fixed tree of single IEEE ops);
-    * each epoch is one CTE pair computing per-row margins t = wb*1e6 +
-    * Σ w_i*x_i (exact BIGINT), z = t/1e12 (one double division), the
-    * rational sigmoid 0.5 + 0.5*z/(1+abs(z)) (no transcendental — libm exp
-    * last-ulp drift is why DistributedSgd stays rows-only), the e6-
-    * quantized per-row gradient, and exact BIGINT gradient sums; weight
-    * updates replay the driver's floor(G/(n*1e6)+0.5) double spelling.
-    * Every number is either an exact BIGINT or one IEEE op both engines
-    * evaluate identically — the hash match is structural.
-    */
-  private lazy val SgdDetOracleSql: String = {
-    val feats = Seq("view_count", "cart_count", "session_duration",
-      "avg_price", "max_price", "unique_items")
-    val n = feats.size
-    val epochs = 4
-    val mmSel = feats.zipWithIndex.map { case (c, i) =>
-      s"min(CAST($c AS DOUBLE)) AS mn$i, max(CAST($c AS DOUBLE)) AS mx$i"
-    }.mkString(", ")
-    val fxSel = feats.zipWithIndex.map { case (c, i) =>
-      s"CASE WHEN mx$i > mn$i THEN CAST(floor((CAST($c AS DOUBLE) - mn$i) / (mx$i - mn$i) * 1000000.0 + 0.5) AS BIGINT) ELSE CAST(0 AS BIGINT) END AS x$i"
-    }.mkString(",\n         ")
-    def zExpr(w: String) =
-      s"CAST($w.wb * 1000000 + " +
-        (0 until n).map(i => s"$w.w$i * f.x$i").mkString(" + ") +
-        " AS DOUBLE) / 1000000000000.0"
-    val e0 = (0 until n).map(i => s"CAST(0 AS BIGINT) AS w$i").mkString(", ") +
-      ", CAST(0 AS BIGINT) AS wb"
-    val rounds = (1 to epochs).map { r =>
-      val sums = (0 until n).map(i => s"CAST(sum(gq * x$i) AS BIGINT) AS g$i").mkString(", ")
-      val upd = (0 until n).map(i =>
-        s"e.w$i - CAST(floor(CAST(g.g$i AS DOUBLE) / (CAST(g.n AS DOUBLE) * 1000000.0) + 0.5) AS BIGINT) AS w$i"
-      ).mkString(",\n         ")
-      s"""z$r AS (
-         |  SELECT f.*, ${zExpr("e")} AS z
-         |  FROM fx f CROSS JOIN e${r - 1} e),
-         |g$r AS (
-         |  SELECT $sums, CAST(sum(gq) AS BIGINT) AS gb, count(*) AS n
-         |  FROM (SELECT t.*, CAST(floor((0.5 + 0.5 * z / (1.0 + abs(z)) - CAST(label AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS gq
-         |        FROM z$r t) u),
-         |e$r AS (
-         |  SELECT $upd,
-         |         e.wb - CAST(floor(CAST(g.gb AS DOUBLE) / CAST(g.n AS DOUBLE) + 0.5) AS BIGINT) AS wb
-         |  FROM e${r - 1} e CROSS JOIN g$r g)""".stripMargin
-    }.mkString(",\n")
-    s"""$FeaturesSql,
-       |mm AS (SELECT $mmSel FROM features),
-       |fx AS (
-       |  SELECT user_session, label,
-       |         $fxSel
-       |  FROM features CROSS JOIN mm),
-       |e0 AS (SELECT $e0),
-       |$rounds,
-       |zf AS (
-       |  SELECT f.user_session, f.label, ${zExpr("e")} AS z
-       |  FROM fx f CROSS JOIN e$epochs e)
-       |SELECT user_session, label,
-       |       CAST(floor((0.5 + 0.5 * z / (1.0 + abs(z))) * 1000000.0 + 0.5) AS BIGINT) AS score_micros
-       |FROM zf""".stripMargin
-  }
-
-  /** DuckDB twin of [[plantedLineDocs]] + LineDedup's line/frequency CTEs
-    * (zipped parallel unnest = posexplode; trim-md5 line keys; DISTINCT
-    * doc counts) — shared by the q_line_stats and q_line_dedup oracles.
-    */
-  private val PlantedLinesCte: String =
-    """WITH planted AS (
-      |  SELECT doc_id,
-      |         concat_ws(chr(10), text,
-      |                   CASE WHEN doc_id % 3 = 0 THEN 'subscribe to our newsletter' END,
-      |                   CASE WHEN doc_id % 5 = 0 THEN 'all rights reserved' END,
-      |                   CASE WHEN doc_id % 7 = 0 THEN text END) AS text
-      |  FROM documents
-      |), lns AS (
-      |  SELECT doc_id,
-      |         unnest(range(1, len(string_split(text, chr(10))) + 1)) AS idx,
-      |         unnest(string_split(text, chr(10))) AS line
-      |  FROM planted
-      |), norm AS (
-      |  SELECT doc_id, idx, line, md5(trim(line)) AS h, trim(line) AS t FROM lns
-      |), freq AS (
-      |  SELECT h, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
-      |  FROM norm WHERE t <> '' GROUP BY h HAVING count(DISTINCT doc_id) >= 10
-      |)""".stripMargin
-
-  /** DuckDB twin of [[syntheticUrls]] + UrlFunctions.canonicalize — the
-    * identical literal-split pipeline (split_part ≡ substring_index for
-    * single-occurrence separators, list_filter/list_sort ≡ the HOF
-    * filter/array_sort), ending in `t(c_custkey, url, canon)`.
-    */
-  private val SyntheticUrlsCte: String =
-    """WITH u AS (
-      |  SELECT c_custkey,
-      |         'HTTPS://WWW.Shop' || CAST(c_custkey % 7 AS VARCHAR) ||
-      |         '.Example.COM/Seg/' || c_mktsegment ||
-      |         CASE WHEN c_custkey % 3 = 0 THEN '/' ELSE '' END ||
-      |         '?utm_source=mail&utm_campaign=x&id=' || CAST(c_custkey % 50 AS VARCHAR) ||
-      |         CASE WHEN c_custkey % 2 = 0 THEN '&fbclid=abc' ELSE '' END ||
-      |         CASE WHEN c_custkey % 4 = 0 THEN '&b=2&a=1' ELSE '' END ||
-      |         '#section' || CAST(c_custkey % 5 AS VARCHAR) AS url
-      |  FROM customer
-      |), q AS (
-      |  SELECT c_custkey, url,
-      |         split_part(split_part(url, '#', 1), '?', 1) AS base,
-      |         CASE WHEN position('?' IN split_part(url, '#', 1)) > 0
-      |              THEN split_part(split_part(url, '#', 1), '?', 2) ELSE '' END AS qs
-      |  FROM u
-      |), s AS (
-      |  SELECT c_custkey, url, qs,
-      |         split_part(base, '://', 1) AS scheme,
-      |         split_part(split_part(base, '://', 2), '/', 1) AS host,
-      |         substr(split_part(base, '://', 2),
-      |                len(split_part(split_part(base, '://', 2), '/', 1)) + 1,
-      |                1048576) AS path
-      |  FROM q
-      |), t AS (
-      |  SELECT c_custkey, url,
-      |         lower(scheme) || '://' || lower(host) || rtrim(path, '/') ||
-      |         CASE WHEN kept <> '' THEN '?' || kept ELSE '' END AS canon
-      |  FROM (SELECT *, array_to_string(list_sort(list_filter(string_split(qs, '&'),
-      |          x -> x <> '' AND NOT starts_with(x, 'utm_')
-      |               AND NOT starts_with(x, 'fbclid=')
-      |               AND NOT starts_with(x, 'gclid=')
-      |               AND NOT starts_with(x, 'ref='))), '&') AS kept
-      |        FROM s)
-      |)""".stripMargin
-
-  /** Generated replay of [[graft.operators.LengthBuckets.optimalBuckets]]
-    * (b = 4): the DP unrolled layer-per-CTE — each layer is an argmin join
-    * over the histogram (row_number by (cost, i) ≡ the driver loop's
-    * strict-< smallest-i tie), then the backtrack walks best-i pointers
-    * from the last layer and the bucket stats come off the prefix sums.
-    */
-  private lazy val LengthBucketsOracleSql: String = {
-    val layers = (2 to 4).map { b =>
-      s"""c$b AS MATERIALIZED (SELECT j, cost, bi FROM (
-         |  SELECT jn.k AS j,
-         |         p.cost + jn.l * (jn.cc - i.cc) - (jn.ss - i.ss) AS cost, i.k AS bi,
-         |         row_number() OVER (PARTITION BY jn.k
-         |           ORDER BY p.cost + jn.l * (jn.cc - i.cc) - (jn.ss - i.ss), i.k) AS rn
-         |  FROM h jn JOIN h i ON i.k < jn.k JOIN c${b - 1} p ON p.j = i.k)
-         |  WHERE rn = 1)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH lens AS (SELECT CAST(len($TokensSql) AS BIGINT) AS l FROM documents),
-       |hist AS (SELECT l, CAST(count(*) AS BIGINT) AS c FROM lens GROUP BY l),
-       |h AS MATERIALIZED (
-       |  SELECT CAST(row_number() OVER (ORDER BY l) AS INT) AS k, l,
-       |         CAST(sum(c) OVER (ORDER BY l) AS BIGINT) AS cc,
-       |         CAST(sum(c * l) OVER (ORDER BY l) AS BIGINT) AS ss
-       |  FROM hist),
-       |h0 AS (SELECT 0 AS k, CAST(0 AS BIGINT) AS l, CAST(0 AS BIGINT) AS cc,
-       |              CAST(0 AS BIGINT) AS ss
-       |       UNION ALL SELECT k, l, cc, ss FROM h),
-       |c1 AS MATERIALIZED (SELECT k AS j, l * cc - ss AS cost, 0 AS bi FROM h),
-       |$layers,
-       |nn AS (SELECT max(k) AS n FROM h),
-       |s4 AS (SELECT c4.bi AS j FROM c4 JOIN nn ON c4.j = nn.n),
-       |s3 AS (SELECT c3.bi AS j FROM c3 JOIN s4 ON c3.j = s4.j),
-       |s2 AS (SELECT c2.bi AS j FROM c2 JOIN s3 ON c2.j = s3.j),
-       |bounds AS (
-       |  SELECT 1 AS b, 0 AS lo_k, (SELECT j FROM s2) AS hi_k
-       |  UNION ALL SELECT 2, (SELECT j FROM s2), (SELECT j FROM s3)
-       |  UNION ALL SELECT 3, (SELECT j FROM s3), (SELECT j FROM s4)
-       |  UNION ALL SELECT 4, (SELECT j FROM s4), (SELECT n FROM nn))
-       |SELECT CAST(bounds.b AS INT) AS bucket_id, hi.l AS hi_len,
-       |       hi.cc - lo.cc AS n_docs, hi.ss - lo.ss AS n_tokens,
-       |       hi.l * (hi.cc - lo.cc) - (hi.ss - lo.ss) AS padding
-       |FROM bounds
-       |JOIN h0 lo ON lo.k = bounds.lo_k
-       |JOIN h0 hi ON hi.k = bounds.hi_k""".stripMargin
-  }
-
-  /** PPJoin exact-Jaccard self-join replay (also embedded by the
-    * q_dedup_method_overlap audit). */
-  private lazy val SimilarityJoinOracleSql: String =
-    s"""WITH t AS (
-         |  SELECT doc_id, $TokensSql AS toks FROM documents
-         |), d AS (
-         |  SELECT doc_id, list_distinct(
-         |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
-         |         ELSE list_transform(generate_series(1, len(toks) - 2),
-         |                             i -> array_to_string(toks[i:i+2], ' '))
-         |    END) AS sh
-         |  FROM t
-         |), sz AS (
-         |  SELECT doc_id, len(sh) AS n FROM d
-         |), ex AS (
-         |  SELECT doc_id, unnest(sh) AS s FROM d
-         |), dfq AS (
-         |  SELECT s, count(*) AS df FROM ex GROUP BY s
-         |), rk AS (
-         |  SELECT ex.doc_id, ex.s,
-         |         row_number() OVER (PARTITION BY ex.doc_id
-         |                            ORDER BY dfq.df, ex.s) AS rn
-         |  FROM ex JOIN dfq ON ex.s = dfq.s
-         |), pref AS (
-         |  SELECT rk.doc_id, rk.s, sz.n
-         |  FROM rk JOIN sz ON rk.doc_id = sz.doc_id
-         |  WHERE rk.rn <= sz.n - CAST(ceil(CAST(0.6 AS DOUBLE) * sz.n) AS BIGINT) + 1
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
-         |  FROM pref a JOIN pref b
-         |    ON a.s = b.s AND b.doc_id > a.doc_id
-         |   AND b.n >= CAST(0.6 AS DOUBLE) * a.n - CAST(1e-9 AS DOUBLE)
-         |   AND b.n <= a.n / CAST(0.6 AS DOUBLE) + CAST(1e-9 AS DOUBLE)
-         |), v AS (
-         |  SELECT c.id1, c.id2,
-         |         CAST(len(list_intersect(d1.sh, d2.sh)) AS DOUBLE)
-         |         / (len(d1.sh) + len(d2.sh) - len(list_intersect(d1.sh, d2.sh)))
-         |           AS jaccard
-         |  FROM cand c
-         |  JOIN d d1 ON c.id1 = d1.doc_id
-         |  JOIN d d2 ON c.id2 = d2.doc_id)
-         |SELECT id1, id2, jaccard FROM v
-         |WHERE jaccard >= CAST(0.6 AS DOUBLE)""".stripMargin
-
-  /** LSH banding tuner replay: the S-curve with UNROLLED multiplication
-    * chains (left-assoc, matching the Column fold — never libm pow), over
-    * the q_jaccard_adjacent similarity sample; per-pair e6 quantization
-    * before exact BIGINT sums.
-    */
-  private lazy val LshTuningOracleSql: String = {
-    def pw(x: String, n: Int): String = Seq.fill(n)(x).mkString("(", " * ", ")")
-    val rows = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1)).map { case (b, r) =>
-      val p = s"(1.0 - ${pw(s"(1.0 - ${pw("j", r)})", b)})"
-      s"""SELECT $b AS bands, $r AS rows, CAST(count(*) AS BIGINT) AS n_pairs,
-         |       CAST(sum(CAST(floor($p * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
-         |         AS exp_detected_e6,
-         |       CAST(sum(CASE WHEN j >= 0.5
-         |                     THEN 1000000 - CAST(floor($p * 1000000.0 + 0.5) AS BIGINT)
-         |                     ELSE 0 END) AS BIGINT) AS exp_missed_above_tau_e6
-         |FROM sims""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH d AS (SELECT doc_id, list_distinct($TokensSql) AS words FROM documents),
-       |pp AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.words AS w1, b.words AS w2
-       |       FROM d a JOIN d b ON b.doc_id = a.doc_id + 1),
-       |sims AS (SELECT CASE WHEN len(list_distinct(list_concat(w1, w2))) = 0 THEN 0.0
-       |                ELSE CAST(len(list_intersect(w1, w2)) AS DOUBLE)
-       |                     / len(list_distinct(list_concat(w1, w2))) END AS j
-       |         FROM pp)
-       |$rows""".stripMargin
-  }
-
-  /** mSPRT replay ([[graft.operators.Msprt.sequentialLift]]): md5 arms,
-    * (user, day) trials, windowed cumulative BIGINTs over the days table,
-    * then ONE fixed-spelling log-Λ double chain per look (textual
-    * expansion below keeps the IEEE association identical to the Column
-    * tree), e6-quantized before the integer running max.
-    */
-  private lazy val MsprtOracleSql: String = {
-    val T = 0.0025d.toString
-    val pa = "(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
-    val pb = "(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
-    val pool = "(CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))"
-    val v = s"($pool * (1.0 - $pool) * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))"
-    s"""WITH ud AS (
-       |  SELECT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS day,
-       |         CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv
-       |  FROM events GROUP BY 1, 2),
-       |ar AS (
-       |  SELECT day,
-       |         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 AS arm,
-       |         conv
-       |  FROM ud),
-       |dd AS (
-       |  SELECT day,
-       |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS dn_a,
-       |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS dn_b,
-       |         CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT) AS dx_a,
-       |         CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT) AS dx_b
-       |  FROM ar GROUP BY day),
-       |c AS (
-       |  SELECT day,
-       |         CAST(sum(dn_a) OVER w AS BIGINT) AS n_a,
-       |         CAST(sum(dn_b) OVER w AS BIGINT) AS n_b,
-       |         CAST(sum(dx_a) OVER w AS BIGINT) AS x_a,
-       |         CAST(sum(dx_b) OVER w AS BIGINT) AS x_b
-       |  FROM dd WINDOW w AS (ORDER BY day ROWS UNBOUNDED PRECEDING)),
-       |ll AS (
-       |  SELECT day, n_a, n_b, x_a, x_b,
-       |         CAST(floor((CASE WHEN n_a = 0 OR n_b = 0 OR x_a + x_b = 0
-       |                            OR x_a + x_b = n_a + n_b THEN 0.0
-       |                     ELSE 0.5 * ln($v / ($v + $T))
-       |                          + ($pb - $pa) * ($pb - $pa) * $T
-       |                            / (2.0 * $v * ($v + $T))
-       |                     END) * 1000000.0 + 0.5) AS BIGINT) AS log_lambda_e6
-       |  FROM c)
-       |SELECT day, n_a, n_b, x_a, x_b, log_lambda_e6,
-       |       -greatest(max(log_lambda_e6) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING),
-       |                 0) AS ln_p_e6,
-       |       -greatest(max(log_lambda_e6) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING),
-       |                 0) <= ${graft.operators.Msprt.LnAlphaE6} AS significant
-       |FROM ll""".stripMargin
-  }
-
-  /** SQL twin of [[syntheticHtml]] — the identical concat expression. */
-  private val SyntheticHtmlSql: String =
-    "'<html><head><title>Doc</title><style>p{color:red}</style></head>" +
-      "<body><h1>Heading &amp; more</h1><p>' || text || " +
-      "'</p><a href=\"https://Example.com/p/' || CAST(doc_id % 5 AS VARCHAR) || " +
-      "'?utm_source=x&b=2&a=1#f\">L1</a> <a href=\"http://Host' || CAST(doc_id % 3 AS VARCHAR) || " +
-      "'.org/x/\">L2</a><script>var s=1;</script></body></html>'"
-
-  /** Shared winnowing replay chain (ends in `fp(doc_id, fp_hash, fp_pos)`):
-    * MOSS normalization, md5-32 k-gram hashes (k=5), hash and position
-    * packed into one BIGINT (h·2²⁴ + (2²⁴−1−pos)) so the w=8 sliding-window
-    * "min hash, rightmost on ties" selection is a single windowed MIN —
-    * mirrors [[graft.operators.Winnow.fingerprints]] step for step.
-    */
-  private def winnowCtes(src: String): String =
-    s"""WITH w0 AS MATERIALIZED (
-       |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
-       |  FROM ($src)),
-       |wh AS (
-       |  SELECT doc_id, pos,
-       |         ('0x' || substring(md5(substring(s, CAST(pos AS INT), 5)), 1, 8))::BIGINT AS h
-       |  FROM (SELECT doc_id, s, unnest(range(1, length(s) - 3)) AS pos
-       |        FROM w0 WHERE length(s) >= 5)),
-       |wk AS (
-       |  SELECT doc_id, pos,
-       |         min(h * 16777216 + (16777215 - pos)) OVER (
-       |           PARTITION BY doc_id ORDER BY pos
-       |           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS fpkey
-       |  FROM wh),
-       |fp AS (
-       |  SELECT DISTINCT doc_id, fpkey // 16777216 AS fp_hash,
-       |                  16777215 - (fpkey % 16777216) AS fp_pos
-       |  FROM wk WHERE pos >= 8)""".stripMargin
-
-  /** Shared dHash byte-fold replay chain (ends in `bands(doc_id, media_type,
-    * band_idx, band_val)` with `bits(doc_id, j, bit)` available upstream):
-    * per-byte values reconstructed from the hex dump's nibble pairs
-    * (strpos arithmetic — DuckDB hex() is uppercase), positional fold into
-    * the 72-cell grid (cell = byte index mod 72, exact integer sums,
-    * COALESCE-densified so short docs still emit all cells), strict->
-    * horizontal difference bits over the 8×9 grid, 16-bit band packing.
-    * Mirrors [[graft.operators.Multimodal.dHashStubBands]] step for step.
-    */
-  private def phashCtes(src: String): String =
-    s"""WITH pxsrc AS MATERIALIZED (
-       |  SELECT doc_id, media_type, regexp_extract_all(hex(encode(text)), '..') AS px
-       |  FROM ($src)),
-       |pv AS (
-       |  SELECT doc_id, unnest(range(0, len(px))) AS i, unnest(px) AS hx FROM pxsrc),
-       |gs AS (
-       |  SELECT doc_id, CAST(i % 72 AS INT) AS cell,
-       |         sum((strpos('0123456789ABCDEF', hx[1:1]) - 1) * 16
-       |             + (strpos('0123456789ABCDEF', hx[2:2]) - 1)) AS s
-       |  FROM pv GROUP BY 1, 2),
-       |grid AS (
-       |  SELECT d.doc_id, d.media_type, c.cell, COALESCE(gs.s, 0) AS s
-       |  FROM pxsrc d
-       |  CROSS JOIN (SELECT CAST(unnest(range(0, 72)) AS INT) AS cell) c
-       |  LEFT JOIN gs ON gs.doc_id = d.doc_id AND gs.cell = c.cell),
-       |bits AS (
-       |  SELECT l.doc_id, l.media_type, (l.cell // 9) * 8 + (l.cell % 9) AS j,
-       |         CASE WHEN l.s > r.s THEN 1 ELSE 0 END AS bit
-       |  FROM grid l JOIN grid r ON r.doc_id = l.doc_id AND r.cell = l.cell + 1
-       |  WHERE l.cell % 9 < 8),
-       |bands AS (
-       |  SELECT doc_id, media_type, CAST(j // 16 AS INT) AS band_idx,
-       |         CAST(sum(bit * (1 << CAST(j % 16 AS INT))) AS INT) AS band_val
-       |  FROM bits GROUP BY 1, 2, 3)""".stripMargin
-
-  /** Generated DuckDB replay of the ENTIRE r16 deterministic IVFADC index
-    * (ivfAdcKnn: nLists=8, nProbe=4, m=4, codes=16, rerank=50, k=10):
-    * md5-ranked 4096-sample, coarse Lloyd (5 rounds) and per-subspace
-    * residual Lloyd (3 rounds) replayed as unrolled CTE pairs (assignment
-    * = row_number over (exact-BIGINT dist, cid); centers = floor(S/n+0.5)
-    * with empty-cluster renumbering by row_number OVER (ORDER BY cid));
-    * full-corpus posting via double sqDist folds against the /1e6 centers
-    * (list_sum(list_transform(list_zip(...))) IS the Spark left fold —
-    * the q_pq_subset precedent); probes by sqrt-fold crank; ADC as the
-    * (list, s, code) join with list_sum(list(sq ORDER BY s)); exact
-    * rerank of the 50-shortlist. Every tie-break is (value, id); every
-    * float op is one IEEE op both engines share — the hash is structural.
-    */
-  private lazy val IvfPqOracleSql: String = {
-    def zsq(a: String, b: String) =
-      s"list_sum(list_transform(list_zip($a, $b), z -> (z[1]-z[2])*(z[1]-z[2])))"
-    def zsqI(a: String, b: String) = s"CAST(${zsq(a, b)} AS BIGINT)"
-    def sl(c: String, s: Int) = s"$c[(${s * 16} + 1):${(s + 1) * 16}]"
-    // one Lloyd round over sample `samp`(rn, m): assignment vs c{r-1},
-    // per-dim exact sums, floor(S/n + 0.5), empty-cluster renumber
-    def round(pfx: String, samp: String, r: Int, dims: Int): String =
-      s"""${pfx}a$r AS MATERIALIZED (
-         |  SELECT rn, m, cid FROM (
-         |    SELECT p.rn, p.m, c.cid,
-         |           row_number() OVER (PARTITION BY p.rn
-         |                              ORDER BY ${zsqI("p.m", "c.m")}, c.cid) AS a
-         |    FROM $samp p CROSS JOIN ${pfx}c${r - 1} c) WHERE a = 1),
-         |${pfx}c$r AS MATERIALIZED (
-         |  SELECT row_number() OVER (ORDER BY cid) - 1 AS cid, m FROM (
-         |    SELECT cid, list(cv ORDER BY pos) AS m FROM (
-         |      SELECT cid, pos,
-         |             CAST(floor(CAST(sum(val) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS cv
-         |      FROM (SELECT cid, unnest(range(1, ${dims + 1})) AS pos, unnest(m) AS val FROM ${pfx}a$r)
-         |      GROUP BY cid, pos) GROUP BY cid))""".stripMargin
-    val coarseRounds = (1 to 5).map(r => round("k", "cs0", r, 64)).mkString(",\n")
-    val residTrain = (0 until 4).map { s =>
-      val seeds = s"b${s}c0 AS MATERIALIZED (SELECT rn - 1 AS cid, ${sl("rm", s)} AS m FROM rs0 WHERE rn <= 16)"
-      val rounds = (1 to 3).map(r => round(s"b$s", s"(SELECT rn, ${sl("rm", s)} AS m FROM rs0)", r, 16)).mkString(",\n")
-      val dbl = s"b${s}d AS MATERIALIZED (SELECT cid, list_transform(m, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv FROM b${s}c3)"
-      s"$seeds,\n$rounds,\n$dbl"
-    }.mkString(",\n")
-    val encUnion = (0 until 4).map { s =>
-      s"""SELECT neighbor_id, list_id, $s AS s, cid AS code FROM (
-         |  SELECT p.neighbor_id, p.list_id, c.cid,
-         |         row_number() OVER (PARTITION BY p.neighbor_id
-         |                            ORDER BY ${zsq(sl("p.resid", s), "c.cv")}, c.cid) AS a
-         |  FROM prm p CROSS JOIN b${s}d c) WHERE a = 1""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    val qtUnion = (0 until 4).map { s =>
-      s"""SELECT p.query_id, p.list_id, $s AS s, c.cid AS code,
-         |       ${zsq(sl("p.qr", s), "c.cv")} AS sq
-         |FROM pb p CROSS JOIN b${s}d c""".stripMargin
-    }.mkString("\nUNION ALL\n")
-    s"""WITH e AS MATERIALIZED (
-       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-       |         list_transform(CAST(embedding AS DOUBLE[]),
-       |                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS m,
-       |         md5(CAST(vec_id AS VARCHAR)) AS h
-       |  FROM embeddings),
-       |cs0 AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY h, vec_id) AS rn, m
-       |  FROM e ORDER BY h, vec_id LIMIT 4096),
-       |kc0 AS MATERIALIZED (SELECT rn - 1 AS cid, m FROM cs0 WHERE rn <= 8),
-       |$coarseRounds,
-       |ccd AS MATERIALIZED (
-       |  SELECT cid, list_transform(m, x -> CAST(x AS DOUBLE) / 1000000.0) AS cv FROM kc5),
-       |pa AS MATERIALIZED (
-       |  SELECT vec_id AS neighbor_id, v, list_id, cv FROM (
-       |    SELECT e.vec_id, e.v, c.cid AS list_id, c.cv,
-       |           row_number() OVER (PARTITION BY e.vec_id
-       |                              ORDER BY ${zsq("e.v", "c.cv")}, c.cid) AS a
-       |    FROM e CROSS JOIN ccd c) WHERE a = 1),
-       |prm AS MATERIALIZED (
-       |  SELECT neighbor_id, list_id, resid,
-       |         list_transform(resid, x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS rm,
-       |         md5(CAST(neighbor_id AS VARCHAR)) AS h
-       |  FROM (SELECT neighbor_id, list_id,
-       |               list_transform(list_zip(v, cv), z -> z[1] - z[2]) AS resid
-       |        FROM pa)),
-       |rs0 AS MATERIALIZED (
-       |  SELECT row_number() OVER (ORDER BY h, neighbor_id) AS rn, rm
-       |  FROM prm ORDER BY h, neighbor_id LIMIT 4096),
-       |$residTrain,
-       |enc AS MATERIALIZED (
-       |$encUnion),
-       |pb AS MATERIALIZED (
-       |  SELECT query_id, list_id, qr FROM (
-       |    SELECT q.vec_id AS query_id, c.cid AS list_id,
-       |           list_transform(list_zip(q.v, c.cv), z -> z[1] - z[2]) AS qr,
-       |           row_number() OVER (PARTITION BY q.vec_id
-       |                              ORDER BY sqrt(${zsq("q.v", "c.cv")}), c.cid) AS crank
-       |    FROM (SELECT vec_id, v FROM e WHERE vec_id < 5) q CROSS JOIN ccd c)
-       |  WHERE crank <= 4),
-       |qt AS MATERIALIZED (
-       |$qtUnion),
-       |score AS (
-       |  SELECT qt.query_id, enc.neighbor_id,
-       |         list_sum(list(qt.sq ORDER BY qt.s)) AS adist
-       |  FROM enc JOIN qt
-       |    ON qt.list_id = enc.list_id AND qt.s = enc.s AND qt.code = enc.code
-       |  WHERE enc.neighbor_id <> qt.query_id
-       |  GROUP BY 1, 2),
-       |shortlist AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |           row_number() OVER (PARTITION BY query_id ORDER BY adist, neighbor_id) AS rank
-       |    FROM score) WHERE rank <= 50),
-       |rr AS (
-       |  SELECT sl.query_id, sl.neighbor_id, ${zsq("q.v", "n.v")} AS sq_l2
-       |  FROM shortlist sl
-       |  JOIN e q ON q.vec_id = sl.query_id
-       |  JOIN e n ON n.vec_id = sl.neighbor_id)
-       |SELECT query_id, neighbor_id, round(sq_l2, 6) AS sq_l2,
-       |       CAST(rank AS INT) AS rank FROM (
-       |  SELECT query_id, neighbor_id, sq_l2,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY sq_l2, neighbor_id) AS rank
-       |  FROM rr) WHERE rank <= 10""".stripMargin
-  }
-
-  private lazy val KMeansOracleSql: String =
-    s"""$KMeansCtes
-       |SELECT cid AS cluster_id, count(*) AS n_points,
-       |       CAST(sum(dist) AS BIGINT) AS inertia
-       |FROM a3 GROUP BY cid""".stripMargin
-
-  /** Generated replay of IvfReplay.knn (nLists=8, rounds=3, nProbe=4,
-    * k=10): the shared KMeansCtes quantizer trajectory gives the round-3
-    * centers (c3) and posting lists (a3); probes are the 4 centroid ranks
-    * per query under (exact BIGINT distance, cid); candidates are the
-    * probed lists minus self; scoring is the same exact Σ(Δ²) between
-    * query and neighbor micros; top-10 by (d2, neighbor_id). Every number
-    * is BIGINT arithmetic — the hash match is structural.
-    */
-  /** The IVF-det replay as a reusable chain ending in
-    * `r(query_id, neighbor_id, d2, rank)` — shared by the top-k oracle and
-    * the recall oracle so the replayed retrieval cannot drift.
-    */
-  private lazy val IvfDetCtes: String = {
-    val dims = 0 until 64
-    val pcDist = dims.map(i => s"(p.x$i - c.x$i) * (p.x$i - c.x$i)").mkString(" + ")
-    val qnDist = dims.map(i => s"(q.x$i - n.x$i) * (q.x$i - n.x$i)").mkString(" + ")
-    s"""$KMeansCtes,
-       |pr AS (
-       |  SELECT p.vec_id AS query_id, c.cid,
-       |         row_number() OVER (PARTITION BY p.vec_id ORDER BY $pcDist, c.cid) AS prk
-       |  FROM pts p CROSS JOIN c3 c
-       |  WHERE p.vec_id < 5),
-       |cand AS (
-       |  SELECT pr.query_id, a.vec_id AS neighbor_id
-       |  FROM pr JOIN a3 a ON pr.cid = a.cid
-       |  WHERE pr.prk <= 4 AND a.vec_id <> pr.query_id),
-       |sc AS (
-       |  SELECT cd.query_id, cd.neighbor_id, $qnDist AS d2
-       |  FROM cand cd
-       |  JOIN pts q ON q.vec_id = cd.query_id
-       |  JOIN pts n ON n.vec_id = cd.neighbor_id),
-       |r AS (
-       |  SELECT query_id, neighbor_id, d2,
-       |         row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
-       |  FROM sc)""".stripMargin
-  }
-
-  private lazy val IvfDetOracleSql: String =
-    s"""$IvfDetCtes
-       |SELECT query_id, neighbor_id, d2, rank FROM r WHERE rank <= 10""".stripMargin
-
-  /** IVF recall@10 vs the exact integer-L2 ranking over the same
-    * quantized points — the retrieval QUALITY itself oracled (the
-    * q_matryoshka_recall pattern): exact top-10 from a full scan, probed
-    * top-10 from the shared IvfDetCtes, recall = hit count / 10 in exact
-    * integer micros.
-    */
-  private lazy val IvfRecallOracleSql: String = {
-    val dims = 0 until 64
-    val qnDist = dims.map(i => s"(q.x$i - n.x$i) * (q.x$i - n.x$i)").mkString(" + ")
-    s"""$IvfDetCtes,
-       |exd AS (
-       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $qnDist AS d2
-       |  FROM pts q JOIN pts n ON n.vec_id <> q.vec_id
-       |  WHERE q.vec_id < 5),
-       |exr AS (
-       |  SELECT query_id, neighbor_id FROM (
-       |    SELECT query_id, neighbor_id,
-       |           row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
-       |    FROM exd)
-       |  WHERE rank <= 10)
-       |SELECT i.query_id,
-       |       CAST(count(e.neighbor_id) AS BIGINT) AS n_hits,
-       |       CAST(count(e.neighbor_id) * 1000000 // 10 AS BIGINT) AS recall_micros
-       |FROM (SELECT query_id, neighbor_id FROM r WHERE rank <= 10) i
-       |LEFT JOIN exr e
-       |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
-       |GROUP BY i.query_id""".stripMargin
-  }
-
-  /** RBO@10 replay between the probed-IVF ranking (shared IvfDetCtes `r`)
-    * and the exact ranking (the IvfRecallOracleSql exact side, WITH rank):
-    * depth weights (1−p)·p^(d−1)/d spliced as Double.toString literals,
-    * overlap counts exact integers, per-term e6 quantization before the
-    * integer sum — mirrors [[graft.operators.Rbo.rboAtK]].
-    */
-  private lazy val RboIvfOracleSql: String = {
-    val dims = 0 until 64
-    val qnDist = dims.map(i => s"(q.x$i - n.x$i) * (q.x$i - n.x$i)").mkString(" + ")
-    val wvals = (1 to 10)
-      .map(d => s"($d, ${((1.0d - 0.9d) * math.pow(0.9d, (d - 1).toDouble) / d).toString})")
-      .mkString(", ")
-    s"""$IvfDetCtes,
-       |exd AS (
-       |  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id, $qnDist AS d2
-       |  FROM pts q JOIN pts n ON n.vec_id <> q.vec_id
-       |  WHERE q.vec_id < 5),
-       |exr AS (
-       |  SELECT query_id, neighbor_id, rank FROM (
-       |    SELECT query_id, neighbor_id,
-       |           row_number() OVER (PARTITION BY query_id ORDER BY d2, neighbor_id) AS rank
-       |    FROM exd)
-       |  WHERE rank <= 10),
-       |cm AS (
-       |  SELECT a.query_id, greatest(a.rank, b.rank) AS m
-       |  FROM (SELECT query_id, neighbor_id, rank FROM r WHERE rank <= 10) a
-       |  JOIN exr b ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id),
-       |wt AS (SELECT * FROM (VALUES $wvals) t(d, wd)),
-       |tm AS (
-       |  SELECT query_id,
-       |         CAST(sum(CAST(floor(x * wd * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS rbo_e6
-       |  FROM (SELECT cm.query_id, wt.d, wt.wd, CAST(count(*) AS BIGINT) AS x
-       |        FROM cm JOIN wt ON wt.d >= cm.m GROUP BY 1, 2, 3)
-       |  GROUP BY query_id),
-       |qq AS (SELECT DISTINCT query_id FROM r)
-       |SELECT qq.query_id, coalesce(tm.rbo_e6, 0) AS rbo_e6
-       |FROM qq LEFT JOIN tm USING (query_id)""".stripMargin
-  }
-
-  /** Generated DuckDB replay of UnigramLm.train (maxLen=12, maxPiece=4,
-    * topV=500, rounds=2, minCount=2): ASCII word counts; char +
-    * top-substring seed under (c DESC, piece); per-round forward DP
-    * unrolled per end position (b tables contain REACHED positions only —
-    * the reach check is the join), canonical path re-extraction by
-    * repeated argmax (b DESC-sum ties to the smallest start, matching the
-    * kernel's strict-max rule), exact BIGINT counts with char floors, and
-    * the final prune + rescore. Every ln quantizes to micros before any
-    * combination, so the hash match is structural.
-    */
-  /** Generated DuckDB replay of Bpe.trainMerges / subwordVocab (10 merges):
-    * chars + `</w>` symbolization, per-round adjacent-pair counts (lateral
-    * unnest over 1..len−1), argmax under (cnt DESC, l, r), and the merge
-    * applied via plain `replace` over a DOUBLE-SPACE-separated encoding —
-    * ` a  b ` → ` ab ` with single-space sentinels at both ends. Non-regex
-    * `replace` is leftmost-first non-overlapping, exactly the native
-    * PairMerge kernel's greedy contract, and symbols can never contain
-    * spaces (words are whitespace-split tokens), so the encoding is
-    * unambiguous. An exhausted pair table empties every later round's CTEs
-    * structurally — the same early stop as the Scala loop. Every count is
-    * an exact BIGINT: the hash match is structural.
-    */
-  private object BpeOracle {
-    val R = 10
-
-    /** One merge round over CTE names `v$r`/`top$r` — shared with
-      * ByteBpeOracle (its v0 is the byte-mapped symbolization; the
-      * double-space replay is safe there too because every mapped byte
-      * char is non-space — 0x20 maps to U+0120).
-      */
-    def round(r: Int): String =
-      s"""px$r AS MATERIALIZED (
-         |  SELECT n, syms, unnest(range(1, len(syms))) AS i
-         |  FROM v$r WHERE len(syms) >= 2),
-         |pc$r AS MATERIALIZED (
-         |  SELECT syms[i] AS l, syms[i + 1] AS r, CAST(sum(n) AS BIGINT) AS cnt
-         |  FROM px$r GROUP BY 1, 2),
-         |top$r AS MATERIALIZED (
-         |  SELECT l, r, cnt FROM pc$r ORDER BY cnt DESC, l, r LIMIT 1),
-         |v${r + 1} AS MATERIALIZED (
-         |  SELECT v.word, v.n,
-         |         string_split(trim(replace(' ' || array_to_string(v.syms, '  ') || ' ',
-         |                                   ' ' || t.l || '  ' || t.r || ' ',
-         |                                   ' ' || t.l || t.r || ' ')),
-         |                      '  ') AS syms
-         |  FROM v$r v CROSS JOIN top$r t)""".stripMargin
-
-    lazy val ctes: String =
-      s"""WITH tok AS (SELECT unnest($TokensSql) AS word FROM documents),
-         |wc0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word),
-         |v0 AS MATERIALIZED (
-         |  SELECT word, n,
-         |         list_append(list_transform(range(1, len(word) + 1),
-         |                                    i -> substr(word, i, 1)), '</w>') AS syms
-         |  FROM wc0),
-         |${(0 until R).map(round).mkString(",\n")}""".stripMargin
-
-    lazy val mergesSql: String = {
-      val union = (0 until R)
-        .map(r => s"""SELECT CAST($r AS INT) AS merge_idx, l AS "left", r AS "right", cnt FROM top$r""")
-        .mkString("\nUNION ALL\n")
-      s"""$ctes
-         |$union""".stripMargin
-    }
-
-    lazy val subwordsSql: String =
-      s"""$ctes,
-         |sw AS (SELECT s AS subword, CAST(sum(n) AS BIGINT) AS n_tokens
-         |       FROM (SELECT n, unnest(syms) AS s FROM v$R)
-         |       GROUP BY 1)
-         |SELECT subword, n_tokens FROM sw
-         |ORDER BY n_tokens DESC, subword LIMIT 30""".stripMargin
-
-    /** Fertility under the learned merges — same formula as the unigram
-      * twin, over the round-R vocab (syms length includes `</w>`).
-      */
-    lazy val fertilitySql: String =
-      s"""$ctes,
-         |ag AS (SELECT CAST(sum(n) AS BIGINT) AS n_words,
-         |              CAST(sum(n * len(syms)) AS BIGINT) AS n_pieces,
-         |              CAST(sum(n * len(word)) AS BIGINT) AS n_chars
-         |       FROM v$R)
-         |SELECT n_words, n_pieces, n_chars,
-         |       n_pieces * 1000000 // n_words AS fertility_micros,
-         |       n_chars * 1000000 // n_pieces AS chars_per_piece_micros
-         |FROM ag""".stripMargin
-  }
-
-  /** Generated DuckDB replay of the byte-level BPE family
-    * (operators.ByteBpe): symbolization replays from the hex dump of each
-    * word's UTF-8 bytes through the 256-row byte→unicode VALUES table
-    * (a driver-side constant, identical in both engines — the
-    * q_cosine_neardup constant-shipping recipe); the merge rounds reuse
-    * BpeOracle.round's double-space replay, which is safe on byte-mapped
-    * symbols because every mapped char is non-space (0x20 → U+0120).
-    */
-  private object ByteBpeOracle {
-    val R = 10
-
-    private lazy val btVals: String =
-      (0 until 256).map { b =>
-        val c = graft.operators.ByteBpe.byteToChar(b).replace("'", "''")
-        f"('$b%02X', '$c')"
-      }.grouped(8).map(_.mkString(", ")).mkString(",\n  ")
-
-    lazy val ctes: String =
-      s"""WITH tok AS (SELECT unnest($TokensSql) AS word FROM documents),
-         |wc0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word),
-         |bt AS MATERIALIZED (
-         |  SELECT * FROM (VALUES
-         |  $btVals) t(h, sym)),
-         |bx AS (SELECT word, n,
-         |              unnest(range(1, octet_length(encode(word)) + 1)) AS i
-         |       FROM wc0),
-         |bj AS (SELECT b.word, b.n, b.i, bt.sym
-         |       FROM (SELECT word, n, i,
-         |                    substr(hex(encode(word)), CAST(2 * i - 1 AS INT), 2) AS h
-         |             FROM bx) b
-         |       JOIN bt USING (h)),
-         |v0 AS MATERIALIZED (
-         |  SELECT word, n, list(sym ORDER BY i) AS syms FROM bj GROUP BY word, n),
-         |${(0 until R).map(BpeOracle.round).mkString(",\n")}""".stripMargin
-
-    lazy val mergesSql: String = {
-      val union = (0 until R)
-        .map(r => s"""SELECT CAST($r AS INT) AS merge_idx, l AS "left", r AS "right", cnt FROM top$r""")
-        .mkString("\nUNION ALL\n")
-      s"""$ctes
-         |$union""".stripMargin
-    }
-
-    lazy val encodeSql: String =
-      s"""$ctes,
-         |sw AS (SELECT s AS subword, CAST(sum(n) AS BIGINT) AS n_tokens
-         |       FROM (SELECT n, unnest(syms) AS s FROM v$R)
-         |       GROUP BY 1)
-         |SELECT subword, n_tokens FROM sw
-         |ORDER BY n_tokens DESC, subword LIMIT 30""".stripMargin
-
-    /** Fertility under the round-R vocab — pieces byte-denominated (no
-      * `</w>`), n_chars raw characters like the other families.
-      */
-    lazy val fertilitySql: String =
-      s"""$ctes,
-         |ag AS (SELECT CAST(sum(n) AS BIGINT) AS n_words,
-         |              CAST(sum(n * len(syms)) AS BIGINT) AS n_pieces,
-         |              CAST(sum(n * len(word)) AS BIGINT) AS n_chars
-         |       FROM v$R)
-         |SELECT n_words, n_pieces, n_chars,
-         |       n_pieces * 1000000 // n_words AS fertility_micros,
-         |       n_chars * 1000000 // n_pieces AS chars_per_piece_micros
-         |FROM ag""".stripMargin
-  }
-
-  /** Generated DuckDB replay of the WordPiece family (operators.WordPiece):
-    * the frequency-substring vocab is one grouped candidate explosion + a
-    * (c DESC, piece ASC) top-V, and the greedy longest-match-first encode
-    * unrolls as ML layered argmax-by-length CTEs — each step advances every
-    * still-unfinished word by its longest matching piece (row_number over
-    * L DESC), exactly the native kernel's loop. The alphabet guarantee
-    * (all single-char forms kept) means every training word finishes
-    * within ML steps, so the unroll is complete, never truncated.
-    */
-  private object WordPieceOracle {
-    val ML = 12; val MP = 4; val TOPV = 500
-
-    /** word counts restricted to the WordPiece population (printable
-      * ASCII ≤ ML chars, no '#'), the vocab, and the greedy segmentation
-      * `wpseg(word, ord, piece)`.
-      */
-    private def stepCte(k: Int): String =
-      s"""wg_$k AS MATERIALIZED (
-         |  SELECT word, m, pos + L AS pos, piece FROM (
-         |    SELECT w.word, w.m, w.pos, ll.L,
-         |           CASE WHEN w.pos = 0 THEN substr(w.word, 1, ll.L)
-         |                ELSE '##' || substr(w.word, w.pos + 1, ll.L) END AS piece,
-         |           row_number() OVER (PARTITION BY w.word ORDER BY ll.L DESC) AS rn
-         |    FROM wg_${k - 1} w
-         |    CROSS JOIN range(1, ${MP + 1}) ll(L)
-         |    JOIN wpv v ON v.piece = CASE WHEN w.pos = 0 THEN substr(w.word, 1, ll.L)
-         |                                 ELSE '##' || substr(w.word, w.pos + 1, ll.L) END
-         |    WHERE w.pos < w.m AND ll.L <= w.m - w.pos)
-         |  WHERE rn = 1)""".stripMargin
-
-    lazy val vocabCtes: String =
-      s"""WITH tok AS (SELECT unnest($TokensSql) AS word FROM documents),
-         |wc0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word),
-         |wpw AS MATERIALIZED (
-         |  SELECT word, n, len(word) AS m FROM wc0
-         |  WHERE regexp_matches(word, '^[\\x21-\\x22\\x24-\\x7e]{1,$ML}$$')),
-         |wpc AS MATERIALIZED (
-         |  SELECT CASE WHEN ii.i = 1 THEN substr(w.word, ii.i, ll.L)
-         |              ELSE '##' || substr(w.word, ii.i, ll.L) END AS piece,
-         |         CAST(sum(w.n) AS BIGINT) AS c
-         |  FROM wpw w, range(1, ${ML + 1}) ii(i), range(1, ${MP + 1}) ll(L)
-         |  WHERE ii.i <= w.m AND ll.L <= w.m - ii.i + 1
-         |  GROUP BY 1),
-         |wpv AS MATERIALIZED (
-         |  SELECT piece, c FROM wpc
-         |  WHERE len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END = 1
-         |  UNION ALL
-         |  SELECT piece, c FROM (
-         |    SELECT piece, c FROM wpc
-         |    WHERE len(piece) - CASE WHEN piece LIKE '##%' THEN 2 ELSE 0 END > 1
-         |    ORDER BY c DESC, piece LIMIT $TOPV))""".stripMargin
-
-    lazy val encodeCtes: String =
-      s"""$vocabCtes,
-         |wg_0 AS (SELECT word, m, 0 AS pos FROM wpw),
-         |${(1 to ML).map(stepCte).mkString(",\n")},
-         |wpseg AS (
-         |  ${(1 to ML).map(k => s"SELECT word, $k AS ord, piece FROM wg_$k")
-              .mkString("\n  UNION ALL\n  ")})""".stripMargin
-
-    lazy val vocabSql: String =
-      s"""$vocabCtes
-         |SELECT piece, c FROM wpv""".stripMargin
-
-    lazy val encodeSql: String =
-      s"""$encodeCtes
-         |SELECT s.piece AS subword, CAST(sum(w.n) AS BIGINT) AS n_tokens
-         |FROM wpseg s JOIN wpw w USING (word) GROUP BY s.piece""".stripMargin
-
-    lazy val fertilitySql: String =
-      s"""$encodeCtes,
-         |pw AS (SELECT word, CAST(count(*) AS BIGINT) AS np FROM wpseg GROUP BY word),
-         |ag AS (SELECT CAST(sum(w.n) AS BIGINT) AS n_words,
-         |              CAST(sum(w.n * p.np) AS BIGINT) AS n_pieces,
-         |              CAST(sum(w.n * w.m) AS BIGINT) AS n_chars
-         |       FROM wpw w JOIN pw p USING (word))
-         |SELECT n_words, n_pieces, n_chars,
-         |       n_pieces * 1000000 // n_words AS fertility_micros,
-         |       n_chars * 1000000 // n_pieces AS chars_per_piece_micros
-         |FROM ag""".stripMargin
-
-    lazy val roundtripSql: String =
-      s"""$encodeCtes,
-         |rt AS (SELECT word,
-         |              string_agg(CASE WHEN piece LIKE '##%' THEN substr(piece, 3)
-         |                              ELSE piece END, '' ORDER BY ord) AS cat
-         |       FROM wpseg GROUP BY word)
-         |SELECT CAST(count(*) AS BIGINT) AS n_words,
-         |       CAST(sum(CASE WHEN r.cat = w.word THEN 1 ELSE 0 END) AS BIGINT)
-         |         AS n_roundtrip
-         |FROM wpw w LEFT JOIN rt r USING (word)""".stripMargin
-  }
-
-  private object UnigramOracle {
-    val ML = 12; val MP = 4; val R = 2; val TOPV = 500; val MINC = 2
-
-    def vocabCte(name: String, raw: String): String =
-      s"""$name AS MATERIALIZED (
-         |  SELECT piece, c,
-         |         CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-         |         - (SELECT CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-         |            FROM $raw) AS sc
-         |  FROM $raw)""".stripMargin
-
-    /** Forward DP + canonical path extraction under `vocabName`, CTE names
-      * suffixed `tag`; ends with `seg$tag(word, piece)`.
-      */
-    def segChain(tag: String, vocabName: String): String = {
-      val cand =
-        s"""cand$tag AS MATERIALIZED (
-           |  SELECT w.word, w.m, ii.i, ll.L, v.piece, v.sc
-           |  FROM words w, range(1, ${ML + 1}) ii(i), range(1, ${MP + 1}) ll(L), $vocabName v
-           |  WHERE ii.i <= w.m AND ll.L <= ii.i
-           |    AND v.piece = substr(w.word, ii.i - ll.L + 1, ll.L))""".stripMargin
-      val b0 = s"bu${tag}_0 AS (SELECT word, 0 AS i, CAST(0 AS BIGINT) AS b FROM words)"
-      val bs = (1 to ML).map { i =>
-        s"""b${tag}_$i AS MATERIALIZED (
-           |  SELECT c.word, max(p.b + c.sc) AS b
-           |  FROM cand$tag c JOIN bu${tag}_${i - 1} p ON p.word = c.word AND p.i = c.i - c.L
-           |  WHERE c.i = $i GROUP BY c.word),
-           |bu${tag}_$i AS (SELECT * FROM bu${tag}_${i - 1}
-           |              UNION ALL SELECT word, $i AS i, b FROM b${tag}_$i)""".stripMargin
-      }.mkString(",\n")
-      val e1 =
-        s"""e${tag}_1 AS MATERIALIZED (
-           |  SELECT word, j, piece FROM (
-           |    SELECT c.word, c.i - c.L AS j, c.piece,
-           |           row_number() OVER (PARTITION BY c.word
-           |                              ORDER BY p.b + c.sc DESC, c.i - c.L ASC) AS rn
-           |    FROM cand$tag c
-           |    JOIN bu${tag}_$ML p ON p.word = c.word AND p.i = c.i - c.L
-           |    WHERE c.i = c.m)
-           |  WHERE rn = 1)""".stripMargin
-      val es = (2 to ML).map { k =>
-        s"""e${tag}_$k AS MATERIALIZED (
-           |  SELECT word, j, piece FROM (
-           |    SELECT c.word, c.i - c.L AS j, c.piece,
-           |           row_number() OVER (PARTITION BY c.word
-           |                              ORDER BY p.b + c.sc DESC, c.i - c.L ASC) AS rn
-           |    FROM e${tag}_${k - 1} e
-           |    JOIN cand$tag c ON c.word = e.word AND c.i = e.j
-           |    JOIN bu${tag}_$ML p ON p.word = c.word AND p.i = c.i - c.L
-           |    WHERE e.j > 0)
-           |  WHERE rn = 1)""".stripMargin
-      }.mkString(",\n")
-      val seg = s"seg$tag AS MATERIALIZED (\n  " +
-        (1 to ML).map(k => s"SELECT word, piece FROM e${tag}_$k")
-          .mkString("\n  UNION ALL\n  ") + ")"
-      Seq(cand, b0, bs, e1, es, seg).mkString(",\n")
-    }
-
-    private def roundCtes(r: Int): String = {
-      val cnt =
-        s"""cnt$r AS MATERIALIZED (
-           |  SELECT s.piece, CAST(sum(w.n) AS BIGINT) AS c
-           |  FROM seg$r s JOIN words w USING (word) GROUP BY s.piece)""".stripMargin
-      val vraw =
-        s"""v${r + 1}raw AS MATERIALIZED (
-           |  SELECT piece, c FROM cnt$r WHERE len(piece) > 1
-           |  UNION ALL
-           |  SELECT ch.piece,
-           |         GREATEST(COALESCE(c.c, CAST(0 AS BIGINT)), CAST(1 AS BIGINT)) AS c
-           |  FROM ch LEFT JOIN cnt$r c ON c.piece = ch.piece)""".stripMargin
-      (Seq(segChain(r.toString, s"vocab$r"), cnt, vraw) ++
-        (if (r + 1 < R) Seq(vocabCte(s"vocab${r + 1}", s"v${r + 1}raw")) else Nil))
-        .mkString(",\n")
-    }
-
-    /** Everything through the pruned final count table `finraw(piece, c)`:
-      * ASCII word counts, char + top-substring seed, R EM rounds.
-      */
-    lazy val trainCtes: String =
-      s"""WITH tok AS (SELECT unnest($TokensSql) AS word FROM documents),
-         |wc0 AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM tok GROUP BY word),
-         |words AS MATERIALIZED (
-         |  SELECT word, n, len(word) AS m FROM wc0
-         |  WHERE regexp_matches(word, '^[\\x21-\\x7e]{1,$ML}$$')),
-         |subs AS MATERIALIZED (
-         |  SELECT substr(w.word, ii.i - ll.L + 1, ll.L) AS piece,
-         |         CAST(sum(w.n) AS BIGINT) AS c
-         |  FROM words w, range(1, ${ML + 1}) ii(i), range(1, ${MP + 1}) ll(L)
-         |  WHERE ii.i <= w.m AND ll.L <= ii.i
-         |  GROUP BY 1),
-         |v0raw AS MATERIALIZED (
-         |  SELECT piece, c FROM subs WHERE len(piece) = 1
-         |  UNION ALL
-         |  SELECT piece, c FROM (SELECT piece, c FROM subs WHERE len(piece) > 1
-         |                        ORDER BY c DESC, piece LIMIT $TOPV)),
-         |ch AS MATERIALIZED (SELECT piece FROM v0raw WHERE len(piece) = 1),
-         |${vocabCte("vocab0", "v0raw")},
-         |${(0 until R).map(roundCtes).mkString(",\n")},
-         |finraw AS MATERIALIZED (
-         |  SELECT piece, c FROM v${R}raw WHERE len(piece) = 1 OR c >= $MINC)""".stripMargin
-
-    /** trainCtes + the final rescored vocab + one more segmentation of the
-      * corpus words under it — the ENCODE path; ends with `segf`.
-      */
-    lazy val encodeCtes: String =
-      s"""$trainCtes,
-         |${vocabCte("vocabf", "finraw")},
-         |${segChain("f", "vocabf")}""".stripMargin
-  }
-
-  private lazy val UnigramLmOracleSql: String =
-    s"""${UnigramOracle.trainCtes}
-       |SELECT piece, c AS cnt,
-       |       CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-       |       - (SELECT CAST(floor(ln(CAST(sum(c) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
-       |          FROM finraw) AS logp_micro
-       |FROM finraw""".stripMargin
-
-  /** Corpus subword vocabulary under the trained unigram table — the
-    * ENCODE-path twin of q_bpe_subwords, replayed end to end.
-    */
-  private lazy val UnigramSubwordsOracleSql: String =
-    s"""${UnigramOracle.encodeCtes}
-       |SELECT s.piece AS subword, CAST(sum(w.n) AS BIGINT) AS n_tokens
-       |FROM segf s JOIN words w USING (word) GROUP BY s.piece""".stripMargin
-
-  /** Round-trip contract replay: the extraction CTEs carry each piece's
-    * start offset j, so the oracle re-assembles every word with
-    * `string_agg(piece, '' ORDER BY j)` and counts exact matches.
-    */
-  private lazy val UnigramRoundtripOracleSql: String = {
-    val allp = (1 to UnigramOracle.ML)
-      .map(k => s"SELECT word, j, piece FROM ef_$k")
-      .mkString("\n  UNION ALL\n  ")
-    s"""${UnigramOracle.encodeCtes},
-       |allp AS (
-       |  $allp),
-       |rt AS (SELECT word, string_agg(piece, '' ORDER BY j) AS cat
-       |       FROM allp GROUP BY word)
-       |SELECT CAST(count(*) AS BIGINT) AS n_words,
-       |       CAST(sum(CASE WHEN r.cat = w.word THEN 1 ELSE 0 END) AS BIGINT)
-       |         AS n_roundtrip
-       |FROM words w LEFT JOIN rt r USING (word)""".stripMargin
-  }
-
-  /** Token-meter replay: per-unique-word piece counts from the encode
-    * chain's segf, joined back to each document's token positions;
-    * documents LEFT-joined so an empty-token document still reports a
-    * zero row (matching the stateless projection).
-    */
-  private lazy val TokenMeterOracleSql: String =
-    s"""${UnigramOracle.encodeCtes},
-       |pw AS (SELECT word, CAST(count(*) AS BIGINT) AS np FROM segf GROUP BY word),
-       |dt AS (SELECT doc_id, unnest($TokensSql) AS word FROM documents),
-       |ag AS (
-       |  SELECT dt.doc_id,
-       |         CAST(count(*) AS BIGINT) AS n_words,
-       |         CAST(sum(coalesce(pw.np, 0)) AS BIGINT) AS n_pieces,
-       |         CAST(sum(CASE WHEN pw.word IS NULL THEN 1 ELSE 0 END) AS BIGINT)
-       |           AS n_uncovered
-       |  FROM dt LEFT JOIN pw USING (word) GROUP BY dt.doc_id)
-       |SELECT d.doc_id,
-       |       coalesce(ag.n_words, 0) AS n_words,
-       |       coalesce(ag.n_pieces, 0) AS n_pieces,
-       |       coalesce(ag.n_uncovered, 0) AS n_uncovered
-       |FROM documents d LEFT JOIN ag USING (doc_id)""".stripMargin
-
-  /** Tokenizer fertility under the trained unigram table: weighted pieces
-    * per word occurrence and chars per piece — exact BIGINT sums, floor
-    * divisions (all operands non-negative, so DuckDB // ≡ Spark DIV).
-    */
-  private lazy val UnigramFertilityOracleSql: String =
-    s"""${UnigramOracle.encodeCtes},
-       |pw AS (SELECT word, CAST(count(*) AS BIGINT) AS np FROM segf GROUP BY word),
-       |ag AS (SELECT CAST(sum(w.n) AS BIGINT) AS n_words,
-       |              CAST(sum(w.n * p.np) AS BIGINT) AS n_pieces,
-       |              CAST(sum(w.n * w.m) AS BIGINT) AS n_chars
-       |       FROM words w JOIN pw p USING (word))
-       |SELECT n_words, n_pieces, n_chars,
-       |       n_pieces * 1000000 // n_words AS fertility_micros,
-       |       n_chars * 1000000 // n_pieces AS chars_per_piece_micros
-       |FROM ag""".stripMargin
-
-  /** Generated DuckDB replay of GmmReplay.softAssignments (d=64, k=8,
-    * 2 EM rounds, σ²=0.25): the pseudo-exp kernel pexp(x)=(1+x/2¹⁶)^(2¹⁶)
-    * is 16 explicit IEEE squarings via lateral column aliases — pure ·/+
-    * arithmetic both engines replay bit-for-bit. The E-step denominator is
-    * the same fixed left-assoc sum over ascending cid the Scala side folds
-    * (COALESCE-to-0.0 keeps dropped clusters exact: +0.0 is the IEEE
-    * identity on the positive kernel values); responsibilities quantize to
-    * integer micros, and the M-step is exact BIGINT sufficient statistics
-    * with the same floor(S/w + 0.5) centers and truncating piq division as
-    * KMeansOracleSql — so the hash match is structural.
-    */
-  private lazy val GmmOracleSql: String = {
-    val D = 64; val K = 8; val R = 2
-    // IDENTICAL IEEE product to GmmReplay.softAssignments' internal
-    // 2σ²·10¹² — spliced via Double.toString so both engines divide by
-    // the same double
-    val twoSigmaSqE12 = 2.0d * 0.05d * 1.0e12d
-    val dims = 0 until D
-    val cids = 0 until K
-    val ptCols = dims.map(i =>
-      s"CAST(floor(CAST(embedding[${i + 1}] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS x$i")
-    val distExpr =
-      dims.map(i => s"(p.x$i - c.x$i) * (p.x$i - c.x$i)").mkString(" + ")
-    // one E-step against center table c$r: BIGINT distance, clamped x,
-    // pseudo-exp, pivot to num{c} columns, fixed-order den, micro resps.
-    // MATERIALIZED everywhere: DuckDB expands lateral/projected aliases by
-    // TREE SUBSTITUTION, so 16 chained squarings in one SELECT become a
-    // 2¹⁶-node expression (23 s planning, measured) — one materialized CTE
-    // per squaring keeps the tree linear (0.7 s). Same reason the Scala
-    // side chains named columns (GmmReplay.withPexp).
-    def eStep(r: Int): String = {
-      val pexpCtes = (1 to 16).map(i =>
-        s"px${r}_$i AS MATERIALIZED (SELECT vec_id, cid, piq, p * p AS p FROM px${r}_${i - 1})")
-        .mkString(",\n")
-      val pivots = cids.map(c =>
-        s"max(CASE WHEN cid = $c THEN num END) AS num$c").mkString(",\n         ")
-      val den = cids.map(c => s"COALESCE(num$c, 0.0)").reduceLeft((a, b) => s"($a + $b)")
-      val resps = cids.map(c =>
-        s"CAST(floor(num$c / den * 1000000.0 + 0.5) AS BIGINT) AS r$c")
-        .mkString(",\n         ")
-      s"""e$r AS MATERIALIZED (
-         |  SELECT p.vec_id, c.cid, c.piq,
-         |         greatest(-CAST($distExpr AS DOUBLE) / $twoSigmaSqE12, -30.0) AS x
-         |  FROM pts p CROSS JOIN c$r c
-         |), px${r}_0 AS MATERIALIZED (
-         |  SELECT vec_id, cid, piq, 1.0 + x / 65536.0 AS p
-         |  FROM e$r
-         |),
-         |$pexpCtes,
-         |pv$r AS MATERIALIZED (
-         |  SELECT vec_id,
-         |         $pivots
-         |  FROM (SELECT vec_id, cid, CAST(piq AS DOUBLE) * p AS num FROM px${r}_16)
-         |  GROUP BY vec_id
-         |), rr$r AS MATERIALIZED (
-         |  SELECT vec_id,
-         |         $resps
-         |  FROM (SELECT *, $den AS den FROM pv$r)
-         |)""".stripMargin
-    }
-    // one M-step from rr$r: unpivot the K resp columns back to rows, then
-    // ONE exact-BIGINT sufficient-statistics aggregate grouped by cid and
-    // ONE center projection (zero-weight clusters drop via the WHERE) —
-    // K+65 expressions instead of the K·(d+1)-column pivoted spelling
-    def mStep(r: Int): String = {
-      val unpiv = cids.map(c =>
-        s"SELECT vec_id, $c AS cid, r$c AS rv FROM rr$r WHERE r$c IS NOT NULL")
-        .mkString("\n  UNION ALL\n  ")
-      val sums = (dims.map(i => s"CAST(sum(ru.rv * p.x$i) AS BIGINT) AS s$i") :+
-        s"CAST(sum(ru.rv) AS BIGINT) AS w").mkString(",\n         ")
-      val mu = dims.map(i =>
-        s"CAST(floor(CAST(s$i AS DOUBLE) / CAST(w AS DOUBLE) + 0.5) AS BIGINT) AS x$i")
-        .mkString(",\n         ")
-      s"""ru$r AS MATERIALIZED (
-         |  $unpiv
-         |), s$r AS MATERIALIZED (
-         |  SELECT ru.cid,
-         |         $sums
-         |  FROM ru$r ru JOIN pts p USING (vec_id) GROUP BY ru.cid
-         |), c${r + 1} AS MATERIALIZED (
-         |  SELECT CAST(cid AS BIGINT) AS cid,
-         |         CAST(w * 1000000 // (SELECT sum(w) FROM s$r) AS BIGINT) AS piq,
-         |         $mu
-         |  FROM s$r WHERE w > 0
-         |)""".stripMargin
-    }
-    val roundCtes = (0 to R).map(r => if (r == R) eStep(r) else eStep(r) + ",\n" + mStep(r))
-    val unpivot = cids.map(c =>
-      s"SELECT vec_id, CAST($c AS BIGINT) AS cid, r$c AS resp_micro FROM rr$R WHERE r$c IS NOT NULL")
-      .mkString("\nUNION ALL\n")
-    s"""WITH pts AS MATERIALIZED (
-       |  SELECT vec_id, ${ptCols.mkString(",\n         ")}
-       |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) >= $D
-       |), sd AS (
-       |  SELECT vec_id,
-       |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid
-       |  FROM pts
-       |), c0 AS MATERIALIZED (
-       |  SELECT sd.cid AS cid, CAST(${1000000 / K} AS BIGINT) AS piq,
-       |         ${dims.map(i => s"p.x$i").mkString(", ")}
-       |  FROM sd JOIN pts p USING (vec_id) WHERE sd.cid < $K
-       |),
-       |${roundCtes.mkString(",\n")}
-       |SELECT vec_id, cid, resp_micro FROM (
-       |$unpivot)
-       |QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY resp_micro DESC, cid) = 1""".stripMargin
-  }
-
-  /** Generated DuckDB replay of Autocorrelation.hourlyAcf (lags 1..6):
-    * dense zero-filled hour grid, exact integer sufficient statistics
-    * (T, Σx, Σx², per-lag Σx·x_ℓ and the two boundary sums), one replayed
-    * double expression per lag with m = S/T, floor-6 output.
-    */
-  private lazy val AcfOracleSql: String = {
-    val L = 6
-    val lagCols = (1 to L).map(l => s"lag(x, $l) OVER (ORDER BY h) AS x$l")
-    val aggCols = (1 to L).flatMap(l =>
-      Seq(
-        s"CAST(sum(x * x$l) AS BIGINT) AS p$l",
-        s"CAST(sum(CASE WHEN x$l IS NOT NULL THEN x END) AS BIGINT) AS a$l",
-        s"CAST(sum(x$l) AS BIGINT) AS b$l"))
-    val m = "(CAST(s AS DOUBLE) / CAST(tt AS DOUBLE))"
-    val rows = (1 to L).map { l =>
-      val num = s"CAST(p$l AS DOUBLE) - $m * CAST(a$l + b$l AS DOUBLE)" +
-        s" + CAST(tt - $l AS DOUBLE) * $m * $m"
-      val den = s"CAST(q AS DOUBLE) - CAST(s AS DOUBLE) * $m"
-      s"SELECT CAST($l AS BIGINT) AS lag, " +
-        s"floor((($num) / ($den)) * 1000000.0 + 0.5) / 1000000.0 AS acf FROM ag"
-    }
-    s"""WITH hrs AS (
-       |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS c
-       |  FROM events GROUP BY 1
-       |), bnd AS (SELECT min(h) AS h0, max(h) AS h1 FROM hrs),
-       |dense AS (
-       |  SELECT g.h, COALESCE(hrs.c, 0) AS x
-       |  FROM (SELECT unnest(range((SELECT h0 FROM bnd), (SELECT h1 FROM bnd) + 1)) AS h) g
-       |  LEFT JOIN hrs ON g.h = hrs.h
-       |), lg AS (
-       |  SELECT x, ${lagCols.mkString(", ")} FROM dense
-       |), ag AS (
-       |  SELECT count(*) AS tt, CAST(sum(x) AS BIGINT) AS s,
-       |         CAST(sum(x * x) AS BIGINT) AS q,
-       |         ${aggCols.mkString(",\n         ")}
-       |  FROM lg
-       |)
-       |${rows.mkString("\nUNION ALL ")}""".stripMargin
-  }
-
-  /** Generated DuckDB replay of Cuped.adjustedLift: integer-cents
-    * sufficient statistics; the θ and x̄ sub-expressions are spliced
-    * textually into every use site so both engines evaluate the identical
-    * IEEE tree each time.
-    */
-  private lazy val CupedOracleSql: String = {
-    val theta = "((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)" +
-      " / CAST(n AS DOUBLE)) / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)" +
-      " * CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))"
-    val xbar = "(CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))"
-    def adj(g: String) =
-      s"(CAST(sy_$g AS DOUBLE) - $theta * (CAST(sx_$g AS DOUBLE)" +
-        s" - CAST(n_$g AS DOUBLE) * $xbar)) / CAST(n_$g AS DOUBLE)"
-    def mean(g: String) = s"CAST(sy_$g AS DOUBLE) / CAST(n_$g AS DOUBLE)"
-    def f6(e: String) = s"floor(($e) * 1000000.0 + 0.5) / 1000000.0"
-    s"""WITH bnd AS (
-       |  SELECT (min(CAST(floor(epoch(ts)) AS BIGINT))
-       |          + max(CAST(floor(epoch(ts)) AS BIGINT))) // 2 AS t_mid
-       |  FROM events
-       |), per AS (
-       |  SELECT user_id,
-       |         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-       |                            < (SELECT t_mid FROM bnd)
-       |                       THEN CAST(round((value) * 100) AS BIGINT)
-       |                       ELSE 0 END) AS BIGINT) AS x,
-       |         CAST(sum(CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
-       |                            >= (SELECT t_mid FROM bnd)
-       |                       THEN CAST(round((value) * 100) AS BIGINT)
-       |                       ELSE 0 END) AS BIGINT) AS y
-       |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
-       |), a AS (
-       |  SELECT x, y,
-       |         ('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 12))::BIGINT % 2 AS arm
-       |  FROM per
-       |), ag AS (
-       |  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
-       |         CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
-       |         CAST(sum(x * x) AS BIGINT) AS sxx,
-       |         CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-       |         CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
-       |         CAST(sum(CASE WHEN arm = 0 THEN x ELSE 0 END) AS BIGINT) AS sx_a,
-       |         CAST(sum(CASE WHEN arm = 1 THEN x ELSE 0 END) AS BIGINT) AS sx_b,
-       |         CAST(sum(CASE WHEN arm = 0 THEN y ELSE 0 END) AS BIGINT) AS sy_a,
-       |         CAST(sum(CASE WHEN arm = 1 THEN y ELSE 0 END) AS BIGINT) AS sy_b
-       |  FROM a
-       |)
-       |SELECT n_a, n_b, ${f6(theta)} AS theta,
-       |       ${f6(s"(${mean("b")} - ${mean("a")}) / 100.0")} AS lift_raw,
-       |       ${f6(s"(${adj("b")} - ${adj("a")}) / 100.0")} AS lift_cuped
-       |FROM ag""".stripMargin
-  }
-
-  /** Generated DuckDB replay of Wavelet.hourlyEnergy (4 levels): the
-    * integer pair cascade with incomplete tail pairs dropped at each
-    * level, energies as exact BIGINT sums of squared details.
-    */
-  private lazy val WaveletOracleSql: String = {
-    val L = 4
-    val levelCtes = (1 to L).map { l =>
-      val src = if (l == 1) "dense" else s"l${l - 1}"
-      s"""p$l AS (
-         |  SELECT t // 2 AS tp, count(*) AS np,
-         |         CAST(sum(CASE WHEN t % 2 = 0 THEN a ELSE 0 END) AS BIGINT) AS even,
-         |         CAST(sum(CASE WHEN t % 2 = 1 THEN a ELSE 0 END) AS BIGINT) AS odd
-         |  FROM $src GROUP BY 1
-         |), l$l AS (SELECT tp AS t, even + odd AS a FROM p$l WHERE np = 2),
-         |e$l AS (
-         |  SELECT CAST($l AS BIGINT) AS level, count(*) AS n_coeffs,
-         |         CAST(sum((even - odd) * (even - odd)) AS BIGINT) AS energy
-         |  FROM p$l WHERE np = 2)""".stripMargin
-    }
-    s"""WITH hrs AS (
-       |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS h, count(*) AS c
-       |  FROM events GROUP BY 1
-       |), bnd AS (SELECT min(h) AS h0, max(h) AS h1 FROM hrs),
-       |dense AS (
-       |  SELECT g.h - (SELECT h0 FROM bnd) AS t, COALESCE(hrs.c, 0) AS a
-       |  FROM (SELECT unnest(range((SELECT h0 FROM bnd), (SELECT h1 FROM bnd) + 1)) AS h) g
-       |  LEFT JOIN hrs ON g.h = hrs.h
-       |),
-       |${levelCtes.mkString(",\n")}
-       |${(1 to L).map(l => s"SELECT level, n_coeffs, energy FROM e$l").mkString("\nUNION ALL ")}""".stripMargin
-  }
 }
