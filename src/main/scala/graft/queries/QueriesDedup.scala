@@ -1,0 +1,266 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
+import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
+import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Avi, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Dsir, Featurize, GmmReplay, GopherFilter, GroupCap, HashSplit, IntervalOverlap, IvfReplay, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, RepetitionCoverage, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
+import graft.oracles.SharedCtes._
+import graft.queries.QueryHelpers._
+import graft.sources.Tables
+import graft.streaming.SessionWindows
+
+/** One domain section of the SparkEntry.queries map — moved
+  * verbatim (keys included) in the r18 split; SparkEntry.queries
+  * is the ordered concatenation of the domain objects.
+  */
+private[graft] object QueriesDedup {
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup over documents ----
+    "q_dedup_exact" -> { (s, d) =>
+      Dedup.exactGroups(Tables(s, d).documents).select(
+        col("doc_id"), col("text_md5"), col("n_copies"))
+    },
+    // continuous-ingest admission (operators.IncrementalDedup): corpus =
+    // doc_id % 5 <> 0, batch = the rest PLUS planted exact copies (corpus
+    // copies at +1M, batch copies at +2M — the fixture has no byte dups,
+    // so the plants make every decision class produce rows, the
+    // q_cosine_neardup lesson)
+    "q_incremental_dedup" -> { (s, d) =>
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+        .unionByName(corpus.filter(col("doc_id") % 11 === 3)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+        .unionByName(docs.filter(col("doc_id") % 5 === 0 && col("doc_id") % 7 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      graft.operators.IncrementalDedup.admit(batch, corpus)
+    },
+    // cross-document line dedup (operators.LineDedup, the RefinedWeb
+    // line-wise correction): the fixture has no newlines, so boilerplate
+    // lines are PLANTED deterministically — a "subscribe" footer on every
+    // doc_id%3==0, a copyright line on %5==0, and a WITHIN-doc duplicate
+    // of the doc's own text on %7==0 (must NOT strip: distinct-doc counts,
+    // not occurrence counts, define boilerplate)
+    "q_line_stats" -> { (s, d) =>
+      graft.operators.LineDedup.frequentLines(
+        graft.operators.LineDedup.lines(plantedLineDocs(s, d)), minDocs = 10L)
+    },
+    "q_line_dedup" -> { (s, d) =>
+      graft.operators.LineDedup.stripBoilerplate(plantedLineDocs(s, d), minDocs = 10L)
+        .select(col("doc_id"), col("n_lines"), col("n_dropped"),
+          md5(col("clean_text")).as("clean_md5"))
+    },
+    // URL canonicalization (functions.UrlFunctions): tracking-param strip
+    // + param sort + case folding collapse byte-distinct URLs naming the
+    // same resource — the URL-level first dedup pass of a web corpus.
+    // URLs are synthesized deterministically from customer (the fixture
+    // has no URL column); the oracle replays the identical literal-split
+    // arithmetic in DuckDB.
+    "q_url_canon" -> { (s, d) =>
+      syntheticUrls(s, d).select(col("c_custkey"), col("url"),
+        graft.functions.UrlFunctions.canonicalize(col("url")).as("canon"))
+    },
+    "q_url_hosts" -> { (s, d) =>
+      val canon = syntheticUrls(s, d)
+        .select(graft.functions.UrlFunctions.canonicalize(col("url")).as("canon"))
+      canon
+        .groupBy(graft.functions.UrlFunctions.host(col("canon")).as("host"))
+        .agg(count(lit(1)).as("n_urls"), countDistinct(col("canon")).as("n_canonical"))
+    },
+    // HTML text extraction (functions.HtmlFunctions): script/style subtree
+    // drop, tag strip, entity decode, whitespace collapse — the C4-style
+    // pre-filter pass. Docs are wrapped in a deterministic HTML shell
+    // (the fixture has no HTML column); RE2-safe regexes replay in DuckDB
+    "q_html_strip" -> { (s, d) =>
+      Tables(s, d).documents.select(col("doc_id"),
+        graft.functions.HtmlFunctions.stripTags(
+          syntheticHtml(col("text"), col("doc_id"))).as("clean"))
+    },
+    // anchor-href harvest composed with the URL canonicalizer — the link
+    // extraction feeding a crawl frontier / URL-dedup pass
+    "q_html_links" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"),
+          posexplode(graft.functions.HtmlFunctions.anchorHrefs(
+              syntheticHtml(col("text"), col("doc_id"))))
+            .as(Seq("link_idx", "href")))
+        .select(col("doc_id"), (col("link_idx") + 1).as("link_idx"), col("href"),
+          graft.functions.UrlFunctions.canonicalize(col("href")).as("canon"),
+          graft.functions.UrlFunctions.host(col("href")).as("host"))
+    },
+    "q_jaccard_adjacent" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), array_distinct(TF.tokens(col("text"))).as("words"))
+      val a = docs.select(col("doc_id").as("id1"), col("words").as("w1"))
+      val b = docs.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"),
+        col("words").as("w2"))
+      a.join(b, Seq("id1")).select(col("id1"), col("id2"),
+        Dedup.jaccard(col("w1"), col("w2")).as("jaccard"))
+    },
+    // LSH banding tuner (MMDS §3.4): the S-curve p(s) = 1 − (1 − s^r)^b
+    // for every (bands, rows) split of 16 lanes, evaluated against THIS
+    // corpus's observed similarity sample (the adjacent-id pair sample
+    // above — a defined, oracled sample) — expected detections and
+    // expected misses above τ = 0.5 per configuration. Powers are
+    // UNROLLED multiplication chains (never libm pow), per-pair e6
+    // quantization before exact BIGINT sums
+    "q_lsh_tuning" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), array_distinct(TF.tokens(col("text"))).as("words"))
+      val a = docs.select(col("doc_id").as("id1"), col("words").as("w1"))
+      val b = docs.select((col("doc_id") - 1).as("id1"), col("doc_id").as("id2"),
+        col("words").as("w2"))
+      val sims = a.join(b, Seq("id1"))
+        .select(Dedup.jaccard(col("w1"), col("w2")).as("j"))
+      def pw(x: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+        (1 until n).foldLeft(x)((acc, _) => acc * x)
+      val grid = Seq((1, 16), (2, 8), (4, 4), (8, 2), (16, 1))
+      val scored = grid.map { case (bands, rows) =>
+        val p = lit(1.0d) - pw(lit(1.0d) - pw(col("j"), rows), bands)
+        val pE6 = floor(p * lit(1000000.0d) + lit(0.5d)).cast("long")
+        sims.agg(
+          count(lit(1)).as("n_pairs"),
+          sum(pE6).as("exp_detected_e6"),
+          sum(when(col("j") >= lit(0.5d), lit(1000000L) - pE6).otherwise(0L))
+            .as("exp_missed_above_tau_e6"))
+          .select(lit(bands).as("bands"), lit(rows).as("rows"),
+            col("n_pairs"), col("exp_detected_e6"), col("exp_missed_above_tau_e6"))
+      }
+      scored.reduce(_ unionByName _)
+    },
+    // oracle for the minhashPairs VERIFY stage: the same shingle + exact-
+    // Jaccard kernels, but over a deterministic candidate set (doc_id
+    // distance ≤ 5) so DuckDB can hash-match what LSH bucketing (engine-
+    // specific) cannot. Spelled as explode(offsets) + equi-join — the
+    // shape that scales — not a range join.
+    "q_neardup_verify" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+        .select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      val cand = docs
+        .select(col("doc_id").as("id1"), col("sh").as("sh1"),
+          explode(sequence(lit(1L), lit(5L))).as("off"))
+        .withColumn("id2", col("id1") + col("off"))
+      cand
+        .join(docs.select(col("doc_id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+        .select(col("id1"), col("id2"), Dedup.jaccard(col("sh1"), col("sh2")).as("jaccard"))
+    },
+    // duplicate GROUPS from pairwise matches: shingle posting lists (hot
+    // shingles capped — the LSH maxBucketSize economics) → pairs sharing
+    // ≥5 shingles → connected components by iterative min-label
+    // propagation (operators.Components); every doc gets its component's
+    // min doc_id, isolated docs their own. Deterministic end-to-end, so
+    // the whole graph pipeline — including transitivity — is oracled via
+    // a recursive CTE.
+    // deterministic synchronous LPA communities over the near-dup graph
+    // (operators.LabelPropagation): 3 fixed rounds, most-frequent-neighbor
+    // label with smallest-label ties — the finer-than-components split
+    "q_lpa_communities" -> { (s, d) =>
+      graft.operators.LabelPropagation.communities(
+        shingleEdges(Tables(s, d).documents))
+    },
+    // per-community dedup quality (operators.CommunityQuality): exact
+    // capped-pair intra-community Jaccard over the LPA communities — the
+    // audit that separates real duplicate families from bridge artifacts;
+    // md5-rank cap bounds the pair fan-out by construction
+    "q_community_quality" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      graft.operators.CommunityQuality.intraJaccard(
+        docs,
+        graft.operators.LabelPropagation.communities(shingleEdges(docs)))
+    },
+    "q_dedup_components" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      docs.select(col("doc_id"))
+        .join(Components.connectedComponents(shingleEdges(docs)),
+          col("node") === col("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+    },
+    // dup-multiplicity distribution: how many clusters of each size — the
+    // standard dedup report (a fat tail = boilerplate families; the
+    // singleton count = the corpus that survives keep-one untouched)
+    "q_dup_cluster_sizes" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      docs.select(col("doc_id"))
+        .join(Components.connectedComponents(shingleEdges(docs)),
+          col("node") === col("doc_id"), "left")
+        .select(coalesce(col("component"), col("doc_id")).as("component"))
+        .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
+    },
+    // Flesch–Kincaid readability (the classic text-quality feature):
+    // sentences = terminator runs (floor 1), syllables = per-word vowel
+    // groups (floor 1) — exact integer counts, ONE replayed double chain
+    "q_readability" -> { (s, d) =>
+      val toks = TF.tokens(col("text"))
+      val sentences = greatest(lit(1L),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"))
+      val syllables = aggregate(
+        transform(toks, w =>
+          greatest(lit(1L), size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long"))),
+        lit(0L), (a, x) => a + x)
+      val words = size(toks).cast("long")
+      Tables(s, d).documents
+        .select(col("doc_id"), words.as("n_words"), sentences.as("n_sentences"),
+          syllables.as("n_syllables"))
+        .withColumn("fk_e6",
+          when(col("n_words") === 0L, 0L).otherwise(
+            floor((lit(0.39d) * col("n_words").cast("double") / col("n_sentences").cast("double")
+              + lit(11.8d) * col("n_syllables").cast("double") / col("n_words").cast("double")
+              - lit(15.59d)) * lit(1000000.0d) + lit(0.5d)).cast("long")))
+    },
+    // the deduplicated corpus itself: one canonical doc per near-dup
+    // group (the group's min id), isolated docs kept — what a corpus
+    // build consumes after the grouping step
+    "q_dedup_keep" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      Components.keepCanonical(
+        docs.select(col("doc_id"), col("source"), col("lang")),
+        shingleEdges(docs))
+    },
+    // quality-policy canonicalization: keep the LONGEST doc per near-dup
+    // cluster (ties → smaller id) — deterministic, so the survivor set
+    // hash-matches the recursive-CTE oracle
+    "q_dedup_keep_best" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      Components.keepBest(
+        docs.select(col("doc_id"), col("n_chars")), shingleEdges(docs))
+        .select(col("doc_id"), col("component"), col("n_chars"))
+    },
+    "q_minhash_pairs" -> { (s, d) =>
+      Dedup.minhashPairs(Tables(s, d).documents, threshold = 0.05)
+        .orderBy(col("jaccard").desc, col("id1"), col("id2")).limit(100)
+    },
+    "q_simhash_sigs" -> { (s, d) =>
+      Tables(s, d).documents.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
+    },
+    // portable md5-48 SimHash twin (TF.simhash48FromHashes): the
+    // q_fingerprints_md5 pattern applied to the SimHash sketch — exact
+    // signature oracled, xxhash64 kernel stays the intra-Spark default
+    "q_simhash_md5" -> { (s, d) =>
+      Tables(s, d).documents
+        .select(col("doc_id"), TF.md548Tokens(col("text")).as("_hs"))
+        .select(col("doc_id"), TF.simhash48FromHashes(col("_hs")).as("simhash48"))
+    },
+    // portable md5-48 MinHash twin (TF.minhash48Lanes): lane-salted md5
+    // minima over distinct 3-shingles — the sketch trilogy's third member
+    // native one-pass kernel (expressions.Md5MinHash): all 16 lane minima
+    // in a single shingle traversal on raw digest bytes — bit-identical to
+    // the HOF spelling (MinhashPortableSpec pins kernel ≡ HOF ≡ java-MD5)
+    "q_minhash_md5_sigs" -> { (s, d) =>
+      val arr = graft.expressions.Md5MinHash.lanes(
+        TF.shingles3(TF.tokens(col("text"))), 16)
+      Tables(s, d).documents
+        .select(col("doc_id"), arr.as("_mh"))
+        .select(col("doc_id") +:
+          (0 until 16).map(i => element_at(col("_mh"), i + 1).as(s"mh$i")): _*)
+    },
+    "q_simhash_pairs" -> { (s, d) =>
+      Dedup.simhashPairs(Tables(s, d).documents, maxHamming = 16)
+        .orderBy(col("hamming"), col("id1"), col("id2")).limit(100)
+    },
+  )
+}

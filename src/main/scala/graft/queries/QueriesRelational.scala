@@ -1,0 +1,880 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
+import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
+import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Avi, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Dsir, Featurize, GmmReplay, GopherFilter, GroupCap, HashSplit, IntervalOverlap, IvfReplay, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, RepetitionCoverage, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
+import graft.oracles.SharedCtes._
+import graft.queries.QueryHelpers._
+import graft.sources.Tables
+import graft.streaming.SessionWindows
+
+/** One domain section of the SparkEntry.queries map — moved
+  * verbatim (keys included) in the r18 split; SparkEntry.queries
+  * is the ordered concatenation of the domain objects.
+  */
+private[graft] object QueriesRelational {
+  val entries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- relational core over the TPC-H-ish tables (joins/agg/sort/limit) ----
+    "q1_pricing_summary" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .filter(col("l_shipdate") <= expr("TIMESTAMP '1998-09-02 00:00:00'"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          Money.moneySum(col("l_quantity")).as("sum_qty"),
+          Money.moneySum(col("l_extendedprice")).as("sum_base_price"),
+          Money.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          Money.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))
+            .as("sum_charge"),
+          round(avg(col("l_quantity")), 6).as("avg_qty"),
+          round(avg(col("l_extendedprice")), 6).as("avg_price"),
+          round(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order")
+        )
+    },
+    "q3_top_orders" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders.filter(col("o_orderdate") < expr("TIMESTAMP '1998-07-01 00:00:00'")),
+          col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem.filter(col("l_shipdate") > expr("TIMESTAMP '1998-07-01 00:00:00'")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(Money.microsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_u"))
+        .orderBy(col("rev_u").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("o_orderdate"), Money.microsToMoney(col("rev_u")).as("revenue"))
+    },
+    "q5_region_revenue" -> { (s, d) =>
+      val t = Tables(s, d)
+      // dims are tiny: broadcast region→nation→supplier chain; the only big
+      // shuffles are lineitem⋈orders and orders⋈customer on their keys.
+      val asiaNations = broadcast(
+        t.nation.join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+      )
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(Money.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    },
+    "q4_priority_check" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.orders
+        .filter(col("o_orderdate").between(
+          expr("TIMESTAMP '1996-01-01 00:00:00'"), expr("TIMESTAMP '1996-12-31 00:00:00'")))
+        .join(t.lineitem,
+          col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    },
+    "q6_forecast_revenue" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .filter(col("l_shipdate").between(
+          expr("TIMESTAMP '1996-01-01 00:00:00'"), expr("TIMESTAMP '1996-12-31 00:00:00'")) &&
+          col("l_discount").between(0.03, 0.07) && col("l_quantity") < 24)
+        .agg(Money.moneySum(col("l_extendedprice") * col("l_discount")).as("revenue"))
+    },
+    "q10_returned_items" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem.filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(Money.microsSum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev_u"))
+        .orderBy(col("rev_u").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          Money.microsToMoney(col("rev_u")).as("revenue"))
+    },
+    "q12_shipmode_priority" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.orders.join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          count(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("high_line_count"),
+          count(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)).as("low_line_count")
+        )
+    },
+    // TPC-H q7 shape: bidirectional nation-pair trade volume by year —
+    // the double-aliased dimension join (same nation table under two roles)
+    "q7_volume_shipping" -> { (s, d) =>
+      val t = Tables(s, d)
+      val n1 = t.nation.select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation"))
+      val n2 = t.nation.select(col("n_nationkey").as("c_nkey"), col("n_name").as("cust_nation"))
+      t.supplier
+        .join(t.lineitem, col("l_suppkey") === col("s_suppkey"))
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("s_nkey"))
+        .join(broadcast(n2), col("c_nationkey") === col("c_nkey"))
+        .filter(
+          ((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+            (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1")) &&
+            col("l_shipdate").between(
+              expr("TIMESTAMP '1996-01-01 00:00:00'"), expr("TIMESTAMP '1997-12-31 00:00:00'")))
+        .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+        .agg(Money.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+    },
+    // TPC-H q8 shape: one nation's share of a region's PROMO-part revenue
+    // by year — conditional-sum ratio in exact integer micros (q14 pattern)
+    "q8_market_share" -> { (s, d) =>
+      val t = Tables(s, d)
+      val region0Nations = broadcast(
+        t.nation.join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey").as("c_nkey")))
+      val suppNation = broadcast(
+        t.nation.select(col("n_nationkey").as("s_nkey"), col("n_name").as("supp_nation")))
+      val volU = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e6), 0)
+        .cast("long")
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_type") === "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("o_orderdate").between(
+          expr("TIMESTAMP '1996-01-01 00:00:00'"), expr("TIMESTAMP '1997-12-31 00:00:00'")))
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .join(region0Nations, col("c_nationkey") === col("c_nkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+        .join(suppNation, col("s_nationkey") === col("s_nkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", volU).otherwise(0L)).cast("double") /
+            sum(volU), 6).as("mkt_share"))
+    },
+    // TPC-H q2 SHAPE (partsupp-free adaptation — the testdata ships no
+    // partsupp, so the part–supplier cost relation is the one OBSERVED in
+    // lineitem: pair cost = min unit price ever shipped): for each small
+    // part sourced from EUROPE, the supplier achieving the minimum cost —
+    // the correlated-min / argmin-per-key plan shape, spelled as a window
+    // with a total (cost, suppkey) tie-break. Unit price stays exact:
+    // micros DIV integer quantity (both engines floor on non-negatives).
+    "q2_min_cost_supplier" -> { (s, d) =>
+      val t = Tables(s, d)
+      val eurSupp = t.supplier
+        .join(broadcast(t.nation), col("n_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "EUROPE")),
+          col("r_regionkey") === col("n_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      val pairCost = t.lineitem
+        .join(broadcast(t.part.filter(col("p_size") < 15)),
+          col("p_partkey") === col("l_partkey"))
+        .join(eurSupp, col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("p_partkey"), col("p_brand"), col("s_suppkey"),
+          col("s_name"), col("n_name"))
+        .agg(min(expr(
+          "CAST(round(l_extendedprice * 1e6) AS BIGINT) DIV CAST(round(l_quantity) AS BIGINT)"))
+          .as("cost_micros"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("p_partkey")).orderBy(col("cost_micros"), col("s_suppkey"))
+      pairCost.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("p_partkey"), col("p_brand"), col("s_name"),
+          col("n_name").as("nation"), col("cost_micros"))
+    },
+    // TPC-H q9 SHAPE (partsupp-free: profit ≈ revenue, no supplycost term):
+    // nation × year profit rollup over name-matched parts — the classic
+    // 5-way join + LIKE + multi-dim aggregate
+    "q9_product_profit" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_name").contains("widget"))),
+          col("p_partkey") === col("l_partkey"))
+        .join(t.supplier, col("s_suppkey") === col("l_suppkey"))
+        .join(broadcast(t.nation), col("n_nationkey") === col("s_nationkey"))
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(Money.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("sum_profit"))
+    },
+    // TPC-H q11 SHAPE (partsupp-free: per-part value = AFRICA suppliers'
+    // shipped extendedprice — a region, not a single nation, so the
+    // supplier base is non-empty at every SF): parts above 1.2× the MEAN
+    // part value. TPC-H's own fraction scales with SF, so the scale-free
+    // spelling compares against the TRUNCATED mean (value·10 >
+    // ⌊total/n⌋·12 — Spark DIV ≡ DuckDB // on the non-negative operands):
+    // no SF-tuned constant, and no width blow-up either — the r17 cross-
+    // multiply value·n·10 approached BIGINT overflow at sf1e4+ (ANSI would
+    // throw, not corrupt, but the query dies); ⌊mean⌋·12 stays ~1e13.
+    "q11_important_parts" -> { (s, d) =>
+      val t = Tables(s, d)
+      val afr = broadcast(t.nation
+        .join(broadcast(t.region.filter(col("r_name") === "AFRICA")),
+          col("r_regionkey") === col("n_regionkey"))
+        .select(col("n_nationkey")))
+      val base = t.lineitem
+        .join(t.supplier, col("s_suppkey") === col("l_suppkey"))
+        .join(afr, col("n_nationkey") === col("s_nationkey"))
+        .groupBy(col("l_partkey").as("p_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 1e6) AS BIGINT)"))
+          .as("value_micros"))
+      val tot = base.agg(sum(col("value_micros")).as("total_micros"),
+        count(lit(1)).as("n_parts"))
+      base.crossJoin(broadcast(tot))
+        .filter(col("value_micros") * 10 > expr("total_micros DIV n_parts") * 12)
+        .select(col("p_partkey"), col("value_micros"))
+    },
+    // TPC-H q16 SHAPE (part–supplier relation from lineitem): supplier
+    // counts per (brand, type, size) excluding the complaint set — the
+    // NOT-IN (anti-join) + COUNT DISTINCT plan shape; the complaint set is
+    // the deterministic s_suppkey % 7 = 0 slice (synthetic s_comment-free
+    // schema)
+    "q16_supplier_counts" -> { (s, d) =>
+      val t = Tables(s, d)
+      val complaints = t.supplier.filter(pmod(col("s_suppkey"), lit(7)) === 0)
+        .select(col("s_suppkey"))
+      t.lineitem
+        .join(broadcast(t.part.filter(col("p_brand") =!= "Brand#1" &&
+          col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))),
+          col("p_partkey") === col("l_partkey"))
+        .join(broadcast(complaints), col("s_suppkey") === col("l_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    },
+    // TPC-H q20 SHAPE (availqty → shipped quantity): suppliers whose 1997
+    // shipped quantity of 'small%' parts exceeds 1.3× the mean per
+    // supplier — the nested semi-join chain with a grouped HAVING vs a
+    // scalar aggregate, against the truncated mean (qty·10 > ⌊total/n⌋·13
+    // — the q11 width-safe convention; DIV ≡ // on non-negatives)
+    "q20_excess_suppliers" -> { (s, d) =>
+      val t = Tables(s, d)
+      val pq = t.lineitem
+        .filter(col("l_shipdate").between(
+          expr("TIMESTAMP '1997-01-01 00:00:00'"), expr("TIMESTAMP '1997-12-31 00:00:00'")))
+        .join(broadcast(t.part.filter(col("p_name").startsWith("small"))),
+          col("p_partkey") === col("l_partkey"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("qty"))
+      val tot = pq.agg(sum(col("qty")).as("tq"), count(lit(1)).as("ns"))
+      val excess = pq.crossJoin(broadcast(tot))
+        .filter(col("qty") * 10 > expr("tq DIV ns") * 13)
+        .select(col("l_suppkey"))
+      t.supplier
+        .join(excess, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(broadcast(t.nation), col("n_nationkey") === col("s_nationkey"))
+        .select(col("s_name"), col("n_name").as("nation"))
+    },
+    // TPC-H q13 shape: distribution of customers by order count (left join
+    // so zero-order customers land in the c_count=0 bucket)
+    "q13_customer_distribution" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+    },
+    // TPC-H q18 shape: top large orders by total quantity (group-filter on
+    // an aggregate, then enrich through orders/customer)
+    "q18_large_orders" -> { (s, d) =>
+      val t = Tables(s, d)
+      val big = t.lineitem.groupBy(col("l_orderkey"))
+        .agg(Money.moneySum(col("l_quantity")).as("total_qty"))
+        .filter(col("total_qty") > 150.0)
+      big
+        .join(t.orders, col("o_orderkey") === col("l_orderkey"))
+        .join(t.customer, col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    // TPC-H q17 shape — correlated scalar subquery, decorrelated the
+    // scale-right way: filter parts FIRST (broadcast), then one window
+    // over the surviving lines computes each part's average (selecting
+    // whole partkey groups can't change a per-partkey average), so the
+    // per-part avg costs one shuffle over the small selection instead of
+    // an aggregate over all of lineitem. Quantities are integral, so their
+    // double sum is exact in any order and the 0.2*avg boundary compares
+    // identically cross-engine.
+    "q17_small_qty_revenue" -> { (s, d) =>
+      val t = Tables(s, d)
+      val sel = t.lineitem
+        .join(broadcast(t.part.filter(col("p_brand") === "Brand#4" && col("p_size") <= 5)
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+      sel
+        .withColumn("avg_qty", avg(col("l_quantity")).over(Window.partitionBy(col("l_partkey"))))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(round(Money.moneySum(col("l_extendedprice")) / 7.0, 2).as("avg_yearly"))
+    },
+    // TPC-H q19 shape — disjunction of brand/size/quantity conjuncts INSIDE
+    // the join condition: Catalyst extracts the common l_partkey equality
+    // for the broadcast hash join and evaluates the OR as a residual, the
+    // shape that breaks engines which only push conjunctive predicates
+    "q19_disjunctive_revenue" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.lineitem.join(broadcast(t.part),
+        col("l_partkey") === col("p_partkey") && (
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#19" && col("p_size").between(1, 25) &&
+            col("l_quantity").between(20, 30))))
+        .agg(Money.moneySum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .as("revenue"))
+    },
+    // TPC-H q21 shape — EXISTS + NOT EXISTS against the same relation with
+    // different predicates, spelled as a left-semi then left-anti join
+    // (both shuffle on l_orderkey; no row multiplication): suppliers who
+    // were the ONLY supplier to have a returned line on a multi-supplier
+    // finished order
+    "q21_sole_returned_supplier" -> { (s, d) =>
+      val t = Tables(s, d)
+      val l1 = t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders.filter(col("o_orderstatus") === "F").select(col("o_orderkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val others = t.lineitem
+        .select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"))
+      val returnedOthers = t.lineitem.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("x_orderkey"), col("l_suppkey").as("x_suppkey"))
+      l1
+        .join(others, col("x_orderkey") === col("l_orderkey") &&
+          col("x_suppkey") =!= col("l_suppkey"), "leftsemi")
+        .join(returnedOthers, col("x_orderkey") === col("l_orderkey") &&
+          col("x_suppkey") =!= col("l_suppkey"), "leftanti")
+        .join(broadcast(t.supplier), col("s_suppkey") === col("l_suppkey"))
+        .groupBy(col("s_name")).agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name")).limit(100)
+    },
+    // TPC-H q22 shape — scalar-subquery threshold (global average balance,
+    // broadcast as a 1-row frame) + anti-join + per-nation rollup:
+    // above-average-balance customers who never placed an urgent order.
+    // The threshold is computed in exact integer micros (sum < 2^53, so
+    // the double division is bit-identical cross-engine).
+    "q22_idle_rich_customers" -> { (s, d) =>
+      val t = Tables(s, d)
+      val micros = round(col("c_acctbal") * lit(1e6), 0).cast("long")
+      val thresh = t.customer.filter(col("c_acctbal") > 0.0)
+        .agg((sum(micros).cast("double") / count(lit(1))).as("avg_micros"))
+      t.customer
+        .crossJoin(broadcast(thresh))
+        .filter(micros > col("avg_micros"))
+        .join(t.orders.filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey")),
+          col("o_custkey") === col("c_custkey"), "leftanti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_cust"),
+          Money.microsToMoney(sum(micros)).as("total_acctbal"))
+    },
+    // TPC-H Q15 (the one remaining numbered query the shipped schema can
+    // express — q2/q9/q11/q16/q20 need partsupp, which doesn't exist):
+    // top supplier by 1996-Q1 revenue; the max rides as a broadcast 1-row
+    // frame, ties (if any) returned by both engines identically
+    "q15_top_supplier" -> { (s, d) =>
+      val t = Tables(s, d)
+      val revenue = t.lineitem
+        .filter(col("l_shipdate") >= expr("TIMESTAMP '1996-01-01 00:00:00'") &&
+          col("l_shipdate") < expr("TIMESTAMP '1996-04-01 00:00:00'"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(Money.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      val maxRev = revenue.agg(max(col("total_revenue")).as("_max_rev"))
+      t.supplier.join(revenue, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("_max_rev"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+    },
+    "q14_promo_effect" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.lineitem
+        .filter(col("l_shipdate").between(
+          expr("TIMESTAMP '1997-01-01 00:00:00'"), expr("TIMESTAMP '1997-12-31 00:00:00'")))
+        .join(broadcast(t.part), col("l_partkey") === col("p_partkey"))
+        .agg {
+          // exact integer micros for both sums → the ratio is a single
+          // deterministic double division, immune to partition order
+          val revU = round(col("l_extendedprice") * (lit(1) - col("l_discount")) * lit(1e6), 0)
+            .cast("long")
+          round(lit(100.0) *
+            sum(when(col("p_type") === "PROMO", revU).otherwise(0L)) /
+            sum(revU), 6).as("promo_revenue_pct")
+        }
+    },
+    "q_part_brand_stats" -> { (s, d) =>
+      Tables(s, d).part.groupBy(col("p_brand")).agg(
+        count(lit(1)).as("n_parts"),
+        // exact micros sum → double division: order-independent (a bare
+        // avg(double) was the one unrounded money column left in the gate)
+        (Money.microsSum(col("p_retailprice")).cast("double") / lit(1e6) / count(lit(1)))
+          .as("avg_retail"),
+        countDistinct(col("p_type")).as("n_types"),
+        min(col("p_size")).as("min_size"),
+        max(col("p_size")).as("max_size")
+      )
+    },
+    "q_customer_orders" -> { (s, d) =>
+      val t = Tables(s, d)
+      val perCust = t.orders.groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("n_orders_raw"),
+        Money.microsSum(col("o_totalprice")).as("total_spent_u")
+      )
+      t.customer
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left")
+        .select(
+          col("c_custkey"), col("c_name"), col("c_mktsegment"),
+          coalesce(col("n_orders_raw"), lit(0L)).as("n_orders"),
+          Money.microsToMoney(coalesce(col("total_spent_u"), lit(0L))).as("total_spent")
+        )
+    },
+    "q_top_customers" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer.join(t.orders, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"))
+        .agg(Money.microsSum(col("o_totalprice")).as("rev_u"), count(lit(1)).as("n_orders"))
+        .orderBy(col("rev_u").desc, col("c_custkey"))
+        .limit(10)
+        .select(col("c_custkey"), col("c_name"),
+          Money.microsToMoney(col("rev_u")).as("revenue"), col("n_orders"))
+    },
+    // ---- relational breadth: set ops, semi/anti joins, rollup, ranking,
+    // ---- analytic windows, date/string functions, percentiles ----
+    "q_customers_without_orders" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+    },
+    "q_building_buyers" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+    },
+    "q_segment_intersect" -> { (s, d) =>
+      val c = Tables(s, d).customer
+      c.filter(col("c_acctbal") > 5000).select(col("c_mktsegment"))
+        .intersect(c.filter(col("c_acctbal") < 1000).select(col("c_mktsegment")))
+    },
+    "q_rollup_revenue" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+    },
+    "q_top_order_per_customer" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables(s, d).orders
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    },
+    "q_event_gaps" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables(s, d).events
+        .withColumn("ts_s", col("ts").cast("long"))
+        .withColumn("gap", col("ts_s") - lag(col("ts_s"), 1).over(w))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(round(avg(col("gap")), 6).as("avg_gap_s"), max(col("gap")).as("max_gap_s"),
+          count(lit(1)).as("n_gaps"))
+    },
+    // native session_window spelling of gap sessionization — must agree with
+    // the lag+cumsum spelling (q_gap_sessions) on counts and start times
+    "q_session_window" -> { (s, d) =>
+      Tables(s, d).events
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"), Money.moneySum(col("value")).as("total_value"))
+        .select(col("user_id"), col("w.start").cast("long").as("start_s"),
+          col("n_events"), col("total_value"))
+    },
+    "q_gap_sessions" -> { (s, d) =>
+      Sessionize.gapSessions(Tables(s, d).events, "user_id", "ts",
+          gapSeconds = 1800L, tieBreakCol = Some("event_id"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("duration_s"),
+          Money.moneySum(col("value")).as("total_value"))
+    },
+    // interval overlap WITHOUT an interval self-join: per-session count of
+    // other sessions (any user) open at the same time, via two bucketized
+    // order statistics (IntervalOverlap.countLE). The oracle states the same
+    // counts through an independent spelling — a sorted running sum over the
+    // merged start/end point stream.
+    "q_session_overlap" -> { (s, d) =>
+      IntervalOverlap.overlapCounts(gapSessionBounds(s, d),
+        Seq("user_id", "session_idx"), "start_s", "end_s", width = 3600L)
+    },
+    // concurrency timeline: per-hour started/ended/still-open session counts;
+    // the only ordered pass is over the tiny per-hour table
+    "q_concurrency_timeline" -> { (s, d) =>
+      IntervalOverlap.concurrencyTimeline(gapSessionBounds(s, d), "start_s", "end_s", 3600L)
+    },
+    // densification: regular per-user hourly grid over each user's own span,
+    // missing hours zero-filled, hourly avg value carried forward
+    "q_gap_fill" -> { (s, d) =>
+      val hourly = Tables(s, d).events
+        .groupBy(col("user_id"),
+          expr("CAST(ts AS LONG) DIV 3600").as("h"))
+        .agg(count(lit(1)).as("n_events"), round(avg(col("value")), 6).as("v"))
+      graft.operators.Densify
+        .densify(hourly, "user_id", "h", counts = Seq("n_events"), carried = Seq("v"))
+        .withColumnRenamed("v", "value_ff")
+    },
+    // linear-interpolation gap fill (Densify.interpolate): q_gap_fill's
+    // spine, but gap hours land on the line between observed neighbors —
+    // one exchange drives both direction windows
+    "q_interpolate" -> { (s, d) =>
+      val hourly = Tables(s, d).events
+        .groupBy(col("user_id"),
+          expr("CAST(ts AS LONG) DIV 3600").as("h"))
+        .agg(round(avg(col("value")), 6).as("v"))
+      val dense = graft.operators.Densify.spine(hourly, "user_id", "h")
+        .join(hourly, Seq("user_id", "h"), "left")
+      graft.operators.Densify.interpolate(dense, "user_id", "h", "v")
+        .select(col("user_id"), col("h"), col("v"), col("v_interp"))
+    },
+    // Levenshtein verification of candidate pairs (operators.EditDistance):
+    // the character-level near-dup check over the same adjacent-id
+    // candidate window q_jaccard_adjacent uses — never all-pairs
+    "q_editdist_verify" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val pairs = docs
+        .select(col("doc_id").as("id1"), (col("doc_id") + 1).as("id2"))
+        .union(docs.select(col("doc_id").as("id1"), (col("doc_id") + 2).as("id2")))
+      graft.operators.EditDistance.verify(pairs, docs)
+    },
+    // explicit window frames: running total + trailing moving average
+    "q_running_revenue" -> { (s, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val running = w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val trailing3 = w.rowsBetween(-2, 0)
+      Tables(s, d).orders.select(
+        col("o_custkey"), col("o_orderkey"),
+        Money.moneySumOver(col("o_totalprice"), running).as("running_total"),
+        round(avg(col("o_totalprice")).over(trailing3), 6).as("trailing3_avg")
+      )
+    },
+    // window-function medley (§2.5 breadth): lead gap, ntile quartile,
+    // percent_rank / cume_dist — total order via the orderkey tie-break so
+    // every rank is engine-independent
+    "q_order_window_funcs" -> { (s, d) =>
+      val seqW = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val priceW = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables(s, d).orders.select(
+        col("o_custkey"), col("o_orderkey"),
+        (lead(col("o_orderdate").cast("timestamp").cast("long"), 1).over(seqW) -
+          col("o_orderdate").cast("timestamp").cast("long")).as("next_gap_s"),
+        ntile(4).over(priceW).as("price_quartile"),
+        round(percent_rank().over(priceW), 6).as("price_pct_rank"),
+        round(cume_dist().over(priceW), 6).as("price_cume_dist"))
+    },
+    // pivot: wide per-hour event-type counts with an explicit value list
+    // (deterministic column set; absent combos coalesced to 0 on both sides)
+    "q_pivot_type_hour" -> { (s, d) =>
+      Tables(s, d).events
+        .groupBy(hour(col("ts")).as("hour_of_day"))
+        .pivot("event_type", Seq("view", "click", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .select(col("hour_of_day"),
+          coalesce(col("view"), lit(0L)).as("n_view"),
+          coalesce(col("click"), lit(0L)).as("n_click"),
+          coalesce(col("purchase"), lit(0L)).as("n_purchase"),
+          coalesce(col("signup"), lit(0L)).as("n_signup"),
+          coalesce(col("error"), lit(0L)).as("n_error"))
+    },
+    // §2.3 breadth: FULL OUTER join of two aggregated key spaces (event
+    // users vs order customers), survivors from either side zero-filled
+    "q_full_outer_activity" -> { (s, d) =>
+      val t = Tables(s, d)
+      val ev = t.events.groupBy(col("user_id")).agg(count(lit(1)).as("n_events"))
+      val ord = t.orders.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      ev.join(ord, col("user_id") === col("o_custkey"), "full_outer")
+        .select(coalesce(col("user_id"), col("o_custkey")).as("key_id"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+    },
+    // the spark.sql entry path: the IDENTICAL ANSI text runs here over temp
+    // views and in DuckDB as the oracle — proving engine-portable SQL intake
+    "q_sql_parity" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.orders.createOrReplaceTempView("orders")
+      t.customer.createOrReplaceTempView("customer")
+      s.sql(SqlParitySql)
+    },
+    // Spark 4 SQL pipe syntax (|>): the same relational algebra written as
+    // a left-to-right operator chain — q_sql_parity's modern spelling
+    "q_pipe_syntax" -> { (s, d) =>
+      val t = Tables(s, d)
+      t.orders.createOrReplaceTempView("orders")
+      s.sql(
+        """FROM orders
+          ||> WHERE o_orderstatus = 'F'
+          ||> AGGREGATE count(*) AS n_orders, min(o_orderkey) AS first_key,
+          |             max(o_orderkey) AS last_key
+          |   GROUP BY o_orderpriority
+          ||> ORDER BY o_orderpriority""".stripMargin)
+    },
+    // cube with grouping_id: all four (status × priority) rollup combinations
+    // in one pass (Expand + single aggregate, not four scans)
+    "q_cube_status" -> { (s, d) =>
+      Tables(s, d).orders
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          Money.moneySum(col("o_totalprice")).as("revenue"),
+          grouping_id().cast("long").as("gid"))
+    },
+    // funnel: users whose first view < first click < first purchase
+    "q_event_funnel" -> { (s, d) =>
+      val firsts = Tables(s, d).events
+        .groupBy(col("user_id"))
+        .agg(
+          min(when(col("event_type") === "view", col("ts"))).as("tv"),
+          min(when(col("event_type") === "click", col("ts"))).as("tc"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("tp")
+        )
+      firsts.agg(
+        count(lit(1)).as("n_users"),
+        count(when(col("tv").isNotNull && col("tc").isNotNull && col("tv") < col("tc"), 1))
+          .as("view_then_click"),
+        count(when(col("tv").isNotNull && col("tc").isNotNull && col("tp").isNotNull &&
+          col("tv") < col("tc") && col("tc") < col("tp"), 1)).as("full_funnel")
+      )
+    },
+    "q_monthly_orders" -> { (s, d) =>
+      Tables(s, d).orders
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("long").as("month_start_s"))
+        .agg(count(lit(1)).as("n_orders"), Money.moneySum(col("o_totalprice")).as("total"))
+    },
+    "q_name_strings" -> { (s, d) =>
+      Tables(s, d).customer
+        .filter(col("c_name").like("%1%"))
+        .select(col("c_custkey"), upper(col("c_name")).as("name_u"),
+          length(col("c_name")).as("name_len"),
+          substring(col("c_name"), 1, 8).as("name_prefix"))
+    },
+    "q_word_freq" -> { (s, d) =>
+      graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+        .orderBy(col("n").desc, col("word"))
+        .limit(20)
+    },
+    // mixture materialization: downsample per-language to 2:1:1:1:1 target
+    // weights — binding language kept whole, md5-deterministic membership
+    "q_mixture_rebalance" -> { (s, d) =>
+      graft.operators.Mixture.rebalance(Tables(s, d).documents, "lang", "doc_id",
+          Map("en" -> 2.0, "zh" -> 1.0, "es" -> 1.0, "de" -> 1.0, "fr" -> 1.0))
+        .select(col("doc_id"), col("lang"), col("samp_rank"), col("keep_n"))
+    },
+    // token-budget mixture: per-language TOKEN budgets (mixtures are
+    // specified in tokens); md5-order prefix of docs that fit the budget
+    "q_mixture_tokens" -> { (s, d) =>
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("lang"),
+        TF.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.operators.Mixture.rebalanceTokens(docs, "lang", "doc_id", "n_tok",
+          Map("en" -> 2.0, "zh" -> 1.0, "es" -> 1.0, "de" -> 1.0, "fr" -> 1.0))
+        .select(col("doc_id"), col("lang"), col("n_tok"), col("tok_cum"), col("budget_n"))
+    },
+    // RAG-prep chunking: fixed-size token windows with overlap — tokenize
+    // once, one transform(sequence) explode, zero shuffles
+    "q_chunking" -> { (s, d) =>
+      graft.operators.Chunker.chunk(Tables(s, d).documents,
+        Seq("doc_id"), "text", chunkSize = 40, overlap = 10)
+    },
+    // content-defined chunking (operators.CdcChunker): boundary after any
+    // position whose trailing 8-gram md5-48 ≡ 0 (mod 64) — shift-tolerant
+    // chunk-level dedup prep, zero shuffles
+    "q_cdc_chunks" -> { (s, d) =>
+      graft.operators.CdcChunker.chunks(Tables(s, d).documents,
+        Seq("doc_id"), "text", w = 8, divisor = 64)
+    },
+    // BPE trainer surface: iteration-0 adjacent-pair counts (the aggregate
+    // every merge step re-runs), oracled; deterministic tie-break ordering
+    "q_bpe_pair_counts" -> { (s, d) =>
+      graft.operators.Bpe.pairCounts(
+          graft.operators.Bpe.symbolize(
+            graft.operators.Vocab.wordCounts(Tables(s, d).documents)))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(20)
+    },
+    // the learned merge table itself (iterative argmax — no single-SQL
+    // oracle; BpeSpec pins the whole table against a naive reference)
+    "q_bpe_merges" -> { (s, d) =>
+      graft.operators.Bpe.mergeTable(s,
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents), nMerges = 10)
+    },
+    // the subword vocabulary those merges induce over the corpus (encode
+    // path: merges as literals, one zero-shuffle projection + one groupBy)
+    "q_bpe_subwords" -> { (s, d) =>
+      val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+      val merges = graft.operators.Bpe.trainMerges(wc, 10)
+      graft.operators.Bpe.subwordVocab(wc, merges)
+        .orderBy(col("n_tokens").desc, col("subword"))
+        .limit(30)
+    },
+    // BPE tokenizer fertility under the learned merges — the
+    // q_unigram_fertility twin, so the two tokenizer families report the
+    // same comparable diagnostic
+    "q_bpe_fertility" -> { (s, d) =>
+      val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+      graft.operators.Bpe.fertility(wc, graft.operators.Bpe.trainMerges(wc, 10))
+    },
+    // Byte-level BPE (GPT-2; operators.ByteBpe): BPE over UTF-8 BYTES
+    // under the reversible 256-entry byte↔unicode table — zero OOV by
+    // construction (all 256 single-byte symbols are base alphabet). The
+    // table is a driver constant shipped as literals into BOTH engines;
+    // the oracle replays symbolization from the hex dump via a VALUES
+    // lookup, then the merges with q_bpe_merges' double-space replay.
+    "q_bytebpe_merges" -> { (s, d) =>
+      graft.operators.ByteBpe.mergeTable(s,
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents), nMerges = 10)
+    },
+    // the byte-level subword vocabulary those merges induce (encode path:
+    // merges as literals, one zero-shuffle projection + one groupBy)
+    "q_bytebpe_encode" -> { (s, d) =>
+      val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+      val merges = graft.operators.ByteBpe.trainMerges(wc, 10)
+      graft.operators.ByteBpe.subwordVocab(wc, merges)
+        .orderBy(col("n_tokens").desc, col("subword"))
+        .limit(30)
+    },
+    // the four tokenizer families' fertility side by side — the table a
+    // practitioner actually reads when choosing a tokenizer (note the
+    // populations differ by design: BPE/byte-BPE train on ALL words,
+    // Unigram on printable-ASCII ≤12, WordPiece additionally excludes
+    // '#'; BPE's n_pieces counts the </w> marker; byte-BPE's pieces are
+    // byte-denominated — documented in each operator)
+    "q_tokenizer_compare" -> { (s, d) =>
+      val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+      graft.operators.Bpe.fertility(wc, graft.operators.Bpe.trainMerges(wc, 10))
+        .select(lit("bpe").as("family"), col("*"))
+        .unionByName(graft.operators.ByteBpe.fertility(wc,
+            graft.operators.ByteBpe.trainMerges(wc, 10))
+          .select(lit("bytebpe").as("family"), col("*")))
+        .unionByName(graft.operators.UnigramLm.fertility(s, wc)
+          .select(lit("unigram").as("family"), col("*")))
+        .unionByName(graft.operators.WordPiece.fertility(wc)
+          .select(lit("wordpiece").as("family"), col("*")))
+    },
+    // tokenizer population coverage: what fraction of word OCCURRENCES the
+    // subword trainers' population predicates admit — the OOV-exposure
+    // diagnostic that decides whether the ASCII restriction is acceptable
+    "q_tokenizer_population" -> { (s, d) =>
+      graft.operators.Vocab.wordCounts(Tables(s, d).documents).agg(
+        sum(col("n")).as("n_occurrences"),
+        count(lit(1)).as("n_distinct_words"),
+        sum(when(graft.operators.UnigramLm.isTrainingWord(col("word")), col("n"))
+          .otherwise(0L)).as("n_unigram_pop"),
+        sum(when(graft.operators.WordPiece.isWordPieceWord(col("word")), col("n"))
+          .otherwise(0L)).as("n_wordpiece_pop"))
+        .select(col("n_occurrences"), col("n_distinct_words"),
+          col("n_unigram_pop"), col("n_wordpiece_pop"),
+          expr("n_unigram_pop * 1000000 DIV n_occurrences").as("unigram_cov_e6"),
+          expr("n_wordpiece_pop * 1000000 DIV n_occurrences").as("wordpiece_cov_e6"))
+    },
+    // SentencePiece-style unigram LM tokenizer (operators.UnigramLm): the
+    // OTHER public tokenizer family next to BPE — replayable Viterbi EM
+    // (char + top-500-substring seed, integer-micros ln scores, exact
+    // BIGINT path sums and counts, char-coverage floors, minCount prune).
+    // The generated oracle (UnigramLmOracleSql) replays the seed, both EM
+    // rounds' DP + path extraction, and the final prune, all in BIGINT.
+    "q_unigram_lm" -> { (s, d) =>
+      graft.operators.UnigramLm.train(s,
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
+    // ENCODE path: the corpus subword vocabulary the trained unigram table
+    // induces (the q_bpe_subwords twin) — one zero-shuffle segmentation
+    // projection + one aggregation after training
+    "q_unigram_subwords" -> { (s, d) =>
+      graft.operators.UnigramLm.subwordVocab(s,
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
+    // tokenizer fertility under the trained table: weighted pieces/word and
+    // chars/piece — the standard tokenizer-quality diagnostic, all BIGINT
+    "q_unigram_fertility" -> { (s, d) =>
+      graft.operators.UnigramLm.fertility(s,
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
+    // lossless segmentation CONTRACT (the q_bpe_roundtrip pattern): every
+    // training word must re-concatenate from its Viterbi pieces — the
+    // oracle replays the pieces WITH their start offsets and re-assembles
+    "q_unigram_roundtrip" -> { (s, d) =>
+      graft.operators.UnigramLm.roundtripReport(s,
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
+    // WordPiece tokenizer (operators.WordPiece): the third classic subword
+    // family next to BPE and Unigram-LM — deterministic frequency-substring
+    // vocab (all single-char forms + top-V multi-char), greedy
+    // longest-match-first encode via the native WordPieceSegment kernel
+    "q_wordpiece_vocab" -> { (s, d) =>
+      graft.operators.WordPiece.vocab(
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
+    // corpus subword vocabulary under the greedy encode — the
+    // q_bpe_subwords / q_unigram_subwords twin
+    "q_wordpiece_encode" -> { (s, d) =>
+      graft.operators.WordPiece.subwordVocab(
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
+    // same 1-row fertility report as the BPE and Unigram families, so the
+    // three tokenizers compare on one scale
+    "q_wordpiece_fertility" -> { (s, d) =>
+      graft.operators.WordPiece.fertility(
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
+    // lossless greedy-cover CONTRACT (the q_bpe_roundtrip pattern):
+    // stripping ## and concatenating must reproduce every training word
+    "q_wordpiece_roundtrip" -> { (s, d) =>
+      graft.operators.WordPiece.roundtripReport(
+        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+    },
+    // per-document token metering under the trained table — the BATCH twin
+    // of streaming.StreamTokenize.pieceCounts (stateless projection; runs
+    // unchanged on a readStream source, StreamTokenizeSpec wires it live)
+    "q_token_meter" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val t = graft.operators.UnigramLm
+        .train(s, graft.operators.Vocab.wordCounts(docs))
+        .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      graft.streaming.StreamTokenize.pieceCounts(docs, t)
+    },
+    // exact heavy hitters at sketch cost: Misra-Gries candidates (O(k)
+    // shuffle per partition, any item cardinality) + exact second pass over
+    // candidate rows only — the output is deterministic even though the
+    // intermediate sketch is not, so the oracle is the plain histogram filter
+    "q_heavy_hitters" -> { (s, d) =>
+      graft.operators.HeavyHitters
+        .heavyHitters(Tables(s, d).documents, Seq("source"), "lang", k = 2)
+    },
+    "q_value_percentiles" -> { (s, d) =>
+      Tables(s, d).events.groupBy(col("event_type")).agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90")
+      )
+    },
+    // §2.4 breadth: Pearson correlation / sample covariance / stddev per
+    // group (rounded — covariance sums are partition-order-sensitive)
+    "q_value_correlation" -> { (s, d) =>
+      Tables(s, d).lineitem.groupBy(col("l_returnflag")).agg(
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6).as("qty_price_corr"),
+        round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4).as("qty_price_cov"),
+        round(stddev_samp(col("l_extendedprice")), 4).as("price_stddev"),
+        count(lit(1)).as("n"))
+    },
+    // custom TypedImperativeAggregate: bounded-heap top-k with map-side combine
+    "q_topk_prices" -> { (s, d) =>
+      Tables(s, d).lineitem
+        .groupBy(col("l_returnflag"))
+        .agg(graft.expressions.TopKAgg.top_k(col("l_extendedprice"), 5).as("topk"))
+        .select(col("l_returnflag"), posexplode(col("topk")).as(Seq("pos", "price")))
+        .select(col("l_returnflag"), (col("pos") + 1).as("rank"), col("price"))
+    },
+  )
+}

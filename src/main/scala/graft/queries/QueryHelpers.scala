@@ -1,0 +1,171 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Money, TextFunctions => TF, VectorFunctions => VF}
+import graft.ml.{Heuristic, IntentModel, Recommender, Undersample}
+import graft.operators.{AbTest, AsOfJoin, Association, Attribution, Autocorrelation, Avi, Changepoint, Churn, Collocations, Components, Concentration, Cuped, Decontaminate, Dedup, Dispersion, Diversity, Dsir, Featurize, GmmReplay, GopherFilter, GroupCap, HashSplit, IntervalOverlap, IvfReplay, KMeansReplay, LmScore, Mixture, Multimodal, Packing, Pareto, Paths, PiiScrub, QuantileNormalize, RankTest, Repetition, RepetitionCoverage, Rfm, SemanticDedup, SessionConf, Sessionize, Similarity, SourceProfile, Streaks, Tempo, Wavelet, WeightedSample}
+import graft.sources.Tables
+import graft.streaming.SessionWindows
+
+/** Shared fixture/feature builders for the query domain objects —
+  * moved verbatim out of SparkEntry.scala (r18 split).
+  */
+private[graft] object QueryHelpers {
+
+  /** The synthetic `events` table mapped to the reference clickstream shape:
+    * day-scoped sessions (`user_id` + day), `value`→price, JSON `props.k`
+    * →product_id, `click`→cart. See sources.Tables.clickstream for the
+    * rename-only variant; the day-session key gives a realistic label mix.
+    */
+  /** Near-dup edge list shared by q_dedup_components / q_dedup_keep: pairs
+    * of docs sharing ≥5 distinct 3-shingles, via the bucket spelling (same
+    * economics as Dedup's LSH banding) — ONE groupBy builds each shingle's
+    * posting list, the size filter IS the hot-shingle cap, and pairs come
+    * from a bounded double-explode (≤ cap² per shingle): one corpus scan,
+    * two shuffles, vs a posting self-join's three scans and four.
+    */
+  private[graft] def shingleEdges(docs: DataFrame): DataFrame = {
+    val e = docs
+      .select(col("doc_id"), explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
+      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= 20)
+      .select(explode(col("docs")).as("src"), col("docs"))
+      .select(col("src"), explode(col("docs")).as("dst"))
+      .filter(col("dst") > col("src"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .select(col("src"), col("dst"))
+    // Deliberately NOT persisted (r12 A/B, sf0.1): consumers reference the
+    // subplan twice via their undirected unions, but both branches run in
+    // ONE scan-bound job with idle cores — the double build is parallel
+    // slack. A lazy persist makes the branches race the un-populated cache
+    // (slowest option); an eager count serializes an extra job + cache
+    // write and nets out slower for the Components family too. Leave lazy.
+    e
+  }
+
+  /** Gap-session bounds shared by the interval-overlap queries: one row per
+    * (user, session) with inclusive [start_s, end_s] epoch-second bounds.
+    */
+  private[graft] def gapSessionBounds(spark: SparkSession, dir: String): DataFrame =
+    Sessionize.gapSessions(Tables(spark, dir).events, "user_id", "ts",
+        gapSeconds = 1800L, tieBreakCol = Some("event_id"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(min(col("ts").cast("long")).as("start_s"),
+        max(col("ts").cast("long")).as("end_s"))
+      // overlapCounts reads this frame four times (probes + points, twice);
+      // the Verify/Bench harness unpersists between queries
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+  private[graft] def clickstream(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events.select(
+      concat(col("user_id").cast("string"), lit("_"), date_format(col("ts"), "yyyy-MM-dd"))
+        .as("user_session"),
+      col("event_type"),
+      regexp_extract(col("props"), "\"k\": (\\d+)", 1).as("product_id"),
+      col("value").as("price"),
+      col("ts").as("event_time")
+    )
+
+  private[graft] val ClickConf = SessionConf(
+    sessionCol = "user_session",
+    typeCol = "event_type",
+    tsCol = "event_time",
+    priceCol = "price",
+    itemCol = "product_id",
+    viewType = "view",
+    cartType = "click",
+    purchaseType = "purchase"
+  )
+
+  /** Flagship: leakage-free session features (S1→P1→W1→P4→A1→P2).
+    * avg_price is rounded to 6 decimals so parallel-summation order noise
+    * (~1e-13) can't flip the oracle compare at a formatting boundary.
+    */
+  private[graft] def sessionFeatures(spark: SparkSession, dir: String): DataFrame =
+    Featurize
+      .leakageFreeSessionFeatures(clickstream(spark, dir), ClickConf)
+      .withColumn("avg_price", round(col("avg_price"), 6))
+
+  /** Formula-synthesized uncompressed-DIB AVI fixtures over the video
+    * rows (doc_id % 3 = 2): REAL RIFF bytes built per row from pure
+    * id-derived parameters (odd widths force stride padding on every
+    * file); odd doc_ids truncated mid-header. Shared by q_media_avi_meta
+    * and q_media_avi_frames; the oracles predict from the same formulas.
+    */
+  private[graft] def aviFixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d).documents
+      .filter(pmod(col("doc_id"), lit(3)) === 2)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val full = graft.operators.Avi.synthAvi(
+          width = 7 + (id % 4).toInt * 4,
+          height = 6 + (id % 3).toInt * 4,
+          nFrames = 2 + (id % 3).toInt,
+          microSecPerFrame = 33333L + (id % 7) * 1000L,
+          pixel = (f, y, x, c) =>
+            ((id + 31L * f + 7L * y + 3L * x + 11L * c) % 251L).toInt)
+        (id, if (id % 2 == 1) full.take(20) else full)
+      }.toDF("doc_id", "content")
+  }
+
+  /** Quasi-identifier view shared by the privacy battery: customer
+    * (segment, nation, 1k$-acctbal band).
+    */
+  /** Multi-line document fixture for the LineDedup queries: deterministic
+    * boilerplate planted over the (newline-free) documents table. The SQL
+    * twin is [[PlantedLinesCte]] — keep the two spellings in lockstep.
+    */
+  private[graft] def plantedLineDocs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).documents.select(
+      col("doc_id"),
+      concat_ws("\n",
+        col("text"),
+        when(col("doc_id") % 3 === 0, lit("subscribe to our newsletter")),
+        when(col("doc_id") % 5 === 0, lit("all rights reserved")),
+        when(col("doc_id") % 7 === 0, col("text"))
+      ).as("text"))
+
+  /** Synthetic URL fixture for the UrlFunctions queries (the tables have
+    * no URL column): mixed-case scheme/host, optional trailing slash,
+    * tracking params, unsorted real params, and a fragment — every
+    * canonicalization rule exercised. SQL twin: [[SyntheticUrlsCte]].
+    */
+  private[graft] def syntheticUrls(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer.select(
+      col("c_custkey"),
+      concat(
+        lit("HTTPS://WWW.Shop"), (col("c_custkey") % 7).cast("string"),
+        lit(".Example.COM/Seg/"), col("c_mktsegment"),
+        when(col("c_custkey") % 3 === 0, lit("/")).otherwise(lit("")),
+        lit("?utm_source=mail&utm_campaign=x&id="), (col("c_custkey") % 50).cast("string"),
+        when(col("c_custkey") % 2 === 0, lit("&fbclid=abc")).otherwise(lit("")),
+        when(col("c_custkey") % 4 === 0, lit("&b=2&a=1")).otherwise(lit("")),
+        lit("#section"), (col("c_custkey") % 5).cast("string")
+      ).as("url"))
+
+  /** Deterministic HTML shell around the documents (the tables have no
+    * HTML column): title + style + script subtrees, an entity in visible
+    * text, and two anchors with doc-varying mixed-case hosts and tracking
+    * params — every HtmlFunctions + UrlFunctions rule exercised. SQL twin
+    * spelled inline in the q_html_* oracles.
+    */
+  private[graft] def syntheticHtml(text: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = concat(
+    lit("<html><head><title>Doc</title><style>p{color:red}</style></head>" +
+      "<body><h1>Heading &amp; more</h1><p>"),
+    text,
+    lit("</p><a href=\"https://Example.com/p/"), (id % 5).cast("string"),
+    lit("?utm_source=x&b=2&a=1#f\">L1</a> <a href=\"http://Host"), (id % 3).cast("string"),
+    lit(".org/x/\">L2</a><script>var s=1;</script></body></html>"))
+
+  private[graft] def privacyQi(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).customer.select(
+      col("c_mktsegment").as("seg"),
+      col("c_nationkey").as("nat"),
+      floor(col("c_acctbal") / lit(1000.0d)).cast("long").as("band"))
+}
