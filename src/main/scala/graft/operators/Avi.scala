@@ -244,6 +244,68 @@ object Avi {
     Some((s, xm, ym))
   }
 
+  /** dHash per decoded frame — REAL pixel-space perceptual hash over the
+    * decoded grid (where [[Multimodal.phash]]'s video rows could only
+    * byte-fold): nearest-neighbor resample to a 9×8 gray grid
+    * (srcX = x·w DIV 9, srcY = y·h DIV 8, gray = (B+G+R) DIV 3), 64
+    * difference bits (gray(x+1,y) > gray(x,y)), packed into 4×16-bit
+    * bands — the [[Multimodal.phash]] band shape, so decoded video
+    * frames join the same near-dup banding join as images. All-integer
+    * arithmetic ⇒ formula-replayable cross-engine.
+    */
+  private[graft] def frameDHash(
+      data: Array[Byte], width: Int, height: Int): Option[Array[Long]] = {
+    val st = stride(width)
+    if (data.length < st * height) return None
+    def gray(gx: Int, gy: Int): Long = {
+      val sx = gx * width / 9
+      val sy = gy * height / 8
+      val off = (height - 1 - sy) * st + sx * 3
+      ((data(off) & 0xFF) + (data(off + 1) & 0xFF) + (data(off + 2) & 0xFF)).toLong / 3L
+    }
+    val bands = new Array[Long](4)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        val idx = gy * 8 + gx
+        if (gray(gx + 1, gy) > gray(gx, gy)) bands(idx / 16) |= 1L << (idx % 16)
+        gx += 1
+      }
+      gy += 1
+    }
+    Some(bands)
+  }
+
+  /** [[frameDHash]] over every decodable frame: `(doc_id, frame_idx,
+    * band_idx, band_val)` — one row per 16-bit band, ready for the
+    * banding equi-join. Zero shuffle.
+    */
+  def framePhash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media
+      .select(col("doc_id").cast("long"), col("content"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        parseAvi(bytes) match {
+          case Some((m, frames))
+            if m.compression == 0L && m.bitCount == 24 &&
+              m.width <= 4096 && m.height <= 4096 =>
+            // nearest-neighbor resample handles any positive source size
+            // (the 9x8 grid UP-samples the small fixtures; sx < w always)
+            frames.iterator.zipWithIndex.flatMap { case (f, i) =>
+              frameDHash(f, m.width.toInt, m.height.toInt)
+                .map(b => (id, i.toLong, b))
+            }
+          case _ => Iterator.empty
+        }
+      })
+      .toDF("doc_id", "frame_idx", "bands")
+      .select(col("doc_id"), col("frame_idx"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_val")))
+  }
+
   /** Structural metadata per AVI row — `(doc_id, ok, handler,
     * micro_sec_pf, n_frames, width, height, bit_count, compression)`,
     * nulls where the bytes aren't a well-formed AVI. Typed mapPartitions

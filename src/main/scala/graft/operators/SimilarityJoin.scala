@@ -59,7 +59,10 @@ object SimilarityJoin {
     // whole r17 watch list (q_minhash_md5_sigs, q_knn_pq, q_kcore,
     // q_community_quality) sat at ~half its driver numbers in the same
     // session — a uniform ambient-load factor, not a persist-lifecycle
-    // leak. MEMORY_AND_DISK default spills rather than
+    // leak. The full-JVM hypothesis was ALSO tested: an r18 driver-style
+    // full 324-query bench (same JVM, same clearCache discipline) ran
+    // this query at 3.58 s one-shot — no eviction/GC pressure effect
+    // either. MEMORY_AND_DISK default spills rather than
     // OOMs at scale. Lifecycle: the blocks live until the session drops
     // them — Bench/Verify clearCache() per query; a long-lived session
     // should clearCache (or unpersist these) after materializing the

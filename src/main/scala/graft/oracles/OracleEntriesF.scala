@@ -631,5 +631,39 @@ private[graft] object OracleEntriesF {
          |       floor(CAST(n_dup_positions AS DOUBLE) / CAST(n_positions AS DOUBLE)
          |             * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
          |FROM ag""".stripMargin,
+    // batch replay of the TTL stream dedup: one group per key in a batch
+    // run, TTL never lapses, min(payload) admitted — exactly GROUP BY
+    "q_stream_dedup_ttl" ->
+      """SELECT md5(text) AS key, CAST(min(doc_id) AS BIGINT) AS payload
+        |FROM documents GROUP BY 1""".stripMargin,
+    // pixel-formula replay of the decoded-frame dHash: nearest-neighbor
+    // 9×8 gray resample (sx = x·w//9, sy = y·h//8 — non-negative, so
+    // DuckDB // ≡ the decoder's Int division), 64 difference bits via a
+    // gx vs gx+1 self-join, packed into 4×16-bit bands
+    "q_media_avi_phash" ->
+      """WITH v AS (
+        |  SELECT doc_id,
+        |         7 + (doc_id % 4) * 4 AS w,
+        |         6 + (doc_id % 3) * 4 AS h,
+        |         2 + doc_id % 3 AS nf
+        |  FROM documents WHERE doc_id % 3 = 2 AND doc_id % 2 = 0),
+        |f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM v),
+        |gy AS (SELECT doc_id, w, h, fi, unnest(range(0, 8)) AS y FROM f),
+        |gx AS (SELECT doc_id, w, h, fi, y, unnest(range(0, 9)) AS x FROM gy),
+        |gr AS (SELECT doc_id, fi, y, x,
+        |         (  (doc_id + 31 * fi + 7 * ((y * h) // 8) + 3 * ((x * w) // 9)) % 251
+        |          + (doc_id + 31 * fi + 7 * ((y * h) // 8) + 3 * ((x * w) // 9) + 11) % 251
+        |          + (doc_id + 31 * fi + 7 * ((y * h) // 8) + 3 * ((x * w) // 9) + 22) % 251
+        |         ) // 3 AS g
+        |       FROM gx),
+        |bt AS (SELECT a.doc_id, a.fi, a.y, a.x,
+        |         CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+        |       FROM gr a JOIN gr b ON b.doc_id = a.doc_id AND b.fi = a.fi
+        |                          AND b.y = a.y AND b.x = a.x + 1
+        |       WHERE a.x < 8)
+        |SELECT doc_id, CAST(fi AS BIGINT) AS frame_idx,
+        |       CAST((y * 8 + x) // 16 AS INT) AS band_idx,
+        |       CAST(sum(bit << CAST((y * 8 + x) % 16 AS INT)) AS BIGINT) AS band_val
+        |FROM bt GROUP BY 1, 2, 3""".stripMargin,
   )
 }

@@ -262,5 +262,19 @@ private[graft] object QueriesDedup {
       Dedup.simhashPairs(Tables(s, d).documents, maxHamming = 16)
         .orderBy(col("hamming"), col("id1"), col("id2")).limit(100)
     },
+    // streaming exact-dedup with state TTL (streaming.StreamDedupTtl) run
+    // statically — the q_stream_bottomk driver-gating pattern: in one
+    // batch every key's rows arrive as one group and TTL never lapses, so
+    // the admitted row per key is exactly min(payload) — order-free, hash
+    // oracled. The spec drives cross-batch suppression + wall-clock TTL
+    // re-admission on RocksDB (the unbounded-stream state-size story).
+    "q_stream_dedup_ttl" -> { (s, d) =>
+      import s.implicits._
+      graft.streaming.StreamDedupTtl.dedup(
+        Tables(s, d).documents
+          .select(md5(col("text")).as("key"), col("doc_id").cast("long").as("payload"))
+          .as[graft.streaming.StreamDedupTtl.Rec],
+        ttlMs = 3600000L).toDF()
+    },
   )
 }

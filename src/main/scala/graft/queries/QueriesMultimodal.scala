@@ -135,5 +135,14 @@ private[graft] object QueriesMultimodal {
       graft.operators.Winnow.candidatePairs(
         graft.operators.Winnow.fingerprints(docs.unionByName(planted)))
     },
+    // dHash over the REAL decoded video frames (operators.Avi.framePhash):
+    // 9×8 nearest-neighbor gray resample of each BGR24 grid → 64
+    // difference bits → 4×16-bit bands (the q_media_phash shape, so video
+    // frames join the image near-dup banding join). The oracle replays
+    // the resample + gray + bit packing from the pixel formula — every
+    // step integer, so a resample or orientation mistake flips the hash
+    "q_media_avi_phash" -> { (s, d) =>
+      graft.operators.Avi.framePhash(aviFixture(s, d))
+    },
   )
 }

@@ -117,6 +117,36 @@ class AviSpec extends AnyFunSuite {
     assert(Avi.aviMeta(df).filter($"ok").count() == 1L)
   }
 
+  test("frameDHash equals a direct formula recompute; uniform frame hashes to 0") {
+    val (w, h) = (11, 6)
+    val Some((m, frames)) = Avi.parseAvi(fixture(w, h, 1))
+    def gray(gx: Int, gy: Int): Long = {
+      val sx = gx * w / 9; val sy = gy * h / 8
+      (px(0, sy, sx, 0) + px(0, sy, sx, 1) + px(0, sy, sx, 2)).toLong / 3L
+    }
+    val want = new Array[Long](4)
+    for (gy <- 0 until 8; gx <- 0 until 8) {
+      val idx = gy * 8 + gx
+      if (gray(gx + 1, gy) > gray(gx, gy)) want(idx / 16) |= 1L << (idx % 16)
+    }
+    assert(Avi.frameDHash(frames(0), m.width.toInt, m.height.toInt)
+      .map(_.toSeq).contains(want.toSeq))
+    // constant pixels: no strict gradient anywhere -> all four bands 0
+    val flat = Avi.synthAvi(11, 6, 1, 40000L, (_, _, _, _) => 77)
+    val Some((fm, ff)) = Avi.parseAvi(flat)
+    assert(Avi.frameDHash(ff(0), fm.width.toInt, fm.height.toInt)
+      .map(_.toSeq).contains(Seq(0L, 0L, 0L, 0L)))
+  }
+
+  test("identical frame content in different containers hashes identically (near-dup)") {
+    val a = Avi.synthAvi(15, 10, 1, 40000L, px)
+    val b = Avi.synthAvi(15, 10, 2, 50000L, px) // extra frame, other timing
+    val Some((ma, fa)) = Avi.parseAvi(a)
+    val Some((mb, fb)) = Avi.parseAvi(b)
+    assert(Avi.frameDHash(fa(0), ma.width.toInt, ma.height.toInt).get.toSeq ==
+      Avi.frameDHash(fb(0), mb.width.toInt, mb.height.toInt).get.toSeq)
+  }
+
   test("q_media_avi_frames emits decoded rows on the fixture corpus") {
     val n = SparkEntry.queries("q_media_avi_frames")(spark, TestSpark.Sf0001).count()
     assert(n > 0)
