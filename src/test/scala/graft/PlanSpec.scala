@@ -364,4 +364,31 @@ class PlanSpec extends AnyFunSuite {
         s"$q must not funnel the corpus through one partition:\n${p.take(2500)}")
     }
   }
+
+  test("AVI decode family: zero shuffle before the per-row walk/decode") {
+    for (q <- Seq("q_media_avi_meta", "q_media_avi_frames")) {
+      val p = plan(q)
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"$q synthesis + parse + decode must stay per-partition:\n${p.take(2500)}")
+    }
+  }
+
+  test("deterministic LSH kNN: probe side broadcast, sign table broadcast, no cartesian") {
+    val p = plan("q_knn_lsh")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the (t, bucket) candidate join must broadcast the probe side:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"every join must be an equi-join (bucket/plane keys):\n${p.take(2500)}")
+  }
+
+  test("byte-BPE symbolization: the hex->symbol map is a zero-join projection") {
+    // the 256-entry table rides as a map literal inside the projection —
+    // a join against a 256-row frame would shuffle the word table
+    val p = graft.operators.ByteBpe.symbolizeBytes(
+      graft.operators.Vocab.wordCounts(
+        graft.sources.Tables(spark, TestSpark.Sf0001).documents))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"symbolization must not join:\n${p.take(2500)}")
+  }
 }
