@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unbiased pass@k estimation (Chen et al. 2021, HumanEval eq. 1) — the
+  * standard eval statistic for "given n attempts of which c succeeded,
+  * what's P(≥1 success in k random draws)": 1 − C(n−c, k)/C(n, k). Eval
+  * pipelines aggregate this over thousands of tasks; here a "task" is a
+  * user's event history and a success is a purchase event, so the whole
+  * statistic is a pure function of the events table.
+  *
+  * The estimator is spelled as the telescoped product
+  * Π_{i=0..k−1} (n−c−i)/(n−i) — unrolled per fixed k as a left-associated
+  * double chain (both engines multiply in the same order), never a
+  * factorial (no overflow at any n). Per-task estimates quantize to e6
+  * micros before the mean so the cross-partition sum is an exact BIGINT.
+  *
+  * Scale shape: one grouped count per task + a zero-shuffle projection
+  * per k + one tiny final aggregation — no joins, no state.
+  */
+object PassAtK {
+
+  val DefaultKs: Seq[Int] = Seq(1, 5, 10)
+
+  /** Per-task (n, c) attempt/success counts. */
+  def taskCounts(events: DataFrame, successType: String = "purchase"): DataFrame =
+    events.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === successType, 1L).otherwise(0L)).as("c"))
+
+  /** 1 − Π_{i=0..k−1} (n−c−i)/(n−i) for one literal k; exactly 1 when
+    * n − c < k (C(n−c,k) = 0 — too few failures to fill a k-draw).
+    */
+  def estimateCol(n: Column, c: Column, k: Int): Column = {
+    val prod = (0 until k)
+      .map(i => (n - c - lit(i)).cast("double") / (n - lit(i)).cast("double"))
+      .reduce(_ * _)
+    when(n - c < k, lit(1.0)).otherwise(lit(1.0) - prod)
+  }
+
+  /** Mean pass@k over all tasks with n ≥ k, one row per k. */
+  def passAtK(events: DataFrame, ks: Seq[Int] = DefaultKs): DataFrame = {
+    val tasks = taskCounts(events)
+    ks.map { k =>
+      tasks.where(col("n") >= k)
+        .select(floor(estimateCol(col("n"), col("c"), k) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("pass_micros"))
+        .agg(count(lit(1)).as("n_tasks"), sum(col("pass_micros")).as("sp"))
+        .select(lit(k).as("k"), col("n_tasks"),
+          when(col("n_tasks") === 0, lit(0.0))
+            .otherwise(round(col("sp").cast("double") / col("n_tasks").cast("double") / lit(1000000.0), 6))
+            .as("avg_pass"))
+    }.reduce(_ unionAll _)
+  }
+}

@@ -665,5 +665,10 @@ private[graft] object OracleEntriesF {
         |       CAST((y * 8 + x) // 16 AS INT) AS band_idx,
         |       CAST(sum(bit << CAST((y * 8 + x) % 16 AS INT)) AS BIGINT) AS band_val
         |FROM bt GROUP BY 1, 2, 3""".stripMargin,
+    "q_bleu_corpus" -> EvalOracles.BleuOracleSql,
+    "q_rouge_corpus" -> EvalOracles.RougeOracleSql,
+    "q_bradley_terry" -> EvalOracles.BradleyTerryOracleSql,
+    "q_fleiss_kappa" -> EvalOracles.FleissKappaOracleSql,
+    "q_pass_at_k" -> EvalOracles.PassAtKOracleSql,
   )
 }

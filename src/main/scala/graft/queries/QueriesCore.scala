@@ -313,5 +313,10 @@ private[graft] object QueriesCore {
         .agg(count(lit(1)).as("n_words"),
           sum(when(col("ok"), 1L).otherwise(0L)).as("n_roundtrip"))
     },
+    // unbiased pass@k (HumanEval eq. 1) over per-user attempt histories:
+    // telescoped product unrolled per literal k, e6 micros before the mean
+    "q_pass_at_k" -> { (s, d) =>
+      graft.operators.PassAtK.passAtK(Tables(s, d).events)
+    },
   )
 }

@@ -1097,5 +1097,23 @@ private[graft] object QueriesText {
       Tables(s, d).documents
         .select(col("doc_id"), TF.fingerprintPortable(col("text")).as("fp"))
     },
+    // ---- generation-eval metrics (deterministic cand/ref doc pairs) ----
+    // corpus BLEU-4 per source: clipped n-gram precision + brevity penalty
+    "q_bleu_corpus" -> { (s, d) =>
+      graft.operators.Bleu.corpusBleu(Tables(s, d).documents)
+    },
+    // ROUGE-1/2 per source: per-pair P/R/F1 in e6 micros, macro-averaged
+    "q_rouge_corpus" -> { (s, d) =>
+      graft.operators.Bleu.rougeCorpus(Tables(s, d).documents)
+    },
+    // Bradley–Terry MM fit over cross-source contests (5 integer-micro
+    // rounds; the corpus-scale work is the one win-matrix aggregation)
+    "q_bradley_terry" -> { (s, d) =>
+      graft.operators.BradleyTerry.fit(s, Tables(s, d).documents)
+    },
+    // Fleiss' kappa per language across three deterministic raters
+    "q_fleiss_kappa" -> { (s, d) =>
+      graft.operators.Agreement.fleissKappa(Tables(s, d).documents)
+    },
   )
 }

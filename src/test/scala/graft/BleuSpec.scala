@@ -1,0 +1,84 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+import graft.operators.Bleu
+
+/** Hand-traced BLEU / ROUGE cases: identical pair → 1.0, a partially
+  * overlapping pair with a zero 4-gram order → BLEU 0, short/empty-doc
+  * gram guards, and the pair-construction contract.
+  */
+final class BleuSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def docs(rows: (Long, String, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "source", "text")
+  }
+
+  test("identical candidate/reference pair scores BLEU 1.0") {
+    val d = docs(
+      (0L, "sA", "the cat sat on the mat"),
+      (1L, "sA", "the cat sat on the mat"))
+    val r = Bleu.corpusBleu(d).collect().head
+    assert(r.getAs[Long]("n_pairs") === 1L)
+    assert(r.getAs[Double]("p1") === 1.0)
+    assert(r.getAs[Double]("p4") === 1.0)
+    assert(r.getAs[Double]("bp") === 1.0)
+    assert(r.getAs[Double]("bleu") === 1.0)
+  }
+
+  test("partial overlap: clipped precisions by hand, zero 4-gram => BLEU 0") {
+    // cand "a b c d e" vs ref "a b c x y": m1=3/5, m2=2/4, m3=1/3, m4=0/2
+    val d = docs((2L, "sB", "a b c d e"), (3L, "sB", "a b c x y"))
+    val r = Bleu.corpusBleu(d).collect().head
+    assert(r.getAs[Double]("p1") === 0.6)
+    assert(r.getAs[Double]("p2") === 0.5)
+    assert(r.getAs[Double]("p3") === 0.333333)
+    assert(r.getAs[Double]("p4") === 0.0)
+    assert(r.getAs[Double]("bleu") === 0.0)
+  }
+
+  test("clipping caps repeated candidate grams at the reference count") {
+    // cand "the the the" vs ref "the cat": m1 = min(3, 1) = 1, t1 = 3
+    val d = docs((0L, "sC", "the the the"), (1L, "sC", "the cat"))
+    val r = Bleu.corpusBleu(d).collect().head
+    assert(r.getAs[Double]("p1") === 0.333333)
+    // bp: cand 3 tokens >= ref 2 tokens -> 1.0
+    assert(r.getAs[Double]("bp") === 1.0)
+  }
+
+  test("brevity penalty fires when the candidate is shorter") {
+    // cand 2 tokens, ref 4 tokens -> bp = exp(1 - 4/2) = exp(-1)
+    val d = docs((0L, "sD", "a b"), (1L, "sD", "a b c d"))
+    val r = Bleu.corpusBleu(d).collect().head
+    assert(math.abs(r.getAs[Double]("bp") - math.exp(-1.0)) < 1e-6)
+  }
+
+  test("ROUGE-1/2 per-pair P/R/F1 macro-average by hand") {
+    // pair: cand "a b c d e" / ref "a b c x y" -> rouge1 P=R=F=0.6
+    // rouge2: m=2, tc=4, tr=4 -> P=R=F=0.5
+    val d = docs((2L, "sB", "a b c d e"), (3L, "sB", "a b c x y"))
+    val rows = Bleu.rougeCorpus(d).collect().map(r =>
+      r.getAs[Int]("n") -> r).toMap
+    assert(rows(1).getAs[Double]("avg_f1") === 0.6)
+    assert(rows(2).getAs[Double]("avg_f1") === 0.5)
+    assert(rows(1).getAs[Double]("avg_p") === 0.6)
+    assert(rows(2).getAs[Double]("avg_r") === 0.5)
+  }
+
+  test("odd doc_ids never start a pair; unmatched even docs drop") {
+    // 0 pairs with 1; 1 is odd (never a candidate); 2 has no successor
+    val d = docs((0L, "s", "x"), (1L, "s", "x"), (2L, "s", "x"))
+    assert(Bleu.pairDocs(d).count() === 1L)
+  }
+
+  test("taggedGrams: short docs emit only the orders they can fill") {
+    import spark.implicits._
+    val g = Seq(("a b c", 1)).toDF("t", "i")
+      .select(Bleu.taggedGrams(graft.operators.Repetition.words(col("t"))).as("g"))
+      .collect().head.getSeq[String](0)
+    assert(g.toSet === Set("1|a", "1|b", "1|c", "2|a b", "2|b c", "3|a b c"))
+  }
+}
