@@ -79,4 +79,25 @@ object Agreement {
       when(pe === 1.0, lit(0.0))
         .otherwise(round((pbar - pe) / (lit(1.0) - pe), 6)).as("kappa"))
   }
+
+  /** Krippendorff's alpha (nominal) per language over the same raters:
+    * α = 1 − D_o/D_e with (3 raters, no missing) D_o = (9N − ΣS_i)/(6N)
+    * — the per-item identity Σ_c n_ic(3 − n_ic) = 9 − S_i — and
+    * D_e = Σ_c m_c(M − m_c) / (M(M−1)), M = 3N. The numerators ship as
+    * exact BIGINT columns so the hash pins the integer algebra, not just
+    * the final double. Width bound: m_c(M − m_c) needs M < ~3·10⁹.
+    */
+  def krippendorffAlpha(docs: DataFrame): DataFrame = {
+    val g = grouped(docs)
+    val bigM = lit(3L) * col("n_docs")
+    val doNum = lit(9L) * col("n_docs") - col("s_sum")
+    val deNum = col("c0") * (bigM - col("c0")) + col("c1") * (bigM - col("c1")) +
+      col("c2") * (bigM - col("c2"))
+    val doD = doNum.cast("double") / (lit(6L) * col("n_docs")).cast("double")
+    val deD = deNum.cast("double") / (bigM * (bigM - 1)).cast("double")
+    g.select(col("lang"), col("n_docs"),
+      doNum.as("do_num"), deNum.as("de_num"),
+      when(deNum === 0, lit(0.0))
+        .otherwise(round(lit(1.0) - doD / deD, 6)).as("alpha"))
+  }
 }

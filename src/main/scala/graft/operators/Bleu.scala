@@ -142,10 +142,12 @@ object Bleu {
     * split — engines disagree on trailing empties).
     */
   def chrF(docs: DataFrame, maxN: Int = 6): DataFrame = {
+    // tokens are whitespace-free by construction, so the whitespace-
+    // stripped chrF input is just their concatenation
     val pairs = pairDocs(docs)
       .select(col("pair_id"), col("source"),
-        regexp_replace(array_join(col("cand"), " "), lit("\\s+"), lit("")).as("cand"),
-        regexp_replace(array_join(col("ref"), " "), lit("\\s+"), lit("")).as("ref"))
+        array_join(col("cand"), "").as("cand"),
+        array_join(col("ref"), "").as("ref"))
     def charGrams(s: Column): Column =
       flatten(array((1 to maxN).map { n =>
         val nG = length(s) - (n - 1)

@@ -39,18 +39,30 @@ object PassAtK {
     when(n - c < k, lit(1.0)).otherwise(lit(1.0) - prod)
   }
 
-  /** Mean pass@k over all tasks with n ≥ k, one row per k. */
+  /** Mean pass@k over all tasks with n ≥ k, one row per k. ONE scan and
+    * ONE aggregate for every k (per-k union branches would re-scan the
+    * events table |ks| times); the k rows unfold from the single
+    * aggregate row with a literal-array explode.
+    */
   def passAtK(events: DataFrame, ks: Seq[Int] = DefaultKs): DataFrame = {
     val tasks = taskCounts(events)
-    ks.map { k =>
-      tasks.where(col("n") >= k)
-        .select(floor(estimateCol(col("n"), col("c"), k) * lit(1000000.0) + lit(0.5))
-          .cast("long").as("pass_micros"))
-        .agg(count(lit(1)).as("n_tasks"), sum(col("pass_micros")).as("sp"))
-        .select(lit(k).as("k"), col("n_tasks"),
-          when(col("n_tasks") === 0, lit(0.0))
-            .otherwise(round(col("sp").cast("double") / col("n_tasks").cast("double") / lit(1000000.0), 6))
-            .as("avg_pass"))
-    }.reduce(_ unionAll _)
+    val aggs = ks.flatMap { k =>
+      val eligible = col("n") >= k
+      Seq(
+        sum(when(eligible, 1L)).as(s"nt_$k"),
+        sum(when(eligible,
+          floor(estimateCol(col("n"), col("c"), k) * lit(1000000.0) + lit(0.5))
+            .cast("long"))).as(s"sp_$k"))
+    }
+    tasks.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(ks.map { k =>
+        struct(lit(k).as("k"),
+          coalesce(col(s"nt_$k"), lit(0L)).as("n_tasks"),
+          coalesce(col(s"sp_$k"), lit(0L)).as("sp"))
+      }: _*)).as("s"))
+      .select(col("s.k").as("k"), col("s.n_tasks").as("n_tasks"),
+        when(col("s.n_tasks") === 0, lit(0.0))
+          .otherwise(round(col("s.sp").cast("double") / col("s.n_tasks").cast("double") / lit(1000000.0), 6))
+          .as("avg_pass"))
   }
 }

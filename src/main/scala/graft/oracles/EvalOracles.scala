@@ -161,10 +161,10 @@ private[graft] object EvalOracles {
        |        JOIN p$iters ON p$iters.source = it.source""".stripMargin
   }
 
-  /** Fleiss' kappa per language over the three heuristic raters — the
-    * five grouped sums are exact BIGINTs, κ is the only double.
+  /** Shared head of the agreement oracles: the three raters' categories,
+    * per-doc category counts, and the per-language exact-BIGINT sums.
     */
-  private[graft] lazy val FleissKappaOracleSql: String =
+  private lazy val agreementCtes: String =
     s"""WITH t AS (SELECT doc_id, lang, n_chars, $TokensSql AS toks FROM documents),
        |m AS (SELECT lang, n_chars,
        |        len(toks) AS ntok,
@@ -191,7 +191,13 @@ private[graft] object EvalOracles {
        |        CAST(sum(nj0) AS BIGINT) AS c0,
        |        CAST(sum(nj1) AS BIGINT) AS c1,
        |        CAST(sum(nj2) AS BIGINT) AS c2
-       |      FROM nj GROUP BY 1)
+       |      FROM nj GROUP BY 1)""".stripMargin
+
+  /** Fleiss' kappa per language over the three heuristic raters — the
+    * five grouped sums are exact BIGINTs, κ is the only double.
+    */
+  private[graft] lazy val FleissKappaOracleSql: String =
+    s"""$agreementCtes
        |SELECT lang, n_docs, s_sum, c0, c1, c2,
        |  CASE WHEN CAST(c0 * c0 + c1 * c1 + c2 * c2 AS DOUBLE)
        |            / CAST(9 * n_docs * n_docs AS DOUBLE) = 1.0 THEN 0.0
@@ -202,6 +208,79 @@ private[graft] object EvalOracles {
        |         / (1.0 - CAST(c0 * c0 + c1 * c1 + c2 * c2 AS DOUBLE)
        |                  / CAST(9 * n_docs * n_docs AS DOUBLE)), 6) END AS kappa
        |FROM g""".stripMargin
+
+  /** Krippendorff's α (nominal) per language — same grouped sums, the
+    * D_o/D_e numerators shipped as exact BIGINT columns.
+    */
+  private[graft] lazy val KrippendorffOracleSql: String =
+    s"""$agreementCtes
+       |SELECT lang, n_docs,
+       |  CAST(9 * n_docs - s_sum AS BIGINT) AS do_num,
+       |  CAST(c0 * (3 * n_docs - c0) + c1 * (3 * n_docs - c1)
+       |       + c2 * (3 * n_docs - c2) AS BIGINT) AS de_num,
+       |  CASE WHEN c0 * (3 * n_docs - c0) + c1 * (3 * n_docs - c1)
+       |            + c2 * (3 * n_docs - c2) = 0 THEN 0.0
+       |       ELSE round(1.0 -
+       |         (CAST(9 * n_docs - s_sum AS DOUBLE) / CAST(6 * n_docs AS DOUBLE))
+       |         / (CAST(c0 * (3 * n_docs - c0) + c1 * (3 * n_docs - c1)
+       |                 + c2 * (3 * n_docs - c2) AS DOUBLE)
+       |            / CAST(3 * n_docs * (3 * n_docs - 1) AS DOUBLE)), 6) END AS alpha
+       |FROM g""".stripMargin
+
+  /** chrF2 replay: char n-grams (n = 1..6) via string slices over the
+    * token concatenation, per-order e6 quantization, integer-DIV order
+    * mean, F2 = 5PR/(4P+R) in micros — term-for-term Bleu.chrF.
+    */
+  private[graft] lazy val ChrFOracleSql: String =
+    s"""WITH t AS (SELECT doc_id, source, $TokensSql AS toks FROM documents),
+       |pr AS MATERIALIZED (
+       |       SELECT a.doc_id AS pair_id, a.source,
+       |              array_to_string(a.toks, '') AS cand,
+       |              array_to_string(b.toks, '') AS ref
+       |       FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+       |       WHERE a.doc_id % 2 = 0),
+       |ns AS (SELECT unnest([1, 2, 3, 4, 5, 6]) AS n),
+       |cg AS (SELECT pair_id, n,
+       |         unnest(list_transform(generate_series(1, len(cand) - n + 1),
+       |                i -> cand[i:i+n-1])) AS g
+       |       FROM pr CROSS JOIN ns),
+       |rg AS (SELECT pair_id, n,
+       |         unnest(list_transform(generate_series(1, len(ref) - n + 1),
+       |                i -> ref[i:i+n-1])) AS g
+       |       FROM pr CROSS JOIN ns),
+       |cc AS (SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS c FROM cg GROUP BY 1, 2, 3),
+       |rc AS (SELECT pair_id, n, g, CAST(count(*) AS BIGINT) AS r FROM rg GROUP BY 1, 2, 3),
+       |mm AS (SELECT cc.pair_id, cc.n, CAST(sum(LEAST(cc.c, rc.r)) AS BIGINT) AS m
+       |       FROM cc JOIN rc ON rc.pair_id = cc.pair_id AND rc.n = cc.n AND rc.g = cc.g
+       |       GROUP BY 1, 2),
+       |base AS (SELECT pair_id, source, n,
+       |           CAST(GREATEST(len(cand) - n + 1, 0) AS BIGINT) AS tc,
+       |           CAST(GREATEST(len(ref) - n + 1, 0) AS BIGINT) AS tr
+       |         FROM pr CROSS JOIN ns),
+       |pm AS (SELECT base.pair_id, base.source, base.tc, base.tr,
+       |         coalesce(mm.m, 0) AS m
+       |       FROM base LEFT JOIN mm ON mm.pair_id = base.pair_id AND mm.n = base.n),
+       |po AS (SELECT pair_id, source,
+       |         CAST(floor(CASE WHEN tc > 0 THEN CAST(m AS DOUBLE) / CAST(tc AS DOUBLE)
+       |                         ELSE 0.0 END * 1000000.0 + 0.5) AS BIGINT) AS p_micros,
+       |         CAST(floor(CASE WHEN tr > 0 THEN CAST(m AS DOUBLE) / CAST(tr AS DOUBLE)
+       |                         ELSE 0.0 END * 1000000.0 + 0.5) AS BIGINT) AS r_micros
+       |       FROM pm),
+       |pp AS (SELECT pair_id, source,
+       |         CAST(sum(p_micros) AS BIGINT) // 6 AS pm6,
+       |         CAST(sum(r_micros) AS BIGINT) // 6 AS rm6
+       |       FROM po GROUP BY 1, 2),
+       |pf AS (SELECT source, pm6, rm6,
+       |         CASE WHEN pm6 + rm6 = 0 THEN 0
+       |              ELSE CAST(floor(5.0 * CAST(pm6 AS DOUBLE) * CAST(rm6 AS DOUBLE)
+       |                     / (4.0 * CAST(pm6 AS DOUBLE) + CAST(rm6 AS DOUBLE)) + 0.5)
+       |                   AS BIGINT) END AS f_micros
+       |       FROM pp)
+       |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+       |       round(CAST(sum(pm6) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS avg_chrp,
+       |       round(CAST(sum(rm6) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS avg_chrr,
+       |       round(CAST(sum(f_micros) AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1000000.0, 6) AS avg_chrf2
+       |FROM pf GROUP BY 1""".stripMargin
 
   /** pass@k replay: per-user (n, c), the telescoped product unrolled per
     * literal k in the same left-associated factor order as

@@ -670,5 +670,7 @@ private[graft] object OracleEntriesF {
     "q_bradley_terry" -> EvalOracles.BradleyTerryOracleSql,
     "q_fleiss_kappa" -> EvalOracles.FleissKappaOracleSql,
     "q_pass_at_k" -> EvalOracles.PassAtKOracleSql,
+    "q_chrf_corpus" -> EvalOracles.ChrFOracleSql,
+    "q_krippendorff_alpha" -> EvalOracles.KrippendorffOracleSql,
   )
 }

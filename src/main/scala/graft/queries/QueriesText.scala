@@ -1115,5 +1115,13 @@ private[graft] object QueriesText {
     "q_fleiss_kappa" -> { (s, d) =>
       graft.operators.Agreement.fleissKappa(Tables(s, d).documents)
     },
+    // chrF2: character n-gram F-score (orders 1..6, beta = 2)
+    "q_chrf_corpus" -> { (s, d) =>
+      graft.operators.Bleu.chrF(Tables(s, d).documents)
+    },
+    // Krippendorff's alpha (nominal) — same raters, coincidence algebra
+    "q_krippendorff_alpha" -> { (s, d) =>
+      graft.operators.Agreement.krippendorffAlpha(Tables(s, d).documents)
+    },
   )
 }

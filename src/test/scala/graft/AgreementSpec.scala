@@ -53,6 +53,19 @@ final class AgreementSpec extends AnyFunSuite {
     assert(Agreement.fleissKappa(d).collect().head.getAs[Double]("kappa") === 0.0)
   }
 
+  test("hand-computed Krippendorff alpha on the mixed fixture") {
+    val d = docs(
+      (0L, "en", "aa aa aa aa", 100L),                  // (0,0,0)
+      (1L, "en", "abcdef ghijkl mnopqr stuvwx", 400L),  // (2,2,2)
+      (2L, "en", "abcd efgh abcd efgh", 200L),          // (1,1,1)
+      (3L, "en", "abcdef ghijkl mnopqr stuvwx", 100L))  // (0,2,2)
+    // N=4, ssum=32, c=(4,3,5), M=12: Do=4/24, De=94/132 -> alpha=72/94
+    val r = Agreement.krippendorffAlpha(d).collect().head
+    assert(r.getAs[Long]("do_num") === 4L)
+    assert(r.getAs[Long]("de_num") === 94L)
+    assert(math.abs(r.getAs[Double]("alpha") - 72.0 / 94.0) < 1e-6)
+  }
+
   test("tokenless doc rates 0 from every rater") {
     val got = Agreement.fleissRatings(docs((0L, "en", "   ", 10L)))
       .collect().head

@@ -68,6 +68,27 @@ final class BleuSpec extends AnyFunSuite {
     assert(rows(2).getAs[Double]("avg_r") === 0.5)
   }
 
+  test("chrF2: identical pair scores 1.0; disjoint pair scores 0.0") {
+    val d = docs(
+      (0L, "sA", "abcdef"), (1L, "sA", "abcdef"),
+      (2L, "sB", "aaaaaa"), (3L, "sB", "zzzzzz"))
+    val got = Bleu.chrF(d).collect().map(r => r.getString(0) -> r).toMap
+    assert(got("sA").getAs[Double]("avg_chrf2") === 1.0)
+    assert(got("sB").getAs[Double]("avg_chrf2") === 0.0)
+  }
+
+  test("chrF2 hand case: per-order means and the beta=2 harmonic") {
+    // cand "abcd" / ref "abcz" (whitespace stripped): per order n=1..6
+    // m: 3,2,1,0,0,0; tc=tr: 4,3,2,1,0,0 -> P_n=R_n: .75,.666667,.5,0,0,0
+    // mean over 6 = (750000+666667+500000)//6 = 319444 micros
+    // F2 = 5PR/(4P+R) with P=R -> F = P
+    val d = docs((0L, "s", "ab cd"), (1L, "s", "ab cz"))
+    val r = Bleu.chrF(d).collect().head
+    assert(r.getAs[Double]("avg_chrp") === 0.319444)
+    assert(r.getAs[Double]("avg_chrr") === 0.319444)
+    assert(r.getAs[Double]("avg_chrf2") === 0.319444)
+  }
+
   test("odd doc_ids never start a pair; unmatched even docs drop") {
     // 0 pairs with 1; 1 is odd (never a candidate); 2 has no successor
     val d = docs((0L, "s", "x"), (1L, "s", "x"), (2L, "s", "x"))

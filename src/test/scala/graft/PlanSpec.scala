@@ -391,4 +391,39 @@ class PlanSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("Join"), s"symbolization must not join:\n${p.take(2500)}")
   }
+
+  test("BLEU/chrF: clipped-match counting is equi-joined, never all-pairs; partial aggs") {
+    for (q <- Seq("q_bleu_corpus", "q_chrf_corpus")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2500)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(2500)}")
+      assert(p.contains("partial_count"),
+        s"$q gram counts must map-side combine:\n${p.take(2500)}")
+    }
+  }
+
+  test("agreement metrics: zero-join projection + one grouped aggregate") {
+    for (q <- Seq("q_fleiss_kappa", "q_krippendorff_alpha")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n${p.take(2500)}")
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+      assert(exchanges == 1, s"$q expected 1 exchange:\n${p.take(2500)}")
+    }
+  }
+
+  test("pass@k: one events scan, one grouped + one global aggregate, no per-k branches") {
+    val p = plan("q_pass_at_k")
+    assert(!p.contains("Union"), s"per-k union branches would re-scan events:\n${p.take(2500)}")
+    val scans = "Scan parquet".r.findAllIn(p).size
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n${p.take(2500)}")
+  }
+
+  test("Bradley-Terry win matrix: equi-join on the successor id, no cartesian") {
+    val p = graft.operators.BradleyTerry.winMatrix(
+      graft.sources.Tables(spark, TestSpark.Sf0001).documents)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2500))
+    assert(p.contains("partial_count"), s"win counts must map-side combine:\n${p.take(2500)}")
+  }
 }
