@@ -33,6 +33,7 @@ object Bleu {
   /** Adjacent-doc candidate/reference pairing: even doc_id = candidate,
     * doc_id + 1 = reference. Inner join — an even doc with no successor
     * simply contributes no pair (same semantics in the SQL oracle).
+    * `cand`/`ref` are the raw texts; the overlap kernels tokenize.
     */
   def pairDocs(docs: DataFrame): DataFrame = {
     val a = docs.select(col("doc_id"), col("source"), col("text")).as("a")
@@ -42,54 +43,74 @@ object Bleu {
       .select(
         col("a.doc_id").as("pair_id"),
         col("a.source").as("source"),
-        Repetition.words(col("a.text")).as("cand"),
-        Repetition.words(col("b.text")).as("ref"))
+        col("a.text").as("cand"),
+        col("b.text").as("ref"))
   }
 
   private val emptyStrings: Column = typedLit(Seq.empty[String])
 
-  /** All n-grams for n = 1..maxN as "n|gram" tagged strings in one array —
-    * a single flatten so each side explodes exactly once. The tag keeps
-    * the (n, gram) grouping key a flat string; n is recovered with a
-    * 1-char substring (maxN ≤ 9).
+  /** Word n-gram array (single-space joined), empty when the doc has
+    * fewer than n tokens.
     */
-  def taggedGrams(toks: Column, maxN: Int = MaxN): Column =
-    flatten(array((1 to maxN).map { n =>
-      val nG = size(toks) - (n - 1)
-      // sequence(1, 0) would DESCEND — guard the short-doc case explicitly
-      when(nG >= 1,
-        transform(sequence(lit(1), nG), j =>
-          concat(lit(s"$n|"), array_join(slice(toks, j, lit(n)), " "))))
-        .otherwise(emptyStrings)
-    }: _*))
+  def grams(toks: Column, n: Int): Column = {
+    val nG = size(toks) - (n - 1)
+    // sequence(1, 0) would DESCEND — guard the short-doc case explicitly
+    when(nG >= 1,
+      transform(sequence(lit(1), nG), j => array_join(slice(toks, j, lit(n)), " ")))
+      .otherwise(emptyStrings)
+  }
+
+  /** Multiset-intersection size of two gram arrays — the clipped match
+    * count Σ_g min(count_a(g), count_b(g)) — as ONE per-row expression:
+    * tag each side, sort the combined struct array (gram, then side),
+    * run-length fold closing each equal-gram run with min(run_a, run_b).
+    *
+    * PARITY REFERENCE ONLY: the hot paths use the native
+    * [[graft.expressions.OverlapKernels]] (BleuSpec pins kernel ≡ fold).
+    * This HOF spelling allocates a struct per element and runs
+    * interpreted — the chrF variant benched 17.9 s at sf0.1 where the
+    * kernel is sub-second (the RepCoverage lesson repeating).
+    */
+  def clippedMatch(a: Column, b: Column): Column = {
+    val tagged = array_sort(concat(
+      transform(a, g => struct(g.as("g"), lit(1).as("s"))),
+      transform(b, g => struct(g.as("g"), lit(2).as("s")))))
+    aggregate(
+      tagged,
+      struct(lit("").as("prev"), lit(0L).as("ca"), lit(0L).as("cb"),
+        lit(0L).as("acc"), lit(false).as("open")),
+      (st, e) => {
+        val isNew = !st.getField("open") || (e.getField("g") =!= st.getField("prev"))
+        struct(
+          e.getField("g").as("prev"),
+          (when(isNew, lit(0L)).otherwise(st.getField("ca")) +
+            when(e.getField("s") === 1, 1L).otherwise(0L)).as("ca"),
+          (when(isNew, lit(0L)).otherwise(st.getField("cb")) +
+            when(e.getField("s") === 2, 1L).otherwise(0L)).as("cb"),
+          (st.getField("acc") +
+            when(isNew, least(st.getField("ca"), st.getField("cb"))).otherwise(lit(0L))).as("acc"),
+          lit(true).as("open"))
+      },
+      st => st.getField("acc") + least(st.getField("ca"), st.getField("cb")))
+  }
 
   /** Per-(pair, n) clipped-match and total gram counts: `m` = Σ_gram
-    * min(count_cand, count_ref), `tc`/`tr` = total candidate/reference
-    * n-gram occurrences (from array lengths — no second aggregation).
+    * min(count_cand, count_ref) via the native word-overlap kernel (one
+    * pass for every order), `tc`/`tr` from the kernel's token counts. A
+    * pure projection — the long (pair, n) format unfolds from a
+    * literal-array explode, never a join.
     */
-  def clippedStats(pairs: DataFrame, maxN: Int = MaxN): DataFrame = {
-    def counts(side: String): DataFrame =
-      pairs
-        .select(col("pair_id"), explode(taggedGrams(col(side), maxN)).as("tg"))
-        .groupBy(col("pair_id"), col("tg"))
-        .agg(count(lit(1)).as(s"c_$side"))
-    val matched = counts("cand")
-      .join(counts("ref"), Seq("pair_id", "tg"))
-      .groupBy(col("pair_id"), substring(col("tg"), 1, 1).cast("int").as("n"))
-      .agg(sum(least(col("c_cand"), col("c_ref"))).as("m"))
-    val base = pairs.select(
-      col("pair_id"), col("source"),
-      explode(typedLit((1 to maxN).toList)).as("n"),
-      col("cand"), col("ref"))
-      .select(
-        col("pair_id"), col("source"), col("n"),
-        greatest(size(col("cand")) - col("n") + 1, lit(0)).cast("long").as("tc"),
-        greatest(size(col("ref")) - col("n") + 1, lit(0)).cast("long").as("tr"))
-    base
-      .join(matched, Seq("pair_id", "n"), "left")
-      .select(col("pair_id"), col("source"), col("n"),
-        coalesce(col("m"), lit(0L)).as("m"), col("tc"), col("tr"))
-  }
+  def clippedStats(pairs: DataFrame, maxN: Int = MaxN): DataFrame =
+    pairs.select(col("pair_id"), col("source"),
+      graft.expressions.OverlapKernels.wordOverlap(col("cand"), col("ref")).as("ov"))
+      .select(col("pair_id"), col("source"),
+        explode(array((1 to maxN).map { n =>
+          struct(lit(n).as("n"), col(s"ov.m$n").as("m"),
+            greatest(col("ov.nc") - (n - 1), lit(0L)).as("tc"),
+            greatest(col("ov.nr") - (n - 1), lit(0L)).as("tr"))
+        }: _*)).as("st"))
+      .select(col("pair_id"), col("source"), col("st.n").as("n"),
+        col("st.m").as("m"), col("st.tc").as("tc"), col("st.tr").as("tr"))
 
   /** Corpus BLEU-4 per source: p_n from source-summed clipped counts,
     * brevity penalty from total candidate/reference token counts, zero
@@ -142,44 +163,23 @@ object Bleu {
     * split — engines disagree on trailing empties).
     */
   def chrF(docs: DataFrame, maxN: Int = 6): DataFrame = {
-    // tokens are whitespace-free by construction, so the whitespace-
-    // stripped chrF input is just their concatenation
-    val pairs = pairDocs(docs)
-      .select(col("pair_id"), col("source"),
-        array_join(col("cand"), "").as("cand"),
-        array_join(col("ref"), "").as("ref"))
-    def charGrams(s: Column): Column =
-      flatten(array((1 to maxN).map { n =>
-        val nG = length(s) - (n - 1)
-        when(nG >= 1,
-          transform(sequence(lit(1), nG), j => concat(lit(s"$n|"), s.substr(j, lit(n)))))
-          .otherwise(emptyStrings)
-      }: _*))
-    def counts(side: String): DataFrame =
-      pairs.select(col("pair_id"), explode(charGrams(col(side))).as("tg"))
-        .groupBy(col("pair_id"), col("tg"))
-        .agg(count(lit(1)).as(s"c_$side"))
-    val matched = counts("cand")
-      .join(counts("ref"), Seq("pair_id", "tg"))
-      .groupBy(col("pair_id"), substring(col("tg"), 1, 1).cast("int").as("n"))
-      .agg(sum(least(col("c_cand"), col("c_ref"))).as("m"))
-    val base = pairs.select(col("pair_id"), col("source"),
-      explode(typedLit((1 to maxN).toList)).as("n"), col("cand"), col("ref"))
-      .select(col("pair_id"), col("source"), col("n"),
-        greatest(length(col("cand")) - col("n") + 1, lit(0)).cast("long").as("tc"),
-        greatest(length(col("ref")) - col("n") + 1, lit(0)).cast("long").as("tr"))
-    val pm = base.join(matched, Seq("pair_id", "n"), "left")
-      .select(col("pair_id"), col("source"), col("n"),
-        coalesce(col("m"), lit(0L)).as("m"), col("tc"), col("tr"))
-    val pn = when(col("tc") > 0, col("m").cast("double") / col("tc").cast("double")).otherwise(lit(0.0))
-    val rn = when(col("tr") > 0, col("m").cast("double") / col("tr").cast("double")).otherwise(lit(0.0))
-    // exact e6 per (pair, order), then integer mean over the fixed order
-    // count — the per-pair P/R are (Σ micros) / maxN, order-independent
-    val perOrder = pm.select(col("pair_id"), col("source"),
-      floor(pn * lit(1000000.0) + lit(0.5)).cast("long").as("p_micros"),
-      floor(rn * lit(1000000.0) + lit(0.5)).cast("long").as("r_micros"))
-    val perPair = perOrder.groupBy(col("pair_id"), col("source"))
-      .agg(sum(col("p_micros")).as("sp_raw"), sum(col("r_micros")).as("sr_raw"))
+    def micros(m: Column, t: Column): Column =
+      floor(when(t > 0, m.cast("double") / t.cast("double")).otherwise(lit(0.0)) *
+        lit(1000000.0) + lit(0.5)).cast("long")
+    // the char-overlap kernel computes every order's clipped match in one
+    // native pass over the whitespace-stripped pair; the e6 P/R sums add
+    // up IN the projection — the whole per-pair statistic is one
+    // codegen'd select, and only the final per-source aggregate shuffles
+    // (map-side combined to |sources| rows)
+    val withM = pairDocs(docs).select(col("source"),
+      graft.expressions.OverlapKernels.charOverlap(col("cand"), col("ref")).as("ov"))
+    val perPair = withM.select(col("source"),
+      (1 to maxN).map { n =>
+        micros(col(s"ov.m$n"), greatest(col("ov.nc") - (n - 1), lit(0L)))
+      }.reduce(_ + _).as("sp_raw"),
+      (1 to maxN).map { n =>
+        micros(col(s"ov.m$n"), greatest(col("ov.nr") - (n - 1), lit(0L)))
+      }.reduce(_ + _).as("sr_raw"))
       // integer mean over the fixed order count: DIV, never a double cast
       // (Spark long-cast truncates where DuckDB double→BIGINT rounds)
       .select(col("source"),

@@ -95,11 +95,67 @@ final class BleuSpec extends AnyFunSuite {
     assert(Bleu.pairDocs(d).count() === 1L)
   }
 
-  test("taggedGrams: short docs emit only the orders they can fill") {
+  test("clippedMatch fold: multiset intersection, not set intersection") {
     import spark.implicits._
-    val g = Seq(("a b c", 1)).toDF("t", "i")
-      .select(Bleu.taggedGrams(graft.operators.Repetition.words(col("t"))).as("g"))
-      .collect().head.getSeq[String](0)
-    assert(g.toSet === Set("1|a", "1|b", "1|c", "2|a b", "2|b c", "3|a b c"))
+    def m(a: Seq[String], b: Seq[String]): Long =
+      Seq((a, b)).toDF("a", "b")
+        .select(Bleu.clippedMatch(col("a"), col("b")).as("m"))
+        .collect().head.getLong(0)
+    // repeated gram clips at the smaller multiplicity
+    assert(m(Seq("x", "x", "x", "y"), Seq("x", "x", "z")) === 2L)
+    // disjoint and empty edges
+    assert(m(Seq("a"), Seq("b")) === 0L)
+    assert(m(Seq.empty, Seq("a")) === 0L)
+    assert(m(Seq.empty, Seq.empty) === 0L)
+    // order-independent (the fold sorts)
+    assert(m(Seq("b", "a", "b"), Seq("b", "b", "a")) === 3L)
+  }
+
+  test("native overlap kernels match the HOF fold on real corpus pairs") {
+    import graft.expressions.OverlapKernels
+    import graft.operators.Repetition
+    val pairs = Bleu.pairDocs(
+      graft.sources.Tables(spark, TestSpark.Sf0001).documents)
+    // word orders 1..4: kernel m_n == fold over the HOF gram arrays
+    val w = pairs.select(
+      (OverlapKernels.wordOverlap(col("cand"), col("ref")).as("ov")) +:
+        (1 to 4).map { n =>
+          Bleu.clippedMatch(
+            Bleu.grams(Repetition.words(col("cand")), n),
+            Bleu.grams(Repetition.words(col("ref")), n)).as(s"h$n")
+        }: _*)
+    val wBad = w.where((1 to 4).map(n =>
+      col(s"ov.m$n") =!= col(s"h$n")).reduce(_ || _)).count()
+    assert(wBad === 0L, "word kernel diverges from the HOF fold")
+    // kernel token counts match the HOF tokenization
+    val tBad = pairs.select(
+      OverlapKernels.wordOverlap(col("cand"), col("ref")).as("ov"),
+      size(Repetition.words(col("cand"))).cast("long").as("nc"),
+      size(Repetition.words(col("ref"))).cast("long").as("nr"))
+      .where(col("ov.nc") =!= col("nc") || col("ov.nr") =!= col("nr")).count()
+    assert(tBad === 0L, "kernel tokenization diverges from Repetition.words")
+  }
+
+  test("char kernel matches a substr-built HOF fold on real corpus pairs") {
+    import graft.expressions.OverlapKernels
+    import graft.operators.Repetition
+    def charGram(s: org.apache.spark.sql.Column, n: Int) = {
+      val nG = length(s) - (n - 1)
+      when(nG >= 1, transform(sequence(lit(1), nG), j => s.substr(j, lit(n))))
+        .otherwise(typedLit(Seq.empty[String]))
+    }
+    val pairs = Bleu.pairDocs(
+      graft.sources.Tables(spark, TestSpark.Sf0001).documents)
+      .select(col("cand").as("ct"), col("ref").as("rt"),
+        array_join(Repetition.words(col("cand")), "").as("cs"),
+        array_join(Repetition.words(col("ref")), "").as("rs"))
+    val c = pairs.select(
+      (OverlapKernels.charOverlap(col("ct"), col("rt")).as("ov")) +:
+        (1 to 6).map { n =>
+          Bleu.clippedMatch(charGram(col("cs"), n), charGram(col("rs"), n)).as(s"h$n")
+        }: _*)
+    val cBad = c.where((1 to 6).map(n =>
+      col(s"ov.m$n") =!= col(s"h$n")).reduce(_ || _)).count()
+    assert(cBad === 0L, "char kernel diverges from the HOF fold")
   }
 }

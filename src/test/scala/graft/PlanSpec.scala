@@ -392,13 +392,17 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("Join"), s"symbolization must not join:\n${p.take(2500)}")
   }
 
-  test("BLEU/chrF: clipped-match counting is equi-joined, never all-pairs; partial aggs") {
-    for (q <- Seq("q_bleu_corpus", "q_chrf_corpus")) {
+  test("BLEU/chrF: the pair join is the ONLY join — clipped matches fold per row") {
+    for (q <- Seq("q_bleu_corpus", "q_chrf_corpus", "q_rouge_corpus")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct"), s"$q:\n${p.take(2500)}")
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n${p.take(2500)}")
-      assert(p.contains("partial_count"),
-        s"$q gram counts must map-side combine:\n${p.take(2500)}")
+      // one doc_id-successor join builds the pairs; a second join would be
+      // the (pair, gram) counting shuffle the per-row fold replaced
+      val joins = "Join".r.findAllIn(p).size
+      assert(joins <= 2, s"$q expected only the pair join, got $joins Join nodes:\n${p.take(2500)}")
+      assert(p.contains("partial_count") || p.contains("partial_sum"),
+        s"$q final aggregate must map-side combine:\n${p.take(2500)}")
     }
   }
 
