@@ -114,4 +114,49 @@ class RobustnessSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("distinct lengths"))
   }
+
+  test("generation-eval metrics run totally on the degenerate corpus") {
+    // pair the nasty docs with each other (0-based ids so pairs form),
+    // including empty-vs-text, whitespace-only, punct-only, 24k-char,
+    // and supplementary-plane pairs (code-point paths in the char kernel)
+    val evalDocs = (nasty.zipWithIndex.map { case ((_, t), i) =>
+      (i.toLong, s"src${i % 2}", t)
+    } :+ ((nasty.size.toLong, "src0", "𝄞 clef 𝄞 music")))
+      .toDF("doc_id", "source", "text")
+    val bleu = graft.operators.Bleu.corpusBleu(evalDocs).collect()
+    assert(bleu.forall { r =>
+      val b = r.getAs[Double]("bleu"); b >= 0.0 && b <= 1.0
+    })
+    val chrf = graft.operators.Bleu.chrF(evalDocs).collect()
+    assert(chrf.forall { r =>
+      val f = r.getAs[Double]("avg_chrf2"); f >= 0.0 && f <= 1.0
+    })
+    val rouge = graft.operators.Bleu.rougeCorpus(evalDocs).collect()
+    assert(rouge.forall { r =>
+      val f = r.getAs[Double]("avg_f1"); f >= 0.0 && f <= 1.0
+    })
+  }
+
+  test("char kernel counts supplementary-plane code points, not UTF-16 units") {
+    import graft.expressions.OverlapKernels
+    // "𝄞𝄞" is 2 code points / 4 UTF-16 units: nc must be 2
+    val r = Seq(("𝄞𝄞", "𝄞x"))
+      .toDF("c", "r")
+      .select(OverlapKernels.charOverlap(org.apache.spark.sql.functions.col("c"),
+        org.apache.spark.sql.functions.col("r")).as("ov"))
+      .select("ov.nc", "ov.nr", "ov.m1").collect().head
+    assert(r.getLong(0) === 2L)
+    assert(r.getLong(1) === 2L)
+    assert(r.getLong(2) === 1L) // one shared clef code point
+  }
+
+  test("agreement raters and kappa/alpha are total on degenerate docs") {
+    val d = nasty.zipWithIndex.map { case ((_, t), i) =>
+      (i.toLong, "xx", t, t.length.toLong)
+    }.toDF("doc_id", "lang", "text", "n_chars")
+    val kap = graft.operators.Agreement.fleissKappa(d).collect()
+    assert(kap.nonEmpty && kap.forall(r => !r.isNullAt(r.fieldIndex("kappa"))))
+    val alp = graft.operators.Agreement.krippendorffAlpha(d).collect()
+    assert(alp.nonEmpty && alp.forall(r => !r.isNullAt(r.fieldIndex("alpha"))))
+  }
 }
