@@ -16,15 +16,15 @@ import org.apache.spark.sql.functions._
   * bit-for-bit in any engine. A real deployment swaps [[pairDocs]] for its
   * own (candidate, reference) join; everything downstream is unchanged.
   *
-  * Scale shape: the only wide stage is the clipped-match count — gram
-  * occurrences keyed by (pair, n, gram), counted, and the candidate/
-  * reference sides joined ON THE SAME KEY, so Catalyst plans one exchange
-  * per side and a co-partitioned sort-merge join (no re-shuffle between
-  * the count and the join). Total/candidate gram counts per pair come
-  * straight from array lengths — a zero-shuffle projection, never a
-  * second count over the exploded rows. Per-pair doubles are quantized to
-  * e6 BIGINTs before the per-source average so every cross-partition sum
-  * is exact integer arithmetic (order-independent, engine-portable).
+  * Scale shape: candidate and reference live in the SAME pair row, so
+  * every order's clipped-match count comes from ONE native kernel pass
+  * per row ([[graft.expressions.OverlapKernels]], codegen'd) — a
+  * (pair, n, gram) counting join would shuffle the whole gram volume for
+  * values the kernel computes at scan speed. The only shuffles are the
+  * doc-successor pair join and the final per-source aggregate (map-side
+  * combined to |sources| rows). Per-pair doubles are quantized to e6
+  * BIGINTs before the per-source average so every cross-partition sum is
+  * exact integer arithmetic (order-independent, engine-portable).
   */
 object Bleu {
 

@@ -35,12 +35,21 @@ final class PlanHygieneSpec extends AnyFunSuite {
   test("no query plans an un-whitelisted CartesianProduct") {
     val cartesian = scala.collection.mutable.ListBuffer.empty[String]
     val threw = scala.collection.mutable.ListBuffer.empty[String]
-    for (q <- SparkEntry.queries.keys.toSeq.sorted) {
-      try {
-        val p = SparkEntry.queries(q)(spark, TestSpark.Sf0001)
-          .queryExecution.executedPlan.toString
-        if (p.contains("CartesianProduct") && !cartesianAllowed(q)) cartesian += q
-      } catch { case e: Throwable => threw += s"$q: ${e.getMessage}" }
+    try {
+      for (q <- SparkEntry.queries.keys.toSeq.sorted) {
+        try {
+          val p = SparkEntry.queries(q)(spark, TestSpark.Sf0001)
+            .queryExecution.executedPlan.toString
+          if (p.contains("CartesianProduct") && !cartesianAllowed(q)) cartesian += q
+        } catch { case e: Throwable => threw += s"$q: ${e.getMessage}" }
+      }
+    } finally {
+      // several builders persist subtrees (q_sgd_det's quantized features,
+      // the PPJoin chain) — a leaked InMemoryRelation would change OTHER
+      // suites' plans (PlanSpec's flagship one-exchange pin matched the
+      // cached sessionFeatures subtree and counted its extra exchange)
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
     assert(threw.isEmpty, s"queries failed to plan: ${threw.mkString("; ")}")
     assert(cartesian.isEmpty,
