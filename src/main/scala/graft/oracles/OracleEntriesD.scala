@@ -110,6 +110,14 @@ private[graft] object OracleEntriesD {
         |SELECT v.user_id, v.view_id, b.buy_id, b.b_us - v.v_us AS lag_us
         |FROM v JOIN b ON v.user_id = b.user_id
         | AND b.b_us >= v.v_us AND b.b_us <= v.v_us + 1800000000""".stripMargin,
+    // left-outer twin: unmatched views keep null (buy_id, lag_us)
+    "q_stream_join_outer" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS us FROM events),
+        |v AS (SELECT user_id, event_id AS view_id, us AS v_us FROM e WHERE event_type = 'view'),
+        |b AS (SELECT user_id, event_id AS buy_id, us AS b_us FROM e WHERE event_type = 'purchase')
+        |SELECT v.user_id, v.view_id, b.buy_id, b.b_us - v.v_us AS lag_us
+        |FROM v LEFT JOIN b ON v.user_id = b.user_id
+        | AND b.b_us >= v.v_us AND b.b_us <= v.v_us + 1800000000""".stripMargin,
     "q_survival_km" -> SurvivalOracleSql,
     "q_logrank_arms" -> LogRankOracleSql,
     "q_logrank_strat" -> LogRankStratOracleSql,

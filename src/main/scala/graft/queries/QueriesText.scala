@@ -391,6 +391,19 @@ private[graft] object QueriesText {
         ev.filter(col("event_type") === "purchase")
           .select(col("user_id"), col("event_id").as("buy_id"), col("ts").as("buy_ts")))
     },
+    // the LEFT OUTER stream-stream join's batch twin: unmatched views
+    // carry null (buy_id, lag_us) — live, the watermark-eviction trigger
+    // emits exactly these rows (StreamStreamJoinSpec pins that); the
+    // batch plan is a plain left outer interval join, oracled
+    "q_stream_join_outer" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_id"), col("event_type"), col("ts"))
+      graft.streaming.StreamStreamJoin.attributedOuter(
+        ev.filter(col("event_type") === "view")
+          .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts")),
+        ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("event_id").as("buy_id"), col("ts").as("buy_ts")))
+    },
     // transformWithState (streaming.TwsActivity, the Spark 4 arbitrary-
     // state API) run statically: every key's rows arrive as one group, so
     // the emitted totals must equal a plain groupBy count — the new API's

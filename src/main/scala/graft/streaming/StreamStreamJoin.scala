@@ -45,4 +45,34 @@ object StreamStreamJoin {
         col("v_user").as("user_id"), col("view_id"), col("buy_id"),
         (unix_micros(col("buy_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
   }
+
+  /** LEFT OUTER variant: every view emits — matched views with their
+    * purchase(s), unmatched views with null (buy_id, lag_us) ONCE THE
+    * WATERMARK PROVES no partner can still arrive (state eviction is the
+    * emission trigger, so the null row lands a micro-batch after the
+    * watermark passes view_ts + window + delay — the outer-join semantics
+    * Spark only allows BECAUSE the interval condition bounds state). In
+    * batch the same plan is a plain left outer join — the oracled twin.
+    */
+  def attributedOuter(
+      views: DataFrame,
+      purchases: DataFrame,
+      windowSec: Long = 1800L,
+      wmDelay: String = "10 minutes"
+  ): DataFrame = {
+    val v = views
+      .select(col("user_id").as("v_user"), col("view_id"), col("view_ts"))
+      .withWatermark("view_ts", wmDelay)
+    val p = purchases
+      .select(col("user_id").as("b_user"), col("buy_id"), col("buy_ts"))
+      .withWatermark("buy_ts", wmDelay)
+    v.join(p,
+        col("v_user") === col("b_user") &&
+          col("buy_ts") >= col("view_ts") &&
+          col("buy_ts") <= col("view_ts") + expr(s"INTERVAL $windowSec SECONDS"),
+        "leftOuter")
+      .select(
+        col("v_user").as("user_id"), col("view_id"), col("buy_id"),
+        (unix_micros(col("buy_ts")) - unix_micros(col("view_ts"))).as("lag_us"))
+  }
 }

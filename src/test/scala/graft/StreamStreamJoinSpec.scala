@@ -57,4 +57,49 @@ class StreamStreamJoinSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
     assert(got == expected)
   }
+
+  test("batch twin of the LEFT OUTER join: unmatched views carry nulls") {
+    val out = StreamStreamJoin.attributedOuter(
+      vdf(views, "view_id", "view_ts"), vdf(buys, "buy_id", "buy_ts"))
+      .collect().map(r => (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+    // matched views keep their buy; views 20 and 30 emit exactly once, null
+    assert(out == Set((10L, 100L), (11L, 101L), (20L, -1L), (30L, -1L)))
+  }
+
+  test("streaming LEFT OUTER: watermark eviction emits the unmatched-view null row") {
+    val vDir = Files.createTempDirectory("graft-ssjo-v")
+    val bDir = Files.createTempDirectory("graft-ssjo-b")
+    val cp = Files.createTempDirectory("graft-ssjo-cp").toString
+    // batch 1: one matched pair, one unmatched view (user 2)
+    Files.write(vDir.resolve("v1.csv"), "1,10,1000\n2,20,1000".getBytes)
+    Files.write(bDir.resolve("b1.csv"), "1,100,1500".getBytes)
+    def stream(dir: java.nio.file.Path, idName: String, tsName: String) =
+      spark.readStream.schema(s"user_id LONG, $idName LONG, s LONG").csv(dir.toString)
+        .select($"user_id", col(idName), timestamp_seconds($"s").as(tsName))
+    val joined = StreamStreamJoin.attributedOuter(
+      stream(vDir, "view_id", "view_ts"), stream(bDir, "buy_id", "buy_ts"))
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("ssjo_out").option("checkpointLocation", cp).start()
+    try {
+      q.processAllAvailable()
+      assert(q.lastProgress.stateOperators(0).operatorName.contains("symmetricHashJoin"))
+      // the inner result is out; the unmatched view still sits in state
+      assert(spark.sql("SELECT * FROM ssjo_out WHERE buy_id IS NULL").count() === 0L)
+      // advance BOTH watermarks far past view_ts + window + delay; the
+      // null row is emitted by state EVICTION, which can land one batch
+      // after the watermark move — nudge with late rows until it appears
+      var round = 0
+      var nulls = 0L
+      while (nulls == 0L && round < 4) {
+        val t = 100000L + round * 10000L
+        Files.write(vDir.resolve(s"vn$round.csv"), s"9,${90 + round},$t".getBytes)
+        Files.write(bDir.resolve(s"bn$round.csv"), s"9,${900 + round},${t + 1}".getBytes)
+        q.processAllAvailable()
+        nulls = spark.sql("SELECT * FROM ssjo_out WHERE buy_id IS NULL AND view_id = 20").count()
+        round += 1
+      }
+      assert(nulls === 1L,
+        s"unmatched view must emit exactly one null row after eviction (rounds=$round)")
+    } finally q.stop()
+  }
 }
