@@ -81,4 +81,49 @@ final class KernelFuzzSpec extends AnyFunSuite {
     // everything outright
     assert(parsedSome)
   }
+
+  /** Naive clipped multiset intersection over generated gram lists. */
+  private def naiveClipped(a: Seq[String], b: Seq[String]): Long = {
+    val ca = a.groupBy(identity).view.mapValues(_.size)
+    val cb = b.groupBy(identity).view.mapValues(_.size).toMap
+    ca.map { case (g, n) => math.min(n, cb.getOrElse(g, 0)).toLong }.sum
+  }
+
+  private def naiveWords(s: String): Seq[String] =
+    s.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
+  private def grams(toks: Seq[String], n: Int): Seq[String] =
+    if (toks.length < n) Seq.empty else toks.sliding(n).map(_.mkString(" ")).toSeq
+
+  private def cpGrams(s: String, n: Int): Seq[String] = {
+    val cps = s.codePoints().toArray
+    if (cps.length < n) Seq.empty
+    else (0 to cps.length - n).map(i => new String(cps, i, n))
+  }
+
+  test("overlap kernels ≡ naive clipped counts on 400 random unicode pairs") {
+    val rng = new scala.util.Random(20260816)
+    // alphabet mixes ASCII, a combining accent, CJK, and a supplementary
+    // code point so the char kernel's code-point walk fuzzes for real
+    val alphabet = Seq("a", "b", "ab", "é", "́", "日", new String(Character.toChars(0x1D11E)), " ", "\t")
+    def randText(): String =
+      Seq.fill(rng.nextInt(30))(alphabet(rng.nextInt(alphabet.length))).mkString
+    for (_ <- 1 to 400) {
+      val (c, r) = (randText(), randText())
+      val wk = graft.expressions.OverlapKernels.wordKernel(
+        UTF8String.fromString(c), UTF8String.fromString(r))
+      val (ct, rt) = (naiveWords(c), naiveWords(r))
+      assert(wk.getLong(0) === ct.length.toLong, s"nc for '$c'")
+      assert(wk.getLong(1) === rt.length.toLong, s"nr for '$r'")
+      for (n <- 1 to 4)
+        assert(wk.getLong(1 + n) === naiveClipped(grams(ct, n), grams(rt, n)),
+          s"word m$n for '$c' vs '$r'")
+      val ck = graft.expressions.OverlapKernels.charKernel(
+        UTF8String.fromString(c), UTF8String.fromString(r))
+      val (cs, rs) = (ct.mkString, rt.mkString)
+      for (n <- 1 to 6)
+        assert(ck.getLong(1 + n) === naiveClipped(cpGrams(cs, n), cpGrams(rs, n)),
+          s"char m$n for '$c' vs '$r'")
+    }
+  }
 }
