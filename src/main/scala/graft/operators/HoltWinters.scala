@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Money
+
+/** Additive Holt–Winters triple exponential smoothing (Winters 1960) over
+  * the per-type daily revenue series — the classic level/trend/seasonal
+  * forecaster, completing the time-series family next to EWMA (single
+  * smoothing), Trend/RobustTrend (global slope) and Seasonal
+  * (decomposition): one-step-ahead fits over the observed days plus an
+  * H-step forecast from the final state.
+  *
+  * Exact-integer replay: y is the Money micros sum per (type, day); the
+  * recursion runs entirely in BIGINT micros with tenths-rational
+  * parameters (α = 2/10, β = 1/10, γ = 3/10) and TRUNCATING division —
+  * Scala `Long./` on the Spark side, `trunc(CAST(n AS DOUBLE)/d)` in the
+  * oracle (NOT `//`, which floors: level deltas and seasonals go
+  * negative, where floor ≠ trunc). The double detour is exact while
+  * |numerator| < 2⁵³ — daily revenue micros are ~10¹⁰.
+  *
+  * Scale shape: corpus-scale work is the ONE (type, day) aggregation;
+  * the recursion is a bounded driver fixed point over |types|·|days|
+  * aggregate rows (the BradleyTerry pattern — state is metadata-sized,
+  * never corpus-sized). Types with fewer than m+1 observed days are
+  * dropped (stated contract, same HAVING gate in the oracle); missing
+  * days compress out of the series (both engines index observed days).
+  */
+object HoltWinters {
+
+  val M = 7            // weekly season length
+  val H = 7            // forecast horizon
+  // α = 2/10, β = 1/10, γ = 3/10 as (numerator, 10) tenths
+
+  /** Per-(type, day) revenue micros — the corpus-scale aggregation. */
+  def dailySeries(events: DataFrame): DataFrame =
+    events.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(Money.microsSum(col("value")).as("y_micros"))
+
+  private def tdiv(n: Long, d: Long): Long = n / d // Long./ truncates
+
+  /** Fit + forecast rows:
+    * (event_type, idx, kind, y_micros, pred_micros, level_micros,
+    * trend_micros) — `fit` rows carry the one-step-ahead prediction made
+    * BEFORE observing y_t and the post-update state; `forecast` rows
+    * extrapolate h = 1..H from the final state (y_micros null).
+    */
+  def fit(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    // bounded collect: |types| · |observed days| aggregate rows
+    val series: Map[String, Array[Long]] = dailySeries(events).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, rows) => t -> rows.sortBy(_._2.getTime).map(_._3) }
+    val out = Seq.newBuilder[(String, Long, String, Option[Long], Long, Long, Long)]
+    for ((tpe, y) <- series.toSeq.sortBy(_._1) if y.length >= M + 1) {
+      var l = tdiv(y.take(M).sum, M.toLong)
+      var b = 0L
+      val s = Array.tabulate(M)(i => y(i) - l) // slots: s(0) = t−6 … s(6) = t
+      for (t <- M until y.length) {
+        val sOld = s(0)
+        val fitted = l + b + sOld
+        val lNew = tdiv(2L * (y(t) - sOld) + 8L * (l + b), 10L)
+        val bNew = tdiv((lNew - l) + 9L * b, 10L)
+        val sNew = tdiv(3L * (y(t) - lNew) + 7L * sOld, 10L)
+        System.arraycopy(s, 1, s, 0, M - 1)
+        s(M - 1) = sNew
+        l = lNew
+        b = bNew
+        out += ((tpe, (t + 1).toLong, "fit", Some(y(t)), fitted, l, b))
+      }
+      for (h <- 1 to H)
+        out += ((tpe, (y.length + h).toLong, "forecast", None,
+          l + h.toLong * b + s(h - 1), l, b))
+    }
+    out.result().toDF("event_type", "idx", "kind", "y_micros",
+      "pred_micros", "level_micros", "trend_micros")
+  }
+}

@@ -672,5 +672,6 @@ private[graft] object OracleEntriesF {
     "q_pass_at_k" -> EvalOracles.PassAtKOracleSql,
     "q_chrf_corpus" -> EvalOracles.ChrFOracleSql,
     "q_krippendorff_alpha" -> EvalOracles.KrippendorffOracleSql,
+    "q_holt_winters" -> HoltWintersOracleSql,
   )
 }

@@ -1238,4 +1238,58 @@ private[graft] object StatsOracles {
        |${levelCtes.mkString(",\n")}
        |${(1 to L).map(l => s"SELECT level, n_coeffs, energy FROM e$l").mkString("\nUNION ALL ")}""".stripMargin
   }
+
+  /** Generated replay of HoltWinters.fit — the daily Money-micros series,
+    * a recursive CTE carrying (l, b, s1..s7) in exact BIGINT micros, and
+    * the H forecast rows from the final state. Division is spelled
+    * `trunc(CAST(n AS DOUBLE)/d)` — Scala Long./ truncates where DuckDB
+    * `//` floors, and level deltas/seasonals go negative.
+    */
+  private[graft] lazy val HoltWintersOracleSql: String = {
+    def tdiv(n: String, d: Int): String =
+      s"CAST(trunc(CAST($n AS DOUBLE) / $d) AS BIGINT)"
+    val lN = tdiv("2 * (d.y - r.s1) + 8 * (r.l + r.b)", 10)
+    val bN = tdiv(s"($lN - r.l) + 9 * r.b", 10)
+    val sN = tdiv(s"3 * (d.y - $lN) + 7 * r.s1", 10)
+    val ys = (1 to 7).map(i => s"MAX(CASE WHEN idx = $i THEN y END) AS y$i").mkString(", ")
+    val ss = (1 to 7).map(i => s"y$i - l0 AS s$i").mkString(", ")
+    val sCase = "CASE h " + (1 to 7).map(i => s"WHEN $i THEN f.s$i").mkString(" ") + " END"
+    s"""WITH RECURSIVE daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(round((value) * 1e6) AS BIGINT)) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |idxd AS MATERIALIZED (
+       |  SELECT event_type, y,
+       |         CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS idx
+       |  FROM daily),
+       |ok AS MATERIALIZED (
+       |  SELECT event_type, CAST(max(idx) AS BIGINT) AS t_max
+       |  FROM idxd GROUP BY 1 HAVING max(idx) >= 8),
+       |s0 AS (
+       |  SELECT i.event_type,
+       |         ${tdiv("sum(CASE WHEN idx <= 7 THEN y ELSE 0 END)", 7)} AS l0,
+       |         $ys
+       |  FROM ok i JOIN idxd USING (event_type) GROUP BY 1),
+       |seed AS (SELECT event_type, l0, $ss FROM s0),
+       |rec AS (
+       |  SELECT event_type, CAST(7 AS BIGINT) AS idx, l0 AS l, CAST(0 AS BIGINT) AS b,
+       |         s1, s2, s3, s4, s5, s6, s7,
+       |         CAST(NULL AS BIGINT) AS y, CAST(NULL AS BIGINT) AS fitted
+       |  FROM seed
+       |  UNION ALL
+       |  SELECT r.event_type, r.idx + 1, $lN, $bN,
+       |         r.s2, r.s3, r.s4, r.s5, r.s6, r.s7, $sN,
+       |         d.y, r.l + r.b + r.s1
+       |  FROM rec r JOIN idxd d ON d.event_type = r.event_type AND d.idx = r.idx + 1),
+       |fin AS (SELECT r.* FROM rec r JOIN ok ON ok.event_type = r.event_type
+       |                                     AND r.idx = ok.t_max),
+       |hs AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7]) AS h)
+       |SELECT event_type, idx, 'fit' AS kind, y AS y_micros, fitted AS pred_micros,
+       |       l AS level_micros, b AS trend_micros
+       |FROM rec WHERE idx >= 8
+       |UNION ALL
+       |SELECT f.event_type, f.idx + h, 'forecast', CAST(NULL AS BIGINT),
+       |       f.l + h * f.b + $sCase, f.l, f.b
+       |FROM fin f CROSS JOIN hs""".stripMargin
+  }
 }

@@ -94,6 +94,12 @@ private[graft] object QueriesSeries {
     // of purchase value across the 24h preceding views — integer micros
     // credit via floor division (remainder drops identically both engines)
     "q_linear_attribution" -> ((s, d) => Attribution.linearByHour(Tables(s, d).events)),
+    // additive Holt-Winters level/trend/seasonal fit + 7-day forecast over
+    // the per-type daily revenue series — exact BIGINT micros recursion
+    // (bounded driver fixed point over the |types|x|days| aggregate)
+    "q_holt_winters" -> { (s, d) =>
+      graft.operators.HoltWinters.fit(s, Tables(s, d).events)
+    },
     // deterministic A/B lift + pooled two-proportion z (operators.AbTest):
     // md5-48 arm assignment, one replayed double expression for lift/z
     "q_ab_lift" -> ((s, d) => AbTest.conversionLift(Tables(s, d).events)),
