@@ -673,5 +673,6 @@ private[graft] object OracleEntriesF {
     "q_chrf_corpus" -> EvalOracles.ChrFOracleSql,
     "q_krippendorff_alpha" -> EvalOracles.KrippendorffOracleSql,
     "q_holt_winters" -> HoltWintersOracleSql,
+    "q_cusum_chart" -> CusumOracleSql,
   )
 }

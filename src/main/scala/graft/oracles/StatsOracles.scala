@@ -1239,6 +1239,35 @@ private[graft] object StatsOracles {
        |${(1 to L).map(l => s"SELECT level, n_coeffs, energy FROM e$l").mkString("\nUNION ALL ")}""".stripMargin
   }
 
+  /** Replay of Cusum.chart — the running-sum-minus-running-min closed
+    * form of the two-sided CUSUM recursion, exact BIGINT micros, every
+    * window partitioned by type (windowed sums CAST from HUGEINT).
+    */
+  private[graft] lazy val CusumOracleSql: String =
+    """WITH daily AS (
+      |  SELECT event_type, CAST(ts AS DATE) AS day,
+      |         CAST(sum(CAST(round((value) * 1e6) AS BIGINT)) AS BIGINT) AS y
+      |  FROM events GROUP BY 1, 2),
+      |i AS (SELECT event_type, day, y,
+      |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS INT) AS idx
+      |      FROM daily),
+      |m AS (SELECT event_type, idx, y,
+      |        CAST(sum(CASE WHEN idx <= 7 THEN y ELSE 0 END)
+      |             OVER (PARTITION BY event_type) AS BIGINT) // 7 AS mu
+      |      FROM i),
+      |p AS (SELECT event_type, idx, y, mu, mu // 20 AS kappa, mu // 4 AS h FROM m),
+      |c AS (SELECT event_type, idx, y, mu, h,
+      |        CAST(sum(y - mu - kappa) OVER w AS BIGINT) AS cp,
+      |        CAST(sum(mu - y - kappa) OVER w AS BIGINT) AS cm
+      |      FROM p WINDOW w AS (PARTITION BY event_type ORDER BY idx ROWS UNBOUNDED PRECEDING)),
+      |s AS (SELECT event_type, idx, y, mu, h,
+      |        cp - LEAST(0, CAST(min(cp) OVER w AS BIGINT)) AS s_plus,
+      |        cm - LEAST(0, CAST(min(cm) OVER w AS BIGINT)) AS s_minus
+      |      FROM c WINDOW w AS (PARTITION BY event_type ORDER BY idx ROWS UNBOUNDED PRECEDING))
+      |SELECT event_type, idx, y, mu, s_plus, s_minus,
+      |       (s_plus > h OR s_minus > h) AS alarm
+      |FROM s""".stripMargin
+
   /** Generated replay of HoltWinters.fit — the daily Money-micros series,
     * a recursive CTE carrying (l, b, s1..s7) in exact BIGINT micros, and
     * the H forecast rows from the final state. Division is spelled

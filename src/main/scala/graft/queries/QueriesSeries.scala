@@ -100,6 +100,11 @@ private[graft] object QueriesSeries {
     "q_holt_winters" -> { (s, d) =>
       graft.operators.HoltWinters.fit(s, Tables(s, d).events)
     },
+    // two-sided CUSUM control chart via the running-sum-minus-running-min
+    // closed form — two partitioned windows, no recursion, no driver state
+    "q_cusum_chart" -> { (s, d) =>
+      graft.operators.Cusum.chart(Tables(s, d).events)
+    },
     // deterministic A/B lift + pooled two-proportion z (operators.AbTest):
     // md5-48 arm assignment, one replayed double expression for lift/z
     "q_ab_lift" -> ((s, d) => AbTest.conversionLift(Tables(s, d).events)),
