@@ -77,4 +77,41 @@ object HoltWinters {
     out.result().toDF("event_type", "idx", "kind", "y_micros",
       "pred_micros", "level_micros", "trend_micros")
   }
+
+  /** MASE (Hyndman & Koehler 2006) of the one-step HW fits against the
+    * seasonal-naive baseline (ŷ_t = y_{t−m}) over the same fit region:
+    * mase_e6 = 10⁶ · Σ|y − fit| / Σ|y_t − y_{t−m}| — both sums exact
+    * BIGINTs, the quotient a single truncating division (operands
+    * non-negative, so DIV ≡ `//`). < 10⁶ means HW beats seasonal-naive.
+    */
+  def mase(spark: SparkSession, events: DataFrame): DataFrame = {
+    import spark.implicits._
+    val series: Map[String, Array[Long]] = dailySeries(events).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, rows) => t -> rows.sortBy(_._2.getTime).map(_._3) }
+    val out = Seq.newBuilder[(String, Long, Long, Long, Long)]
+    for ((tpe, y) <- series.toSeq.sortBy(_._1) if y.length >= M + 1) {
+      var l = tdiv(y.take(M).sum, M.toLong)
+      var b = 0L
+      val s = Array.tabulate(M)(i => y(i) - l)
+      var sae = 0L
+      var snaive = 0L
+      for (t <- M until y.length) {
+        val sOld = s(0)
+        sae += math.abs(y(t) - (l + b + sOld))
+        snaive += math.abs(y(t) - y(t - M))
+        val lNew = tdiv(2L * (y(t) - sOld) + 8L * (l + b), 10L)
+        val bNew = tdiv((lNew - l) + 9L * b, 10L)
+        val sNew = tdiv(3L * (y(t) - lNew) + 7L * sOld, 10L)
+        System.arraycopy(s, 1, s, 0, M - 1)
+        s(M - 1) = sNew
+        l = lNew
+        b = bNew
+      }
+      val m6 = if (snaive == 0L) 0L else tdiv(sae * 1000000L, snaive)
+      out += ((tpe, (y.length - M).toLong, sae, snaive, m6))
+    }
+    out.result().toDF("event_type", "n_fit", "sae_micros", "snaive_micros", "mase_e6")
+  }
 }

@@ -674,5 +674,6 @@ private[graft] object OracleEntriesF {
     "q_krippendorff_alpha" -> EvalOracles.KrippendorffOracleSql,
     "q_holt_winters" -> HoltWintersOracleSql,
     "q_cusum_chart" -> CusumOracleSql,
+    "q_forecast_mase" -> HoltWintersMaseOracleSql,
   )
 }

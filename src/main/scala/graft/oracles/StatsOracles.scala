@@ -1239,6 +1239,33 @@ private[graft] object StatsOracles {
        |${(1 to L).map(l => s"SELECT level, n_coeffs, energy FROM e$l").mkString("\nUNION ALL ")}""".stripMargin
   }
 
+  /** Replay of HoltWinters.mase — HW fits from the recursive replay as a
+    * subquery, seasonal-naive errors from an idx−7 self-join of the same
+    * daily series, one truncating division (non-negative → `//` ≡ DIV).
+    */
+  private[graft] lazy val HoltWintersMaseOracleSql: String =
+    s"""WITH fits AS (
+       |  SELECT event_type, y_micros, pred_micros
+       |  FROM ($HoltWintersOracleSql) hw WHERE kind = 'fit'),
+       |daily2 AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(round((value) * 1e6) AS BIGINT)) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |idx2 AS (SELECT event_type, y,
+       |           CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS BIGINT) AS idx
+       |         FROM daily2),
+       |sn AS (SELECT a.event_type, CAST(sum(abs(a.y - b.y)) AS BIGINT) AS snaive_micros
+       |       FROM idx2 a JOIN idx2 b ON b.event_type = a.event_type
+       |                               AND b.idx = a.idx - 7
+       |       WHERE a.idx >= 8 GROUP BY 1),
+       |fa AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_fit,
+       |              CAST(sum(abs(y_micros - pred_micros)) AS BIGINT) AS sae_micros
+       |       FROM fits GROUP BY 1)
+       |SELECT fa.event_type, fa.n_fit, fa.sae_micros, sn.snaive_micros,
+       |       CASE WHEN sn.snaive_micros = 0 THEN CAST(0 AS BIGINT)
+       |            ELSE (fa.sae_micros * 1000000) // sn.snaive_micros END AS mase_e6
+       |FROM fa JOIN sn ON sn.event_type = fa.event_type""".stripMargin
+
   /** Replay of Cusum.chart — the running-sum-minus-running-min closed
     * form of the two-sided CUSUM recursion, exact BIGINT micros, every
     * window partitioned by type (windowed sums CAST from HUGEINT).

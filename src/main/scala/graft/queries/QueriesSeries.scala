@@ -105,6 +105,10 @@ private[graft] object QueriesSeries {
     "q_cusum_chart" -> { (s, d) =>
       graft.operators.Cusum.chart(Tables(s, d).events)
     },
+    // forecast-accuracy closeout: MASE of the HW fits vs seasonal-naive
+    "q_forecast_mase" -> { (s, d) =>
+      graft.operators.HoltWinters.mase(s, Tables(s, d).events)
+    },
     // deterministic A/B lift + pooled two-proportion z (operators.AbTest):
     // md5-48 arm assignment, one replayed double expression for lift/z
     "q_ab_lift" -> ((s, d) => AbTest.conversionLift(Tables(s, d).events)),

@@ -71,6 +71,21 @@ final class HoltWintersSpec extends AnyFunSuite {
     assert(preds.forall { case (_, p) => p <= spike })
   }
 
+  test("MASE: perfect fit on a constant series scores 0; sums match fits") {
+    val ev = events((1 to 15).map(d => ("a", d, 5.0)): _*)
+    val r = HoltWinters.mase(spark, ev).collect().head
+    assert(r.getLong(1) === 8L)       // n_fit = days 8..15
+    assert(r.getLong(2) === 0L)       // sae: perfect fit
+    assert(r.getLong(3) === 0L)       // snaive: constant series
+    assert(r.getLong(4) === 0L)       // 0/0 convention
+    // cross-check against the fit rows on a non-trivial series
+    val ev2 = events((1 to 20).map(d => ("a", d, (d % 5 + 1).toDouble)): _*)
+    val fits = HoltWinters.fit(spark, ev2)
+      .where(col("kind") === "fit")
+      .select(abs(col("y_micros") - col("pred_micros"))).as[Long].collect().sum
+    assert(HoltWinters.mase(spark, ev2).collect().head.getLong(2) === fits)
+  }
+
   test("fit is deterministic across invocations") {
     val ev = events((1 to 20).map(d => ("a", d, (d % 5 + 1).toDouble)): _*)
     val a = HoltWinters.fit(spark, ev).collect().map(_.toString).sorted.toSeq
