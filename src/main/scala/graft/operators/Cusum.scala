@@ -40,7 +40,13 @@ object Cusum {
     val order = byType.orderBy(col("day"))
     val idx = row_number().over(order)
     val withIdx = daily.select(col("event_type"), col("day"), col("y"),
-      idx.as("idx"))
+      idx.as("idx"),
+      count(lit(1)).over(byType).as("n_days"))
+      // a type with fewer than refDays observed days has no in-control
+      // reference week — dividing its partial sum by refDays would bias μ
+      // low and fire guaranteed spurious alarms; drop it (stated
+      // contract, the HoltWinters short-series gate)
+      .where(col("n_days") >= RefDays)
     // in-control reference: truncated mean of the first refDays days
     val mu = expr(s"sum(CASE WHEN idx <= $RefDays THEN y ELSE 0 END) " +
       s"OVER (PARTITION BY event_type) DIV $RefDays")

@@ -40,6 +40,52 @@ object HoltWinters {
 
   private def tdiv(n: Long, d: Long): Long = n / d // Long./ truncates
 
+  /** One fit step: 1-based day idx, observed y, one-step-ahead fitted,
+    * and the POST-update (level, trend).
+    */
+  private[operators] final case class Step(
+      idx: Long, y: Long, fitted: Long, l: Long, b: Long)
+
+  /** Per-type recursion result: the fit steps and the final state
+    * (level, trend, seasonal slots s(0) = t−6 … s(6) = t).
+    */
+  private[operators] final case class Fitted(
+      steps: IndexedSeq[Step], l: Long, b: Long, s: IndexedSeq[Long])
+
+  /** THE recursion — single source of truth shared by [[fit]] and
+    * [[mase]] (a drifted copy would silently decouple q_holt_winters
+    * from q_forecast_mase). Requires y.length ≥ M + 1.
+    */
+  private[operators] def run(y: Array[Long]): Fitted = {
+    var l = tdiv(y.take(M).sum, M.toLong)
+    var b = 0L
+    val s = Array.tabulate(M)(i => y(i) - l)
+    val steps = IndexedSeq.newBuilder[Step]
+    for (t <- M until y.length) {
+      val sOld = s(0)
+      val fitted = l + b + sOld
+      val lNew = tdiv(2L * (y(t) - sOld) + 8L * (l + b), 10L)
+      val bNew = tdiv((lNew - l) + 9L * b, 10L)
+      val sNew = tdiv(3L * (y(t) - lNew) + 7L * sOld, 10L)
+      System.arraycopy(s, 1, s, 0, M - 1)
+      s(M - 1) = sNew
+      l = lNew
+      b = bNew
+      steps += Step((t + 1).toLong, y(t), fitted, l, b)
+    }
+    Fitted(steps.result(), l, b, s.toIndexedSeq)
+  }
+
+  /** Bounded collect of the per-type series: |types| · |observed days|
+    * aggregate rows, ordered by day, gated at M + 1 days.
+    */
+  private def collectSeries(events: DataFrame): Seq[(String, Array[Long])] =
+    dailySeries(events).collect()
+      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
+      .groupBy(_._1)
+      .map { case (t, rows) => t -> rows.sortBy(_._2.getTime).map(_._3) }
+      .toSeq.sortBy(_._1).filter(_._2.length >= M + 1)
+
   /** Fit + forecast rows:
     * (event_type, idx, kind, y_micros, pred_micros, level_micros,
     * trend_micros) — `fit` rows carry the one-step-ahead prediction made
@@ -48,31 +94,14 @@ object HoltWinters {
     */
   def fit(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    // bounded collect: |types| · |observed days| aggregate rows
-    val series: Map[String, Array[Long]] = dailySeries(events).collect()
-      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
-      .groupBy(_._1)
-      .map { case (t, rows) => t -> rows.sortBy(_._2.getTime).map(_._3) }
     val out = Seq.newBuilder[(String, Long, String, Option[Long], Long, Long, Long)]
-    for ((tpe, y) <- series.toSeq.sortBy(_._1) if y.length >= M + 1) {
-      var l = tdiv(y.take(M).sum, M.toLong)
-      var b = 0L
-      val s = Array.tabulate(M)(i => y(i) - l) // slots: s(0) = t−6 … s(6) = t
-      for (t <- M until y.length) {
-        val sOld = s(0)
-        val fitted = l + b + sOld
-        val lNew = tdiv(2L * (y(t) - sOld) + 8L * (l + b), 10L)
-        val bNew = tdiv((lNew - l) + 9L * b, 10L)
-        val sNew = tdiv(3L * (y(t) - lNew) + 7L * sOld, 10L)
-        System.arraycopy(s, 1, s, 0, M - 1)
-        s(M - 1) = sNew
-        l = lNew
-        b = bNew
-        out += ((tpe, (t + 1).toLong, "fit", Some(y(t)), fitted, l, b))
-      }
+    for ((tpe, y) <- collectSeries(events)) {
+      val f = run(y)
+      for (st <- f.steps)
+        out += ((tpe, st.idx, "fit", Some(st.y), st.fitted, st.l, st.b))
       for (h <- 1 to H)
         out += ((tpe, (y.length + h).toLong, "forecast", None,
-          l + h.toLong * b + s(h - 1), l, b))
+          f.l + h.toLong * f.b + f.s(h - 1), f.l, f.b))
     }
     out.result().toDF("event_type", "idx", "kind", "y_micros",
       "pred_micros", "level_micros", "trend_micros")
@@ -86,31 +115,13 @@ object HoltWinters {
     */
   def mase(spark: SparkSession, events: DataFrame): DataFrame = {
     import spark.implicits._
-    val series: Map[String, Array[Long]] = dailySeries(events).collect()
-      .map(r => (r.getString(0), r.getDate(1), r.getLong(2)))
-      .groupBy(_._1)
-      .map { case (t, rows) => t -> rows.sortBy(_._2.getTime).map(_._3) }
     val out = Seq.newBuilder[(String, Long, Long, Long, Long)]
-    for ((tpe, y) <- series.toSeq.sortBy(_._1) if y.length >= M + 1) {
-      var l = tdiv(y.take(M).sum, M.toLong)
-      var b = 0L
-      val s = Array.tabulate(M)(i => y(i) - l)
-      var sae = 0L
-      var snaive = 0L
-      for (t <- M until y.length) {
-        val sOld = s(0)
-        sae += math.abs(y(t) - (l + b + sOld))
-        snaive += math.abs(y(t) - y(t - M))
-        val lNew = tdiv(2L * (y(t) - sOld) + 8L * (l + b), 10L)
-        val bNew = tdiv((lNew - l) + 9L * b, 10L)
-        val sNew = tdiv(3L * (y(t) - lNew) + 7L * sOld, 10L)
-        System.arraycopy(s, 1, s, 0, M - 1)
-        s(M - 1) = sNew
-        l = lNew
-        b = bNew
-      }
+    for ((tpe, y) <- collectSeries(events)) {
+      val f = run(y)
+      val sae = f.steps.map(st => math.abs(st.y - st.fitted)).sum
+      val snaive = (M until y.length).map(t => math.abs(y(t) - y(t - M))).sum
       val m6 = if (snaive == 0L) 0L else tdiv(sae * 1000000L, snaive)
-      out += ((tpe, (y.length - M).toLong, sae, snaive, m6))
+      out += ((tpe, f.steps.length.toLong, sae, snaive, m6))
     }
     out.result().toDF("event_type", "n_fit", "sae_micros", "snaive_micros", "mase_e6")
   }

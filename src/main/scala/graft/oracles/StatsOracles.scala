@@ -1276,12 +1276,14 @@ private[graft] object StatsOracles {
       |         CAST(sum(CAST(round((value) * 1e6) AS BIGINT)) AS BIGINT) AS y
       |  FROM events GROUP BY 1, 2),
       |i AS (SELECT event_type, day, y,
-      |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS INT) AS idx
+      |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) AS INT) AS idx,
+      |        CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n_days
       |      FROM daily),
+      |i2 AS (SELECT event_type, day, y, idx FROM i WHERE n_days >= 7),
       |m AS (SELECT event_type, idx, y,
       |        CAST(sum(CASE WHEN idx <= 7 THEN y ELSE 0 END)
       |             OVER (PARTITION BY event_type) AS BIGINT) // 7 AS mu
-      |      FROM i),
+      |      FROM i2),
       |p AS (SELECT event_type, idx, y, mu, mu // 20 AS kappa, mu // 4 AS h FROM m),
       |c AS (SELECT event_type, idx, y, mu, h,
       |        CAST(sum(y - mu - kappa) OVER w AS BIGINT) AS cp,

@@ -72,6 +72,12 @@ object TwsActivity {
       val prev = if (count.exists()) count.get() else 0L // TTL-expired reads as absent
       val n = prev + rows.size
       count.update(n)
+      // registerTimer ADDS to a per-key timer set (it does not replace):
+      // without clearing, every arrival leaves a stale timer behind and an
+      // ACTIVE key gets a premature "timer" close timerMs after its FIRST
+      // arrival, plus one duplicate close per later arrival
+      val it = getHandle.listTimers()
+      while (it.hasNext) getHandle.deleteTimer(it.next())
       getHandle.registerTimer(timerValues.getCurrentProcessingTimeInMs() + timerMs)
       Iterator.single(SessionEvent(key, "update", n))
     }

@@ -54,6 +54,17 @@ final class CusumSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(4) >= 0L && r.getLong(5) >= 0L))
   }
 
+  test("types with fewer than RefDays observed days are dropped, not mis-referenced") {
+    // 2 flat days: a full reference week doesn't exist — mu would be the
+    // 2-day sum DIV 7 (~29% of the true mean) and the flat series would
+    // alarm immediately; the gate drops the type instead
+    val ev = events((1 to 2).map(d => ("short", d, 7.0)) ++
+      (1 to 10).map(d => ("long", d, 7.0)): _*)
+    val types = Cusum.chart(ev).select("event_type").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(types === Set("long"))
+  }
+
   test("downward shifts fire the S-minus side") {
     val ev = events(((1 to 7).map(d => ("a", d, 8.0)) ++
       (8 to 14).map(d => ("a", d, 1.0))): _*)

@@ -113,6 +113,40 @@ class TwsActivitySpec extends AnyFunSuite {
     assert(got.contains((1L, "timer", 3L)), s"timer did not fire: $got")
   }
 
+  test("re-arming replaces the pending timer: an active key closes exactly once") {
+    // key 1 arrives in TWO batches inside the timer window; registerTimer
+    // ADDS to the per-key timer set, so without the deleteTimer sweep the
+    // stale batch-1 timer would also fire -> a premature duplicate close
+    val dir = Files.createTempDirectory("graft-tws-rearm-in")
+    val cp = Files.createTempDirectory("graft-tws-rearm-cp").toString
+    Files.write(dir.resolve("b0.csv"), "1,view\n1,click".getBytes)
+    val raw = spark.readStream.schema("user_id LONG, event_type STRING")
+      .csv(dir.toString).as[TwsActivity.Click]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // timer long enough that batch 2 is guaranteed to land INSIDE the
+    // window even on a loaded host (a stale timer that fired before the
+    // re-arm would be a timing artifact, not the accumulation bug)
+    val q = TwsActivity.sessions(raw, ttlMs = 3600000L, timerMs = 5000L)
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tws_rearm").option("checkpointLocation", cp).start()
+    try {
+      awaitRows("rearm", 1L)
+      Files.write(dir.resolve("b1.csv"), "1,view".getBytes) // inside the window
+      awaitRows("rearm", 2L)
+      awaitRows("rearm", 3L) // the single close after the re-armed expiry
+      Thread.sleep(3000L)    // give any stale timer ample time to misfire
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val rows = spark.sql("SELECT * FROM tws_rearm")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val timers = rows.filter(_._2 == "timer")
+    assert(timers.toSeq === Seq((1L, "timer", 3L)),
+      s"expected exactly one close with the full count, got: ${rows.toSeq}")
+  }
+
   test("static run equals a plain groupBy count (the oracled parity)") {
     val ev = graft.sources.Tables(spark, TestSpark.Sf0001).events
       .select($"user_id", $"event_type").as[TwsActivity.Click]
