@@ -422,6 +422,23 @@ class PlanSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 events scan, got $scans:\n${p.take(2500)}")
   }
 
+  test("CUSUM: every window is type-partitioned, never a single-partition global") {
+    val p = plan("q_cusum_chart")
+    assert(p.contains("Window"), p.take(1500))
+    assert(!p.contains("Exchange SinglePartition"),
+      s"a global window would serialize the whole chart:\n${p.take(2500)}")
+    assert(!p.contains("Join"), s"the chart is windows over one aggregate:\n${p.take(2500)}")
+  }
+
+  test("Holt-Winters daily series: one aggregation, map-side combined") {
+    val p = graft.operators.HoltWinters.dailySeries(
+      graft.sources.Tables(spark, TestSpark.Sf0001).events)
+      .queryExecution.executedPlan.toString
+    assert(p.contains("partial_sum"), s"micros sum must map-side combine:\n${p.take(2000)}")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly one shuffle:\n${p.take(2000)}")
+  }
+
   test("Bradley-Terry win matrix: equi-join on the successor id, no cartesian") {
     val p = graft.operators.BradleyTerry.winMatrix(
       graft.sources.Tables(spark, TestSpark.Sf0001).documents)
