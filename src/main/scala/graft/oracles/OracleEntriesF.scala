@@ -675,5 +675,6 @@ private[graft] object OracleEntriesF {
     "q_holt_winters" -> HoltWintersOracleSql,
     "q_cusum_chart" -> CusumOracleSql,
     "q_forecast_mase" -> HoltWintersMaseOracleSql,
+    "q_rank_correlation" -> RankCorrelationOracleSql,
   )
 }

@@ -1266,6 +1266,52 @@ private[graft] object StatsOracles {
        |            ELSE (fa.sae_micros * 1000000) // sn.snaive_micros END AS mase_e6
        |FROM fa JOIN sn ON sn.event_type = fa.event_type""".stripMargin
 
+  /** Replay of RankCorrelation.correlate — doubled average ranks (exact
+    * BIGINT Spearman moments), sign-comparison Kendall counts over the
+    * within-group day-pair join, IEEE-exact sqrt in both final ratios.
+    */
+  private[graft] lazy val RankCorrelationOracleSql: String = {
+    val n0 = "CAST(sp.n * (sp.n - 1) / 2 AS BIGINT)"
+    val tauDen = s"sqrt(CAST($n0 - kd.tx AS DOUBLE) * CAST($n0 - kd.ty AS DOUBLE))"
+    val rhoDen = "sqrt(CAST(sp.n * sp.sxx - sp.sx * sp.sx AS DOUBLE)" +
+      " * CAST(sp.n * sp.syy - sp.sy * sp.sy AS DOUBLE))"
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(ts AS DATE) AS day,
+       |         CAST(sum(CAST(round((value) * 1e6) AS BIGINT)) AS BIGINT) AS x,
+       |         CAST(count(*) AS BIGINT) AS y
+       |  FROM events GROUP BY 1, 2),
+       |rk AS (SELECT event_type, x, y,
+       |        CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY x)
+       |             + count(*) OVER (PARTITION BY event_type, x) - 1 AS BIGINT) AS rx,
+       |        CAST(2 * rank() OVER (PARTITION BY event_type ORDER BY y)
+       |             + count(*) OVER (PARTITION BY event_type, y) - 1 AS BIGINT) AS ry
+       |       FROM daily),
+       |sp AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       |         CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(ry) AS BIGINT) AS sy,
+       |         CAST(sum(rx * rx) AS BIGINT) AS sxx,
+       |         CAST(sum(ry * ry) AS BIGINT) AS syy,
+       |         CAST(sum(rx * ry) AS BIGINT) AS sxy
+       |       FROM rk GROUP BY 1),
+       |pr AS (SELECT a.event_type,
+       |         CASE WHEN a.x > b.x THEN 1 WHEN a.x < b.x THEN -1 ELSE 0 END AS cx,
+       |         CASE WHEN a.y > b.y THEN 1 WHEN a.y < b.y THEN -1 ELSE 0 END AS cy
+       |       FROM daily a JOIN daily b ON b.event_type = a.event_type
+       |                                AND a.day < b.day),
+       |kd AS (SELECT event_type,
+       |         CAST(sum(CASE WHEN cx * cy = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |         CAST(sum(CASE WHEN cx * cy = -1 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+       |         CAST(sum(CASE WHEN cx = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+       |         CAST(sum(CASE WHEN cy = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ty
+       |       FROM pr GROUP BY 1)
+       |SELECT sp.event_type, sp.n AS n_days, kd.c, kd.d, kd.tx, kd.ty,
+       |  CASE WHEN $tauDen = 0.0 THEN 0.0
+       |       ELSE round(CAST(kd.c - kd.d AS DOUBLE) / $tauDen, 6) END AS tau_b,
+       |  CASE WHEN $rhoDen = 0.0 THEN 0.0
+       |       ELSE round(CAST(sp.n * sp.sxy - sp.sx * sp.sy AS DOUBLE) / $rhoDen, 6)
+       |       END AS rho
+       |FROM sp JOIN kd ON kd.event_type = sp.event_type""".stripMargin
+  }
+
   /** Replay of Cusum.chart — the running-sum-minus-running-min closed
     * form of the two-sided CUSUM recursion, exact BIGINT micros, every
     * window partitioned by type (windowed sums CAST from HUGEINT).

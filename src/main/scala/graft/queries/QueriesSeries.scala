@@ -109,6 +109,10 @@ private[graft] object QueriesSeries {
     "q_forecast_mase" -> { (s, d) =>
       graft.operators.HoltWinters.mase(s, Tables(s, d).events)
     },
+    // Spearman rho + Kendall tau-b between daily revenue and event count
+    "q_rank_correlation" -> { (s, d) =>
+      graft.operators.RankCorrelation.correlate(Tables(s, d).events)
+    },
     // deterministic A/B lift + pooled two-proportion z (operators.AbTest):
     // md5-48 arm assignment, one replayed double expression for lift/z
     "q_ab_lift" -> ((s, d) => AbTest.conversionLift(Tables(s, d).events)),
