@@ -120,6 +120,14 @@ object HoltWinters {
       val f = run(y)
       val sae = f.steps.map(st => math.abs(st.y - st.fitted)).sum
       val snaive = (M until y.length).map(t => math.abs(y(t) - y(t - M))).sum
+      // width bound (r18 ADVICE): sae·10⁶ is plain Long arithmetic while
+      // the DuckDB twin sums into HUGEINT — past sae ≈ 9.2e12 micros the
+      // two engines would silently diverge on a wrapped mase_e6, so fail
+      // loudly instead (BradleyTerry/Krippendorff document their bounds
+      // the same way; the daily-revenue series sits ~6 orders below this).
+      require(sae <= Long.MaxValue / 1000000L,
+        s"HoltWinters.mase: sae=$sae micros would overflow sae*1e6; " +
+          "aggregate the series at a coarser unit first")
       val m6 = if (snaive == 0L) 0L else tdiv(sae * 1000000L, snaive)
       out += ((tpe, f.steps.length.toLong, sae, snaive, m6))
     }

@@ -23,8 +23,13 @@ object PassAtK {
 
   val DefaultKs: Seq[Int] = Seq(1, 5, 10)
 
+  /** The event type that counts as a success — shared with the generated
+    * oracle (EvalOracles) so the two sides cannot disagree by construction.
+    */
+  val DefaultSuccessType: String = "purchase"
+
   /** Per-task (n, c) attempt/success counts. */
-  def taskCounts(events: DataFrame, successType: String = "purchase"): DataFrame =
+  def taskCounts(events: DataFrame, successType: String = DefaultSuccessType): DataFrame =
     events.groupBy(col("user_id"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("event_type") === successType, 1L).otherwise(0L)).as("c"))

@@ -98,6 +98,29 @@ object SubstringDedup {
       .drop("g")
   }
 
+  /** Distinct ids of documents containing ≥1 cross-document duplicated
+    * window — exactly the membership set `duplicatedSpans(...).select(id)
+    * .distinct()` yields, WITHOUT the span merge: no per-doc sort window,
+    * no island groupBy. The method-overlap audit (and any flag-set
+    * consumer) only needs membership, so the spans stage is pure overhead
+    * there. Same persist discipline as [[duplicatedSpans]] (the window
+    * scan feeds the distinct-doc aggregate and the semi-join back).
+    */
+  def duplicatedDocIds(
+      docs: DataFrame,
+      w: Int,
+      minDocs: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"
+  ): DataFrame = {
+    val wh = windowHashes(docs, w, idCol, textCol).persist()
+    val dup = wh.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("h"))
+    wh.join(dup, Seq("h"), "left_semi").select(col(idCol)).distinct()
+  }
+
   /** The corpus with duplicated spans cut out: every token whose position
     * falls inside any of its document's spans is dropped, the remainder
     * re-joined in order. Returns (id, n_tokens, n_removed, clean_md5) —

@@ -302,12 +302,13 @@ private[graft] object EvalOracles {
          |       FROM tc WHERE n >= $k))""".stripMargin
     }.mkString("\nUNION ALL\n")
     s"""WITH tc AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
-       |              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |              CAST(sum(CASE WHEN event_type = '${graft.operators.PassAtK.DefaultSuccessType}' THEN 1 ELSE 0 END)
        |                   AS BIGINT) AS c
        |            FROM events GROUP BY 1)
        |$branches""".stripMargin
   }
 
-  /** Mirrors PassAtK.DefaultKs — one SQL branch per k. */
-  private[graft] val PassAtKKs: Seq[Int] = Seq(1, 5, 10)
+  /** One SQL branch per k — BY REFERENCE to the operator's constant, so
+    * oracle and operator cannot disagree (r18 ADVICE). */
+  private[graft] val PassAtKKs: Seq[Int] = graft.operators.PassAtK.DefaultKs
 }

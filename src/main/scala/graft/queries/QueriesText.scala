@@ -939,7 +939,16 @@ private[graft] object QueriesText {
     // dedup method-agreement audit (Lee 2021's NearDup-vs-ExactSubstr
     // comparison): docs flagged by the exact-Jaccard near-dup join vs docs
     // with duplicated substring spans — overlap and Jaccard of the flag
-    // sets, the curation diagnostic for choosing/combining detectors
+    // sets, the curation diagnostic for choosing/combining detectors.
+    // Bench adjudication (r18 verdict #1, driver median 5.47 -> 10.66 s
+    // r17 -> r18 on unchanged code): r19 TimeQ isolation at sf0.1, 5 reps:
+    // 3.76/2.91/2.74/2.66/2.65 (median 2.74), with the stage queries at
+    // q_similarity_join 1.66 / q_substring_spans 1.60 in the same session
+    // — the combined plan is CHEAPER than the stage sum (shared scan), so
+    // the driver number is host load on a GC-heavy query, the
+    // SimilarityJoin r10/r17 precedent. Structural trim applied anyway:
+    // the flag set only needs MEMBERSHIP, so the substring side now uses
+    // duplicatedDocIds (no per-doc sort window, no island groupBy).
     "q_dedup_method_overlap" -> { (s, d) =>
       val docs = Tables(s, d).documents
       val pairs = graft.operators.SimilarityJoin.jaccardSelfJoin(docs, threshold = 0.6)
@@ -949,8 +958,7 @@ private[graft] object QueriesText {
       val pp = pairs
         .select(explode(array(col("id1"), col("id2"))).as("doc_id")).distinct()
         .withColumn("in_pp", lit(true))
-      val ss = graft.operators.SubstringDedup.duplicatedSpans(docs, w = 8)
-        .select(col("doc_id")).distinct()
+      val ss = graft.operators.SubstringDedup.duplicatedDocIds(docs, w = 8)
         .withColumn("in_ss", lit(true))
       pp.join(ss, Seq("doc_id"), "full_outer")
         .select(coalesce(col("in_pp"), lit(false)).as("in_pp"),

@@ -31,6 +31,15 @@ class SubstringDedupSpec extends AnyFunSuite {
     assert(spans.toSet == Set((1L, 2, 7, 4L), (2L, 1, 6, 4L)))
   }
 
+  test("duplicatedDocIds ≡ duplicatedSpans membership (span merge skipped)") {
+    val fast = SubstringDedup.duplicatedDocIds(corpus, w = 3)
+      .collect().map(_.getLong(0)).toSet
+    val viaSpans = SubstringDedup.duplicatedSpans(corpus, w = 3)
+      .select($"doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(fast == viaSpans && fast == Set(1L, 2L))
+    spark.catalog.clearCache() // both paths persist their window scans
+  }
+
   test("within-doc repetition alone is not a cross-doc span") {
     val df = Seq(
       (1L, "p q r s p q r s"), // repeats internally, shared with nobody
