@@ -219,6 +219,103 @@ object Dedup {
       xxhash64(concat_ws(",", slice(sig, b * rowsPerBand + 1, rowsPerBand)))
     }: _*)
 
+  /** Portable twin of [[minhashPairs]] over the md5-48 lane signatures
+    * (expressions.Md5MinHash — the q_minhash_md5_sigs sketch): 16 lanes
+    * banded 4×4, band keys the comma-joined EXACT lane values (no engine
+    * band hash anywhere), candidates verified with exact shingle-set
+    * Jaccard. Every stage — lanes, banding, bucket cap, verify — is
+    * deterministic integer/md5 arithmetic, so the PAIR OUTPUT itself
+    * hash-oracles cross-engine (the q_knn_lsh restate recipe); the
+    * xxhash64 [[minhashPairs]] stays the fast intra-Spark default.
+    * Same scale shape: one signature scan, shuffle on (band, key),
+    * shingle arrays shipped only for surviving candidates.
+    */
+  def minhashPairsMd5(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      threshold: Double = 0.05,
+      bands: Int = 4,
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    val nLanes = 16
+    require(bands > 0 && nLanes % bands == 0, s"bands=$bands must divide $nLanes")
+    val r = nLanes / bands
+    // shingles feed the lane kernel and both verify sides — persist, the
+    // minhashPairs/PPJoin discipline (harness clears caches per query)
+    val sh = df.select(col(idCol).as("id"), shingles(col(textCol)).as("sh")).persist()
+    val keyed = sh
+      .select(col("id"), graft.expressions.Md5MinHash.lanes(col("sh"), nLanes).as("_mh"))
+      .select(col("id"),
+        posexplode(array((0 until bands).map { b =>
+          concat_ws(",", (0 until r).map(j =>
+            element_at(col("_mh"), b * r + j + 1).cast("string")): _*)
+        }: _*)).as(Seq("band", "key")))
+    val bounded = keyed
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val cand = bounded.select(col("band"), col("key"), col("id").as("id1"))
+      .join(bounded.select(col("band"), col("key"), col("id").as("id2")),
+        Seq("band", "key"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"))
+      .distinct()
+    cand
+      .join(sh.select(col("id").as("id1"), col("sh").as("sh1")), Seq("id1"))
+      .join(sh.select(col("id").as("id2"), col("sh").as("sh2")), Seq("id2"))
+      .select(col("id1"), col("id2"), jaccard(col("sh1"), col("sh2")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Portable twin of [[simhashPairs]] over the 48-bit md5 SimHash
+    * (functions.TextFunctions.simhash48FromHashes — the q_simhash_md5
+    * sketch): 4×12-bit chunks, so ALL pairs within Hamming distance 3 are
+    * found exactly (pigeonhole: ≤3 differing bits leave ≥1 chunk intact)
+    * — complete recall, not a candidate heuristic, which is what makes
+    * the output a clean cross-engine contract. Pairs are emitted with
+    * their exact Hamming distance; everything is integer arithmetic over
+    * md5, so the output hash-oracles. The 64-bit xxhash [[simhashPairs]]
+    * stays the fast intra-Spark default (and reaches wider distances).
+    */
+  def simhashPairsMd5(
+      df: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    require(maxHamming <= 3,
+      s"4x12-bit chunking guarantees complete recall only to Hamming 3, got $maxHamming")
+    // (id, sig) is two longs per doc — persist so the self-join's two
+    // sides don't each re-run the 48 bit-folds over the token hashes
+    val sigs = df
+      .select(col(idCol).as("id"),
+        graft.functions.TextFunctions.md548Tokens(col(textCol)).as("_hs"))
+      .select(col("id"),
+        graft.functions.TextFunctions.simhash48FromHashes(col("_hs")).as("sig"))
+      .persist()
+    val chunked = sigs.select(
+      col("id"), col("sig"),
+      posexplode(array((0 until 4).map(c =>
+        shiftrightunsigned(col("sig"), c * 12) % 4096L): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val bounded = chunked
+      .withColumn("bucket_n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("chunk_val"))))
+      .filter(col("bucket_n") <= maxBucketSize)
+      .drop("bucket_n")
+    val l = bounded.select(col("chunk"), col("chunk_val"), col("id").as("id1"), col("sig").as("s1"))
+    val rr = bounded.select(col("chunk"), col("chunk_val"), col("id").as("id2"), col("sig").as("s2"))
+    l.join(rr, Seq("chunk", "chunk_val"))
+      .filter(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"), bit_count(col("s1").bitwiseXOR(col("s2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy(col("id1"), col("id2"))
+      .agg(min(col("hamming")).as("hamming"))
+  }
+
   /** Near-dedup: drop the higher-id member of every verified near-dup pair. */
   def dropNearDuplicates(
       df: DataFrame,

@@ -150,6 +150,12 @@ private[graft] object OracleEntriesC {
     // minima over the distinct-3-shingle list (independent expressions,
     // no alias chaining)
     "q_minhash_md5_sigs" -> MinhashMd5OracleSql,
+    // generated md5-lane LSH PAIR replay: exact-lane band keys, bucket
+    // cap, exact-Jaccard verify — the pair stage itself hash-oracled
+    "q_minhash_pairs" -> MinhashMd5PairsOracleSql,
+    // generated md5-48 SimHash PAIR replay: 4×12-bit chunk buckets,
+    // exact Hamming ≤ 3 (complete recall by pigeonhole)
+    "q_simhash_pairs" -> SimhashMd5PairsOracleSql,
     // dynamic-batching padding waste: two global ranks, (rk-1)//32 batch
     // ids, integer per-batch padding, one replayed floor-6 division
     "q_batch_padding" ->

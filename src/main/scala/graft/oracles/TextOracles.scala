@@ -321,6 +321,97 @@ private[graft] object TextOracles {
        |FROM sg""".stripMargin
   }
 
+  /** Generated DuckDB replay of Dedup.minhashPairsMd5: md5-48 lanes over
+    * distinct 3-shingles (the MinhashMd5OracleSql sketch), 4 bands of 4
+    * exact lane values comma-joined as the band key, bucket cap 10000,
+    * candidates verified with exact shingle-set Jaccard ≥ 0.05. sg/cand
+    * are MATERIALIZED (each is referenced more than once — the plain-CTE
+    * inlining gotcha).
+    */
+  private[graft] lazy val MinhashMd5PairsOracleSql: String = {
+    val lanes = (0 until 16).map(i =>
+      s"list_min(list_transform(sh, s -> ('0x' || substring(md5('$i ' || s), 1, 12))::BIGINT)) AS mh$i")
+      .mkString(",\n       ")
+    val bandRows = (0 until 4).map { b =>
+      val cols = (0 until 4).map(j => s"mh${b * 4 + j}").mkString(", ")
+      s"SELECT doc_id, $b AS band, concat_ws(',', $cols) AS key FROM sig"
+    }.mkString("\n  UNION ALL\n  ")
+    s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+       |sg AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+       |              ELSE list_distinct(list_transform(
+       |                     generate_series(1, len(toks) - 2),
+       |                     i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))
+       |         END AS sh
+       |  FROM t),
+       |sig AS (
+       |  SELECT doc_id,
+       |       $lanes
+       |  FROM sg),
+       |e AS (
+       |  $bandRows),
+       |b AS MATERIALIZED (
+       |  SELECT doc_id, band, key FROM (
+       |    SELECT doc_id, band, key, count(*) OVER (PARTITION BY band, key) AS bn
+       |    FROM e)
+       |  WHERE bn <= 10000),
+       |cand AS MATERIALIZED (
+       |  SELECT DISTINCT a.doc_id AS id1, b2.doc_id AS id2
+       |  FROM b a JOIN b b2 ON a.band = b2.band AND a.key = b2.key
+       |                    AND b2.doc_id > a.doc_id),
+       |v AS (
+       |  SELECT id1, id2,
+       |         CASE WHEN len(list_distinct(list_concat(sa.sh, sb.sh))) = 0 THEN 0.0
+       |              ELSE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+       |                   / len(list_distinct(list_concat(sa.sh, sb.sh)))
+       |         END AS jaccard
+       |  FROM cand
+       |  JOIN sg sa ON sa.doc_id = cand.id1
+       |  JOIN sg sb ON sb.doc_id = cand.id2)
+       |SELECT id1, id2, jaccard FROM v
+       |WHERE jaccard >= CAST(0.05 AS DOUBLE)""".stripMargin
+  }
+
+  /** Generated DuckDB replay of Dedup.simhashPairsMd5: the 48-bit md5
+    * SimHash (SimhashMd5OracleSql's signature), 4×12-bit chunk buckets
+    * (cap 10000), exact Hamming ≤ 3 — complete recall by pigeonhole, so
+    * both engines compute the identical pair set.
+    */
+  private[graft] lazy val SimhashMd5PairsOracleSql: String = {
+    val bitSums = (0 until 48).map(j =>
+      s"coalesce(list_sum(list_transform(hs, h -> CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END)), 0) AS c$j")
+      .mkString(",\n         ")
+    val sig = (0 until 48).map(j =>
+      s"(CASE WHEN c$j > 0 THEN ${1L << j} ELSE 0 END)").mkString("\n       + ")
+    s"""WITH t AS (
+       |  SELECT doc_id, list_transform($TokensSql, tok ->
+       |    ('0x' || substring(md5(tok), 1, 12))::BIGINT) AS hs
+       |  FROM documents
+       |), c AS (
+       |  SELECT doc_id,
+       |         $bitSums
+       |  FROM t
+       |), s AS (
+       |  SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM c
+       |), ch AS MATERIALIZED (
+       |  SELECT doc_id, sig, ci, (sig >> (ci * 12)) & 4095 AS cv
+       |  FROM s, (SELECT unnest(range(0, 4)) AS ci)
+       |), b AS MATERIALIZED (
+       |  SELECT doc_id, sig, ci, cv FROM (
+       |    SELECT doc_id, sig, ci, cv, count(*) OVER (PARTITION BY ci, cv) AS bn
+       |    FROM ch)
+       |  WHERE bn <= 10000
+       |), h AS (
+       |  SELECT a.doc_id AS id1, b2.doc_id AS id2,
+       |         CAST(bit_count(xor(a.sig, b2.sig)) AS INTEGER) AS hamming
+       |  FROM b a JOIN b b2 ON a.ci = b2.ci AND a.cv = b2.cv
+       |                    AND b2.doc_id > a.doc_id)
+       |SELECT id1, id2, CAST(min(hamming) AS INTEGER) AS hamming
+       |FROM h WHERE hamming <= 3
+       |GROUP BY id1, id2""".stripMargin
+  }
+
   /** Shared CTE prefix for the exact-substring oracles: rolling 8-token
     * window hashes, hashes in ≥2 distinct docs, and the merged maximal
     * spans (overlapping-or-adjacent windows coalesce).

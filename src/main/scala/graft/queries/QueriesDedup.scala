@@ -230,9 +230,13 @@ private[graft] object QueriesDedup {
         docs.select(col("doc_id"), col("n_chars")), shingleEdges(docs))
         .select(col("doc_id"), col("component"), col("n_chars"))
     },
+    // MinHash-LSH pair stage RESTATED over the portable md5-48 lanes
+    // (Dedup.minhashPairsMd5, the q_knn_lsh r18 recipe): banding keys are
+    // the exact lane values, so the PAIR OUTPUT hash-oracles — banding +
+    // bucket cap + exact-Jaccard verify all replay in DuckDB. The xxhash64
+    // minhashPairs stays the intra-Spark perf default (DedupSpec).
     "q_minhash_pairs" -> { (s, d) =>
-      Dedup.minhashPairs(Tables(s, d).documents, threshold = 0.05)
-        .orderBy(col("jaccard").desc, col("id1"), col("id2")).limit(100)
+      Dedup.minhashPairsMd5(Tables(s, d).documents, threshold = 0.05)
     },
     "q_simhash_sigs" -> { (s, d) =>
       Tables(s, d).documents.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
@@ -258,9 +262,13 @@ private[graft] object QueriesDedup {
         .select(col("doc_id") +:
           (0 until 16).map(i => element_at(col("_mh"), i + 1).as(s"mh$i")): _*)
     },
+    // SimHash pair stage RESTATED over the portable md5-48 signature with
+    // 4×12-bit chunking (Dedup.simhashPairsMd5): Hamming ≤ 3 is COMPLETE
+    // recall by pigeonhole, so the output is an exact cross-engine
+    // contract, not a candidate heuristic — hash-oracled. The 64-bit
+    // xxhash simhashPairs stays the intra-Spark perf default (DedupSpec).
     "q_simhash_pairs" -> { (s, d) =>
-      Dedup.simhashPairs(Tables(s, d).documents, maxHamming = 16)
-        .orderBy(col("hamming"), col("id1"), col("id2")).limit(100)
+      Dedup.simhashPairsMd5(Tables(s, d).documents, maxHamming = 3)
     },
     // streaming exact-dedup with state TTL (streaming.StreamDedupTtl) run
     // statically — the q_stream_bottomk driver-gating pattern: in one

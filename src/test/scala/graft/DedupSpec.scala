@@ -40,6 +40,43 @@ class DedupSpec extends AnyFunSuite {
     assert(!keys.exists(p => p._1 == 4L || p._2 == 4L || p._2 == 5L))
   }
 
+  test("minhashPairsMd5: planted dups found, verified jaccard exact, unrelated excluded") {
+    try {
+      val pairs = Dedup.minhashPairsMd5(corpus, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val keys = pairs.map(p => (p._1, p._2)).toSet
+      assert(keys.contains((1L, 2L)))
+      assert(pairs.find(p => p._1 == 1L && p._2 == 2L).get._3 == 1.0)
+      assert(!keys.exists(p => p._1 >= 4L || p._2 >= 4L))
+      // every emitted pair must equal its brute-force exact Jaccard
+      val sh = corpus.select($"doc_id", Dedup.shingles($"text").as("sh"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+      for ((a, b, j) <- pairs) {
+        val inter = sh(a).intersect(sh(b)).size
+        val union = sh(a).union(sh(b)).size
+        assert(j == inter.toDouble / union)
+      }
+    } finally spark.catalog.clearCache() // the operator persists its shingle scan
+  }
+
+  test("simhashPairsMd5: COMPLETE recall — output equals brute-force all-pairs hamming <= 3") {
+    try {
+      import graft.functions.{TextFunctions => TF}
+      val got = Dedup.simhashPairsMd5(corpus, maxHamming = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val sigs = corpus
+        .select($"doc_id", TF.md548Tokens($"text").as("_hs"))
+        .select($"doc_id", TF.simhash48FromHashes($"_hs").as("sig"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+      val want = (for {
+        (a, sa) <- sigs; (b, sb) <- sigs if a < b
+        h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+      } yield (a, b, h)).toSet
+      assert(got == want && want.contains((1L, 2L, 0)))
+      intercept[IllegalArgumentException](Dedup.simhashPairsMd5(corpus, maxHamming = 4))
+    } finally spark.catalog.clearCache() // the operator persists its signature frame
+  }
+
   test("dropNearDuplicates removes higher-id members of dup groups") {
     val kept = Dedup.dropNearDuplicates(corpus, threshold = 0.5)
       .select("doc_id").as[Long].collect().toSet
