@@ -23,8 +23,10 @@ import org.apache.spark.sql.functions._
   * pins (a plain pixel sum would be orientation-invariant).
   *
   * The reference has no video surface at all (SURVEY §2.12 multimodal
-  * mandate); compressed codecs (mp4/webm frames) remain the one declared
-  * stub.
+  * mandate); MJPG-fourcc AVIs decode for real too ([[synthMjpegAvi]] /
+  * [[decodeMjpegFrameStats]] — each frame a standalone baseline JPEG the
+  * JDK reads), so only INTER-FRAME-compressed codecs (H.264/VP9 in
+  * mp4/webm) remain the declared stub: the JDK ships no codec for them.
   */
 object Avi {
 
@@ -65,6 +67,73 @@ object Avi {
   /** DIB row stride: w·3 bytes padded up to the next 4-byte boundary. */
   def stride(width: Int): Int = (width * 3 + 3) & ~3
 
+  /** 'MJPG' as a little-endian BITMAPINFOHEADER biCompression fourcc —
+    * Motion JPEG: each movi frame chunk is a standalone baseline JPEG.
+    */
+  val MjpgFourcc: Long =
+    'M'.toLong | ('J'.toLong << 8) | ('P'.toLong << 16) | ('G'.toLong << 24)
+
+  private def riffChunk(t: String, payload: Array[Byte]): Array[Byte] = {
+    val pad = payload.length & 1
+    val out = new Array[Byte](8 + payload.length + pad)
+    System.arraycopy(t.getBytes(Iso), 0, out, 0, 4)
+    putLe32(out, 4, payload.length.toLong)
+    System.arraycopy(payload, 0, out, 8, payload.length)
+    out
+  }
+
+  private def riffList(listType: String, children: Array[Byte]): Array[Byte] =
+    riffChunk("LIST", listType.getBytes(Iso) ++ children)
+
+  /** Shared RIFF assembly for the fixture writers: avih + vids strl
+    * (strh handler + BITMAPINFOHEADER strf with the given biCompression)
+    * + movi with one frame chunk per payload.
+    */
+  private def buildAvi(
+      width: Int,
+      height: Int,
+      microSecPerFrame: Long,
+      handler: String,
+      biCompression: Long,
+      biSizeImage: Long,
+      frameChunkTag: String,
+      framePayloads: Seq[Array[Byte]]): Array[Byte] = {
+    val nFrames = framePayloads.length
+    val avih = new Array[Byte](56)
+    putLe32(avih, 0, microSecPerFrame)
+    putLe32(avih, 16, nFrames.toLong)
+    putLe32(avih, 24, 1L) // one stream
+    putLe32(avih, 32, width.toLong)
+    putLe32(avih, 36, height.toLong)
+
+    val strh = new Array[Byte](56)
+    System.arraycopy("vids".getBytes(Iso), 0, strh, 0, 4)
+    System.arraycopy(handler.getBytes(Iso), 0, strh, 4, 4)
+    putLe32(strh, 20, microSecPerFrame) // dwScale
+    putLe32(strh, 24, 1000000L) // dwRate: rate/scale = fps
+    putLe32(strh, 32, nFrames.toLong) // dwLength
+
+    val strf = new Array[Byte](40) // BITMAPINFOHEADER
+    putLe32(strf, 0, 40L)
+    putLe32(strf, 4, width.toLong)
+    putLe32(strf, 8, height.toLong) // positive: bottom-up
+    putLe16(strf, 12, 1) // biPlanes
+    putLe16(strf, 14, 24) // biBitCount
+    putLe32(strf, 16, biCompression)
+    putLe32(strf, 20, biSizeImage)
+
+    val frames = framePayloads.map(riffChunk(frameChunkTag, _)).reduce(_ ++ _)
+    val body = riffList("hdrl", riffChunk("avih", avih) ++
+      riffList("strl", riffChunk("strh", strh) ++ riffChunk("strf", strf))) ++
+      riffList("movi", frames)
+    val riff = new Array[Byte](12 + body.length)
+    System.arraycopy("RIFF".getBytes(Iso), 0, riff, 0, 4)
+    putLe32(riff, 4, (4 + body.length).toLong)
+    System.arraycopy("AVI ".getBytes(Iso), 0, riff, 8, 4)
+    System.arraycopy(body, 0, riff, 12, body.length)
+    riff
+  }
+
   /** Minimal-but-real uncompressed AVI writer for fixtures: full RIFF
     * structure (avih + vids strl with a BITMAPINFOHEADER strf + movi with
     * one `00db` chunk per frame), bottom-up BGR24 rows, stride-padded.
@@ -79,42 +148,8 @@ object Avi {
       microSecPerFrame: Long,
       pixel: (Int, Int, Int, Int) => Int): Array[Byte] = {
     require(width > 0 && height > 0 && nFrames > 0, "positive dimensions")
-    def chunk(t: String, payload: Array[Byte]): Array[Byte] = {
-      val pad = payload.length & 1
-      val out = new Array[Byte](8 + payload.length + pad)
-      System.arraycopy(t.getBytes(Iso), 0, out, 0, 4)
-      putLe32(out, 4, payload.length.toLong)
-      System.arraycopy(payload, 0, out, 8, payload.length)
-      out
-    }
-    def list(listType: String, children: Array[Byte]): Array[Byte] =
-      chunk("LIST", listType.getBytes(Iso) ++ children)
-
-    val avih = new Array[Byte](56)
-    putLe32(avih, 0, microSecPerFrame)
-    putLe32(avih, 16, nFrames.toLong)
-    putLe32(avih, 24, 1L) // one stream
-    putLe32(avih, 32, width.toLong)
-    putLe32(avih, 36, height.toLong)
-
-    val strh = new Array[Byte](56)
-    System.arraycopy("vids".getBytes(Iso), 0, strh, 0, 4)
-    System.arraycopy("DIB ".getBytes(Iso), 0, strh, 4, 4)
-    putLe32(strh, 20, microSecPerFrame) // dwScale
-    putLe32(strh, 24, 1000000L) // dwRate: rate/scale = fps
-    putLe32(strh, 32, nFrames.toLong) // dwLength
-
     val st = stride(width)
-    val strf = new Array[Byte](40) // BITMAPINFOHEADER
-    putLe32(strf, 0, 40L)
-    putLe32(strf, 4, width.toLong)
-    putLe32(strf, 8, height.toLong) // positive: bottom-up
-    putLe16(strf, 12, 1) // biPlanes
-    putLe16(strf, 14, 24) // biBitCount
-    putLe32(strf, 16, 0L) // BI_RGB
-    putLe32(strf, 20, (st * height).toLong)
-
-    val frames = (0 until nFrames).map { f =>
+    val payloads = (0 until nFrames).map { f =>
       val data = new Array[Byte](st * height)
       var y = 0
       while (y < height) {
@@ -130,18 +165,68 @@ object Avi {
         }
         y += 1
       }
-      chunk("00db", data)
-    }.reduce(_ ++ _)
+      data
+    }
+    buildAvi(width, height, microSecPerFrame, "DIB ", 0L,
+      (st * height).toLong, "00db", payloads)
+  }
 
-    val body = list("hdrl", chunk("avih", avih) ++
-      list("strl", chunk("strh", strh) ++ chunk("strf", strf))) ++
-      list("movi", frames)
-    val riff = new Array[Byte](12 + body.length)
-    System.arraycopy("RIFF".getBytes(Iso), 0, riff, 0, 4)
-    putLe32(riff, 4, (4 + body.length).toLong)
-    System.arraycopy("AVI ".getBytes(Iso), 0, riff, 8, 4)
-    System.arraycopy(body, 0, riff, 12, body.length)
-    riff
+  /** Deterministic baseline-JPEG encode via the JDK writer (the
+    * q_media_resize ImageIO recipe with an EXPLICIT quality so the bytes
+    * — and therefore the decoded pixels — are a pure function of the
+    * input grid on a given JDK).
+    */
+  private[graft] def encodeJpeg(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionQuality(quality)
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    baos.toByteArray
+  }
+
+  /** Motion-JPEG AVI writer for fixtures: the same RIFF structure as
+    * [[synthAvi]] but strh handler / strf biCompression = 'MJPG' and each
+    * movi `00dc` chunk is a REAL baseline JPEG (JDK ImageIO encode at the
+    * given explicit quality) of the formula grid — the codec pair the JDK
+    * actually ships, closing the compressed-frame gap H.264/VP9 leave
+    * open. `pixel(frame, y, x, channel)` as in [[synthAvi]] (0=B,1=G,2=R).
+    */
+  def synthMjpegAvi(
+      width: Int,
+      height: Int,
+      nFrames: Int,
+      microSecPerFrame: Long,
+      quality: Float,
+      pixel: (Int, Int, Int, Int) => Int): Array[Byte] = {
+    require(width > 0 && height > 0 && nFrames > 0, "positive dimensions")
+    val payloads = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val b = pixel(f, y, x, 0) & 0xFF
+          val g = pixel(f, y, x, 1) & 0xFF
+          val r = pixel(f, y, x, 2) & 0xFF
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      encodeJpeg(img, quality)
+    }
+    buildAvi(width, height, microSecPerFrame, "MJPG", MjpgFourcc, 0L,
+      "00dc", payloads)
   }
 
   /** Walk the container; returns the metadata plus the raw `00db`/`00dc`
@@ -244,6 +329,41 @@ object Avi {
     Some((s, xm, ym))
   }
 
+  /** Decode one MJPG frame (a standalone baseline JPEG) via the JDK
+    * reader into the same exact-integer stats as [[decodeFrameStats]]:
+    * pxSum = Σ(B+G+R), xMoment = Σ(x+1)(B+G+R), yMoment = Σ(y+1)(B+G+R),
+    * y top-down (BufferedImage orientation — no bottom-up flip here; the
+    * flip is a DIB storage artifact, not a JPEG one). None when the bytes
+    * don't decode or the decoded dimensions contradict the container
+    * header (fail-loud, the synthMp4 discipline). Decoded values are
+    * deterministic for a given JDK — the oracle pins them per fixture
+    * class (JPEG is lossy, so a formula replay is impossible by design).
+    */
+  private[graft] def decodeMjpegFrameStats(
+      data: Array[Byte], width: Int, height: Int): Option[(Long, Long, Long)] = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
+      catch { case _: Throwable => null }
+    if (img == null || img.getWidth != width || img.getHeight != height) return None
+    var s = 0L
+    var xm = 0L
+    var ym = 0L
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val rgb = img.getRGB(x, y)
+        val v = ((rgb >> 16) & 0xFF) + ((rgb >> 8) & 0xFF) + (rgb & 0xFF)
+        s += v
+        xm += (x + 1).toLong * v
+        ym += (y + 1).toLong * v
+        x += 1
+      }
+      y += 1
+    }
+    Some((s, xm, ym))
+  }
+
   /** dHash per decoded frame — REAL pixel-space perceptual hash over the
     * decoded grid (where [[Multimodal.phash]]'s video rows could only
     * byte-fold): nearest-neighbor resample to a 9×8 gray grid
@@ -334,10 +454,11 @@ object Avi {
   }
 
   /** REAL frame decode per AVI row: one output row per decodable frame
-    * `(doc_id, frame_idx, px_sum, x_moment, y_moment)`. Rows only for
-    * well-formed BI_RGB 24-bit files (corrupt files and compressed
-    * streams contribute nothing). Zero shuffle; the per-row work is
-    * bounded by the file's own byte length.
+    * `(doc_id, frame_idx, px_sum, x_moment, y_moment)`. Dispatches on
+    * biCompression — BI_RGB 24-bit DIB grids decode by byte arithmetic,
+    * MJPG frames through the JDK's baseline-JPEG reader; corrupt files
+    * and other codecs contribute nothing. Zero shuffle; the per-row work
+    * is bounded by the file's own byte length.
     */
   def frameStats(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -348,11 +469,14 @@ object Avi {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         parseAvi(bytes) match {
           case Some((m, frames))
-            if m.compression == 0L && m.bitCount == 24 &&
-              m.width <= 4096 && m.height <= 4096 =>
+            if m.bitCount == 24 && m.width <= 4096 && m.height <= 4096 &&
+              (m.compression == 0L || m.compression == MjpgFourcc) =>
+            val decode: Array[Byte] => Option[(Long, Long, Long)] =
+              if (m.compression == MjpgFourcc)
+                decodeMjpegFrameStats(_, m.width.toInt, m.height.toInt)
+              else decodeFrameStats(_, m.width.toInt, m.height.toInt)
             frames.iterator.zipWithIndex.flatMap { case (f, i) =>
-              decodeFrameStats(f, m.width.toInt, m.height.toInt)
-                .map { case (s, xm, ym) => (id, i.toLong, s, xm, ym) }
+              decode(f).map { case (s, xm, ym) => (id, i.toLong, s, xm, ym) }
             }
           case _ => Iterator.empty
         }

@@ -423,6 +423,39 @@ private[graft] object OracleEntriesA {
         |       CAST(sum((x + 1) * (b + g + r)) AS BIGINT) AS x_moment,
         |       CAST(sum((y + 1) * (b + g + r)) AS BIGINT) AS y_moment
         |FROM px GROUP BY 1, 2""".stripMargin,
+    // MJPEG frame decode: fixture classes ((doc_id/3) mod 12) joined to
+    // their PINNED decoded stats (tools.MjpegOraclePin output — the JDK
+    // JPEG codec's deterministic decode of the 12 class byte streams;
+    // lossy codec ⇒ no formula replay). Truncated rows (m % 7 = 1) and
+    // the class's frame count fall out of the join.
+    "q_media_mjpeg_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id, doc_id // 3 AS m FROM documents WHERE doc_id % 3 = 0),
+        |ok AS (SELECT doc_id, (m % 12) AS cls FROM v WHERE m % 7 <> 1),
+        |pin(cls, frame_idx, px_sum, x_moment, y_moment) AS (VALUES
+        |  (0, 0, 24540, 221430, 153693),
+        |  (1, 0, 80676, 1095597, 682917),
+        |  (1, 1, 110427, 1452726, 906693),
+        |  (2, 0, 165021, 3041661, 1793676),
+        |  (3, 0, 114246, 2729163, 676575),
+        |  (3, 1, 150171, 3447768, 874530),
+        |  (4, 0, 40623, 360234, 355863),
+        |  (5, 0, 116127, 1557201, 1269756),
+        |  (5, 1, 154557, 2018388, 1636425),
+        |  (6, 0, 73044, 1391658, 440415),
+        |  (7, 0, 176100, 4144425, 1452693),
+        |  (7, 1, 226539, 5153418, 1832061),
+        |  (8, 0, 60405, 528429, 683202),
+        |  (9, 0, 50814, 700653, 307911),
+        |  (9, 1, 72003, 954978, 424674),
+        |  (10, 0, 115191, 2155458, 969609),
+        |  (11, 0, 247455, 5748897, 2633220),
+        |  (11, 1, 312094, 7032039, 3245581))
+        |SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |       CAST(px_sum AS BIGINT) AS px_sum,
+        |       CAST(x_moment AS BIGINT) AS x_moment,
+        |       CAST(y_moment AS BIGINT) AS y_moment
+        |FROM ok JOIN pin USING (cls)""".stripMargin,
     // UniMax waterfill replay: cap-ascending prefix predicate, whole-frame
     // kstar/capped_sum windows, floor-division share + lexicographic
     // remainder — all exact BIGINT

@@ -144,5 +144,14 @@ private[graft] object QueriesMultimodal {
     "q_media_avi_phash" -> { (s, d) =>
       graft.operators.Avi.framePhash(aviFixture(s, d))
     },
+    // REAL compressed-frame video decode: MJPG-fourcc AVI, each movi
+    // chunk a baseline JPEG the JDK reader decodes (operators.Avi MJPG
+    // dispatch) — the codec the JDK actually ships, closing the
+    // compressed-video stub down to inter-frame codecs (H.264/VP9).
+    // Fixture classes are (doc_id/3) mod 12 byte streams; the oracle joins
+    // each class to its PINNED decoded stats (tools.MjpegOraclePin — JPEG
+    // is lossy so formula replay is impossible; the pins are the decode
+    // contract). Truncated rows ((doc_id/3) % 7 = 1) contribute nothing.
+    "q_media_mjpeg_frames" -> { (s, d) => Avi.frameStats(mjpegFixture(s, d)) },
   )
 }

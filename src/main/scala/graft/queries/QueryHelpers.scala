@@ -113,6 +113,40 @@ private[graft] object QueryHelpers {
       }.toDF("doc_id", "content")
   }
 
+  /** One MJPEG fixture class: every synthesis parameter is a function of
+    * m mod 12 (width m%4, height m%3, frame count + pixel class m%2), so
+    * there are exactly 12 distinct byte streams corpus-wide and the
+    * oracle can pin each class's DECODED frame stats as literals
+    * (tools.MjpegOraclePin regenerates them; JPEG is lossy, so a formula
+    * replay is impossible by design — the pins ARE the decode contract).
+    */
+  private[graft] def mjpegClassBytes(m: Long): Array[Byte] =
+    Avi.synthMjpegAvi(
+      width = 15 + (m % 4).toInt * 8,
+      height = 10 + (m % 3).toInt * 4,
+      nFrames = 1 + (m % 2).toInt,
+      microSecPerFrame = 40000L,
+      quality = 0.9f,
+      pixel = (f, y, x, c) =>
+        ((7L * (m % 2) + 31L * f + 5L * y + 3L * x + 11L * c) % 256L).toInt)
+
+  /** Motion-JPEG AVI fixtures over the doc_id % 3 = 0 rows: REAL RIFF +
+    * baseline-JPEG frame bytes per row (class = (doc_id/3) mod 12, see
+    * [[mjpegClassBytes]]); every (doc_id/3) % 7 = 1 row truncated
+    * mid-header and must contribute no frames (bounds proof).
+    */
+  private[graft] def mjpegFixture(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables(s, d).documents
+      .filter(pmod(col("doc_id"), lit(3)) === 0)
+      .select(col("doc_id").cast("long")).as[Long]
+      .map { id =>
+        val m = id / 3
+        val full = mjpegClassBytes(m % 12)
+        (id, if (m % 7 == 1) full.take(24) else full)
+      }.toDF("doc_id", "content")
+  }
+
   /** Quasi-identifier view shared by the privacy battery: customer
     * (segment, nation, 1k$-acctbal band).
     */

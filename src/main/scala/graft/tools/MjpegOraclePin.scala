@@ -1,0 +1,30 @@
+package graft.tools
+
+import graft.operators.Avi
+import graft.queries.QueryHelpers
+
+/** Pin generator for the q_media_mjpeg_frames oracle: builds each of the
+  * 12 MJPEG fixture classes (QueryHelpers.mjpegClassBytes — the SAME
+  * builder the fixture uses, so the two cannot drift), decodes through
+  * the production path (Avi.parseAvi + decodeMjpegFrameStats), and prints
+  * the SQL VALUES rows the oracle embeds as literals. JPEG is lossy, so
+  * the decoded stats cannot be formula-replayed — the pins, regenerated
+  * with `sbt "runMain graft.tools.MjpegOraclePin"`, are the decode
+  * contract for the JDK in use (deterministic per JDK codec).
+  */
+object MjpegOraclePin {
+  def main(args: Array[String]): Unit = {
+    for (cls <- 0 until 12) {
+      val bytes = QueryHelpers.mjpegClassBytes(cls.toLong)
+      val (meta, frames) = Avi.parseAvi(bytes).getOrElse(
+        sys.error(s"class $cls: synthesized AVI failed to parse"))
+      require(meta.compression == Avi.MjpgFourcc, s"class $cls: not MJPG")
+      frames.zipWithIndex.foreach { case (fb, i) =>
+        val (s, xm, ym) = Avi
+          .decodeMjpegFrameStats(fb, meta.width.toInt, meta.height.toInt)
+          .getOrElse(sys.error(s"class $cls frame $i: JPEG decode failed"))
+        println(s"($cls, $i, $s, $xm, $ym),")
+      }
+    }
+  }
+}

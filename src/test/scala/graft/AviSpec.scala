@@ -151,4 +151,46 @@ class AviSpec extends AnyFunSuite {
     val n = SparkEntry.queries("q_media_avi_frames")(spark, TestSpark.Sf0001).count()
     assert(n > 0)
   }
+
+  test("MJPEG: container parses as MJPG, every frame is a real JPEG the JDK decodes") {
+    val bytes = Avi.synthMjpegAvi(23, 14, 2, 40000L, 0.9f, px)
+    val Some((m, frames)) = Avi.parseAvi(bytes)
+    assert(m.handler == "MJPG" && m.compression == Avi.MjpgFourcc)
+    assert(m.width == 23 && m.height == 14 && frames.length == 2)
+    // JPEG magic on every payload; decode yields stats within the byte range
+    for (f <- frames) {
+      assert((f(0) & 0xFF) == 0xFF && (f(1) & 0xFF) == 0xD8)
+      val Some((s, xm, ym)) = Avi.decodeMjpegFrameStats(f, 23, 14)
+      assert(s > 0L && s <= 23L * 14 * 3 * 255)
+      assert(xm > 0L && ym > 0L)
+    }
+    // decode is fail-loud on a container/codec dimension contradiction
+    assert(Avi.decodeMjpegFrameStats(frames(0), 24, 14).isEmpty)
+    // and declines non-JPEG bytes
+    assert(Avi.decodeMjpegFrameStats(Array.fill[Byte](64)(7), 23, 14).isEmpty)
+  }
+
+  test("MJPEG decode is deterministic and roughly faithful to the source grid") {
+    val bytes = Avi.synthMjpegAvi(23, 14, 1, 40000L, 0.9f, px)
+    val Some((m, frames)) = Avi.parseAvi(bytes)
+    val a = Avi.decodeMjpegFrameStats(frames(0), 23, 14).get
+    val b = Avi.decodeMjpegFrameStats(frames(0), 23, 14).get
+    assert(a == b)
+    // lossy but bounded: decoded pixel sum within 15% of the exact grid sum
+    var exact = 0L
+    for (y <- 0 until 14; x <- 0 until 23; c <- 0 until 3) exact += px(0, y, x, c)
+    assert(math.abs(a._1 - exact).toDouble / exact < 0.15,
+      s"decoded sum ${a._1} too far from source $exact")
+  }
+
+  test("q_media_mjpeg_frames: truncated rows contribute nothing; classes match pins") {
+    val df = SparkEntry.queries("q_media_mjpeg_frames")(spark, TestSpark.Sf0001)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // truncated fixture rows ((doc_id/3) % 7 = 1) must yield no frames
+    assert(!rows.exists(r => (r.getLong(0) / 3) % 7 == 1))
+    // frame count per doc follows the class formula nf = 1 + (m % 12) % 2
+    val byDoc = rows.groupBy(_.getLong(0)).map { case (id, rs) => id -> rs.length }
+    for ((id, n) <- byDoc) assert(n == 1 + ((id / 3) % 12 % 2).toInt, s"doc $id")
+  }
 }
