@@ -102,6 +102,73 @@ object TwsActivity {
         TimeMode.ProcessingTime(), OutputMode.Update())
   }
 
+  final case class StampedClick(user_id: Long, event_type: String, ts: java.sql.Timestamp)
+
+  /** The EVENT-TIME timer surface of the new API — the remaining TimeMode
+    * after [[CounterProcessor]] (None) and [[SessionProcessor]]
+    * (ProcessingTime), and the one a reorderable event stream actually
+    * wants: the inactivity close is defined by the DATA's clock, so a
+    * delayed replay closes the same sessions at the same (event-time)
+    * points regardless of wall-clock pacing. Every arrival re-arms a
+    * single event-time timer at max(event time seen) + gapMs (the same
+    * delete-then-register sweep as SessionProcessor — registerTimer ADDS);
+    * the timer fires when the WATERMARK passes it, i.e. only a later
+    * batch's event-time progress can close a session. handleExpiredTimer
+    * emits the close and CLEARS the count, so the key's next arrival
+    * starts a fresh session — the gap-session semantic, state bounded by
+    * one ValueState per open session.
+    */
+  class EventTimeSessionProcessor(gapMs: Long)
+      extends StatefulProcessor[Long, StampedClick, SessionEvent] {
+    @transient private var count: ValueState[Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+
+    override def handleInputRows(
+        key: Long,
+        rows: Iterator[StampedClick],
+        timerValues: TimerValues): Iterator[SessionEvent] = {
+      var n = if (count.exists()) count.get() else 0L
+      var maxTs = Long.MinValue
+      rows.foreach { r =>
+        n += 1
+        if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
+      }
+      count.update(n)
+      val it = getHandle.listTimers()
+      while (it.hasNext) getHandle.deleteTimer(it.next())
+      getHandle.registerTimer(maxTs + gapMs)
+      Iterator.single(SessionEvent(key, "update", n))
+    }
+
+    override def handleExpiredTimer(
+        key: Long,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionEvent] = {
+      val n = if (count.exists()) count.get() else 0L
+      count.clear() // session closed by event time; the next arrival restarts
+      Iterator.single(SessionEvent(key, "close", n))
+    }
+  }
+
+  /** [[EventTimeSessionProcessor]] wired up: the input stream must carry a
+    * watermark on `ts` (EventTime mode requires it — the watermark IS the
+    * timer clock), update output.
+    */
+  def eventSessions(
+      clicks: Dataset[StampedClick],
+      gapMs: Long,
+      delay: String): Dataset[SessionEvent] = {
+    import clicks.sparkSession.implicits._
+    org.apache.spark.sql.graftbridge.StateBridge.ensureStateStoreCoordinator(clicks.sparkSession)
+    clicks
+      .withWatermark("ts", delay)
+      .groupByKey(_.user_id)
+      .transformWithState(new EventTimeSessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Update())
+  }
+
   /** Running per-user event totals; in update mode each touched key emits
     * its new total per micro-batch.
     */

@@ -147,6 +147,84 @@ class TwsActivitySpec extends AnyFunSuite {
       s"expected exactly one close with the full count, got: ${rows.toSeq}")
   }
 
+  test("event-time timer fires when the WATERMARK passes it; close clears the session") {
+    // gap 5s in EVENT time, watermark delay 2s. Batch 1: user 1's events
+    // end at 00:00:12 -> timer armed at 00:00:17. Nothing can fire on the
+    // wall clock: only batch 2's event at 00:01:00 advances the watermark
+    // to 00:00:58 > 00:00:17, which is what fires the close (with the
+    // preserved count 3). Batch 3 then proves the close CLEARED the state:
+    // user 1 restarts at 1, not 4.
+    val dir = Files.createTempDirectory("graft-tws-evt-in")
+    val cp = Files.createTempDirectory("graft-tws-evt-cp").toString
+    Files.write(dir.resolve("b0.csv"),
+      "1,view,1970-01-01 00:00:10\n1,click,1970-01-01 00:00:11\n1,view,1970-01-01 00:00:12".getBytes)
+    val raw = spark.readStream.schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+      .csv(dir.toString).as[TwsActivity.StampedClick]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = TwsActivity.eventSessions(raw, gapMs = 5000L, delay = "2 seconds")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tws_evt").option("checkpointLocation", cp).start()
+    try {
+      awaitRows("evt", 1L)
+      // idle WALL-CLOCK time must not close an event-time session
+      Thread.sleep(1500L)
+      assert(spark.sql("SELECT * FROM tws_evt WHERE kind = 'close'").count() == 0L,
+        "event-time timer fired without watermark progress")
+      Files.write(dir.resolve("b1.csv"), "2,view,1970-01-01 00:01:00".getBytes)
+      awaitRows("evt", 3L) // user 2's update + the watermark-driven close
+      Files.write(dir.resolve("b2.csv"), "1,view,1970-01-01 00:02:00".getBytes)
+      awaitRows("evt", 4L)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val got = spark.sql("SELECT * FROM tws_evt")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.contains((1L, "update", 3L)), got.toString)
+    assert(got.contains((2L, "update", 1L)), got.toString)
+    assert(got.contains((1L, "close", 3L)), s"watermark passage did not fire the timer: $got")
+    assert(got.contains((1L, "update", 1L)), s"close did not clear the session state: $got")
+    assert(!got.contains((1L, "update", 4L)), s"state survived its close: $got")
+  }
+
+  test("event-time processor parity: static run rejected loudly; one-batch stream equals groupBy") {
+    // Unlike TimeMode.None/ProcessingTime, the engine REFUSES to execute
+    // EventTime mode as a batch query (INTERNAL_ERROR_TWS: no time values
+    // in batch) — pin that contract, then take the parity through a
+    // ONE-BATCH stream, where every key's rows arrive as a single group
+    // exactly as a static run would deliver them.
+    val ev = graft.sources.Tables(spark, TestSpark.Sf0001).events
+      .selectExpr("user_id", "event_type", "CAST(ts AS TIMESTAMP) AS ts")
+      .as[TwsActivity.StampedClick]
+    val thrown = intercept[org.apache.spark.SparkException] {
+      TwsActivity.eventSessions(ev, gapMs = 5000L, delay = "2 seconds").collect()
+    }
+    assert(thrown.getMessage.contains("timeMode=EventTime"), thrown.getMessage)
+
+    val dir = Files.createTempDirectory("graft-tws-evtp-in")
+    val cp = Files.createTempDirectory("graft-tws-evtp-cp").toString
+    Files.write(dir.resolve("b0.csv"),
+      ("1,view,1970-01-01 00:00:10\n1,click,1970-01-01 00:00:11\n" +
+        "2,view,1970-01-01 00:00:12\n3,view,1970-01-01 00:00:13\n" +
+        "3,click,1970-01-01 00:00:14\n1,view,1970-01-01 00:00:15").getBytes)
+    val raw = spark.readStream.schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+      .csv(dir.toString).as[TwsActivity.StampedClick]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = TwsActivity.eventSessions(raw, gapMs = 5000L, delay = "2 seconds")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tws_evtp").option("checkpointLocation", cp).start()
+    try awaitRows("evtp", 3L)
+    finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val updates = spark.sql("SELECT * FROM tws_evtp WHERE kind = 'update'")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(updates == Set((1L, 3L), (2L, 1L), (3L, 2L)), updates.toString)
+  }
+
   test("static run equals a plain groupBy count (the oracled parity)") {
     val ev = graft.sources.Tables(spark, TestSpark.Sf0001).events
       .select($"user_id", $"event_type").as[TwsActivity.Click]
