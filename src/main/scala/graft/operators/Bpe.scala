@@ -121,6 +121,15 @@ object Bpe {
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
+        // RDD.unpersist logs a lineage-truncated WARN for every locally
+        // checkpointed RDD — correct in general (the data can't come
+        // back), but THIS release only ever targets a SUPERSEDED merge
+        // generation, so the warning is noise that dirties the gate log
+        // (one line per merge × tokenizer family per Verify run). Silence
+        // that one logger; MapPartitionsRDD has no other warn site on
+        // this path, and real errors still surface.
+        org.apache.logging.log4j.core.config.Configurator.setLevel(
+          r.rdd.getClass.getName, org.apache.logging.log4j.Level.ERROR)
         r.rdd.unpersist(blocking = false)
       case _ => ()
     }
