@@ -57,9 +57,13 @@ object Bench {
     // q_metrics_eventdist: the first metrics-replay query BUILDS the
     // atomic-JSON metrics store for the trio (4.9 s one-shot vs 0.2 s
     // median in BENCH full-run) — the inline warm builds it untimed.
+    // q_hyperball added r19: with the r18 offenders inline-warmed it became
+    // the suite's only remaining >3x one-shot (8.11 vs 2.49 median in the
+    // r19 full run) — the first HyperBall query pays the register-kernel
+    // JIT + localCheckpoint chain first-touch.
     val inlineWarm = Set("q_rf_metrics", "q_knn_pq", "q_token_meter",
       "q_similarity_join", "q_dedup_method_overlap", "q_sgd_intent_scores",
-      "q_target_encode_loo", "q_metrics_eventdist")
+      "q_target_encode_loo", "q_metrics_eventdist", "q_hyperball")
     // Touch every table once at the BENCH SF so no timed query pays the
     // first cold parquet read (OS page cache + footer decode — r16's
     // q10_returned_items 7.0 s one-shot vs 0.9 s median was first-touch
