@@ -676,5 +676,34 @@ private[graft] object OracleEntriesF {
     "q_cusum_chart" -> CusumOracleSql,
     "q_forecast_mase" -> HoltWintersMaseOracleSql,
     "q_rank_correlation" -> RankCorrelationOracleSql,
+    // Fellegi–Sunter linkage replay: the dirty-twin synthesis, the
+    // blocked join (side caps in lockstep with blockPairs), the two
+    // agreement predicates (name equality; cents distance via the
+    // IEEE-safe floor(x*100+0.5) spelling), the literal milli weights,
+    // and the three-way decision — all exact integer/IEEE arithmetic
+    "q_linkage_scores" ->
+      s"""$LinkageScoredCte
+         |SELECT a_id, b_id, agr_name, agr_bal, score_milli, decision
+         |FROM sc WHERE score_milli > -1000""".stripMargin,
+    "q_linkage_quality" ->
+      s"""$LinkageScoredCte,
+         |t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM b),
+         |m AS (
+         |  SELECT
+         |    CAST(coalesce(sum(CASE WHEN a_id = truth_id THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |      AS n_cand_truth,
+         |    CAST(coalesce(sum(CASE WHEN decision = 'match' THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |      AS n_match,
+         |    CAST(coalesce(sum(CASE WHEN decision = 'match' AND a_id = truth_id
+         |                       THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_match_true,
+         |    CAST(coalesce(sum(CASE WHEN decision = 'review' THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |      AS n_review
+         |  FROM sc)
+         |SELECT n_truth, n_cand_truth, n_match, n_match_true, n_review,
+         |       CAST(CASE WHEN n_match = 0 THEN 0
+         |                 ELSE n_match_true * 1000000 // n_match END AS BIGINT) AS precision_e6,
+         |       CAST(CASE WHEN n_truth = 0 THEN 0
+         |                 ELSE n_match_true * 1000000 // n_truth END AS BIGINT) AS recall_e6
+         |FROM m CROSS JOIN t""".stripMargin,
   )
 }

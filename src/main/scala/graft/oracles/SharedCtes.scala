@@ -75,6 +75,51 @@ private[graft] object SharedCtes {
       |  FROM sx GROUP BY user_id, session_idx
       |)""".stripMargin
 
+  /** Shared CTE chain for the Fellegi–Sunter linkage oracles: the
+    * dirty-twin synthesis (QueryHelpers.linkageSides respelled — every
+    * double expression IEEE-identical), side-capped blocking join, the
+    * two agreement predicates, literal milli weights, and the three-way
+    * decision. Cents spelling floor(x*100+0.5) is pure IEEE (library
+    * round() is not cross-engine-safe on arithmetic-derived doubles).
+    */
+  private[graft] val LinkageScoredCte: String =
+    """WITH a0 AS (
+      |  SELECT c_custkey AS a_id, c_name AS a_name, c_nationkey AS nationkey,
+      |         c_mktsegment AS mktsegment, c_acctbal AS a_acctbal
+      |  FROM customer),
+      |b AS (
+      |  SELECT c_custkey + 5000000 AS b_id, c_custkey AS truth_id,
+      |         CASE WHEN c_custkey % 2 = 1 THEN c_name || 'x' ELSE c_name END AS b_name,
+      |         c_nationkey AS nationkey,
+      |         CASE WHEN c_custkey % 5 = 1 THEN 'OTHER' ELSE c_mktsegment END AS mktsegment,
+      |         c_acctbal + CAST(c_custkey % 7 - 3 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS b_acctbal
+      |  FROM customer WHERE c_custkey % 3 = 0),
+      |ac AS (
+      |  SELECT a_id, a_name, nationkey, mktsegment, a_acctbal FROM (
+      |    SELECT a0.*, count(*) OVER (PARTITION BY nationkey, mktsegment) AS bn FROM a0)
+      |  WHERE bn <= 10000),
+      |bc AS (
+      |  SELECT b_id, truth_id, b_name, nationkey, mktsegment, b_acctbal FROM (
+      |    SELECT b.*, count(*) OVER (PARTITION BY nationkey, mktsegment) AS bn FROM b)
+      |  WHERE bn <= 10000),
+      |p AS (
+      |  SELECT a_id, b_id, truth_id,
+      |         a_name = b_name AS agr_name,
+      |         abs(CAST(floor(a_acctbal * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+      |           - CAST(floor(b_acctbal * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
+      |           <= 100 AS agr_bal
+      |  FROM ac JOIN bc USING (nationkey, mktsegment)),
+      |sc AS (
+      |  SELECT a_id, b_id, truth_id, agr_name, agr_bal,
+      |         CAST((CASE WHEN agr_name THEN 2400 ELSE -1800 END)
+      |            + (CASE WHEN agr_bal THEN 1200 ELSE -1000 END) AS BIGINT) AS score_milli,
+      |         CASE WHEN (CASE WHEN agr_name THEN 2400 ELSE -1800 END)
+      |                 + (CASE WHEN agr_bal THEN 1200 ELSE -1000 END) >= 3000 THEN 'match'
+      |              WHEN (CASE WHEN agr_name THEN 2400 ELSE -1800 END)
+      |                 + (CASE WHEN agr_bal THEN 1200 ELSE -1000 END) <= -1000 THEN 'nonmatch'
+      |              ELSE 'review' END AS decision
+      |  FROM p)""".stripMargin
+
   private[graft] val TokensSql =
     "list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), x -> len(x) > 0)"
 

@@ -876,5 +876,40 @@ private[graft] object QueriesRelational {
         .select(col("l_returnflag"), posexplode(col("topk")).as(Seq("pos", "price")))
         .select(col("l_returnflag"), (col("pos") + 1).as("rank"), col("price"))
     },
+    // Fellegi–Sunter record linkage (operators.RecordLinkage): blocking
+    // equi-join (never all-pairs), per-field agreement vector, exact
+    // milli-log-odds score, three-way decision. Output = the pairs worth
+    // keeping (matches + clerical review); the nonmatch bulk is dropped,
+    // so rows stay bounded by true-pair density, not block size.
+    "q_linkage_scores" -> { (s, d) =>
+      linkageScored(s, d)
+        .filter(col("score_milli") > -1000L)
+        .select(col("a_id"), col("b_id"), col("agr_name"), col("agr_bal"),
+          col("score_milli"), col("decision"))
+    },
+    // the linkage audit: truth coverage (the fixture's planted twins),
+    // candidacy after blocking (segment-perturbed plants fall out — the
+    // REPORTED blocking-recall loss), decision counts, precision/recall
+    // as exact integer-ratio e6 (non-negative, DIV ≡ //)
+    "q_linkage_quality" -> { (s, d) =>
+      val scored = linkageScored(s, d)
+      val truth = linkageSides(s, d)._2.agg(count(lit(1)).as("n_truth"))
+      scored.agg(
+        coalesce(sum(when(col("a_id") === col("truth_id"), 1L).otherwise(0L)), lit(0L))
+          .as("n_cand_truth"),
+        coalesce(sum(when(col("decision") === "match", 1L).otherwise(0L)), lit(0L))
+          .as("n_match"),
+        coalesce(sum(when(col("decision") === "match" && col("a_id") === col("truth_id"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_match_true"),
+        coalesce(sum(when(col("decision") === "review", 1L).otherwise(0L)), lit(0L))
+          .as("n_review"))
+        .crossJoin(truth)
+        .select(col("n_truth"), col("n_cand_truth"), col("n_match"),
+          col("n_match_true"), col("n_review"),
+          when(col("n_match") === 0L, 0L)
+            .otherwise(expr("n_match_true * 1000000 DIV n_match")).as("precision_e6"),
+          when(col("n_truth") === 0L, 0L)
+            .otherwise(expr("n_match_true * 1000000 DIV n_truth")).as("recall_e6"))
+    },
   )
 }

@@ -197,6 +197,52 @@ private[graft] object QueryHelpers {
     lit("?utm_source=x&b=2&a=1#f\">L1</a> <a href=\"http://Host"), (id % 3).cast("string"),
     lit(".org/x/\">L2</a><script>var s=1;</script></body></html>"))
 
+  /** Fellegi–Sunter linkage fixture: a clean side (customer as-is) and a
+    * "dirty" side of twins for every c_custkey % 3 = 0 row under key
+    * +5·10⁶ — name typo'd on odd keys, SEGMENT (a block key!) perturbed
+    * to 'OTHER' on % 5 = 1 (those twins fall out of candidacy — the
+    * reported blocking-recall loss), acctbal shifted by ((k%7)−3)·0.5
+    * dollars (inside the $1 comparator for k%7 ∈ 1..5). All expressions
+    * are IEEE-identical in DuckDB; the oracles respell them inline.
+    */
+  private[graft] def linkageSides(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val c = Tables(spark, dir).customer
+    val a = c.select(
+      col("c_custkey").as("a_id"), col("c_name").as("a_name"),
+      col("c_nationkey").as("nationkey"), col("c_mktsegment").as("mktsegment"),
+      col("c_acctbal").as("a_acctbal"))
+    val b = c.filter(col("c_custkey") % 3 === 0).select(
+      (col("c_custkey") + 5000000L).as("b_id"),
+      col("c_custkey").as("truth_id"),
+      when(col("c_custkey") % 2 === 1, concat(col("c_name"), lit("x")))
+        .otherwise(col("c_name")).as("b_name"),
+      col("c_nationkey").as("nationkey"),
+      when(col("c_custkey") % 5 === 1, lit("OTHER"))
+        .otherwise(col("c_mktsegment")).as("mktsegment"),
+      (col("c_acctbal") +
+        ((col("c_custkey") % 7) - lit(3)).cast("double") * lit(0.5d)).as("b_acctbal"))
+    (a, b)
+  }
+
+  /** The linkage battery's shared scoring pipeline: block on
+    * (nationkey, mktsegment), score name equality ±(2400, −1800) and
+    * cents-distance ≤ 100 ±(1200, −1000), classify at (3000, −1000).
+    */
+  private[graft] def linkageScored(spark: SparkSession, dir: String): DataFrame = {
+    import graft.operators.RecordLinkage
+    val (a, b) = linkageSides(spark, dir)
+    val fields = Seq(
+      RecordLinkage.Field("name", 2400L, -1800L) ->
+        (col("a_name") === col("b_name")),
+      RecordLinkage.Field("bal", 1200L, -1000L) ->
+        (abs(RecordLinkage.cents(col("a_acctbal")) -
+          RecordLinkage.cents(col("b_acctbal"))) <= 100L))
+    RecordLinkage.classify(
+      RecordLinkage.score(
+        RecordLinkage.blockPairs(a, b, Seq("nationkey", "mktsegment")), fields),
+      upperMilli = 3000L, lowerMilli = -1000L)
+  }
+
   private[graft] def privacyQi(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer.select(
       col("c_mktsegment").as("seg"),
