@@ -705,5 +705,33 @@ private[graft] object OracleEntriesF {
          |       CAST(CASE WHEN n_truth = 0 THEN 0
          |                 ELSE n_match_true * 1000000 // n_truth END AS BIGINT) AS recall_e6
          |FROM m CROSS JOIN t""".stripMargin,
+    // blocking evaluation: candidate/truth counts off the capped join,
+    // |A|x|B| from the UNCAPPED side counts, both e6 ratios exact
+    "q_linkage_blocking" ->
+      s"""$LinkageScoredCte,
+         |cc AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+         |         CAST(coalesce(sum(CASE WHEN a_id = truth_id THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |           AS n_cand_truth
+         |  FROM p),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_a FROM a0),
+         |nb AS (SELECT CAST(count(*) AS BIGINT) AS n_b FROM b)
+         |SELECT n_a, n_b, n_candidates, n_cand_truth,
+         |       n_a * n_b AS n_all_pairs,
+         |       CAST(CASE WHEN n_a * n_b = 0 THEN 0
+         |                 ELSE (n_a * n_b - n_candidates) * 1000000 // (n_a * n_b) END
+         |            AS BIGINT) AS reduction_e6,
+         |       CAST(CASE WHEN n_b = 0 THEN 0
+         |                 ELSE n_cand_truth * 1000000 // n_b END AS BIGINT) AS completeness_e6
+         |FROM cc CROSS JOIN na CROSS JOIN nb""".stripMargin,
+    // survivorship merge over the confident matches: authoritative name,
+    // max cents across sources, source count
+    "q_linkage_golden" ->
+      s"""$LinkageScoredCte
+         |SELECT a_id AS entity_id, a_name AS name,
+         |       CAST(CASE WHEN a_cents >= b_cents THEN a_cents ELSE b_cents END AS BIGINT)
+         |         AS acctbal_cents,
+         |       CAST(2 AS BIGINT) AS n_sources
+         |FROM sc WHERE decision = 'match'""".stripMargin,
   )
 }

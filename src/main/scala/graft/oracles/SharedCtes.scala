@@ -103,14 +103,18 @@ private[graft] object SharedCtes {
       |    SELECT b.*, count(*) OVER (PARTITION BY nationkey, mktsegment) AS bn FROM b)
       |  WHERE bn <= 10000),
       |p AS (
-      |  SELECT a_id, b_id, truth_id,
+      |  SELECT a_id, b_id, truth_id, a_name,
+      |         CAST(floor(a_acctbal * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+      |           AS a_cents,
+      |         CAST(floor(b_acctbal * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+      |           AS b_cents,
       |         a_name = b_name AS agr_name,
       |         abs(CAST(floor(a_acctbal * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
       |           - CAST(floor(b_acctbal * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT))
       |           <= 100 AS agr_bal
       |  FROM ac JOIN bc USING (nationkey, mktsegment)),
       |sc AS (
-      |  SELECT a_id, b_id, truth_id, agr_name, agr_bal,
+      |  SELECT a_id, b_id, truth_id, a_name, a_cents, b_cents, agr_name, agr_bal,
       |         CAST((CASE WHEN agr_name THEN 2400 ELSE -1800 END)
       |            + (CASE WHEN agr_bal THEN 1200 ELSE -1000 END) AS BIGINT) AS score_milli,
       |         CASE WHEN (CASE WHEN agr_name THEN 2400 ELSE -1800 END)

@@ -911,5 +911,43 @@ private[graft] object QueriesRelational {
           when(col("n_truth") === 0L, 0L)
             .otherwise(expr("n_match_true * 1000000 DIV n_truth")).as("recall_e6"))
     },
+    // the standard BLOCKING evaluation (reduction ratio + pair
+    // completeness): how much of the |A|·|B| comparison space the block
+    // key removed, and what fraction of true pairs survived it — the two
+    // numbers that justify a blocking key before any scoring runs. All
+    // exact integers; the |A|·|B| product comes from two 1-row aggregates
+    // (the q22 broadcast pattern), never a materialized cross join.
+    "q_linkage_blocking" -> { (s, d) =>
+      import graft.operators.RecordLinkage
+      val (a, b) = linkageSides(s, d)
+      val cand = RecordLinkage.blockPairs(a, b, Seq("nationkey", "mktsegment"))
+        .agg(count(lit(1)).as("n_candidates"),
+          coalesce(sum(when(col("a_id") === col("truth_id"), 1L).otherwise(0L)), lit(0L))
+            .as("n_cand_truth"))
+      cand
+        .crossJoin(a.agg(count(lit(1)).as("n_a")))
+        .crossJoin(b.agg(count(lit(1)).as("n_b")))
+        .select(col("n_a"), col("n_b"), col("n_candidates"), col("n_cand_truth"),
+          (col("n_a") * col("n_b")).as("n_all_pairs"),
+          when(col("n_a") * col("n_b") === 0L, 0L)
+            .otherwise(expr("(n_a * n_b - n_candidates) * 1000000 DIV (n_a * n_b)"))
+            .as("reduction_e6"),
+          when(col("n_b") === 0L, 0L)
+            .otherwise(expr("n_cand_truth * 1000000 DIV n_b")).as("completeness_e6"))
+    },
+    // survivorship after linkage: one GOLDEN record per confidently
+    // matched entity — authoritative name from the clean side, richest
+    // balance (max cents) across the sources, source count. The merge is
+    // a projection over the match decisions: no extra shuffle beyond the
+    // linkage itself.
+    "q_linkage_golden" -> { (s, d) =>
+      import graft.operators.RecordLinkage
+      linkageScored(s, d)
+        .filter(col("decision") === "match")
+        .select(col("a_id").as("entity_id"), col("a_name").as("name"),
+          greatest(RecordLinkage.cents(col("a_acctbal")),
+            RecordLinkage.cents(col("b_acctbal"))).as("acctbal_cents"),
+          lit(2L).as("n_sources"))
+    },
   )
 }
