@@ -447,4 +447,18 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p.take(2500))
     assert(p.contains("partial_count"), s"win counts must map-side combine:\n${p.take(2500)}")
   }
+
+  test("linkage: one exchange per side (cap window partitioning reused by the block join)") {
+    val p = plan("q_linkage_scores")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 2,
+      s"blocking must shuffle each side ONCE on the block key (window + join share it):\n${p.take(3000)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"blocking is an equi-join, never all-pairs:\n${p.take(3000)}")
+  }
+
+  test("mjpeg frame decode: zero shuffles (scan -> fixture map -> decode mapPartitions)") {
+    val p = plan("q_media_mjpeg_frames")
+    assert(!p.contains("Exchange"), s"frame decode must be embarrassingly parallel:\n${p.take(2500)}")
+  }
 }
