@@ -182,7 +182,10 @@ object Avi {
     param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     param.setCompressionQuality(quality)
     val baos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    // MemoryCacheImageOutputStream, NOT createImageOutputStream: the
+    // factory's default file cache would create and delete a temp file on
+    // executor disk per encoded frame (r19 self-review)
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(baos)
     try {
       writer.setOutput(ios)
       writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
@@ -343,7 +346,9 @@ object Avi {
       data: Array[Byte], width: Int, height: Int): Option[(Long, Long, Long)] = {
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(data))
-      catch { case _: Throwable => null }
+      // NonFatal only: an OOM/StackOverflow inside a hostile decode must
+      // propagate, not masquerade as "frame contributes nothing"
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null || img.getWidth != width || img.getHeight != height) return None
     var s = 0L
     var xm = 0L

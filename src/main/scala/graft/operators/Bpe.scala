@@ -118,19 +118,29 @@ object Bpe {
     * [[org.apache.spark.sql.execution.LogicalRDD]] the checkpointed frame
     * wraps.
     */
+  private val releaseLock = new Object
+
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
-        // RDD.unpersist logs a lineage-truncated WARN for every locally
-        // checkpointed RDD — correct in general (the data can't come
-        // back), but THIS release only ever targets a SUPERSEDED merge
-        // generation, so the warning is noise that dirties the gate log
-        // (one line per merge × tokenizer family per Verify run). Silence
-        // that one logger; MapPartitionsRDD has no other warn site on
-        // this path, and real errors still surface.
-        org.apache.logging.log4j.core.config.Configurator.setLevel(
-          r.rdd.getClass.getName, org.apache.logging.log4j.Level.ERROR)
-        r.rdd.unpersist(blocking = false)
+        // RDD.unpersist logs (synchronously) a lineage-truncated WARN for
+        // every locally checkpointed RDD — correct in general (the data
+        // can't come back), but THIS release only ever targets a
+        // SUPERSEDED merge generation, so the warning is noise that
+        // dirties the gate log (one line per merge × tokenizer family per
+        // Verify run). Silence is SCOPED to exactly this call — set the
+        // RDD class logger to ERROR, unpersist, restore, under a lock so
+        // concurrent merge loops can't leave the level lowered (r19
+        // self-review: a JVM-permanent setLevel would blind unrelated
+        // MapPartitionsRDD warn sites for the rest of the session).
+        releaseLock.synchronized {
+          val name = r.rdd.getClass.getName
+          val prev = org.apache.logging.log4j.LogManager.getLogger(name).getLevel
+          org.apache.logging.log4j.core.config.Configurator.setLevel(
+            name, org.apache.logging.log4j.Level.ERROR)
+          try r.rdd.unpersist(blocking = false)
+          finally org.apache.logging.log4j.core.config.Configurator.setLevel(name, prev)
+        }
       case _ => ()
     }
 

@@ -162,15 +162,7 @@ object Dedup {
           bandHashes(minhashSignature(col(textCol), nPerms, seed, stop), bands, rowsPerBand)
         ).as(Seq("band", "band_hash")))
 
-    val bounded = banded
-      .withColumn(
-        "bucket_n",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("band_hash"))
-        )
-      )
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    val bounded = Buckets.cap(banded, Seq("band", "band_hash"), maxBucketSize)
 
     // Candidate pairs deduped BEFORE the (expensive) exact-Jaccard verify:
     // a pair agreeing on k bands would otherwise be verified k times, with
@@ -251,11 +243,7 @@ object Dedup {
           concat_ws(",", (0 until r).map(j =>
             element_at(col("_mh"), b * r + j + 1).cast("string")): _*)
         }: _*)).as(Seq("band", "key")))
-    val bounded = keyed
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("band"), col("key"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    val bounded = Buckets.cap(keyed, Seq("band", "key"), maxBucketSize)
     val cand = bounded.select(col("band"), col("key"), col("id").as("id1"))
       .join(bounded.select(col("band"), col("key"), col("id").as("id2")),
         Seq("band", "key"))
@@ -301,11 +289,7 @@ object Dedup {
       posexplode(array((0 until 4).map(c =>
         shiftrightunsigned(col("sig"), c * 12) % 4096L): _*))
         .as(Seq("chunk", "chunk_val")))
-    val bounded = chunked
-      .withColumn("bucket_n", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("chunk_val"))))
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    val bounded = Buckets.cap(chunked, Seq("chunk", "chunk_val"), maxBucketSize)
     val l = bounded.select(col("chunk"), col("chunk_val"), col("id").as("id1"), col("sig").as("s1"))
     val rr = bounded.select(col("chunk"), col("chunk_val"), col("id").as("id2"), col("sig").as("s2"))
     l.join(rr, Seq("chunk", "chunk_val"))
@@ -363,15 +347,7 @@ object Dedup {
         array((0 until 4).map(c => shiftrightunsigned(col("simhash"), c * 16) % 65536L): _*)
       ).as(Seq("chunk", "chunk_val"))
     )
-    val bounded = chunked
-      .withColumn(
-        "bucket_n",
-        count(lit(1)).over(
-          org.apache.spark.sql.expressions.Window.partitionBy(col("chunk"), col("chunk_val"))
-        )
-      )
-      .filter(col("bucket_n") <= maxBucketSize)
-      .drop("bucket_n")
+    val bounded = Buckets.cap(chunked, Seq("chunk", "chunk_val"), maxBucketSize)
     val l = bounded.select(col("chunk"), col("chunk_val"), col(idCol).as("id1"), col("simhash").as("sh1"))
     val r = bounded.select(col("chunk"), col("chunk_val"), col(idCol).as("id2"), col("simhash").as("sh2"))
     l.join(r, Seq("chunk", "chunk_val"))

@@ -40,13 +40,8 @@ object RecordLinkage {
       maxBlockSize: Int = 10000
   ): DataFrame = {
     require(blockCols.nonEmpty, "blocking requires at least one key column")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(blockCols.map(col): _*)
-    def cap(df: DataFrame): DataFrame = df
-      .withColumn("_bn", count(lit(1)).over(w))
-      .filter(col("_bn") <= maxBlockSize)
-      .drop("_bn")
-    cap(a).join(cap(b), blockCols)
+    Buckets.cap(a, blockCols, maxBlockSize)
+      .join(Buckets.cap(b, blockCols, maxBlockSize), blockCols)
   }
 
   /** Score blocked pairs: each `(field, agreementPredicate)` contributes

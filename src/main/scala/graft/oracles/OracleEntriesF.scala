@@ -719,7 +719,7 @@ private[graft] object OracleEntriesF {
          |SELECT n_a, n_b, n_candidates, n_cand_truth,
          |       n_a * n_b AS n_all_pairs,
          |       CAST(CASE WHEN n_a * n_b = 0 THEN 0
-         |                 ELSE (n_a * n_b - n_candidates) * 1000000 // (n_a * n_b) END
+         |                 ELSE 1000000 - n_candidates * 1000000 // (n_a * n_b) END
          |            AS BIGINT) AS reduction_e6,
          |       CAST(CASE WHEN n_b = 0 THEN 0
          |                 ELSE n_cand_truth * 1000000 // n_b END AS BIGINT) AS completeness_e6

@@ -924,13 +924,18 @@ private[graft] object QueriesRelational {
         .agg(count(lit(1)).as("n_candidates"),
           coalesce(sum(when(col("a_id") === col("truth_id"), 1L).otherwise(0L)), lit(0L))
             .as("n_cand_truth"))
+      // reduction spelled as 1e6 − cand·1e6 DIV all: the ·1e6 widening
+      // sits on the SMALL factor (candidates — bounded by the block caps;
+      // overflows only past 9.2e12 candidate pairs, where the comparison
+      // itself is infeasible), not on |A|·|B| − cand, which would wrap at
+      // sf≈100 (r19 self-review; the HoltWinters.mase width-bound lesson)
       cand
         .crossJoin(a.agg(count(lit(1)).as("n_a")))
         .crossJoin(b.agg(count(lit(1)).as("n_b")))
         .select(col("n_a"), col("n_b"), col("n_candidates"), col("n_cand_truth"),
           (col("n_a") * col("n_b")).as("n_all_pairs"),
           when(col("n_a") * col("n_b") === 0L, 0L)
-            .otherwise(expr("(n_a * n_b - n_candidates) * 1000000 DIV (n_a * n_b)"))
+            .otherwise(lit(1000000L) - expr("n_candidates * 1000000 DIV (n_a * n_b)"))
             .as("reduction_e6"),
           when(col("n_b") === 0L, 0L)
             .otherwise(expr("n_cand_truth * 1000000 DIV n_b")).as("completeness_e6"))

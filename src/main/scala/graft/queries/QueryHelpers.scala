@@ -130,6 +130,14 @@ private[graft] object QueryHelpers {
       pixel = (f, y, x, c) =>
         ((7L * (m % 2) + 31L * f + 5L * y + 3L * x + 11L * c) % 256L).toInt)
 
+  /** The 12 class byte streams, built ONCE per JVM (executors reach the
+    * object statically): mapping per row would re-run the BufferedImage
+    * fill + JPEG encode tens of thousands of times per scan for 12
+    * distinct outputs (r19 self-review).
+    */
+  private[graft] lazy val MjpegClassTable: IndexedSeq[Array[Byte]] =
+    IndexedSeq.tabulate(12)(m => mjpegClassBytes(m.toLong))
+
   /** Motion-JPEG AVI fixtures over the doc_id % 3 = 0 rows: REAL RIFF +
     * baseline-JPEG frame bytes per row (class = (doc_id/3) mod 12, see
     * [[mjpegClassBytes]]); every (doc_id/3) % 7 = 1 row truncated
@@ -142,7 +150,7 @@ private[graft] object QueryHelpers {
       .select(col("doc_id").cast("long")).as[Long]
       .map { id =>
         val m = id / 3
-        val full = mjpegClassBytes(m % 12)
+        val full = MjpegClassTable((m % 12).toInt)
         (id, if (m % 7 == 1) full.take(24) else full)
       }.toDF("doc_id", "content")
   }

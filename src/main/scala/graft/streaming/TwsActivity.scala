@@ -121,21 +121,29 @@ object TwsActivity {
   class EventTimeSessionProcessor(gapMs: Long)
       extends StatefulProcessor[Long, StampedClick, SessionEvent] {
     @transient private var count: ValueState[Long] = _
+    @transient private var maxSeen: ValueState[Long] = _
 
-    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
       count = getHandle.getValueState[Long]("count", Encoders.scalaLong, TTLConfig.NONE)
+      // max event time EVER seen for the open session — the timer must be
+      // re-armed from this, not from the current batch's max alone: a
+      // late-but-above-watermark row would otherwise pull the close timer
+      // BACKWARDS and split one gap-session into two (r19 self-review)
+      maxSeen = getHandle.getValueState[Long]("max_ts", Encoders.scalaLong, TTLConfig.NONE)
+    }
 
     override def handleInputRows(
         key: Long,
         rows: Iterator[StampedClick],
         timerValues: TimerValues): Iterator[SessionEvent] = {
       var n = if (count.exists()) count.get() else 0L
-      var maxTs = Long.MinValue
+      var maxTs = if (maxSeen.exists()) maxSeen.get() else Long.MinValue
       rows.foreach { r =>
         n += 1
         if (r.ts.getTime > maxTs) maxTs = r.ts.getTime
       }
       count.update(n)
+      maxSeen.update(maxTs)
       val it = getHandle.listTimers()
       while (it.hasNext) getHandle.deleteTimer(it.next())
       getHandle.registerTimer(maxTs + gapMs)
@@ -148,6 +156,7 @@ object TwsActivity {
         expiredTimerInfo: ExpiredTimerInfo): Iterator[SessionEvent] = {
       val n = if (count.exists()) count.get() else 0L
       count.clear() // session closed by event time; the next arrival restarts
+      maxSeen.clear()
       Iterator.single(SessionEvent(key, "close", n))
     }
   }

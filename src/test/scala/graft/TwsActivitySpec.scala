@@ -188,6 +188,50 @@ class TwsActivitySpec extends AnyFunSuite {
     assert(!got.contains((1L, "update", 4L)), s"state survived its close: $got")
   }
 
+  test("late row above watermark must not pull the close timer backwards") {
+    // gap 5s, delay 2s. Batch 1: user 1 up to ts=12 -> true close at 17.
+    // Batch 2: a LATE user-1 row at ts=11 (above the batch-1 watermark of
+    // 10) plus a user-2 row at 18.5 -> watermark 16.5. A processor that
+    // re-arms from the BATCH max would set the timer to 11+5=16 <= 16.5
+    // and close EARLY, splitting the session; the fix re-arms from the
+    // max ts EVER seen (12+5=17 > 16.5 -> stays open). Batch 3's user-1
+    // row at 16.8 (inside the true gap window) must therefore continue
+    // the SAME session to count 5, and the eventual close carries 5.
+    val dir = Files.createTempDirectory("graft-tws-late-in")
+    val cp = Files.createTempDirectory("graft-tws-late-cp").toString
+    Files.write(dir.resolve("b0.csv"),
+      "1,view,1970-01-01 00:00:10\n1,click,1970-01-01 00:00:11\n1,view,1970-01-01 00:00:12".getBytes)
+    val raw = spark.readStream.schema("user_id LONG, event_type STRING, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).csv(dir.toString).as[TwsActivity.StampedClick]
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val q = TwsActivity.eventSessions(raw, gapMs = 5000L, delay = "2 seconds")
+      .writeStream.outputMode("update").format("memory")
+      .queryName("tws_late").option("checkpointLocation", cp).start()
+    try {
+      awaitRows("late", 1L)
+      Files.write(dir.resolve("b1.csv"),
+        "1,late,1970-01-01 00:00:11\n2,view,1970-01-01 00:00:18.5".getBytes)
+      awaitRows("late", 3L)
+      Thread.sleep(1500L) // give a buggy 16s timer every chance to misfire at wm 16.5
+      assert(spark.sql("SELECT * FROM tws_late WHERE kind = 'close'").count() == 0L,
+        "close timer was pulled backwards by a late row")
+      Files.write(dir.resolve("b2.csv"), "1,view,1970-01-01 00:00:16.8".getBytes)
+      awaitRows("late", 4L)
+      Files.write(dir.resolve("b3.csv"), "2,view,1970-01-01 00:01:00".getBytes)
+      awaitRows("late", 6L)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+    val got = spark.sql("SELECT * FROM tws_late")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got.contains((1L, "update", 5L)), s"late + in-gap rows must extend ONE session: $got")
+    assert(got.contains((1L, "close", 5L)), s"the single close carries the full count: $got")
+    assert(!got.exists(t => t._1 == 1L && t._2 == "close" && t._3 != 5L),
+      s"session split by a backwards timer: $got")
+  }
+
   test("event-time processor parity: static run rejected loudly; one-batch stream equals groupBy") {
     // Unlike TimeMode.None/ProcessingTime, the engine REFUSES to execute
     // EventTime mode as a batch query (INTERNAL_ERROR_TWS: no time values
