@@ -724,6 +724,57 @@ private[graft] object OracleEntriesF {
          |       CAST(CASE WHEN n_b = 0 THEN 0
          |                 ELSE n_cand_truth * 1000000 // n_b END AS BIGINT) AS completeness_e6
          |FROM cc CROSS JOIN na CROSS JOIN nb""".stripMargin,
+    // multi-pass blocking replay: both capped block joins, distinct
+    // union of candidates, 3-level name agreement, decision counts
+    "q_linkage_multipass" ->
+      """WITH a0 AS (
+        |  SELECT c_custkey AS a_id, c_name AS a_name, c_nationkey AS nationkey,
+        |         c_mktsegment AS mktsegment, c_acctbal AS a_acctbal,
+        |         substring(c_name, 10, 8) AS pfx
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey + 5000000 AS b_id, c_custkey AS truth_id,
+        |         CASE WHEN c_custkey % 2 = 1 THEN c_name || 'x' ELSE c_name END AS b_name,
+        |         c_nationkey AS nationkey,
+        |         CASE WHEN c_custkey % 5 = 1 THEN 'OTHER' ELSE c_mktsegment END AS mktsegment,
+        |         c_acctbal + CAST(c_custkey % 7 - 3 AS DOUBLE) * CAST(0.5 AS DOUBLE) AS b_acctbal,
+        |         substring(CASE WHEN c_custkey % 2 = 1 THEN c_name || 'x' ELSE c_name END,
+        |                   10, 8) AS pfx
+        |  FROM customer WHERE c_custkey % 3 = 0),
+        |ac1 AS (SELECT * FROM (SELECT a0.*, count(*) OVER (PARTITION BY nationkey, mktsegment) AS bn FROM a0) WHERE bn <= 10000),
+        |bc1 AS (SELECT * FROM (SELECT b.*, count(*) OVER (PARTITION BY nationkey, mktsegment) AS bn FROM b) WHERE bn <= 10000),
+        |ac2 AS (SELECT * FROM (SELECT a0.*, count(*) OVER (PARTITION BY nationkey, pfx) AS bn FROM a0) WHERE bn <= 10000),
+        |bc2 AS (SELECT * FROM (SELECT b.*, count(*) OVER (PARTITION BY nationkey, pfx) AS bn FROM b) WHERE bn <= 10000),
+        |cand AS (
+        |  SELECT DISTINCT a_id, a_name, a_acctbal, b_id, truth_id, b_name, b_acctbal FROM (
+        |    SELECT ac1.a_id, ac1.a_name, ac1.a_acctbal, bc1.b_id, bc1.truth_id,
+        |           bc1.b_name, bc1.b_acctbal
+        |    FROM ac1 JOIN bc1 USING (nationkey, mktsegment)
+        |    UNION ALL
+        |    SELECT ac2.a_id, ac2.a_name, ac2.a_acctbal, bc2.b_id, bc2.truth_id,
+        |           bc2.b_name, bc2.b_acctbal
+        |    FROM ac2 JOIN bc2 USING (nationkey, pfx))),
+        |s AS (
+        |  SELECT a_id, b_id, truth_id,
+        |         (CASE WHEN a_name = b_name THEN 2400
+        |               WHEN starts_with(b_name, a_name) OR starts_with(a_name, b_name) THEN 900
+        |               ELSE -1800 END)
+        |       + (CASE WHEN abs(CAST(floor(a_acctbal * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)
+        |                      - CAST(floor(b_acctbal * CAST(100 AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)) <= 100
+        |               THEN 1200 ELSE -1000 END) AS score_milli
+        |  FROM cand),
+        |m AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_candidates,
+        |         CAST(coalesce(sum(CASE WHEN a_id = truth_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_cand_truth,
+        |         CAST(coalesce(sum(CASE WHEN score_milli >= 3000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_match,
+        |         CAST(coalesce(sum(CASE WHEN score_milli >= 3000 AND a_id = truth_id THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_match_true,
+        |         CAST(coalesce(sum(CASE WHEN score_milli > -1000 AND score_milli < 3000 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_review
+        |  FROM s),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_truth FROM b)
+        |SELECT n_truth, n_candidates, n_cand_truth, n_match, n_match_true, n_review,
+        |       CAST(CASE WHEN n_truth = 0 THEN 0
+        |                 ELSE n_match_true * 1000000 // n_truth END AS BIGINT) AS recall_e6
+        |FROM m CROSS JOIN t""".stripMargin,
     // survivorship merge over the confident matches: authoritative name,
     // max cents across sources, source count
     "q_linkage_golden" ->

@@ -940,6 +940,53 @@ private[graft] object QueriesRelational {
           when(col("n_b") === 0L, 0L)
             .otherwise(expr("n_cand_truth * 1000000 DIV n_b")).as("completeness_e6"))
     },
+    // MULTI-PASS blocking + leveled agreement (the standard ER recall
+    // recovery): pass 1 blocks on (nation, segment) — and loses every
+    // plant whose segment was perturbed; pass 2 blocks on (nation,
+    // name-digit-prefix), which is typo- and segment-insensitive, so
+    // those plants re-enter candidacy. Candidates = the DISTINCT union
+    // of both passes; name agreement is 3-level (exact +2400 /
+    // prefix-only +900 / none −1800). The audit row shows recall
+    // recovered vs q_linkage_quality's single pass — same exact-integer
+    // discipline throughout.
+    "q_linkage_multipass" -> { (s, d) =>
+      import graft.operators.RecordLinkage
+      val (a0, b0) = linkageSides(s, d)
+      val a = a0.withColumn("pfx", substring(col("a_name"), 10, 8))
+      val b = b0.withColumn("pfx", substring(col("b_name"), 10, 8))
+      val cols = Seq("a_id", "a_name", "a_acctbal", "b_id", "truth_id",
+        "b_name", "b_acctbal").map(col)
+      val cand = RecordLinkage.blockPairs(a, b, Seq("nationkey", "mktsegment"))
+        .select(cols: _*)
+        .unionByName(RecordLinkage.blockPairs(a, b, Seq("nationkey", "pfx"))
+          .select(cols: _*))
+        .distinct()
+      val nameExact = col("a_name") === col("b_name")
+      val namePrefix = col("b_name").startsWith(col("a_name")) ||
+        col("a_name").startsWith(col("b_name"))
+      val balAgree = abs(RecordLinkage.cents(col("a_acctbal")) -
+        RecordLinkage.cents(col("b_acctbal"))) <= 100L
+      val score = (when(nameExact, 2400L).when(namePrefix, 900L).otherwise(-1800L) +
+        when(balAgree, 1200L).otherwise(-1000L)).as("score_milli")
+      val scored = RecordLinkage.classify(
+        cand.select(col("a_id"), col("b_id"), col("truth_id"), score),
+        upperMilli = 3000L, lowerMilli = -1000L)
+      scored.agg(
+        count(lit(1)).as("n_candidates"),
+        coalesce(sum(when(col("a_id") === col("truth_id"), 1L).otherwise(0L)), lit(0L))
+          .as("n_cand_truth"),
+        coalesce(sum(when(col("decision") === "match", 1L).otherwise(0L)), lit(0L))
+          .as("n_match"),
+        coalesce(sum(when(col("decision") === "match" && col("a_id") === col("truth_id"), 1L)
+          .otherwise(0L)), lit(0L)).as("n_match_true"),
+        coalesce(sum(when(col("decision") === "review", 1L).otherwise(0L)), lit(0L))
+          .as("n_review"))
+        .crossJoin(b0.agg(count(lit(1)).as("n_truth")))
+        .select(col("n_truth"), col("n_candidates"), col("n_cand_truth"),
+          col("n_match"), col("n_match_true"), col("n_review"),
+          when(col("n_truth") === 0L, 0L)
+            .otherwise(expr("n_match_true * 1000000 DIV n_truth")).as("recall_e6"))
+    },
     // survivorship after linkage: one GOLDEN record per confidently
     // matched entity — authoritative name from the clean side, richest
     // balance (max cents) across the sources, source count. The merge is

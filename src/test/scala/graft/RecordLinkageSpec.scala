@@ -61,6 +61,19 @@ class RecordLinkageSpec extends AnyFunSuite {
     assert(ok.count() == 150L)
   }
 
+  test("multi-pass blocking dominates single-pass: candidacy and recall never lower") {
+    val single = SparkEntry.queries("q_linkage_quality")(spark, TestSpark.Sf0001).collect()(0)
+    val multi = SparkEntry.queries("q_linkage_multipass")(spark, TestSpark.Sf0001).collect()(0)
+    // single: (n_truth, n_cand_truth, ..., recall_e6 @ 6); multi: (n_truth,
+    // n_candidates, n_cand_truth, n_match, n_match_true, n_review, recall_e6)
+    assert(multi.getLong(0) == single.getLong(0)) // same truth set
+    assert(multi.getLong(2) >= single.getLong(1), "pass 2 can only ADD candidates")
+    assert(multi.getLong(6) >= single.getLong(6), "recall must not drop")
+    // the name-digit-prefix pass is typo- and segment-insensitive: on this
+    // fixture every plant re-enters candidacy
+    assert(multi.getLong(2) == multi.getLong(0), multi.toString)
+  }
+
   test("q_linkage_quality invariants: unique names make match precision exactly 1") {
     val row = SparkEntry.queries("q_linkage_quality")(spark, TestSpark.Sf0001).collect()(0)
     val (nTruth, nCand, nMatch, nMatchTrue) =
