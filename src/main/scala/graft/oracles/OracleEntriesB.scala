@@ -650,6 +650,75 @@ private[graft] object OracleEntriesB {
         |SELECT p.cur, p.next, CAST(p.n AS BIGINT) AS n, t.n_from,
         |       round(CAST(p.n AS DOUBLE) / t.n_from, 6) AS p
         |FROM pairs p JOIN tot t ON p.cur = t.cur""".stripMargin,
+    // Markov GENERATION replay: seeds (first event per user), cumulative
+    // transition buckets, then the 4 unrolled inverse-CDF steps — each
+    // draw the md5-48 of "g <user> <t>" mod the state's outgoing count,
+    // bucketed on [lo, hi). MATERIALIZED: cum is referenced by all 4 steps
+    // and each step by the next (the iterative-CTE inlining gotcha).
+    "q_markov_generate" -> {
+      def step(t: Int): String = {
+        val h = s"('0x' || substring(md5('g ' || CAST(g.user_id AS VARCHAR) || ' $t'), 1, 12))::BIGINT"
+        s"""g$t AS MATERIALIZED (
+           |  SELECT g.user_id, c.next AS state
+           |  FROM g${t - 1} g JOIN cum c ON c.cur = g.state
+           |   AND $h % c.n_from >= c.lo
+           |   AND $h % c.n_from < c.hi)""".stripMargin
+      }
+      val selects = (0 to 4).map(t =>
+        s"SELECT user_id, CAST($t AS BIGINT) AS step, state FROM g$t")
+        .mkString("\nUNION ALL\n")
+      s"""WITH e AS (
+         |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us, event_id
+         |  FROM events),
+         |seeds AS (
+         |  SELECT user_id, event_type AS state FROM (
+         |    SELECT user_id, event_type,
+         |           row_number() OVER (PARTITION BY user_id
+         |                              ORDER BY ts_us, event_id) AS rn
+         |    FROM e) WHERE rn = 1),
+         |seq AS (
+         |  SELECT event_type AS cur,
+         |         lead(event_type) OVER (PARTITION BY user_id
+         |                                ORDER BY ts_us, event_id) AS next
+         |  FROM e),
+         |pairs AS (SELECT cur, next, count(*) AS n FROM seq
+         |          WHERE next IS NOT NULL GROUP BY 1, 2),
+         |tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_from FROM pairs GROUP BY 1),
+         |cum AS MATERIALIZED (
+         |  SELECT p.cur, p.next, t.n_from,
+         |         CAST(sum(p.n) OVER (PARTITION BY p.cur ORDER BY p.next
+         |              ROWS UNBOUNDED PRECEDING) - p.n AS BIGINT) AS lo,
+         |         CAST(sum(p.n) OVER (PARTITION BY p.cur ORDER BY p.next
+         |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+         |  FROM pairs p JOIN tot t ON t.cur = p.cur),
+         |g0 AS MATERIALIZED (SELECT user_id, state FROM seeds),
+         |${(1 to 4).map(step).mkString(",\n")}
+         |$selects""".stripMargin
+    },
+    // systematic PPS replay: md5 order, windowed running weight (CAST —
+    // the HUGEINT gotcha), 1-row step/offset probe, threshold-count
+    // difference with the c > offset guard so every // sees non-negative
+    // operands (DIV ≡ //)
+    "q_pps_sample" ->
+      """WITH k AS (
+        |  SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+        |         md5(CAST(doc_id AS VARCHAR)) AS ord
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, w,
+        |         CAST(sum(w) OVER (ORDER BY ord, doc_id
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM k),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+        |             CAST(sum(w) AS BIGINT) // 100 AS step FROM k),
+        |t2 AS (SELECT step, step // 2 AS off FROM t WHERE step >= 1),
+        |h AS (
+        |  SELECT doc_id, w, cum,
+        |         CAST((CASE WHEN cum > off THEN (cum - off + step - 1) // step ELSE 0 END)
+        |            - (CASE WHEN cum - w > off THEN (cum - w - off + step - 1) // step
+        |                    ELSE 0 END) AS BIGINT) AS n_hits
+        |  FROM c CROSS JOIN t2)
+        |SELECT doc_id, w, cum, n_hits FROM h WHERE n_hits >= 1""".stripMargin,
     // Markov entropy: exact n/n_from ratios inside -(p·ln p), sum round-6
     "q_markov_entropy" ->
       """WITH e AS (

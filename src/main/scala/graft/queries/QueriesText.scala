@@ -320,6 +320,25 @@ private[graft] object QueriesText {
           expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
       graft.operators.Markov.transitions(ev)
     },
+    // deterministic SYNTHETIC-sequence generation from the observed chain
+    // (operators.MarkovGen): 4-step inverse-CDF walks per user with md5 in
+    // place of an engine RNG — every draw an exact integer bucket lookup,
+    // so both engines replay the whole synthesis bit-for-bit
+    "q_markov_generate" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
+      graft.operators.MarkovGen.generate(ev, steps = 4)
+    },
+    // systematic PPS sampling (operators.SystematicSample): deterministic
+    // size-proportional draw with multiplicity over the md5-ordered
+    // corpus — running weights via PrefixSum (never a global window),
+    // thresholds as exact BIGINT arithmetic
+    "q_pps_sample" -> { (s, d) =>
+      graft.operators.SystematicSample.ppsHits(
+        Tables(s, d).documents, weightCol = "n_chars", idCol = "doc_id",
+        targetN = 100)
+    },
     // per-state conditional entropy of the Markov chain (stateEntropy):
     // H(next | cur) from exact count ratios — the predictability profile
     "q_markov_entropy" -> { (s, d) =>
