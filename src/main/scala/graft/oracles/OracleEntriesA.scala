@@ -637,5 +637,18 @@ private[graft] object OracleEntriesA {
         |  ORDER BY rev_u DESC, c_custkey LIMIT 20)
         |SELECT c_custkey, c_name, n_name, ${Money.microsToMoneySql("rev_u")} AS revenue
         |FROM top""".stripMargin,
+    // WoE/IV replay: per-user bins, exact class counts, ONE ln per
+    // defined bin floor-6 quantized (Markov-entropy ln precedent), IV
+    // terms e6-BIGINT before the total (never aggregate doubles)
+    "q_woe_bins" ->
+      s"""$WoeBinsCte
+         |SELECT bin, n_pos, n_neg, woe, iv_e6 FROM w""".stripMargin,
+    "q_feature_iv" ->
+      s"""$WoeBinsCte
+         |SELECT CAST(count(*) AS BIGINT) AS n_bins,
+         |       CAST(coalesce(sum(CASE WHEN woe IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |         AS n_defined_bins,
+         |       CAST(coalesce(sum(iv_e6), 0) AS BIGINT) AS iv_e6
+         |FROM w""".stripMargin,
   )
 }

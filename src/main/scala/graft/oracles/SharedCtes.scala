@@ -75,6 +75,39 @@ private[graft] object SharedCtes {
       |  FROM sx GROUP BY user_id, session_idx
       |)""".stripMargin
 
+  /** Shared CTE for the WoE/IV oracles: QueryHelpers.woeBinnedUsers
+    * respelled (activity-count bins vs the purchase label), per-bin
+    * counts, and the defined-bin WoE (floor-6 over one ln) + IV term
+    * (e6 BIGINT from the UNQUANTIZED ln, the operator's spelling).
+    */
+  private[graft] val WoeBinsCte: String =
+    """WITH u AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+      |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS pos
+      |  FROM events GROUP BY 1),
+      |bn AS (SELECT least(n_ev // 5, 10) AS bin, pos = 1 AS is_pos FROM u),
+      |pb AS (
+      |  SELECT bin,
+      |         CAST(sum(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |         CAST(sum(CASE WHEN is_pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+      |  FROM bn GROUP BY 1),
+      |t AS (SELECT CAST(coalesce(sum(n_pos), 0) AS BIGINT) AS t_pos,
+      |             CAST(coalesce(sum(n_neg), 0) AS BIGINT) AS t_neg FROM pb),
+      |w AS (
+      |  SELECT bin, n_pos, n_neg,
+      |         CASE WHEN n_pos > 0 AND n_neg > 0 AND t_pos > 0 AND t_neg > 0
+      |              THEN floor(ln((CAST(n_pos AS DOUBLE) / t_pos)
+      |                            / (CAST(n_neg AS DOUBLE) / t_neg))
+      |                         * 1000000.0 + 0.5) / 1000000.0 END AS woe,
+      |         CAST(CASE WHEN n_pos > 0 AND n_neg > 0 AND t_pos > 0 AND t_neg > 0
+      |              THEN floor(((CAST(n_pos AS DOUBLE) / t_pos)
+      |                          - (CAST(n_neg AS DOUBLE) / t_neg))
+      |                         * ln((CAST(n_pos AS DOUBLE) / t_pos)
+      |                              / (CAST(n_neg AS DOUBLE) / t_neg))
+      |                         * 1000000.0 + 0.5)
+      |              ELSE 0 END AS BIGINT) AS iv_e6
+      |  FROM pb CROSS JOIN t)""".stripMargin
+
   /** Shared CTE chain for the Fellegi–Sunter linkage oracles: the
     * dirty-twin synthesis (QueryHelpers.linkageSides respelled — every
     * double expression IEEE-identical), side-capped blocking join, the

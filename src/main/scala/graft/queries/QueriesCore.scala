@@ -318,5 +318,17 @@ private[graft] object QueriesCore {
     "q_pass_at_k" -> { (s, d) =>
       graft.operators.PassAtK.passAtK(Tables(s, d).events)
     },
+    // Weight-of-Evidence table (operators.WoeBinning): activity-count
+    // bins vs the purchase label — exact per-bin counts, ONE ln per bin
+    // floor-6 quantized (the Markov-entropy ln precedent), per-bin IV
+    // terms as e6 BIGINTs; empty-class bins report NULL woe + zero IV
+    "q_woe_bins" -> { (s, d) =>
+      graft.operators.WoeBinning.woeTable(woeBinnedUsers(s, d))
+    },
+    // the feature's Information Value: bin counts + the exact-integer IV
+    // total over the defined bins
+    "q_feature_iv" -> { (s, d) =>
+      graft.operators.WoeBinning.informationValue(woeBinnedUsers(s, d))
+    },
   )
 }

@@ -251,6 +251,18 @@ private[graft] object QueryHelpers {
       upperMilli = 3000L, lowerMilli = -1000L)
   }
 
+  /** WoE fixture: one row per user — activity-count bin (DIV 5, capped
+    * at 10) vs the binary made-a-purchase label. Shared by q_woe_bins and
+    * q_feature_iv; the oracles respell it identically.
+    */
+  private[graft] def woeBinnedUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir).events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("pos"))
+      .select(least(expr("n_ev DIV 5"), lit(10L)).as("bin"),
+        (col("pos") === 1L).as("is_pos"))
+
   private[graft] def privacyQi(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir).customer.select(
       col("c_mktsegment").as("seg"),
