@@ -676,6 +676,44 @@ private[graft] object OracleEntriesF {
     "q_cusum_chart" -> CusumOracleSql,
     "q_forecast_mase" -> HoltWintersMaseOracleSql,
     "q_rank_correlation" -> RankCorrelationOracleSql,
+    // token-bucket replay: per-user recursive CTE stepping the exact
+    // micro-token recurrence — gap-capped refill with truncating //
+    // (non-negative operands, DIV ≡ //), spend-on-admit only. Constants
+    // derived from the SAME parameters as the query (cap 1 token,
+    // 278 micro/s) so the two sides cannot drift.
+    "q_rate_limit" -> {
+      val cost = 1000000L
+      val cap = 1L * cost
+      val rate = 278L
+      val dtCap = cap / rate * 1000000L + 1000000L
+      s"""WITH RECURSIVE e AS (
+         |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS ts_us
+         |  FROM events WHERE user_id % 20 = 0),
+         |r AS MATERIALIZED (
+         |  SELECT user_id, event_id, ts_us,
+         |         row_number() OVER (PARTITION BY user_id
+         |                            ORDER BY ts_us, event_id) AS rn
+         |  FROM e),
+         |walk AS (
+         |  SELECT user_id, event_id, ts_us, rn,
+         |         $cap >= $cost AS admitted,
+         |         CAST(CASE WHEN $cap >= $cost THEN $cap - $cost ELSE $cap END
+         |              AS BIGINT) AS tokens
+         |  FROM r WHERE rn = 1
+         |  UNION ALL
+         |  SELECT user_id, event_id, ts_us, rn,
+         |         avail >= $cost AS admitted,
+         |         CAST(CASE WHEN avail >= $cost THEN avail - $cost ELSE avail END
+         |              AS BIGINT) AS tokens
+         |  FROM (
+         |    SELECT r.user_id, r.event_id, r.ts_us, r.rn,
+         |           least($cap, w.tokens
+         |                 + least(r.ts_us - w.ts_us, $dtCap) * $rate // 1000000) AS avail
+         |    FROM walk w JOIN r ON r.user_id = w.user_id AND r.rn = w.rn + 1))
+         |SELECT user_id, event_id, ts_us, admitted,
+         |       tokens AS tokens_after_micro
+         |FROM walk""".stripMargin
+    },
     // Fellegi–Sunter linkage replay: the dirty-twin synthesis, the
     // blocked join (side caps in lockstep with blockPairs), the two
     // agreement predicates (name equality; cents distance via the

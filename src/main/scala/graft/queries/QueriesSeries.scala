@@ -257,5 +257,18 @@ private[graft] object QueriesSeries {
       Recommender.recommend(model, 5)
         .select(col("user"), posexplode(col("recommendations.item")).as(Seq("rank", "item")))
     },
+    // token-bucket admission per user (operators.RateLimit): event-time
+    // refill in exact micro-tokens (capacity 1, ~1 token/hour — within-
+    // session bursts get DENIED, the behavior the decision log audits),
+    // full per-event decision log for the user_id % 20 subset — the
+    // recurrence replays in a recursive CTE step-for-step. Secondary-sort
+    // flatMapSortedGroups: O(1) state per key, one shuffle.
+    "q_rate_limit" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .filter(col("user_id") % 20 === 0)
+        .select(col("user_id"), col("event_id"), expr("ts_ns DIV 1000").as("ts_us"))
+      graft.operators.RateLimit.admit(ev, capacityTokens = 1L, rateMicroPerSec = 278L)
+        .toDF()
+    },
   )
 }
