@@ -45,6 +45,12 @@ object GraftSession {
   /** Expose the native sketch expressions to SQL (`SELECT graft_simhash64(text) …`). */
   def registerFunctions(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
+    // Idempotence: tune() runs per Tables() construction, and
+    // createOrReplaceTempFunction logs a replace-WARN every time — 4k+
+    // noise lines per Verify run. The definitions are process-constant,
+    // so if the marker function is already present the whole batch is.
+    if (reg.functionExists(
+        org.apache.spark.sql.catalyst.FunctionIdentifier("graft_simhash64"))) return
     reg.createOrReplaceTempFunction(
       "graft_simhash64",
       exprs => graft.expressions.SimHash64(exprs.head),
