@@ -32,6 +32,12 @@ object GraftSession {
     // int64 as a long (nanos since epoch); sources.Tables converts to a
     // proper TimestampType column.
     c.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Without this, the planner silently falls back to a plain scan on a
+    // bucketed table when the query has no join/agg on the bucket key
+    // ("Bucketed: false (disabled by query planner)") — which also drops
+    // bucket PRUNING on point lookups (BucketedJoin.prunedLookup). Only
+    // catalog tables written with bucketBy are affected.
+    c.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "false")
     // BloomFilterAggregate (Decontaminate.overlapsViaBloom) silently clamps
     // to these runtime-filter caps; the defaults (4M items / 64 Mbit) are
     // sized for join pruning, not a corpus-scale membership prefilter.
@@ -156,6 +162,9 @@ object GraftSession {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.ui.enabled", "false")
+      // static conf: bucketed tables (BucketedJoin) land in tmp, not cwd
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     tune(s)

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Money
+
+/** Bucketed co-located join — the storage-layout answer to the join
+  * shuffle: write both sides `bucketBy(n, key)` (+ in-bucket sort), then
+  * an equi-join on the bucket key needs NO exchange on either side; the
+  * scan itself delivers the join partitioning. At 100 TB this converts
+  * the dominant cost of a repeated fact⋈dim join from a full network
+  * shuffle per run into a one-time layout decision at write time — the
+  * standard warehouse trick (Hive bucketing / Spark `bucketBy`), and the
+  * reason `spark.sql.sources.bucketing.enabled` exists.
+  *
+  * The operator materializes the bucketed layout in the session catalog
+  * (in-memory catalog; files under `spark.sql.warehouse.dir`), re-reads
+  * through the catalog so the bucket spec attaches to the scan, and runs
+  * the join MERGE-hinted (a broadcastable dim would otherwise take the
+  * broadcast path and prove nothing about the layout). BucketedJoinSpec
+  * pins the plan: zero ShuffleExchange below the join.
+  *
+  * The aggregate after the join (one tiny group) shuffles normally — the
+  * claim is about the join inputs, not the rollup.
+  */
+object BucketedJoin {
+
+  /** Revenue by market segment through a bucket-co-located
+    * orders⋈customer join. Output: `c_mktsegment`, `n_orders`, `revenue`.
+    */
+  /** Drop the catalog entry AND its physical location: a fresh JVM has an
+    * empty in-memory catalog but inherits the previous run's warehouse
+    * files, and `saveAsTable` refuses a managed-table location that
+    * already exists (LOCATION_ALREADY_EXISTS).
+    */
+  private def reset(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+    val path = new org.apache.hadoop.fs.Path(s"$wh/$table")
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(path)) fs.delete(path, true)
+  }
+
+  def segmentRevenue(
+      spark: SparkSession,
+      orders: DataFrame,
+      customer: DataFrame,
+      buckets: Int = 8
+  ): DataFrame = {
+    reset(spark, "graft_bkt_orders")
+    reset(spark, "graft_bkt_customer")
+    orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .write.bucketBy(buckets, "o_custkey").sortBy("o_custkey")
+      .mode("overwrite").format("parquet").saveAsTable("graft_bkt_orders")
+    customer.select(col("c_custkey"), col("c_mktsegment"))
+      .write.bucketBy(buckets, "c_custkey").sortBy("c_custkey")
+      .mode("overwrite").format("parquet").saveAsTable("graft_bkt_customer")
+    val o = spark.table("graft_bkt_orders")
+    val c = spark.table("graft_bkt_customer").hint("merge")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        Money.moneySum(col("o_totalprice")).as("revenue"))
+  }
+
+  /** Bucket-pruned point lookup: an equality filter on the bucket key
+    * scans ONE bucket of `buckets` (`SelectedBucketsCount: 1 out of 8` in
+    * the plan — BucketedJoinSpec pins it). At 100 TB this is the
+    * difference between touching 1/N of the files and all of them for
+    * every keyed probe. Output: `c_custkey`, `c_name`, `c_mktsegment`.
+    */
+  def prunedLookup(
+      spark: SparkSession,
+      customer: DataFrame,
+      custkey: Long,
+      buckets: Int = 8
+  ): DataFrame = {
+    reset(spark, "graft_bkt_probe")
+    customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .write.bucketBy(buckets, "c_custkey")
+      .mode("overwrite").format("parquet").saveAsTable("graft_bkt_probe")
+    spark.table("graft_bkt_probe").filter(col("c_custkey") === custkey)
+  }
+}

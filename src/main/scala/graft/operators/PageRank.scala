@@ -70,4 +70,62 @@ object PageRank {
     }
     r.select(col("node"), col("r").as("rank"))
   }
+
+  /** Weighted PageRank over an undirected INTEGER-weighted edge list — the
+    * TextRank recurrence (Mihalcea & Tarau 2004):
+    *
+    *   rᵢ₊₁(v) = teleport/N + damping · Σ_{u∼v} rᵢ(u) · w(u,v) / wdeg(u)
+    *
+    * Unlike [[ranks]] (round-9 double state, the r12 precedent), the
+    * weighted state is carried as BIGINT NANOS end to end: per-edge
+    * contribution `floor(r_e9 · w / wdeg + 0.5)` (one IEEE product and
+    * division of exact integers — bit-identical in any engine), summed as
+    * BIGINT, and the damped update `floor(teleport·10⁹/N + damping·s + 0.5)`
+    * is one float expression per node-round. Weighted sums have per-edge
+    * distinct addends where the unweighted loop's r/d terms collapse to a
+    * few values, so the no-double-aggregate discipline (NOTES r11) is
+    * load-bearing here, not belt-and-braces. `weightCol` must be a
+    * positive integer on every edge.
+    *
+    * Output: `node`, `rank_e9` (BIGINT nanos; ranks sum to ~10⁹).
+    */
+  def weightedRanks(
+      edges: DataFrame,
+      srcCol: String,
+      dstCol: String,
+      weightCol: String,
+      iterations: Int = 5,
+      damping: Double = 0.85,
+      teleport: Double = 0.15
+  ): DataFrame = {
+    require(iterations >= 1, "iterations must be >= 1")
+    val bi = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
+        col(weightCol).cast("long").as("w"))
+      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b"),
+        col(weightCol).cast("long").as("w")))
+    val deg = bi.groupBy(col("a")).agg(sum(col("w")).as("wd"))
+    val biDeg = bi.join(deg, Seq("a")).localCheckpoint(true)
+    val nodes = biDeg.select(col("a").as("node")).distinct().localCheckpoint(true)
+    val n = nodes.agg(count(lit(1)).as("_n")).localCheckpoint(true)
+    var r = nodes
+      .crossJoin(broadcast(n))
+      .select(col("node"),
+        floor(lit(1e9) / col("_n") + lit(0.5)).cast("long").as("r_e9"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iterations) {
+      r = biDeg
+        .join(r.withColumnRenamed("node", "a"), Seq("a"))
+        .select(col("b").as("node"),
+          floor(col("r_e9").cast("double") * col("w") / col("wd") + lit(0.5))
+            .cast("long").as("_c"))
+        .groupBy(col("node")).agg(sum(col("_c")).as("_s"))
+        .crossJoin(broadcast(n))
+        .select(col("node"),
+          floor(lit(teleport * 1e9) / col("_n")
+            + lit(damping) * col("_s").cast("double") + lit(0.5))
+            .cast("long").as("r_e9"))
+        .localCheckpoint(true)
+    }
+    r.select(col("node"), col("r_e9").as("rank_e9"))
+  }
 }

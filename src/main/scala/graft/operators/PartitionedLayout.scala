@@ -1,0 +1,42 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Hive-style partitioned layout + partition pruning — the third leg of
+  * the storage-layout trio next to [[BucketedJoin]] (bucket pruning /
+  * co-location) and the zonemap queries (row-group min/max skipping): a
+  * `partitionBy(col)` write turns a low-cardinality filter column into
+  * the DIRECTORY STRUCTURE, so an equality filter never opens the other
+  * partitions' files at all (`PartitionFilters` in the scan,
+  * PartitionedLayoutSpec pins it). At 100 TB this is the first line of
+  * defense for every `WHERE event_type = …` query — file listing, not
+  * file reading, scales with the predicate.
+  *
+  * The write lands under the session warehouse tmp dir, re-read by path;
+  * the partition column round-trips through the directory encoding.
+  */
+object PartitionedLayout {
+
+  /** Write `df` partitioned by `partCol`, read it back filtered to
+    * `value`, and aggregate — output: `event_type`, `n`, `n_users`,
+    * `total_value_e6`.
+    */
+  def prunedAgg(
+      spark: SparkSession,
+      ev: DataFrame,
+      partCol: String,
+      value: String
+  ): DataFrame = {
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-partitioned/events_by_type"
+    ev.select(col("event_id"), col("user_id"), col("value"), col(partCol))
+      .write.partitionBy(partCol).mode("overwrite").parquet(dir)
+    spark.read.parquet(dir)
+      .filter(col(partCol) === value)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(floor(col("value") * lit(1000000.0) + lit(0.5)).cast("long"))
+          .as("total_value_e6"))
+  }
+}

@@ -124,4 +124,73 @@ object Privacy {
       floor(greatest(lit(0.0d), col("n").cast("double") + noise)
         * lit(1000000.0d) + lit(0.5d)).cast("long").as("released_e6"))
   }
+
+  /** t-closeness audit (Li, Li & Venkatasubramanian 2007) — the third leg
+    * of the release triad: per quasi-identifier class, the Earth Mover's
+    * Distance between the class's distribution of an ORDERED sensitive
+    * attribute and the global distribution,
+    *
+    *   EMD = 1/(m−1) · Σᵢ |CumP(i) − CumQ(i)|
+    *
+    * (the ordered-attribute closed form). A class passing k-anonymity and
+    * l-diversity can still leak — all its sensitive values clustered at
+    * one end of the range — and EMD is what catches that.
+    *
+    * Exactness: the per-bin term is the INTEGER `|cumP·N − cumQ·n_g|`
+    * (common denominator n_g·N; both cumsums are BIGINT window sums), and
+    * the single division happens once per class on exact-integer operands
+    * (`t_num ≤ m·n_g·N` must stay under 2⁵³ for the double to be exact —
+    * holds to ~10⁵ bins × 10⁶-row classes × 10⁹ rows is NOT needed: the
+    * audit contract is a bounded bin domain, enforced loudly below).
+    *
+    * Scale shape: one (qi, bin) aggregate, one bounded dense cross join
+    * (classes × bins), two window cumsums partitioned by class — never a
+    * global window. The bin-domain guard (≤ 1000) is the
+    * Isotonic.calibrate discipline: fail loudly rather than densify an
+    * unbounded domain.
+    */
+  def tCloseness(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitive: Column,
+      tThresholdE6: Long = 200000L
+  ): DataFrame = {
+    require(qiCols.nonEmpty, "need at least one quasi-identifier column")
+    val base = df.select(qiCols.map(col) :+ sensitive.cast("long").as("sv"): _*)
+    val bins = base.select(col("sv")).distinct()
+    val m = bins.count()
+    require(m >= 2, s"t-closeness needs >= 2 sensitive bins, got $m")
+    require(m <= 1000L,
+      s"sensitive domain has $m bins (> 1000): bin the attribute first so " +
+        "the dense class x bin frame stays bounded")
+
+    val global = base.groupBy(col("sv")).agg(count(lit(1)).as("q_cnt"))
+    val nTotal = base.groupBy().agg(count(lit(1)).as("n_total"))
+    val classes = base.groupBy(qiCols.map(col): _*).agg(count(lit(1)).as("_cls_n"))
+      .select(qiCols.map(col) :+ col("_cls_n").as("n_g"): _*)
+    val cells = base.groupBy(qiCols.map(col) :+ col("sv"): _*)
+      .agg(count(lit(1)).as("cnt"))
+
+    val dense = classes.crossJoin(broadcast(bins))
+      .join(cells, qiCols :+ "sv", "left")
+      .select(qiCols.map(col) ++ Seq(col("n_g"), col("sv"),
+        coalesce(col("cnt"), lit(0L)).as("cnt")): _*)
+      .join(broadcast(global), Seq("sv"))
+      .crossJoin(broadcast(nTotal))
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(qiCols.map(col): _*).orderBy(col("sv"))
+    val cum = dense
+      .withColumn("cum_p", sum(col("cnt")).over(w))
+      .withColumn("cum_q", sum(col("q_cnt")).over(w))
+    cum
+      .groupBy(qiCols.map(col) :+ col("n_g") :+ col("n_total"): _*)
+      .agg(sum(abs(col("cum_p") * col("n_total") - col("cum_q") * col("n_g")))
+        .as("t_num"))
+      .select(qiCols.map(col) ++ Seq(col("n_g"),
+        floor(col("t_num").cast("double") * lit(1000000.0)
+          / (lit(m - 1.0) * col("n_g") * col("n_total")))
+          .cast("long").as("t_e6")): _*)
+      .withColumn("t_ok", col("t_e6") <= tThresholdE6)
+  }
 }

@@ -1001,5 +1001,46 @@ private[graft] object QueriesRelational {
             RecordLinkage.cents(col("b_acctbal"))).as("acctbal_cents"),
           lit(2L).as("n_sources"))
     },
+    // range-partition layout planner (operators.RangePlanner): the
+    // RangePartitioner recipe as an auditable table — md5-sampled cut
+    // points for 32 ranges over the event user key, then the full
+    // table's per-range row count / key span / load share
+    "q_range_bounds" -> { (s, d) =>
+      graft.operators.RangePlanner.plan(Tables(s, d).events, "user_id", "event_id")
+    },
+    // bucket-co-located orders⋈customer (operators.BucketedJoin): both
+    // sides written bucketBy(8, custkey), merge-hinted join reads the
+    // bucket layout — ZERO exchange below the join (BucketedJoinSpec pin)
+    "q_bucketed_join" -> { (s, d) =>
+      val t = Tables(s, d)
+      graft.operators.BucketedJoin.segmentRevenue(s, t.orders, t.customer)
+    },
+    // bucket-pruned point lookup: equality on the bucket key scans ONE
+    // bucket (SelectedBucketsCount pin in BucketedJoinSpec)
+    "q_bucket_pruning" -> { (s, d) =>
+      graft.operators.BucketedJoin.prunedLookup(s, Tables(s, d).customer, custkey = 7L)
+    },
+    // partitioned layout + partition pruning (operators.PartitionedLayout):
+    // event_type becomes the directory structure; the equality filter
+    // never opens other partitions (PartitionFilters pin in the spec)
+    "q_partition_pruning" -> { (s, d) =>
+      graft.operators.PartitionedLayout.prunedAgg(
+        s, Tables(s, d).events, "event_type", "purchase")
+    },
+    // Benford first-digit audit (operators.Benford): leading digit of
+    // order totals in cents vs log10(1+1/d) — shared e6 literals, exact
+    // expected mass, floor-6 χ² terms
+    "q_benford_audit" -> { (s, d) =>
+      graft.operators.Benford.firstDigitAudit(Tables(s, d).orders, "o_totalprice")
+    },
+    // per-brand 2-D skyline (operators.Skyline): cheapest-and-biggest
+    // Pareto frontier of parts — one cumulative window per brand, no
+    // dominance self-join
+    "q_brand_skyline" -> { (s, d) =>
+      graft.operators.Skyline.frontier2d(Tables(s, d).part,
+          "p_brand", "p_partkey", "p_retailprice", "p_size")
+        .select(col("grp").as("p_brand"), col("id").as("p_partkey"),
+          col("minv").as("p_retailprice"), col("maxv").as("p_size"), col("sky_rank"))
+    },
   )
 }

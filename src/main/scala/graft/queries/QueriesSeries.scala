@@ -94,6 +94,21 @@ private[graft] object QueriesSeries {
     // of purchase value across the 24h preceding views — integer micros
     // credit via floor division (remainder drops identically both engines)
     "q_linear_attribution" -> ((s, d) => Attribution.linearByHour(Tables(s, d).events)),
+    // exact Shapley channel attribution (operators.Shapley): coalition
+    // masks from one user-key aggregate, 12 literal marginal terms, 6-
+    // scaled integer output
+    "q_shapley_attribution" -> { (s, d) =>
+      graft.operators.Shapley.attribution(s, Tables(s, d).events)
+    },
+    // half-life-quantized decay counters (operators.Decay): trending
+    // event types at the corpus max time, 3-day half-life — weight
+    // 1e6 >> (Δt div h), exact integers, no exp/pow
+    "q_decayed_counts" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("event_type"), expr("ts_ns DIV 1000").as("ts_us"))
+      graft.operators.Decay.trendingScores(ev, "event_type",
+        halfLifeUs = 3L * 86400L * 1000000L)
+    },
     // additive Holt-Winters level/trend/seasonal fit + 7-day forecast over
     // the per-type daily revenue series — exact BIGINT micros recursion
     // (bounded driver fixed point over the |types|x|days| aggregate)

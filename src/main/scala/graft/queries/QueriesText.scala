@@ -330,6 +330,16 @@ private[graft] object QueriesText {
           expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
       graft.operators.MarkovGen.generate(ev, steps = 4)
     },
+    // Markov removal-effect attribution (operators.MarkovAttribution):
+    // first-purchase-truncated journeys, 8 rounds of integer mass
+    // propagation per chain (full + one per removed channel), bounded
+    // driver fixed point — the whole solve replays in unrolled CTEs
+    "q_markov_attribution" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns DIV 1000").as("ts_us"), col("event_id"))
+      graft.operators.MarkovAttribution.attribution(s, ev)
+    },
     // systematic PPS sampling (operators.SystematicSample): deterministic
     // size-proportional draw with multiplicity over the md5-ordered
     // corpus — running weights via PrefixSum (never a global window),
@@ -1162,6 +1172,49 @@ private[graft] object QueriesText {
     // Krippendorff's alpha (nominal) — same raters, coincidence algebra
     "q_krippendorff_alpha" -> { (s, d) =>
       graft.operators.Agreement.krippendorffAlpha(Tables(s, d).documents)
+    },
+    // neighborhood link prediction (operators.LinkPrediction): common
+    // neighbors / Adamic–Adar / resource-allocation over the same capped
+    // co-interaction graph q_copurchase counts — per-user integer-micro
+    // weights, BIGINT sums, one user-key shuffle + one pair aggregate
+    // purchase interactions only: degrees land BELOW the cap (5..24 at
+    // sf0.01) so the 1/ln(deg) weighting actually discriminates — the
+    // all-events graph saturates every user at the cap
+    "q_link_prediction" -> { (s, d) =>
+      val inter = Tables(s, d).events
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          from_json(col("props"), lit("k INT")).getField("k").cast("long").as("item_id"))
+        .filter(col("item_id").isNotNull)
+      graft.operators.LinkPrediction.itemScores(inter, "user_id", "item_id",
+        capPerUser = 20, minCommon = 2L)
+    },
+    // multinomial Naive Bayes language id (operators.NaiveBayesText):
+    // Laplace-smoothed train on doc_id%5!=0, argmax on the holdout —
+    // every score a BIGINT sum of lnE6 integers, confusion matrix out
+    "q_naive_bayes" -> { (s, d) =>
+      graft.operators.NaiveBayesText.confusion(Tables(s, d).documents)
+    },
+    // pairwise Jensen–Shannon divergence between per-source unigram
+    // distributions on the global top-200 support (operators.Divergence)
+    "q_js_divergence" -> { (s, d) =>
+      graft.operators.Divergence.jsdBySource(Tables(s, d).documents)
+    },
+    // TextRank keywords: weighted PageRank (BIGINT-nanos state) over the
+    // adjacent-token co-occurrence graph of the top-100 non-stop words
+    "q_textrank_keywords" -> { (s, d) =>
+      graft.operators.TextRank.keywords(Tables(s, d).documents)
+    },
+    // four-fifths selection-bias audit of a curation filter across
+    // sources (operators.CurationBias): integer-micro rates and impact.
+    // The audited decision is the min-length gate (>= 50 tokens) — the
+    // full Gopher battery rejects ALL synthetic docs (zero-signal audit);
+    // the length gate discriminates by source on this corpus
+    "q_curation_bias" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      val flags = docs.select(col("doc_id"),
+        (TF.tokenCount(col("text")) >= 50).as("keep"))
+      graft.operators.CurationBias.selectionRates(docs, flags, "source")
     },
   )
 }

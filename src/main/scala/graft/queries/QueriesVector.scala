@@ -269,6 +269,13 @@ private[graft] object QueriesVector {
       graft.operators.Privacy.lDiversityHistogram(
         privacyQi(s, d), Seq("seg", "nat"), col("band"))
     },
+    // t-closeness EMD audit over the same release: per (segment) class,
+    // ordered-EMD of the balance-band distribution vs the global one —
+    // integer cumsum differences, one exact division per class
+    "q_t_closeness" -> { (s, d) =>
+      graft.operators.Privacy.tCloseness(
+        privacyQi(s, d), Seq("seg"), col("band"))
+    },
     // eps=1 differentially-private histogram release of the event-type
     // counts: Laplace(1/eps) noise inverse-CDF'd from the portable md5-48
     // uniform of "salt:key" — the whole release replays in the oracle
