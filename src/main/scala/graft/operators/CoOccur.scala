@@ -19,6 +19,26 @@ import org.apache.spark.sql.functions._
   */
 object CoOccur {
 
+  /** Distinct (user, item) interactions with each user's basket capped to
+    * `capPerUser` md5-ranked items — the shared prefix of [[pairs]] and
+    * [[BasketRules.rules]] (supports and pair counts must describe the
+    * SAME capped graph).
+    */
+  def capped(
+      interactions: DataFrame,
+      userCol: String,
+      itemCol: String,
+      capPerUser: Int
+  ): DataFrame = {
+    require(capPerUser >= 2, "capPerUser must be at least 2")
+    interactions.select(col(userCol), col(itemCol)).distinct()
+      .withColumn("_r", row_number().over(
+        Window.partitionBy(col(userCol))
+          .orderBy(HashSplit.md548(col(itemCol)), col(itemCol))))
+      .filter(col("_r") <= capPerUser)
+      .drop("_r")
+  }
+
   def pairs(
       interactions: DataFrame,
       userCol: String,
@@ -26,14 +46,7 @@ object CoOccur {
       capPerUser: Int = 20,
       minCount: Long = 2L
   ): DataFrame = {
-    require(capPerUser >= 2, "capPerUser must be at least 2")
-    val inter = interactions.select(col(userCol), col(itemCol)).distinct()
-    val capped = inter
-      .withColumn("_r", row_number().over(
-        Window.partitionBy(col(userCol))
-          .orderBy(HashSplit.md548(col(itemCol)), col(itemCol))))
-      .filter(col("_r") <= capPerUser)
-      .drop("_r")
+    val capped = this.capped(interactions, userCol, itemCol, capPerUser)
     val a = capped.select(col(userCol), col(itemCol).as("item_a"))
     val b = capped.select(col(userCol), col(itemCol).as("item_b"))
     a.join(b, Seq(userCol))

@@ -994,6 +994,64 @@ private[graft] object OracleEntriesF {
          |            THEN CAST(floor(CAST(keep_rate_e6 AS DOUBLE) * 1000000.0 / best.b)
          |                      AS BIGINT) >= 800000 END AS four_fifths_ok
          |FROM r2 CROSS JOIN best""".stripMargin,
+    // transformWithState MapState/ListState static parity: per-type
+    // counts + top-3 purchase cents (top-K by value is order-free)
+    "q_tws_basket" ->
+      """WITH c AS (
+        |  SELECT user_id, event_type,
+        |         coalesce(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0) AS cents
+        |  FROM events
+        |), agg AS (
+        |  SELECT user_id, CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+        |         count(*) AS n_events
+        |  FROM c GROUP BY 1
+        |), topk AS (
+        |  SELECT user_id, CAST(coalesce(sum(cents), 0) AS BIGINT) AS topk_cents
+        |  FROM (
+        |    SELECT user_id, cents,
+        |           row_number() OVER (PARTITION BY user_id ORDER BY cents DESC) AS r
+        |    FROM c WHERE event_type = 'purchase')
+        |  WHERE r <= 3 GROUP BY 1
+        |)
+        |SELECT a.user_id, a.n_types, a.n_events,
+        |       coalesce(t.topk_cents, 0) AS topk_cents
+        |FROM agg a LEFT JOIN topk t ON t.user_id = a.user_id""".stripMargin,
+    // Apriori k=2 rules on the q_copurchase capped graph: supports and
+    // pairs from ONE capped frame, floored e6 ratios, left-assoc lift
+    "q_basket_rules" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(regexp_extract(props, '"k": (\d+)', 1) AS BIGINT) AS item_id
+        |  FROM events WHERE regexp_extract(props, '"k": (\d+)', 1) <> ''
+        |), capped AS (
+        |  SELECT user_id, item_id FROM (
+        |    SELECT user_id, item_id,
+        |           row_number() OVER (PARTITION BY user_id
+        |             ORDER BY ('0x' || substring(md5(CAST(item_id AS VARCHAR)), 1, 12))::BIGINT,
+        |                      item_id) AS r
+        |    FROM inter)
+        |  WHERE r <= 20
+        |), sup AS (SELECT item_id, count(*) AS n_item FROM capped GROUP BY 1),
+        |nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users FROM capped),
+        |p AS (
+        |  SELECT a.item_id AS item_a, b.item_id AS item_b, count(*) AS n_ab
+        |  FROM capped a JOIN capped b
+        |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+        |  GROUP BY 1, 2 HAVING count(*) >= 2
+        |)
+        |SELECT p.item_a, p.item_b, p.n_ab, sa.n_item AS n_a, sb.n_item AS n_b,
+        |       CAST(floor(CAST(p.n_ab AS DOUBLE) * 1000000.0 / nu.n_users) AS BIGINT)
+        |         AS support_e6,
+        |       CAST(floor(CAST(p.n_ab AS DOUBLE) * 1000000.0 / sa.n_item) AS BIGINT)
+        |         AS conf_ab_e6,
+        |       CAST(floor(CAST(p.n_ab AS DOUBLE) * 1000000.0 / sb.n_item) AS BIGINT)
+        |         AS conf_ba_e6,
+        |       CAST(floor(CAST(p.n_ab AS DOUBLE) * nu.n_users / sa.n_item / sb.n_item
+        |            * 1000000.0) AS BIGINT) AS lift_e6
+        |FROM p
+        |JOIN sup sa ON sa.item_id = p.item_a
+        |JOIN sup sb ON sb.item_id = p.item_b
+        |CROSS JOIN nu""".stripMargin,
     // half-life-quantized decay: k = Δt div h, weight 1e6 >> k — exact
     // integers, transcendental-free
     "q_decayed_counts" ->

@@ -444,6 +444,29 @@ private[graft] object QueriesText {
           .as[graft.streaming.TwsActivity.Click])
         .toDF()
     },
+    // MapState + ListState surface of transformWithState (TwsBasket):
+    // per-type counts in a MapState, top-3 purchase cents in a ListState
+    // (top-K by VALUE, order-free — that's what makes batch parity
+    // hash-oracleable); the spec drives the RocksDB streaming path
+    "q_tws_basket" -> { (s, d) =>
+      import s.implicits._
+      graft.streaming.TwsBasket.stats(
+        Tables(s, d).events.select(col("user_id"), col("event_type"),
+            coalesce(floor(col("value") * lit(100.0) + lit(0.5)).cast("long"),
+              lit(0L)).as("value_cents"))
+          .as[graft.streaming.TwsBasket.Act])
+        .toDF()
+    },
+    // Apriori k=2 association rules (operators.BasketRules): support /
+    // both confidences / lift on the SAME capped graph as q_copurchase
+    "q_basket_rules" -> { (s, d) =>
+      val inter = Tables(s, d).events
+        .select(col("user_id"),
+          from_json(col("props"), lit("k INT")).getField("k").cast("long").as("item_id"))
+        .filter(col("item_id").isNotNull)
+      graft.operators.BasketRules.rules(inter, "user_id", "item_id",
+        capPerUser = 20, minCount = 2L)
+    },
     // the live bottom-k sample operator (streaming.StreamBottomK) run
     // statically — the monotone mergeable summary means the batch
     // emission IS the exact bottom-k per group, so the streaming
