@@ -29,6 +29,13 @@ object BucketedJoin {
   /** Revenue by market segment through a bucket-co-located
     * orders⋈customer join. Output: `c_mktsegment`, `n_orders`, `revenue`.
     */
+  /** Per-session table suffix: fixed shared names in the shared warehouse
+    * would let a concurrent graft session clobber the files this session
+    * is about to lazily read.
+    */
+  private def tbl(spark: SparkSession, base: String): String =
+    base + "_" + spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+
   /** Drop the catalog entry AND its physical location: a fresh JVM has an
     * empty in-memory catalog but inherits the previous run's warehouse
     * files, and `saveAsTable` refuses a managed-table location that
@@ -48,16 +55,18 @@ object BucketedJoin {
       customer: DataFrame,
       buckets: Int = 8
   ): DataFrame = {
-    reset(spark, "graft_bkt_orders")
-    reset(spark, "graft_bkt_customer")
+    val ordersTbl = tbl(spark, "graft_bkt_orders")
+    val custTbl = tbl(spark, "graft_bkt_customer")
+    reset(spark, ordersTbl)
+    reset(spark, custTbl)
     orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
       .write.bucketBy(buckets, "o_custkey").sortBy("o_custkey")
-      .mode("overwrite").format("parquet").saveAsTable("graft_bkt_orders")
+      .mode("overwrite").format("parquet").saveAsTable(ordersTbl)
     customer.select(col("c_custkey"), col("c_mktsegment"))
       .write.bucketBy(buckets, "c_custkey").sortBy("c_custkey")
-      .mode("overwrite").format("parquet").saveAsTable("graft_bkt_customer")
-    val o = spark.table("graft_bkt_orders")
-    val c = spark.table("graft_bkt_customer").hint("merge")
+      .mode("overwrite").format("parquet").saveAsTable(custTbl)
+    val o = spark.table(ordersTbl)
+    val c = spark.table(custTbl).hint("merge")
     o.join(c, o("o_custkey") === c("c_custkey"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n_orders"),
@@ -76,10 +85,11 @@ object BucketedJoin {
       custkey: Long,
       buckets: Int = 8
   ): DataFrame = {
-    reset(spark, "graft_bkt_probe")
+    val probeTbl = tbl(spark, "graft_bkt_probe")
+    reset(spark, probeTbl)
     customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .write.bucketBy(buckets, "c_custkey")
-      .mode("overwrite").format("parquet").saveAsTable("graft_bkt_probe")
-    spark.table("graft_bkt_probe").filter(col("c_custkey") === custkey)
+      .mode("overwrite").format("parquet").saveAsTable(probeTbl)
+    spark.table(probeTbl).filter(col("c_custkey") === custkey)
   }
 }

@@ -52,9 +52,14 @@ object Divergence {
       .join(counts, Seq("grp", "word"), "left")
       .select(col("grp"), col("word"), coalesce(col("cnt"), lit(0L)).as("cnt"))
     val tot = dense.groupBy(col("grp")).agg(sum(col("cnt")).as("tot"))
+    // a group with ZERO top-vocab tokens (tot = 0) is a valid input — its
+    // distribution is all-zero mass, p := 0 for every word (the 0/0 would
+    // otherwise be NaN and ANSI-throw at the final cast)
     val withP = dense.join(broadcast(tot), Seq("grp"))
       .select(col("grp"), col("word"),
-        (col("cnt").cast("double") / col("tot").cast("double")).as("p"))
+        when(col("tot") > 0,
+          col("cnt").cast("double") / col("tot").cast("double"))
+          .otherwise(lit(0.0)).as("p"))
 
     val a = withP.select(col("grp").as("source_a"), col("word"), col("p").as("pa"))
     val b = withP.select(col("grp").as("source_b"), col("word"), col("p").as("pb"))

@@ -46,14 +46,10 @@ object LinkPrediction {
       capPerUser: Int = 20,
       minCommon: Long = 2L
   ): DataFrame = {
-    require(capPerUser >= 2, "capPerUser must be at least 2")
-    val inter = interactions.select(col(userCol), col(itemCol)).distinct()
-    val capped = inter
-      .withColumn("_r", row_number().over(
-        Window.partitionBy(col(userCol))
-          .orderBy(HashSplit.md548(col(itemCol)), col(itemCol))))
-      .filter(col("_r") <= capPerUser)
-      .drop("_r")
+    // the SAME capped graph as the q_copurchase family — one shared
+    // spelling (CoOccur.capped) so a cap-discipline change can never
+    // leave this operator's graph diverging from the pair counts'
+    val capped = CoOccur.capped(interactions, userCol, itemCol, capPerUser)
     // capped degree per user — the weight the pair aggregate folds in;
     // count(*) over the capped set, computed in the same window pass's
     // shuffle partitioning (one exchange on the user key total)
@@ -64,7 +60,7 @@ object LinkPrediction {
     a.join(b, Seq(userCol))
       .filter(col("item_a") < col("item_b"))
       // deg >= 2 on any row that forms a pair (the user touched both
-      // items), so ln(deg) > 0 and the guard below is belt-and-braces
+      // items), so ln(deg) > 0 by construction
       .select(col("item_a"), col("item_b"),
         floor(lit(1000000.0) / log(col("deg").cast("double"))).cast("long").as("_aa"),
         floor(lit(1000000.0) / col("deg").cast("double")).cast("long").as("_ra"))

@@ -28,7 +28,10 @@ object PartitionedLayout {
       partCol: String,
       value: String
   ): DataFrame = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft-partitioned/events_by_type"
+    // per-session directory: a fixed shared path would let a concurrent
+    // graft session's overwrite race this session's lazy read-back
+    val dir = s"${sys.props("java.io.tmpdir")}/graft-partitioned-" +
+      s"${spark.sparkContext.applicationId}/events_by_type"
     ev.select(col("event_id"), col("user_id"), col("value"), col(partCol))
       .write.partitionBy(partCol).mode("overwrite").parquet(dir)
     spark.read.parquet(dir)

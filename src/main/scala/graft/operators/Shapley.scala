@@ -41,11 +41,16 @@ object Shapley {
           + max(when(col("event_type") === Channels(2), 1L).otherwise(0L)) * 4L)
           .as("mask"),
         max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+    // ≤ 8 rows — but it feeds the marginal-term join TWICE (v_with /
+    // v_without aliases), and Catalyst does not reuse the common subplan:
+    // without materialization the per-user aggregate over the whole
+    // corpus runs twice. Eager localCheckpoint pins the 8 rows once.
     val rates = masked.groupBy(col("mask"))
       .agg(count(lit(1)).as("n"), sum(col("conv")).as("n_conv"))
       .select(col("mask"),
         floor(col("n_conv").cast("double") * lit(1000000.0) / col("n"))
           .cast("long").as("rate_e6"))
+      .localCheckpoint(true)
 
     // literal (channel, S-without, S-with, 6·weight) marginal-term table:
     // 3 channels × 4 coalitions not containing the channel

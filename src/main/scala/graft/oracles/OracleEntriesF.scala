@@ -910,7 +910,9 @@ private[graft] object OracleEntriesF {
          |  LEFT JOIN counts c ON c.grp = g.grp AND c.word = t.word
          |), tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS tot FROM dense GROUP BY 1),
          |p AS (
-         |  SELECT d.grp, d.word, CAST(d.cnt AS DOUBLE) / t.tot AS p
+         |  SELECT d.grp, d.word,
+         |         CASE WHEN t.tot > 0 THEN CAST(d.cnt AS DOUBLE) / t.tot
+         |              ELSE 0.0 END AS p
          |  FROM dense d JOIN tot t ON d.grp = t.grp)
          |SELECT a.grp AS source_a, b.grp AS source_b,
          |       CAST(sum(CAST(floor((

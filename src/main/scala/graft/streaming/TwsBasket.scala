@@ -39,17 +39,27 @@ object TwsBasket {
         key: Long,
         rows: Iterator[Act],
         timerValues: TimerValues): Iterator[BasketStat] = {
-      val batch = rows.toArray
-      batch.groupBy(_.event_type).foreach { case (t, rs) =>
+      // single pass, O(types + k) memory: in batch execution a key's
+      // WHOLE history arrives as one group — never buffer it
+      val localTypes = scala.collection.mutable.Map[String, Long]()
+        .withDefaultValue(0L)
+      val heap = scala.collection.mutable.PriorityQueue
+        .empty[Long](Ordering[Long].reverse) // min-heap of the running top-k
+      topK.get().foreach(heap.enqueue(_))
+      var sawPurchase = false
+      rows.foreach { act =>
+        localTypes(act.event_type) += 1L
+        if (act.event_type == "purchase") {
+          sawPurchase = true
+          heap.enqueue(act.value_cents)
+          if (heap.size > k) heap.dequeue()
+        }
+      }
+      localTypes.foreach { case (t, n) =>
         val prev = if (perType.containsKey(t)) perType.getValue(t) else 0L
-        perType.updateValue(t, prev + rs.length)
+        perType.updateValue(t, prev + n)
       }
-      val purchases = batch.filter(_.event_type == "purchase").map(_.value_cents)
-      if (purchases.nonEmpty) {
-        val merged = (topK.get().toArray ++ purchases).sorted(Ordering[Long].reverse)
-          .take(k)
-        topK.put(merged)
-      }
+      if (sawPurchase) topK.put(heap.toArray.sorted(Ordering[Long].reverse))
       var nTypes = 0L
       var nEvents = 0L
       val it = perType.iterator()

@@ -10,10 +10,12 @@ object ShowQ {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.local(8, shufflePartitions = 8)
     val dir = args.head
+    val showPlan = sys.env.contains("SPARK_GRAFT_SHOWQ_PLAN")
     args.tail.foreach { name =>
       val df = SparkEntry.queries(name)(spark, dir)
       println(s"== $name ==")
-      df.show(40, truncate = false)
+      if (showPlan) println(df.queryExecution.executedPlan.toString)
+      else df.show(40, truncate = false)
       println(s"[showq] $name rows=${df.count()}")
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))

@@ -10,6 +10,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class PlanSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  // some planned queries eagerly checkpoint/persist at CONSTRUCTION
+  // (Shapley rates, PageRank rounds) — release after every test so the
+  // blocks can't leak into other suites' plans (PlanHygieneSpec lesson)
+  override def withFixture(test: NoArgTest) =
+    try super.withFixture(test)
+    finally {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
 
@@ -460,5 +470,28 @@ class PlanSpec extends AnyFunSuite {
   test("mjpeg frame decode: zero shuffles (scan -> fixture map -> decode mapPartitions)") {
     val p = plan("q_media_mjpeg_frames")
     assert(!p.contains("Exchange"), s"frame decode must be embarrassingly parallel:\n${p.take(2500)}")
+  }
+
+  test("decayed counters: one shuffle (the key aggregate); weights are a projection") {
+    val p = plan("q_decayed_counts")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"decay weights must not add shuffles:\n${p.take(2500)}")
+    assert(p.contains("partial_count"), s"map-side combine expected:\n${p.take(2500)}")
+  }
+
+  test("shapley: the corpus aggregate runs once (checkpointed rates feed both aliases)") {
+    val p = plan("q_shapley_attribution")
+    assert(!p.contains("Exchange hashpartitioning(user_id"),
+      s"the per-user coalition aggregate must not appear twice in the final plan:\n${p.take(2500)}")
+  }
+
+  test("link prediction: cap pre-pushed below its exchange, pair aggregate map-side combined") {
+    val p = plan("q_link_prediction")
+    assert(p.contains("WindowGroupLimit"),
+      s"the basket cap must push a partial rank limit below the shuffle:\n${p.take(2500)}")
+    assert(p.contains("partial_sum"),
+      s"pair weights must map-side combine:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the pair stage is an equi-join on the user:\n${p.take(2500)}")
   }
 }

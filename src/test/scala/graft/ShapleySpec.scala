@@ -8,6 +8,15 @@ class ShapleySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // attribution() eagerly localCheckpoints the rates frame — release the
+  // blocks so they can't leak into other suites' plans (CLAUDE.md rule)
+  override def withFixture(test: NoArgTest) =
+    try super.withFixture(test)
+    finally {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+
   // coalitions: {view}×2 (1 converts), {click}×1 (converts), ∅×1
   // (converts), {view,click,signup}×1 (converts) — hand-traceable rates
   // 500000 / 1e6 / 1e6 / 1e6

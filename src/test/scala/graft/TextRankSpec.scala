@@ -8,6 +8,15 @@ class TextRankSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // keywords() -> weightedRanks localCheckpoints per round — release the
+  // blocks so they can't leak into other suites' plans (CLAUDE.md rule)
+  override def withFixture(test: NoArgTest) =
+    try super.withFixture(test)
+    finally {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+
   test("a hub word co-occurring with everything ranks first; stopwords never rank") {
     val docs = Seq(
       (1L, "hub alpha"), (2L, "hub beta"), (3L, "hub gamma"),
