@@ -996,6 +996,28 @@ private[graft] object OracleEntriesF {
          |            THEN CAST(floor(CAST(keep_rate_e6 AS DOUBLE) * 1000000.0 / best.b)
          |                      AS BIGINT) >= 800000 END AS four_fifths_ok
          |FROM r2 CROSS JOIN best""".stripMargin,
+    // Hampel median/MAD replay: doubled-unit dyadic medians via the
+    // quantile_cont ≡ percentile interpolation (q_value_percentiles
+    // precedent), exact comparisons, no rounding
+    "q_anomaly_mad" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), med AS (
+        |  SELECT event_type, quantile_cont(n * 2, 0.5) AS med_x2
+        |  FROM daily GROUP BY 1
+        |), dev AS (
+        |  SELECT d.event_type, d.day, d.n, m.med_x2,
+        |         abs(d.n * 2 - m.med_x2) AS dev_x2
+        |  FROM daily d JOIN med m ON d.event_type = m.event_type
+        |), mad AS (
+        |  SELECT event_type, quantile_cont(dev_x2, 0.5) AS mad_x2
+        |  FROM dev GROUP BY 1
+        |)
+        |SELECT dev.event_type, dev.day, dev.n, dev.med_x2, mad.mad_x2,
+        |       dev.dev_x2, dev.dev_x2 > 3.0 * mad.mad_x2 AS is_outlier
+        |FROM dev JOIN mad ON dev.event_type = mad.event_type""".stripMargin,
     // transformWithState MapState/ListState static parity: per-type
     // counts + top-3 purchase cents (top-K by value is order-free)
     "q_tws_basket" ->

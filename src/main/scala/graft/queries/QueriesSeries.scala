@@ -150,6 +150,11 @@ private[graft] object QueriesSeries {
     // s += floor((10⁶x − s)/2³) over each type's dense daily counts —
     // sequential state hash-oracled via a recursive-CTE replay
     "q_ewma_daily" -> ((s, d) => graft.operators.Ewma.bucketEwma(Tables(s, d).events)),
+    // Hampel median/MAD outlier flags over per-type daily counts
+    // (operators.MadAnomaly): doubled-unit dyadic medians, no rounding —
+    // the robust complement to q_anomaly_zscore (50% breakdown point)
+    "q_anomaly_mad" -> ((s, d) =>
+      graft.operators.MadAnomaly.dailyOutliers(Tables(s, d).events)),
     // market-basket lift on the type vocabulary (distinct-user incidence)
     "q_event_type_lift" -> ((s, d) => Association.typeLift(Tables(s, d).events)),
     // Mann–Whitney U weekend-vs-weekday purchase values, tie-corrected z;
