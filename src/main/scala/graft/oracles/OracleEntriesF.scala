@@ -996,6 +996,39 @@ private[graft] object OracleEntriesF {
          |            THEN CAST(floor(CAST(keep_rate_e6 AS DOUBLE) * 1000000.0 / best.b)
          |                      AS BIGINT) >= 800000 END AS four_fifths_ok
          |FROM r2 CROSS JOIN best""".stripMargin,
+    // FD discovery replay: exact distinct counts per candidate, one
+    // floored strength division
+    "q_fd_profile" -> {
+      def one(a: String, b: String): String =
+        s"""SELECT '$a->$b' AS fd,
+           |       count(*) AS ndv_a,
+           |       CAST(sum(ndv_b) AS BIGINT) AS ndv_ab,
+           |       CAST(sum(ndv_b - 1) AS BIGINT) AS violations,
+           |       CAST(sum(ndv_b - 1) AS BIGINT) = 0 AS fd_holds,
+           |       CAST(floor(CAST(count(*) AS DOUBLE) * 1000000.0 / sum(ndv_b))
+           |            AS BIGINT) AS strength_e6
+           |FROM (SELECT $a, count(DISTINCT $b) AS ndv_b FROM customer GROUP BY 1)""".stripMargin
+      Seq(("c_custkey", "c_mktsegment"), ("c_mktsegment", "c_nationkey"),
+        ("c_nationkey", "c_mktsegment"))
+        .map { case (a, b) => one(a, b) }.mkString("\nUNION ALL\n")
+    },
+    // sortedness replay: chunked adjacent-pair monotonicity, micros time
+    "q_sortedness_profile" -> {
+      def one(name: String, kSql: String): String =
+        s"""SELECT '$name' AS key, count(*) AS n_pairs,
+           |       CAST(sum(CASE WHEN k >= p THEN 1 ELSE 0 END) AS BIGINT) AS n_sorted,
+           |       CAST(floor(CAST(sum(CASE WHEN k >= p THEN 1 ELSE 0 END) AS DOUBLE)
+           |            * 1000000.0 / count(*)) AS BIGINT) AS sortedness_e6
+           |FROM (
+           |  SELECT $kSql AS k,
+           |         lag($kSql) OVER (PARTITION BY event_id // 1000
+           |                          ORDER BY event_id) AS p
+           |  FROM events)
+           |WHERE p IS NOT NULL""".stripMargin
+      Seq(("ts_us", "epoch_ns(ts) // 1000"), ("user_id", "user_id"),
+        ("event_type", "event_type"))
+        .map { case (n, k) => one(n, k) }.mkString("\nUNION ALL\n")
+    },
     // Hampel median/MAD replay: doubled-unit dyadic medians via the
     // quantile_cont ≡ percentile interpolation (q_value_percentiles
     // precedent), exact comparisons, no rounding

@@ -1020,6 +1020,24 @@ private[graft] object QueriesRelational {
     "q_bucket_pruning" -> { (s, d) =>
       graft.operators.BucketedJoin.prunedLookup(s, Tables(s, d).customer, custkey = 7L)
     },
+    // functional-dependency discovery (operators.FdProfile): candidate
+    // A→B tests as exact distinct counts — key→attr holds, attr→attr
+    // pairs report their violation mass and g3-style strength
+    "q_fd_profile" -> { (s, d) =>
+      graft.operators.FdProfile.profile(Tables(s, d).customer, Seq(
+        ("c_custkey", "c_mktsegment"),
+        ("c_mktsegment", "c_nationkey"),
+        ("c_nationkey", "c_mktsegment")))
+    },
+    // physical-sortedness profiler (operators.Sortedness): adjacent-pair
+    // monotonicity in storage (event_id) order, chunked windows — the
+    // zonemap-prunability readout per candidate sort key
+    "q_sortedness_profile" -> { (s, d) =>
+      graft.operators.Sortedness.profile(Tables(s, d).events, "event_id", Seq(
+        ("ts_us", expr("ts_ns DIV 1000")),
+        ("user_id", col("user_id")),
+        ("event_type", col("event_type"))))
+    },
     // partitioned layout + partition pruning (operators.PartitionedLayout):
     // event_type becomes the directory structure; the equality filter
     // never opens other partitions (PartitionFilters pin in the spec)
