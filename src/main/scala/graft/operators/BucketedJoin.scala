@@ -36,6 +36,26 @@ object BucketedJoin {
   private def tbl(spark: SparkSession, base: String): String =
     base + "_" + spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
 
+  /** GC: per-session names never self-overwrite, so dead sessions'
+    * graft_bkt_* directories would otherwise accumulate in the shared
+    * warehouse forever. Sweep ones that are both foreign (not this
+    * session's suffix) and cold (mtime > 6h — a LIVE concurrent session's
+    * tables are younger than that by construction).
+    */
+  private def sweepStale(spark: SparkSession): Unit = {
+    val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+    val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(wh)) return
+    val mine = "_" + spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val cutoff = System.currentTimeMillis - 6L * 3600 * 1000
+    fs.listStatus(wh).foreach { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("graft_bkt_") && !n.endsWith(mine)
+          && st.getModificationTime < cutoff)
+        fs.delete(st.getPath, true)
+    }
+  }
+
   /** Drop the catalog entry AND its physical location: a fresh JVM has an
     * empty in-memory catalog but inherits the previous run's warehouse
     * files, and `saveAsTable` refuses a managed-table location that
@@ -57,6 +77,7 @@ object BucketedJoin {
   ): DataFrame = {
     val ordersTbl = tbl(spark, "graft_bkt_orders")
     val custTbl = tbl(spark, "graft_bkt_customer")
+    sweepStale(spark)
     reset(spark, ordersTbl)
     reset(spark, custTbl)
     orders.select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
@@ -86,6 +107,7 @@ object BucketedJoin {
       buckets: Int = 8
   ): DataFrame = {
     val probeTbl = tbl(spark, "graft_bkt_probe")
+    sweepStale(spark)
     reset(spark, probeTbl)
     customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
       .write.bucketBy(buckets, "c_custkey")

@@ -21,20 +21,28 @@ import org.apache.spark.sql.functions._
 object FdProfile {
 
   /** One row per candidate: `fd`, `ndv_a`, `ndv_ab`, `violations`,
-    * `fd_holds`, `strength_e6`.
+    * `fd_holds`, `strength_e6` (NULL when the candidate has no testable
+    * rows). Rows with a NULL determinant or dependent are EXCLUDED — the
+    * standard FD-discovery convention, and the one that keeps the
+    * arithmetic sound: `countDistinct` ignores NULLs, so an all-NULL
+    * dependent group would otherwise contribute ndv_b = 0, push
+    * `violations` NEGATIVE, and let a genuinely violated FD cancel to
+    * `fd_holds = true`.
     */
   def profile(df: DataFrame, candidates: Seq[(String, String)]): DataFrame = {
     require(candidates.nonEmpty, "need at least one candidate FD")
     candidates.map { case (a, b) =>
-      df.groupBy(col(a)).agg(countDistinct(col(b)).as("ndv_b"))
+      df.filter(col(a).isNotNull && col(b).isNotNull)
+        .groupBy(col(a)).agg(countDistinct(col(b)).as("ndv_b"))
         .agg(count(lit(1)).as("ndv_a"),
-          sum(col("ndv_b")).as("ndv_ab"),
-          sum(col("ndv_b") - lit(1L)).as("violations"))
+          coalesce(sum(col("ndv_b")), lit(0L)).as("ndv_ab"),
+          coalesce(sum(col("ndv_b") - lit(1L)), lit(0L)).as("violations"))
         .select(lit(s"$a->$b").as("fd"), col("ndv_a"), col("ndv_ab"),
           col("violations"),
           (col("violations") === 0L).as("fd_holds"),
-          floor(col("ndv_a").cast("double") * lit(1000000.0) / col("ndv_ab"))
-            .cast("long").as("strength_e6"))
+          when(col("ndv_ab") > 0,
+            floor(col("ndv_a").cast("double") * lit(1000000.0) / col("ndv_ab"))
+              .cast("long")).as("strength_e6"))
     }.reduce(_ union _)
   }
 }

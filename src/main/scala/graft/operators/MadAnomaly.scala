@@ -29,6 +29,7 @@ object MadAnomaly {
     * `mad_x2`, `dev_x2`, `is_outlier`.
     */
   def dailyOutliers(events: DataFrame, bucketSeconds: Long = 86400L): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
     val daily = events
       .groupBy(col("event_type"),
         expr(s"CAST(ts AS LONG) DIV $bucketSeconds").as("day"))

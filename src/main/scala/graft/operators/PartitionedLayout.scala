@@ -29,9 +29,20 @@ object PartitionedLayout {
       value: String
   ): DataFrame = {
     // per-session directory: a fixed shared path would let a concurrent
-    // graft session's overwrite race this session's lazy read-back
-    val dir = s"${sys.props("java.io.tmpdir")}/graft-partitioned-" +
-      s"${spark.sparkContext.applicationId}/events_by_type"
+    // graft session's overwrite race this session's lazy read-back.
+    // GC cold foreign session dirs (mtime > 6h) so per-session names
+    // don't accumulate forever in tmp.
+    val tmp = sys.props("java.io.tmpdir")
+    val own = s"graft-partitioned-${spark.sparkContext.applicationId}"
+    val cutoff = System.currentTimeMillis - 6L * 3600 * 1000
+    Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("graft-partitioned-")
+        && f.getName != own && f.lastModified < cutoff)
+      .foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f.getAbsolutePath)
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+    val dir = s"$tmp/$own/events_by_type"
     ev.select(col("event_id"), col("user_id"), col("value"), col(partCol))
       .write.partitionBy(partCol).mode("overwrite").parquet(dir)
     spark.read.parquet(dir)

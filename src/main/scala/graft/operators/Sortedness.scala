@@ -23,7 +23,13 @@ import org.apache.spark.sql.functions._
 object Sortedness {
 
   /** One row per candidate column: `key`, `n_pairs`, `n_sorted`,
-    * `sortedness_e6`.
+    * `sortedness_e6`. All candidates share ONE scan and ONE chunk-window
+    * pass: the per-candidate (has-pair, is-sorted) INTEGER flags are
+    * computed side by side over the same lag frame, stacked by an
+    * explode (flags are type-uniform even when the candidates aren't),
+    * and aggregated per candidate in one shuffle-light pass — a
+    * per-candidate union would rescan and re-shuffle the input once per
+    * column for an identical window spec.
     */
   def profile(
       df: DataFrame,
@@ -32,20 +38,31 @@ object Sortedness {
       chunkRows: Long = 1000L
   ): DataFrame = {
     require(candidates.nonEmpty, "need at least one candidate column")
+    require(chunkRows > 0, "chunkRows must be positive")
     // integer DIV (orderCol is non-negative by contract): DuckDB CAST of
     // a double ROUNDS half-even, so the float-divide-then-cast spelling
     // would disagree at chunk boundaries — both engines use floor division
     val chunk = expr(s"$orderCol DIV $chunkRows")
     val w = Window.partitionBy(col("_chunk")).orderBy(col(orderCol))
-    candidates.map { case (name, expr) =>
-      df.select(col(orderCol), chunk.as("_chunk"), expr.as("_k"))
-        .withColumn("_prev", lag(col("_k"), 1).over(w))
-        .filter(col("_prev").isNotNull)
-        .agg(count(lit(1)).as("n_pairs"),
-          sum(when(col("_k") >= col("_prev"), 1L).otherwise(0L)).as("n_sorted"))
-        .select(lit(name).as("key"), col("n_pairs"), col("n_sorted"),
+    val base = df.select(
+      Seq(col(orderCol), chunk.as("_chunk")) ++
+        candidates.zipWithIndex.map { case ((_, kCol), i) => kCol.as(s"_k$i") }: _*)
+    val lagged = candidates.indices.foldLeft(base) { (acc, i) =>
+      acc.withColumn(s"_p$i", lag(col(s"_k$i"), 1).over(w))
+    }
+    val stacked = lagged.select(explode(array(
+      candidates.zipWithIndex.map { case ((name, _), i) =>
+        struct(lit(name).as("key"),
+          when(col(s"_p$i").isNotNull, 1L).otherwise(0L).as("hp"),
+          when(col(s"_p$i").isNotNull && col(s"_k$i") >= col(s"_p$i"), 1L)
+            .otherwise(0L).as("st"))
+      }: _*)).as("c"))
+      .select(col("c.key").as("key"), col("c.hp").as("hp"), col("c.st").as("st"))
+    stacked.groupBy(col("key"))
+      .agg(sum(col("hp")).as("n_pairs"), sum(col("st")).as("n_sorted"))
+      .select(col("key"), col("n_pairs"), col("n_sorted"),
+        when(col("n_pairs") > 0,
           floor(col("n_sorted").cast("double") * lit(1000000.0) / col("n_pairs"))
-            .cast("long").as("sortedness_e6"))
-    }.reduce(_ union _)
+            .cast("long")).as("sortedness_e6"))
   }
 }

@@ -1002,12 +1002,15 @@ private[graft] object OracleEntriesF {
       def one(a: String, b: String): String =
         s"""SELECT '$a->$b' AS fd,
            |       count(*) AS ndv_a,
-           |       CAST(sum(ndv_b) AS BIGINT) AS ndv_ab,
-           |       CAST(sum(ndv_b - 1) AS BIGINT) AS violations,
-           |       CAST(sum(ndv_b - 1) AS BIGINT) = 0 AS fd_holds,
-           |       CAST(floor(CAST(count(*) AS DOUBLE) * 1000000.0 / sum(ndv_b))
-           |            AS BIGINT) AS strength_e6
-           |FROM (SELECT $a, count(DISTINCT $b) AS ndv_b FROM customer GROUP BY 1)""".stripMargin
+           |       CAST(coalesce(sum(ndv_b), 0) AS BIGINT) AS ndv_ab,
+           |       CAST(coalesce(sum(ndv_b - 1), 0) AS BIGINT) AS violations,
+           |       CAST(coalesce(sum(ndv_b - 1), 0) AS BIGINT) = 0 AS fd_holds,
+           |       CASE WHEN CAST(coalesce(sum(ndv_b), 0) AS BIGINT) > 0
+           |            THEN CAST(floor(CAST(count(*) AS DOUBLE) * 1000000.0
+           |                            / CAST(coalesce(sum(ndv_b), 0) AS BIGINT))
+           |                      AS BIGINT) END AS strength_e6
+           |FROM (SELECT $a, count(DISTINCT $b) AS ndv_b FROM customer
+           |      WHERE $a IS NOT NULL AND $b IS NOT NULL GROUP BY 1)""".stripMargin
       Seq(("c_custkey", "c_mktsegment"), ("c_mktsegment", "c_nationkey"),
         ("c_nationkey", "c_mktsegment"))
         .map { case (a, b) => one(a, b) }.mkString("\nUNION ALL\n")
@@ -1017,8 +1020,9 @@ private[graft] object OracleEntriesF {
       def one(name: String, kSql: String): String =
         s"""SELECT '$name' AS key, count(*) AS n_pairs,
            |       CAST(sum(CASE WHEN k >= p THEN 1 ELSE 0 END) AS BIGINT) AS n_sorted,
-           |       CAST(floor(CAST(sum(CASE WHEN k >= p THEN 1 ELSE 0 END) AS DOUBLE)
-           |            * 1000000.0 / count(*)) AS BIGINT) AS sortedness_e6
+           |       CASE WHEN count(*) > 0
+           |            THEN CAST(floor(CAST(sum(CASE WHEN k >= p THEN 1 ELSE 0 END) AS DOUBLE)
+           |                 * 1000000.0 / count(*)) AS BIGINT) END AS sortedness_e6
            |FROM (
            |  SELECT $kSql AS k,
            |         lag($kSql) OVER (PARTITION BY event_id // 1000
