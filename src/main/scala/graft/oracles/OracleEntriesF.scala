@@ -996,6 +996,38 @@ private[graft] object OracleEntriesF {
          |            THEN CAST(floor(CAST(keep_rate_e6 AS DOUBLE) * 1000000.0 / best.b)
          |                      AS BIGINT) >= 800000 END AS four_fifths_ok
          |FROM r2 CROSS JOIN best""".stripMargin,
+    // split-leakage replay: the minhash pair oracle nested (the
+    // CurationLedger stage-nesting pattern), md5-fold sides, bounded
+    // class aggregates
+    "q_split_leakage" ->
+      s"""WITH pairs AS MATERIALIZED (
+         |  SELECT id1, id2 FROM ($MinhashMd5PairsOracleSql) px
+         |), side AS MATERIALIZED (
+         |  SELECT doc_id AS id,
+         |         ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12))::BIGINT
+         |           % 10 < 8 AS is_train
+         |  FROM documents
+         |), cls AS MATERIALIZED (
+         |  SELECT p.id1, p.id2,
+         |         CASE WHEN s1.is_train AND s2.is_train THEN 'train_train'
+         |              WHEN NOT s1.is_train AND NOT s2.is_train THEN 'test_test'
+         |              ELSE 'cross' END AS split_class
+         |  FROM pairs p
+         |  JOIN side s1 ON s1.id = p.id1
+         |  JOIN side s2 ON s2.id = p.id2
+         |), np AS (SELECT split_class, count(*) AS n_pairs FROM cls GROUP BY 1),
+         |ex AS (
+         |  SELECT split_class, id1 AS id FROM cls
+         |  UNION ALL SELECT split_class, id2 AS id FROM cls
+         |), nd AS (
+         |  SELECT e.split_class,
+         |         CAST(count(DISTINCT e.id) AS BIGINT) AS n_docs,
+         |         CAST(count(DISTINCT CASE WHEN NOT s.is_train THEN e.id END)
+         |              AS BIGINT) AS n_test_docs
+         |  FROM ex e JOIN side s ON s.id = e.id GROUP BY 1
+         |)
+         |SELECT np.split_class, np.n_pairs, nd.n_docs, nd.n_test_docs
+         |FROM np JOIN nd ON np.split_class = nd.split_class""".stripMargin,
     // FD discovery replay: exact distinct counts per candidate, one
     // floored strength division
     "q_fd_profile" -> {

@@ -238,6 +238,14 @@ private[graft] object QueriesDedup {
     "q_minhash_pairs" -> { (s, d) =>
       Dedup.minhashPairsMd5(Tables(s, d).documents, threshold = 0.05)
     },
+    // train/test near-dup leakage audit (operators.SplitLeakage): the
+    // verified pair set classified by an 80/20 md5-fold split — `cross`
+    // rows are eval contamination a dedup-after-split pipeline misses
+    "q_split_leakage" -> { (s, d) =>
+      graft.operators.SplitLeakage.nearDupLeakage(
+        Tables(s, d).documents,
+        graft.operators.HashSplit.md548(col("doc_id")) % 10 < 8)
+    },
     "q_simhash_sigs" -> { (s, d) =>
       Tables(s, d).documents.select(col("doc_id"), Dedup.simhash(col("text")).as("simhash"))
     },
