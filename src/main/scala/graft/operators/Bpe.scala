@@ -118,29 +118,46 @@ object Bpe {
     * [[org.apache.spark.sql.execution.LogicalRDD]] the checkpointed frame
     * wraps.
     */
-  private val releaseLock = new Object
+  /** RDD.unpersist logs (synchronously) a lineage-truncated WARN for every
+    * locally checkpointed RDD — correct in general (the data can't come
+    * back), but graft's releases only ever target a SUPERSEDED merge
+    * generation, so the warning is noise that dirties the gate log (one
+    * line per merge × tokenizer family per Verify run). The r18/r19
+    * approach swapped the shared RDD class logger's LEVEL around the call,
+    * which also suppressed unrelated warnings other threads routed through
+    * that logger during the window, and the restore pinned an explicit
+    * level where the logger may have inherited one. This filter instead
+    * DENIES exactly the lineage-truncation message, from RDD class loggers
+    * only, with no level mutation and no suppression window (r19 ADVICE).
+    */
+  private object LineageWarnFilter
+      extends org.apache.logging.log4j.core.filter.AbstractFilter {
+    val installed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    override def filter(e: org.apache.logging.log4j.core.LogEvent)
+        : org.apache.logging.log4j.core.Filter.Result =
+      if (e.getLoggerName != null
+          && e.getLoggerName.startsWith("org.apache.spark.rdd.")
+          && e.getMessage.getFormattedMessage
+            .contains("was locally checkpointed, its lineage has been"))
+        org.apache.logging.log4j.core.Filter.Result.DENY
+      else org.apache.logging.log4j.core.Filter.Result.NEUTRAL
+  }
+
+  private def ensureLineageWarnFilter(loggerName: String): Unit =
+    if (LineageWarnFilter.installed.compareAndSet(false, true)) {
+      val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+        .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+      // nearest enclosing LoggerConfig (the root unless the app configured
+      // one for the RDD classes) — the filter itself re-checks the logger
+      // name, so attaching at the ancestor does not widen its scope
+      ctx.getConfiguration.getLoggerConfig(loggerName).addFilter(LineageWarnFilter)
+    }
 
   private def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
-        // RDD.unpersist logs (synchronously) a lineage-truncated WARN for
-        // every locally checkpointed RDD — correct in general (the data
-        // can't come back), but THIS release only ever targets a
-        // SUPERSEDED merge generation, so the warning is noise that
-        // dirties the gate log (one line per merge × tokenizer family per
-        // Verify run). Silence is SCOPED to exactly this call — set the
-        // RDD class logger to ERROR, unpersist, restore, under a lock so
-        // concurrent merge loops can't leave the level lowered (r19
-        // self-review: a JVM-permanent setLevel would blind unrelated
-        // MapPartitionsRDD warn sites for the rest of the session).
-        releaseLock.synchronized {
-          val name = r.rdd.getClass.getName
-          val prev = org.apache.logging.log4j.LogManager.getLogger(name).getLevel
-          org.apache.logging.log4j.core.config.Configurator.setLevel(
-            name, org.apache.logging.log4j.Level.ERROR)
-          try r.rdd.unpersist(blocking = false)
-          finally org.apache.logging.log4j.core.config.Configurator.setLevel(name, prev)
-        }
+        ensureLineageWarnFilter(r.rdd.getClass.getName)
+        r.rdd.unpersist(blocking = false)
       case _ => ()
     }
 

@@ -39,9 +39,26 @@ object BucketedJoin {
   /** GC: per-session names never self-overwrite, so dead sessions'
     * graft_bkt_* directories would otherwise accumulate in the shared
     * warehouse forever. Sweep ones that are both foreign (not this
-    * session's suffix) and cold (mtime > 6h — a LIVE concurrent session's
-    * tables are younger than that by construction).
+    * session's suffix) and cold (mtime > 6h). "Cold" is a true liveness
+    * signal because every session registers a [[Heartbeat]] that
+    * re-touches its own graft_bkt_* dirs every 30 min (r19 ADVICE: write
+    * mtime alone would let a concurrent sweep delete tables a long-lived
+    * session is still lazily reading).
     */
+  private def ensureHeartbeat(spark: SparkSession): Unit = {
+    val mine = "_" + spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    Heartbeat.register("graft_bkt" + mine) { () =>
+      val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
+      val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(wh))
+        fs.listStatus(wh).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("graft_bkt_") && n.endsWith(mine))
+            fs.setTimes(st.getPath, System.currentTimeMillis, -1)
+        }
+    }
+  }
+
   private def sweepStale(spark: SparkSession): Unit = {
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -77,6 +94,7 @@ object BucketedJoin {
   ): DataFrame = {
     val ordersTbl = tbl(spark, "graft_bkt_orders")
     val custTbl = tbl(spark, "graft_bkt_customer")
+    ensureHeartbeat(spark)
     sweepStale(spark)
     reset(spark, ordersTbl)
     reset(spark, custTbl)
@@ -107,6 +125,7 @@ object BucketedJoin {
       buckets: Int = 8
   ): DataFrame = {
     val probeTbl = tbl(spark, "graft_bkt_probe")
+    ensureHeartbeat(spark)
     sweepStale(spark)
     reset(spark, probeTbl)
     customer.select(col("c_custkey"), col("c_name"), col("c_mktsegment"))

@@ -31,9 +31,15 @@ object PartitionedLayout {
     // per-session directory: a fixed shared path would let a concurrent
     // graft session's overwrite race this session's lazy read-back.
     // GC cold foreign session dirs (mtime > 6h) so per-session names
-    // don't accumulate forever in tmp.
+    // don't accumulate forever in tmp; a Heartbeat daemon re-touches this
+    // session's own dir every 30 min so "cold" means the owning JVM is
+    // dead, not merely that the write happened > 6h ago (r19 ADVICE).
     val tmp = sys.props("java.io.tmpdir")
     val own = s"graft-partitioned-${spark.sparkContext.applicationId}"
+    Heartbeat.register(own) { () =>
+      val d = new java.io.File(tmp, own)
+      if (d.exists) { d.setLastModified(System.currentTimeMillis); () }
+    }
     val cutoff = System.currentTimeMillis - 6L * 3600 * 1000
     Option(new java.io.File(tmp).listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith("graft-partitioned-")

@@ -7,7 +7,12 @@ import org.apache.spark.sql.functions._
   * (the "simplified Shapley" marketing-attribution estimator, Zhao et al.
   * 2018): each user exposes a SET of channels; the characteristic function
   * `v(S)` is the observed conversion rate of users whose touched set is
-  * exactly S (unobserved coalitions contribute v = 0, and v(∅) = 0); each
+  * exactly S — INCLUDING S = ∅: v(∅) is the observed empty-coalition
+  * baseline (users whose only events are purchases land in mask 0 with
+  * conv = 1), not the game-theoretic 0; only UNOBSERVED coalitions
+  * contribute v = 0. The φ values are therefore marginal lifts over the
+  * observed no-touch baseline rather than over zero (r19 ADVICE — the
+  * oracle mirrors this estimator exactly); each
   * channel's value is the classic weighted marginal sum
   *
   *   φᵢ = Σ_{S ⊆ C∖{i}}  |S|!·(|C|−|S|−1)!/|C|! · [v(S∪{i}) − v(S)]

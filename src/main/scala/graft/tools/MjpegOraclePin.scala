@@ -11,20 +11,34 @@ import graft.queries.QueryHelpers
   * the decoded stats cannot be formula-replayed — the pins, regenerated
   * with `sbt "runMain graft.tools.MjpegOraclePin"`, are the decode
   * contract for the JDK in use (deterministic per JDK codec).
+  *
+  * AviSpec re-derives these pins on the RUNNING JDK and compares them to
+  * the oracle literals, so a JDK/codec upgrade self-diagnoses as "codec
+  * changed — regenerate pins" in the spec run instead of surfacing as an
+  * opaque gate hash mismatch that looks like an operator regression
+  * (r19 ADVICE).
   */
 object MjpegOraclePin {
-  def main(args: Array[String]): Unit = {
-    for (cls <- 0 until 12) {
+
+  /** (cls, frame_idx, px_sum, x_moment, y_moment) for all 12 fixture
+    * classes, decoded by the JVM running THIS call.
+    */
+  def pins(): Seq[(Int, Int, Long, Long, Long)] =
+    (0 until 12).flatMap { cls =>
       val bytes = QueryHelpers.mjpegClassBytes(cls.toLong)
       val (meta, frames) = Avi.parseAvi(bytes).getOrElse(
         sys.error(s"class $cls: synthesized AVI failed to parse"))
       require(meta.compression == Avi.MjpgFourcc, s"class $cls: not MJPG")
-      frames.zipWithIndex.foreach { case (fb, i) =>
+      frames.zipWithIndex.map { case (fb, i) =>
         val (s, xm, ym) = Avi
           .decodeMjpegFrameStats(fb, meta.width.toInt, meta.height.toInt)
           .getOrElse(sys.error(s"class $cls frame $i: JPEG decode failed"))
-        println(s"($cls, $i, $s, $xm, $ym),")
+        (cls, i, s, xm, ym)
       }
     }
-  }
+
+  def main(args: Array[String]): Unit =
+    pins().foreach { case (cls, i, s, xm, ym) =>
+      println(s"($cls, $i, $s, $xm, $ym),")
+    }
 }

@@ -183,6 +183,33 @@ class AviSpec extends AnyFunSuite {
       s"decoded sum ${a._1} too far from source $exact")
   }
 
+  test("MJPEG oracle pins match the RUNNING JDK's decode (codec-change canary)") {
+    // The q_media_mjpeg_frames oracle embeds JDK-JPEG-decoder-specific
+    // stats as VALUES literals. A JDK/codec upgrade flips all 18 pins and
+    // would otherwise surface as an opaque gate hash mismatch that looks
+    // like an operator regression (r19 ADVICE). Re-derive the pins on the
+    // running JDK and diff them against the oracle literals so the failure
+    // self-diagnoses as a codec change with the regeneration command.
+    val sql = SparkEntry.oracleSql("q_media_mjpeg_frames")
+    val Tuple = """\((\d+),\s*(\d+),\s*(\d+),\s*(\d+),\s*(\d+)\)""".r
+    // the 5-int tuples only occur in the pin VALUES list, so scanning the
+    // whole SQL text past VALUES is unambiguous
+    val pinned = Tuple.findAllMatchIn(sql.substring(sql.indexOf("VALUES")))
+      .map(m => (m.group(1).toInt, m.group(2).toInt, m.group(3).toLong,
+        m.group(4).toLong, m.group(5).toLong))
+      .toSeq
+    val live = graft.tools.MjpegOraclePin.pins()
+    val jdk = s"${System.getProperty("java.vendor")} ${System.getProperty("java.version")} " +
+      s"(runtime ${System.getProperty("java.runtime.version")})"
+    assert(pinned.size == live.size && pinned.toSet == live.toSet,
+      s"""MJPEG oracle pins do not match this JVM's JPEG decode — this is a
+         |JDK/codec CHANGE, not an operator bug. Running JDK: $jdk.
+         |Regenerate the pins with `sbt "runMain graft.tools.MjpegOraclePin"`
+         |and paste them into OracleEntriesA's q_media_mjpeg_frames VALUES.
+         |pinned-not-live: ${(pinned.toSet -- live.toSet).toSeq.sorted.take(5)}
+         |live-not-pinned: ${(live.toSet -- pinned.toSet).toSeq.sorted.take(5)}""".stripMargin)
+  }
+
   test("q_media_mjpeg_frames: truncated rows contribute nothing; classes match pins") {
     val df = SparkEntry.queries("q_media_mjpeg_frames")(spark, TestSpark.Sf0001)
     val rows = df.collect()
