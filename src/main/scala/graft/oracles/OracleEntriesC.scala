@@ -424,6 +424,9 @@ private[graft] object OracleEntriesC {
     "q_doremi_weights" -> DoremiOracleSql,
     "q_doremi_epochs" -> DoremiEpochsOracleSql,
     "q_simhash_embed_neardup" -> SimhashEmbedOracleSql,
+    "q_semantic_decontaminate" -> SemanticDecontOracleSql,
+    "q_semantic_decont_fraction" -> SemanticDecontFractionOracleSql,
+    "q_als_det" -> AlsOracles.AlsDetOracleSql,
     "q_cosine_neardup" -> CosineNearDupOracleSql,
     "q_knn_lsh" -> KnnLshOracleSql,
     "q_bootstrap_ci" -> BootstrapOracleSql,

@@ -349,6 +349,40 @@ private[graft] object OracleEntriesD {
         |  FULL OUTER JOIN (SELECT doc_id, md5(text) AS h FROM b) bh
         |    ON ah.doc_id = bh.doc_id)
         |SELECT status, count(*) AS n FROM j GROUP BY status""".stripMargin,
+    // MERGE/upsert apply: last-writer change per key (distinct seqs by
+    // construction — no window tie), full-outer join vs base, precedence
+    // CASE; mirrors operators.MergeApply.audit exactly
+    "q_merge_apply" ->
+      """WITH base AS (SELECT doc_id, text FROM documents),
+        |ch AS (
+        |  SELECT doc_id, 1 AS seq, 'U' AS op, text || ' v2' AS text
+        |  FROM base WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2 AS seq, 'D' AS op, CAST(NULL AS VARCHAR) AS text
+        |  FROM base WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 1 AS seq, 'U' AS op, text
+        |  FROM base WHERE doc_id % 17 = 0 AND doc_id % 7 <> 0 AND doc_id % 11 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 1 AS seq, 'U' AS op,
+        |         text || ' new' AS text
+        |  FROM base WHERE doc_id % 13 = 0),
+        |latest AS (
+        |  SELECT doc_id, op AS _op, text AS _new FROM ch
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY seq DESC) = 1),
+        |j AS (
+        |  SELECT coalesce(b.doc_id, l.doc_id) AS doc_id, b.text AS _old,
+        |         l._op, l._new
+        |  FROM base b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id)
+        |SELECT doc_id,
+        |       CASE WHEN _op IS NULL THEN 'keep'
+        |            WHEN _op = 'D' THEN 'delete'
+        |            WHEN _old IS NULL THEN 'insert'
+        |            WHEN _old = _new THEN 'noop'
+        |            ELSE 'update' END AS action,
+        |       CASE WHEN _op = 'D' THEN CAST(NULL AS VARCHAR)
+        |            ELSE md5(coalesce(_new, _old)) END AS text_md5
+        |FROM j""".stripMargin,
     "q_zipf_by_source" ->
       s"""WITH toks AS (SELECT source, unnest($TokensSql) AS w FROM documents),
          |wc AS (SELECT source, w, count(*) AS n FROM toks GROUP BY source, w),

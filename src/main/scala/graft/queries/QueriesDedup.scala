@@ -38,6 +38,32 @@ private[graft] object QueriesDedup {
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       graft.operators.IncrementalDedup.admit(batch, corpus)
     },
+    // CDC MERGE / upsert apply (operators.MergeApply): fold a
+    // deterministic changelog into the documents snapshot — deletes on
+    // %11, updates on %7, planted no-op updates on %17, inserts on %13
+    // re-keyed to +1M; %77 keys carry BOTH a U (seq 1) and a D (seq 2) so
+    // last-writer-wins is exercised. Output is the merge audit a corpus
+    // release publishes between diff (q_snapshot_diff) and re-dedup: one
+    // row per key with the applied action + post-merge content hash.
+    "q_merge_apply" -> { (s, d) =>
+      val base = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val upd = base.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("U").as("op"),
+          concat(col("text"), lit(" v2")).as("text"))
+      val del = base.filter(col("doc_id") % 11 === 0)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("text"))
+      val noop = base
+        .filter(col("doc_id") % 17 === 0
+          && col("doc_id") % 7 =!= 0 && col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("U").as("op"), col("text"))
+      val ins = base.filter(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"), lit(1L).as("seq"),
+          lit("U").as("op"), concat(col("text"), lit(" new")).as("text"))
+      val changes = upd.unionByName(del).unionByName(noop).unionByName(ins)
+      graft.operators.MergeApply.audit(
+        base, changes, "doc_id", "seq", "op", "text")
+    },
     // cross-document line dedup (operators.LineDedup, the RefinedWeb
     // line-wise correction): the fixture has no newlines, so boilerplate
     // lines are PLANTED deterministically — a "subscribe" footer on every

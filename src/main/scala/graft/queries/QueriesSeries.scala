@@ -277,6 +277,30 @@ private[graft] object QueriesSeries {
       Recommender.recommend(model, 5)
         .select(col("user"), posexplode(col("recommendations.item")).as(Seq("rank", "item")))
     },
+    // deterministic rank-2 ALS replay twin of q_als_recs
+    // (operators.AlsReplay): md5-seeded item init, three closed-form 2x2
+    // ridge half-solves over exact BIGINT normal equations (centi-unit
+    // factors, ONE replayed double division each), capped ratings both
+    // ways (20 items/user, 1000 users/item), then recommendForAllUsers
+    // as a BIGINT-dot cross join vs the 100-item factor table — the
+    // MLlib fit stays the engine-RNG perf path, this one hash-oracles
+    "q_als_det" -> { (s, d) =>
+      val ev = Tables(s, d).events
+        .select(col("user_id"),
+          from_json(col("props"), lit("k INT")).getField("k").cast("long")
+            .as("item_id"),
+          col("event_type"))
+        .filter(col("item_id").isNotNull)
+      val ratings = ev
+        .select(col("user_id"), col("item_id"),
+          when(col("event_type") === "purchase", 5L)
+            .when(col("event_type") === "click", 3L).otherwise(1L).as("w"))
+        .groupBy(col("user_id"), col("item_id"))
+        .agg(sum(col("w")).as("r"))
+      val (us, it) = graft.operators.AlsReplay.factors(
+        graft.operators.AlsReplay.capRatings(ratings))
+      graft.operators.AlsReplay.recommend(us, it, 3)
+    },
     // token-bucket admission per user (operators.RateLimit): event-time
     // refill in exact micro-tokens (capacity 1, ~1 token/hour — within-
     // session bursts get DENIED, the behavior the decision log audits),

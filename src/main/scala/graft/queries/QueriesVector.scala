@@ -481,5 +481,58 @@ private[graft] object QueriesVector {
         .select((-col("vec_id")).as("vec_id"), col("embedding"))
       Similarity.simhashNearDupPairs(emb.unionByName(planted))
     },
+    // embedding-space decontamination — the PARAPHRASE gap in the lexical
+    // battery (operators.Decontaminate is shingle/Bloom/PPR-based; a
+    // reworded benchmark item shares no shingles with its source but
+    // stays adjacent in embedding space). Benchmark set = every 97th
+    // corpus vector paraphrased (+0.0002/dim in the double domain keeps
+    // cosine ≈ 1 with ZERO shingle overlap), keyed -vec_id-1; the
+    // q_simhash_embed_neardup recipe (md5-Rademacher buckets, hot-bucket
+    // cap, exact cos ≥ ½) pairs it against the corpus; a cross-side pair
+    // IS contamination. Output: per flagged corpus doc, hit count + max
+    // floor-6 cosine.
+    "q_semantic_decontaminate" -> { (s, d) =>
+      semanticDecontPairs(s, d)
+        .groupBy(col("corpus_id"))
+        .agg(count(lit(1)).as("n_bench_hits"), max(col("cos6")).as("cos6_max"))
+        .join(Tables(s, d).embeddings
+          .select(col("vec_id").as("corpus_id"), col("label")), Seq("corpus_id"))
+        .select(col("corpus_id"), col("label"),
+          col("n_bench_hits"), col("cos6_max"))
+    },
+    // corpus-level rollout of the same flags: per-label contaminated
+    // fraction in exact ppm — the release-gate number a curation run
+    // publishes next to the lexical q_contamination_fraction
+    "q_semantic_decont_fraction" -> { (s, d) =>
+      val corpus = Tables(s, d).embeddings
+        .filter(col("embedding").isNotNull && size(col("embedding")) >= 64)
+        .select(col("vec_id"), col("label"))
+      val flagged = semanticDecontPairs(s, d).select(col("corpus_id")).distinct()
+      corpus.join(flagged, corpus("vec_id") === flagged("corpus_id"), "left")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_corpus"),
+          sum(when(col("corpus_id").isNotNull, 1L).otherwise(0L)).as("n_flagged"))
+        .select(col("label"), col("n_corpus"), col("n_flagged"),
+          expr("n_flagged * 1000000 DIV n_corpus").as("frac_e6"))
+    },
   )
+
+  /** Cross-side (benchmark → corpus) SimHash-verified cosine pairs for the
+    * semantic-decontamination pair: corpus ∪ paraphrased benchmark through
+    * Similarity.simhashNearDupPairs; bench ids are negative, so a cross
+    * pair is always (id1 = bench, id2 = corpus) under the id1 < id2 output
+    * order. Non-negative vec_id makes `%` engine-safe.
+    */
+  private def semanticDecontPairs(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables(s, d).embeddings
+    val corpus = emb.select(col("vec_id"),
+      col("embedding").cast("array<double>").as("embedding"))
+    val bench = emb.filter(col("vec_id") % 97 === 0)
+      .select((-col("vec_id") - 1L).as("vec_id"),
+        transform(col("embedding").cast("array<double>"),
+          x => x + lit(0.0002d)).as("embedding"))
+    Similarity.simhashNearDupPairs(corpus.unionByName(bench))
+      .filter(col("id1") < 0L && col("id2") >= 0L)
+      .select(col("id2").as("corpus_id"), col("id1").as("bench_id"), col("cos6"))
+  }
 }

@@ -30,7 +30,7 @@ object GenScaledData {
   def main(args: Array[String]): Unit = {
     val Array(srcDir, outDir, copiesStr) = args
     val copies = copiesStr.toInt
-    require(copies >= 2 && copies <= 20, s"copies=$copies out of range")
+    require(copies >= 2 && copies <= 30, s"copies=$copies out of range")
     val spark = graft.GraftSession.local(32, shufflePartitions = 32)
     // raw reads (GraftSession sets nanosAsLong, so events.ts stays a LONG
     // of nanos and round-trips as int64 — Tables' nanos branch then

@@ -485,6 +485,30 @@ class PlanSpec extends AnyFunSuite {
       s"the per-user coalition aggregate must not appear twice in the final plan:\n${p.take(2500)}")
   }
 
+  test("merge apply: ONE full-outer join on the key, no cartesian, bounded exchanges") {
+    val p = plan("q_merge_apply")
+    assert("FullOuter".r.findAllIn(p).size == 1,
+      s"exactly one full-outer join classifies every key:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"last-writer window + join co-partitioning only:\n${p.take(2500)}")
+  }
+
+  test("als det: factor sides broadcast (items are tiny); rec join is broadcast-NLJ not cartesian") {
+    val p = plan("q_als_det")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"recommendForAllUsers must broadcast the 100-item factor table:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct"), p.take(2500))
+  }
+
+  test("semantic decontamination: sign table broadcast, pair stage bucket-equi (no cartesian)") {
+    val p = plan("q_semantic_decontaminate")
+    assert(p.contains("BroadcastExchange"),
+      s"the nPlanes·d sign table must broadcast:\n${p.take(2500)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pairs join on the bucket id:\n${p.take(2500)}")
+  }
+
   test("link prediction: cap pre-pushed below its exchange, pair aggregate map-side combined") {
     val p = plan("q_link_prediction")
     assert(p.contains("WindowGroupLimit"),
