@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.oracles.{OracleEntriesA, OracleEntriesB, OracleEntriesC, OracleEntriesD, OracleEntriesE, OracleEntriesF}
+import graft.oracles.{OracleEntriesA, OracleEntriesB, OracleEntriesC, OracleEntriesD, OracleEntriesE, OracleEntriesF, OracleEntriesG}
 import graft.queries.{QueriesCore, QueriesDedup, QueriesMultimodal, QueriesRelational, QueriesSeries, QueriesText, QueriesVector}
 import graft.queries.QueryHelpers.sessionFeatures
 
@@ -39,5 +39,6 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     OracleEntriesA.entries ++ OracleEntriesB.entries ++
     OracleEntriesC.entries ++ OracleEntriesD.entries ++
-    OracleEntriesE.entries ++ OracleEntriesF.entries
+    OracleEntriesE.entries ++ OracleEntriesF.entries ++
+    OracleEntriesG.entries
 }

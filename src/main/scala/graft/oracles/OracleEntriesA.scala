@@ -3,6 +3,7 @@ package graft.oracles
 import graft.functions.Money
 import graft.oracles.SharedCtes._
 import graft.oracles.StatsOracles._
+import graft.oracles.SeriesOracles._
 import graft.oracles.SketchOracles._
 import graft.oracles.VectorOracles._
 import graft.oracles.TextOracles._
