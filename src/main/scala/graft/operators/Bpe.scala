@@ -133,9 +133,18 @@ object Bpe {
   private object LineageWarnFilter
       extends org.apache.logging.log4j.core.filter.AbstractFilter {
     val installed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    // scope: deny ONLY while the CALLING thread is inside graft's own
+    // releaseCheckpoint (RDD.unpersist logs the warning synchronously on
+    // the caller thread, and logger-config filters run on that thread
+    // before the event reaches any appender). Another thread's unpersist
+    // of a still-needed localCheckpoint keeps its warning — the filter is
+    // permanent in the config, its EFFECT is per-release-call.
+    val releasing: ThreadLocal[java.lang.Boolean] =
+      ThreadLocal.withInitial(() => java.lang.Boolean.FALSE)
     override def filter(e: org.apache.logging.log4j.core.LogEvent)
         : org.apache.logging.log4j.core.Filter.Result =
-      if (e.getLoggerName != null
+      if (releasing.get()
+          && e.getLoggerName != null
           && e.getLoggerName.startsWith("org.apache.spark.rdd.")
           && e.getMessage.getFormattedMessage
             .contains("was locally checkpointed, its lineage has been"))
@@ -157,7 +166,9 @@ object Bpe {
     df.queryExecution.analyzed.foreach {
       case r: org.apache.spark.sql.execution.LogicalRDD =>
         ensureLineageWarnFilter(r.rdd.getClass.getName)
-        r.rdd.unpersist(blocking = false)
+        LineageWarnFilter.releasing.set(java.lang.Boolean.TRUE)
+        try r.rdd.unpersist(blocking = false)
+        finally LineageWarnFilter.releasing.set(java.lang.Boolean.FALSE)
       case _ => ()
     }
 

@@ -33,8 +33,11 @@ object BucketedJoin {
     * would let a concurrent graft session clobber the files this session
     * is about to lazily read.
     */
+  private def mySuffix(spark: SparkSession): String =
+    "_" + spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+
   private def tbl(spark: SparkSession, base: String): String =
-    base + "_" + spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    base + mySuffix(spark)
 
   /** GC: per-session names never self-overwrite, so dead sessions'
     * graft_bkt_* directories would otherwise accumulate in the shared
@@ -46,7 +49,7 @@ object BucketedJoin {
     * session is still lazily reading).
     */
   private def ensureHeartbeat(spark: SparkSession): Unit = {
-    val mine = "_" + spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val mine = mySuffix(spark)
     Heartbeat.register("graft_bkt" + mine) { () =>
       val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
       val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -63,7 +66,7 @@ object BucketedJoin {
     val wh = new org.apache.hadoop.fs.Path(spark.conf.get("spark.sql.warehouse.dir"))
     val fs = wh.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(wh)) return
-    val mine = "_" + spark.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "_")
+    val mine = mySuffix(spark)
     val cutoff = System.currentTimeMillis - 6L * 3600 * 1000
     fs.listStatus(wh).foreach { st =>
       val n = st.getPath.getName

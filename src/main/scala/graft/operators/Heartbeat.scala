@@ -21,18 +21,20 @@ object Heartbeat {
         val t = new Thread(r, "graft-layout-heartbeat"); t.setDaemon(true); t
       })
 
-  /** Run `touch` now and then every 30 min until JVM exit; idempotent per
-    * `key` (re-registration only re-touches). `touch` failures are
-    * swallowed — a heartbeat must never take down the owning query.
+  /** On FIRST registration of `key`: run `touch` once now, then every
+    * 30 min until JVM exit. Re-registration is a no-op — callers sit on
+    * the query path, and a freshly (re)written artifact has a fresh mtime
+    * anyway, so only the scheduled refresher is needed after the first
+    * call. `touch` failures are swallowed — a heartbeat must never take
+    * down the owning query.
     */
-  def register(key: String)(touch: () => Unit): Unit = {
-    try touch()
-    catch { case _: Throwable => () }
+  def register(key: String)(touch: () => Unit): Unit =
     if (keys.add(key)) {
+      try touch()
+      catch { case _: Throwable => () }
       sched.scheduleAtFixedRate(
         () => try touch() catch { case _: Throwable => () },
         30, 30, java.util.concurrent.TimeUnit.MINUTES)
       ()
     }
-  }
 }

@@ -57,13 +57,20 @@ object MergeApply {
       .join(latest(changes, keyCol, seqCol, opCol, valueCol),
         Seq(keyCol), "full_outer")
       .select(col(keyCol),
+        // null-safe value compare (<=>): an upsert legally carrying a NULL
+        // value must classify as update-to-NULL, not fall through ==='s
+        // three-valued logic into a misreported class
         when(col("_op").isNull, "keep")
           .when(col("_op") === "D", "delete")
           .when(col("_old").isNull, "insert")
-          .when(col("_old") === col("_new"), "noop")
+          .when(col("_old") <=> col("_new"), "noop")
           .otherwise("update").as("action"),
+        // the POST-merge hash: md5(_new) whenever a change row won (NULL
+        // value ⇒ NULL hash — the snapshot really holds NULL), md5(_old)
+        // only for untouched keys
         when(col("_op") === "D", lit(null).cast("string"))
-          .otherwise(md5(coalesce(col("_new"), col("_old")))).as("text_md5"))
+          .when(col("_op").isNull, md5(col("_old")))
+          .otherwise(md5(col("_new"))).as("text_md5"))
 
   /** The refreshed snapshot itself: `keyCol` + `valueCol`, deletes
     * dropped, last-writer value for upserted keys, base value otherwise.
@@ -80,5 +87,8 @@ object MergeApply {
       .join(latest(changes, keyCol, seqCol, opCol, valueCol),
         Seq(keyCol), "full_outer")
       .filter(col("_op").isNull || col("_op") =!= "D")
-      .select(col(keyCol), coalesce(col("_new"), col("_old")).as(valueCol))
+      // a winning change row's value applies AS IS — coalesce would
+      // silently resurrect the old value on a legal update-to-NULL
+      .select(col(keyCol),
+        when(col("_op").isNull, col("_old")).otherwise(col("_new")).as(valueCol))
 }

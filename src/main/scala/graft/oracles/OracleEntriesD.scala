@@ -379,10 +379,11 @@ private[graft] object OracleEntriesD {
         |       CASE WHEN _op IS NULL THEN 'keep'
         |            WHEN _op = 'D' THEN 'delete'
         |            WHEN _old IS NULL THEN 'insert'
-        |            WHEN _old = _new THEN 'noop'
+        |            WHEN _old IS NOT DISTINCT FROM _new THEN 'noop'
         |            ELSE 'update' END AS action,
         |       CASE WHEN _op = 'D' THEN CAST(NULL AS VARCHAR)
-        |            ELSE md5(coalesce(_new, _old)) END AS text_md5
+        |            WHEN _op IS NULL THEN md5(_old)
+        |            ELSE md5(_new) END AS text_md5
         |FROM j""".stripMargin,
     "q_zipf_by_source" ->
       s"""WITH toks AS (SELECT source, unnest($TokensSql) AS w FROM documents),

@@ -55,14 +55,26 @@ private[graft] object VectorOracles {
        |  SELECT -vec_id AS vec_id, embedding FROM embeddings
        |  WHERE vec_id BETWEEN 1 AND 3),
        |allv AS (
-       |  SELECT vec_id, embedding FROM embeddings
-       |  UNION ALL SELECT vec_id, embedding FROM pl),
-       |q AS MATERIALIZED (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |  UNION ALL SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM pl),
+       |${bucketVerifyCtes(sgCte)}
+       |SELECT id1, id2, cos6 FROM pairs""".stripMargin
+
+  /** The shared bucket/verify replay body (ONE spelling for every
+    * signature-bucketed near-dup oracle — `embedNearDupOracle` and the
+    * semantic-decontamination chain both end here, so a cap/threshold
+    * tuning cannot silently fork): expects an `allv(vec_id, emb DOUBLE[])`
+    * CTE above it; quantize → project against `sg(b, j, s)` → pack sign
+    * bits → cap hot buckets → bucket-equi pairs → exact cos ≥ ½ →
+    * `pairs(id1, id2, cos6)`.
+    */
+  private def bucketVerifyCtes(sgCte: String): String =
+    s"""q AS MATERIALIZED (
        |  SELECT vec_id,
-       |         list_transform(list_slice(CAST(embedding AS DOUBLE[]), 1, 64),
+       |         list_transform(list_slice(emb, 1, 64),
        |                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS xq
        |  FROM allv
-       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+       |  WHERE emb IS NOT NULL AND len(emb) >= 64),
        |$sgCte,
        |pj AS MATERIALIZED (
        |  SELECT q.vec_id, sg.b, CAST(sum(sg.s * q.xq[sg.j]) AS BIGINT) AS proj
@@ -89,11 +101,12 @@ private[graft] object VectorOracles {
        |fl AS (
        |  SELECT id1, id2, d, na, nb FROM pr
        |  WHERE d > 0 AND 4.0 * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
-       |        >= CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
-       |SELECT id1, id2,
-       |       max(floor(CAST(d AS DOUBLE) / sqrt(CAST(na AS DOUBLE))
-       |           / sqrt(CAST(nb AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS cos6
-       |FROM fl GROUP BY id1, id2""".stripMargin
+       |        >= CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)),
+       |pairs AS (
+       |  SELECT id1, id2,
+       |         max(floor(CAST(d AS DOUBLE) / sqrt(CAST(na AS DOUBLE))
+       |             / sqrt(CAST(nb AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS cos6
+       |  FROM fl GROUP BY id1, id2)""".stripMargin
 
   /** Shared CTE chain for the semantic-decontamination pair replay:
     * corpus ∪ paraphrased benchmark (+0.0002/dim in the double domain —
@@ -103,57 +116,16 @@ private[graft] object VectorOracles {
     * `cn(corpus_id, bench_id, cos6)` = the cross-side survivors.
     */
   private[graft] lazy val SemanticDecontCtes: String =
-    """WITH allv AS (
-      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-      |  UNION ALL
-      |  SELECT -vec_id - 1 AS vec_id,
-      |         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.0002) AS emb
-      |  FROM embeddings WHERE vec_id % 97 = 0),
-      |q AS MATERIALIZED (
-      |  SELECT vec_id,
-      |         list_transform(list_slice(emb, 1, 64),
-      |                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS xq
-      |  FROM allv WHERE emb IS NOT NULL AND len(emb) >= 64),
-      |sg AS MATERIALIZED (
-      |  SELECT b.b, j.j,
-      |         CASE WHEN strpos('0123456789abcdef',
-      |                          substr(md5(b.b || ':' || j.j), 1, 1)) % 2 = 1
-      |              THEN 1 ELSE -1 END AS s
-      |  FROM range(0, 8) b(b), range(1, 65) j(j)),
-      |pj AS MATERIALIZED (
-      |  SELECT q.vec_id, sg.b, CAST(sum(sg.s * q.xq[sg.j]) AS BIGINT) AS proj
-      |  FROM q, sg GROUP BY q.vec_id, sg.b),
-      |bk AS MATERIALIZED (
-      |  SELECT vec_id,
-      |         CAST(sum(CASE WHEN proj >= 0 THEN (CAST(1 AS BIGINT) << b)
-      |                       ELSE 0 END) AS BIGINT) AS bucket
-      |  FROM pj GROUP BY vec_id),
-      |bc AS (SELECT bucket, count(*) AS c FROM bk GROUP BY bucket),
-      |bb AS MATERIALIZED (
-      |  SELECT bk.vec_id, bk.bucket, q.xq
-      |  FROM bk JOIN q USING (vec_id) JOIN bc USING (bucket)
-      |  WHERE bc.c <= 10000),
-      |pr AS (
-      |  SELECT l.vec_id AS id1, r.vec_id AS id2,
-      |         CAST(list_sum(list_transform(range(1, 65),
-      |              i -> l.xq[i] * r.xq[i])) AS BIGINT) AS d,
-      |         CAST(list_sum(list_transform(range(1, 65),
-      |              i -> l.xq[i] * l.xq[i])) AS BIGINT) AS na,
-      |         CAST(list_sum(list_transform(range(1, 65),
-      |              i -> r.xq[i] * r.xq[i])) AS BIGINT) AS nb
-      |  FROM bb l JOIN bb r ON l.bucket = r.bucket AND l.vec_id < r.vec_id),
-      |fl AS (
-      |  SELECT id1, id2, d, na, nb FROM pr
-      |  WHERE d > 0 AND 4.0 * (CAST(d AS DOUBLE) * CAST(d AS DOUBLE))
-      |        >= CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)),
-      |pairs AS (
-      |  SELECT id1, id2,
-      |         max(floor(CAST(d AS DOUBLE) / sqrt(CAST(na AS DOUBLE))
-      |             / sqrt(CAST(nb AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0) AS cos6
-      |  FROM fl GROUP BY id1, id2),
-      |cn AS (
-      |  SELECT id2 AS corpus_id, id1 AS bench_id, cos6 FROM pairs
-      |  WHERE id1 < 0 AND id2 >= 0)""".stripMargin
+    s"""WITH allv AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+       |  UNION ALL
+       |  SELECT -vec_id - 1 AS vec_id,
+       |         list_transform(CAST(embedding AS DOUBLE[]), x -> x + 0.0002) AS emb
+       |  FROM embeddings WHERE vec_id % 97 = 0),
+       |${bucketVerifyCtes(MdSignsCte)},
+       |cn AS (
+       |  SELECT id2 AS corpus_id, id1 AS bench_id, cos6 FROM pairs
+       |  WHERE id1 < 0 AND id2 >= 0)""".stripMargin
 
   private[graft] lazy val SemanticDecontOracleSql: String =
     s"""$SemanticDecontCtes,
@@ -178,13 +150,21 @@ private[graft] object VectorOracles {
        |FROM corpus c LEFT JOIN fg ON fg.corpus_id = c.vec_id
        |GROUP BY c.label""".stripMargin
 
-  private[graft] lazy val SimhashEmbedOracleSql: String = embedNearDupOracle(
+  /** md5-parity Rademacher sign table (DuckDB digit value =
+    * strpos('0123456789abcdef', hex) − 1 ⟺ Spark conv(hex,16,10)) — the
+    * one spelling shared by q_simhash_embed_neardup and the
+    * semantic-decontamination chain.
+    */
+  private val MdSignsCte: String =
     """sg AS MATERIALIZED (
       |  SELECT b.b, j.j,
       |         CASE WHEN strpos('0123456789abcdef',
       |                          substr(md5(b.b || ':' || j.j), 1, 1)) % 2 = 1
       |              THEN 1 ELSE -1 END AS s
-      |  FROM range(0, 8) b(b), range(1, 65) j(j))""".stripMargin)
+      |  FROM range(0, 8) b(b), range(1, 65) j(j))""".stripMargin
+
+  private[graft] lazy val SimhashEmbedOracleSql: String =
+    embedNearDupOracle(MdSignsCte)
 
   /** q_cosine_neardup's replay: the SAME seeded Gaussian hyperplanes the
     * Spark plan uses, embedded as 512 integer-micro literals (they are

@@ -10,6 +10,17 @@ class AlsReplaySpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
+  // AlsReplay.factors eagerly localCheckpoints capped/it0/us1/it2 at
+  // query-construction time — release after every test so the blocks
+  // can't pin memory or leak into other suites' plans (the
+  // PlanHygieneSpec lesson, per CLAUDE.md)
+  override def withFixture(test: NoArgTest) =
+    try super.withFixture(test)
+    finally {
+      spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
+    }
+
   test("halfSolve matches the closed-form 2x2 ridge solve by hand") {
     // items A=(1.0, 0), B=(0, 1.0) in centi; user rates A:2, B:4
     // x = (Y'Y + 0.1 I)^-1 Y'r = (2/1.1, 4/1.1) = (1.818.., 3.636..)
