@@ -89,6 +89,76 @@ object AlsReplay {
       solved(col("a") * col("d2") - col("b") * col("d1")).as("f2"))
   }
 
+  /** One IMPLICIT-feedback half-solve (Hu–Koren 2008 — the reference
+    * recommender's actual formulation, `ml/Recommender.scala` trains
+    * MLlib with implicitPrefs=true): preference p = 1 on observed pairs,
+    * confidence c = 1 + α·r, and the per-key system is
+    *
+    *   x = (YᵀY + Yᵀ(C−I)Y + λI)⁻¹ Yᵀ C p
+    *
+    * where YᵀY is the GLOBAL 2×2 Gram over the fixed side (one broadcast
+    * scalar row — the trick that makes implicit ALS tractable: the
+    * all-items sum never depends on the user) and the correction/RHS sums
+    * run over observed pairs only.
+    *
+    * Exactness: Gram + correction + RHS sums are exact BIGINT aggregates;
+    * the 2×2 solve itself runs in DOUBLE (α·r·f² products against a
+    * growing global Gram overflow Long at scale, and a product of two
+    * exact integers is ONE correctly-rounded IEEE op — deterministic and
+    * identical cross-engine, unlike a float SUM). The oracle spells the
+    * identical cast/multiply/divide chain.
+    */
+  def halfSolveImplicit(
+      ratings: DataFrame,
+      fixed: DataFrame,
+      fixedKey: String,
+      solveKey: String,
+      alpha: Long = 40L
+  ): DataFrame = {
+    val gram = fixed.agg(
+      sum(col("f1") * col("f1")).as("g11"),
+      sum(col("f1") * col("f2")).as("g12"),
+      sum(col("f2") * col("f2")).as("g22"))
+    val j = ratings.join(fixed, Seq(fixedKey))
+    val ag = j.groupBy(col(solveKey))
+      .agg(
+        sum(lit(alpha) * col("r") * col("f1") * col("f1")).as("ca"),
+        sum(lit(alpha) * col("r") * col("f1") * col("f2")).as("cb"),
+        sum(lit(alpha) * col("r") * col("f2") * col("f2")).as("cc"),
+        sum((lit(1L) + lit(alpha) * col("r")) * col("f1")).as("d1"),
+        sum((lit(1L) + lit(alpha) * col("r")) * col("f2")).as("d2"))
+      .crossJoin(broadcast(gram))
+      .select(col(solveKey),
+        (col("g11") + col("ca") + lit(LambdaDiag)).as("a"),
+        (col("g12") + col("cb")).as("b"),
+        (col("g22") + col("cc") + lit(LambdaDiag)).as("c"),
+        col("d1"), col("d2"))
+    val aD = col("a").cast("double"); val bD = col("b").cast("double")
+    val cD = col("c").cast("double")
+    val d1D = col("d1").cast("double"); val d2D = col("d2").cast("double")
+    val det = aD * cD - bD * bD
+    def solved(num: Column): Column =
+      clamp(floor(num / det * lit(10000.0d) + lit(0.5d)).cast("long"))
+    ag.select(col(solveKey),
+      solved(cD * d1D - bD * d2D).as("f1"),
+      solved(aD * d2D - bD * d1D).as("f2"))
+  }
+
+  /** Implicit-feedback replay: same md5 init / round shape / caps as
+    * [[factors]], with the Hu–Koren half-solve. Returns (users, items).
+    */
+  def factorsImplicit(ratings: DataFrame, alpha: Long = 40L): (DataFrame, DataFrame) = {
+    val capped = ratings.localCheckpoint(true)
+    val it0 = initItemFactors(capped.select(col("item_id")).distinct())
+      .localCheckpoint(true)
+    val us1 = halfSolveImplicit(capped, it0, "item_id", "user_id", alpha)
+      .localCheckpoint(true)
+    val it2 = halfSolveImplicit(capped, us1, "user_id", "item_id", alpha)
+      .localCheckpoint(true)
+    val us3 = halfSolveImplicit(capped, it2, "item_id", "user_id", alpha)
+    (us3, it2)
+  }
+
   /** Full replay: init items → solve users → solve items → solve users,
     * each round pinned by eager localCheckpoint. Returns (users, items).
     */

@@ -427,6 +427,7 @@ private[graft] object OracleEntriesC {
     "q_semantic_decontaminate" -> SemanticDecontOracleSql,
     "q_semantic_decont_fraction" -> SemanticDecontFractionOracleSql,
     "q_als_det" -> AlsOracles.AlsDetOracleSql,
+    "q_als_implicit" -> AlsOracles.AlsImplicitOracleSql,
     "q_cosine_neardup" -> CosineNearDupOracleSql,
     "q_knn_lsh" -> KnnLshOracleSql,
     "q_bootstrap_ci" -> BootstrapOracleSql,

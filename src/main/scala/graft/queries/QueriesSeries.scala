@@ -285,20 +285,18 @@ private[graft] object QueriesSeries {
     // as a BIGINT-dot cross join vs the 100-item factor table — the
     // MLlib fit stays the engine-RNG perf path, this one hash-oracles
     "q_als_det" -> { (s, d) =>
-      val ev = Tables(s, d).events
-        .select(col("user_id"),
-          from_json(col("props"), lit("k INT")).getField("k").cast("long")
-            .as("item_id"),
-          col("event_type"))
-        .filter(col("item_id").isNotNull)
-      val ratings = ev
-        .select(col("user_id"), col("item_id"),
-          when(col("event_type") === "purchase", 5L)
-            .when(col("event_type") === "click", 3L).otherwise(1L).as("w"))
-        .groupBy(col("user_id"), col("item_id"))
-        .agg(sum(col("w")).as("r"))
-      val (us, it) = graft.operators.AlsReplay.factors(
-        graft.operators.AlsReplay.capRatings(ratings))
+      val (us, it) = graft.operators.AlsReplay.factors(alsCappedRatings(s, d))
+      graft.operators.AlsReplay.recommend(us, it, 3)
+    },
+    // implicit-feedback twin of q_als_det — the Hu-Koren formulation the
+    // reference recommender actually trains (confidence c = 1 + 40r,
+    // p = 1 on observed pairs; global item/user Gram broadcast as ONE
+    // scalar row): BIGINT-exact Gram/correction/RHS sums, the 2x2 solve
+    // in identically-spelled double products (integer products overflow
+    // Long once the global Gram grows with entity count; one rounded
+    // IEEE product is deterministic cross-engine, unlike a float sum)
+    "q_als_implicit" -> { (s, d) =>
+      val (us, it) = graft.operators.AlsReplay.factorsImplicit(alsCappedRatings(s, d))
       graft.operators.AlsReplay.recommend(us, it, 3)
     },
     // token-bucket admission per user (operators.RateLimit): event-time
@@ -315,4 +313,25 @@ private[graft] object QueriesSeries {
         .toDF()
     },
   )
+
+  /** Shared ratings base of the two deterministic ALS twins: weighted
+    * event counts per (user, item) from the props item key, capped
+    * 20 items/user and 1000 users/item — ONE spelling so q_als_det and
+    * q_als_implicit describe the same interaction table.
+    */
+  private def alsCappedRatings(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables(s, d).events
+      .select(col("user_id"),
+        from_json(col("props"), lit("k INT")).getField("k").cast("long")
+          .as("item_id"),
+        col("event_type"))
+      .filter(col("item_id").isNotNull)
+    val ratings = ev
+      .select(col("user_id"), col("item_id"),
+        when(col("event_type") === "purchase", 5L)
+          .when(col("event_type") === "click", 3L).otherwise(1L).as("w"))
+      .groupBy(col("user_id"), col("item_id"))
+      .agg(sum(col("w")).as("r"))
+    graft.operators.AlsReplay.capRatings(ratings)
+  }
 }

@@ -31,6 +31,25 @@ class AlsReplaySpec extends AnyFunSuite {
     assert(u == ((7L, 182L, 364L)))
   }
 
+  test("implicit halfSolve matches the hand-computed Hu-Koren system") {
+    // items A=(1.0,0), B=(0,1.0) centi; user rates A:2, B:4; alpha=40,
+    // lambda=0.1. True units: a = 1 + 40*2 + 0.1 = 81.1, d1 = (1+80)*1 = 81
+    // -> x1 = 81/81.1 = 0.99877 -> 100 centi; x2 = 161/161.1 -> 100.
+    val ratings = Seq((7L, 1L, 2L), (7L, 2L, 4L)).toDF("user_id", "item_id", "r")
+    val items = Seq((1L, 100L, 0L), (2L, 0L, 100L)).toDF("item_id", "f1", "f2")
+    val Array(u) = AlsReplay.halfSolveImplicit(ratings, items, "item_id", "user_id")
+      .as[(Long, Long, Long)].collect()
+    assert(u == ((7L, 100L, 100L)))
+  }
+
+  test("q_als_implicit on the fixture: 3 recs per user, ranks 1..3, bounded scores") {
+    val df = SparkEntry.queries("q_als_implicit")(spark, TestSpark.Sf0001)
+    val rows = df.select($"user_id", $"rank", $"score").as[(Long, Int, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.groupBy(_._1).values.forall(rs => rs.map(_._2).sorted.toSeq == Seq(1, 2, 3)))
+    assert(rows.forall(r => math.abs(r._3) <= 320000L))
+  }
+
   test("solve clamps to +-400 centi") {
     // one item with tiny factor, huge rating -> unclamped solve explodes
     val ratings = Seq((7L, 1L, 400L)).toDF("user_id", "item_id", "r")
