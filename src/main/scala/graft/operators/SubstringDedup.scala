@@ -81,8 +81,20 @@ object SubstringDedup {
       .filter(col("nd") >= minDocs)
       .select(col("h"))
     val dw = wh.join(dup, Seq("h"), "left_semi")
-    // gaps-and-islands over the duplicated windows only: a window starts a
-    // new span when it neither overlaps nor touches the running max end
+    mergeWindows(dw.select(col(idCol), col("pos")), w, idCol)
+  }
+
+  /** Gaps-and-islands merge of matched `(idCol, pos)` windows into maximal
+    * spans: a window starts a new span when it neither overlaps nor
+    * touches the running max end. Shared by [[duplicatedSpans]] and
+    * [[Memorization]] — one spelling of the span semantics. Returns
+    * (idCol, span_start, span_end, n_windows), token bounds inclusive.
+    */
+  private[operators] def mergeWindows(
+      dw: DataFrame,
+      w: Int,
+      idCol: String
+  ): DataFrame = {
     val before = Window.partitionBy(col(idCol)).orderBy(col("pos"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val upTo = Window.partitionBy(col(idCol)).orderBy(col("pos"))

@@ -734,5 +734,58 @@ private[graft] object OracleEntriesG {
         |SELECT CAST(bucket AS BIGINT) AS bucket, n_rows, min_key, max_key,
         |       CAST(floor(CAST(n_rows AS DOUBLE) * 1000000.0 / tot.t) AS BIGINT) AS share_e6
         |FROM per CROSS JOIN tot""".stripMargin,
+    // memorization audit replay: candidate classes built from token
+    // LISTS (the Spark side space-joins the same slices, and
+    // re-tokenization of a space-joined token list is identity), the
+    // SubstrSpansSql window/islands spelling keyed by cand_id, corpus
+    // windows distinct-hashed, LEFT join so clean candidates report zeros
+    "q_memorization" ->
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |cand AS (
+         |  SELECT doc_id + 3000000 AS cand_id, toks FROM t WHERE doc_id % 20 = 3
+         |  UNION ALL
+         |  SELECT doc_id + 4000000 AS cand_id,
+         |         list_concat(toks[1:(len(toks)+1)//2],
+         |                     ['zqnovelx','zqnovely','zqnovelz']) AS toks
+         |  FROM t WHERE doc_id % 20 = 7
+         |  UNION ALL
+         |  SELECT doc_id + 5000000 AS cand_id, list_reverse(toks) AS toks
+         |  FROM t WHERE doc_id % 20 = 11),
+         |corp AS MATERIALIZED (
+         |  SELECT DISTINCT md5(array_to_string(toks[(pos+1):(pos+8)], ' ')) AS h
+         |  FROM (SELECT toks, unnest(generate_series(0, len(toks)-8)) AS pos
+         |        FROM t WHERE len(toks) >= 8)),
+         |cw AS (
+         |  SELECT cand_id, pos, md5(array_to_string(toks[(pos+1):(pos+8)], ' ')) AS h
+         |  FROM (SELECT cand_id, toks, unnest(generate_series(0, len(toks)-8)) AS pos
+         |        FROM cand WHERE len(toks) >= 8)),
+         |hits AS (SELECT cw.cand_id, cw.pos FROM cw JOIN corp USING (h)),
+         |fl AS (
+         |  SELECT cand_id, pos,
+         |         CASE WHEN pos > coalesce(max(pos + 7) OVER (PARTITION BY cand_id ORDER BY pos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -2) + 1
+         |              THEN 1 ELSE 0 END AS ns
+         |  FROM hits),
+         |isl AS (
+         |  SELECT cand_id, pos,
+         |         sum(ns) OVER (PARTITION BY cand_id ORDER BY pos
+         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+         |  FROM fl),
+         |spans AS (
+         |  SELECT cand_id, min(pos) AS span_start, max(pos) + 7 AS span_end
+         |  FROM isl GROUP BY cand_id, g),
+         |per AS (
+         |  SELECT cand_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |         CAST(sum(span_end - span_start + 1) AS BIGINT) AS n_mem_tokens,
+         |         CAST(max(span_end - span_start + 1) AS BIGINT) AS longest_span
+         |  FROM spans GROUP BY cand_id)
+         |SELECT c.cand_id AS doc_id, CAST(len(c.toks) AS BIGINT) AS n_tokens,
+         |       coalesce(p.n_spans, 0) AS n_spans,
+         |       coalesce(p.n_mem_tokens, 0) AS n_mem_tokens,
+         |       coalesce(p.longest_span, 0) AS longest_span,
+         |       CAST(CASE WHEN len(c.toks) > 0
+         |            THEN coalesce(p.n_mem_tokens, 0) * 1000000 // len(c.toks)
+         |            ELSE 0 END AS BIGINT) AS mem_frac_e6
+         |FROM cand c LEFT JOIN per p USING (cand_id)""".stripMargin,
   )
 }

@@ -38,6 +38,34 @@ private[graft] object QueriesDedup {
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       graft.operators.IncrementalDedup.admit(batch, corpus)
     },
+    // verbatim-memorization / extraction audit (operators.Memorization,
+    // Carlini 2021): candidates planted in three classes — full corpus
+    // copies (%20==3, re-keyed +3M), half-prefix + novel trailer
+    // (%20==7, +4M — partial memorization), token-reversed (%20==11,
+    // +5M — clean). Candidate text is the space-join of token slices, so
+    // re-tokenization is identity (tokens are lowercase whitespace-free
+    // by construction) and the oracle can build the same windows from
+    // token lists directly.
+    "q_memorization" -> { (s, d) =>
+      val docs = Tables(s, d).documents.select(col("doc_id"), col("text"))
+      val t = docs.select(col("doc_id"),
+        graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+      val novelTail = array(lit("zqnovelx"), lit("zqnovely"), lit("zqnovelz"))
+      val halfLen = floor((size(col("toks")) + lit(1)).cast("double") / lit(2.0))
+        .cast("int")
+      val full = t.filter(col("doc_id") % 20 === 3)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", col("toks")).as("text"))
+      val half = t.filter(col("doc_id") % 20 === 7)
+        .select((col("doc_id") + 4000000L).as("doc_id"),
+          concat_ws(" ",
+            concat(slice(col("toks"), lit(1), halfLen), novelTail)).as("text"))
+      val novel = t.filter(col("doc_id") % 20 === 11)
+        .select((col("doc_id") + 5000000L).as("doc_id"),
+          concat_ws(" ", reverse(col("toks"))).as("text"))
+      graft.operators.Memorization.report(
+        full.unionByName(half).unionByName(novel), docs, w = 8)
+    },
     // CDC MERGE / upsert apply (operators.MergeApply): fold a
     // deterministic changelog into the documents snapshot — deletes on
     // %11, updates on %7, planted no-op updates on %17, inserts on %13
