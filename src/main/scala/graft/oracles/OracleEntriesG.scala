@@ -787,5 +787,107 @@ private[graft] object OracleEntriesG {
          |            THEN coalesce(p.n_mem_tokens, 0) * 1000000 // len(c.toks)
          |            ELSE 0 END AS BIGINT) AS mem_frac_e6
          |FROM cand c LEFT JOIN per p USING (cand_id)""".stripMargin,
+    // vocabulary-richness spectrum: exact BIGINT count-of-counts, Chao1 /
+    // Good–Turing as integer floor-division micros (non-negative operands
+    // so Spark DIV ≡ DuckDB //), zero floats anywhere
+    "q_vocab_richness" ->
+      s"""WITH w AS (SELECT source AS grp, unnest($TokensSql) AS word FROM documents),
+         |wc AS (SELECT grp, word, CAST(count(*) AS BIGINT) AS cnt
+         |       FROM w GROUP BY 1, 2),
+         |per AS (
+         |  SELECT grp, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+         |         CAST(count(*) AS BIGINT) AS d_types,
+         |         CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         |         CAST(sum(CASE WHEN cnt = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+         |  FROM wc GROUP BY grp)
+         |SELECT grp AS source, n_tokens, d_types, f1, f2,
+         |       CAST(d_types * 1000000
+         |            + f1 * (f1 - 1) * 1000000 // (2 * (f2 + 1)) AS BIGINT)
+         |         AS chao1_e6,
+         |       CAST(f1 * 1000000 // n_tokens AS BIGINT) AS gt_unseen_e6
+         |FROM per""".stripMargin,
+    // greedy facility-location coreset replay (VectorOracles generator):
+    // 8 unrolled MATERIALIZED rounds, all-integer after the cosine table
+    "q_facility_select" -> FacilitySelectOracleSql,
+    // interpolated Kneser–Ney bigram replay: D=3/4 makes every probability
+    // a ratio of exact BIGINTs (num/den per the KneserNey scaladoc); ONE
+    // double division + ln per position, floor-6 quantized BEFORE the
+    // integer per-doc sum; avg via explicit floor so negative sums agree
+    "q_kneser_ney" ->
+      s"""WITH t AS (SELECT doc_id, $TokensSql AS toks FROM documents),
+         |bp AS (
+         |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                 i -> toks[i] || ' ' || toks[i + 1])) AS b
+         |  FROM t WHERE doc_id % 5 <> 0),
+         |bi AS (SELECT b, CAST(count(*) AS BIGINT) AS cb FROM bp GROUP BY b),
+         |hd AS (SELECT split_part(b, ' ', 1) AS w1,
+         |              CAST(sum(cb) AS BIGINT) AS cw,
+         |              CAST(count(*) AS BIGINT) AS nh
+         |       FROM bi GROUP BY 1),
+         |tl AS (SELECT split_part(b, ' ', 2) AS w2,
+         |              CAST(count(*) AS BIGINT) AS nt
+         |       FROM bi GROUP BY 1),
+         |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM bi),
+         |pos AS (
+         |  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+         |                 i -> toks[i] || ' ' || toks[i + 1])) AS b
+         |  FROM t WHERE doc_id % 5 = 0),
+         |sc AS (
+         |  SELECT pos.doc_id,
+         |         CASE WHEN hd.w1 IS NOT NULL
+         |              THEN GREATEST(4 * coalesce(bi.cb, 0) - 3, 0) * tt.t
+         |                   + 3 * hd.nh * GREATEST(coalesce(tl.nt, 0), 1)
+         |              ELSE GREATEST(coalesce(tl.nt, 0), 1) END AS num,
+         |         CASE WHEN hd.w1 IS NOT NULL THEN 4 * hd.cw * tt.t
+         |              ELSE tt.t END AS den
+         |  FROM pos LEFT JOIN bi USING (b)
+         |  LEFT JOIN hd ON hd.w1 = split_part(pos.b, ' ', 1)
+         |  LEFT JOIN tl ON tl.w2 = split_part(pos.b, ' ', 2)
+         |  CROSS JOIN tt),
+         |l6 AS (
+         |  SELECT doc_id,
+         |         CAST(floor(ln(CAST(num AS DOUBLE) / CAST(den AS DOUBLE))
+         |                    * 1000000.0 + 0.5) AS BIGINT) AS l
+         |  FROM sc)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |       CAST(sum(l) AS BIGINT) AS sum_logp_e6,
+         |       CAST(floor(CAST(sum(l) AS DOUBLE) / count(*)) AS BIGINT)
+         |         AS avg_logp_e6
+         |FROM l6 GROUP BY doc_id""".stripMargin,
+    // 1-Wasserstein drift on q_drift_by_type's exact bucket chain: the
+    // per-bucket CDF gap assembled as the BIGINT |cum_g·n_rest −
+    // cum_rest·n_g|, exact integer SUM, then ONE double expression
+    // S / (n_g·n_rest) · (hi−lo) / 64 in the identical left-assoc order
+    "q_wasserstein_drift" ->
+      """WITH r AS (SELECT event_type AS g, value AS v FROM events
+        |           WHERE value IS NOT NULL),
+        |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM r),
+        |bk AS (SELECT g,
+        |         CASE WHEN hi = lo THEN 0
+        |              ELSE CAST(LEAST(GREATEST(floor((v - lo) / (hi - lo) * 64),
+        |                                       CAST(0.0 AS DOUBLE)),
+        |                              CAST(63.0 AS DOUBLE)) AS BIGINT)
+        |         END AS b
+        |       FROM r, bounds),
+        |c AS (SELECT g, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
+        |gs AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM c GROUP BY g),
+        |spine AS (SELECT gs.g, gs.n_g, t.b
+        |          FROM gs, (SELECT unnest(range(0, 64)) AS b) t),
+        |f AS (SELECT spine.g, spine.b, spine.n_g, coalesce(c.cnt, 0) AS cnt
+        |      FROM spine LEFT JOIN c ON c.g = spine.g AND c.b = spine.b),
+        |pb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS c_all FROM f GROUP BY b),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM c),
+        |e AS (SELECT f.g, f.b, f.n_g, pb.c_all, tot.n_all,
+        |        CAST(sum(f.cnt) OVER (PARTITION BY f.g ORDER BY f.b)
+        |             AS BIGINT) AS cum_g,
+        |        CAST(sum(pb.c_all) OVER (PARTITION BY f.g ORDER BY f.b)
+        |             AS BIGINT) AS cum_all
+        |      FROM f JOIN pb USING (b), tot)
+        |SELECT g AS event_type, max(n_g) AS n,
+        |  round(CAST(sum(abs(cum_g * (n_all - n_g) - (cum_all - cum_g) * n_g))
+        |             AS DOUBLE)
+        |        / CAST(max(n_g * (n_all - n_g)) AS DOUBLE)
+        |        * (hi - lo) / 64.0, 6) AS w1
+        |FROM e, bounds WHERE n_all - n_g > 0 GROUP BY g, lo, hi""".stripMargin,
   )
 }

@@ -639,4 +639,59 @@ private[graft] object VectorOracles {
        |SELECT qq.query_id, coalesce(tm.rbo_e6, 0) AS rbo_e6
        |FROM qq LEFT JOIN tm USING (query_id)""".stripMargin
   }
+
+  /** q_facility_select replay: 8 unrolled submodular-greedy rounds — the
+    * floor-6 cosine pair table (KMeansReplay quantize + kNN cosine
+    * spelling) is the ONLY float stage; best-so-far, marginal gains, the
+    * argmax (gain DESC, c tie-break), and running coverage are all exact
+    * BIGINT. MATERIALIZED per round — DuckDB would otherwise inline the
+    * round chain exponentially (the q_bradley_terry lesson).
+    */
+  private[graft] lazy val FacilitySelectOracleSql: String = {
+    val rounds = (1 to 8).map { i =>
+      s"""bst$i AS MATERIALIZED (
+         |  SELECT v, max(s) AS best FROM ps
+         |  WHERE c IN (SELECT c FROM ch${i - 1}) GROUP BY v),
+         |g$i AS MATERIALIZED (
+         |  SELECT p.c,
+         |         CAST(sum(GREATEST(p.s - coalesce(b.best, 0), 0)) AS BIGINT) AS gain
+         |  FROM ps p LEFT JOIN bst$i b USING (v)
+         |  WHERE p.c NOT IN (SELECT c FROM ch${i - 1})
+         |  GROUP BY p.c),
+         |c$i AS MATERIALIZED (SELECT c, gain FROM g$i ORDER BY gain DESC, c LIMIT 1),
+         |ch$i AS (SELECT c FROM ch${i - 1} UNION ALL SELECT c FROM c$i)""".stripMargin
+    }.mkString(",\n")
+    val union = (1 to 8).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS sel_rank, c AS vec_id, gain AS gain_e6 FROM c$i")
+      .mkString("\n  UNION ALL ")
+    s"""WITH qn AS (
+       |  SELECT vec_id,
+       |         list_transform((CAST(embedding AS DOUBLE[]))[1:64],
+       |                        x -> CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)) AS xq
+       |  FROM embeddings
+       |  WHERE embedding IS NOT NULL AND len(embedding) >= 64),
+       |qq AS (SELECT vec_id, xq,
+       |         CAST(list_sum(list_transform(xq, x -> x * x)) AS BIGINT) AS nrm
+       |       FROM qn),
+       |cand AS (SELECT vec_id AS c, xq AS cx, nrm AS cn
+       |         FROM qq WHERE vec_id % 16 = 0 AND vec_id < 2048),
+       |ps AS MATERIALIZED (
+       |  SELECT v, c, s FROM (
+       |    SELECT g.vec_id AS v, cand.c,
+       |           CAST(floor(CAST(list_sum(list_transform(range(1, 65),
+       |                              i -> g.xq[i] * cand.cx[i])) AS DOUBLE)
+       |                      / sqrt(CAST(g.nrm AS DOUBLE))
+       |                      / sqrt(CAST(cand.cn AS DOUBLE))
+       |                      * 1000000.0 + 0.5) AS BIGINT) AS s
+       |    FROM qq g CROSS JOIN cand
+       |    WHERE g.nrm > 0 AND cand.cn > 0)
+       |  WHERE s > 0),
+       |ch0 AS (SELECT CAST(NULL AS BIGINT) AS c WHERE FALSE),
+       |$rounds,
+       |u AS (
+       |  $union)
+       |SELECT sel_rank, vec_id, gain_e6,
+       |       CAST(sum(gain_e6) OVER (ORDER BY sel_rank) AS BIGINT) AS coverage_e6
+       |FROM u""".stripMargin
+  }
 }

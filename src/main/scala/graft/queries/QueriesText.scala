@@ -69,6 +69,16 @@ private[graft] object QueriesText {
       val docs = Tables(s, d).documents
       LmScore.score(docs, docs)
     },
+    // interpolated Kneser–Ney bigram scoring (operators.KneserNey): the
+    // real KenLM smoothing — D=3/4 absolute discount + continuation-type
+    // backoff, LM from doc_id%5!=0, holdout scored so unseen bigrams /
+    // contexts / words all exercise; exact-BIGINT ratios, floor-6 ln
+    "q_kneser_ney" -> { (s, d) =>
+      val docs = Tables(s, d).documents
+      graft.operators.KneserNey.score(
+        docs.filter(col("doc_id") % 5 === 0),
+        docs.filter(col("doc_id") % 5 =!= 0))
+    },
     // DoReMi-style domain reweighting (operators.Doremi): per-domain
     // excess bigram-LM loss (lossless e6 from the round-6 per-doc series)
     // → pseudo-exp multiplicative boost on a sqrt-temperature baseline,
@@ -519,6 +529,14 @@ private[graft] object QueriesText {
     // grid — integer bucket counts make the CDFs engine-exact
     "q_drift_by_type" -> { (s, d) =>
       graft.operators.Drift.vsRest(
+        Tables(s, d).events.select(col("event_type"), col("value")),
+        "event_type", "value", nBuckets = 64)
+    },
+    // 1-Wasserstein drift per event type vs the pooled rest on the same
+    // 64-bucket grid — exact BIGINT CDF-gap sums, ONE double expression
+    // at the end (value-units drift, complementing KS/PSI/JSD)
+    "q_wasserstein_drift" -> { (s, d) =>
+      graft.operators.Drift.wassersteinVsRest(
         Tables(s, d).events.select(col("event_type"), col("value")),
         "event_type", "value", nBuckets = 64)
     },
@@ -1222,6 +1240,12 @@ private[graft] object QueriesText {
     // distributions on the global top-200 support (operators.Divergence)
     "q_js_divergence" -> { (s, d) =>
       graft.operators.Divergence.jsdBySource(Tables(s, d).documents)
+    },
+    // vocabulary-richness estimators (operators.Richness): per-source
+    // frequency spectrum → bias-corrected Chao1 + Good–Turing unseen
+    // mass, ALL exact-BIGINT ratios (integer DIV, zero floats)
+    "q_vocab_richness" -> { (s, d) =>
+      graft.operators.Richness.bySource(Tables(s, d).documents)
     },
     // TextRank keywords: weighted PageRank (BIGINT-nanos state) over the
     // adjacent-token co-occurrence graph of the top-100 non-stop words

@@ -515,6 +515,15 @@ private[graft] object QueriesVector {
         .select(col("label"), col("n_corpus"), col("n_flagged"),
           expr("n_flagged * 1000000 DIV n_corpus").as("frac_e6"))
     },
+    // greedy facility-location coreset selection (operators.FacilitySelect):
+    // 8 unrolled submodular-greedy rounds over the FIXED vec_id%16<2048
+    // candidate pool (bounded however large the corpus — the pair stream
+    // stays linear) — floor-6 cosines then ALL-integer gains/coverage,
+    // argmax ties to the smaller candidate id
+    "q_facility_select" -> { (s, d) =>
+      graft.operators.FacilitySelect.greedy(s, Tables(s, d).embeddings,
+        k = 8, candEvery = 16, candMax = 2048L)
+    },
   )
 
   /** Cross-side (benchmark → corpus) SimHash-verified cosine pairs for the

@@ -67,6 +67,58 @@ class DriftSpec extends AnyFunSuite {
     assert(got("s2")._3 > got("s0")._3 && got("s2")._4 > got("s0")._4)
   }
 
+  test("wasserstein: identical halves score zero; a pure shift reads as the shift size") {
+    // a vs rest where rest ≡ a's distribution → every CDF gap is 0
+    val shared = (1 to 400).map(i => (i % 100).toDouble)
+    val same = (shared.map(("a", _)) ++ shared.map(("b", _))).toDF("src", "v")
+    val gotSame = Drift.wassersteinVsRest(same, "src", "v", nBuckets = 64)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(gotSame("a") == 0.0 && gotSame("b") == 0.0)
+
+    // b = a + 25 exactly, values on bucket centers: the bucketed W1 of a
+    // uniform shift is the shift itself (here half the 50-unit spread on
+    // a [0,75] range → expect 25 within one bucket width ≈ 1.17)
+    val base = (0 until 400).map(i => (i % 50).toDouble)
+    val shift = base.map(_ + 25.0)
+    val df = (base.map(("a", _)) ++ shift.map(("b", _))).toDF("src", "v")
+    val got = Drift.wassersteinVsRest(df, "src", "v", nBuckets = 64)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(math.abs(got("a") - 25.0) < 1.2, s"shift read ${got("a")}")
+    assert(got("a") == got("b"), "symmetric two-group case")
+  }
+
+  test("wasserstein: driver replica + partitioning determinism") {
+    val rnd = new scala.util.Random(41)
+    val rows = (1 to 3000).map { i =>
+      val src = s"s${i % 3}"
+      (src, rnd.nextDouble() * 100 + (if (src == "s2") 15.0 else 0.0))
+    }
+    val nB = 32
+    val got = Drift.wassersteinVsRest(rows.toDF("src", "v").repartition(13),
+        "src", "v", nBuckets = nB)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val lo = rows.map(_._2).min
+    val hi = rows.map(_._2).max
+    def bucket(v: Double): Int =
+      math.min(math.max(math.floor((v - lo) / (hi - lo) * nB), 0.0), nB - 1.0).toInt
+    val nAll = rows.size
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      val nG = g.size
+      val nR = nAll - nG
+      var (cumG, cumA, s) = (0L, 0L, 0L)
+      (0 until nB).foreach { b =>
+        cumG += g.count(r => bucket(r._2) == b)
+        cumA += rows.count(r => bucket(r._2) == b)
+        s += math.abs(cumG * nR - (cumA - cumG) * nG)
+      }
+      val w1 = s.toDouble / (nG.toDouble * nR) * (hi - lo) / nB
+      assert(math.abs(got(src)._3 - w1) < 2e-6, s"$src w1 ${got(src)._3} vs $w1")
+      assert(got(src)._2 == nG)
+    }
+    // the shifted source must carry the largest mass displacement
+    assert(got("s2")._3 > got("s0")._3 && got("s2")._3 > got("s1")._3)
+  }
+
   test("deterministic across partitionings") {
     val rnd = new scala.util.Random(5)
     val rows = (1 to 2000).map(i => (s"s${i % 4}", rnd.nextDouble() * 10))
