@@ -787,6 +787,22 @@ private[graft] object OracleEntriesG {
          |            THEN coalesce(p.n_mem_tokens, 0) * 1000000 // len(c.toks)
          |            ELSE 0 END AS BIGINT) AS mem_frac_e6
          |FROM cand c LEFT JOIN per p USING (cand_id)""".stripMargin,
+    // transitive-merge audit over the SAME DedupCompCte chain as
+    // q_dedup_components — per multi-doc component: size, direct-edge
+    // count, weakest link, completeness micros (all exact integers)
+    "q_dup_cluster_audit" ->
+      s"""$DedupCompCte,
+         |ec AS (SELECT comp.component, e.n_shared
+         |       FROM e JOIN comp ON comp.node = e.src),
+         |es AS (SELECT component, CAST(count(*) AS BIGINT) AS n_edges,
+         |              CAST(min(n_shared) AS BIGINT) AS min_shared
+         |       FROM ec GROUP BY 1),
+         |ns AS (SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+         |       FROM comp GROUP BY 1)
+         |SELECT ns.component, ns.n_nodes, es.n_edges, es.min_shared,
+         |       CAST(es.n_edges * 2000000 // (ns.n_nodes * (ns.n_nodes - 1))
+         |            AS BIGINT) AS completeness_e6
+         |FROM ns JOIN es USING (component)""".stripMargin,
     // vocabulary-richness spectrum: exact BIGINT count-of-counts, Chao1 /
     // Good–Turing as integer floor-division micros (non-negative operands
     // so Spark DIV ≡ DuckDB //), zero floats anywhere

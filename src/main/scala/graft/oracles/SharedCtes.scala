@@ -249,7 +249,8 @@ private[graft] object SharedCtes {
        |ex AS (SELECT doc_id, unnest(sh) AS s FROM d),
        |hot AS (SELECT s FROM ex GROUP BY s HAVING count(*) > 20),
        |exf AS (SELECT doc_id, s FROM ex WHERE s NOT IN (SELECT s FROM hot)),
-       |e AS (SELECT a.doc_id AS src, b.doc_id AS dst
+       |e AS (SELECT a.doc_id AS src, b.doc_id AS dst,
+       |             CAST(count(*) AS BIGINT) AS n_shared
        |      FROM exf a JOIN exf b ON a.s = b.s AND b.doc_id > a.doc_id
        |      GROUP BY a.doc_id, b.doc_id HAVING count(*) >= 5),
        |bi AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst AS a, src AS b FROM e)""".stripMargin

@@ -245,6 +245,22 @@ private[graft] object QueriesDedup {
         .groupBy(col("component")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size")).agg(count(lit(1)).as("n_clusters"))
     },
+    // transitive-merge audit of the near-dup components — the classic LSH
+    // clustering pathology check: per multi-doc cluster, edge completeness
+    // (2·E / n(n−1) micros — low = chain merge, docs grouped without
+    // direct evidence) and the weakest direct link (min shared shingles).
+    // All integers over the SAME edges/components as q_dedup_components.
+    "q_dup_cluster_audit" -> { (s, d) =>
+      val ew = shingleEdgesWeighted(Tables(s, d).documents)
+      val comps = Components.connectedComponents(ew.select(col("src"), col("dst")))
+      val sizes = comps.groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))
+      val edges = ew.join(comps, ew("src") === comps("node"))
+        .groupBy(col("component"))
+        .agg(count(lit(1)).as("n_edges"), min(col("n_shared")).as("min_shared"))
+      sizes.join(edges, Seq("component"))
+        .select(col("component"), col("n_nodes"), col("n_edges"), col("min_shared"),
+          expr("n_edges * 2000000 DIV (n_nodes * (n_nodes - 1))").as("completeness_e6"))
+    },
     // Flesch–Kincaid readability (the classic text-quality feature):
     // sentences = terminator runs (floor 1), syllables = per-word vowel
     // groups (floor 1) — exact integer counts, ONE replayed double chain

@@ -28,16 +28,7 @@ private[graft] object QueryHelpers {
     * two shuffles, vs a posting self-join's three scans and four.
     */
   private[graft] def shingleEdges(docs: DataFrame): DataFrame = {
-    val e = docs
-      .select(col("doc_id"), explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
-      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("docs"))
-      .filter(size(col("docs")) <= 20)
-      .select(explode(col("docs")).as("src"), col("docs"))
-      .select(col("src"), explode(col("docs")).as("dst"))
-      .filter(col("dst") > col("src"))
-      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_shared"))
-      .filter(col("n_shared") >= 5)
-      .select(col("src"), col("dst"))
+    val e = shingleEdgesWeighted(docs).select(col("src"), col("dst"))
     // Deliberately NOT persisted (r12 A/B, sf0.1): consumers reference the
     // subplan twice via their undirected unions, but both branches run in
     // ONE scan-bound job with idle cores — the double build is parallel
@@ -46,6 +37,21 @@ private[graft] object QueryHelpers {
     // write and nets out slower for the Components family too. Leave lazy.
     e
   }
+
+  /** [[shingleEdges]] with the shared-shingle count kept — (src, dst,
+    * n_shared ≥ 5); the weight the cluster-audit query reads as its
+    * weakest-link evidence. Same construction, same cap.
+    */
+  private[graft] def shingleEdgesWeighted(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
+      .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("docs"))
+      .filter(size(col("docs")) <= 20)
+      .select(explode(col("docs")).as("src"), col("docs"))
+      .select(col("src"), explode(col("docs")).as("dst"))
+      .filter(col("dst") > col("src"))
+      .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
 
   /** Gap-session bounds shared by the interval-overlap queries: one row per
     * (user, session) with inclusive [start_s, end_s] epoch-second bounds.
