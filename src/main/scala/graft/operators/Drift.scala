@@ -103,9 +103,11 @@ object Drift {
 
   /** Shared bucketing/ECDF plumbing: (group, _b, _c, _n_g, _c_all,
     * _n_all, _cum_g, _cum_all) on the dense group×bucket spine, plus the
-    * 1-row (_lo, _hi) bounds frame.
+    * 1-row (_lo, _hi) bounds frame. `private[operators]`: [[Sinkhorn]]
+    * consumes the same histogram so the two drift families can't diverge
+    * on bucketing.
     */
-  private def bucketedCdf(
+  private[operators] def bucketedCdf(
       df: DataFrame,
       groupCol: String,
       valueCol: String,

@@ -787,6 +787,9 @@ private[graft] object OracleEntriesG {
          |            THEN coalesce(p.n_mem_tokens, 0) * 1000000 // len(c.toks)
          |            ELSE 0 END AS BIGINT) AS mem_frac_e6
          |FROM cand c LEFT JOIN per p USING (cand_id)""".stripMargin,
+    // debiased Sinkhorn OT divergence (SeriesOracles generator): three
+    // unrolled 5-round entropic solves over the drift bucket chain
+    "q_sinkhorn_divergence" -> SinkhornOracleSql,
     // transitive-merge audit over the SAME DedupCompCte chain as
     // q_dedup_components — per multi-doc component: size, direct-edge
     // count, weakest link, completeness micros (all exact integers)

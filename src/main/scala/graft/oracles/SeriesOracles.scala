@@ -729,4 +729,92 @@ private[graft] object SeriesOracles {
        |       f.l + h * f.b + $sCase, f.l, f.b
        |FROM fin f CROSS JOIN hs""".stripMargin
   }
+
+  /** q_sinkhorn_divergence replay: the drift-oracle bucket chain feeds a
+    * dense (group, bucket) histogram `h`; the Gibbs kernel is the VALUES
+    * literal of [[graft.operators.Sinkhorn.KernelE6]] (single-source —
+    * engine `exp` never runs); then THREE unrolled 5-round Sinkhorn
+    * solves (ab / aa / bb) with BIGINT-nanos scaling state, one
+    * identically-spelled clamped double chain per cell per half-round,
+    * and the double-reduced integer plan cost. All round CTEs
+    * MATERIALIZED (the q_bradley_terry inlining lesson).
+    */
+  private[graft] lazy val SinkhornOracleSql: String = {
+    val R = 5
+    val ker = graft.operators.Sinkhorn.KernelE6.zipWithIndex
+      .map { case (k, d) => s"($d, $k)" }.mkString(", ")
+    // one solve = init + R×(kv,u,ku,v) + cells + cost; A/B pick the
+    // histogram columns (a,na) vs (bm,nb) out of h
+    def solve(t: String, ma: String, mna: String, mb: String, mnb: String): String = {
+      val rounds = (1 to R).map { r =>
+        s"""${t}kv$r AS MATERIALIZED (
+           |  SELECT x.g, x.b AS i, CAST(sum(kk.k * s.vq) AS BIGINT) AS kv
+           |  FROM h x JOIN ${t}v${r - 1} s ON s.g = x.g
+           |  JOIN ker kk ON kk.d = abs(x.b - s.j)
+           |  GROUP BY x.g, x.b),
+           |${t}u$r AS MATERIALIZED (
+           |  SELECT h.g, h.b AS i,
+           |         CAST(LEAST(floor(CAST(h.$ma AS DOUBLE) / h.$mna * 1.0e24
+           |                          / kv.kv + 0.5), 1.0e10) AS BIGINT) AS uq
+           |  FROM h JOIN ${t}kv$r kv ON kv.g = h.g AND kv.i = h.b),
+           |${t}ku$r AS MATERIALIZED (
+           |  SELECT x.g, x.b AS j, CAST(sum(kk.k * s.uq) AS BIGINT) AS ku
+           |  FROM h x JOIN ${t}u$r s ON s.g = x.g
+           |  JOIN ker kk ON kk.d = abs(s.i - x.b)
+           |  GROUP BY x.g, x.b),
+           |${t}v$r AS MATERIALIZED (
+           |  SELECT h.g, h.b AS j,
+           |         CAST(LEAST(floor(CAST(h.$mb AS DOUBLE) / h.$mnb * 1.0e24
+           |                          / ku.ku + 0.5), 1.0e10) AS BIGINT) AS vq
+           |  FROM h JOIN ${t}ku$r ku ON ku.g = h.g AND ku.j = h.b)""".stripMargin
+      }.mkString(",\n")
+      s"""${t}v0 AS (SELECT g, b AS j, CAST(1000000000 AS BIGINT) AS vq FROM h),
+         |$rounds,
+         |${t}cells AS MATERIALIZED (
+         |  SELECT u.g, u.uq * kk.k // 1000000000 * v.vq // 10000 AS p,
+         |         abs(u.i - v.j) AS d
+         |  FROM ${t}u$R u JOIN ${t}v$R v ON v.g = u.g
+         |  JOIN ker kk ON kk.d = abs(u.i - v.j)),
+         |${t}cost AS MATERIALIZED (
+         |  SELECT g, CASE WHEN sum(p) = 0 THEN CAST(0 AS BIGINT)
+         |                 ELSE CAST(floor(CAST(sum(p * d) AS DOUBLE) * 1000000.0
+         |                                 / CAST(sum(p) AS DOUBLE) + 0.5) AS BIGINT)
+         |            END AS cost_e6
+         |  FROM ${t}cells GROUP BY g)""".stripMargin
+    }
+    s"""WITH r AS (SELECT event_type AS g, value AS v FROM events
+       |           WHERE value IS NOT NULL),
+       |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM r),
+       |bk AS (SELECT g,
+       |         CASE WHEN hi = lo THEN 0
+       |              ELSE CAST(LEAST(GREATEST(floor((v - lo) / (hi - lo) * 64),
+       |                                       CAST(0.0 AS DOUBLE)),
+       |                              CAST(63.0 AS DOUBLE)) AS BIGINT)
+       |         END AS b
+       |       FROM r, bounds),
+       |c AS (SELECT g, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
+       |gs AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM c GROUP BY g),
+       |spine AS (SELECT gs.g, gs.n_g, t.b
+       |          FROM gs, (SELECT unnest(range(0, 64)) AS b) t),
+       |f AS (SELECT spine.g, spine.b, spine.n_g, coalesce(c.cnt, 0) AS cnt
+       |      FROM spine LEFT JOIN c ON c.g = spine.g AND c.b = spine.b),
+       |pb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS c_all FROM f GROUP BY b),
+       |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM c),
+       |h AS MATERIALIZED (
+       |  SELECT f.g, f.b, CAST(f.cnt AS BIGINT) AS a,
+       |         CAST(pb.c_all - f.cnt AS BIGINT) AS bm,
+       |         f.n_g AS na, CAST(tot.n_all - f.n_g AS BIGINT) AS nb
+       |  FROM f JOIN pb USING (b), tot WHERE tot.n_all - f.n_g > 0),
+       |ker AS (SELECT * FROM (VALUES $ker) kk(d, k)),
+       |${solve("ab", "a", "na", "bm", "nb")},
+       |${solve("aa", "a", "na", "a", "na")},
+       |${solve("bb", "bm", "nb", "bm", "nb")},
+       |ns AS (SELECT g, CAST(max(na) AS BIGINT) AS n FROM h GROUP BY g)
+       |SELECT ab.g AS event_type, ns.n,
+       |       ab.cost_e6 AS cost_ab_e6, aa.cost_e6 AS cost_aa_e6,
+       |       bb.cost_e6 AS cost_bb_e6,
+       |       CAST(2 * ab.cost_e6 - aa.cost_e6 - bb.cost_e6 AS BIGINT) AS div2_e6
+       |FROM abcost ab JOIN aacost aa USING (g) JOIN bbcost bb USING (g)
+       |JOIN ns USING (g)""".stripMargin
+  }
 }

@@ -540,6 +540,15 @@ private[graft] object QueriesText {
         Tables(s, d).events.select(col("event_type"), col("value")),
         "event_type", "value", nBuckets = 64)
     },
+    // debiased Sinkhorn OT divergence per event type vs the pooled rest
+    // (operators.Sinkhorn): shared 64-bucket histograms, literal Gibbs
+    // kernel micros, 3×5 unrolled BIGINT-nanos solves, div2 = 2S(a,b) −
+    // S(a,a) − S(b,b) in pure integer subtraction
+    "q_sinkhorn_divergence" -> { (s, d) =>
+      graft.operators.Sinkhorn.vsRest(s,
+        Tables(s, d).events.select(col("event_type"), col("value")),
+        "event_type", "value")
+    },
     // trailing-window anomaly detection (operators.Anomaly): each
     // (type, hour) event count z-scored against its previous 24 observed
     // hours — bounded ROWS frame per key, flag from the round-6 z so the
