@@ -66,6 +66,9 @@ object FacilitySelect {
     // be covered (s := 0 drops below the s > 0 support filter)
     val dp = aggregate(zip_with(col("xq"), col("cx"), (a, b) => a * b),
       lit(0L), (acc, x) => acc + x)
+    // the 2k round aggregations re-read this pair stream — persist it
+    // ONCE (64-dim cosines are the dominant cost; without the cache the
+    // k rounds re-run the quantize+dot 2k times: 17 s → ~2 s at sf0.1)
     val pairs = q
       .crossJoin(cand)
       .select(col("vec_id").as("v"), col("c"),
@@ -75,30 +78,33 @@ object FacilitySelect {
             .cast("long"))
           .otherwise(lit(0L)).as("s"))
       .filter(col("s") > 0L)
+      .persist()
 
     var chosen = Vector.empty[(Long, Long)] // (vec_id, gain_e6)
-    var r = 0
-    while (r < k) {
-      val ids = chosen.map(_._1)
-      val gains =
-        if (ids.isEmpty) pairs.select(col("c"), col("s").as("g"))
+    try {
+      var r = 0
+      while (r < k) {
+        val ids = chosen.map(_._1)
+        val gains =
+          if (ids.isEmpty) pairs.select(col("c"), col("s").as("g"))
+          else {
+            val best = pairs.filter(col("c").isin(ids: _*))
+              .groupBy(col("v")).agg(max(col("s")).as("best"))
+            pairs.filter(!col("c").isin(ids: _*))
+              .join(best, Seq("v"), "left")
+              .select(col("c"),
+                greatest(col("s") - coalesce(col("best"), lit(0L)), lit(0L)).as("g"))
+          }
+        val top = gains.groupBy(col("c")).agg(sum(col("g")).as("gain"))
+          .orderBy(col("gain").desc, col("c")).limit(1)
+          .as[(Long, Long)].collect()
+        if (top.isEmpty) r = k // candidate pool exhausted — stop
         else {
-          val best = pairs.filter(col("c").isin(ids: _*))
-            .groupBy(col("v")).agg(max(col("s")).as("best"))
-          pairs.filter(!col("c").isin(ids: _*))
-            .join(best, Seq("v"), "left")
-            .select(col("c"),
-              greatest(col("s") - coalesce(col("best"), lit(0L)), lit(0L)).as("g"))
+          chosen :+= top(0)
+          r += 1
         }
-      val top = gains.groupBy(col("c")).agg(sum(col("g")).as("gain"))
-        .orderBy(col("gain").desc, col("c")).limit(1)
-        .as[(Long, Long)].collect()
-      if (top.isEmpty) r = k // candidate pool exhausted — stop
-      else {
-        chosen :+= top(0)
-        r += 1
       }
-    }
+    } finally pairs.unpersist(blocking = false)
     val rows = chosen.zipWithIndex.map { case ((c, g), i) =>
       (i + 1L, c, g, chosen.take(i + 1).map(_._2).sum)
     }
