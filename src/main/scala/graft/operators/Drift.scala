@@ -72,12 +72,14 @@ object Drift {
     * in W1 as exactly the shift size.
     *
     * Exactness: the per-bucket CDF gap is assembled as the BIGINT
-    * |cum_g·n_rest − cum_rest·n_g| (exact integers; safe through
-    * n ≈ 3·10⁹ rows — beyond that, pre-aggregate or sample before the
-    * distance), SUMMED exactly, and only then hits ONE double expression
-    * `S / (n_g·n_rest) · (hi − lo) / nBuckets`, rounded to 6 — the same
-    * quantize-late discipline as every drift oracle. Output:
-    * (group, n, w1). Scale shape identical to [[vsRest]].
+    * |cum_g·n_rest − cum_rest·n_g| (exact integers), SUMMED exactly, and
+    * only then hits ONE double expression `S / (n_g·n_rest) · (hi − lo)
+    * / nBuckets`, rounded to 6 — the same quantize-late discipline as
+    * every drift oracle. Overflow envelope: the SUM is ≤ nBuckets·n_g·
+    * n_rest, so Long holds through n ≈ 7·10⁸ balanced rows per
+    * group-vs-rest pair — beyond that, pre-aggregate (dedupe, sample, or
+    * per-day slices) before the distance. Output: (group, n, w1). Scale
+    * shape identical to [[vsRest]].
     */
   def wassersteinVsRest(
       df: DataFrame,
@@ -85,7 +87,7 @@ object Drift {
       valueCol: String,
       nBuckets: Int = 64
   ): DataFrame = {
-    val (enriched, bounds) = bucketedCdf(df, groupCol, valueCol, nBuckets)
+    val (enriched, (lo, hi)) = bucketedCdf(df, groupCol, valueCol, nBuckets)
     val nRest = col("_n_all") - col("_n_g")
     val gap = abs(col("_cum_g") * nRest - (col("_cum_all") - col("_cum_g")) * col("_n_g"))
     enriched
@@ -95,41 +97,47 @@ object Drift {
         max(col("_n_g")).as("n"),
         sum(gap).as("_s"),
         max(col("_n_g") * nRest).as("_den"))
-      .crossJoin(broadcast(bounds))
       .select(col(groupCol), col("n"),
         round(col("_s").cast("double") / col("_den").cast("double")
-          * (col("_hi") - col("_lo")) / nBuckets.toDouble, 6).as("w1"))
+          * (lit(hi) - lit(lo)) / nBuckets.toDouble, 6).as("w1"))
   }
 
   /** Shared bucketing/ECDF plumbing: (group, _b, _c, _n_g, _c_all,
     * _n_all, _cum_g, _cum_all) on the dense group×bucket spine, plus the
-    * 1-row (_lo, _hi) bounds frame. `private[operators]`: [[Sinkhorn]]
-    * consumes the same histogram so the two drift families can't diverge
-    * on bucketing.
+    * (lo, hi) global bounds. The bounds are COLLECTED once (2 doubles —
+    * bounded driver state) and injected as literals, so consumers that
+    * reference them don't re-scan the corpus for a second min/max pass.
+    * `private[operators]`: [[Sinkhorn]] consumes the same histogram so
+    * the two drift families can't diverge on bucketing.
     */
   private[operators] def bucketedCdf(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       nBuckets: Int
-  ): (DataFrame, DataFrame) = {
+  ): (DataFrame, (Double, Double)) = {
     require(nBuckets >= 2, "nBuckets must be >= 2")
-    val v = col(valueCol)
+    val v = col(valueCol).cast("double")
     // null measurements carry no distribution evidence — excluded from
     // masses AND group sizes, so the ECDFs still reach exactly 1
     val rows = df.filter(v.isNotNull)
-    val bounds = rows.agg(min(v).as("_lo"), max(v).as("_hi"))
+    val Array(boundsRow) = rows.agg(min(v).as("_lo"), max(v).as("_hi")).collect()
+    // an all-null/empty input has no bounds — lo = hi = 0 buckets the
+    // zero surviving rows into 0, and every downstream frame is empty
+    val (lo, hi) =
+      if (boundsRow.isNullAt(0)) (0.0, 0.0)
+      else (boundsRow.getDouble(0), boundsRow.getDouble(1))
     // bucket = floor((v - lo) / span * nB) clamped to [0, nB-1]; span = 0
-    // (constant column) puts everything in bucket 0
+    // puts everything in bucket 0 (identical arithmetic to the pre-r20
+    // crossJoin(bounds) spelling — the values are the same doubles)
     val bucketed = rows.select(col(groupCol), v.as("_v"))
-      .crossJoin(broadcast(bounds))
       .select(col(groupCol),
-        when(col("_hi") === col("_lo"), lit(0L)).otherwise(
-          least(
-            greatest(
-              floor((col("_v") - col("_lo")) / (col("_hi") - col("_lo")) * nBuckets),
-              lit(0.0)),
-            lit(nBuckets - 1.0)).cast("long")).as("_b"))
+        if (hi == lo) lit(0L).as("_b")
+        else least(
+          greatest(
+            floor((col("_v") - lit(lo)) / (lit(hi) - lit(lo)) * nBuckets),
+            lit(0.0)),
+          lit(nBuckets - 1.0)).cast("long").as("_b"))
     val counts = bucketed.groupBy(col(groupCol), col("_b"))
       .agg(count(lit(1)).as("_c"))
     // densify: every (group, bucket) cell, zero-filled — the ECDF window
@@ -149,6 +157,6 @@ object Drift {
       .crossJoin(broadcast(total))
       .withColumn("_cum_g", sum(col("_c")).over(w))
       .withColumn("_cum_all", sum(col("_c_all")).over(w))
-    (enriched, bounds)
+    (enriched, (lo, hi))
   }
 }

@@ -125,13 +125,17 @@ object Sinkhorn {
     require(nBuckets == KernelE6.length,
       s"kernel table is ${KernelE6.length} entries; got nBuckets=$nBuckets")
     val (enriched, _) = Drift.bucketedCdf(df, groupCol, valueCol, nBuckets)
+    // take(limit+1), not collect(): the guard must bound DRIVER memory,
+    // so it has to fire before an unbounded pull — a row-scale group key
+    // now fails with this message instead of an OOM inside collect()
+    val maxCells = 1000000
     val cells = enriched
       .filter(col("_n_all") - col("_n_g") > 0)
       .select(col(groupCol).cast("string"), col("_b"), col("_c"),
         col("_c_all"), col("_n_g"), col("_n_all"))
-      .collect()
-    require(cells.length <= 1000000,
-      s"${cells.length} histogram cells — Sinkhorn groups must be low-cardinality " +
+      .take(maxCells + 1)
+    require(cells.length <= maxCells,
+      s"over $maxCells histogram cells — Sinkhorn groups must be low-cardinality " +
         "(event types / sources), not row-scale keys")
     val out = cells.groupBy(_.getString(0)).toSeq.map { case (grp, rows) =>
       val a = Array.fill(nBuckets)(0L)

@@ -524,24 +524,7 @@ private[graft] object OracleEntriesB {
     // association as Drift.vsRest (1e-6 scientific literal IS a double in
     // DuckDB — the decimal-literal ban hits 0.000001, not 1e-6)
     "q_drift_by_type" ->
-      """WITH r AS (SELECT event_type AS g, value AS v FROM events
-        |           WHERE value IS NOT NULL),
-        |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM r),
-        |bk AS (SELECT g,
-        |         CASE WHEN hi = lo THEN 0
-        |              ELSE CAST(LEAST(GREATEST(floor((v - lo) / (hi - lo) * 64),
-        |                                       CAST(0.0 AS DOUBLE)),
-        |                              CAST(63.0 AS DOUBLE)) AS BIGINT)
-        |         END AS b
-        |       FROM r, bounds),
-        |c AS (SELECT g, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
-        |gs AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM c GROUP BY g),
-        |spine AS (SELECT gs.g, gs.n_g, t.b
-        |          FROM gs, (SELECT unnest(range(0, 64)) AS b) t),
-        |f AS (SELECT spine.g, spine.b, spine.n_g, coalesce(c.cnt, 0) AS cnt
-        |      FROM spine LEFT JOIN c ON c.g = spine.g AND c.b = spine.b),
-        |pb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS c_all FROM f GROUP BY b),
-        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM c),
+      s"""WITH $DriftBucketCte,
         |e AS (SELECT f.g, f.b, f.n_g, f.cnt, pb.c_all, tot.n_all,
         |        CAST(sum(f.cnt) OVER (PARTITION BY f.g ORDER BY f.b)
         |             AS BIGINT) AS cum_g,

@@ -878,24 +878,7 @@ private[graft] object OracleEntriesG {
     // cum_rest·n_g|, exact integer SUM, then ONE double expression
     // S / (n_g·n_rest) · (hi−lo) / 64 in the identical left-assoc order
     "q_wasserstein_drift" ->
-      """WITH r AS (SELECT event_type AS g, value AS v FROM events
-        |           WHERE value IS NOT NULL),
-        |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM r),
-        |bk AS (SELECT g,
-        |         CASE WHEN hi = lo THEN 0
-        |              ELSE CAST(LEAST(GREATEST(floor((v - lo) / (hi - lo) * 64),
-        |                                       CAST(0.0 AS DOUBLE)),
-        |                              CAST(63.0 AS DOUBLE)) AS BIGINT)
-        |         END AS b
-        |       FROM r, bounds),
-        |c AS (SELECT g, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
-        |gs AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM c GROUP BY g),
-        |spine AS (SELECT gs.g, gs.n_g, t.b
-        |          FROM gs, (SELECT unnest(range(0, 64)) AS b) t),
-        |f AS (SELECT spine.g, spine.b, spine.n_g, coalesce(c.cnt, 0) AS cnt
-        |      FROM spine LEFT JOIN c ON c.g = spine.g AND c.b = spine.b),
-        |pb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS c_all FROM f GROUP BY b),
-        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM c),
+      s"""WITH $DriftBucketCte,
         |e AS (SELECT f.g, f.b, f.n_g, pb.c_all, tot.n_all,
         |        CAST(sum(f.cnt) OVER (PARTITION BY f.g ORDER BY f.b)
         |             AS BIGINT) AS cum_g,

@@ -264,6 +264,33 @@ private[graft] object SharedCtes {
        |),
        |comp AS (SELECT node, min(r) AS component FROM reach GROUP BY node)""".stripMargin
 
+  /** Shared 64-bucket drift histogram chain over events.value — bucket
+    * ids from the pinned IEEE `(v-lo)/(hi-lo)*64` spelling, dense
+    * (group × bucket) spine, per-bucket/global totals. ONE text consumed
+    * by q_drift_by_type, q_wasserstein_drift, and the Sinkhorn replay so
+    * the bucketing can never drift between the drift-family oracles
+    * (mirrors `Drift.bucketedCdf`).
+    */
+  private[graft] lazy val DriftBucketCte: String =
+    """r AS (SELECT event_type AS g, value AS v FROM events
+      |           WHERE value IS NOT NULL),
+      |bounds AS (SELECT min(v) AS lo, max(v) AS hi FROM r),
+      |bk AS (SELECT g,
+      |         CASE WHEN hi = lo THEN 0
+      |              ELSE CAST(LEAST(GREATEST(floor((v - lo) / (hi - lo) * 64),
+      |                                       CAST(0.0 AS DOUBLE)),
+      |                              CAST(63.0 AS DOUBLE)) AS BIGINT)
+      |         END AS b
+      |       FROM r, bounds),
+      |c AS (SELECT g, b, count(*) AS cnt FROM bk GROUP BY 1, 2),
+      |gs AS (SELECT g, CAST(sum(cnt) AS BIGINT) AS n_g FROM c GROUP BY g),
+      |spine AS (SELECT gs.g, gs.n_g, t.b
+      |          FROM gs, (SELECT unnest(range(0, 64)) AS b) t),
+      |f AS (SELECT spine.g, spine.b, spine.n_g, coalesce(c.cnt, 0) AS cnt
+      |      FROM spine LEFT JOIN c ON c.g = spine.g AND c.b = spine.b),
+      |pb AS (SELECT b, CAST(sum(cnt) AS BIGINT) AS c_all FROM f GROUP BY b),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_all FROM c)""".stripMargin
+
   private[graft] val StopSql =
     "['the','a','of','and','to','in','is','it','that','for']"
 

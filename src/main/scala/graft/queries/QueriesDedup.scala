@@ -251,15 +251,23 @@ private[graft] object QueriesDedup {
     // direct evidence) and the weakest direct link (min shared shingles).
     // All integers over the SAME edges/components as q_dedup_components.
     "q_dup_cluster_audit" -> { (s, d) =>
-      val ew = shingleEdgesWeighted(Tables(s, d).documents)
-      val comps = Components.connectedComponents(ew.select(col("src"), col("dst")))
-      val sizes = comps.groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))
-      val edges = ew.join(comps, ew("src") === comps("node"))
-        .groupBy(col("component"))
-        .agg(count(lit(1)).as("n_edges"), min(col("n_shared")).as("min_shared"))
-      sizes.join(edges, Seq("component"))
-        .select(col("component"), col("n_nodes"), col("n_edges"), col("min_shared"),
-          expr("n_edges * 2000000 DIV (n_nodes * (n_nodes - 1))").as("completeness_e6"))
+      // the weighted edges feed BOTH the component iteration and the
+      // per-component edge stats — persist the one expensive build (the
+      // FacilitySelect pair-cache discipline); the iteration's own
+      // localCheckpoints hold its state, so the final join re-reads only
+      // this cache
+      val ew = shingleEdgesWeighted(Tables(s, d).documents).persist()
+      try {
+        val comps = Components.connectedComponents(ew.select(col("src"), col("dst")))
+        val sizes = comps.groupBy(col("component")).agg(count(lit(1)).as("n_nodes"))
+        val edges = ew.join(comps, ew("src") === comps("node"))
+          .groupBy(col("component"))
+          .agg(count(lit(1)).as("n_edges"), min(col("n_shared")).as("min_shared"))
+        sizes.join(edges, Seq("component"))
+          .select(col("component"), col("n_nodes"), col("n_edges"), col("min_shared"),
+            expr("n_edges * 2000000 DIV (n_nodes * (n_nodes - 1))").as("completeness_e6"))
+          .localCheckpoint(true)
+      } finally ew.unpersist(blocking = false)
     },
     // Flesch–Kincaid readability (the classic text-quality feature):
     // sentences = terminator runs (floor 1), syllables = per-word vowel
