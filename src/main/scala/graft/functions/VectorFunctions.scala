@@ -35,6 +35,14 @@ object VectorFunctions {
     when(n === 0.0, lit(0.0)).otherwise(d / n)
   }
 
+  /** Exact BIGINT dot of two `array<bigint>` columns — the native kernel
+    * ([[graft.expressions.LongDot]]) behind the quantized-micros pair
+    * paths. Same null/length semantics as the HOF spelling
+    * `aggregate(zip_with(a, b, _*_), 0L, _+_)` (LongDotParitySpec).
+    */
+  def dotLong(a: Column, b: Column): Column =
+    graft.expressions.LongDot.dot_long(a, b)
+
   def l2Distance(a: Column, b: Column): Column =
     sqrt(
       aggregate(

@@ -57,15 +57,13 @@ object FacilitySelect {
   ): DataFrame = {
     import spark.implicits._
     val q = KMeansReplay.quantize(emb, vecCol, dims)
-      .withColumn("nrm",
-        aggregate(col("xq"), lit(0L), (acc, x) => acc + x * x))
+      .withColumn("nrm", graft.functions.VectorFunctions.dotLong(col("xq"), col("xq")))
     val cand = broadcast(
       q.filter(col("vec_id") % candEvery === 0 && col("vec_id") < candMax)
         .select(col("vec_id").as("c"), col("xq").as("cx"), col("nrm").as("cn")))
     // floor-6 cosine of exact integer sums; zero-norm rows can't cover or
     // be covered (s := 0 drops below the s > 0 support filter)
-    val dp = aggregate(zip_with(col("xq"), col("cx"), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    val dp = graft.functions.VectorFunctions.dotLong(col("xq"), col("cx"))
     // the 2k round aggregations re-read this pair stream — persist it
     // ONCE (64-dim cosines are the dominant cost; without the cache the
     // k rounds re-run the quantize+dot 2k times: 17 s → ~2 s at sf0.1)

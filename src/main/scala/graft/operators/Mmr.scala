@@ -33,10 +33,11 @@ import org.apache.spark.sql.functions._
   */
 object Mmr {
 
-  /** Exact BIGINT dot of a micro-vector column against a literal vector. */
+  /** Exact BIGINT dot of a micro-vector column against a literal vector
+    * (the native [[graft.expressions.LongDot]] kernel).
+    */
   private def dotLit(v: Column, q: Seq[Long]): Column =
-    aggregate(zip_with(v, array(q.map(lit): _*), (a, b) => a * b),
-      lit(0L), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotLong(v, array(q.map(lit): _*))
 
   /** (sel_rank, vec_id, rel_dot, mmr_score): the k selected candidates in
     * selection order. The query row itself is excluded from the pool.

@@ -177,10 +177,8 @@ object Similarity {
         explode(array(flips: _*)).as("flip"), col("bucket").as("qbucket"))
       .select(col("query_id"), col("qx"), col("t"),
         col("qbucket").bitwiseXOR(col("flip")).as("bucket"))
-    val dot = aggregate(zip_with(col("qx"), col("nx"), (a, b2) => a * b2),
-      lit(0L), (acc, v) => acc + v)
-    val nrm = (c2: Column) => aggregate(zip_with(c2, c2, (a, b2) => a * b2),
-      lit(0L), (acc, v) => acc + v)
+    val dot = graft.functions.VectorFunctions.dotLong(col("qx"), col("nx"))
+    val nrm = (c2: Column) => graft.functions.VectorFunctions.dotLong(c2, c2)
     val scored = c
       .join(broadcast(q), Seq("t", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
@@ -386,10 +384,8 @@ object Similarity {
       .drop("bucket_n")
     val l = b.select(col("bucket"), col("vec_id").as("id1"), col("xq").as("x1"))
     val r = b.select(col("bucket"), col("vec_id").as("id2"), col("xq").as("x2"))
-    val dot = aggregate(zip_with(col("x1"), col("x2"), (a, b2) => a * b2),
-      lit(0L), (acc, v) => acc + v)
-    val nrm = (c: Column) => aggregate(zip_with(c, c, (a, b2) => a * b2),
-      lit(0L), (acc, v) => acc + v)
+    val dot = graft.functions.VectorFunctions.dotLong(col("x1"), col("x2"))
+    val nrm = (c: Column) => graft.functions.VectorFunctions.dotLong(c, c)
     l.join(r, Seq("bucket"))
       .filter(col("id1") < col("id2"))
       .select(col("id1"), col("id2"), dot.as("d"),
