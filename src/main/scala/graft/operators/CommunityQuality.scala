@@ -44,12 +44,16 @@ object CommunityQuality {
     val mem = communities.select(col("node").as(idCol), col("community"))
       .join(docs.select(col(idCol), Dedup.shingles(col(textCol)).as("_sh")),
         Seq(idCol))
+    // referenced three times below (both pair sides + the sampled count):
+    // checkpoint so the shingle projection + cap window run once, not
+    // three times (guide §2.4 duplicated subtrees)
     val capped = mem
       .withColumn("_r", row_number().over(
         Window.partitionBy(col("community"))
           .orderBy(HashSplit.md548(col(idCol)), col(idCol))))
       .filter(col("_r") <= capPerCommunity)
       .drop("_r")
+      .localCheckpoint(true)
     val a = capped.select(col("community"), col(idCol).as("id1"), col("_sh").as("_sh1"))
     val b = capped.select(col("community"), col(idCol).as("id2"), col("_sh").as("_sh2"))
     val pairs = a.join(b, Seq("community"))

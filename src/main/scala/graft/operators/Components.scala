@@ -50,10 +50,11 @@ object Components {
       dstCol: String = "dst",
       maxIter: Int = 20
   ): DataFrame = {
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-    // undirected: propagate both ways; distinct so parallel edges don't
-    // inflate the per-round join
-    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    // undirected: propagate both ways (one-pass explode spelling — the
+    // union alternative builds the expensive edge subplan twice, see
+    // GraphEdges); distinct so parallel edges don't inflate the per-round
+    // join
+    val bidir = GraphEdges.bothDirections(edges, srcCol, dstCol)
       .distinct().persist()
     // free first round: every node starts at the min of its 1-hop
     // neighborhood (one aggregate, no join), not at itself

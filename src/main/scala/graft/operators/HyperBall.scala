@@ -43,8 +43,7 @@ object HyperBall {
     // the edge frame feeds every round's merge join — eagerly checkpointed
     // so an expensive upstream edge builder (the shingle graph) runs once,
     // not once per round (r16: q_hyperball 9.7 → ~4 s at sf0.1)
-    val bi = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .unionByName(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    val bi = GraphEdges.bothDirections(edges, srcCol, dstCol)
       .distinct()
       .localCheckpoint()
     val nodes = bi.select(col("a").as("node")).distinct()

@@ -40,9 +40,9 @@ object KCore {
       dstCol: String = "dst"
   ): DataFrame = {
     require(k >= 1 && rounds >= 1, "KCore.peel: k and rounds must be >= 1")
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-    var bi = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-      .persist()
+    // one-pass both-directions spelling (GraphEdges): the edge builder
+    // runs once into the persisted frame, not once per union branch
+    var bi = GraphEdges.bothDirections(edges, srcCol, dstCol).persist()
     var prevCount = bi.count()
     var it = 0
     var stable = false

@@ -46,11 +46,11 @@ object LabelPropagation {
       dstCol: String = "dst",
       rounds: Int = 3
   ): DataFrame = {
-    val e = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
     // eager localCheckpoint, not persist+count: truncates lineage so every
     // round re-analyzes a constant-size plan (PageRank's scaladoc has the
-    // r12 profile that motivated the switch)
-    val bidir = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
+    // r12 profile that motivated the switch); one-pass both-directions
+    // spelling so the edge builder runs once (GraphEdges)
+    val bidir = GraphEdges.bothDirections(edges, srcCol, dstCol)
       .distinct().localCheckpoint(true)
     var labels = bidir.select(col("a").as("node")).distinct()
       .withColumn("label", col("node")).localCheckpoint(true)

@@ -41,8 +41,11 @@ object PageRank {
       teleport: Double = 0.15
   ): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val bi = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    // one-pass both-directions spelling, checkpointed BEFORE the degree
+    // join: the deg aggregate and the join below reference `bi` twice, so
+    // an inline subplan would rebuild the (expensive) edge builder twice —
+    // 4x with the old union spelling (GraphEdges scaladoc; guide §2.4)
+    val bi = GraphEdges.bothDirections(edges, srcCol, dstCol).localCheckpoint(true)
     // degree is joined ONCE, outside the loop: the per-round join keys on
     // the (a, b, d) frame directly instead of re-joining deg every round
     // (the r12 TimeQ profile showed the in-loop deg join costing ~1 s/round
@@ -99,10 +102,11 @@ object PageRank {
       teleport: Double = 0.15
   ): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val bi = edges.select(col(srcCol).as("a"), col(dstCol).as("b"),
-        col(weightCol).cast("long").as("w"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b"),
-        col(weightCol).cast("long").as("w")))
+    // same one-pass + pre-join checkpoint discipline as [[ranks]]
+    val bi = GraphEdges.bothDirections(
+        edges.withColumn("_w", col(weightCol).cast("long")),
+        srcCol, dstCol, carry = Seq("_w"))
+      .withColumnRenamed("_w", "w").localCheckpoint(true)
     val deg = bi.groupBy(col("a")).agg(sum(col("w")).as("wd"))
     val biDeg = bi.join(deg, Seq("a")).localCheckpoint(true)
     val nodes = biDeg.select(col("a").as("node")).distinct().localCheckpoint(true)

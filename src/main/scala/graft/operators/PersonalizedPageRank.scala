@@ -51,8 +51,9 @@ object PersonalizedPageRank {
       iterations: Int = 4
   ): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
-    val bi = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-      .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
+    // one-pass both-directions spelling, checkpointed BEFORE the degree
+    // join (deg + the join reference bi twice — see PageRank.ranks)
+    val bi = GraphEdges.bothDirections(edges, srcCol, dstCol).localCheckpoint(true)
     // loop invariants checkpointed ONCE (degree folded into the edge list
     // so rounds key one join, not two); per-round eager localCheckpoint
     // truncates lineage — see PageRank's scaladoc for the r12 profile

@@ -33,7 +33,10 @@ object Triangles {
     *         at least one edge.
     */
   def nodeStats(edges: DataFrame): DataFrame = {
-    val e = edges.select(col("src"), col("dst"))
+    // the triangle triple-join references the edge list three times and the
+    // degree pass twice more — checkpoint it once so an expensive edge
+    // builder (the shingle graph) runs once, not five times (guide §2.4)
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
     val tri = e.as("ab")
       .join(e.as("bc"), col("ab.dst") === col("bc.src"))
       .join(e.as("ac"),
@@ -42,8 +45,7 @@ object Triangles {
     val triPerNode = tri
       .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("triangles"))
-    val deg = e.select(col("src").as("node"))
-      .union(e.select(col("dst").as("node")))
+    val deg = e.select(explode(array(col("src"), col("dst"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
     deg
       .join(triPerNode, Seq("node"), "left")

@@ -305,7 +305,7 @@ private[graft] object QueriesCore {
     // EVERY vocabulary entry — merges only ever concatenate adjacent
     // symbols, and this query makes that invariant a hashed row
     "q_bpe_roundtrip" -> { (s, d) =>
-      val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+      val wc = wordCountsCkpt(s, d)
       val merges = graft.operators.Bpe.trainMerges(wc, 10)
       graft.operators.Bpe.encodeWords(wc, merges)
         .select((array_join(col("syms"), "") ===

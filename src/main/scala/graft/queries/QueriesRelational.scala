@@ -713,7 +713,7 @@ private[graft] object QueriesRelational {
     // the subword vocabulary those merges induce over the corpus (encode
     // path: merges as literals, one zero-shuffle projection + one groupBy)
     "q_bpe_subwords" -> { (s, d) =>
-      val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+      val wc = wordCountsCkpt(s, d)
       val merges = graft.operators.Bpe.trainMerges(wc, 10)
       graft.operators.Bpe.subwordVocab(wc, merges)
         .orderBy(col("n_tokens").desc, col("subword"))
@@ -723,7 +723,7 @@ private[graft] object QueriesRelational {
     // q_unigram_fertility twin, so the two tokenizer families report the
     // same comparable diagnostic
     "q_bpe_fertility" -> { (s, d) =>
-      val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+      val wc = wordCountsCkpt(s, d)
       graft.operators.Bpe.fertility(wc, graft.operators.Bpe.trainMerges(wc, 10))
     },
     // Byte-level BPE (GPT-2; operators.ByteBpe): BPE over UTF-8 BYTES
@@ -739,7 +739,7 @@ private[graft] object QueriesRelational {
     // the byte-level subword vocabulary those merges induce (encode path:
     // merges as literals, one zero-shuffle projection + one groupBy)
     "q_bytebpe_encode" -> { (s, d) =>
-      val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+      val wc = wordCountsCkpt(s, d)
       val merges = graft.operators.ByteBpe.trainMerges(wc, 10)
       graft.operators.ByteBpe.subwordVocab(wc, merges)
         .orderBy(col("n_tokens").desc, col("subword"))
@@ -752,7 +752,7 @@ private[graft] object QueriesRelational {
     // '#'; BPE's n_pieces counts the </w> marker; byte-BPE's pieces are
     // byte-denominated — documented in each operator)
     "q_tokenizer_compare" -> { (s, d) =>
-      val wc = graft.operators.Vocab.wordCounts(Tables(s, d).documents)
+      val wc = wordCountsCkpt(s, d)
       graft.operators.Bpe.fertility(wc, graft.operators.Bpe.trainMerges(wc, 10))
         .select(lit("bpe").as("family"), col("*"))
         .unionByName(graft.operators.ByteBpe.fertility(wc,
@@ -793,21 +793,18 @@ private[graft] object QueriesRelational {
     // induces (the q_bpe_subwords twin) — one zero-shuffle segmentation
     // projection + one aggregation after training
     "q_unigram_subwords" -> { (s, d) =>
-      graft.operators.UnigramLm.subwordVocab(s,
-        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+      graft.operators.UnigramLm.subwordVocab(s, wordCountsCkpt(s, d))
     },
     // tokenizer fertility under the trained table: weighted pieces/word and
     // chars/piece — the standard tokenizer-quality diagnostic, all BIGINT
     "q_unigram_fertility" -> { (s, d) =>
-      graft.operators.UnigramLm.fertility(s,
-        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+      graft.operators.UnigramLm.fertility(s, wordCountsCkpt(s, d))
     },
     // lossless segmentation CONTRACT (the q_bpe_roundtrip pattern): every
     // training word must re-concatenate from its Viterbi pieces — the
     // oracle replays the pieces WITH their start offsets and re-assembles
     "q_unigram_roundtrip" -> { (s, d) =>
-      graft.operators.UnigramLm.roundtripReport(s,
-        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+      graft.operators.UnigramLm.roundtripReport(s, wordCountsCkpt(s, d))
     },
     // WordPiece tokenizer (operators.WordPiece): the third classic subword
     // family next to BPE and Unigram-LM — deterministic frequency-substring
@@ -820,20 +817,17 @@ private[graft] object QueriesRelational {
     // corpus subword vocabulary under the greedy encode — the
     // q_bpe_subwords / q_unigram_subwords twin
     "q_wordpiece_encode" -> { (s, d) =>
-      graft.operators.WordPiece.subwordVocab(
-        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+      graft.operators.WordPiece.subwordVocab(wordCountsCkpt(s, d))
     },
     // same 1-row fertility report as the BPE and Unigram families, so the
     // three tokenizers compare on one scale
     "q_wordpiece_fertility" -> { (s, d) =>
-      graft.operators.WordPiece.fertility(
-        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+      graft.operators.WordPiece.fertility(wordCountsCkpt(s, d))
     },
     // lossless greedy-cover CONTRACT (the q_bpe_roundtrip pattern):
     // stripping ## and concatenating must reproduce every training word
     "q_wordpiece_roundtrip" -> { (s, d) =>
-      graft.operators.WordPiece.roundtripReport(
-        graft.operators.Vocab.wordCounts(Tables(s, d).documents))
+      graft.operators.WordPiece.roundtripReport(wordCountsCkpt(s, d))
     },
     // per-document token metering under the trained table — the BATCH twin
     // of streaming.StreamTokenize.pieceCounts (stateless projection; runs

@@ -18,14 +18,44 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def p(name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Scan-parallelism floor for the CPU-kernel tables (documents,
+    * embeddings). The driver's parquet files are written as a SINGLE row
+    * group, and parquet tasks can't split inside a row group — so every
+    * scan-rooted stage (shingle/minhash/levenshtein/BPE/cosine kernels)
+    * runs on ONE core until its first exchange, however many cores the
+    * session has (guide §2: make partitioning scale-adaptive, derive from
+    * the input). When the scan plans fewer partitions than the session's
+    * cores, hash-repartition on the table's id so the per-row kernels fan
+    * out; the explicit numPartitions keeps AQE from coalescing the tiny
+    * local shuffle back to one partition. At production scale the scan
+    * already plans >= cores splits (many row groups / files), so the guard
+    * makes this a provable no-op — no extra payload shuffle ever reaches a
+    * big input. Hash-by-id placement is deterministic per row (no
+    * round-robin, no sort-before-repartition, retry-safe per SPARK-38388),
+    * and the partition count probe is metadata-only (file listing — no job,
+    * no data read), cached per (path, cores).
+    */
+  private def parScan(name: String, key: String): DataFrame = {
+    val df = p(name)
+    val cores = spark.sparkContext.defaultParallelism
+    val parts = Tables.scanParts(s"$dir/$name@$cores", df)
+    if (parts >= cores) df else df.repartition(cores, col(key))
+  }
+
   def region: DataFrame    = p("region")
   def nation: DataFrame    = p("nation")
   def customer: DataFrame  = p("customer")
   def supplier: DataFrame  = p("supplier")
   def part: DataFrame      = p("part")
-  def orders: DataFrame    = p("orders")
-  def lineitem: DataFrame  = p("lineitem")
-  def documents: DataFrame = p("documents")
+  def orders: DataFrame    = parScan("orders", "o_orderkey")
+  def lineitem: DataFrame  = parScan("lineitem", "l_orderkey")
+  def documents: DataFrame = parScan("documents", "doc_id")
+  // embeddings deliberately NOT parScan'd: its consumers are the
+  // iterative-replay family (kmeans/ivf/pq/facility — tens of small driver
+  // actions over a 2k-row table), where 32x the task count per action costs
+  // more than the single-core scan ever did (TimeQ A/B this round:
+  // q_facility_select 2.2 -> 6.2 s, q_knn_pq 4.0 -> 6.3 s under parScan).
+  // The pair-building consumers fan out at their first exchange anyway.
   def embeddings: DataFrame = p("embeddings")
 
   /** `events` ships with parquet TIMESTAMP(NANOS) which Spark reads (under
@@ -33,6 +63,11 @@ final case class Tables(spark: SparkSession, dir: String) {
     *   - `ts`    — proper TimestampType (micros, truncated from nanos)
     *   - `ts_ns` — the original nanos long, for exact arithmetic
     */
+  // events deliberately NOT parScan'd: the U2/U3 sampling operators
+  // (sampleBy / randomSplit / MLlib fits) draw per (partition, position),
+  // so reshaping the scan would silently change every sampled pipeline
+  // (NOTES r5 gotcha) — and the events consumers are aggregation-shaped
+  // (cheap map side), not per-row-kernel-shaped.
   def events: DataFrame = {
     val raw = p("events")
     raw.schema("ts").dataType match {
@@ -80,4 +115,14 @@ final case class Tables(spark: SparkSession, dir: String) {
       col("value").as("price"),
       col("user_id").cast("string").as("user_session")
     )
+}
+
+object Tables {
+  // partition-count probe cache: planning the same scan hundreds of times
+  // per Verify/Bench run would re-list the file each call; the count is a
+  // pure function of (file, session parallelism)
+  private val scanPartsCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def scanParts(key: String, df: DataFrame): Int =
+    scanPartsCache.computeIfAbsent(key, _ => df.rdd.getNumPartitions).intValue
 }

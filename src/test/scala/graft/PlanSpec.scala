@@ -20,8 +20,21 @@ class PlanSpec extends AnyFunSuite {
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = false))
     }
 
+  /** The guarded scan-parallelism floor (Tables.parScan) inserts ONE hash
+    * exchange tagged REPARTITION_BY_NUM directly above a scan whenever the
+    * local single-row-group files plan fewer splits than the session has
+    * cores; at production row-group counts the guard removes it entirely.
+    * These pins assert the 100-TB plan shape, so they discount exactly that
+    * node (and nothing else — every other Exchange still counts).
+    */
+  private def stripParScan(p: String): String =
+    p.linesIterator.filterNot(l =>
+      l.contains("REPARTITION_BY_NUM") && l.contains("Exchange hashpartitioning"))
+      .mkString("\n")
+
   private def plan(q: String): String =
-    SparkEntry.queries(q)(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString
+    stripParScan(
+      SparkEntry.queries(q)(spark, TestSpark.Sf0001).queryExecution.executedPlan.toString)
 
   test("flagship session features: exactly one shuffle (window partitioning reused by aggregate)") {
     val p = plan("q_session_features")
@@ -295,7 +308,11 @@ class PlanSpec extends AnyFunSuite {
   }
 
   test("winnowing fingerprints: doc-partitioned window, no cartesian, pruned scan") {
-    val p = plan("q_winnow_fp_subset")
+    // raw plan here: the parScan floor hashes by doc_id, which SATISFIES
+    // the window's required distribution (exchange reuse) — the doc_id
+    // hash exchange the pin wants may be exactly that node
+    val p = SparkEntry.queries("q_winnow_fp_subset")(spark, TestSpark.Sf0001)
+      .queryExecution.executedPlan.toString
     assert("Exchange hashpartitioning\\(doc_id".r.findAllIn(p).nonEmpty,
       s"sliding-window min must partition by doc only:\n${p.take(2000)}")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -352,7 +369,7 @@ class PlanSpec extends AnyFunSuite {
 
   test("dedup method-agreement audit plans ONE similarity join, not two") {
     val q = SparkEntry.queries("q_dedup_method_overlap")(spark, TestSpark.Sf0001)
-    val p = q.queryExecution.executedPlan.toString
+    val p = stripParScan(q.queryExecution.executedPlan.toString)
     // the r16 weak finding: the two-branch union consumed the PPJoin frame
     // twice; the explode spelling must leave exactly one prefix-filter
     // equi-join subtree read once through a Generate
