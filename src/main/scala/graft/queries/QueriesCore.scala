@@ -160,7 +160,7 @@ private[graft] object QueriesCore {
     },
     "q_sliding_windows" -> { (s, d) =>
       SessionWindows.slidingSessionAgg(
-        clickstream(s, d),
+        clickstreamPar(s, d),
         sessionCol = "user_session", tsCol = "event_time", typeCol = "event_type",
         priceCol = "price", itemCol = "product_id",
         cartType = "click", exactDistinct = true
@@ -180,7 +180,7 @@ private[graft] object QueriesCore {
     // engine-specific; StreamingSpec bounds it against the exact twin.
     "q_sliding_windows_approx" -> { (s, d) =>
       SessionWindows.slidingSessionAgg(
-        clickstream(s, d),
+        clickstreamPar(s, d),
         sessionCol = "user_session", tsCol = "event_time", typeCol = "event_type",
         priceCol = "price", itemCol = "product_id",
         cartType = "click", exactDistinct = false
@@ -200,7 +200,7 @@ private[graft] object QueriesCore {
     // HLL++ is exact-or-nearly, so the bound is structural, not luck.
     "q_sliding_approx_checked" -> { (s, d) =>
       def half(exact: Boolean) = SessionWindows.slidingSessionAgg(
-        clickstream(s, d),
+        clickstreamPar(s, d),
         sessionCol = "user_session", tsCol = "event_time", typeCol = "event_type",
         priceCol = "price", itemCol = "product_id",
         cartType = "click", exactDistinct = exact

@@ -79,8 +79,8 @@ private[graft] object QueryHelpers {
       // the Verify/Bench harness unpersists between queries
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-  private[graft] def clickstream(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir).events.select(
+  private def clickstreamOf(ev: DataFrame): DataFrame =
+    ev.select(
       concat(col("user_id").cast("string"), lit("_"), date_format(col("ts"), "yyyy-MM-dd"))
         .as("user_session"),
       col("event_type"),
@@ -88,6 +88,27 @@ private[graft] object QueryHelpers {
       col("value").as("price"),
       col("ts").as("event_time")
     )
+
+  private[graft] def clickstream(spark: SparkSession, dir: String): DataFrame =
+    clickstreamOf(Tables(spark, dir).events)
+
+  /** [[clickstream]] with the events scan floored to session parallelism —
+    * the Tables.parScan guard applied locally: the sliding-window queries
+    * explode ~10 window copies per event and aggregate them, all rooted in
+    * a single-row-group (one-task) scan without this. Query-local because
+    * the SAMPLED events pipelines (sampleBy/randomSplit draw per
+    * (partition, position)) must keep the stock layout; the window
+    * aggregates here are layout-free. No-op whenever the scan already
+    * plans >= cores splits (any real scale).
+    */
+  private[graft] def clickstreamPar(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir).events
+    val cores = spark.sparkContext.defaultParallelism
+    val par =
+      if (ev.rdd.getNumPartitions >= cores) ev
+      else ev.repartition(cores, col("user_id"))
+    clickstreamOf(par)
+  }
 
   private[graft] val ClickConf = SessionConf(
     sessionCol = "user_session",

@@ -47,8 +47,15 @@ final case class Tables(spark: SparkSession, dir: String) {
   def customer: DataFrame  = p("customer")
   def supplier: DataFrame  = p("supplier")
   def part: DataFrame      = p("part")
-  def orders: DataFrame    = parScan("orders", "o_orderkey")
-  def lineitem: DataFrame  = parScan("lineitem", "l_orderkey")
+  // Only documents gets the floor: its per-row kernels (md5 minhash lanes,
+  // shingle hashing, levenshtein, BPE symbolization) are expensive enough
+  // that 32-way fan-out beats one extra tiny exchange 3-10x (bench A/B this
+  // round). lineitem/orders/events were A/B'd too and LOST — their
+  // consumers are aggregation-shaped (cheap map side + partial agg), so the
+  // floor only multiplied per-stage task overhead (TPC-H family
+  // 18.5 -> 24.4 s under a lineitem+orders floor; reverted).
+  def orders: DataFrame    = p("orders")
+  def lineitem: DataFrame  = p("lineitem")
   def documents: DataFrame = parScan("documents", "doc_id")
   // embeddings deliberately NOT parScan'd: its consumers are the
   // iterative-replay family (kmeans/ivf/pq/facility — tens of small driver
@@ -63,11 +70,16 @@ final case class Tables(spark: SparkSession, dir: String) {
     *   - `ts`    — proper TimestampType (micros, truncated from nanos)
     *   - `ts_ns` — the original nanos long, for exact arithmetic
     */
-  // events deliberately NOT parScan'd: the U2/U3 sampling operators
-  // (sampleBy / randomSplit / MLlib fits) draw per (partition, position),
-  // so reshaping the scan would silently change every sampled pipeline
-  // (NOTES r5 gotcha) — and the events consumers are aggregation-shaped
-  // (cheap map side), not per-row-kernel-shaped.
+  // events deliberately NOT parScan'd — A/B'd this round and it LOST:
+  // the events consumers are aggregation/sketch/window/MLlib-shaped (light
+  // map side, many small post-exchange actions), so flooring the scan to
+  // 32 partitions multiplied every downstream action's task count instead
+  // of parallelizing real kernel work (q_quantile_sketch 2.2 -> 7.4 s,
+  // q_user_overlap 2.9 -> 4.5 s, q_rf_metrics 3.2 -> 4.7 s). It would also
+  // reshuffle every sampled pipeline (sampleBy/randomSplit draw per
+  // (partition, position) — NOTES r5). The one scan-rooted heavy consumer
+  // (the sliding-window explode) gets the floor locally via
+  // QueryHelpers.clickstreamPar instead.
   def events: DataFrame = {
     val raw = p("events")
     raw.schema("ts").dataType match {
