@@ -43,6 +43,15 @@ object VectorFunctions {
   def dotLong(a: Column, b: Column): Column =
     graft.expressions.LongDot.dot_long(a, b)
 
+  /** Exact BIGINT squared L2 distance of two `array<bigint>` columns — the
+    * native kernel ([[graft.expressions.LongSqDist]]) behind the
+    * quantized-micros replay loops. Same null/length/overflow semantics as
+    * the HOF spelling `aggregate(zip_with(a, b, (x,y) => (x-y)*(x-y)), 0L,
+    * _+_)` (LongSqDistParitySpec).
+    */
+  def sqDistLong(a: Column, b: Column): Column =
+    graft.expressions.LongSqDist.sq_dist_long(a, b)
+
   def l2Distance(a: Column, b: Column): Column =
     sqrt(
       aggregate(

@@ -63,10 +63,10 @@ object GmmReplay {
     val cdf = centers.toDF("cid", "piq", "cx")
     val scored0 = pts
       .crossJoin(broadcast(cdf))
+      // native Σ(Δ²) kernel — exact integers, HOF-parity pinned
+      // (LongSqDistParitySpec); guide §4
       .withColumn("d2",
-        aggregate(
-          zip_with(col("xq"), col("cx"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v))
+        graft.functions.VectorFunctions.sqDistLong(col("xq"), col("cx")))
       .withColumn("x",
         greatest(-col("d2").cast("double") / lit(twoSigmaSqE12), lit(ClampFloor)))
     val scored = withPexp(scored0, "x", "pex")

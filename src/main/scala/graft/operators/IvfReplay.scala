@@ -35,9 +35,10 @@ import org.apache.spark.sql.functions._
   */
 object IvfReplay {
 
+  // native Σ(Δ²) kernel — exact integers, HOF-parity pinned
+  // (LongSqDistParitySpec); guide §4
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    graft.functions.VectorFunctions.sqDistLong(a, b)
 
   /** `(query_id, neighbor_id, d2, rank)` — top-`k` probed-list neighbors
     * per query under the exact integer L2, rank 1 = nearest. A query row

@@ -63,9 +63,9 @@ object KCenter {
         .map { case ((id, cx), i) => (id, cx, i + 1) }
         .toDF("c_id", "cx", "sel_rank")
       pts.crossJoin(broadcast(selFrame))
+        // native Σ(Δ²) kernel — HOF-parity pinned (LongSqDistParitySpec)
         .withColumn("d2",
-          aggregate(zip_with(col("xq"), col("cx"), (a, b) => (a - b) * (a - b)),
-            lit(0L), (acc, v) => acc + v))
+          graft.functions.VectorFunctions.sqDistLong(col("xq"), col("cx")))
         .groupBy(col("vec_id"))
         .agg(min(struct(col("d2"), col("c_id"))).as("m"))
         .join(broadcast(selFrame.select(col("c_id").as("vec_id"),
@@ -86,8 +86,7 @@ object KCenter {
     val cdf = broadcast(selected.toDF("c_id", "cx"))
     pts.crossJoin(cdf)
       .withColumn("d2",
-        aggregate(zip_with(col("xq"), col("cx"), (a, b) => (a - b) * (a - b)),
-          lit(0L), (acc, v) => acc + v))
+        graft.functions.VectorFunctions.sqDistLong(col("xq"), col("cx")))
       .groupBy(col("vec_id"))
       .agg(min(col("d2")).as("dmin"))
       .join(pts, Seq("vec_id"))

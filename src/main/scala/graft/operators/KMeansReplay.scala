@@ -55,12 +55,12 @@ object KMeansReplay {
     val cdf = centers.toDF("cid", "cx")
     pts
       .crossJoin(broadcast(cdf))
+      // native Σ(Δ²) kernel — exact integers, HOF-parity pinned
+      // (LongSqDistParitySpec); the boxed aggregate(zip_with(...)) spelling
+      // dominated the per-round cross-join cost (guide §4)
       .withColumn(
         "dist",
-        aggregate(
-          zip_with(col("xq"), col("cx"), (a, b) => (a - b) * (a - b)),
-          lit(0L),
-          (acc, v) => acc + v))
+        graft.functions.VectorFunctions.sqDistLong(col("xq"), col("cx")))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("cid"))).as("m"))
       .select(col("vec_id"), col("m.cid").as("cid"), col("m.dist").as("dist"))
@@ -113,10 +113,7 @@ object KMeansReplay {
       .crossJoin(broadcast(cdf))
       .withColumn(
         "dist",
-        aggregate(
-          zip_with(col("xq"), col("cx"), (a, b) => (a - b) * (a - b)),
-          lit(0L),
-          (acc, v) => acc + v))
+        graft.functions.VectorFunctions.sqDistLong(col("xq"), col("cx")))
       .groupBy("vec_id")
       .agg(min(struct(col("dist"), col("cid"))).as("m"), first(col("xq")).as("xq"))
       .select(col("m.cid").as("cid"), posexplode(col("xq")))
