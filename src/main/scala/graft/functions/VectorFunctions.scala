@@ -52,14 +52,12 @@ object VectorFunctions {
   def sqDistLong(a: Column, b: Column): Column =
     graft.expressions.LongSqDist.sq_dist_long(a, b)
 
+  /** Since r21 the Σ(Δ²) fold runs in the native kernel
+    * ([[graft.expressions.PqKernels]]) — identical left-to-right IEEE
+    * order, so the sqrt sees the same bits (PqKernelsParitySpec).
+    */
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(
-      aggregate(
-        zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-        lit(0.0),
-        (acc, x) => acc + x
-      )
-    )
+    sqrt(graft.expressions.PqKernels.sq_dist_double(asDouble(a), asDouble(b)))
 
   /** Sign-bit sketch of the vector against `planes` deterministic
     * pseudo-random hyperplanes: bit j = sign(dot(v, plane_j)). Returns a

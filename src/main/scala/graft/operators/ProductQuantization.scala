@@ -33,10 +33,13 @@ object ProductQuantization {
   private def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
   /** Squared L2 between two double arrays — a sequential left fold in
-    * array order, so a DuckDB `list_sum` twin is bit-identical.
+    * array order, so a DuckDB `list_sum` twin is bit-identical. Native
+    * kernel (expressions.PqKernels) with the identical IEEE fold order —
+    * the HOF spelling paid two boxed tree-walks per (row, centroid) in the
+    * encode pass (PqKernelsParitySpec pins the parity; guide §4).
     */
   private def sqDist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+    graft.expressions.PqKernels.sq_dist_double(a, b)
 
   private def centroidLit(c: Array[Double]): Column = array(c.toSeq.map(lit): _*)
 
@@ -238,10 +241,9 @@ object ProductQuantization {
       .select(col(idCol).as("neighbor_id"), col("codes"))
     // fold in subspace order — the oracle's list_sum(list(sq ORDER BY s))
     // is the same left fold, so equal-code candidates tie EXACTLY in both
-    // engines and the neighbor_id tie-break decides identically
-    val adist = aggregate(
-      zip_with(col("qtab"), col("codes"), (tab, code) => element_at(tab, code + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    // engines and the neighbor_id tie-break decides identically; native
+    // lookup-sum kernel, identical fold order (PqKernelsParitySpec)
+    val adist = graft.expressions.PqKernels.adc_sum(col("qtab"), col("codes"))
     val scored = encoded
       .join(q, col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"), adist.as("adist"))
@@ -343,9 +345,7 @@ object ProductQuantization {
     }.toSeq: _*)
     val q = broadcast(probes.select(col("query_id"), col("list_id"), qtab.as("qtab")))
 
-    val adist = aggregate(
-      zip_with(col("qtab"), col("codes"), (tab, code) => element_at(tab, code + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    val adist = graft.expressions.PqKernels.adc_sum(col("qtab"), col("codes"))
     // every corpus vector lives in exactly one list, so a (query, neighbor)
     // pair appears at most once — no dedup aggregate needed
     val scored = encoded
