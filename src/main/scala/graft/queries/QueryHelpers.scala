@@ -47,9 +47,13 @@ private[graft] object QueryHelpers {
       .select(col("doc_id"), explode(graft.operators.Dedup.shingles(col("text"))).as("sh"))
       .groupBy(col("sh")).agg(collect_list(col("doc_id")).as("docs"))
       .filter(size(col("docs")) <= 20)
-      .select(explode(col("docs")).as("src"), col("docs"))
-      .select(col("src"), explode(col("docs")).as("dst"))
-      .filter(col("dst") > col("src"))
+      // one-pass pair emission (expressions.PairCombos): the double-explode
+      // spelling ran two Generate operators over every posting list to
+      // materialize |docs|² ordered rows and keep C(|docs|, 2) — and df=1
+      // lists (most of the vocabulary) paid the machinery to emit nothing.
+      // Bag-identical by PairCombosSpec (guide §4).
+      .select(explode(graft.expressions.PairCombos.pair_combos(col("docs"))).as("p"))
+      .select(col("p.src").as("src"), col("p.dst").as("dst"))
       .groupBy(col("src"), col("dst")).agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 5)
 
