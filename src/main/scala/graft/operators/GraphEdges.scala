@@ -27,6 +27,13 @@ object GraphEdges {
       dstCol: String,
       carry: Seq[String] = Nil
   ): DataFrame = {
+    // array(fwd, rev) needs identical struct field types; the union
+    // spelling this replaced would have type-coerced mixed src/dst types
+    // silently, so make the precondition explicit (r21, ADVICE)
+    val st = edges.schema(srcCol).dataType
+    val dt = edges.schema(dstCol).dataType
+    require(st == dt,
+      s"bothDirections needs matching src/dst types, got $st vs $dt — cast explicitly")
     val fwd = struct(
       (col(srcCol).as("a") +: col(dstCol).as("b") +: carry.map(col)): _*)
     val rev = struct(

@@ -29,6 +29,20 @@ import org.apache.spark.sql.functions._
   * once up front. Checkpoint blocks are executor-local (non-reliable);
   * the session-hygiene sweep (`getPersistentRDDs` + unpersist, as
   * Bench/Verify do between queries) reclaims them.
+  *
+  * PRODUCTION POSTURE for the localCheckpoint discipline (here and in every
+  * operator that cites this scaladoc — Components, LabelPropagation, KCore,
+  * HyperBall, Triangles, CommunityQuality, Bpe, QueryHelpers.wordCountsCkpt):
+  * `localCheckpoint` trades fault tolerance for latency — blocks live only
+  * on executors, so losing an executor mid-query kills the job instead of
+  * recomputing lineage. That is the right trade on this single-host harness
+  * and for any job whose re-run cost is acceptable. On a large shared
+  * cluster where executor loss is routine (spot nodes, preemption), switch
+  * the iteration hygiene to reliable `checkpoint()` with
+  * `sparkContext.setCheckpointDir` on HDFS/object storage: same
+  * plan-truncation effect, one extra write/read of the per-round state,
+  * survives executor loss. The choice is a deployment knob, not a plan
+  *-shape change — every operator above works identically under either.
   */
 object PageRank {
 
@@ -103,8 +117,10 @@ object PageRank {
   ): DataFrame = {
     require(iterations >= 1, "iterations must be >= 1")
     // same one-pass + pre-join checkpoint discipline as [[ranks]]
+    // select, not withColumn: an input frame already carrying `_w` must
+    // not be silently overwritten (r21, ADVICE)
     val bi = GraphEdges.bothDirections(
-        edges.withColumn("_w", col(weightCol).cast("long")),
+        edges.select(col(srcCol), col(dstCol), col(weightCol).cast("long").as("_w")),
         srcCol, dstCol, carry = Seq("_w"))
       .withColumnRenamed("_w", "w").localCheckpoint(true)
     val deg = bi.groupBy(col("a")).agg(sum(col("w")).as("wd"))

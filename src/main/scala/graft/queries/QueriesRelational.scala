@@ -753,15 +753,20 @@ private[graft] object QueriesRelational {
     // byte-denominated — documented in each operator)
     "q_tokenizer_compare" -> { (s, d) =>
       val wc = wordCountsCkpt(s, d)
-      graft.operators.Bpe.fertility(wc, graft.operators.Bpe.trainMerges(wc, 10))
-        .select(lit("bpe").as("family"), col("*"))
-        .unionByName(graft.operators.ByteBpe.fertility(wc,
+      // the four families' trains are independent driver-action loops over
+      // the SAME checkpointed aggregate — built concurrently (guide §2.6)
+      // so their per-round jobs interleave; union order is fixed by the Seq
+      QueryHelpers.buildConcurrently(s, Seq(
+        () => graft.operators.Bpe.fertility(wc, graft.operators.Bpe.trainMerges(wc, 10))
+          .select(lit("bpe").as("family"), col("*")),
+        () => graft.operators.ByteBpe.fertility(wc,
             graft.operators.ByteBpe.trainMerges(wc, 10))
-          .select(lit("bytebpe").as("family"), col("*")))
-        .unionByName(graft.operators.UnigramLm.fertility(s, wc)
-          .select(lit("unigram").as("family"), col("*")))
-        .unionByName(graft.operators.WordPiece.fertility(wc)
-          .select(lit("wordpiece").as("family"), col("*")))
+          .select(lit("bytebpe").as("family"), col("*")),
+        () => graft.operators.UnigramLm.fertility(s, wc)
+          .select(lit("unigram").as("family"), col("*")),
+        () => graft.operators.WordPiece.fertility(wc)
+          .select(lit("wordpiece").as("family"), col("*"))))
+        .reduce(_ unionByName _)
     },
     // tokenizer population coverage: what fraction of word OCCURRENCES the
     // subword trainers' population predicates admit — the OOV-exposure

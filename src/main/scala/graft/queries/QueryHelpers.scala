@@ -70,6 +70,30 @@ private[graft] object QueryHelpers {
   private[graft] def wordCountsCkpt(s: SparkSession, d: String): DataFrame =
     graft.operators.Vocab.wordCounts(Tables(s, d).documents).localCheckpoint(true)
 
+  /** Build independent query branches CONCURRENTLY (guide §2.6 — overlap
+    * independent jobs): each builder runs its driver-action loop (train
+    * collects, checkpoint materializations) on a pool thread, so one
+    * branch's per-round scheduling gaps are back-filled by another's tasks
+    * instead of serializing 4 train loops end to end. Deterministic by
+    * construction — every builder returns the same frame it returned when
+    * called sequentially; only the job scheduling overlaps. The active
+    * session is pinned per thread (operators take the session explicitly,
+    * but Spark's thread-inheritance of the active session is
+    * creation-time-only and pool threads may predate it).
+    */
+  private[graft] def buildConcurrently(
+      s: SparkSession, builders: Seq[() => DataFrame]): Seq[DataFrame] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    Await.result(
+      Future.sequence(builders.map(b => Future {
+        org.apache.spark.sql.SparkSession.setActiveSession(s)
+        b()
+      })),
+      Duration(20, scala.concurrent.duration.MINUTES))
+  }
+
   /** Gap-session bounds shared by the interval-overlap queries: one row per
     * (user, session) with inclusive [start_s, end_s] epoch-second bounds.
     */
@@ -108,9 +132,12 @@ private[graft] object QueryHelpers {
   private[graft] def clickstreamPar(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir).events
     val cores = spark.sparkContext.defaultParallelism
-    val par =
-      if (ev.rdd.getNumPartitions >= cores) ev
-      else ev.repartition(cores, col("user_id"))
+    // probe through the Tables.scanParts cache (r21, ADVICE): the count is
+    // a pure function of the events file + parallelism, and the uncached
+    // spelling re-planned the scan on every builder call
+    val parts = graft.sources.Tables.scanParts(
+      s"$dir/events@$cores", s"$dir/events.parquet", ev)
+    val par = if (parts >= cores) ev else ev.repartition(cores, col("user_id"))
     clickstreamOf(par)
   }
 

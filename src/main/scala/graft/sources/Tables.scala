@@ -38,7 +38,7 @@ final case class Tables(spark: SparkSession, dir: String) {
   private def parScan(name: String, key: String): DataFrame = {
     val df = p(name)
     val cores = spark.sparkContext.defaultParallelism
-    val parts = Tables.scanParts(s"$dir/$name@$cores", df)
+    val parts = Tables.scanParts(s"$dir/$name@$cores", s"$dir/$name.parquet", df)
     if (parts >= cores) df else df.repartition(cores, col(key))
   }
 
@@ -132,9 +132,18 @@ final case class Tables(spark: SparkSession, dir: String) {
 object Tables {
   // partition-count probe cache: planning the same scan hundreds of times
   // per Verify/Bench run would re-list the file each call; the count is a
-  // pure function of (file, session parallelism)
+  // pure function of (file bytes, session parallelism, split confs), so the
+  // key carries the file's length+mtime (r21, ADVICE: a rewrite of the same
+  // path in one JVM must not serve a stale count). Bounded: cleared if it
+  // ever exceeds MaxEntries (a long-lived JVM cycling many data dirs) —
+  // losing the cache only costs a re-probe.
+  private val MaxEntries = 1024
   private val scanPartsCache =
     new java.util.concurrent.ConcurrentHashMap[String, Integer]()
-  private def scanParts(key: String, df: DataFrame): Int =
-    scanPartsCache.computeIfAbsent(key, _ => df.rdd.getNumPartitions).intValue
+  private[graft] def scanParts(key: String, path: String, df: DataFrame): Int = {
+    val f = new java.io.File(path)
+    val full = s"$key#${f.length}@${f.lastModified}"
+    if (scanPartsCache.size > MaxEntries) scanPartsCache.clear()
+    scanPartsCache.computeIfAbsent(full, _ => df.rdd.getNumPartitions).intValue
+  }
 }

@@ -54,6 +54,19 @@ class BpeSpec extends AnyFunSuite {
     assert(got.take(2) == Seq(("e", "s", 9L), ("es", "t", 9L)))
   }
 
+  test("merge table matches naive on a deep train (13+ generations)") {
+    // r21: pins the deep-loop parity a checkpoint-cadence rewrite would
+    // have to preserve. (A cadence of 12 was tried and REVERTED: lazy
+    // mergePair chains between checkpoints change each round's plan shape,
+    // so whole-stage codegen recompiles per round instead of hitting the
+    // cache the constant-shape checkpointed plan gets — 5-rep A/B showed
+    // the cadence ~10-15 % slower. The per-generation checkpoint stays.)
+    val got = Bpe.trainMerges(SennrichCorpus.toSeq.toDF("word", "n"), 20)
+      .map(m => (m.left, m.right, m.cnt))
+    assert(got == naiveBpe(SennrichCorpus, 20))
+    assert(got.size > 12, s"fixture must exercise a deep train, got ${got.size}")
+  }
+
   test("PairMerge kernel: leftmost-first on overlaps, ends, no-match") {
     val df = Seq(
       Seq("a", "a", "a"),
